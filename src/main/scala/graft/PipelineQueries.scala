@@ -1,0 +1,224 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Training-data pipeline queries over `documents` / `embeddings`:
+  * deduplication, text analysis, multimodal plumbing, similarity search.
+  * Oracles follow the same determinism rules as [[Queries]]; approximate
+  * operators (MinHash, SimHash, LSH) are registered without oracles (the
+  * driver records rows-only checks) and are instead validated against
+  * their exact counterparts in ScalaTest.
+  */
+object PipelineQueries {
+
+  import Queries.Q
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    Tables.register(spark, dir)
+    spark.table(name)
+  }
+
+  /** Shared DuckDB fragments: normalized text and its word list. */
+  private val normSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+  private val wordsSql = s"string_split($normSql, ' ')"
+
+  // ===== dedup =========================================================
+
+  /** D1: per-document fingerprint + token count. */
+  val d1Fingerprint: Q = (s, d) =>
+    t(s, d, "documents").select(
+      col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp"),
+      TextAnalysis.tokenCount(col("text")).cast("bigint").as("n_tokens"))
+  val d1Oracle =
+    s"""SELECT doc_id, md5($normSql) AS fp,
+       |  len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS n_tokens
+       |FROM documents""".stripMargin
+
+  /** D2: exact dedup — keep min-id per normalized-text group. */
+  val d2DedupExact: Q = (s, d) =>
+    Dedup.dedupExact(t(s, d, "documents"), "doc_id", "text")
+      .select("doc_id", "source")
+  val d2Oracle =
+    s"""SELECT doc_id, source FROM documents
+       |WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5($normSql))""".stripMargin
+
+  /** D3: exact n-gram (3-shingle) Jaccard pairs within a source block. */
+  val d3JaccardPairs: Q = (s, d) =>
+    Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+        "source", w = 3, threshold = 0.2)
+      .withColumnRenamed("blk", "source")
+  val d3Oracle =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+       |  FROM (SELECT doc_id, source, $wordsSql AS w FROM documents) z),
+       |p AS (
+       |  SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+       |    ROUND(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+       |      ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |           len(list_distinct(list_concat(a.sh, b.sh))) END, 6) AS jaccard
+       |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id)
+       |SELECT source, id_a, id_b, jaccard FROM p WHERE jaccard >= 0.2""".stripMargin
+
+  /** D4: MinHash+LSH near-dups, verified by exact Jaccard (approximate
+    * candidate generation ⇒ no SQL oracle; ScalaTest checks recall vs D3).
+    */
+  val d4MinhashNearDup: Q = (s, d) =>
+    Dedup.minhashNearDups(t(s, d, "documents"), "doc_id", "text",
+      threshold = 0.2)
+
+  /** D5: SimHash near-dup pairs (hash-function-specific ⇒ rows-only). */
+  val d5SimhashNearDup: Q = (s, d) =>
+    Dedup.simhashNearDups(t(s, d, "documents"), "doc_id", "text",
+      maxHamming = 3)
+
+  // ===== text analysis =================================================
+
+  /** T1: quality metrics + composite score. */
+  val t1Quality: Q = (s, d) =>
+    TextAnalysis.qualityMetrics(t(s, d, "documents"))
+      .select(col("doc_id"), col("n_tokens").cast("bigint").as("n_tokens"),
+        col("avg_token_len"), col("punct_ratio"), col("alpha_ratio"),
+        col("stopword_ratio"), col("quality_score"))
+  val t1Oracle =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS n_tokens,
+       |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) /
+       |      len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS avg_token_len,
+       |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) /
+       |      length(text) AS punct_ratio,
+       |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) /
+       |      length(text) AS alpha_ratio,
+       |    CAST(len(list_filter(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
+       |        w -> list_contains(['the','a','of','to','and','in','is','it','that','for'], lower(w))))
+       |      AS DOUBLE) /
+       |      len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS stopword_ratio
+       |  FROM documents)
+       |SELECT doc_id, n_tokens, avg_token_len, punct_ratio, alpha_ratio, stopword_ratio,
+       |  LEAST(1.0, GREATEST(0.0,
+       |    0.30 * LEAST(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) +
+       |    0.25 * alpha_ratio +
+       |    0.25 * LEAST(stopword_ratio * 5.0, 1.0) +
+       |    0.20 * (1.0 - LEAST(punct_ratio * 5.0, 1.0)))) AS quality_score
+       |FROM m""".stripMargin
+
+  /** T2: heuristic language ID (stopword evidence; rows-only — the
+    * heuristic is library-defined, not SQL-standard).
+    */
+  val t2LangId: Q = (s, d) =>
+    t(s, d, "documents").select(col("doc_id"),
+      TextAnalysis.langId(col("text")).as("lang_pred"))
+
+  // ===== multimodal ====================================================
+
+  /** M1: binary payload plumbing — metadata extraction over an opaque
+    * binary column (decode stubbed deterministically; see Multimodal).
+    */
+  val m1MediaMeta: Q = (s, d) =>
+    Multimodal.withMediaMeta(
+        t(s, d, "documents").select(col("doc_id"),
+          Multimodal.asBinary(col("text")).as("payload")))
+      .select(col("doc_id"),
+        col("media_meta.n_bytes").as("n_bytes"),
+        col("media_meta.media_type").as("media_type"),
+        col("media_meta.width").as("width"),
+        col("media_meta.height").as("height"),
+        col("media_meta.checksum").as("checksum"))
+  val m1Oracle =
+    """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'image'
+      |       WHEN octet_length(encode(text)) % 3 = 1 THEN 'audio'
+      |       ELSE 'video' END AS media_type,
+      |  CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+      |  CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,
+      |  md5(text) AS checksum
+      |FROM documents""".stripMargin
+
+  // ===== similarity ====================================================
+
+  private def queryVecs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings").filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+
+  /** S1: brute-force cosine top-k (exact baseline). */
+  val s1TopKBruteForce: Q = (s, d) =>
+    Similarity.bruteForceTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        queryVecs(s, d), k = 10)
+      .withColumn("rank", col("rank").cast("bigint"))
+  val s1Oracle =
+    """WITH e AS (
+      |  SELECT vec_id, embedding,
+      |    SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+      |          FROM (SELECT UNNEST(embedding) AS x) ux)) AS nrm
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, embedding AS qvec, nrm AS qnrm
+      |      FROM e WHERE vec_id < 5),
+      |sc AS (
+      |  SELECT q.query_id, e.vec_id AS id,
+      |    ROUND(CASE WHEN e.nrm * q.qnrm = 0 THEN 0.0 ELSE
+      |      (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+      |       FROM (SELECT UNNEST(e.embedding) AS x, UNNEST(q.qvec) AS y) u)
+      |      / (e.nrm * q.qnrm) END, 6) AS cosine_sim
+      |  FROM e CROSS JOIN q)
+      |SELECT query_id, rank, id, cosine_sim FROM (
+      |  SELECT query_id, id, cosine_sim,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY cosine_sim DESC, id) AS rank
+      |  FROM sc) z WHERE rank <= 10""".stripMargin
+
+  /** S2: exact cosine near-dup pairs (brute force over all pairs). */
+  val s2CosinePairs: Q = (s, d) =>
+    Similarity.bruteForcePairs(t(s, d, "embeddings"), "vec_id", "embedding",
+      threshold = 0.4)
+  val s2Oracle =
+    """WITH e AS (
+      |  SELECT vec_id, embedding,
+      |    SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+      |          FROM (SELECT UNNEST(embedding) AS x) ux)) AS nrm
+      |  FROM embeddings),
+      |p AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    ROUND(CASE WHEN a.nrm * b.nrm = 0 THEN 0.0 ELSE
+      |      (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+      |       FROM (SELECT UNNEST(a.embedding) AS x, UNNEST(b.embedding) AS y) u)
+      |      / (a.nrm * b.nrm) END, 6) AS cosine_sim
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, cosine_sim FROM p WHERE cosine_sim >= 0.4""".stripMargin
+
+  /** S3: LSH-bucketed approximate top-k (rows-only; recall vs S1 is
+    * asserted in ScalaTest).
+    */
+  val s3LshTopK: Q = (s, d) =>
+    Similarity.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+      queryVecs(s, d), k = 10)
+
+  // ===== registry ======================================================
+
+  val all: Map[String, Q] = Map(
+    "q_d1_fingerprint" -> d1Fingerprint,
+    "q_d2_dedup_exact" -> d2DedupExact,
+    "q_d3_jaccard_pairs" -> d3JaccardPairs,
+    "q_d4_minhash_neardup" -> d4MinhashNearDup,
+    "q_d5_simhash_neardup" -> d5SimhashNearDup,
+    "q_t1_quality" -> t1Quality,
+    "q_t2_langid" -> t2LangId,
+    "q_m1_media_meta" -> m1MediaMeta,
+    "q_s1_topk_bruteforce" -> s1TopKBruteForce,
+    "q_s2_cosine_pairs" -> s2CosinePairs,
+    "q_s3_lsh_topk" -> s3LshTopK)
+
+  val oracles: Map[String, String] = Map(
+    "q_d1_fingerprint" -> d1Oracle,
+    "q_d2_dedup_exact" -> d2Oracle,
+    "q_d3_jaccard_pairs" -> d3Oracle,
+    "q_t1_quality" -> t1Oracle,
+    "q_m1_media_meta" -> m1Oracle,
+    "q_s1_topk_bruteforce" -> s1Oracle,
+    "q_s2_cosine_pairs" -> s2Oracle)
+}

@@ -1,0 +1,615 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.engine.QueryEngine
+import graft.functions.JsonMacros
+import graft.operators._
+
+/** Driver-facing query registry: every SURVEY.md §2 operator expressed as a
+  * query over the TESTDATA star schema, with a DuckDB-dialect oracle twin.
+  *
+  * Cross-engine determinism rules used throughout:
+  *  - double aggregation goes through decimal(18,4) (exact, order-free)
+  *    and back to double, so Spark and DuckDB produce bit-identical sums;
+  *  - ratios/divisions stay in IEEE double (deterministic) and are rounded;
+  *  - every LIMIT sits on a total order with a unique tie-break key;
+  *  - count-like outputs are bigint in both dialects.
+  */
+object Queries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact decimal(18,4) aggregation: sums round in *decimal* space
+    * (HALF_UP, identical in both engines) before casting to double;
+    * averages are raw IEEE divisions of exact operands. ROUND-of-double is
+    * never used — engines disagree at half boundaries.
+    */
+  private def exactSum(c: org.apache.spark.sql.Column, scale: Int = 2) =
+    round(sum(c.cast("decimal(18,4)")), scale).cast("double")
+
+  private def exactAvg(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,4)")).cast("double") / count(lit(1))
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    Tables.register(spark, dir)
+    spark.table(name)
+  }
+
+  // ===== §2.2 projections / filters ====================================
+
+  /** P1: column projection + equality filter (graph_loader.go:300-305). */
+  val p1Projection: Q = (s, d) =>
+    t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey", "c_name", "c_acctbal")
+  val p1Oracle =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |WHERE c_mktsegment = 'BUILDING'""".stripMargin
+
+  /** P4: LIKE predicate (untrusted_kms_keys.sql:28). */
+  val p4Like: Q = (s, d) =>
+    t(s, d, "part").filter(col("p_name").like("%red%"))
+      .select("p_partkey", "p_name", "p_brand")
+  val p4Oracle =
+    "SELECT p_partkey, p_name, p_brand FROM part WHERE p_name LIKE '%red%'"
+
+  /** P7/P8: CASE WHEN + COALESCE (uniform_bucket_access.sql:26-30,
+    * :15-18). The CASE over event_id synthesizes NULL inputs.
+    */
+  val p7Case: Q = (s, d) =>
+    t(s, d, "events").select(
+      col("event_id"),
+      when(col("value") > 150, "high").when(col("value") > 50, "mid")
+        .otherwise("low").as("tier"),
+      coalesce(
+        get_json_object(when(col("event_id") % 5 === 0, lit(null))
+          .otherwise(col("props")), "$.k"), lit("-1")).as("k_str"))
+  val p7Oracle =
+    """SELECT event_id,
+      |  CASE WHEN value > 150 THEN 'high' WHEN value > 50 THEN 'mid'
+      |       ELSE 'low' END AS tier,
+      |  COALESCE(json_extract_string(
+      |    CASE WHEN event_id % 5 = 0 THEN NULL ELSE props END, '$.k'),
+      |    '-1') AS k_str
+      |FROM events""".stripMargin
+
+  // ===== §2.4 aggregations =============================================
+
+  /** A1: GROUP BY + COUNT (graph_loader.go:361-376). */
+  val a1CountByType: Q = (s, d) =>
+    t(s, d, "events").groupBy("event_type").agg(count(lit(1)).as("n"))
+  val a1Oracle = "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type"
+
+  /** A2: multi-agg with conditional counts (graph_loader.go:531-555). */
+  val a2MultiAgg: Q = (s, d) =>
+    t(s, d, "events").groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      count(when(col("value") > 100, 1)).as("n_high"),
+      exactAvg(col("value")).as("avg_value"),
+      exactSum(col("value")).as("sum_value"),
+      max("value").as("max_value"),
+      min("value").as("min_value"))
+  val a2Oracle =
+    """SELECT event_type, COUNT(*) AS n,
+      |  COUNT(CASE WHEN value > 100 THEN 1 END) AS n_high,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_value,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value,
+      |  MAX(value) AS max_value, MIN(value) AS min_value
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** A3: multiple COUNT(DISTINCT) + MIN/MAX (unified_schema.go:469-480). */
+  val a3DistinctCounts: Q = (s, d) =>
+    t(s, d, "documents").groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct("lang").as("n_langs"),
+      min("n_chars").as("min_chars"),
+      max("n_chars").as("max_chars"))
+  val a3Oracle =
+    """SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs,
+      |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      |FROM documents GROUP BY source""".stripMargin
+
+  /** A4: set aggregation (array_agg DISTINCT, gcp db_schema.go:499-509);
+    * joined to a string so the oracle compare is order-stable.
+    */
+  val a4CollectSet: Q = (s, d) =>
+    t(s, d, "documents").groupBy("source")
+      .agg(concat_ws(",", array_sort(collect_set("lang"))).as("langs"))
+  val a4Oracle =
+    """SELECT source,
+      |  array_to_string(list_sort(array_agg(DISTINCT lang)), ',') AS langs
+      |FROM documents GROUP BY source""".stripMargin
+
+  // ===== §2.3 joins ====================================================
+
+  /** J1: inner equi-join + aggregate (graph_loader.go:316-328). */
+  val j1JoinAgg: Q = (s, d) =>
+    t(s, d, "orders").join(t(s, d, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        exactSum(col("o_totalprice")).as("total"))
+  val j1Oracle =
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
+  /** J-anti: left-join-null-flag, idiomatic left_anti
+    * (untrusted_kms_keys.sql:25,:55).
+    */
+  val j2AntiJoin: Q = (s, d) =>
+    t(s, d, "customer").join(t(s, d, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_custs_no_orders"))
+  val j2Oracle =
+    """SELECT c_nationkey AS nationkey, COUNT(*) AS n_custs_no_orders
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |WHERE o_orderkey IS NULL GROUP BY c_nationkey""".stripMargin
+
+  /** J3/J5: multi-way join + aggregate — revenue per region. Small dims
+    * (region/nation) broadcast; lineitem⋈orders is the only real shuffle.
+    */
+  val j3MultiwayRevenue: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(
+        round(sum(col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))), 2)
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  val j3Oracle =
+    """SELECT r_name,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name""".stripMargin
+
+  // ===== §2.6 set ops ==================================================
+
+  /** U1: UNION ALL splice (unified_schema.go:432-462). */
+  val u1Union: Q = (s, d) =>
+    t(s, d, "customer").filter(col("c_acctbal") > 9000)
+      .select(lit("customer").as("kind"), col("c_custkey").as("id"),
+        col("c_name").as("name"), col("c_acctbal").as("acctbal"))
+      .unionByName(
+        t(s, d, "supplier").filter(col("s_acctbal") > 9000)
+          .select(lit("supplier").as("kind"), col("s_suppkey").as("id"),
+            col("s_name").as("name"), col("s_acctbal").as("acctbal")))
+  val u1Oracle =
+    """SELECT 'customer' AS kind, c_custkey AS id, c_name AS name, c_acctbal AS acctbal
+      |FROM customer WHERE c_acctbal > 9000
+      |UNION ALL
+      |SELECT 'supplier', s_suppkey, s_name, s_acctbal
+      |FROM supplier WHERE s_acctbal > 9000""".stripMargin
+
+  // ===== §2.5 sort / limit / windows ===================================
+
+  /** W1/W3: top-k via sort+limit (Catalyst plans TakeOrderedAndProject). */
+  val w1TopK: Q = (s, d) =>
+    t(s, d, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(20)
+      .select("o_orderkey", "o_totalprice", "o_orderdate")
+  val w1Oracle =
+    """SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+
+  /** W4: pagination via row_number (change_storage.go:556-566). */
+  val w4Pagination: Q = (s, d) => {
+    val w = Window.orderBy(col("o_orderkey"))
+    t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn").between(101, 120))
+      .drop("rn")
+  }
+  val w4Oracle =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_orderkey LIMIT 20 OFFSET 100""".stripMargin
+
+  /** W5: top-N per group (sort-by-any-column, base_change_tracker.go:84-90
+    * generalized to ranked windows).
+    */
+  val w5TopNPerGroup: Q = (s, d) => {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, d, "orders")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+  }
+  val w5Oracle =
+    """SELECT o_orderpriority, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) z
+      |WHERE rn <= 3""".stripMargin
+
+  // ===== §2.8 the five macros ==========================================
+
+  /** Shared scrambled-JSON input: synthesizes NULL / invalid / empty JSON
+    * rows so the macro NULL-guards are exercised (json_helpers.go probes).
+    * Identical text in both dialects.
+    */
+  private val jCase =
+    """CASE WHEN event_id % 7 = 0 THEN NULL
+      |     WHEN event_id % 11 = 0 THEN '{bad json'
+      |     WHEN event_id % 13 = 0 THEN '' ELSE props END""".stripMargin
+  private val oracleGuard =
+    s"(j IS NULL OR j = '' OR j = 'null' OR NOT json_valid(j))"
+
+  private def macroQuery(sql: String): Q = (s, d) => {
+    Tables.register(s, d)
+    JsonMacros.register(s)
+    s.sql(sql)
+  }
+
+  val f1ExtractJson: Q = macroQuery(
+    s"""WITH e AS (SELECT event_id, $jCase AS j FROM events)
+       |SELECT event_id, extract_json(j, '$$.k') AS k_val FROM e""".stripMargin)
+  val f1Oracle =
+    s"""WITH e AS (SELECT event_id, $jCase AS j FROM events)
+       |SELECT event_id, CASE WHEN $oracleGuard THEN NULL
+       |  ELSE json_extract_string(j, '$$.k') END AS k_val FROM e""".stripMargin
+
+  val f2JsonPath: Q = macroQuery(
+    s"""WITH e AS (SELECT event_id, $jCase AS j FROM events)
+       |SELECT event_id, json_path(j, '$$.k') AS k_frag FROM e""".stripMargin)
+  val f2Oracle =
+    s"""WITH e AS (SELECT event_id, $jCase AS j FROM events)
+       |SELECT event_id, CASE WHEN $oracleGuard THEN NULL
+       |  ELSE CAST(json_extract(j, '$$.k') AS VARCHAR) END AS k_frag FROM e""".stripMargin
+
+  val f3HasTag: Q = macroQuery(
+    s"""WITH e AS (SELECT event_id, $jCase AS j FROM events)
+       |SELECT event_id, has_tag(j, 'k', CAST(NULL AS STRING)) AS has_k,
+       |       has_tag(j, 'k', '12') AS has_k12,
+       |       has_tag(j, 'missing', CAST(NULL AS STRING)) AS has_missing
+       |FROM e""".stripMargin)
+  val f3Oracle =
+    s"""WITH e AS (SELECT event_id, $jCase AS j FROM events)
+       |SELECT event_id,
+       |  CASE WHEN $oracleGuard THEN false
+       |       ELSE json_extract_string(j, '$$.k') IS NOT NULL END AS has_k,
+       |  CASE WHEN $oracleGuard THEN false
+       |       ELSE COALESCE(json_extract_string(j, '$$.k') = '12', false) END AS has_k12,
+       |  CASE WHEN $oracleGuard THEN false
+       |       ELSE json_extract_string(j, '$$.missing') IS NOT NULL END AS has_missing
+       |FROM e""".stripMargin
+
+  val f4CountTags: Q = macroQuery(
+    s"""WITH e AS (SELECT event_id, $jCase AS j FROM events)
+       |SELECT event_id, count_tags(j) AS n_tags FROM e""".stripMargin)
+  val f4Oracle =
+    s"""WITH e AS (SELECT event_id, $jCase AS j FROM events)
+       |SELECT event_id, CASE WHEN $oracleGuard THEN 0
+       |  ELSE CAST(array_length(json_keys(j)) AS INTEGER) END AS n_tags FROM e""".stripMargin
+
+  val f5SafeExtract: Q = macroQuery(
+    s"""WITH e AS (SELECT event_id, $jCase AS j FROM events)
+       |SELECT event_id, safe_json_extract(j, '$$.k', 'dflt') AS k_or_default,
+       |       safe_json_extract(j, '$$.missing', 'dflt') AS missing_or_default
+       |FROM e""".stripMargin)
+  val f5Oracle =
+    s"""WITH e AS (SELECT event_id, $jCase AS j FROM events)
+       |SELECT event_id,
+       |  COALESCE(CASE WHEN $oracleGuard THEN NULL
+       |    ELSE json_extract_string(j, '$$.k') END, 'dflt') AS k_or_default,
+       |  COALESCE(CASE WHEN $oracleGuard THEN NULL
+       |    ELSE json_extract_string(j, '$$.missing') END, 'dflt') AS missing_or_default
+       |FROM e""".stripMargin
+
+  // ===== §2.9 engine-level ============================================
+
+  /** E2: named-parameter binding with IN-list expansion
+    * (engine.go:441-456, compliance/executor.go:414-428).
+    */
+  val e2NamedParams: Q = (s, d) => {
+    Tables.register(s, d)
+    val sql =
+      """SELECT event_id, event_type, value FROM events
+        |WHERE event_type IN :types AND value >= :min_value""".stripMargin
+    val bound = QueryEngine.bindParams(sql,
+      Map("types" -> Seq("purchase", "error"), "min_value" -> 150.0))
+    QueryEngine.validate(s, bound).left.foreach(e => throw e)
+    s.sql(bound)
+  }
+  val e2Oracle =
+    """SELECT event_id, event_type, value FROM events
+      |WHERE event_type IN ('purchase', 'error') AND value >= 150.0""".stripMargin
+
+  /** E7: compliance result contract — the 8 required columns with
+    * PASS/FAIL status and JSON details (compliance/executor.go:371-394).
+    */
+  val e7Compliance: Q = (s, d) =>
+    t(s, d, "documents").select(
+      concat(lit("doc-"), col("doc_id").cast("string")).as("resource_id"),
+      col("source").as("resource_name"),
+      lit("document").as("resource_type"),
+      lit("DQ-001").as("control_id"),
+      lit("min-length").as("control_name"),
+      when(col("n_chars") >= 100, "PASS").otherwise("FAIL").as("status"),
+      when(col("n_chars") < 50, "HIGH").otherwise("MEDIUM").as("severity"),
+      to_json(struct(col("n_chars").cast("string").as("n_chars"),
+        col("lang").as("lang"))).as("details"))
+  val e7Oracle =
+    """SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS resource_id,
+      |  source AS resource_name, 'document' AS resource_type,
+      |  'DQ-001' AS control_id, 'min-length' AS control_name,
+      |  CASE WHEN n_chars >= 100 THEN 'PASS' ELSE 'FAIL' END AS status,
+      |  CASE WHEN n_chars < 50 THEN 'HIGH' ELSE 'MEDIUM' END AS severity,
+      |  CAST(json_object('n_chars', CAST(n_chars AS VARCHAR), 'lang', lang) AS VARCHAR) AS details
+      |FROM documents""".stripMargin
+
+  /** E13: change history — filter + desc timeline + cap
+    * (change_storage.go:249-272).
+    */
+  val e13History: Q = (s, d) =>
+    Changes.history(t(s, d, "events"), "user_id", 42)
+      .select("event_id", "ts", "event_type", "value")
+  val e13Oracle =
+    """SELECT event_id, ts, event_type, value FROM events
+      |WHERE user_id = 42 ORDER BY ts DESC, event_id DESC LIMIT 1000""".stripMargin
+
+  /** E11/E12: drift detection — last state per user before/after a cutoff,
+    * full-outer field diff (drift_detector.go:198-316).
+    */
+  val e11Drift: Q = (s, d) => {
+    val ev = t(s, d, "events")
+    val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
+    def lastState(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("user_id", "event_type", "value")
+    }
+    val baseline = lastState(ev.filter(col("ts") < cutoff))
+    val current = lastState(ev.filter(col("ts") >= cutoff))
+    Changes.drift(baseline, current, "user_id", Seq("event_type", "value"))
+      .withColumn("key", col("key").cast("string"))
+  }
+  val e11Oracle =
+    """WITH b AS (
+      |  SELECT user_id, event_type, value FROM (
+      |    SELECT user_id, event_type, value,
+      |      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00') z WHERE rn = 1),
+      |c AS (
+      |  SELECT user_id, event_type, value FROM (
+      |    SELECT user_id, event_type, value,
+      |      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00') z WHERE rn = 1),
+      |j AS (
+      |  SELECT COALESCE(b.user_id, c.user_id) AS key,
+      |    b.user_id IS NULL AS added, c.user_id IS NULL AS removed,
+      |    b.event_type AS bt, CAST(b.value AS VARCHAR) AS bv,
+      |    c.event_type AS ct, CAST(c.value AS VARCHAR) AS cv
+      |  FROM b FULL OUTER JOIN c ON b.user_id = c.user_id)
+      |SELECT CAST(key AS VARCHAR) AS key, 'RESOURCE_ADDED' AS drift_type,
+      |  CAST(NULL AS VARCHAR) AS field, CAST(NULL AS VARCHAR) AS baseline_value,
+      |  CAST(NULL AS VARCHAR) AS current_value FROM j WHERE added
+      |UNION ALL SELECT CAST(key AS VARCHAR), 'RESOURCE_REMOVED', NULL, NULL, NULL
+      |  FROM j WHERE removed
+      |UNION ALL SELECT CAST(key AS VARCHAR), 'FIELD_MODIFIED', 'event_type', bt, ct
+      |  FROM j WHERE NOT added AND NOT removed AND bt IS DISTINCT FROM ct
+      |UNION ALL SELECT CAST(key AS VARCHAR), 'FIELD_MODIFIED', 'value', bv, cv
+      |  FROM j WHERE NOT added AND NOT removed AND bv IS DISTINCT FROM cv""".stripMargin
+
+  // ===== §2.4/§2.9 time-bucket analytics ==============================
+
+  /** A5: time-bucket frequency trend (change_analytics.go:191-231). */
+  val a5TimeBucket: Q = (s, d) =>
+    Analytics.frequencyTrend(t(s, d, "events"), "ts", "event_type", "hour")
+      .withColumnRenamed("dim", "event_type")
+  val a5Oracle =
+    """SELECT date_trunc('hour', ts) AS bucket, event_type, COUNT(*) AS n
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** A6: impact trend (change_analytics.go:384-450). */
+  val a6ImpactTrend: Q = (s, d) =>
+    Analytics.impactTrend(t(s, d, "events"), "ts", "value", "day", 150)
+  val a6Oracle =
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_score,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_score,
+      |  COUNT(CASE WHEN value > 150 THEN 1 END) AS high_risk_count,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** A7: top-N most-changed resources (change_analytics.go:452-494). */
+  val a7TopResources: Q = (s, d) =>
+    Analytics.topResources(t(s, d, "events"), "user_id", "ts", "value", 10)
+  val a7Oracle =
+    """SELECT user_id AS key, COUNT(*) AS change_count, MAX(ts) AS last_change,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_impact
+      |FROM events GROUP BY user_id
+      |ORDER BY change_count DESC, key LIMIT 10""".stripMargin
+
+  /** E16: the three anomaly rules (change_analytics.go:715-771). */
+  val e16Anomalies: Q = (s, d) =>
+    Analytics.anomalies(t(s, d, "events"), "event_type", "user_id",
+      spikeThreshold = 1000, hotspotThreshold = 80)
+  val e16Oracle =
+    """SELECT 'frequency_spike' AS anomaly_type, CAST(NULL AS VARCHAR) AS subject,
+      |  COUNT(*) AS n, LEAST(COUNT(*) / 2000.0, 1.0) AS confidence
+      |FROM events HAVING COUNT(*) > 1000
+      |UNION ALL
+      |SELECT 'service_concentration', event_type, COUNT(*),
+      |  COUNT(*) / CAST((SELECT COUNT(*) FROM events) AS DOUBLE)
+      |FROM events GROUP BY event_type
+      |HAVING COUNT(*) > 0.5 * (SELECT COUNT(*) FROM events)
+      |UNION ALL
+      |SELECT 'resource_hotspot', CAST(user_id AS VARCHAR), COUNT(*),
+      |  LEAST(COUNT(*) / 160.0, 1.0)
+      |FROM events GROUP BY user_id HAVING COUNT(*) > 80""".stripMargin
+
+  // ===== §2.10 graph ===================================================
+
+  /** Edge table derived from the star schema (both dialects verbatim):
+    * order→customer→nation→region plus supplier→nation.
+    */
+  val edgesSql: String =
+    """SELECT 'c' || CAST(c_custkey AS STRING) AS from_id,
+      |       'n' || CAST(c_nationkey AS STRING) AS to_id FROM customer
+      |UNION ALL SELECT 's' || CAST(s_suppkey AS STRING),
+      |       'n' || CAST(s_nationkey AS STRING) FROM supplier
+      |UNION ALL SELECT 'n' || CAST(n_nationkey AS STRING),
+      |       'r' || CAST(n_regionkey AS STRING) FROM nation
+      |UNION ALL SELECT 'o' || CAST(o_orderkey AS STRING),
+      |       'c' || CAST(o_custkey AS STRING) FROM orders""".stripMargin
+
+  private val verticesSql: String =
+    """SELECT 'c' || CAST(c_custkey AS STRING) AS id, c_name AS name FROM customer
+      |UNION ALL SELECT 's' || CAST(s_suppkey AS STRING), s_name FROM supplier
+      |UNION ALL SELECT 'n' || CAST(n_nationkey AS STRING), n_name FROM nation
+      |UNION ALL SELECT 'r' || CAST(r_regionkey AS STRING), r_name FROM region
+      |UNION ALL SELECT 'o' || CAST(o_orderkey AS STRING),
+      |       'order-' || CAST(o_orderkey AS STRING) FROM orders""".stripMargin
+
+  /** G2: bounded multi-source directed reach (the recursive-CTE shortest
+    * path of graph_loader.go:402-433, as min-distance BFS).
+    */
+  val g2Reach: Q = (s, d) => {
+    import s.implicits._
+    val edges = Tables.sql(s, d, edgesSql)
+    Graph.reachFrom(edges, Seq("o1", "o2", "o3").toDF("id"), 10)
+  }
+  val g2Oracle =
+    s"""WITH RECURSIVE edges AS ($edgesSql),
+       |walk AS (
+       |  SELECT id, 0 AS distance FROM (VALUES ('o1'), ('o2'), ('o3')) AS v(id)
+       |  UNION ALL
+       |  SELECT e.to_id, w.distance + 1 FROM walk w
+       |  JOIN edges e ON e.from_id = w.id WHERE w.distance < 10)
+       |SELECT id, CAST(MIN(distance) AS INTEGER) AS distance
+       |FROM walk GROUP BY id""".stripMargin
+
+  /** G3: k-hop undirected neighborhood with min distance
+    * (graph_loader.go:435-464).
+    */
+  val g3KHop: Q = (s, d) => {
+    val edges = Tables.sql(s, d, edgesSql)
+    Graph.neighborhood(edges, "n5", 2)
+  }
+  val g3Oracle =
+    s"""WITH RECURSIVE edges AS ($edgesSql),
+       |sym AS (SELECT from_id AS a, to_id AS b FROM edges
+       |        UNION SELECT to_id, from_id FROM edges),
+       |walk AS (
+       |  SELECT 'n5' AS id, 0 AS distance
+       |  UNION ALL
+       |  SELECT sy.b, w.distance + 1 FROM walk w
+       |  JOIN sym sy ON sy.a = w.id WHERE w.distance < 2)
+       |SELECT id, CAST(MIN(distance) AS INTEGER) AS distance
+       |FROM walk GROUP BY id""".stripMargin
+
+  /** G4: 1-hop dependents — inbound edges joined to vertices
+    * (graph_loader.go:339-351).
+    */
+  val g4Dependents: Q = (s, d) => {
+    val edges = Tables.sql(s, d, edgesSql)
+    val vertices = Tables.sql(s, d, verticesSql)
+    Graph.dependents(edges, vertices, "n5").select("id", "name")
+  }
+  val g4Oracle =
+    s"""WITH edges AS ($edgesSql), vertices AS ($verticesSql)
+       |SELECT v.id AS id, v.name AS name FROM edges e
+       |JOIN vertices v ON e.from_id = v.id WHERE e.to_id = 'n5'""".stripMargin
+
+  /** G5: relationship inference from raw JSON by field-name rules
+    * (relationships.go:94-136). raw_data is synthesized from orders so the
+    * oracle can state the expected edges directly.
+    */
+  val g5EdgeDerivation: Q = (s, d) => {
+    val raw = Tables.sql(s, d,
+      """SELECT o_orderkey, concat('{"customer_id":"c', CAST(o_custkey AS STRING),
+        |'","priority":"', o_orderpriority, '"}') AS raw_data FROM orders""".stripMargin)
+    EdgeDerivation.derive(raw, col("o_orderkey"), col("raw_data"))
+  }
+  val g5Oracle =
+    """SELECT CAST(o_orderkey AS STRING) AS from_id,
+      |  'c' || CAST(o_custkey AS STRING) AS to_id,
+      |  'belongs_to' AS relationship_type, 'customer_id' AS field
+      |FROM orders""".stripMargin
+
+  // ===== registry ======================================================
+
+  val all: Map[String, Q] = Map(
+    "q_p1_projection" -> p1Projection,
+    "q_p4_like" -> p4Like,
+    "q_p7_case_coalesce" -> p7Case,
+    "q_a1_count_by_type" -> a1CountByType,
+    "q_a2_multi_agg" -> a2MultiAgg,
+    "q_a3_distinct_counts" -> a3DistinctCounts,
+    "q_a4_collect_set" -> a4CollectSet,
+    "q_j1_join_agg" -> j1JoinAgg,
+    "q_j2_antijoin" -> j2AntiJoin,
+    "q_j3_multiway_revenue" -> j3MultiwayRevenue,
+    "q_u1_union" -> u1Union,
+    "q_w1_topk" -> w1TopK,
+    "q_w4_pagination" -> w4Pagination,
+    "q_w5_topn_per_group" -> w5TopNPerGroup,
+    "q_f1_extract_json" -> f1ExtractJson,
+    "q_f2_json_path" -> f2JsonPath,
+    "q_f3_has_tag" -> f3HasTag,
+    "q_f4_count_tags" -> f4CountTags,
+    "q_f5_safe_json_extract" -> f5SafeExtract,
+    "q_e2_named_params" -> e2NamedParams,
+    "q_e7_compliance_contract" -> e7Compliance,
+    "q_e13_change_history" -> e13History,
+    "q_e11_drift" -> e11Drift,
+    "q_a5_time_bucket" -> a5TimeBucket,
+    "q_a6_impact_trend" -> a6ImpactTrend,
+    "q_a7_top_resources" -> a7TopResources,
+    "q_e16_anomalies" -> e16Anomalies,
+    "q_g2_reach" -> g2Reach,
+    "q_g3_khop" -> g3KHop,
+    "q_g4_dependents" -> g4Dependents,
+    "q_g5_edge_derivation" -> g5EdgeDerivation)
+
+  val oracles: Map[String, String] = Map(
+    "q_p1_projection" -> p1Oracle,
+    "q_p4_like" -> p4Oracle,
+    "q_p7_case_coalesce" -> p7Oracle,
+    "q_a1_count_by_type" -> a1Oracle,
+    "q_a2_multi_agg" -> a2Oracle,
+    "q_a3_distinct_counts" -> a3Oracle,
+    "q_a4_collect_set" -> a4Oracle,
+    "q_j1_join_agg" -> j1Oracle,
+    "q_j2_antijoin" -> j2Oracle,
+    "q_j3_multiway_revenue" -> j3Oracle,
+    "q_u1_union" -> u1Oracle,
+    "q_w1_topk" -> w1Oracle,
+    "q_w4_pagination" -> w4Oracle,
+    "q_w5_topn_per_group" -> w5Oracle,
+    "q_f1_extract_json" -> f1Oracle,
+    "q_f2_json_path" -> f2Oracle,
+    "q_f3_has_tag" -> f3Oracle,
+    "q_f4_count_tags" -> f4Oracle,
+    "q_f5_safe_json_extract" -> f5Oracle,
+    "q_e2_named_params" -> e2Oracle,
+    "q_e7_compliance_contract" -> e7Oracle,
+    "q_e13_change_history" -> e13Oracle,
+    "q_e11_drift" -> e11Oracle,
+    "q_a5_time_bucket" -> a5Oracle,
+    "q_a6_impact_trend" -> a6Oracle,
+    "q_a7_top_resources" -> a7Oracle,
+    "q_e16_anomalies" -> e16Oracle,
+    "q_g2_reach" -> g2Oracle,
+    "q_g3_khop" -> g3Oracle,
+    "q_g4_dependents" -> g4Oracle,
+    "q_g5_edge_derivation" -> g5Oracle)
+}

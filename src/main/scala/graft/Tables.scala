@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Registers the driver-provided parquet tables (TESTDATA.md) as temp views
+  * so queries can reference them by bare name — the same names the DuckDB
+  * oracle sees. Idempotent per (session, dir).
+  *
+  * Reference model: corkscrew registers provider tables + unified views in
+  * DuckDB at open (internal/db/unified_schema.go:94-122, :432-462); here the
+  * testdata star schema plays that role.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  private val registered = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Read one table of the star schema from `dir`. `events.ts` is stored
+    * as a nanosecond parquet timestamp, which Spark's vectorized reader
+    * rejects — read it as raw nanos and convert to a microsecond
+    * TimestampType (the data has microsecond resolution, so lossless).
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Register all tables in `dir` as temp views (bare names). Fast no-op if
+    * this session already points at `dir`.
+    */
+  def register(spark: SparkSession, dir: String): Unit = {
+    val key = System.identityHashCode(spark).toString
+    if (registered.get(key) != dir) {
+      names.foreach { n =>
+        load(spark, dir, n).createOrReplaceTempView(n)
+      }
+      registered.put(key, dir)
+    }
+  }
+
+  /** Register views then run a SQL query — the corkscrew `query "<SQL>"`
+    * path (pkg/query/engine.go:130-229) over the star schema.
+    */
+  def sql(spark: SparkSession, dir: String, q: String): DataFrame = {
+    register(spark, dir)
+    spark.sql(q)
+  }
+}

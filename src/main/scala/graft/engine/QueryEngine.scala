@@ -1,0 +1,151 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.StructField
+import scala.jdk.CollectionConverters._
+
+/** Ad-hoc SQL engine facade mirroring corkscrew's query engine surface
+  * (reference: pkg/query/engine.go:16-34 — Execute, ExecuteWithParams,
+  * ExecuteStreaming, Validate; column metadata + stats). Catalyst replaces
+  * DuckDB for parse/optimize/execute; this layer adds the corkscrew
+  * behaviors around it: named-parameter binding with IN-list expansion,
+  * statement-class guarding, streaming delivery, result metadata.
+  */
+object QueryEngine {
+
+  /** engine.go:36-47 ColumnInfo. */
+  final case class ColumnInfo(name: String, dataType: String, nullable: Boolean)
+
+  /** engine.go:49-65 QueryStats/QueryResult. */
+  final case class QueryResult(
+      columns: Seq[ColumnInfo],
+      rows: Seq[Row],
+      rowCount: Long,
+      durationMs: Long)
+
+  final case class QueryValidationError(message: String)
+      extends RuntimeException(message)
+
+  /** Statement-class guard (engine.go:368-386 deny-lists DROP/DELETE/
+    * UPDATE/INSERT/ALTER/CREATE/TRUNCATE by substring). Robust version:
+    * parse the plan and reject anything that is not a pure query. SQL UDF
+    * registration done by the engine itself is exempt (it happens before
+    * user SQL reaches this guard).
+    */
+  def validate(spark: SparkSession, sql: String): Either[QueryValidationError, Unit] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    try {
+      val plan = spark.sessionState.sqlParser.parsePlan(sql)
+      val bad = plan.collectFirst {
+        case c: Command              => c.nodeName
+        case p: ParsedStatement      => p.nodeName
+        case i: InsertIntoStatement  => i.nodeName
+      }
+      bad match {
+        case Some(node) => Left(QueryValidationError(
+          s"dangerous operation rejected: statement class $node is not allowed"))
+        case None => Right(())
+      }
+    } catch {
+      case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+        Left(QueryValidationError(s"syntax error: ${e.getMessage}"))
+    }
+  }
+
+  /** EXPLAIN probe without execution (engine.go:389-413; dry-run plan text
+    * compliance/executor.go:291-297).
+    */
+  def explain(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  /** Named-parameter substitution `:name` → literal, with IN-list expansion
+    * for Seq values (engine.go:441-456 + compliance/executor.go:397-436).
+    * String literals are SQL-escaped; Seq[..] becomes `(a, b, c)`.
+    */
+  def bindParams(sql: String, params: Map[String, Any]): String = {
+    // Longest name first so :region_list wins over :region.
+    params.toSeq.sortBy(-_._1.length).foldLeft(sql) { case (q, (name, value)) =>
+      q.replaceAll(s"(?<![:\\w]):$name\\b",
+        java.util.regex.Matcher.quoteReplacement(toLiteral(value)))
+    }
+  }
+
+  private def toLiteral(v: Any): String = v match {
+    case null            => "NULL"
+    case s: String       => "'" + s.replace("'", "''") + "'"
+    case seq: Seq[_]     => seq.map(toLiteral).mkString("(", ", ", ")")
+    case arr: Array[_]   => toLiteral(arr.toSeq)
+    case b: Boolean      => b.toString
+    case n: java.lang.Number => n.toString
+    case t: java.sql.Timestamp => s"TIMESTAMP '$t'"
+    case d: java.sql.Date      => s"DATE '$d'"
+    case other           => "'" + other.toString.replace("'", "''") + "'"
+  }
+
+  /** Execute guarded SQL, returning corkscrew-shaped result+stats
+    * (engine.go:130-229). For large results prefer [[executeStreaming]].
+    */
+  def execute(spark: SparkSession, sql: String,
+      params: Map[String, Any] = Map.empty): QueryResult = {
+    val bound = if (params.isEmpty) sql else bindParams(sql, params)
+    validate(spark, bound) match {
+      case Left(err) => throw err
+      case Right(()) =>
+        val t0 = System.nanoTime()
+        val df = spark.sql(bound)
+        val rows = df.collect().toSeq
+        QueryResult(columnsOf(df), rows, rows.size.toLong,
+          (System.nanoTime() - t0) / 1000000)
+    }
+  }
+
+  def columnsOf(df: DataFrame): Seq[ColumnInfo] =
+    df.schema.fields.toSeq.map { case StructField(n, t, nullable, _) =>
+      ColumnInfo(n, t.simpleString, nullable)
+    }
+
+  /** Streaming result delivery (engine.go:232-365): column info up front,
+    * rows via iterator (`toLocalIterator` — one partition in memory at a
+    * time), stats in the footer closure. Mirrors the reference's
+    * channel-with-EOF-sentinel shape without materializing the result.
+    */
+  def executeStreaming(spark: SparkSession, sql: String,
+      params: Map[String, Any] = Map.empty): (Seq[ColumnInfo], Iterator[Row]) = {
+    val bound = if (params.isEmpty) sql else bindParams(sql, params)
+    validate(spark, bound) match {
+      case Left(err) => throw err
+      case Right(()) =>
+        val df = spark.sql(bound)
+        (columnsOf(df), df.toLocalIterator().asInstanceOf[java.util.Iterator[Row]]
+          .asScala)
+    }
+  }
+
+  /** Missing-table hint (cmd/corkscrew/main.go:1238-1330): list catalog
+    * tables, suggest nearest by Levenshtein distance ≤ 3.
+    */
+  def suggestTable(spark: SparkSession, missing: String): Option[String] = {
+    val names = spark.catalog.listTables().collect().map(_.name)
+    if (names.isEmpty) None
+    else {
+      val (best, d) = names.map(n => (n, levenshtein(missing.toLowerCase, n.toLowerCase)))
+        .minBy(_._2)
+      if (d <= 3) Some(best) else None
+    }
+  }
+
+  private def levenshtein(a: String, b: String): Int = {
+    val dp = Array.tabulate(b.length + 1)(identity)
+    for (i <- 1 to a.length) {
+      var prev = dp(0); dp(0) = i
+      for (j <- 1 to b.length) {
+        val tmp = dp(j)
+        dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = tmp
+      }
+    }
+    dp(b.length)
+  }
+}

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Time-bucket analytics suite (reference: plugins/gcp-provider/
+  * change_analytics.go:133-494 — frequency trends, impact trends, top-N
+  * resources, dimensional breakdowns, anomaly rules, granularity pick).
+  * The reference buckets timestamps in a Go loop; here each report section
+  * is one windowed aggregation — map-side partial aggregation + a single
+  * shuffle on (bucket, dim).
+  */
+object Analytics {
+
+  /** Granularity auto-pick (change_analytics.go:775-789): ≤2h→minute,
+    * ≤48h→hour, ≤30d→day, ≤1y→week, else month.
+    */
+  def pickGranularity(rangeHours: Double): String =
+    if (rangeHours <= 2) "minute"
+    else if (rangeHours <= 48) "hour"
+    else if (rangeHours <= 24 * 30) "day"
+    else if (rangeHours <= 24 * 365) "week"
+    else "month"
+
+  /** Frequency trend (A5, change_analytics.go:191-231): counts per
+    * time bucket, with per-dimension breakdown.
+    */
+  def frequencyTrend(events: DataFrame, tsCol: String, dimCol: String,
+      granularity: String): DataFrame =
+    events.groupBy(date_trunc(granularity, col(tsCol)).as("bucket"),
+        col(dimCol).as("dim"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Impact trend (A6, change_analytics.go:384-450): per-bucket avg/sum
+    * score, high-risk and critical counts.
+    */
+  /** Double sums are order-sensitive; aggregating in decimal(18,4) makes
+    * the result exact and engine-independent (the DuckDB oracle computes
+    * the identical value). Rounding happens in *decimal* space (exact
+    * HALF_UP in both engines) before the cast to double; averages stay as
+    * raw IEEE divisions of exact operands — bit-identical cross-engine,
+    * whereas ROUND-of-double can split at half boundaries.
+    */
+  private def exactSum(c: Column, scale: Int = 2): Column =
+    round(sum(c.cast("decimal(18,4)")), scale).cast("double")
+
+  private def exactAvg(c: Column): Column =
+    sum(c.cast("decimal(18,4)")).cast("double") / count(lit(1))
+
+  def impactTrend(events: DataFrame, tsCol: String, scoreCol: String,
+      granularity: String, highRisk: Double = 70): DataFrame =
+    events.groupBy(date_trunc(granularity, col(tsCol)).as("bucket"))
+      .agg(exactAvg(col(scoreCol)).as("avg_score"),
+        exactSum(col(scoreCol)).as("total_score"),
+        count(when(col(scoreCol) > highRisk, 1)).as("high_risk_count"),
+        count(lit(1)).as("n"))
+
+  /** Top-N most-changed resources (A7, change_analytics.go:452-494):
+    * per-key counts, latest change, avg impact; deterministic order.
+    */
+  def topResources(events: DataFrame, keyCol: String, tsCol: String,
+      scoreCol: String, n: Int): DataFrame =
+    events.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("change_count"),
+        max(col(tsCol)).as("last_change"),
+        exactAvg(col(scoreCol)).as("avg_impact"))
+      .orderBy(col("change_count").desc, col("key").asc)
+      .limit(n)
+
+  /** Dimensional breakdown (A8, change_analytics.go:325-367): counts per
+    * value of each requested dimension, stacked into (dimension, value, n)
+    * rows via a single grouping-sets pass instead of one job per dim.
+    */
+  def dimensionalCounts(events: DataFrame, dims: Seq[String]): DataFrame =
+    dims.map { d =>
+      events.groupBy(col(d).cast("string").as("value"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit(d).as("dimension"), col("value"), col("n"))
+    }.reduce(_ unionByName _)
+
+  /** Anomaly rules (E16, change_analytics.go:715-771): three fixed rules
+    * with confidence scores.
+    *  1. frequency spike: total changes in range > spikeThreshold
+    *  2. service concentration: one dim value > 50% of all changes
+    *  3. resource hotspot: one key with > hotspotThreshold changes
+    */
+  def anomalies(events: DataFrame, dimCol: String, keyCol: String,
+      spikeThreshold: Long = 1000, hotspotThreshold: Long = 50): DataFrame = {
+    val total = events.agg(count(lit(1)).as("n"))
+      .select(lit("frequency_spike").as("anomaly_type"),
+        lit(null).cast("string").as("subject"),
+        col("n").as("n"),
+        least(col("n").cast("double") / (spikeThreshold * 2), lit(1.0)).as("confidence"))
+      .filter(col("n") > spikeThreshold)
+    val totalCount = events.count()
+    val concentration = events.groupBy(col(dimCol).cast("string").as("subject"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n").cast("double") / totalCount > 0.5)
+      .select(lit("service_concentration").as("anomaly_type"), col("subject"),
+        col("n"), (col("n").cast("double") / totalCount).as("confidence"))
+    val hotspot = events.groupBy(col(keyCol).cast("string").as("subject"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > hotspotThreshold)
+      .select(lit("resource_hotspot").as("anomaly_type"), col("subject"),
+        col("n"),
+        least(col("n").cast("double") / (hotspotThreshold * 2), lit(1.0)).as("confidence"))
+    total.unionByName(concentration).unionByName(hotspot)
+  }
+
+  /** Compliance scoring (E19, change_analytics.go:506-582): score starts at
+    * 85, −10 per critical, −5 per high, −2 per medium affected change;
+    * floor 0; trend improving/stable/declining at >90/>75.
+    */
+  def complianceScore(severityCounts: Map[String, Long]): (Double, String) = {
+    val score = math.max(0.0,
+      85.0 - 10 * severityCounts.getOrElse("CRITICAL", 0L)
+        - 5 * severityCounts.getOrElse("HIGH", 0L)
+        - 2 * severityCounts.getOrElse("MEDIUM", 0L))
+    val trend = if (score > 90) "improving" else if (score > 75) "stable" else "declining"
+    (score, trend)
+  }
+}

@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines over `documents`:
+  * exact (hash-groupBy), MinHash+LSH, SimHash, and n-gram Jaccard
+  * verification. Designed for the 100 TB path:
+  *  - exact dedup is a single hash aggregation (map-side partial combine);
+  *  - MinHash/LSH never compares all pairs — candidate pairs come from a
+  *    band-bucket self-join, so the shuffle is on (band, bucket-hash) keys
+  *    and the quadratic blow-up is confined to same-bucket groups;
+  *  - Jaccard verification runs only on candidate pairs.
+  * Everything is built from codegen'd builtins + higher-order functions —
+  * no Scala UDFs, no driver-side loops.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by normalized-text hash: one row per group with
+    * >1 member, keeper = min(id). Single shuffle on the 128-bit hash.
+    */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("group_size"), min("id").as("keep_id"),
+        array_sort(collect_list("id")).as("member_ids"))
+      .filter(col("group_size") > 1)
+
+  /** Exact dedup: keep the min-id row per normalized-text group.
+    * Implemented as a min-id aggregation + semi join back (two shuffles on
+    * narrow keys) rather than a wide window — at 100 TB the agg side only
+    * carries (fp, id).
+    */
+  def dedupExact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = df
+      .select(col(idCol).as("kid"), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp").agg(min("kid").as("kid"))
+    df.join(keep, df(idCol) === keep("kid"), "left_semi")
+  }
+
+  /** Word w-shingles of the normalized text (distinct, the MinHash input
+    * universe).
+    */
+  def shingles(text: Column, w: Int = 3): Column = {
+    val toks = split(TextAnalysis.normalize(text), " ")
+    array_distinct(
+      filter(
+        transform(sequence(lit(0), greatest(size(toks) - w, lit(0))),
+          i => when(i + w <= size(toks),
+            concat_ws(" ", slice(toks, i + 1, lit(w))))),
+        s => s.isNotNull))
+  }
+
+  /** MinHash signature: k permutation-free min-hashes, h_i(s) =
+    * xxhash64(s, seed=i). Computed per-row with HOFs: for each of k seeds,
+    * the min over the shingle array — no explode, no shuffle.
+    */
+  def minhashSignature(shingleArr: Column, k: Int = 64): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      seed => array_min(transform(shingleArr, s => xxhash64(s, seed))))
+
+  /** LSH banding: split the k-length signature into `bands` bands of
+    * k/bands rows each; each band hashes to a bucket.
+    * Returns array of (band, bucket) structs.
+    */
+  def lshBands(sig: Column, k: Int = 64, bands: Int = 16): Column = {
+    val r = k / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"),
+        xxhash64(concat_ws(",", slice(sig, b * r + 1, lit(r)))).as("bucket")))
+  }
+
+  /** Candidate pairs from LSH: docs sharing any (band, bucket). The
+    * self-join is on the band/bucket key — only same-bucket groups pair up.
+    * Pairs are deduped (a<b) across bands.
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 64, bands: Int = 16, shingleW: Int = 3): DataFrame = {
+    val sig = df.select(col(idCol).as("id"),
+      minhashSignature(shingles(col(textCol), shingleW), k).as("sig"))
+    val banded = sig.select(col("id"), col("sig"),
+        explode(lshBands(col("sig"), k, bands)).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    val a = banded.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        // estimated Jaccard from signature agreement
+        (size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => x === y), c => c))
+          .cast("double") / k).as("est_jaccard"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** MinHash+LSH near-dup pairs: candidates whose *exact* n-gram Jaccard
+    * (verified on the candidate set only) clears `threshold`.
+    */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, k: Int = 64, bands: Int = 16,
+      shingleW: Int = 3): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, k, bands, shingleW)
+    val sh = df.select(col(idCol).as("sid"),
+      shingles(col(textCol), shingleW).as("sh"))
+    cands
+      .join(sh.withColumnRenamed("sid", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("sid", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard", "jaccard")
+  }
+
+  /** Exact Jaccard over two string arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0, lit(0.0)).otherwise(inter / uni)
+  }
+
+  /** Pairwise n-gram Jaccard within a blocking key (e.g. same source) —
+    * the non-LSH variant for small blocks; the join is per-block so the
+    * quadratic cost is bounded by block size.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, w: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      shingles(col(textCol), w).as("sh"))
+    val a = sh.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("blk"), col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over tokens: per-bit majority vote of token-hash bits,
+    * expressed as an `aggregate` HOF over the token array — one pass,
+    * per-row, no shuffle.
+    */
+  def simhash64(text: Column): Column = {
+    val toks = array_distinct(split(TextAnalysis.normalize(text), " "))
+    val counts = aggregate(
+      toks,
+      array_repeat(lit(0), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (c, bit) => c + when(call_function("shiftright", h, bit)
+            .bitwiseAND(1) === 1, 1).otherwise(-1))
+      })
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(63)),
+        (c, bit) => when(c > 0, call_function("shiftleft", lit(1L), bit))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** Hamming distance between two 64-bit simhashes (popcount via bit_count). */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: block on the 4 16-bit quarters of the hash
+    * (any pair within Hamming distance 3 shares at least one exact quarter
+    * — pigeonhole), verify with full Hamming distance.
+    */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val hashed = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
+    val blocked = hashed.select(col("id"), col("sh"),
+        explode(transform(sequence(lit(0), lit(3)),
+          q => struct(q.as("q"),
+            call_function("shiftright", col("sh"), q * 16)
+              .bitwiseAND(0xFFFFL).as("part")))).as("blk"))
+      .select(col("id"), col("sh"), col("blk.q"), col("blk.part"))
+    val a = blocked.select(col("q"), col("part"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = blocked.select(col("q"), col("part"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("q", "part"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", hamming64(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

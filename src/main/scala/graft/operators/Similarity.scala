@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, plus an LSH-bucketed
+  * (random-hyperplane) variant as the scale path. Dot products are
+  * `zip_with` + `aggregate` HOFs in double precision — no UDF.
+  *
+  * Scale notes: brute force broadcasts the (small) query set so the scan
+  * side never shuffles; per-query top-k goes through a TakeOrdered-style
+  * window only on rows surviving a similarity floor. The LSH variant
+  * bucket-joins on sign-bit prefixes so only same-bucket vectors are
+  * scored.
+  */
+object Similarity {
+
+  /** Double-precision dot product of two float arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
+  }
+
+  /** Exact top-k by cosine for each query vector. `queries` must have
+    * (query_id, qvec); `vectors` (id, vec). Queries are broadcast; ranking
+    * is a window per query_id (k small ⇒ TakeOrdered semantics).
+    * Deterministic tie-break on id.
+    */
+  def bruteForceTopK(vectors: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .crossJoin(broadcast(queries.select(col("query_id"), col("qvec"))))
+      .withColumn("cosine_sim", round(cosine(col("vec"), col("qvec")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine_sim").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "id", "cosine_sim")
+  }
+
+  /** Random-hyperplane sign bits: `nBits` deterministic pseudo-hyperplanes
+    * h_b with components derived from xxhash64(b, dim) — reproducible
+    * without storing planes. Returns a bucket id (bit-packed signs).
+    */
+  def lshBucket(vec: Column, nBits: Int = 12): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(nBits - 1)), b => {
+        val proj = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1),
+            (x, i) => x.cast("double") *
+              // hash-derived pseudo-gaussian component in [-1, 1]
+              ((pmod(xxhash64(b, i), lit(2000001L)).cast("double") / 1000000.0) - 1.0)),
+          lit(0.0), (acc, v) => acc + v)
+        when(proj > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))
+      }),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+
+  /** Approximate top-k: score only vectors whose LSH bucket matches the
+    * query's bucket in at least one of `tables` independent hash tables
+    * (standard multi-table LSH to recover recall). Falls back to exact
+    * ranking within the candidate set.
+    */
+  def lshTopK(vectors: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, k: Int, nBits: Int = 4, tables: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def bucketed(df: DataFrame, vc: String, out: String): DataFrame =
+      df.withColumn("tbl", explode(sequence(lit(0), lit(tables - 1))))
+        // per-table planes: offset the bit index by table * nBits
+        .withColumn(out, aggregate(
+          transform(sequence(lit(0), lit(nBits - 1)), b => {
+            val bb = col("tbl") * nBits + b
+            val proj = aggregate(
+              zip_with(col(vc), sequence(lit(0), size(col(vc)) - 1),
+                (x, i) => x.cast("double") *
+                  ((pmod(xxhash64(bb, i), lit(2000001L)).cast("double") / 1000000.0) - 1.0)),
+              lit(0.0), (acc, v) => acc + v)
+            when(proj > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))
+          }),
+          lit(0L), (acc, v) => acc.bitwiseOR(v)))
+    val vb = bucketed(vectors.select(col(idCol).as("id"), col(vecCol).as("vec")),
+      "vec", "bucket")
+    val qb = bucketed(queries.select(col("query_id"), col("qvec")), "qvec", "qbucket")
+    val cands = vb.join(broadcast(qb),
+        vb("tbl") === qb("tbl") && vb("bucket") === qb("qbucket"))
+      .select(col("query_id"), col("id"), col("vec"), col("qvec"))
+      .dropDuplicates("query_id", "id")
+      .withColumn("cosine_sim", round(cosine(col("vec"), col("qvec")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine_sim").desc, col("id").asc)
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "id", "cosine_sim")
+  }
+
+  /** Exact cosine near-dup pairs — brute force over all id_a < id_b pairs.
+    * The smaller side is broadcast (nested-loop with predicate); this is
+    * the exact baseline, [[cosineNearDups]] is the LSH scale path.
+    * Filters on the *rounded* similarity so engines agree at the boundary.
+    */
+  def bruteForcePairs(vectors: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = vectors.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = vectors.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine_sim", round(cosine(col("vec_a"), col("vec_b")), 6))
+      .filter(col("cosine_sim") >= threshold)
+      .select("id_a", "id_b", "cosine_sim")
+  }
+
+  /** Embedding-cosine near-duplicate pairs via bucket blocking: pairs
+    * sharing an LSH bucket whose exact cosine ≥ threshold.
+    */
+  def cosineNearDups(vectors: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, nBits: Int = 10): DataFrame = {
+    val vb = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("bucket", lshBucket(col("vec"), nBits))
+    val a = vb.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = vb.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine_sim", round(cosine(col("vec_a"), col("vec_b")), 6))
+      .filter(col("cosine_sim") >= threshold)
+      .select("id_a", "id_b", "cosine_sim")
+  }
+}

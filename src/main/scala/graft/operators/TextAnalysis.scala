@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines over the `documents`
+  * table: tokenization, quality scoring, language ID, fingerprinting.
+  * All pure column expressions (codegen'd, fully distributed, no UDFs) so
+  * they survive a 100 TB scan: one pass, no shuffle unless aggregated.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish subword count: splits on word boundaries and punctuation the
+    * way a byte-pair tokenizer's pre-tokenizer does (letters / digits /
+    * single punctuation marks), a cheap deterministic proxy for real BPE.
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(
+      split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+      t => length(trim(t)) > lit(0)))
+
+  /** Normalized text: lowercase, punctuation stripped, whitespace
+    * collapsed — the canonical form used for exact-dup hashing and
+    * fingerprints.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Document fingerprint: md5 of the normalized text (md5 so the DuckDB
+    * oracle computes the identical value).
+    */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** Quality scoring: length, token stats, punctuation / stopword /
+    * alphabetic ratios — the standard cheap pre-filter signals. Returns the
+    * input plus metric columns and a composite `quality_score` in [0,1].
+    */
+  def qualityMetrics(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = split(trim(t), "\\s+")
+    val nTok = size(toks)
+    val stop = Seq("the", "a", "of", "to", "and", "in", "is", "it", "that", "for")
+    // Ratios stay as raw IEEE divisions (bit-identical across engines);
+    // ROUND-of-double is avoided because engines disagree at half
+    // boundaries.
+    df.withColumn("n_chars_m", length(t))
+      .withColumn("n_tokens", nTok)
+      .withColumn("avg_token_len",
+        length(regexp_replace(t, "\\s+", "")).cast("double") / nTok)
+      .withColumn("punct_ratio",
+        length(regexp_replace(t, "[^.,;:!?]", "")).cast("double") / length(t))
+      .withColumn("alpha_ratio",
+        length(regexp_replace(t, "[^A-Za-z]", "")).cast("double") / length(t))
+      .withColumn("stopword_ratio",
+        size(filter(toks, w => lower(w).isin(stop: _*))).cast("double") / nTok)
+      .withColumn("quality_score",
+        least(lit(1.0), greatest(lit(0.0),
+          lit(0.30) * least(nTok.cast("double") / lit(50.0), lit(1.0)) +
+          lit(0.25) * col("alpha_ratio") +
+          lit(0.25) * least(col("stopword_ratio") * lit(5.0), lit(1.0)) +
+          lit(0.20) * (lit(1.0) - least(col("punct_ratio") * lit(5.0), lit(1.0))))))
+  }
+
+  /** Language-ID by stopword evidence: scores each candidate language by
+    * distinct-stopword hits in the document and picks the argmax
+    * (deterministic tie-break on language code). An n-gram-free heuristic
+    * that is one `transform`/`aggregate` HOF chain — no shuffle, no UDF.
+    */
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "pour", "que", "une", "dans"),
+    "es" -> Seq("el", "la", "los", "y", "es", "no", "por", "que", "una", "con"),
+    "it" -> Seq("il", "la", "che", "e", "di", "non", "per", "una", "sono", "con"))
+
+  def langId(text: Column): Column = {
+    val toks = split(normalize(text), " ")
+    // struct(score DESC via negation, lang ASC) → array_min = argmax.
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val score = size(array_intersect(toks, array(words.map(lit): _*)))
+      struct((-score).as("negScore"), lit(lang).as("lang"))
+    }
+    val best = array_min(array(scored: _*))
+    when(best.getField("negScore") === 0, lit("und")).otherwise(best.getField("lang"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and then " +
+    "runs far away into the deep dark forest tonight"
+  private lazy val docs = Seq(
+    (1L, base, "s1"),
+    (2L, base.toUpperCase, "s1"), // exact dup after normalization
+    (3L, base.replace("tonight", "today"), "s1"), // near dup
+    (4L, "completely different words about spark query engines and scale", "s1"),
+    (5L, "another unrelated document mentioning graphs and analytics work", "s2"))
+    .toDF("doc_id", "text", "source")
+
+  test("exact dup groups: normalization folds case/punct") {
+    val g = Dedup.exactDupGroups(docs, "doc_id", "text").collect()
+    assert(g.length == 1)
+    assert(g(0).getAs[Long]("group_size") == 2)
+    assert(g(0).getAs[Long]("keep_id") == 1L)
+  }
+
+  test("dedupExact keeps min-id per group") {
+    val kept = Dedup.dedupExact(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L, 5L))
+  }
+
+  test("shingles: w-grams of normalized text") {
+    val sh = spark.range(1)
+      .select(Dedup.shingles(lit("a b c d"), 2).as("s"))
+      .collect()(0).getSeq[String](0)
+    assert(sh.toSet == Set("a b", "b c", "c d"))
+  }
+
+  test("minhash LSH finds the near-dup pair and estimates jaccard") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L))) // identical → jaccard 1
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash candidates est_jaccard=1 for identical docs") {
+    val est = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .filter(col("id_a") === 1 && col("id_b") === 2)
+      .select("est_jaccard").as[Double].collect()
+    assert(est.length == 1 && est(0) == 1.0)
+  }
+
+  test("ngram jaccard pairs are exact and blocked") {
+    val rows = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source",
+        w = 3, threshold = 0.5)
+      .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        r.getAs[Double]("jaccard"))).toMap
+    assert(rows((1L, 2L)) == 1.0)
+    assert(rows.contains((1L, 3L)))
+    assert(rows((1L, 3L)) > 0.5 && rows((1L, 3L)) < 1.0)
+  }
+
+  test("simhash: identical docs collide, different docs are far") {
+    val h = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(2L))
+    val far = java.lang.Long.bitCount(h(1L) ^ h(4L))
+    assert(far > 3)
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+}

@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine matches manual computation") {
+    val df = Seq((Array(1f, 0f, 0f), Array(0.6f, 0.8f, 0f)))
+      .toDF("a", "b")
+    val c = df.select(Similarity.cosine(col("a"), col("b"))).collect()(0).getDouble(0)
+    assert(math.abs(c - 0.6) < 1e-6) // float32 inputs bound the precision
+    val z = Seq((Array(0f, 0f), Array(1f, 1f))).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b"))).collect()(0).getDouble(0)
+    assert(z == 0.0)
+  }
+
+  private lazy val sf = "/root/testdata/sf0.001"
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+  private lazy val queries = emb.filter(col("vec_id") < 3)
+    .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+
+  test("brute-force top-k: rank 1 is the query itself at sim 1") {
+    val top = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, 5)
+    val r1 = top.filter(col("rank") === 1)
+      .select("query_id", "id", "cosine_sim").collect()
+    assert(r1.length == 3)
+    r1.foreach { r => assert(r.getLong(0) == r.getLong(1) && r.getDouble(2) == 1.0) }
+    assert(top.count() == 15)
+  }
+
+  test("LSH top-k achieves reasonable recall vs brute force") {
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, 10)
+      .select("query_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(emb, "vec_id", "embedding", queries, 10)
+      .select("query_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall $recall too low")
+  }
+
+  test("bruteForcePairs symmetric-free and thresholded") {
+    val pairs = Similarity.bruteForcePairs(emb.limit(50), "vec_id", "embedding", 0.2)
+      .collect()
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.2)
+    }
+  }
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("normalize / tokenCount / fingerprint") {
+    val r = spark.range(1).select(
+      TextAnalysis.normalize(lit("  Hello,  WORLD!! 42 ")).as("n"),
+      TextAnalysis.tokenCount(lit("a b  c   d")).as("t"))
+      .collect()(0)
+    assert(r.getString(0) == "hello world 42")
+    assert(r.getInt(1) == 4)
+    val fp = Seq("Hello World", "hello,   world!")
+      .toDF("text").select(TextAnalysis.fingerprint(col("text"))).as[String].collect()
+    assert(fp(0) == fp(1)) // normalization folds case/punct/space
+  }
+
+  test("quality metrics ranges and monotonicity") {
+    val df = Seq(
+      (1L, "the cat is on the mat and it is a good cat that sleeps for hours"),
+      (2L, "!!! ??? ... ,,, ;;; ::: !!!! ???")).toDF("doc_id", "text")
+    val m = TextAnalysis.qualityMetrics(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality_score")).toMap
+    assert(m(1L) > m(2L))
+    m.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
+  }
+
+  test("langId picks stopword-matching language, und on no evidence") {
+    val preds = Seq(
+      (1L, "the cat and the dog are in the house that is red"),
+      (2L, "der hund und die katze sind nicht mit der maus"),
+      (3L, "el perro y la casa es una cosa con los gatos"),
+      (4L, "zzz qqq xxx www")).toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.langId(col("text")))
+      .as[(Long, String)].collect().toMap
+    assert(preds(1L) == "en")
+    assert(preds(2L) == "de")
+    assert(preds(3L) == "es")
+    assert(preds(4L) == "und")
+  }
+
+  test("multimodal: metadata schema, determinism, feature extraction") {
+    val df = Seq((1L, "some fake image bytes"), (2L, "x"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Multimodal.asBinary(col("text")).as("payload"))
+    val meta = Multimodal.withMediaMeta(df)
+      .select("doc_id", "media_meta.n_bytes", "media_meta.media_type",
+        "media_meta.width", "media_meta.height")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getString(2), r.getInt(3), r.getInt(4))).toMap
+    assert(meta(1L)._1 == 21L)
+    assert(meta(1L)._3 == 22 && meta(1L)._4 == 22)
+    assert(Set("image", "audio", "video").contains(meta(1L)._2))
+    val feats = Multimodal.extractFeatures(df, "doc_id", "payload").collect()
+    assert(feats.length == 2)
+    assert(feats.map(_.getLong(1)).toSet == Set(21L, 1L))
+  }
+
+  test("frame sampling explodes stride indexes") {
+    val idx = Seq((1L, 10L)).toDF("id", "n_frames")
+    val out = Multimodal.sampleFrameIndexes(idx, col("n_frames"), 3, 100)
+      .select("frame_idx").as[Long].collect().toSeq
+    assert(out == Seq(0L, 3L, 6L, 9L))
+  }
+}

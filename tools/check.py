@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run graft.Verify via sbt,
+then execute each oracle_sql.json entry in DuckDB over the same parquet
+tables and compare (columns sorted by name, rows sorted, values normalized).
+
+Usage: python3 tools/check.py [sfdir] [outdir] [--skip-verify] [names...]
+"""
+import json, math, subprocess, sys
+from pathlib import Path
+
+import duckdb
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+flags = [a for a in sys.argv[3:]]
+skip_verify = "--skip-verify" in flags
+only = [a for a in flags if not a.startswith("--")]
+
+if not skip_verify:
+    r = subprocess.run(
+        ["sbt", f'runMain graft.Verify {SF} {OUT}'],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**__import__("os").environ, "SPARK_GRAFT_CPUS": "8"})
+    sys.stdout.write(r.stdout[-3000:])
+    if r.returncode != 0:
+        sys.stderr.write(r.stderr[-3000:])
+        sys.exit(1)
+
+oracle = json.loads(Path(f"{OUT}/oracle_sql.json").read_text())
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+
+def norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(v)
+    if isinstance(v, bool):
+        return str(v).lower()
+    return str(v)
+
+
+def canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [cols[i] for i in order], out
+
+
+fails, passes = [], []
+for name in sorted(oracle):
+    if only and name not in only:
+        continue
+    pdir = Path(OUT) / name
+    if not pdir.exists():
+        fails.append((name, "spark output missing"))
+        continue
+    try:
+        scols_rel = con.sql(f"SELECT * FROM '{pdir}/*.parquet'")
+        scols, srows = scols_rel.columns, scols_rel.fetchall()
+        orel = con.sql(oracle[name])
+        ocols, orows = orel.columns, orel.fetchall()
+    except Exception as e:
+        fails.append((name, f"exec error: {e}"))
+        continue
+    sc, sr = canon(scols, srows)
+    oc, orws = canon(ocols, orows)
+    if sc != oc:
+        fails.append((name, f"columns differ: spark={sc} oracle={oc}"))
+        continue
+    if len(sr) != len(orws):
+        fails.append((name, f"row count: spark={len(sr)} oracle={len(orws)}"))
+        continue
+    if sr != orws:
+        diff = [(a, b) for a, b in zip(sr, orws) if a != b][:3]
+        fails.append((name, f"values differ, first diffs: {diff}"))
+        continue
+    passes.append((name, len(sr)))
+
+for n, c in passes:
+    print(f"PASS {n} ({c} rows)")
+for n, m in fails:
+    print(f"FAIL {n}: {m}")
+nq = len([n for n in oracle if not only or n in only])
+print(f"\n{len(passes)}/{nq} oracle queries pass")
+sys.exit(1 if fails else 0)
