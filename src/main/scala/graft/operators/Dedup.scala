@@ -51,9 +51,39 @@ object Dedup {
         s => s.isNotNull))
   }
 
+  /** Hashed shingles: sorted distinct xxhash64 of each w-shingle. Longs
+    * are far cheaper than strings in the pairwise loops, and sorting lets
+    * the Jaccard intersection run as a codegen'd merge
+    * (graft.functions.SortedLongIntersectCount). Hash collisions would
+    * need ~2^32 shingles per doc to matter.
+    */
+  def hashedShingles(text: Column, w: Int = 3): Column =
+    array_sort(array_distinct(transform(shingles(text, w), s => xxhash64(s))))
+
+  /** Materialized (id, sh) shingle frame. The barrier is load-bearing:
+    * HOF lambdas re-evaluate their argument subtree per outer element, so
+    * an inlined shingles expression would recompute once per minhash seed
+    * (measured 64x slowdown). At cluster scale this is a persisted
+    * signature table.
+    */
+  private def shingleFrame(df: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
+    graft.functions.VecExprs.register(df.sparkSession)
+    df.select(col(idCol).as("id"), hashedShingles(col(textCol), w).as("sh"))
+      .localCheckpoint(true)
+  }
+
+  /** Exact Jaccard over two sorted distinct long arrays — codegen merge. */
+  def jaccardFast(a: Column, b: Column): Column = {
+    val inter = call_function("arr_inter", a, b).cast("double")
+    val uni = (size(a) + size(b)).cast("double") - inter
+    when(uni === 0, lit(0.0)).otherwise(inter / uni)
+  }
+
   /** MinHash signature: k permutation-free min-hashes, h_i(s) =
     * xxhash64(s, seed=i). Computed per-row with HOFs: for each of k seeds,
-    * the min over the shingle array — no explode, no shuffle.
+    * the min over the (materialized) shingle array — no explode, no
+    * shuffle.
     */
   def minhashSignature(shingleArr: Column, k: Int = 64): Column =
     transform(sequence(lit(0), lit(k - 1)),
@@ -75,9 +105,14 @@ object Dedup {
     * Pairs are deduped (a<b) across bands.
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 64, bands: Int = 16, shingleW: Int = 3): DataFrame = {
-    val sig = df.select(col(idCol).as("id"),
-      minhashSignature(shingles(col(textCol), shingleW), k).as("sig"))
+      k: Int = 64, bands: Int = 16, shingleW: Int = 3): DataFrame =
+    candidatesFromShingles(shingleFrame(df, idCol, textCol, shingleW), k, bands)
+
+  private def candidatesFromShingles(sh: DataFrame, k: Int,
+      bands: Int): DataFrame = {
+    // Barrier again: the signature must not be re-inlined per band.
+    val sig = sh.select(col("id"), minhashSignature(col("sh"), k).as("sig"))
+      .localCheckpoint(true)
     val banded = sig.select(col("id"), col("sig"),
         explode(lshBands(col("sig"), k, bands)).as("bb"))
       .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
@@ -101,13 +136,12 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, k: Int = 64, bands: Int = 16,
       shingleW: Int = 3): DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol, k, bands, shingleW)
-    val sh = df.select(col(idCol).as("sid"),
-      shingles(col(textCol), shingleW).as("sh"))
+    val shf = shingleFrame(df, idCol, textCol, shingleW)
+    val cands = candidatesFromShingles(shf, k, bands)
     cands
-      .join(sh.withColumnRenamed("sid", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(sh.withColumnRenamed("sid", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
+      .join(shf.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shf.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", round(jaccardFast(col("sh_a"), col("sh_b")), 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard", "jaccard")
   }
@@ -125,13 +159,15 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, w: Int = 3, threshold: Double = 0.5): DataFrame = {
+    graft.functions.VecExprs.register(df.sparkSession)
     val sh = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
-      shingles(col(textCol), w).as("sh"))
+      hashedShingles(col(textCol), w).as("sh"))
+      .localCheckpoint(true) // compute shingles once, not per join side
     val a = sh.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
+      .withColumn("jaccard", round(jaccardFast(col("sh_a"), col("sh_b")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("blk"), col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -168,6 +204,7 @@ object Dedup {
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val hashed = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
+      .localCheckpoint(true) // barrier: simhash64 is a wide HOF expression
     val blocked = hashed.select(col("id"), col("sh"),
         explode(transform(sequence(lit(0), lit(3)),
           q => struct(q.as("q"),

@@ -16,10 +16,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Double-precision dot product of two float arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Register the codegen'd vec_dot expression (idempotent); every public
+    * operator calls this on its input's session.
+    */
+  def init(spark: org.apache.spark.sql.SparkSession): Unit =
+    graft.functions.VecExprs.register(spark)
+
+  /** Double-precision dot product of two float arrays — a custom Catalyst
+    * expression (graft.functions.VecDot) with whole-stage codegen; same
+    * left-to-right accumulation as the HOF/`SUM(UNNEST)` formulation.
+    * Requires [[init]] on the session (operators below do it themselves).
+    */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -36,6 +44,7 @@ object Similarity {
   def bruteForceTopK(vectors: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    init(vectors.sparkSession)
     val scored = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .crossJoin(broadcast(queries.select(col("query_id"), col("qvec"))))
       .withColumn("cosine_sim", round(cosine(col("vec"), col("qvec")), 6))
@@ -71,6 +80,7 @@ object Similarity {
   def lshTopK(vectors: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, k: Int, nBits: Int = 4, tables: Int = 12): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    init(vectors.sparkSession)
     def bucketed(df: DataFrame, vc: String, out: String): DataFrame =
       df.withColumn("tbl", explode(sequence(lit(0), lit(tables - 1))))
         // per-table planes: offset the bit index by table * nBits
@@ -85,8 +95,10 @@ object Similarity {
             when(proj > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))
           }),
           lit(0L), (acc, v) => acc.bitwiseOR(v)))
+    // Materialization barrier: without it Catalyst collapses projections
+    // and re-inlines the per-table bucket expression everywhere.
     val vb = bucketed(vectors.select(col(idCol).as("id"), col(vecCol).as("vec")),
-      "vec", "bucket")
+      "vec", "bucket").localCheckpoint(true)
     val qb = bucketed(queries.select(col("query_id"), col("qvec")), "qvec", "qbucket")
     val cands = vb.join(broadcast(qb),
         vb("tbl") === qb("tbl") && vb("bucket") === qb("qbucket"))
@@ -107,6 +119,7 @@ object Similarity {
     */
   def bruteForcePairs(vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
+    init(vectors.sparkSession)
     val a = vectors.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
     val b = vectors.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
     a.join(b, col("id_a") < col("id_b"))
@@ -120,8 +133,10 @@ object Similarity {
     */
   def cosineNearDups(vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nBits: Int = 10): DataFrame = {
+    init(vectors.sparkSession)
     val vb = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("bucket", lshBucket(col("vec"), nBits))
+      .localCheckpoint(true)
     val a = vb.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
     val b = vb.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
     a.join(b, Seq("bucket"))

@@ -7,6 +7,7 @@ class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
   test("cosine matches manual computation") {
+    Similarity.init(spark)
     val df = Seq((Array(1f, 0f, 0f), Array(0.6f, 0.8f, 0f)))
       .toDF("a", "b")
     val c = df.select(Similarity.cosine(col("a"), col("b"))).collect()(0).getDouble(0)
