@@ -545,6 +545,83 @@ object Queries {
       |  'belongs_to' AS relationship_type, 'customer_id' AS field
       |FROM orders""".stripMargin
 
+  /** A8: dimensional breakdown maps — per-dimension counts in one stacked
+    * frame (change_analytics.go:325-367).
+    */
+  val a8Dimensional: Q = (s, d) =>
+    Analytics.dimensionalCounts(t(s, d, "events"), Seq("event_type", "user_id"))
+  val a8Oracle =
+    """SELECT 'event_type' AS dimension, CAST(event_type AS STRING) AS value,
+      |  COUNT(*) AS n FROM events GROUP BY event_type
+      |UNION ALL
+      |SELECT 'user_id', CAST(user_id AS STRING), COUNT(*)
+      |FROM events GROUP BY user_id""".stripMargin
+
+  /** A10: pass/fail tallying of compliance output
+    * (cmd/corkscrew/main.go:962-978).
+    */
+  val a10PassFail: Q = (s, d) =>
+    e7Compliance(s, d).groupBy("status", "severity").agg(count(lit(1)).as("n"))
+  val a10Oracle =
+    """SELECT CASE WHEN n_chars >= 100 THEN 'PASS' ELSE 'FAIL' END AS status,
+      |  CASE WHEN n_chars < 50 THEN 'HIGH' ELSE 'MEDIUM' END AS severity,
+      |  COUNT(*) AS n
+      |FROM documents GROUP BY 1, 2""".stripMargin
+
+  /** §2.7 scalar battery: split / element_at(-1) / concat / size — the
+    * string-function surface of the pack queries.
+    */
+  val x1ScalarBattery: Q = (s, d) =>
+    t(s, d, "part").select(
+      col("p_partkey"),
+      element_at(split(col("p_name"), " "), -1).as("last_word"),
+      concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+      size(split(col("p_name"), " ")).cast("bigint").as("n_words"),
+      upper(col("p_name")).as("upper_name"),
+      substring(col("p_name"), 1, 3).as("prefix3"))
+  val x1Oracle =
+    """SELECT p_partkey,
+      |  string_split(p_name, ' ')[-1] AS last_word,
+      |  p_brand || ':' || p_type AS brand_type,
+      |  CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words,
+      |  upper(p_name) AS upper_name,
+      |  substring(p_name, 1, 3) AS prefix3
+      |FROM part""".stripMargin
+
+  /** §2.7 interval arithmetic (`NOW() - INTERVAL ? HOUR`,
+    * graph_loader.go:543 — here over a frozen column, never wall-clock).
+    */
+  val x2Interval: Q = (s, d) =>
+    t(s, d, "orders")
+      .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAY")).as("due_date"),
+        date_trunc("month", col("o_orderdate")).as("order_month"))
+  val x2Oracle =
+    """SELECT o_orderkey, o_orderdate + INTERVAL 30 DAY AS due_date,
+      |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month
+      |FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'""".stripMargin
+
+  // ===== §2.9 compliance pack (E6-E8) ==================================
+
+  /** E6/E7/E8: load the embedded CCC pack, execute its C02 query through
+    * the engine (macro registration, param binding, guard) over the
+    * corkscrew-shaped fixtures. Rows-only check: the fixture table is
+    * in-memory, so the DuckDB oracle can't see it; semantics are asserted
+    * in ComplianceSpec instead.
+    */
+  val c1PackQuery: Q = (s, _) => {
+    graft.fixtures.CorkscrewFixtures.register(s)
+    JsonMacros.register(s)
+    val pack = graft.compliance.PackLoader.load(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("GRAFT_PACKS_DIR", "/root/repo/packs"),
+        "cfi/ccc-storage/manifest.yaml"))
+    val q = pack.queries.find(_.id == "CCC.ObjStor.C02").get
+    s.sql(QueryEngine.bindParams(q.sql, Map.empty))
+      .drop("scanned_at") // wall-clock-free output
+  }
+
   // ===== registry ======================================================
 
   val all: Map[String, Q] = Map(
@@ -578,7 +655,12 @@ object Queries {
     "q_g2_reach" -> g2Reach,
     "q_g3_khop" -> g3KHop,
     "q_g4_dependents" -> g4Dependents,
-    "q_g5_edge_derivation" -> g5EdgeDerivation)
+    "q_g5_edge_derivation" -> g5EdgeDerivation,
+    "q_c1_compliance_pack" -> c1PackQuery,
+    "q_a8_dimensional" -> a8Dimensional,
+    "q_a10_passfail" -> a10PassFail,
+    "q_x1_scalar_battery" -> x1ScalarBattery,
+    "q_x2_interval" -> x2Interval)
 
   val oracles: Map[String, String] = Map(
     "q_p1_projection" -> p1Oracle,
@@ -611,5 +693,9 @@ object Queries {
     "q_g2_reach" -> g2Oracle,
     "q_g3_khop" -> g3Oracle,
     "q_g4_dependents" -> g4Oracle,
-    "q_g5_edge_derivation" -> g5Oracle)
+    "q_g5_edge_derivation" -> g5Oracle,
+    "q_a8_dimensional" -> a8Oracle,
+    "q_a10_passfail" -> a10Oracle,
+    "q_x1_scalar_battery" -> x1Oracle,
+    "q_x2_interval" -> x2Oracle)
 }

@@ -1,0 +1,141 @@
+package graft.compliance
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import graft.engine.QueryEngine
+import graft.functions.JsonMacros
+
+import scala.concurrent.{Await, Future, TimeoutException}
+import scala.concurrent.duration._
+import scala.concurrent.ExecutionContext.Implicits.global
+import scala.util.Try
+
+/** Pack execution pipeline (reference: pkg/query/compliance/executor.go:
+  * 129-244): per enabled query — parameter check + substitution (incl.
+  * list→IN expansion), guarded execution with per-query timeout, row →
+  * ComplianceResult mapping with status/severity domain validation,
+  * progress events, continue-on-error.
+  */
+object ComplianceExecutor {
+
+  final case class QueryRun(
+      queryId: String,
+      title: String,
+      results: Seq[ComplianceResult],
+      error: Option[String],
+      durationMs: Long)
+
+  final case class PackRun(pack: String, runs: Seq[QueryRun]) {
+    def passed: Int = runs.flatMap(_.results).count(_.status == "PASS")
+    def failed: Int = runs.flatMap(_.results).count(_.status == "FAIL")
+    def errors: Int = runs.count(_.error.isDefined)
+  }
+
+  /** Dry-run: validate + explain each query without executing (E3,
+    * executor.go:247-306). Returns queryId → plan text or error.
+    */
+  def dryRun(spark: SparkSession, pack: PackManifest,
+      params: Map[String, Any]): Map[String, Either[String, String]] = {
+    JsonMacros.register(spark)
+    pack.queries.filter(_.enabled).map { q =>
+      val bound = QueryEngine.bindParams(q.sql, withDefaults(pack, params))
+      q.id -> (QueryEngine.validate(spark, bound) match {
+        case Left(err) => Left(err.message)
+        case Right(()) => Try(QueryEngine.explain(spark.sql(bound)))
+          .toEither.left.map(_.getMessage)
+      })
+    }.toMap
+  }
+
+  def run(spark: SparkSession, pack: PackManifest,
+      params: Map[String, Any],
+      onProgress: ProgressEvent => Unit = _ => (),
+      timeout: Duration = 30.seconds): PackRun = {
+    JsonMacros.register(spark)
+    val allParams = withDefaults(pack, params)
+    val enabled = pack.queries.filter(_.enabled)
+    val runs = enabled.zipWithIndex.map { case (q, i) =>
+      onProgress(ProgressEvent.QueryStarted(q.id, i + 1, enabled.size))
+      val t0 = System.nanoTime()
+      val missing = q.parameters.filterNot(allParams.contains)
+      if (missing.nonEmpty) {
+        val err = s"missing required parameters: ${missing.mkString(", ")}"
+        onProgress(ProgressEvent.QueryFailed(q.id, err))
+        QueryRun(q.id, q.title, Nil, Some(err), elapsedMs(t0))
+      } else {
+        val bound = QueryEngine.bindParams(q.sql, allParams)
+        try {
+          val rows = executeWithTimeout(spark, bound, timeout, q.id)
+          val results = rows.map(toResult(_, q))
+          onProgress(ProgressEvent.QueryFinished(q.id, results.size, elapsedMs(t0)))
+          QueryRun(q.id, q.title, results, None, elapsedMs(t0))
+        } catch {
+          case e: Throwable =>
+            val msg = categorize(e)
+            onProgress(ProgressEvent.QueryFailed(q.id, msg))
+            QueryRun(q.id, q.title, Nil, Some(msg), elapsedMs(t0))
+        }
+      }
+    }
+    PackRun(pack.fullName, runs)
+  }
+
+  private def elapsedMs(t0: Long): Long = (System.nanoTime() - t0) / 1000000
+
+  private def withDefaults(pack: PackManifest,
+      params: Map[String, Any]): Map[String, Any] =
+    pack.parameters.flatMap(p => p.default.map(p.name -> _)).toMap ++ params
+
+  /** Per-query timeout via job-group cancellation (executor.go:167-172). */
+  private def executeWithTimeout(spark: SparkSession, sql: String,
+      timeout: Duration, group: String): Seq[Row] = {
+    QueryEngine.validate(spark, sql).left.foreach(e => throw e)
+    val sc = spark.sparkContext
+    val fut = Future {
+      sc.setJobGroup(group, s"compliance:$group", interruptOnCancel = true)
+      try spark.sql(sql).collect().toSeq
+      finally sc.clearJobGroup()
+    }
+    try Await.result(fut, timeout)
+    catch {
+      case _: TimeoutException =>
+        sc.cancelJobGroup(group)
+        throw new RuntimeException(s"query timeout after $timeout")
+    }
+  }
+
+  /** Row → ComplianceResult with domain validation and contract fallbacks
+    * (executor.go:490-567). Unknown status/severity degrade to
+    * ERROR/INFO rather than being dropped.
+    */
+  private[compliance] def toResult(row: Row, q: PackQuery): ComplianceResult = {
+    def get(names: String*): String =
+      names.iterator
+        .flatMap(n => Try(row.getAs[Any](n)).toOption.flatMap(Option(_)))
+        .map(String.valueOf)
+        .nextOption().getOrElse("")
+    val status0 = get("status").toUpperCase
+    val severity0 = get("severity").toUpperCase
+    ComplianceResult(
+      resourceId = get("resource_id", "id"),
+      resourceName = get("resource_name", "bucket_name", "name"),
+      resourceType = get("resource_type", "type") match {
+        case "" => "resource"
+        case t => t
+      },
+      controlId = get("control_id") match { case "" => q.id; case c => c },
+      controlName = get("control_name") match { case "" => q.title; case c => c },
+      status = if (ComplianceResult.ValidStatuses.contains(status0)) status0 else "ERROR",
+      severity = if (ComplianceResult.ValidSeverities.contains(severity0)) severity0
+        else q.severity,
+      details = get("details", "issue_description"))
+  }
+
+  /** Error categorization (executor.go:570-584). */
+  private def categorize(e: Throwable): String = {
+    val m = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+    if (m.contains("timeout")) s"timeout: $m"
+    else if (m.contains("syntax")) s"syntax: $m"
+    else if (m.toLowerCase.contains("parameter")) s"parameter: $m"
+    else s"execution: $m"
+  }
+}
