@@ -602,6 +602,27 @@ object Queries {
       |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month
       |FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'""".stripMargin
 
+  /** ST-custom: gap-based sessionization (batch twin of the streaming
+    * flatMapGroupsWithState operator in graft.streaming.Sessionize).
+    */
+  val st1Sessionize: Q = (s, d) =>
+    graft.streaming.Sessionize.batch(t(s, d, "events"),
+      "user_id", "ts", "event_id", gapMinutes = 30)
+  val st1Oracle =
+    """WITH marks AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |           OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+      |      AS session_id
+      |  FROM marks)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  MIN(ts) AS session_start, MAX(ts) AS session_end
+      |FROM sess GROUP BY user_id, session_id""".stripMargin
+
   // ===== §2.9 compliance pack (E6-E8) ==================================
 
   /** E6/E7/E8: load the embedded CCC pack, execute its C02 query through
@@ -660,7 +681,8 @@ object Queries {
     "q_a8_dimensional" -> a8Dimensional,
     "q_a10_passfail" -> a10PassFail,
     "q_x1_scalar_battery" -> x1ScalarBattery,
-    "q_x2_interval" -> x2Interval)
+    "q_x2_interval" -> x2Interval,
+    "q_st1_sessionize" -> st1Sessionize)
 
   val oracles: Map[String, String] = Map(
     "q_p1_projection" -> p1Oracle,
@@ -697,5 +719,6 @@ object Queries {
     "q_a8_dimensional" -> a8Oracle,
     "q_a10_passfail" -> a10Oracle,
     "q_x1_scalar_battery" -> x1Oracle,
-    "q_x2_interval" -> x2Oracle)
+    "q_x2_interval" -> x2Oracle,
+    "q_st1_sessionize" -> st1Oracle)
 }

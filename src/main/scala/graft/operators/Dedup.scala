@@ -66,11 +66,31 @@ object Dedup {
     * (measured 64x slowdown). At cluster scale this is a persisted
     * signature table.
     */
-  private def shingleFrame(df: DataFrame, idCol: String, textCol: String,
+  private[graft] def shingleFrame(df: DataFrame, idCol: String, textCol: String,
       w: Int): DataFrame = {
     graft.functions.VecExprs.register(df.sparkSession)
-    df.select(col(idCol).as("id"), hashedShingles(col(textCol), w).as("sh"))
+    // Two stages: the shingle lambda indexes into the token array (HOF
+    // lambdas re-evaluate referenced subtrees per element), and the input
+    // is spread across all cores first — a single small parquet file would
+    // otherwise pin the whole CPU-bound shingle pass to one task.
+    val toks = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"),
+        split(TextAnalysis.normalize(col(textCol)), " ").as("toks"))
       .localCheckpoint(true)
+    toks.select(col("id"), hashedShinglesFromTokens(col("toks"), w).as("sh"))
+      .localCheckpoint(true)
+  }
+
+  /** Hashed shingles from an already-materialized token array attribute. */
+  def hashedShinglesFromTokens(toks: Column, w: Int): Column = {
+    val sh = array_distinct(
+      filter(
+        transform(sequence(lit(0), greatest(size(toks) - w, lit(0))),
+          i => when(i + w <= size(toks),
+            concat_ws(" ", slice(toks, i + 1, lit(w))))),
+        s => s.isNotNull))
+    array_sort(array_distinct(transform(sh, s => xxhash64(s))))
   }
 
   /** Exact Jaccard over two sorted distinct long arrays — codegen merge. */
@@ -160,8 +180,15 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, w: Int = 3, threshold: Double = 0.5): DataFrame = {
     graft.functions.VecExprs.register(df.sparkSession)
-    val sh = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
-      hashedShingles(col(textCol), w).as("sh"))
+    // Same two-stage tokenize-then-shingle as shingleFrame (lambdas must
+    // index a materialized token attribute, not the normalize subtree).
+    val sh = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(blockCol).as("blk"), col(idCol).as("id"),
+        split(TextAnalysis.normalize(col(textCol)), " ").as("toks"))
+      .localCheckpoint(true)
+      .select(col("blk"), col("id"),
+        hashedShinglesFromTokens(col("toks"), w).as("sh"))
       .localCheckpoint(true) // compute shingles once, not per join side
     val a = sh.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))

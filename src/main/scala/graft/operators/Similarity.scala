@@ -128,6 +128,59 @@ object Similarity {
       .select("id_a", "id_b", "cosine_sim")
   }
 
+  /** IVF (inverted-file) index: k-means centroids + per-vector cell
+    * assignment. The classic ANN scale path — at query time only the
+    * `nProbe` nearest cells are scanned, so the 100 TB corpus is probed at
+    * nProbe/nCells of its size. Centroids come from MLlib KMeans with a
+    * fixed seed over a (deterministic) sample; the assigned frame is the
+    * reusable index (at cluster scale: written out partitioned by cell).
+    */
+  def ivfIndex(vectors: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 16, seed: Long = 42L): (DataFrame, DataFrame) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    init(vectors.sparkSession)
+    val feat = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("features", array_to_vector(col("vec").cast("array<double>")))
+      .localCheckpoint(true)
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
+      .fit(feat)
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+      .toDF("cell", "centroid")
+    val assigned = model.transform(feat)
+      .select(col("id"), col("vec"), col("prediction").as("cell"))
+      .localCheckpoint(true)
+    (centroids, assigned)
+  }
+
+  /** IVF top-k: for each query, rank only vectors in the `nProbe` cells
+    * whose centroids are nearest to the query. Exact cosine within the
+    * probed cells; recall rises with nProbe (nProbe = nCells ⇒ exact).
+    */
+  def ivfTopK(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
+      k: Int, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    init(assigned.sparkSession)
+    // nearest nProbe cells per query (tiny: nQueries x nCells, broadcast)
+    val cellRank = Window.partitionBy("query_id")
+      .orderBy(col("cell_sim").desc, col("cell").asc)
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("cell_sim", cosine(col("qvec"), col("centroid")))
+      .withColumn("cr", row_number().over(cellRank))
+      .filter(col("cr") <= nProbe)
+      .select("query_id", "qvec", "cell")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine_sim").desc, col("id").asc)
+    assigned.join(broadcast(probes), Seq("cell"))
+      .withColumn("cosine_sim", round(cosine(col("vec"), col("qvec")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "id", "cosine_sim")
+  }
+
   /** Embedding-cosine near-duplicate pairs via bucket blocking: pairs
     * sharing an LSH bucket whose exact cosine ≥ threshold.
     */

@@ -40,6 +40,23 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"recall $recall too low")
   }
 
+  test("IVF index partitions the corpus; top-k recall rises with nProbe") {
+    val (centroids, assigned) = Similarity.ivfIndex(emb, "vec_id", "embedding",
+      nCells = 8)
+    assert(centroids.count() == 8)
+    assert(assigned.count() == emb.count())
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, 10)
+      .select("query_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(nProbe: Int): Double = {
+      val approx = Similarity.ivfTopK(assigned, centroids, queries, 10, nProbe)
+        .select("query_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    val r2 = recallAt(2); val r8 = recallAt(8)
+    assert(r8 == 1.0, s"full probe must be exact, got $r8") // nProbe = nCells
+    assert(r2 >= 0.2 && r2 <= r8, s"recall@2=$r2 recall@8=$r8")
+  }
+
   test("bruteForcePairs symmetric-free and thresholded") {
     val pairs = Similarity.bruteForcePairs(emb.limit(50), "vec_id", "embedding", 0.2)
       .collect()
