@@ -127,6 +127,125 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** 64-bit SimHash over a token array — per-bit majority vote of the
+  * xxhash64(token) bits. Bit-compatible with the `aggregate`/`zip_with`
+  * HOF formulation it replaces (same xxhash64 seed-42 per token, same
+  * +1/-1 vote, same `count > 0` bit rule), but one tight loop instead of
+  * 64 interpreted lambda evaluations per token (~100× on the documents
+  * table). Null tokens vote like the HOF version: xxhash64(NULL) = seed.
+  */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 expects array<string>, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash64Expr.simhash(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.SimHash64Expr$$.MODULE$$.simhash($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash64Expr {
+  /** Static hot loop, shared by interpreted eval and generated code. */
+  def simhash(toks: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = toks.numElements()
+    var t = 0
+    while (t < n) {
+      // xxhash64(token) with Spark's default seed 42; NULL hashes to seed
+      // (HashExpression skips null children, leaving the accumulator).
+      val h =
+        if (toks.isNullAt(t)) 42L
+        else {
+          val s = toks.getUTF8String(t)
+          XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        }
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1
+        bit += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (counts(bit) > 0) out |= (1L << bit)
+      bit += 1
+    }
+    out
+  }
+}
+
+/** MinHash signature over an already-hashed shingle array: for each of k
+  * seeds, min over xxhash64(shingle, seed). Bit-compatible with the
+  * `transform(sequence, array_min(transform(...)))` HOF formulation
+  * (XXH64.hashLong per element, seed = band index), but a single k×n
+  * primitive loop. Empty input yields an array of xxhash-of-nothing =
+  * seed-hash? — matches HOF: array_min([]) is NULL, so we return nulls.
+  */
+case class MinHashSigExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig expects array<bigint>, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSigExpr.signature(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.MinHashSigExpr$$.MODULE$$.signature($a, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSigExpr {
+  /** h_i(s) = xxhash64(s, i) exactly as the HOF computed it: the two-column
+    * hash chains from base seed 42 — hashInt(i, hashLong(s, 42)) (the seed
+    * index is an int element, so the chain uses the int hasher). The
+    * element base hash is computed once per element, not once per seed.
+    */
+  def signature(sh: ArrayData, k: Int): ArrayData = {
+    val n = sh.numElements()
+    val base = new Array[Long](n)
+    var i = 0
+    while (i < n) { base(i) = XXH64.hashLong(sh.getLong(i), 42L); i += 1 }
+    val out = new Array[Any](k)
+    if (n > 0) {
+      var seed = 0
+      while (seed < k) {
+        var mn = Long.MaxValue
+        i = 0
+        while (i < n) {
+          val h = XXH64.hashInt(seed, base(i))
+          if (h < mn) mn = h
+          i += 1
+        }
+        out(seed) = mn
+        seed += 1
+      }
+    } // else: all-null array, matching array_min of an empty array
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object VecExprs {
   /** Register the custom expressions (idempotent). */
   def register(spark: SparkSession): Unit = {
@@ -134,5 +253,13 @@ object VecExprs {
       "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "arr_inter", exprs => SortedLongIntersectCount(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64Expr(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig", exprs => MinHashSigExpr(exprs(0), exprs(1) match {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"minhash_sig k must be an int literal, got $other")
+      }), "built-in")
   }
 }

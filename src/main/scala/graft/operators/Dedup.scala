@@ -101,11 +101,18 @@ object Dedup {
   }
 
   /** MinHash signature: k permutation-free min-hashes, h_i(s) =
-    * xxhash64(s, seed=i). Computed per-row with HOFs: for each of k seeds,
-    * the min over the (materialized) shingle array — no explode, no
-    * shuffle.
+    * xxhash64(s, seed=i) — a codegen'd k×n loop
+    * (graft.functions.MinHashSigExpr; bit-compatible with the
+    * transform/array_min HOF formulation it replaced). Per-row, no
+    * explode, no shuffle. Requires VecExprs.register on the session.
     */
   def minhashSignature(shingleArr: Column, k: Int = 64): Column =
+    call_function("minhash_sig", shingleArr, lit(k))
+
+  /** The interpreted HOF twin of [[minhashSignature]], kept as the parity
+    * reference for DedupSpec (must stay bit-identical).
+    */
+  private[graft] def minhashSignatureHof(shingleArr: Column, k: Int = 64): Column =
     transform(sequence(lit(0), lit(k - 1)),
       seed => array_min(transform(shingleArr, s => xxhash64(s, seed))))
 
@@ -199,11 +206,20 @@ object Dedup {
       .select(col("blk"), col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash over tokens: per-bit majority vote of token-hash bits,
-    * expressed as an `aggregate` HOF over the token array — one pass,
-    * per-row, no shuffle.
+  /** 64-bit SimHash over tokens: per-bit majority vote of token-hash bits
+    * — a codegen'd one-pass loop (graft.functions.SimHash64Expr;
+    * bit-compatible with the aggregate/zip_with HOF formulation it
+    * replaced, which re-hashed every token once per bit). Per-row, no
+    * shuffle. Requires VecExprs.register (callers below do it).
     */
-  def simhash64(text: Column): Column = {
+  def simhash64(text: Column): Column =
+    call_function("simhash64",
+      array_distinct(split(TextAnalysis.normalize(text), " ")))
+
+  /** The interpreted HOF twin of [[simhash64]], kept as the parity
+    * reference for DedupSpec (must stay bit-identical).
+    */
+  private[graft] def simhash64Hof(text: Column): Column = {
     val toks = array_distinct(split(TextAnalysis.normalize(text), " "))
     val counts = aggregate(
       toks,
@@ -230,7 +246,12 @@ object Dedup {
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val hashed = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
+    graft.functions.VecExprs.register(df.sparkSession)
+    // spread the CPU-bound hash pass across cores (small single-file
+    // inputs arrive as one partition)
+    val hashed = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
       .localCheckpoint(true) // barrier: simhash64 is a wide HOF expression
     val blocked = hashed.select(col("id"), col("sh"),
         explode(transform(sequence(lit(0), lit(3)),

@@ -42,7 +42,7 @@ object EdgeDerivation {
     */
   def derive(df: DataFrame, idCol: Column, jsonCol: Column,
       rules: Seq[(String, String)] = defaultRules): DataFrame = {
-    val keyed = df.select(idCol.cast("string").as("from_id"), jsonCol.as("j"))
+    val keyed = Spread(df.select(idCol.cast("string").as("from_id"), jsonCol.as("j")))
       .withColumn("field", explode(call_function("json_object_keys", col("j"))))
     val relType = rules.foldLeft(lit(null).cast("string")) { case (acc, (suffix, rel)) =>
       when(lower(col("field")).endsWith(suffix), rel).otherwise(acc)

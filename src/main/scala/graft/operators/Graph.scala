@@ -50,8 +50,12 @@ object Graph {
       .repartition(col("from_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // `visited` is only ever a union of per-hop checkpointed frontiers, so
+    // it needs no checkpoint of its own (the union plan stays ≤ maxHops
+    // branches deep) — one fewer eager job per hop.
     var visited = sources.select(col("id").cast("string"))
       .distinct().withColumn("distance", lit(0))
+      .localCheckpoint(eager = true)
     var frontier = visited
     var hop = 0
     while (hop < maxHops && !frontier.isEmpty) {
@@ -62,7 +66,7 @@ object Graph {
         .join(visited.select(col("id").as("vid")), col("id") === col("vid"), "left_anti")
         .withColumn("distance", lit(hop))
         .localCheckpoint(eager = true)
-      visited = visited.unionByName(next).localCheckpoint(eager = true)
+      visited = visited.unionByName(next)
       frontier = next
     }
     adj.unpersist(blocking = false)

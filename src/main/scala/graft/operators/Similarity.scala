@@ -36,6 +36,45 @@ object Similarity {
     when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
   }
 
+  /** Cosine from a pair dot and two PREcomputed norms — the pairwise hot
+    * path. Same IEEE op order as [[cosine]] (norm product, zero guard,
+    * divide), so results are bit-identical; but norms are computed once
+    * per vector instead of once per pair (3 dots/pair → 1).
+    */
+  private def cosineWithNorms(ab: Column, na: Column, nb: Column): Column = {
+    val d = na * nb
+    when(d === 0, lit(0.0)).otherwise(ab / d)
+  }
+
+  /** Deterministic pseudo-gaussian hyperplane component in [-1, 1] for LSH
+    * bit `bb`, dimension `i` — the Scala twin of the former per-row
+    * `xxhash64(bb, i)` expression (same XXH64 chain, same modulus), now
+    * evaluated ONCE at plan build instead of per vector element. Planes
+    * become literal arrays and each projection a single codegen vec_dot.
+    */
+  private def planeComponent(bb: Int, i: Int): Double = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val h = XXH64.hashInt(i, XXH64.hashInt(bb, 42L))
+    val m = 2000001L
+    (((h % m) + m) % m).toDouble / 1000000.0 - 1.0
+  }
+
+  /** Planes carry more dims than any vector we meet; vec_dot stops at the
+    * shorter operand, so the same literal serves every embedding width.
+    */
+  private val MaxDim = 512
+  private def plane(bb: Int): Array[Double] =
+    Array.tabulate(MaxDim)(planeComponent(bb, _))
+
+  /** Sign-bit bucket for bits [bitBase, bitBase+nBits) as one bit-packed
+    * long, built from literal-plane projections.
+    */
+  private def packedBucket(vec: Column, bitBase: Int, nBits: Int): Column =
+    (0 until nBits).map { b =>
+      when(dot(vec, typedlit(plane(bitBase + b))) > 0, lit(1L << b))
+        .otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+
   /** Exact top-k by cosine for each query vector. `queries` must have
     * (query_id, qvec); `vectors` (id, vec). Queries are broadcast; ranking
     * is a window per query_id (k small ⇒ TakeOrdered semantics).
@@ -45,9 +84,12 @@ object Similarity {
       queries: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     init(vectors.sparkSession)
-    val scored = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .crossJoin(broadcast(queries.select(col("query_id"), col("qvec"))))
-      .withColumn("cosine_sim", round(cosine(col("vec"), col("qvec")), 6))
+    val scored = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        norm(col(vecCol)).as("nrm"))
+      .crossJoin(broadcast(queries.select(col("query_id"), col("qvec"),
+        norm(col("qvec")).as("qnrm"))))
+      .withColumn("cosine_sim", round(cosineWithNorms(
+        dot(col("vec"), col("qvec")), col("nrm"), col("qnrm")), 6))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine_sim").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -56,21 +98,12 @@ object Similarity {
   }
 
   /** Random-hyperplane sign bits: `nBits` deterministic pseudo-hyperplanes
-    * h_b with components derived from xxhash64(b, dim) — reproducible
-    * without storing planes. Returns a bucket id (bit-packed signs).
+    * with components derived from xxhash64(b, dim) — reproducible without
+    * storing planes (see [[planeComponent]]; same values as the original
+    * per-row hash expression). Returns a bucket id (bit-packed signs).
     */
   def lshBucket(vec: Column, nBits: Int = 12): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(nBits - 1)), b => {
-        val proj = aggregate(
-          zip_with(vec, sequence(lit(0), size(vec) - 1),
-            (x, i) => x.cast("double") *
-              // hash-derived pseudo-gaussian component in [-1, 1]
-              ((pmod(xxhash64(b, i), lit(2000001L)).cast("double") / 1000000.0) - 1.0)),
-          lit(0.0), (acc, v) => acc + v)
-        when(proj > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))
-      }),
-      lit(0L), (acc, v) => acc.bitwiseOR(v))
+    packedBucket(vec, 0, nBits)
 
   /** Approximate top-k: score only vectors whose LSH bucket matches the
     * query's bucket in at least one of `tables` independent hash tables
@@ -81,30 +114,32 @@ object Similarity {
       queries: DataFrame, k: Int, nBits: Int = 4, tables: Int = 12): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     init(vectors.sparkSession)
+    // per-table planes: offset the bit index by table * nBits; tables are
+    // unrolled statically so every projection is a literal-plane vec_dot
     def bucketed(df: DataFrame, vc: String, out: String): DataFrame =
-      df.withColumn("tbl", explode(sequence(lit(0), lit(tables - 1))))
-        // per-table planes: offset the bit index by table * nBits
-        .withColumn(out, aggregate(
-          transform(sequence(lit(0), lit(nBits - 1)), b => {
-            val bb = col("tbl") * nBits + b
-            val proj = aggregate(
-              zip_with(col(vc), sequence(lit(0), size(col(vc)) - 1),
-                (x, i) => x.cast("double") *
-                  ((pmod(xxhash64(bb, i), lit(2000001L)).cast("double") / 1000000.0) - 1.0)),
-              lit(0.0), (acc, v) => acc + v)
-            when(proj > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))
-          }),
-          lit(0L), (acc, v) => acc.bitwiseOR(v)))
+      df.withColumn("tb", explode(array((0 until tables).map { tbl =>
+          struct(lit(tbl).as("tbl"),
+            packedBucket(col(vc), tbl * nBits, nBits).as("b"))
+        }: _*)))
+        .withColumn("tbl", col("tb.tbl"))
+        .withColumn(out, col("tb.b"))
+        .drop("tb")
     // Materialization barrier: without it Catalyst collapses projections
     // and re-inlines the per-table bucket expression everywhere.
-    val vb = bucketed(vectors.select(col(idCol).as("id"), col(vecCol).as("vec")),
+    val vb = bucketed(vectors
+        .repartition(vectors.sparkSession.sparkContext.defaultParallelism)
+        .select(col(idCol).as("id"), col(vecCol).as("vec"),
+          norm(col(vecCol)).as("nrm")),
       "vec", "bucket").localCheckpoint(true)
-    val qb = bucketed(queries.select(col("query_id"), col("qvec")), "qvec", "qbucket")
+    val qb = bucketed(queries.select(col("query_id"), col("qvec"),
+      norm(col("qvec")).as("qnrm")), "qvec", "qbucket")
     val cands = vb.join(broadcast(qb),
         vb("tbl") === qb("tbl") && vb("bucket") === qb("qbucket"))
-      .select(col("query_id"), col("id"), col("vec"), col("qvec"))
+      .select(col("query_id"), col("id"), col("vec"), col("qvec"),
+        col("nrm"), col("qnrm"))
       .dropDuplicates("query_id", "id")
-      .withColumn("cosine_sim", round(cosine(col("vec"), col("qvec")), 6))
+      .withColumn("cosine_sim", round(cosineWithNorms(
+        dot(col("vec"), col("qvec")), col("nrm"), col("qnrm")), 6))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine_sim").desc, col("id").asc)
     cands.withColumn("rank", row_number().over(w))
@@ -120,10 +155,21 @@ object Similarity {
   def bruteForcePairs(vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     init(vectors.sparkSession)
-    val a = vectors.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val b = vectors.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    // Norms once per vector (not per pair): same op order as the oracle's
+    // norm-CTE formulation, 1 dot per pair instead of 3.
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      norm(col(vecCol)).as("nrm"))
+    // The streamed side of the nested-loop join must be spread across
+    // cores — a single small parquet file arrives as one partition and
+    // would serialize the whole O(n²) scoring pass.
+    val a = v.repartition(vectors.sparkSession.sparkContext.defaultParallelism)
+      .select(col("id").as("id_a"), col("vec").as("vec_a"),
+        col("nrm").as("nrm_a"))
+    val b = v.select(col("id").as("id_b"), col("vec").as("vec_b"),
+      col("nrm").as("nrm_b"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cosine_sim", round(cosine(col("vec_a"), col("vec_b")), 6))
+      .withColumn("cosine_sim", round(cosineWithNorms(
+        dot(col("vec_a"), col("vec_b")), col("nrm_a"), col("nrm_b")), 6))
       .filter(col("cosine_sim") >= threshold)
       .select("id_a", "id_b", "cosine_sim")
   }
@@ -174,8 +220,10 @@ object Similarity {
       .select("query_id", "qvec", "cell")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine_sim").desc, col("id").asc)
-    assigned.join(broadcast(probes), Seq("cell"))
-      .withColumn("cosine_sim", round(cosine(col("vec"), col("qvec")), 6))
+    assigned.withColumn("nrm", norm(col("vec")))
+      .join(broadcast(probes.withColumn("qnrm", norm(col("qvec")))), Seq("cell"))
+      .withColumn("cosine_sim", round(cosineWithNorms(
+        dot(col("vec"), col("qvec")), col("nrm"), col("qnrm")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "id", "cosine_sim")
@@ -187,14 +235,18 @@ object Similarity {
   def cosineNearDups(vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nBits: Int = 10): DataFrame = {
     init(vectors.sparkSession)
-    val vb = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val vb = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        norm(col(vecCol)).as("nrm"))
       .withColumn("bucket", lshBucket(col("vec"), nBits))
       .localCheckpoint(true)
-    val a = vb.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = vb.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    val a = vb.select(col("bucket"), col("id").as("id_a"),
+      col("vec").as("vec_a"), col("nrm").as("nrm_a"))
+    val b = vb.select(col("bucket"), col("id").as("id_b"),
+      col("vec").as("vec_b"), col("nrm").as("nrm_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine_sim", round(cosine(col("vec_a"), col("vec_b")), 6))
+      .withColumn("cosine_sim", round(cosineWithNorms(
+        dot(col("vec_a"), col("vec_b")), col("nrm_a"), col("nrm_b")), 6))
       .filter(col("cosine_sim") >= threshold)
       .select("id_a", "id_b", "cosine_sim")
   }

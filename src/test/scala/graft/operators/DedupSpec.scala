@@ -61,7 +61,23 @@ class DedupSpec extends SparkSpec {
     assert(rows((1L, 3L)) > 0.5 && rows((1L, 3L)) < 1.0)
   }
 
+  test("codegen simhash64 is bit-identical to the HOF formulation") {
+    graft.functions.VecExprs.register(spark)
+    val rows = docs.select(Dedup.simhash64(col("text")).as("fast"),
+      Dedup.simhash64Hof(col("text")).as("ref")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("codegen minhash_sig is bit-identical to the HOF formulation") {
+    graft.functions.VecExprs.register(spark)
+    val sh = docs.select(Dedup.hashedShingles(col("text"), 3).as("sh"))
+    val rows = sh.select(Dedup.minhashSignature(col("sh"), 16).as("fast"),
+      Dedup.minhashSignatureHof(col("sh"), 16).as("ref")).collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
   test("simhash: identical docs collide, different docs are far") {
+    graft.functions.VecExprs.register(spark)
     val h = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("sh"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(h(1L) == h(2L))
