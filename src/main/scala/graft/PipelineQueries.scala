@@ -108,12 +108,34 @@ object PipelineQueries {
        |    0.20 * (1.0 - LEAST(punct_ratio * 5.0, 1.0)))) AS quality_score
        |FROM m""".stripMargin
 
-  /** T2: heuristic language ID (stopword evidence; rows-only — the
-    * heuristic is library-defined, not SQL-standard).
+  /** T2: heuristic language ID (stopword evidence). The oracle twin
+    * re-expresses the argmax in SQL: per-language distinct-stopword hit
+    * counts, greatest-of, tie broken in language-code order — the same
+    * total order as the library's struct(negScore, lang) array_min.
     */
   val t2LangId: Q = (s, d) =>
     t(s, d, "documents").select(col("doc_id"),
       TextAnalysis.langId(col("text")).as("lang_pred"))
+  val t2Oracle: String = {
+    val langs = TextAnalysis.stopwords.toSeq.sortBy(_._1)
+    val scores = langs.map { case (lang, ws) =>
+      val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_intersect($wordsSql, $arr)) AS s_$lang"
+    }.mkString(",\n    ")
+    val best = langs.map { case (lang, _) => s"s_$lang" }.mkString("GREATEST(", ", ", ")")
+    val pick = langs.map { case (lang, _) =>
+      s"WHEN s_$lang = best THEN '$lang'"
+    }.mkString("\n    ")
+    s"""WITH sc AS (
+       |  SELECT doc_id,
+       |    $scores
+       |  FROM documents),
+       |b AS (SELECT doc_id, $best AS best, * FROM sc)
+       |SELECT doc_id, CASE WHEN best = 0 THEN 'und'
+       |    $pick
+       |  END AS lang_pred
+       |FROM b""".stripMargin
+  }
 
   // ===== multimodal ====================================================
 
@@ -198,6 +220,17 @@ object PipelineQueries {
     Similarity.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding",
       queryVecs(s, d), k = 10)
 
+  /** S4: IVF (inverted-file) approximate top-k — k-means cells + nProbe
+    * probing (rows-only: the index is model-derived, not SQL-expressible;
+    * recall vs S1 is asserted in ScalaTest).
+    */
+  val s4IvfTopK: Q = (s, d) => {
+    val (centroids, assigned) = Similarity.ivfIndex(
+      t(s, d, "embeddings"), "vec_id", "embedding", nCells = 16)
+    Similarity.ivfTopK(assigned, centroids, queryVecs(s, d), k = 10, nProbe = 4)
+      .withColumn("rank", col("rank").cast("bigint"))
+  }
+
   // ===== registry ======================================================
 
   val all: Map[String, Q] = Map(
@@ -211,13 +244,15 @@ object PipelineQueries {
     "q_m1_media_meta" -> m1MediaMeta,
     "q_s1_topk_bruteforce" -> s1TopKBruteForce,
     "q_s2_cosine_pairs" -> s2CosinePairs,
-    "q_s3_lsh_topk" -> s3LshTopK)
+    "q_s3_lsh_topk" -> s3LshTopK,
+    "q_s4_ivf_topk" -> s4IvfTopK)
 
   val oracles: Map[String, String] = Map(
     "q_d1_fingerprint" -> d1Oracle,
     "q_d2_dedup_exact" -> d2Oracle,
     "q_d3_jaccard_pairs" -> d3Oracle,
     "q_t1_quality" -> t1Oracle,
+    "q_t2_langid" -> t2Oracle,
     "q_m1_media_meta" -> m1Oracle,
     "q_s1_topk_bruteforce" -> s1Oracle,
     "q_s2_cosine_pairs" -> s2Oracle)

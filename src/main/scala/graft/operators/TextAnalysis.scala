@@ -70,7 +70,7 @@ object TextAnalysis {
     * (deterministic tie-break on language code). An n-gram-free heuristic
     * that is one `transform`/`aggregate` HOF chain — no shuffle, no UDF.
     */
-  private val stopwords: Map[String, Seq[String]] = Map(
+  private[graft] val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
     "fr" -> Seq("le", "la", "les", "et", "est", "pas", "pour", "que", "une", "dans"),
