@@ -516,6 +516,34 @@ object Queries {
        |SELECT id, CAST(MIN(distance) AS INTEGER) AS distance
        |FROM walk GROUP BY id""".stripMargin
 
+  /** G6: connected components (the clustering stage of near-dup dedup,
+    * and general undirected CC). Graph: per-customer order chains —
+    * consecutive orders of the same customer are linked, so each customer
+    * with ≥2 orders forms one chain component (diameter up to the order
+    * count, exercising multi-round label propagation + pointer doubling).
+    * Oracle: recursive-CTE min-reachability walk.
+    */
+  val chainEdgesSql: String =
+    """SELECT prev AS from_id, okey AS to_id FROM (
+      |  SELECT CAST(o_orderkey AS BIGINT) AS okey,
+      |    LAG(CAST(o_orderkey AS BIGINT))
+      |      OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev
+      |  FROM orders) z
+      |WHERE prev IS NOT NULL""".stripMargin
+
+  val g6Components: Q = (s, d) =>
+    Graph.connectedComponents(Tables.sql(s, d, chainEdgesSql))
+      .select(col("id"), col("comp").as("cluster_id"))
+  val g6Oracle =
+    s"""WITH RECURSIVE edges AS ($chainEdgesSql),
+       |sym AS (SELECT from_id AS a, to_id AS b FROM edges
+       |        UNION SELECT to_id, from_id FROM edges),
+       |walk AS (
+       |  SELECT a AS id, a AS reach FROM (SELECT DISTINCT a FROM sym) n
+       |  UNION
+       |  SELECT w.id, sy.b FROM walk w JOIN sym sy ON sy.a = w.reach)
+       |SELECT id, MIN(reach) AS cluster_id FROM walk GROUP BY id""".stripMargin
+
   /** G4: 1-hop dependents — inbound edges joined to vertices
     * (graph_loader.go:339-351).
     */
@@ -677,6 +705,7 @@ object Queries {
     "q_g3_khop" -> g3KHop,
     "q_g4_dependents" -> g4Dependents,
     "q_g5_edge_derivation" -> g5EdgeDerivation,
+    "q_g6_components" -> g6Components,
     "q_c1_compliance_pack" -> c1PackQuery,
     "q_a8_dimensional" -> a8Dimensional,
     "q_a10_passfail" -> a10PassFail,
@@ -720,5 +749,6 @@ object Queries {
     "q_a10_passfail" -> a10Oracle,
     "q_x1_scalar_battery" -> x1Oracle,
     "q_x2_interval" -> x2Oracle,
-    "q_st1_sessionize" -> st1Oracle)
+    "q_st1_sessionize" -> st1Oracle,
+    "q_g6_components" -> g6Oracle)
 }

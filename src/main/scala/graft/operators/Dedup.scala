@@ -237,6 +237,31 @@ object Dedup {
       lit(0L), (acc, v) => acc.bitwiseOR(v))
   }
 
+  /** Cluster near-dup pairs into duplicate groups: connected components
+    * over the pair graph, component = min member id ("canonical" doc).
+    */
+  def dupClusters(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 20): DataFrame =
+    Graph.connectedComponents(
+      pairs.select(col(idA).as("from_id"), col(idB).as("to_id")), maxIter)
+      .withColumnRenamed("comp", "cluster_id")
+
+  /** End-to-end near-dedup: MinHash+LSH pairs → connected-component
+    * clusters → keep the min-id doc per cluster plus every unpaired doc.
+    * The full training-data dedup pipeline in one call; every stage is a
+    * join/agg over narrow keys (id, cluster_id), so the wide text column
+    * is only touched by the shingle scan.
+    */
+  def dedupNear(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashNearDups(df, idCol, textCol, threshold)
+    val clusters = dupClusters(pairs)
+    val drop = clusters
+      .filter(col("id") =!= col("cluster_id")) // non-canonical members
+      .select(col("id").as("drop_id"))
+    df.join(drop, df(idCol) === drop("drop_id"), "left_anti")
+  }
+
   /** Hamming distance between two 64-bit simhashes (popcount via bit_count). */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

@@ -95,6 +95,76 @@ object Graph {
     reach(edges, Seq(id), k, undirected = true)
       .orderBy(col("distance"), col("id"))
 
+  /** Connected components over an undirected edge set `(from_id, to_id)`:
+    * returns (id, component) with component = min id in the component.
+    * Min-label propagation with a pointer-doubling step per round, so
+    * convergence is O(log diameter) rounds rather than O(diameter) —
+    * each round is two co-partitioned joins + an aggregation, no
+    * driver-side state. This is the clustering stage of near-dup dedup
+    * (pairs → clusters → canonical keeper) and the general CC operator.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // Type-preserving: component = MIN(id) in the id column's own type
+    // (numeric min for long doc ids, lexicographic for string node ids).
+    // No dedup pass: duplicate edges are harmless under min-aggregation,
+    // and dropping the extra shuffle pays for itself every round.
+    val e0 = edges.select(col("from_id").as("a"), col("to_id").as("b"))
+    val sym = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("b")) // the per-round join key is b
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Round 0 fused into the init: label = min(self, neighbors) in one
+    // aggregation (also yields the node set — every node has ≥1 edge).
+    var labels = sym.groupBy(col("a").as("id")).agg(min("b").as("nb"))
+      .select(col("id"), least(col("id"), col("nb")).as("comp"))
+      .localCheckpoint(eager = true)
+    // Label frames are narrow (id, comp) pairs — tiny relative to the edge
+    // set. Below this row count we hint them broadcast so each round is a
+    // single shuffle (the groupBy); above it the hint is withheld and the
+    // joins fall back to shuffle joins. labels is materialized, so the
+    // count is a cached-partition scan, not a recompute.
+    val small = labels.count() < 50L * 1000 * 1000
+    def bc(df: DataFrame): DataFrame = if (small) df.hint("broadcast") else df
+    // One pointer jump: follow the current pointer column's own pointer.
+    def jump(df: DataFrame, c: String, out: String): DataFrame = {
+      val ptr = df.select(col("id").as("pid"), col(c).as("pc"))
+      df.join(bc(ptr), df(c) === ptr("pid"), "left")
+        .select(col("id"), col("comp"),
+          least(col(c), coalesce(col("pc"), col(c))).as(out))
+    }
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      iter += 1
+      val tRound = System.nanoTime()
+      // min label over neighbors, merged with own label
+      val nbrMin = sym.join(bc(labels), sym("b") === labels("id"))
+        .groupBy(sym("a").as("id")).agg(min("comp").as("nbr_comp"))
+      val stepped = labels.join(bc(nbrMin), Seq("id"), "left")
+        .select(col("id"), col("comp"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("c1"))
+        .localCheckpoint(eager = true)
+      // Converged when the neighbor-min pass changes nothing — then the
+      // jumps can't change anything either, so the round ends early.
+      converged = stepped.filter(col("c1") =!= col("comp")).isEmpty
+      if (!converged) {
+        // Two pointer jumps WITHIN the round — label chains contract ~4×
+        // per round, so convergence is ~log4(diameter) rounds. j1 is used
+        // twice (as input and as pointer table) but recomputing it from
+        // the checkpointed `stepped` is one broadcast join — cheaper than
+        // materializing it.
+        val j1 = jump(stepped, "c1", "c2")
+        val doubled = jump(j1, "c2", "new_comp").localCheckpoint(eager = true)
+        labels = doubled.select(col("id"), col("new_comp").as("comp"))
+      } else {
+        labels = stepped.select(col("id"), col("c1").as("comp"))
+      }
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"[cc] round $iter ${(System.nanoTime() - tRound) / 1e9}s converged=$converged")
+    }
+    sym.unpersist(blocking = false)
+    labels
+  }
+
   /** 1-hop dependencies: outgoing edges joined to the vertex table
     * (graph_loader.go:315-328). `vertices` must carry an `id` column.
     */

@@ -61,6 +61,27 @@ class DedupSpec extends SparkSpec {
     assert(rows((1L, 3L)) > 0.5 && rows((1L, 3L)) < 1.0)
   }
 
+  test("dupClusters groups transitive near-dup pairs; dedupNear keeps canonicals") {
+    // pairs (1,2),(2,3) → one cluster {1,2,3} rooted at 1
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val clusters = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // end-to-end on docs: 1~2 exact, 1~3 near → keep 1, drop 2 and 3
+    val kept = Dedup.dedupNear(docs, "doc_id", "text", threshold = 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 5L))
+  }
+
+  test("connectedComponents: chains converge via pointer doubling, isolated stay") {
+    val chain = (1L until 12L).map(i => (i, i + 1)) :+ (20L, 21L)
+    val comp = Graph.connectedComponents(
+        chain.toDF("from_id", "to_id"), maxIter = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 12L).foreach(i => assert(comp(i) == 1L, s"node $i"))
+    assert(comp(20L) == 20L && comp(21L) == 20L)
+  }
+
   test("codegen simhash64 is bit-identical to the HOF formulation") {
     graft.functions.VecExprs.register(spark)
     val rows = docs.select(Dedup.simhash64(col("text")).as("fast"),
