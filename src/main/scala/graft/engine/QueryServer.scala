@@ -1,0 +1,96 @@
+package graft.engine
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+
+/** Thin remote query API over the engine — the Spark twin of corkscrew's
+  * gRPC `ExecuteQuery(sql) → {columns, rows, error}`
+  * (internal/server/api_server.go:127-180). HTTP+JSON on the JDK's
+  * built-in server (no extra dependencies): POST a SQL string to
+  * `/query`, get `{"columns":[{name,type,nullable}],"rows":[[..]],
+  * "rowCount":n,"durationMs":ms}` back, or `{"error": "..."}` with
+  * status 400. The statement-class guard (E4) runs before execution, so
+  * DDL/DML is rejected exactly as in the reference's deny-list path.
+  *
+  * The server is a driver-side component: queries execute on the cluster
+  * through the shared SparkSession; concurrency is handled by Spark's
+  * scheduler (FAIR pool if configured), mirroring the reference's shared
+  * engine behind its gRPC server.
+  */
+class QueryServer(spark: SparkSession, port: Int = 0) {
+
+  private val server: HttpServer =
+    HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+  server.createContext("/query", (exchange: HttpExchange) => handle(exchange))
+  server.setExecutor(null) // serial; Spark schedules the real work
+
+  /** Bound port (useful when constructed with port 0). */
+  def boundPort: Int = server.getAddress.getPort
+
+  def start(): Unit = server.start()
+  def stop(): Unit = server.stop(0)
+
+  private def handle(exchange: HttpExchange): Unit = {
+    val (status, body) =
+      if (exchange.getRequestMethod != "POST")
+        (405, """{"error":"POST a SQL string to /query"}""")
+      else {
+        val sql = new String(exchange.getRequestBody.readAllBytes(), UTF_8)
+        try {
+          val r = QueryEngine.execute(spark, sql)
+          (200, render(r))
+        } catch {
+          case e: QueryEngine.QueryValidationError =>
+            (400, s"""{"error":${jstr(e.message)}}""")
+          case e: Exception =>
+            val hint = Option(e.getMessage)
+              .flatMap(m => "TABLE_OR_VIEW_NOT_FOUND.*?`(\\w+)`".r
+                .findFirstMatchIn(m).map(_.group(1)))
+              .flatMap(QueryEngine.suggestTable(spark, _))
+              .map(s => s""","hint":${jstr(s"did you mean $s?")}""")
+              .getOrElse("")
+            (400, s"""{"error":${jstr(String.valueOf(e.getMessage))}$hint}""")
+        }
+      }
+    val bytes = body.getBytes(UTF_8)
+    exchange.getResponseHeaders.set("Content-Type", "application/json")
+    exchange.sendResponseHeaders(status, bytes.length)
+    val os = exchange.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  private def render(r: QueryEngine.QueryResult): String = {
+    val cols = r.columns.map(c =>
+      s"""{"name":${jstr(c.name)},"type":${jstr(c.dataType)},"nullable":${c.nullable}}""")
+      .mkString("[", ",", "]")
+    val rows = r.rows.map { row =>
+      (0 until row.length).map { i =>
+        if (row.isNullAt(i)) "null"
+        else row.get(i) match {
+          case n: java.lang.Number  => n.toString
+          case b: java.lang.Boolean => b.toString
+          case other                => jstr(other.toString)
+        }
+      }.mkString("[", ",", "]")
+    }.mkString("[", ",", "]")
+    s"""{"columns":$cols,"rows":$rows,"rowCount":${r.rowCount},"durationMs":${r.durationMs}}"""
+  }
+
+  private def jstr(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"'  => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c    => sb.append(c)
+    }
+    sb.append('"').toString
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Scale regression guard: physical-plan properties that must hold for the
+  * engine to survive a 100 TB run — filter pushdown reaching the parquet
+  * scan, column pruning in ReadSchema, broadcast joins for small dims,
+  * TakeOrderedAndProject for top-k, and no accidental cartesian products.
+  * These assert on `.explain` output so a refactor that silently loses a
+  * pushdown or flips a broadcast join to sort-merge fails CI, not the
+  * cluster.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(FormattedMode)
+  }
+
+  test("P1 projection: filter pushed to parquet, schema pruned to 4 columns") {
+    val p = plan("q_p1_projection")
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)]"), p)
+    // only the selected + filtered columns are read, not all of customer
+    val read = p.linesIterator.find(_.trim.startsWith("ReadSchema:")).get
+    assert(read.contains("c_custkey") && read.contains("c_mktsegment"))
+    assert(!read.contains("c_address") && !read.contains("c_comment"), read)
+  }
+
+  test("P4 LIKE: contains-pattern pushed as StringContains") {
+    val p = plan("q_p4_like")
+    assert(p.contains("StringContains(p_name,red)"), p)
+  }
+
+  test("J3 multiway revenue: small dims broadcast, no cartesian") {
+    val p = plan("q_j3_multiway_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("W1 top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_w1_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("A2 multi-agg runs partial aggregation (map-side combine)") {
+    val p = plan("q_a2_multi_agg")
+    assert(p.contains("HashAggregate"), p)
+    // partial + final pair means map-side combine before the shuffle
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
+  }
+
+  test("similarity hot path stays inside whole-stage codegen") {
+    val df = SparkEntry.queries("q_s1_topk_bruteforce")(spark, sf)
+    df.collect() // finalize the adaptive plan so codegen stages are visible
+    val p = df.queryExecution.executedPlan.toString
+    // codegen stages print as "*(n)" in executedPlan.toString
+    assert(p.contains("*("), p)
+    // the scoring expression is the codegen'd VecDot, not an interpreted HOF
+    assert(p.contains("vecdot"), p)
+  }
+}
