@@ -106,3 +106,16 @@ final class ParquetTableStore(root: String) extends TableStore {
   def overwrite(df: DataFrame, table: String): Unit =
     df.write.mode("overwrite").parquet(path(table))
 }
+
+/** Bucketed catalog tables — the Spark answer to the reference's B-tree
+  * indexes on resource_id/from_id (unified_schema.go:129-143): two tables
+  * bucketed on the same key join WITHOUT a shuffle (each bucket pair is
+  * co-located), and point lookups prune to one bucket. Used for the
+  * change-history / graph-edge access paths where the reference indexes.
+  */
+object Bucketing {
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+}

@@ -71,4 +71,23 @@ class ResourceCatalogSpec extends SparkSpec {
     store.append(df, "t")
     assert(store.read(spark, "t").count() == 4)
   }
+
+  test("co-bucketed tables join without a shuffle exchange") {
+    val a = (1 to 2000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+    val b = (1 to 2000).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
+    Bucketing.writeBucketed(a, "bkt_join_a", "k", 8)
+    Bucketing.writeBucketed(b, "bkt_join_b", "k", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("bkt_join_a").join(spark.table("bkt_join_b"), "k")
+      assert(j.count() == 2000)
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"), p)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bkt_join_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_join_b")
+    }
+  }
 }
