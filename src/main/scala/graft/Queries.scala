@@ -651,6 +651,29 @@ object Queries {
       |  MIN(ts) AS session_start, MAX(ts) AS session_end
       |FROM sess GROUP BY user_id, session_id""".stripMargin
 
+  /** X3: as-of join (beyond the reference) — each event enriched with the
+    * user's most recent purchase at that moment. Spark side is the
+    * union+window composition (operators.AsofJoin, one shuffle); oracle is
+    * DuckDB's native ASOF LEFT JOIN. Right side pre-aggregated to unique
+    * (user, ts) so "latest" is deterministic in both engines.
+    */
+  val x3AsofJoin: Q = (s, d) => {
+    val ev = t(s, d, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max("value").as("purchase_value"))
+    val left = ev.select(col("event_id"), col("user_id"), col("ts"))
+    AsofJoin.asofJoin(left, purchases, "user_id", "ts")
+      .select(col("event_id"), col("user_id"),
+        col("asof.purchase_value").as("last_purchase_value"))
+  }
+  val x3Oracle =
+    """WITH r AS (
+      |  SELECT user_id, ts, MAX(value) AS purchase_value FROM events
+      |  WHERE event_type = 'purchase' GROUP BY user_id, ts)
+      |SELECT e.event_id, e.user_id, r.purchase_value AS last_purchase_value
+      |FROM events e ASOF LEFT JOIN r
+      |  ON e.user_id = r.user_id AND e.ts >= r.ts""".stripMargin
+
   // ===== §2.9 compliance pack (E6-E8) ==================================
 
   /** E6/E7/E8: load the embedded CCC pack, execute its C02 query through
@@ -711,6 +734,7 @@ object Queries {
     "q_a10_passfail" -> a10PassFail,
     "q_x1_scalar_battery" -> x1ScalarBattery,
     "q_x2_interval" -> x2Interval,
+    "q_x3_asof_join" -> x3AsofJoin,
     "q_st1_sessionize" -> st1Sessionize)
 
   val oracles: Map[String, String] = Map(
@@ -750,5 +774,6 @@ object Queries {
     "q_x1_scalar_battery" -> x1Oracle,
     "q_x2_interval" -> x2Oracle,
     "q_st1_sessionize" -> st1Oracle,
-    "q_g6_components" -> g6Oracle)
+    "q_g6_components" -> g6Oracle,
+    "q_x3_asof_join" -> x3Oracle)
 }
