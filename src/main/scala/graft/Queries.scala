@@ -674,6 +674,42 @@ object Queries {
       |FROM events e ASOF LEFT JOIN r
       |  ON e.user_id = r.user_id AND e.ts >= r.ts""".stripMargin
 
+  /** X4: binned range join (beyond the reference) — every event matched
+    * back to its session interval by time containment (sessions from the
+    * same gap rule as q_st1). Oracle: DuckDB inequality join (its
+    * optimizer plans IEJoin natively; Spark gets the bin-equi-join
+    * rewrite from operators.RangeJoin).
+    */
+  val x4RangeJoin: Q = (s, d) => {
+    val sessions = graft.streaming.Sessionize.batch(t(s, d, "events"),
+      "user_id", "ts", "event_id", gapMinutes = 30)
+    val points = t(s, d, "events").select(col("event_id"), col("user_id"), col("ts"))
+    RangeJoin.rangeJoin(points, sessions, "user_id", "ts",
+        "session_start", "session_end", binSeconds = 1800)
+      .select(col("event_id"), col("user_id"),
+        col("ival.session_id").as("session_id"),
+        col("ival.n_events").as("n_events"))
+  }
+  val x4Oracle =
+    """WITH marks AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |           OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+      |      AS session_id
+      |  FROM marks),
+      |ivals AS (
+      |  SELECT user_id, session_id, COUNT(*) AS n_events,
+      |    MIN(ts) AS session_start, MAX(ts) AS session_end
+      |  FROM sess GROUP BY user_id, session_id)
+      |SELECT e.event_id, e.user_id, i.session_id, i.n_events
+      |FROM events e JOIN ivals i
+      |  ON e.user_id = i.user_id
+      | AND e.ts >= i.session_start AND e.ts <= i.session_end""".stripMargin
+
   // ===== §2.9 compliance pack (E6-E8) ==================================
 
   /** E6/E7/E8: load the embedded CCC pack, execute its C02 query through
@@ -735,6 +771,7 @@ object Queries {
     "q_x1_scalar_battery" -> x1ScalarBattery,
     "q_x2_interval" -> x2Interval,
     "q_x3_asof_join" -> x3AsofJoin,
+    "q_x4_range_join" -> x4RangeJoin,
     "q_st1_sessionize" -> st1Sessionize)
 
   val oracles: Map[String, String] = Map(
@@ -775,5 +812,6 @@ object Queries {
     "q_x2_interval" -> x2Oracle,
     "q_st1_sessionize" -> st1Oracle,
     "q_g6_components" -> g6Oracle,
-    "q_x3_asof_join" -> x3Oracle)
+    "q_x3_asof_join" -> x3Oracle,
+    "q_x4_range_join" -> x4Oracle)
 }
