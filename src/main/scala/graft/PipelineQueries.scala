@@ -137,6 +137,24 @@ object PipelineQueries {
        |FROM b""".stripMargin
   }
 
+  /** T3: corpus heavy hitters — token frequencies, top 50. explode →
+    * two-phase hash aggregate (map-side combine carries (token, count)
+    * pairs, never raw tokens) → TakeOrdered. The everyday vocabulary /
+    * n-gram-stats job over a 100 TB corpus.
+    */
+  val t3TopTokens: Q = (s, d) =>
+    t(s, d, "documents")
+      .select(explode(split(TextAnalysis.normalize(col("text")), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(50)
+  val t3Oracle =
+    s"""SELECT w AS token, COUNT(*) AS n
+       |FROM (SELECT unnest($wordsSql) AS w FROM documents) z
+       |WHERE length(w) > 0
+       |GROUP BY w ORDER BY n DESC, token ASC LIMIT 50""".stripMargin
+
   // ===== multimodal ====================================================
 
   /** M1: binary payload plumbing — metadata extraction over an opaque
@@ -241,6 +259,7 @@ object PipelineQueries {
     "q_d5_simhash_neardup" -> d5SimhashNearDup,
     "q_t1_quality" -> t1Quality,
     "q_t2_langid" -> t2LangId,
+    "q_t3_top_tokens" -> t3TopTokens,
     "q_m1_media_meta" -> m1MediaMeta,
     "q_s1_topk_bruteforce" -> s1TopKBruteForce,
     "q_s2_cosine_pairs" -> s2CosinePairs,
@@ -253,6 +272,7 @@ object PipelineQueries {
     "q_d3_jaccard_pairs" -> d3Oracle,
     "q_t1_quality" -> t1Oracle,
     "q_t2_langid" -> t2Oracle,
+    "q_t3_top_tokens" -> t3Oracle,
     "q_m1_media_meta" -> m1Oracle,
     "q_s1_topk_bruteforce" -> s1Oracle,
     "q_s2_cosine_pairs" -> s2Oracle)

@@ -65,4 +65,16 @@ class TextMultimodalSpec extends SparkSpec {
       .select("frame_idx").as[Long].collect().toSeq
     assert(out == Seq(0L, 3L, 6L, 9L))
   }
+
+  test("approx_count_distinct escape hatch lands within HLL error bounds") {
+    // SURVEY §2.4: exact countDistinct is the contract; approx is the
+    // documented perf escape hatch for 100 TB cardinalities. Spot-check
+    // the error envelope on fingerprints so the recommendation is tested.
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(graft.operators.TextAnalysis.fingerprint(col("text")).as("fp"))
+    val exact = docs.agg(countDistinct("fp")).collect()(0).getLong(0)
+    val approx = docs.agg(approx_count_distinct("fp", 0.02)).collect()(0).getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
 }
