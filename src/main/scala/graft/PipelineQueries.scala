@@ -155,6 +155,25 @@ object PipelineQueries {
        |WHERE length(w) > 0
        |GROUP BY w ORDER BY n DESC, token ASC LIMIT 50""".stripMargin
 
+  /** T4: context-window chunking — overlapping token windows (size 16,
+    * stride 12), the training-data packing step. Oracle re-derives the
+    * same windows with generate_series + list_slice.
+    */
+  val t4Chunk: Q = (s, d) =>
+    TextAnalysis.chunk(t(s, d, "documents"), "doc_id", "text",
+      size = 16, stride = 12)
+  val t4Oracle =
+    s"""WITH t AS (SELECT doc_id, $wordsSql AS w FROM documents),
+       |n AS (SELECT doc_id, w,
+       |  CASE WHEN len(w) <= 16 THEN 1
+       |       ELSE CAST(CEIL(CAST(len(w) - 16 AS DOUBLE) / 12) AS INTEGER) + 1
+       |  END AS nc FROM t),
+       |e AS (SELECT doc_id, w, unnest(generate_series(0, nc - 1)) AS i FROM n)
+       |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       |  array_to_string(list_slice(w, i * 12 + 1, i * 12 + 16), ' ') AS chunk_text,
+       |  CAST(len(list_slice(w, i * 12 + 1, i * 12 + 16)) AS BIGINT) AS chunk_tokens
+       |FROM e""".stripMargin
+
   // ===== multimodal ====================================================
 
   /** M1: binary payload plumbing — metadata extraction over an opaque
@@ -260,6 +279,7 @@ object PipelineQueries {
     "q_t1_quality" -> t1Quality,
     "q_t2_langid" -> t2LangId,
     "q_t3_top_tokens" -> t3TopTokens,
+    "q_t4_chunking" -> t4Chunk,
     "q_m1_media_meta" -> m1MediaMeta,
     "q_s1_topk_bruteforce" -> s1TopKBruteForce,
     "q_s2_cosine_pairs" -> s2CosinePairs,
@@ -273,6 +293,7 @@ object PipelineQueries {
     "q_t1_quality" -> t1Oracle,
     "q_t2_langid" -> t2Oracle,
     "q_t3_top_tokens" -> t3Oracle,
+    "q_t4_chunking" -> t4Oracle,
     "q_m1_media_meta" -> m1Oracle,
     "q_s1_topk_bruteforce" -> s1Oracle,
     "q_s2_cosine_pairs" -> s2Oracle)

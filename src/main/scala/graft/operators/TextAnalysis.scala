@@ -77,6 +77,29 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "los", "y", "es", "no", "por", "que", "una", "con"),
     "it" -> Seq("il", "la", "che", "e", "di", "non", "per", "una", "sono", "con"))
 
+  /** Chunk documents into overlapping token windows — the standard
+    * training-data prep step (context-window packing). One generator per
+    * row: chunk i covers tokens [i·stride, i·stride + size); the last
+    * chunk may be shorter; every token is covered. No shuffle — a 100 TB
+    * corpus chunks in a single scan.
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      size: Int, stride: Int): DataFrame = {
+    require(stride > 0 && size >= stride, "need size >= stride > 0")
+    val toks = split(normalize(col(textCol)), " ")
+    val nChunks = when(org.apache.spark.sql.functions.size(toks) <= size, lit(1))
+      .otherwise(ceil((org.apache.spark.sql.functions.size(toks) - size)
+        .cast("double") / stride).cast("int") + 1)
+    df.select(col(idCol), toks.as("_toks"), nChunks.as("_nc"))
+      .withColumn("chunk_idx", explode(sequence(lit(0), col("_nc") - 1)))
+      .select(col(idCol), col("chunk_idx").cast("bigint").as("chunk_idx"),
+        concat_ws(" ", slice(col("_toks"), col("chunk_idx") * stride + 1, lit(size)))
+          .as("chunk_text"))
+      .withColumn("chunk_tokens",
+        org.apache.spark.sql.functions.size(split(col("chunk_text"), " "))
+          .cast("bigint"))
+  }
+
   def langId(text: Column): Column = {
     val toks = split(normalize(text), " ")
     // struct(score DESC via negation, lang ASC) → array_min = argmax.

@@ -66,6 +66,17 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out == Seq(0L, 3L, 6L, 9L))
   }
 
+  test("chunking covers all tokens with overlap; short docs give one chunk") {
+    val docs = Seq((1L, "a b c d e"), (2L, "x y")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(docs, "doc_id", "text", size = 3, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3))).toMap
+    assert(out == Map(
+      (1L, 0L) -> ("a b c", 3L),
+      (1L, 1L) -> ("c d e", 3L),
+      (2L, 0L) -> ("x y", 2L)))
+  }
+
   test("approx_count_distinct escape hatch lands within HLL error bounds") {
     // SURVEY §2.4: exact countDistinct is the contract; approx is the
     // documented perf escape hatch for 100 TB cardinalities. Spot-check
