@@ -57,15 +57,28 @@ object Graph {
       .distinct().withColumn("distance", lit(0))
       .localCheckpoint(eager = true)
     var frontier = visited
+    // Bounded-depth frontiers/visited sets are narrow (id[, distance]) and
+    // usually tiny next to the edge table — broadcast them while they fit
+    // so each hop's joins shuffle nothing but the frontier itself. Counts
+    // are cached-partition scans (both frames are checkpointed).
+    val bcLimit = 5L * 1000 * 1000
+    var visitedCount = visited.count()
+    def bc(df: DataFrame, n: Long): DataFrame =
+      if (n < bcLimit) df.hint("broadcast") else df
+    var frontierCount = visitedCount
     var hop = 0
-    while (hop < maxHops && !frontier.isEmpty) {
+    while (hop < maxHops && frontierCount > 0) {
       hop += 1
-      val next = frontier.join(adj, frontier("id") === adj("from_id"))
+      val fr = bc(frontier, frontierCount)
+      val next = fr.join(adj, fr("id") === adj("from_id"))
         .select(adj("to_id").as("id"))
         .distinct()
-        .join(visited.select(col("id").as("vid")), col("id") === col("vid"), "left_anti")
+        .join(bc(visited.select(col("id").as("vid")), visitedCount),
+          col("id") === col("vid"), "left_anti")
         .withColumn("distance", lit(hop))
         .localCheckpoint(eager = true)
+      frontierCount = next.count()
+      visitedCount += frontierCount
       visited = visited.unionByName(next)
       frontier = next
     }
