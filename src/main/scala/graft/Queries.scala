@@ -121,6 +121,43 @@ object Queries {
       |  array_to_string(list_sort(array_agg(DISTINCT lang)), ',') AS langs
       |FROM documents GROUP BY source""".stripMargin
 
+  /** A11: pivot — per-type event counts as columns (the columnar form of
+    * A7's per-type count maps; change_analytics.go:452-494). Pivot values
+    * are pinned so the schema is static and oracle-comparable; the oracle
+    * is the equivalent conditional aggregation.
+    */
+  val a11Pivot: Q = (s, d) =>
+    t(s, d, "events").groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+  val a11Oracle =
+    """SELECT user_id,
+      |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+      |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+      |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+      |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+      |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+      |FROM events GROUP BY user_id""".stripMargin
+
+  /** A12: rollup — the dimensional breakdown of A8 in ONE pass instead of
+    * one job per dimension (change_analytics.go:325-367 computes each map
+    * independently; ROLLUP shares the scan). NULL grouping markers are
+    * made explicit so both engines agree on the rollup rows.
+    */
+  val a12Rollup: Q = (s, d) =>
+    t(s, d, "events").rollup("event_type", "user_id")
+      .agg(count(lit(1)).as("n"))
+      .select(
+        coalesce(col("event_type"), lit("<all>")).as("event_type"),
+        coalesce(col("user_id").cast("string"), lit("<all>")).as("user_id"),
+        col("n"))
+  val a12Oracle =
+    """SELECT COALESCE(event_type, '<all>') AS event_type,
+      |  COALESCE(CAST(user_id AS STRING), '<all>') AS user_id,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY ROLLUP (event_type, user_id)""".stripMargin
+
   // ===== §2.3 joins ====================================================
 
   /** J1: inner equi-join + aggregate (graph_loader.go:316-328). */
@@ -768,6 +805,8 @@ object Queries {
     "q_c1_compliance_pack" -> c1PackQuery,
     "q_a8_dimensional" -> a8Dimensional,
     "q_a10_passfail" -> a10PassFail,
+    "q_a11_pivot" -> a11Pivot,
+    "q_a12_rollup" -> a12Rollup,
     "q_x1_scalar_battery" -> x1ScalarBattery,
     "q_x2_interval" -> x2Interval,
     "q_x3_asof_join" -> x3AsofJoin,
@@ -813,5 +852,7 @@ object Queries {
     "q_st1_sessionize" -> st1Oracle,
     "q_g6_components" -> g6Oracle,
     "q_x3_asof_join" -> x3Oracle,
-    "q_x4_range_join" -> x4Oracle)
+    "q_x4_range_join" -> x4Oracle,
+    "q_a11_pivot" -> a11Oracle,
+    "q_a12_rollup" -> a12Oracle)
 }
