@@ -77,6 +77,15 @@ object PipelineQueries {
     Dedup.simhashNearDups(t(s, d, "documents"), "doc_id", "text",
       maxHamming = 3)
 
+  /** D6: the full near-dedup pipeline — MinHash pairs → connected-
+    * component clusters → canonical keeper per cluster (rows-only:
+    * candidate generation is hash-specific; the clustering stage is
+    * oracle-checked via q_g6_components and DedupSpec).
+    */
+  val d6DedupNear: Q = (s, d) =>
+    Dedup.dedupNear(t(s, d, "documents"), "doc_id", "text", threshold = 0.2)
+      .select("doc_id", "source", "lang")
+
   // ===== text analysis =================================================
 
   /** T1: quality metrics + composite score. */
@@ -276,6 +285,7 @@ object PipelineQueries {
     "q_d3_jaccard_pairs" -> d3JaccardPairs,
     "q_d4_minhash_neardup" -> d4MinhashNearDup,
     "q_d5_simhash_neardup" -> d5SimhashNearDup,
+    "q_d6_dedup_near" -> d6DedupNear,
     "q_t1_quality" -> t1Quality,
     "q_t2_langid" -> t2LangId,
     "q_t3_top_tokens" -> t3TopTokens,

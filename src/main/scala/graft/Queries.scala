@@ -158,6 +158,24 @@ object Queries {
       |  COUNT(*) AS n
       |FROM events GROUP BY ROLLUP (event_type, user_id)""".stripMargin
 
+  /** A13: exact continuous percentiles (beyond the reference — SURVEY
+    * notes corkscrew has none). Spark `percentile` and DuckDB
+    * `quantile_cont` both linear-interpolate over the sorted values and
+    * agree bit-for-bit, so this is hash-checked, not approximated.
+    * At 100 TB the escape hatch is approx_percentile (t-digest).
+    */
+  val a13Percentiles: Q = (s, d) =>
+    t(s, d, "events").groupBy("event_type")
+      .agg(percentile(col("value"), typedlit(Seq(0.5, 0.95))).as("q"))
+      .select(col("event_type"),
+        element_at(col("q"), 1).as("p50"),
+        element_at(col("q"), 2).as("p95"))
+  val a13Oracle =
+    """SELECT event_type,
+      |  quantile_cont(value, 0.5) AS p50,
+      |  quantile_cont(value, 0.95) AS p95
+      |FROM events GROUP BY event_type""".stripMargin
+
   // ===== §2.3 joins ====================================================
 
   /** J1: inner equi-join + aggregate (graph_loader.go:316-328). */
@@ -807,6 +825,7 @@ object Queries {
     "q_a10_passfail" -> a10PassFail,
     "q_a11_pivot" -> a11Pivot,
     "q_a12_rollup" -> a12Rollup,
+    "q_a13_percentiles" -> a13Percentiles,
     "q_x1_scalar_battery" -> x1ScalarBattery,
     "q_x2_interval" -> x2Interval,
     "q_x3_asof_join" -> x3AsofJoin,
@@ -854,5 +873,6 @@ object Queries {
     "q_x3_asof_join" -> x3Oracle,
     "q_x4_range_join" -> x4Oracle,
     "q_a11_pivot" -> a11Oracle,
-    "q_a12_rollup" -> a12Oracle)
+    "q_a12_rollup" -> a12Oracle,
+    "q_a13_percentiles" -> a13Oracle)
 }
