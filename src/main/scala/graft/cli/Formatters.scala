@@ -53,8 +53,9 @@ object Formatters {
       case n: Short => n.toString
       case n: Int => n.toString
       case n: Long => n.toString
-      case n: Float => n.toString
-      case n: Double => n.toString
+      // NaN/Infinity have no JSON representation — emit null.
+      case n: Float => if (n.isNaN || n.isInfinite) "null" else n.toString
+      case n: Double => if (n.isNaN || n.isInfinite) "null" else n.toString
       case n: java.math.BigDecimal => n.toPlainString
       case other => q(cell(other))
     }

@@ -19,10 +19,12 @@ object PackLoader {
     searchPaths.flatMap { root =>
       val p = Paths.get(root)
       if (!Files.isDirectory(p)) Nil
-      else Files.walk(p).iterator().asScala
-        .filter(f => f.getFileName.toString == "manifest.yaml")
-        .map(load)
-        .toList
+      else scala.util.Using.resource(Files.walk(p)) { walk =>
+        walk.iterator().asScala
+          .filter(f => f.getFileName.toString == "manifest.yaml")
+          .map(load)
+          .toList
+      }
     }.map(m => m.fullName -> m).toMap
 
   /** Parse + validate one manifest (pack.go:215-253, :256-375). */

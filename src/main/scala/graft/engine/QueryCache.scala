@@ -31,7 +31,9 @@ final class QueryCache(ttlMillis: Long = 15 * 60 * 1000,
 
   def put(sql: String, df: DataFrame): DataFrame = {
     val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    entries.put(normalize(sql), Entry(cached, clock()))
+    val prev = entries.put(normalize(sql), Entry(cached, clock()))
+    // Unpersist a displaced entry so repeated puts don't leak blocks.
+    if (prev != null && (prev.df ne cached)) prev.df.unpersist(blocking = false)
     cached
   }
 

@@ -62,25 +62,74 @@ object QueryEngine {
   /** Named-parameter substitution `:name` → literal, with IN-list expansion
     * for Seq values (engine.go:441-456 + compliance/executor.go:397-436).
     * String literals are SQL-escaped; Seq[..] becomes `(a, b, c)`.
+    *
+    * The substitution is literal-aware: the SQL is scanned once and `:name`
+    * markers inside single-quoted strings, backquoted identifiers, or
+    * comments are left untouched (a regex replace would rewrite them), and
+    * `::` (cast-style) is never treated as a marker. Unknown `:name`
+    * markers pass through unchanged so Spark reports them.
     */
   def bindParams(sql: String, params: Map[String, Any]): String = {
-    // Longest name first so :region_list wins over :region.
-    params.toSeq.sortBy(-_._1.length).foldLeft(sql) { case (q, (name, value)) =>
-      q.replaceAll(s"(?<![:\\w]):$name\\b",
-        java.util.regex.Matcher.quoteReplacement(toLiteral(value)))
+    val sb = new StringBuilder(sql.length + 32)
+    val n = sql.length
+    var i = 0
+    while (i < n) {
+      sql.charAt(i) match {
+        case '\'' => // string literal: copy verbatim, honoring '' and \' escapes
+          sb.append('\''); i += 1
+          var open = true
+          while (open && i < n) {
+            val c = sql.charAt(i)
+            sb.append(c)
+            if (c == '\\' && i + 1 < n) { sb.append(sql.charAt(i + 1)); i += 2 }
+            else if (c == '\'') {
+              if (i + 1 < n && sql.charAt(i + 1) == '\'') { sb.append('\''); i += 2 }
+              else { open = false; i += 1 }
+            } else i += 1
+          }
+        case '`' => // backquoted identifier
+          sb.append('`'); i += 1
+          while (i < n && sql.charAt(i) != '`') { sb.append(sql.charAt(i)); i += 1 }
+          if (i < n) { sb.append('`'); i += 1 }
+        case '-' if i + 1 < n && sql.charAt(i + 1) == '-' => // line comment
+          while (i < n && sql.charAt(i) != '\n') { sb.append(sql.charAt(i)); i += 1 }
+        case '/' if i + 1 < n && sql.charAt(i + 1) == '*' => // block comment
+          sb.append("/*"); i += 2
+          while (i < n && !(sql.charAt(i) == '*' && i + 1 < n && sql.charAt(i + 1) == '/')) {
+            sb.append(sql.charAt(i)); i += 1
+          }
+          if (i < n) { sb.append("*/"); i += 2 }
+        case ':' if i + 1 < n &&
+            (sql.charAt(i + 1).isLetter || sql.charAt(i + 1) == '_') &&
+            (i == 0 || { val p = sql.charAt(i - 1)
+              p != ':' && !p.isLetterOrDigit && p != '_' }) =>
+          var j = i + 1
+          while (j < n && (sql.charAt(j).isLetterOrDigit || sql.charAt(j) == '_')) j += 1
+          params.get(sql.substring(i + 1, j)) match {
+            case Some(v) => sb.append(toLiteral(v)); i = j
+            case None    => sb.append(':'); i += 1
+          }
+        case c => sb.append(c); i += 1
+      }
     }
+    sb.toString
   }
 
+  /** SQL literal for a parameter value. Strings escape both the quote AND
+    * the backslash: Spark's default parser treats `\` as an escape inside
+    * string literals, so a value ending in `\` (or containing `\'`) would
+    * otherwise swallow the closing quote and change statement structure.
+    */
   private def toLiteral(v: Any): String = v match {
     case null            => "NULL"
-    case s: String       => "'" + s.replace("'", "''") + "'"
+    case s: String       => "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
     case seq: Seq[_]     => seq.map(toLiteral).mkString("(", ", ", ")")
     case arr: Array[_]   => toLiteral(arr.toSeq)
     case b: Boolean      => b.toString
     case n: java.lang.Number => n.toString
     case t: java.sql.Timestamp => s"TIMESTAMP '$t'"
     case d: java.sql.Date      => s"DATE '$d'"
-    case other           => "'" + other.toString.replace("'", "''") + "'"
+    case other           => toLiteral(other.toString)
   }
 
   /** Execute guarded SQL, returning corkscrew-shaped result+stats

@@ -71,6 +71,9 @@ class QueryServer(spark: SparkSession, port: Int = 0) {
       (0 until row.length).map { i =>
         if (row.isNullAt(i)) "null"
         else row.get(i) match {
+          // NaN/Infinity have no JSON representation — emit null.
+          case d: java.lang.Double if d.isNaN || d.isInfinite => "null"
+          case f: java.lang.Float if f.isNaN || f.isInfinite  => "null"
           case n: java.lang.Number  => n.toString
           case b: java.lang.Boolean => b.toString
           case other                => jstr(other.toString)

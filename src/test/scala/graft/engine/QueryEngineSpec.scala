@@ -35,7 +35,33 @@ class QueryEngineSpec extends SparkSpec {
       "SELECT * FROM t WHERE a = :name AND b IN :ids AND c > :min",
       Map("name" -> "o'brien", "ids" -> Seq(1, 2, 3), "min" -> 1.5))
     assert(bound ==
-      "SELECT * FROM t WHERE a = 'o''brien' AND b IN (1, 2, 3) AND c > 1.5")
+      "SELECT * FROM t WHERE a = 'o\\'brien' AND b IN (1, 2, 3) AND c > 1.5")
+  }
+
+  test("string params with quotes/backslashes round-trip through the parser") {
+    // Adversarial values: trailing backslash, embedded \', quote+backslash
+    // combos. Each must come back byte-identical — i.e. the literal can't
+    // escape its quotes and alter statement structure.
+    Seq("o'brien", "back\\slash\\", "\\'", "a\\'b''c", "\\\\'", "plain")
+      .foreach { v =>
+        val bound = QueryEngine.bindParams("SELECT :v AS v", Map("v" -> v))
+        val got = spark.sql(bound).collect().head.getString(0)
+        assert(got == v, s"round-trip failed for <$v>: bound=<$bound> got=<$got>")
+      }
+  }
+
+  test("params inside string literals, comments, and casts are untouched") {
+    val m = Map("p" -> "X")
+    assert(QueryEngine.bindParams("SELECT ':p' AS a, :p AS b", m) ==
+      "SELECT ':p' AS a, 'X' AS b")
+    assert(QueryEngine.bindParams("SELECT :p -- :p comment\n, 1", m) ==
+      "SELECT 'X' -- :p comment\n, 1")
+    assert(QueryEngine.bindParams("SELECT /* :p */ :p", m) ==
+      "SELECT /* :p */ 'X'")
+    assert(QueryEngine.bindParams("SELECT a::int, :p FROM t", m) ==
+      "SELECT a::int, 'X' FROM t")
+    assert(QueryEngine.bindParams("SELECT `col:p`, :p FROM t", m) ==
+      "SELECT `col:p`, 'X' FROM t")
   }
 
   test("longest-name-first binding avoids prefix capture") {
