@@ -58,9 +58,13 @@ SELECT
         'block_public_policy', block_public_policy,
         'ignore_public_acls', ignore_public_acls,
         'restrict_public_buckets', restrict_public_buckets,
-        'missing_controls', array_join(filter(missing_controls, x -> x IS NOT NULL), ', '),
+        -- DuckDB's array_to_string returns NULL for an empty list; nullif
+        -- reproduces that so a compliant bucket's details match the oracle.
+        'missing_controls', nullif(array_join(filter(missing_controls, x -> x IS NOT NULL), ', '), ''),
         'tags', tags
-    )) AS details,
+    -- ignoreNullFields=false: DuckDB's json_object keeps null-valued keys,
+    -- Spark's to_json drops them by default.
+    ), map('ignoreNullFields', 'false')) AS details,
     scanned_at
 FROM non_compliant_buckets
 ORDER BY is_non_compliant DESC, bucket_name

@@ -183,6 +183,95 @@ object PipelineQueries {
        |  CAST(len(list_slice(w, i * 12 + 1, i * 12 + 16)) AS BIGINT) AS chunk_tokens
        |FROM e""".stripMargin
 
+  /** T5: top-5 TF-IDF terms per document (raw-ratio idf — see
+    * TextAnalysis.tfidf for why no log). Oracle re-derives tf, df, and the
+    * identically-associated score expression.
+    */
+  val t5Tfidf: Q = (s, d) =>
+    TextAnalysis.tfidf(t(s, d, "documents"), "doc_id", "text", topN = 5)
+  val t5Oracle =
+    s"""WITH terms AS (
+       |  SELECT doc_id, w AS term
+       |  FROM (SELECT doc_id, unnest($wordsSql) AS w FROM documents) z
+       |  WHERE length(w) > 0),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+       |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+       |sc AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+       |    CAST(tf.tf AS DOUBLE) * CAST(n.n AS DOUBLE) / CAST(dfreq.df AS DOUBLE) AS tfidf
+       |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+       |SELECT doc_id, rank, term, tf, df, tfidf FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |    ORDER BY tfidf DESC, term ASC) AS rank FROM sc) z
+       |WHERE rank <= 5""".stripMargin
+
+  /** T6: deterministic train/val/test split (md5-bucket routing) — split
+    * sizes per language. The split assignment is pure hashing, so the
+    * oracle reproduces it exactly with the same hex thresholds.
+    */
+  val t6Split: Q = (s, d) =>
+    Sampling.hashSplit(t(s, d, "documents"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split", "lang").agg(count(lit(1)).as("n"))
+  val t6Oracle =
+    """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+      |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
+      |            ELSE 'test' END AS split,
+      |  lang, COUNT(*) AS n
+      |FROM documents GROUP BY 1, 2""".stripMargin
+
+  /** T7: deterministic 25% sample by key hash (reproducible across runs
+    * and engines — no rand()).
+    */
+  val t7Sample: Q = (s, d) =>
+    Sampling.sampleByKey(t(s, d, "documents"), "doc_id", 0.25)
+      .select("doc_id", "lang", "source")
+  val t7Oracle =
+    """SELECT doc_id, lang, source FROM documents
+      |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'""".stripMargin
+
+  /** D7: edit-distance near-dup verify — Levenshtein over 60-char prefixes
+    * within (lang, length-bucket) blocks. Integer-valued, so the DuckDB
+    * levenshtein oracle agrees exactly.
+    */
+  val d7EditDist: Q = (s, d) =>
+    TextAnalysis.editDistancePairs(t(s, d, "documents"), "doc_id", "text",
+      blockCols = Seq(col("lang"), expr("n_chars div 64")),
+      prefixLen = 60, maxDist = 20)
+  val d7Oracle =
+    """WITH b AS (
+      |  SELECT lang, n_chars // 64 AS lb, doc_id, substr(text, 1, 60) AS p
+      |  FROM documents)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  levenshtein(a.p, b.p) AS edit_dist
+      |FROM b a JOIN b b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+      |WHERE levenshtein(a.p, b.p) <= 20""".stripMargin
+
+  /** X5: URL parsing battery — regexp_extract host / path / query param
+    * over synthesized URLs (both engines run the same regexes), with a
+    * per-host rollup. The web-corpus normalization step.
+    */
+  val x5Url: Q = (s, d) =>
+    t(s, d, "documents")
+      .withColumn("url", concat(lit("https://"), col("source"),
+        lit(".example.com/docs/"), col("doc_id").cast("string"),
+        lit("?lang="), col("lang")))
+      .select(
+        regexp_extract(col("url"), "^https?://([^/]+)", 1).as("host"),
+        regexp_extract(col("url"), "^https?://[^/]+(/[^?#]*)", 1).as("path"),
+        regexp_extract(col("url"), "[?&]lang=([^&#]*)", 1).as("lang_param"))
+      .groupBy("host", "lang_param").agg(count(lit(1)).as("n"))
+  val x5Oracle =
+    """WITH u AS (
+      |  SELECT 'https://' || source || '.example.com/docs/' ||
+      |    CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url
+      |  FROM documents)
+      |SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+      |  regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param,
+      |  COUNT(*) AS n
+      |FROM u GROUP BY 1, 2""".stripMargin
+
   // ===== multimodal ====================================================
 
   /** M1: binary payload plumbing — metadata extraction over an opaque
@@ -286,10 +375,15 @@ object PipelineQueries {
     "q_d4_minhash_neardup" -> d4MinhashNearDup,
     "q_d5_simhash_neardup" -> d5SimhashNearDup,
     "q_d6_dedup_near" -> d6DedupNear,
+    "q_d7_editdist" -> d7EditDist,
     "q_t1_quality" -> t1Quality,
     "q_t2_langid" -> t2LangId,
     "q_t3_top_tokens" -> t3TopTokens,
     "q_t4_chunking" -> t4Chunk,
+    "q_t5_tfidf" -> t5Tfidf,
+    "q_t6_split" -> t6Split,
+    "q_t7_sample" -> t7Sample,
+    "q_x5_url" -> x5Url,
     "q_m1_media_meta" -> m1MediaMeta,
     "q_s1_topk_bruteforce" -> s1TopKBruteForce,
     "q_s2_cosine_pairs" -> s2CosinePairs,
@@ -304,6 +398,11 @@ object PipelineQueries {
     "q_t2_langid" -> t2Oracle,
     "q_t3_top_tokens" -> t3Oracle,
     "q_t4_chunking" -> t4Oracle,
+    "q_t5_tfidf" -> t5Oracle,
+    "q_t6_split" -> t6Oracle,
+    "q_t7_sample" -> t7Oracle,
+    "q_d7_editdist" -> d7Oracle,
+    "q_x5_url" -> x5Oracle,
     "q_m1_media_meta" -> m1Oracle,
     "q_s1_topk_bruteforce" -> s1Oracle,
     "q_s2_cosine_pairs" -> s2Oracle)

@@ -176,6 +176,21 @@ object Queries {
       |  quantile_cont(value, 0.95) AS p95
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** A14: integer-bucket histogram (beyond the reference) — value
+    * distribution profiling with pure integer division, so both engines
+    * agree exactly. The everyday "what does this column look like" job.
+    */
+  val a14Histogram: Q = (s, d) =>
+    t(s, d, "orders")
+      .groupBy(floor(col("o_totalprice") / 25000.0).cast("bigint").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+  val a14Oracle =
+    """SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+      |  COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+      |FROM orders GROUP BY 1""".stripMargin
+
   // ===== §2.3 joins ====================================================
 
   /** J1: inner equi-join + aggregate (graph_loader.go:316-328). */
@@ -292,6 +307,40 @@ object Queries {
       |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
       |  FROM orders) z
       |WHERE rn <= 3""".stripMargin
+
+  /** W6: analytic-window battery (beyond the reference's row_number-only
+    * surface): rank / dense_rank / ntile / lag / lead plus the
+    * distribution functions, all over one unique total order per
+    * partition so every value is deterministic. percent_rank and
+    * cume_dist are IEEE divisions of exact integer operands — identical
+    * across engines.
+    */
+  val w6WindowBattery: Q = (s, d) => {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    t(s, d, "orders")
+      .filter(col("o_orderkey") % 17 === 0)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rnk", rank().over(w).cast("bigint"))
+      .withColumn("drnk", dense_rank().over(w).cast("bigint"))
+      .withColumn("quartile", ntile(4).over(w).cast("bigint"))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cdist", cume_dist().over(w))
+  }
+  val w6Oracle =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |  CAST(RANK() OVER w AS BIGINT) AS rnk,
+      |  CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+      |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+      |  LAG(o_totalprice, 1) OVER w AS prev_price,
+      |  LEAD(o_totalprice, 1) OVER w AS next_price,
+      |  PERCENT_RANK() OVER w AS pct_rank,
+      |  CUME_DIST() OVER w AS cdist
+      |FROM orders WHERE o_orderkey % 17 = 0
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |  ORDER BY o_totalprice ASC, o_orderkey ASC)""".stripMargin
 
   // ===== §2.8 the five macros ==========================================
 
@@ -785,6 +834,111 @@ object Queries {
       .drop("scanned_at") // wall-clock-free output
   }
 
+  /** Scaled `aws_resources`: one synthetic S3 bucket per `part` row, with
+    * PublicAccessBlock flags derived from the key (deterministic, both
+    * dialects build the identical JSON strings). This is the pack query's
+    * scale path — 20k buckets at sf0.1, not 5 fixture rows — and it lets
+    * the reference's own DuckDB-dialect pack SQL serve as the oracle.
+    */
+  private val scaledAwsResourcesSql =
+    """SELECT
+      |  'arn:aws:s3:::bucket-' || CAST(p_partkey AS STRING) AS id,
+      |  'arn:aws:s3:::bucket-' || CAST(p_partkey AS STRING) AS arn,
+      |  'bucket-' || CAST(p_partkey AS STRING) AS name,
+      |  'AWS::S3::Bucket' AS type,
+      |  's3' AS service,
+      |  'us-east-' || CAST(p_partkey % 3 + 1 AS STRING) AS region,
+      |  '123456789012' AS account_id,
+      |  '{"Environment":"' ||
+      |    CASE WHEN p_partkey % 4 = 0 THEN 'Production' ELSE 'Development' END ||
+      |    '"}' AS tags,
+      |  '{"PublicAccessBlockConfiguration":{' ||
+      |    '"BlockPublicAcls":"' ||
+      |      CASE WHEN p_partkey % 2 = 0 THEN 'true' ELSE 'false' END || '",' ||
+      |    '"BlockPublicPolicy":"' ||
+      |      CASE WHEN p_partkey % 3 = 0 THEN 'true' ELSE 'false' END || '",' ||
+      |    '"IgnorePublicAcls":"' ||
+      |      CASE WHEN p_partkey % 5 = 0 THEN 'true' ELSE 'false' END || '",' ||
+      |    '"RestrictPublicBuckets":"' ||
+      |      CASE WHEN p_partkey % 7 = 0 THEN 'true' ELSE 'false' END ||
+      |    '"}}' AS raw_data,
+      |  TIMESTAMP '2025-06-20 00:00:00' AS scanned_at
+      |FROM part""".stripMargin
+
+  /** C2: the CCC.ObjStor.C02 pack query over the scaled parquet-derived
+    * resource table — same loader/engine path as [[c1PackQuery]], but
+    * hash-checked against the reference's DuckDB dialect end to end
+    * (json_extract_string / ARRAY[..] / array_filter / array_to_string /
+    * json_object vs our extract_json / array / filter / array_join /
+    * to_json(named_struct)).
+    */
+  val c2PackScaled: Q = (s, d) => {
+    Tables.register(s, d)
+    s.sql(scaledAwsResourcesSql).createOrReplaceTempView("aws_resources")
+    JsonMacros.register(s)
+    val pack = graft.compliance.PackLoader.load(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("GRAFT_PACKS_DIR", "/root/repo/packs"),
+        "cfi/ccc-storage/manifest.yaml"))
+    val q = pack.queries.find(_.id == "CCC.ObjStor.C02").get
+    s.sql(QueryEngine.bindParams(q.sql, Map.empty))
+  }
+  val c2Oracle =
+    s"""WITH aws_resources AS ($scaledAwsResourcesSql),
+       |bucket_public_access AS (
+       |    SELECT
+       |        r.id, r.name, r.arn, r.region, r.account_id,
+       |        json_extract_string(r.raw_data, '$$.PublicAccessBlockConfiguration.BlockPublicAcls') AS block_public_acls,
+       |        json_extract_string(r.raw_data, '$$.PublicAccessBlockConfiguration.BlockPublicPolicy') AS block_public_policy,
+       |        json_extract_string(r.raw_data, '$$.PublicAccessBlockConfiguration.IgnorePublicAcls') AS ignore_public_acls,
+       |        json_extract_string(r.raw_data, '$$.PublicAccessBlockConfiguration.RestrictPublicBuckets') AS restrict_public_buckets,
+       |        COALESCE(json_extract_string(r.raw_data, '$$.PublicAccessBlockConfiguration.BlockPublicAcls'), 'false') = 'true' AS has_block_public_acls,
+       |        COALESCE(json_extract_string(r.raw_data, '$$.PublicAccessBlockConfiguration.BlockPublicPolicy'), 'false') = 'true' AS has_block_public_policy,
+       |        COALESCE(json_extract_string(r.raw_data, '$$.PublicAccessBlockConfiguration.IgnorePublicAcls'), 'false') = 'true' AS has_ignore_public_acls,
+       |        COALESCE(json_extract_string(r.raw_data, '$$.PublicAccessBlockConfiguration.RestrictPublicBuckets'), 'false') = 'true' AS has_restrict_public_buckets,
+       |        r.tags, r.scanned_at
+       |    FROM aws_resources r
+       |    WHERE r.type = 'AWS::S3::Bucket'
+       |),
+       |non_compliant_buckets AS (
+       |    SELECT *,
+       |        CASE
+       |            WHEN NOT (has_block_public_acls AND has_block_public_policy AND has_ignore_public_acls AND has_restrict_public_buckets)
+       |            THEN true ELSE false
+       |        END AS is_non_compliant,
+       |        [
+       |            CASE WHEN NOT has_block_public_acls THEN 'BlockPublicAcls disabled' END,
+       |            CASE WHEN NOT has_block_public_policy THEN 'BlockPublicPolicy disabled' END,
+       |            CASE WHEN NOT has_ignore_public_acls THEN 'IgnorePublicAcls disabled' END,
+       |            CASE WHEN NOT has_restrict_public_buckets THEN 'RestrictPublicBuckets disabled' END
+       |        ] AS missing_controls
+       |    FROM bucket_public_access
+       |)
+       |SELECT
+       |    CASE WHEN is_non_compliant THEN 'FAIL' ELSE 'PASS' END AS status,
+       |    id AS resource_id,
+       |    name AS bucket_name,
+       |    arn AS bucket_arn,
+       |    region, account_id,
+       |    CASE
+       |        WHEN is_non_compliant THEN 'Bucket does not have uniform bucket-level access controls enabled'
+       |        ELSE 'Bucket has proper uniform bucket-level access controls'
+       |    END AS issue_description,
+       |    CASE WHEN is_non_compliant THEN 'MEDIUM' ELSE 'INFO' END AS severity,
+       |    json_object(
+       |        'bucket_name', name,
+       |        'region', region,
+       |        'account_id', account_id,
+       |        'block_public_acls', block_public_acls,
+       |        'block_public_policy', block_public_policy,
+       |        'ignore_public_acls', ignore_public_acls,
+       |        'restrict_public_buckets', restrict_public_buckets,
+       |        'missing_controls', array_to_string(array_filter(missing_controls, x -> x IS NOT NULL), ', '),
+       |        'tags', tags
+       |    ) AS details,
+       |    scanned_at
+       |FROM non_compliant_buckets""".stripMargin
+
   // ===== registry ======================================================
 
   val all: Map[String, Q] = Map(
@@ -821,6 +975,9 @@ object Queries {
     "q_g5_edge_derivation" -> g5EdgeDerivation,
     "q_g6_components" -> g6Components,
     "q_c1_compliance_pack" -> c1PackQuery,
+    "q_c2_pack_scaled" -> c2PackScaled,
+    "q_a14_histogram" -> a14Histogram,
+    "q_w6_window_battery" -> w6WindowBattery,
     "q_a8_dimensional" -> a8Dimensional,
     "q_a10_passfail" -> a10PassFail,
     "q_a11_pivot" -> a11Pivot,
@@ -874,5 +1031,8 @@ object Queries {
     "q_x4_range_join" -> x4Oracle,
     "q_a11_pivot" -> a11Oracle,
     "q_a12_rollup" -> a12Oracle,
-    "q_a13_percentiles" -> a13Oracle)
+    "q_a13_percentiles" -> a13Oracle,
+    "q_a14_histogram" -> a14Oracle,
+    "q_w6_window_battery" -> w6Oracle,
+    "q_c2_pack_scaled" -> c2Oracle)
 }

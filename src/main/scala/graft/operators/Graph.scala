@@ -42,33 +42,56 @@ object Graph {
     */
   def reachFrom(edges: DataFrame, sources: DataFrame, maxHops: Int,
       undirected: Boolean = false): DataFrame = {
+    val debug = sys.env.contains("GRAFT_BFS_DEBUG")
+    var tPhase = System.nanoTime()
+    def mark(label: String): Unit = if (debug) {
+      val now = System.nanoTime()
+      println(f"[bfs] $label: ${(now - tPhase) / 1e9}%.2f s")
+      tPhase = now
+    }
     val fwd = edges.select(col("from_id").cast("string"), col("to_id").cast("string"))
-    val adj0 = if (undirected) {
+    // No edge-dedup pass: the per-hop distinct() on join targets absorbs
+    // duplicate edges, and skipping the dedup saves a full shuffle of the
+    // edge set before the first hop.
+    val adjBase = if (undirected) {
       fwd.unionByName(fwd.select(col("to_id").as("from_id"), col("from_id").as("to_id")))
     } else fwd
-    val adj = adj0.dropDuplicates("from_id", "to_id")
-      .repartition(col("from_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    var adj = adjBase.persist(StorageLevel.MEMORY_AND_DISK)
+    // While frontiers fit in a broadcast, the per-hop join streams `adj`
+    // in place — partitioning it would be a wasted shuffle. The first time
+    // a frontier outgrows the broadcast limit we switch to an adjacency
+    // hash-partitioned on from_id, so every later shuffle join moves only
+    // the frontier side. That keeps the toy/medium case at zero edge
+    // shuffles and the 100 TB case at one.
+    var adjPartitioned = false
 
     // `visited` is only ever a union of per-hop checkpointed frontiers, so
     // it needs no checkpoint of its own (the union plan stays ≤ maxHops
     // branches deep) — one fewer eager job per hop.
     var visited = sources.select(col("id").cast("string"))
       .distinct().withColumn("distance", lit(0))
-      .localCheckpoint(eager = true)
-    var frontier = visited
+      .localCheckpoint(eager = false)
     // Bounded-depth frontiers/visited sets are narrow (id[, distance]) and
     // usually tiny next to the edge table — broadcast them while they fit
-    // so each hop's joins shuffle nothing but the frontier itself. Counts
-    // are cached-partition scans (both frames are checkpointed).
+    // so each hop's joins shuffle nothing but the frontier itself. The
+    // count doubles as the checkpoint materialization (lazy checkpoint ⇒
+    // one job, not two).
     val bcLimit = 5L * 1000 * 1000
     var visitedCount = visited.count()
+    mark("init sources")
     def bc(df: DataFrame, n: Long): DataFrame =
       if (n < bcLimit) df.hint("broadcast") else df
+    var frontier = visited
     var frontierCount = visitedCount
     var hop = 0
     while (hop < maxHops && frontierCount > 0) {
       hop += 1
+      if (!adjPartitioned && frontierCount >= bcLimit) {
+        val p = adjBase.repartition(col("from_id")).persist(StorageLevel.MEMORY_AND_DISK)
+        adj.unpersist(blocking = false)
+        adj = p
+        adjPartitioned = true
+      }
       val fr = bc(frontier, frontierCount)
       val next = fr.join(adj, fr("id") === adj("from_id"))
         .select(adj("to_id").as("id"))
@@ -76,8 +99,9 @@ object Graph {
         .join(bc(visited.select(col("id").as("vid")), visitedCount),
           col("id") === col("vid"), "left_anti")
         .withColumn("distance", lit(hop))
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
       frontierCount = next.count()
+      mark(s"hop $hop (frontier=$frontierCount)")
       visitedCount += frontierCount
       visited = visited.unionByName(next)
       frontier = next
@@ -122,20 +146,26 @@ object Graph {
     // No dedup pass: duplicate edges are harmless under min-aggregation,
     // and dropping the extra shuffle pays for itself every round.
     val e0 = edges.select(col("from_id").as("a"), col("to_id").as("b"))
-    val sym = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
-      .repartition(col("b")) // the per-round join key is b
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val symBase = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+    var sym = symBase.persist(StorageLevel.MEMORY_AND_DISK)
     // Round 0 fused into the init: label = min(self, neighbors) in one
     // aggregation (also yields the node set — every node has ≥1 edge).
-    var labels = sym.groupBy(col("a").as("id")).agg(min("b").as("nb"))
+    // Lazy checkpoint: the count below materializes it in the same job.
+    var labels = symBase.groupBy(col("a").as("id")).agg(min("b").as("nb"))
       .select(col("id"), least(col("id"), col("nb")).as("comp"))
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false)
     // Label frames are narrow (id, comp) pairs — tiny relative to the edge
     // set. Below this row count we hint them broadcast so each round is a
-    // single shuffle (the groupBy); above it the hint is withheld and the
-    // joins fall back to shuffle joins. labels is materialized, so the
-    // count is a cached-partition scan, not a recompute.
+    // single shuffle (the groupBy); above it the hint is withheld, the
+    // joins fall back to shuffle joins, and `sym` is re-persisted
+    // hash-partitioned on the join key b so per-round shuffles move only
+    // the label side.
     val small = labels.count() < 50L * 1000 * 1000
+    if (!small) {
+      val p = symBase.repartition(col("b")).persist(StorageLevel.MEMORY_AND_DISK)
+      sym.unpersist(blocking = false)
+      sym = p
+    }
     def bc(df: DataFrame): DataFrame = if (small) df.hint("broadcast") else df
     // One pointer jump: follow the current pointer column's own pointer.
     def jump(df: DataFrame, c: String, out: String): DataFrame = {
@@ -152,10 +182,12 @@ object Graph {
       // min label over neighbors, merged with own label
       val nbrMin = sym.join(bc(labels), sym("b") === labels("id"))
         .groupBy(sym("a").as("id")).agg(min("comp").as("nbr_comp"))
+      // Lazy checkpoint + counting the changed rows in one action:
+      // materializes `stepped` and decides convergence in a single job.
       val stepped = labels.join(bc(nbrMin), Seq("id"), "left")
         .select(col("id"), col("comp"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("c1"))
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
       // Converged when the neighbor-min pass changes nothing — then the
       // jumps can't change anything either, so the round ends early.
       converged = stepped.filter(col("c1") =!= col("comp")).isEmpty
@@ -166,7 +198,7 @@ object Graph {
         // the checkpointed `stepped` is one broadcast join — cheaper than
         // materializing it.
         val j1 = jump(stepped, "c1", "c2")
-        val doubled = jump(j1, "c2", "new_comp").localCheckpoint(eager = true)
+        val doubled = jump(j1, "c2", "new_comp").localCheckpoint(eager = false)
         labels = doubled.select(col("id"), col("new_comp").as("comp"))
       } else {
         labels = stepped.select(col("id"), col("c1").as("comp"))

@@ -100,6 +100,63 @@ object TextAnalysis {
           .cast("bigint"))
   }
 
+  /** Top-`topN` TF-IDF terms per document. Classic two-aggregation shape:
+    * explode → per-(doc, term) counts (map-side combine carries pairs, not
+    * raw tokens) → document frequencies joined back → ranked window.
+    * The idf is the RAW ratio `N / df` (no logarithm): logs differ in the
+    * last ulp across libm implementations and would break cross-engine
+    * hash checks, and the ranking it induces per document is identical
+    * (log is monotone). Score = tf · N / df as left-associated double ops.
+    *
+    * Scale: both aggregations are partial-agg friendly; `df` (vocabulary ×
+    * 1 row) is broadcast back onto the (doc, term) frame, so the only big
+    * shuffle is the groupBy on (doc, term).
+    */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val terms = docs
+      .select(col(idCol), explode(split(normalize(col(textCol)), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(col(idCol)).distinct().count()
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(broadcast(dfreq), "term")
+      .withColumn("tfidf",
+        col("tf").cast("double") * lit(n.toDouble) / col("df").cast("double"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col(idCol), col("rank").cast("bigint").as("rank"),
+        col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+
+  /** Edit-distance near-dup pairs: block by (`blockCols`), enumerate pairs
+    * within a block, keep pairs whose Levenshtein distance over the first
+    * `prefixLen` chars is ≤ `maxDist`. The verify stage of a dedup
+    * pipeline when shingle methods are too coarse — exact, integer-valued,
+    * so the oracle (DuckDB `levenshtein`) agrees bit-for-bit.
+    *
+    * Scale: the pair join is per-block (equi-join on the block key, never
+    * a cross join); block sizing is the operator's contract — at 100 TB
+    * feed it MinHash-band blocks, not coarse language buckets.
+    */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[Column], prefixLen: Int, maxDist: Int): DataFrame = {
+    val base = docs.select(
+      struct(blockCols: _*).as("blk"),
+      col(idCol).as("id"),
+      substring(col(textCol), 1, prefixLen).as("prefix"))
+    val a = base.select(col("blk"), col("id").as("id_a"), col("prefix").as("p_a"))
+    val b = base.select(col("blk"), col("id").as("id_b"), col("prefix").as("p_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("edit_dist", levenshtein(col("p_a"), col("p_b")))
+      .filter(col("edit_dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("edit_dist"))
+  }
+
   def langId(text: Column): Column = {
     val toks = split(normalize(text), " ")
     // struct(score DESC via negation, lang ASC) → array_min = argmax.
