@@ -148,6 +148,29 @@ object Graph {
     val e0 = edges.select(col("from_id").as("a"), col("to_id").as("b"))
     val symBase = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
     var sym = symBase.persist(StorageLevel.MEMORY_AND_DISK)
+
+    // Contracted-label fast path: when the label map fits on the driver
+    // (nodes ≪ edges — the usual CC endgame), each round is ONE shuffle
+    // job (neighbor-min aggregation with the current labels applied via a
+    // broadcast lookup), and the pointer jumping happens as driver-side
+    // path compression — full contraction per round, so chains collapse
+    // in a single round instead of log(diameter) join rounds. The edge
+    // set itself stays distributed throughout; only the (id → comp) map
+    // is collected. This is the standard "solve the contracted problem
+    // locally" step of distributed CC; the join path below remains the
+    // scale path for label sets beyond driver memory. Gate on the edge
+    // count (materializes the persist; nodes ≤ 2·edges) so no separate
+    // node-count job is needed.
+    val idType = sym.schema("a").dataType
+    val nEdges = sym.count()
+    if (nEdges < 8L * 1000 * 1000 &&
+        (idType == org.apache.spark.sql.types.LongType ||
+         idType == org.apache.spark.sql.types.StringType)) {
+      val out = ccContracted(sym, maxIter)
+      sym.unpersist(blocking = false)
+      return out
+    }
+
     // Round 0 fused into the init: label = min(self, neighbors) in one
     // aggregation (also yields the node set — every node has ≥1 edge).
     // Lazy checkpoint: the count below materializes it in the same job.
@@ -160,7 +183,8 @@ object Graph {
     // joins fall back to shuffle joins, and `sym` is re-persisted
     // hash-partitioned on the join key b so per-round shuffles move only
     // the label side.
-    val small = labels.count() < 50L * 1000 * 1000
+    val nNodes = labels.count()
+    val small = nNodes < 50L * 1000 * 1000
     if (!small) {
       val p = symBase.repartition(col("b")).persist(StorageLevel.MEMORY_AND_DISK)
       sym.unpersist(blocking = false)
@@ -182,32 +206,122 @@ object Graph {
       // min label over neighbors, merged with own label
       val nbrMin = sym.join(bc(labels), sym("b") === labels("id"))
         .groupBy(sym("a").as("id")).agg(min("comp").as("nbr_comp"))
-      // Lazy checkpoint + counting the changed rows in one action:
-      // materializes `stepped` and decides convergence in a single job.
       val stepped = labels.join(bc(nbrMin), Seq("id"), "left")
         .select(col("id"), col("comp"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("c1"))
         .localCheckpoint(eager = false)
-      // Converged when the neighbor-min pass changes nothing — then the
-      // jumps can't change anything either, so the round ends early.
-      converged = stepped.filter(col("c1") =!= col("comp")).isEmpty
-      if (!converged) {
-        // Two pointer jumps WITHIN the round — label chains contract ~4×
-        // per round, so convergence is ~log4(diameter) rounds. j1 is used
-        // twice (as input and as pointer table) but recomputing it from
-        // the checkpointed `stepped` is one broadcast join — cheaper than
-        // materializing it.
-        val j1 = jump(stepped, "c1", "c2")
-        val doubled = jump(j1, "c2", "new_comp").localCheckpoint(eager = false)
-        labels = doubled.select(col("id"), col("new_comp").as("comp"))
-      } else {
-        labels = stepped.select(col("id"), col("c1").as("comp"))
-      }
+      // Two pointer jumps WITHIN the round — label chains contract ~4×
+      // per round, so convergence is ~log4(diameter) rounds. j1 is used
+      // twice (as input and as pointer table) but recomputing it from
+      // the checkpointed `stepped` is one broadcast join — cheaper than
+      // materializing it. The whole round (neighbor-min, both jumps, and
+      // the convergence test against the pre-round labels) materializes
+      // in the single count() action below.
+      val j1 = jump(stepped, "c1", "c2")
+      val doubled = jump(j1, "c2", "new_comp").localCheckpoint(eager = false)
+      // Fixed point iff nothing moved across the whole round (the jumps
+      // can only lower labels the neighbor-min pass already lowered).
+      converged = doubled.filter(col("new_comp") =!= col("comp")).count() == 0
+      labels = doubled.select(col("id"), col("new_comp").as("comp"))
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(s"[cc] round $iter ${(System.nanoTime() - tRound) / 1e9}s converged=$converged")
     }
     sym.unpersist(blocking = false)
     labels
+  }
+
+  /** Driver-contracted CC rounds (see [[connectedComponents]]): per round
+    * one distributed neighbor-min aggregation over the (still distributed)
+    * edge set with current labels applied through a broadcast lookup, then
+    * full path compression of the collected label map on the driver.
+    * Round 1 runs with identity labels, so it doubles as the
+    * min(self, neighbors) init. Ordering semantics are identical to the
+    * join path: labels only ever decrease, component = min id.
+    */
+  private def ccContracted(sym: DataFrame, maxIter: Int): DataFrame = {
+    val spark = sym.sparkSession
+    import spark.implicits._
+    val isLong = sym.schema("a").dataType ==
+      org.apache.spark.sql.types.LongType
+
+    // Path-compress: follow pointer chains to their root, memoizing.
+    // Iterative (labels always point to strictly smaller ids, so chains
+    // terminate, but they can be as long as a component's diameter).
+    def contract[K](m: scala.collection.mutable.HashMap[K, K]): Unit = {
+      val seen = new scala.collection.mutable.ArrayBuffer[K]
+      m.keys.toSeq.foreach { k0 =>
+        seen.clear()
+        var cur = k0
+        var nxt = m.getOrElse(cur, cur)
+        while (nxt != cur) { seen += cur; cur = nxt; nxt = m.getOrElse(cur, cur) }
+        seen.foreach(s => m.update(s, cur))
+      }
+    }
+
+    // The per-round lookup ships as explicitly broadcast sorted key/value
+    // arrays (compact, fast to serialize — a closure-captured Map would be
+    // Java-serialized into every task binary) and binary-searches per row.
+    def run[K: org.apache.spark.sql.Encoder: scala.reflect.ClassTag](
+        get: org.apache.spark.sql.Row => (K, K),
+        mkLookup: scala.collection.mutable.HashMap[K, K] =>
+          (org.apache.spark.sql.Column => org.apache.spark.sql.Column))
+        (implicit tt: scala.reflect.runtime.universe.TypeTag[K]): DataFrame = {
+      var m = new scala.collection.mutable.HashMap[K, K]
+      var ids: Array[K] = null
+      var iter = 0
+      var converged = false
+      while (iter < maxIter && !converged) {
+        iter += 1
+        val tRound = System.nanoTime()
+        // Round 1: identity labels (no lookup); this IS the init agg.
+        val lk = if (iter == 1) identity[org.apache.spark.sql.Column] _
+                 else mkLookup(m)
+        val stepped = sym
+          .select(col("a"), lk(col("b")).as("nb"))
+          .groupBy(col("a").as("id")).agg(min("nb").as("nbr_comp"))
+          .select(col("id"), least(lk(col("id")), col("nbr_comp")).as("comp"))
+        val rows = stepped.collect()
+        if (ids == null) ids = rows.map(r => get(r)._1)
+        val next = new scala.collection.mutable.HashMap[K, K]
+        rows.foreach { r => val (k, v) = get(r); if (k != v) next.update(k, v) }
+        contract(next)
+        converged = next == m
+        m = next
+        if (sys.env.contains("GRAFT_CC_DEBUG"))
+          println(s"[cc] contracted round $iter ${(System.nanoTime() - tRound) / 1e9}s converged=$converged")
+      }
+      // Node set = every group key of the aggregation (all nodes have ≥1
+      // edge); emit id → root for all nodes including self-rooted ones.
+      ids.map(k => (k, m.getOrElse(k, k))).toSeq.toDF("id", "comp")
+    }
+
+    val sc = spark.sparkContext
+    if (isLong) {
+      run[Long](r => (r.getLong(0), r.getLong(1)), m => {
+        val keys = m.keysIterator.toArray.sorted
+        val vals = keys.map(m)
+        val bk = sc.broadcast(keys)
+        val bv = sc.broadcast(vals)
+        val f = udf((x: Long) => {
+          val i = java.util.Arrays.binarySearch(bk.value, x)
+          if (i >= 0) bv.value(i) else x
+        })
+        c => f(c)
+      })
+    } else {
+      run[String](r => (r.getString(0), r.getString(1)), m => {
+        val keys = m.keysIterator.toArray.sorted
+        val vals = keys.map(m)
+        val bk = sc.broadcast(keys: Array[String])
+        val bv = sc.broadcast(vals: Array[String])
+        val f = udf((x: String) => {
+          val i = java.util.Arrays.binarySearch(
+            bk.value.asInstanceOf[Array[AnyRef]], x)
+          if (i >= 0) bv.value(i) else x
+        })
+        c => f(c)
+      })
+    }
   }
 
   /** 1-hop dependencies: outgoing edges joined to the vertex table
