@@ -148,30 +148,121 @@ object Similarity {
   }
 
   /** Exact cosine near-dup pairs — brute force over all id_a < id_b pairs.
-    * The smaller side is broadcast (nested-loop with predicate); this is
-    * the exact baseline, [[cosineNearDups]] is the LSH scale path.
+    * This is the exact baseline, [[cosineNearDups]] is the LSH scale path.
     * Filters on the *rounded* similarity so engines agree at the boundary.
+    *
+    * Long/int ids take the blocked all-pairs path ([[blockedPairs]]):
+    * hash the vectors into B blocks, cross-join the B·(B+1)/2 block
+    * pairs, and score each block pair with a tight primitive loop. That
+    * removes the per-pair join-row overhead (each BNL output row copies
+    * two float arrays) and is the textbook distributed all-pairs shape:
+    * at 100 TB, block size bounds executor memory and B² bounds task
+    * parallelism independently of n². Other id types fall back to the
+    * nested-loop join with identical semantics.
     */
   def bruteForcePairs(vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    init(vectors.sparkSession)
-    // Norms once per vector (not per pair): same op order as the oracle's
-    // norm-CTE formulation, 1 dot per pair instead of 3.
-    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      norm(col(vecCol)).as("nrm"))
-    // The streamed side of the nested-loop join must be spread across
-    // cores — a single small parquet file arrives as one partition and
-    // would serialize the whole O(n²) scoring pass.
-    val a = v.repartition(vectors.sparkSession.sparkContext.defaultParallelism)
-      .select(col("id").as("id_a"), col("vec").as("vec_a"),
-        col("nrm").as("nrm_a"))
-    val b = v.select(col("id").as("id_b"), col("vec").as("vec_b"),
-      col("nrm").as("nrm_b"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cosine_sim", round(cosineWithNorms(
-        dot(col("vec_a"), col("vec_b")), col("nrm_a"), col("nrm_b")), 6))
-      .filter(col("cosine_sim") >= threshold)
-      .select("id_a", "id_b", "cosine_sim")
+    import org.apache.spark.sql.types.{LongType, IntegerType}
+    vectors.schema(idCol).dataType match {
+      case LongType | IntegerType =>
+        blockedPairs(vectors, idCol, vecCol, threshold)
+      case _ =>
+        init(vectors.sparkSession)
+        // Norms once per vector (not per pair): same op order as the
+        // oracle's norm-CTE formulation, 1 dot per pair instead of 3.
+        val v = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"),
+          norm(col(vecCol)).as("nrm"))
+        // The streamed side of the nested-loop join must be spread across
+        // cores — a single small parquet file arrives as one partition and
+        // would serialize the whole O(n²) scoring pass.
+        val a = v.repartition(vectors.sparkSession.sparkContext.defaultParallelism)
+          .select(col("id").as("id_a"), col("vec").as("vec_a"),
+            col("nrm").as("nrm_a"))
+        val b = v.select(col("id").as("id_b"), col("vec").as("vec_b"),
+          col("nrm").as("nrm_b"))
+        a.join(b, col("id_a") < col("id_b"))
+          .withColumn("cosine_sim", round(cosineWithNorms(
+            dot(col("vec_a"), col("vec_b")), col("nrm_a"), col("nrm_b")), 6))
+          .filter(col("cosine_sim") >= threshold)
+          .select("id_a", "id_b", "cosine_sim")
+    }
+  }
+
+  /** Blocked all-pairs scoring (see [[bruteForcePairs]]). Numerics are
+    * bit-compatible with the expression path: dots accumulate left-to-
+    * right in double (like VecDot), norms are sqrt of the self-dot, the
+    * cosine divides by the norm product with a zero guard, and rounding
+    * is HALF_UP at 6 decimals exactly like Spark's round().
+    */
+  private def blockedPairs(vectors: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nBlocks: Int = 16): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val v = vectors.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("vec"))
+      .withColumn("blk", pmod(hash(col("id")), lit(nBlocks)))
+    val blocks = v.groupBy("blk")
+      .agg(collect_list(struct(col("id"), col("vec"))).as("rows"))
+    val pairsOfBlocks = blocks.select(col("blk").as("blk_x"), col("rows").as("rows_x"))
+      .join(blocks.select(col("blk").as("blk_y"), col("rows").as("rows_y")),
+        col("blk_x") <= col("blk_y"))
+      .select("blk_x", "blk_y", "rows_x", "rows_y")
+      // B² tiny rows, each heavy: spread block pairs across all cores.
+      .repartition(spark.sparkContext.defaultParallelism)
+
+    def unpack(rows: scala.collection.Seq[org.apache.spark.sql.Row]):
+        (Array[Long], Array[Array[Float]], Array[Double]) = {
+      val n = rows.length
+      val ids = new Array[Long](n)
+      val vecs = new Array[Array[Float]](n)
+      val nrms = new Array[Double](n)
+      var i = 0
+      rows.foreach { r =>
+        ids(i) = r.getLong(0)
+        val s = r.getSeq[Float](1)
+        val a = new Array[Float](s.length)
+        var j = 0; while (j < s.length) { a(j) = s(j); j += 1 }
+        vecs(i) = a
+        var acc = 0.0
+        j = 0; while (j < a.length) { acc += a(j).toDouble * a(j).toDouble; j += 1 }
+        nrms(i) = math.sqrt(acc)
+        i += 1
+      }
+      (ids, vecs, nrms)
+    }
+
+    def score(ax: Array[Float], ay: Array[Float], nx: Double, ny: Double): Double = {
+      val len = math.min(ax.length, ay.length)
+      var acc = 0.0
+      var j = 0
+      while (j < len) { acc += ax(j).toDouble * ay(j).toDouble; j += 1 }
+      val den = nx * ny
+      val c = if (den == 0) 0.0 else acc / den
+      java.math.BigDecimal.valueOf(c)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    }
+
+    pairsOfBlocks.flatMap { row =>
+      val same = row.getInt(0) == row.getInt(1)
+      val (xi, xv, xn) = unpack(row.getSeq[org.apache.spark.sql.Row](2))
+      val (yi, yv, yn) =
+        if (same) (xi, xv, xn) else unpack(row.getSeq[org.apache.spark.sql.Row](3))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      var i = 0
+      while (i < xi.length) {
+        var j = if (same) i + 1 else 0
+        while (j < yi.length) {
+          val s = score(xv(i), yv(j), xn(i), yn(j))
+          if (s >= threshold) {
+            if (xi(i) < yi(j)) out += ((xi(i), yi(j), s))
+            else out += ((yi(j), xi(i), s))
+          }
+          j += 1
+        }
+        i += 1
+      }
+      out
+    }.toDF("id_a", "id_b", "cosine_sim")
   }
 
   /** IVF (inverted-file) index: k-means centroids + per-vector cell
