@@ -237,16 +237,16 @@ object PipelineQueries {
     */
   val d7EditDist: Q = (s, d) =>
     TextAnalysis.editDistancePairs(t(s, d, "documents"), "doc_id", "text",
-      blockCols = Seq(col("lang"), expr("n_chars div 64")),
-      prefixLen = 60, maxDist = 20)
+      blockCols = Seq(col("lang"), expr("n_chars div 24")),
+      prefixLen = 48, maxDist = 16)
   val d7Oracle =
     """WITH b AS (
-      |  SELECT lang, n_chars // 64 AS lb, doc_id, substr(text, 1, 60) AS p
+      |  SELECT lang, n_chars // 24 AS lb, doc_id, substr(text, 1, 48) AS p
       |  FROM documents)
       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |  levenshtein(a.p, b.p) AS edit_dist
       |FROM b a JOIN b b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
-      |WHERE levenshtein(a.p, b.p) <= 20""".stripMargin
+      |WHERE levenshtein(a.p, b.p) <= 16""".stripMargin
 
   /** X5: URL parsing battery — regexp_extract host / path / query param
     * over synthesized URLs (both engines run the same regexes), with a

@@ -152,8 +152,13 @@ object TextAnalysis {
     val b = base.select(col("blk"), col("id").as("id_b"), col("prefix").as("p_b"))
     a.join(b, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("edit_dist", levenshtein(col("p_a"), col("p_b")))
-      .filter(col("edit_dist") <= maxDist)
+      // 3-arg levenshtein computes a banded DP and bails out at the
+      // threshold (-1 when exceeded) — O(len·maxDist) per pair instead of
+      // O(len²), and most pairs exit early. Exact distances for kept
+      // pairs are identical to the full DP, so the oracle (full
+      // levenshtein + filter) still hash-matches.
+      .withColumn("edit_dist", levenshtein(col("p_a"), col("p_b"), maxDist))
+      .filter(col("edit_dist") >= 0)
       .select(col("id_a"), col("id_b"), col("edit_dist"))
   }
 

@@ -52,6 +52,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
   }
 
+  test("T5 tfidf: document-frequency table broadcast onto the tf frame") {
+    val p = plan("q_t5_tfidf")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("T6/T7 hash split + sample stay shuffle-free scans") {
+    // A deterministic split/sample is a filter/projection over the scan —
+    // any Exchange before the aggregation means a regression.
+    val p = plan("q_t7_sample")
+    val beforeAgg = p.linesIterator.takeWhile(!_.contains("ReadSchema")).mkString("\n")
+    assert(!beforeAgg.contains("Exchange"), p)
+  }
+
+  test("A14 histogram aggregates partially before the single shuffle") {
+    val p = plan("q_a14_histogram")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 2, p)
+  }
+
   test("similarity hot path stays inside whole-stage codegen") {
     val df = SparkEntry.queries("q_s1_topk_bruteforce")(spark, sf)
     df.collect() // finalize the adaptive plan so codegen stages are visible
