@@ -852,6 +852,7 @@ object Queries {
       |  '{"Environment":"' ||
       |    CASE WHEN p_partkey % 4 = 0 THEN 'Production' ELSE 'Development' END ||
       |    '"}' AS tags,
+      |  CASE WHEN p_partkey % 11 = 10 THEN NULL ELSE
       |  '{"PublicAccessBlockConfiguration":{' ||
       |    '"BlockPublicAcls":"' ||
       |      CASE WHEN p_partkey % 2 = 0 THEN 'true' ELSE 'false' END || '",' ||
@@ -861,7 +862,14 @@ object Queries {
       |      CASE WHEN p_partkey % 5 = 0 THEN 'true' ELSE 'false' END || '",' ||
       |    '"RestrictPublicBuckets":"' ||
       |      CASE WHEN p_partkey % 7 = 0 THEN 'true' ELSE 'false' END ||
-      |    '"}}' AS raw_data,
+      |    '"},' ||
+      |  '"ServerSideEncryptionConfiguration":{"Rules":[{"ApplyServerSideEncryptionByDefault":{' ||
+      |    CASE WHEN p_partkey % 5 = 0 THEN '"SSEAlgorithm":"AES256"'
+      |         ELSE '"SSEAlgorithm":"aws:kms","KMSMasterKeyID":"arn:aws:kms:us-east-1:123456789012:key/key-' ||
+      |      CAST(p_partkey % 50 AS STRING) || '"'
+      |    END ||
+      |  '}}]}}'
+      |  END AS raw_data,
       |  TIMESTAMP '2025-06-20 00:00:00' AS scanned_at
       |FROM part""".stripMargin
 
@@ -939,6 +947,89 @@ object Queries {
        |    scanned_at
        |FROM non_compliant_buckets""".stripMargin
 
+  /** C3: the CCC.ObjStor.C01 pack query (untrusted KMS keys) over the
+    * scaled resource table, bound through the engine's named-parameter
+    * path (`:trusted_kms_keys` → IN-list-style CSV literal). This
+    * hash-checks the pack's hardest shapes at 20k rows: unnest(split) of
+    * a param, the OR/LIKE left join (J2), the left-join-null trust flag,
+    * and the FAIL∪PASS result splice — all against the reference's own
+    * DuckDB dialect.
+    */
+  private val trustedKmsCsv = (0 to 9)
+    .map(i => s"arn:aws:kms:us-east-1:123456789012:key/key-$i").mkString(",")
+
+  val c3PackParams: Q = (s, d) => {
+    Tables.register(s, d)
+    s.sql(scaledAwsResourcesSql).createOrReplaceTempView("aws_resources")
+    JsonMacros.register(s)
+    val pack = graft.compliance.PackLoader.load(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("GRAFT_PACKS_DIR", "/root/repo/packs"),
+        "cfi/ccc-storage/manifest.yaml"))
+    val q = pack.queries.find(_.id == "CCC.ObjStor.C01").get
+    s.sql(QueryEngine.bindParams(q.sql, Map("trusted_kms_keys" -> trustedKmsCsv)))
+  }
+  val c3Oracle =
+    s"""WITH aws_resources AS ($scaledAwsResourcesSql),
+       |trusted_keys AS (
+       |    SELECT unnest(split('$trustedKmsCsv', ',')) AS key_arn
+       |),
+       |bucket_encryption AS (
+       |    SELECT
+       |        r.id, r.name, r.arn, r.region, r.account_id,
+       |        json_extract_string(r.raw_data, '$$.ServerSideEncryptionConfiguration.Rules[0].ApplyServerSideEncryptionByDefault.KMSMasterKeyID') AS kms_key_id,
+       |        json_extract_string(r.raw_data, '$$.ServerSideEncryptionConfiguration.Rules[0].ApplyServerSideEncryptionByDefault.SSEAlgorithm') AS encryption_algorithm,
+       |        r.tags, r.scanned_at
+       |    FROM aws_resources r
+       |    WHERE r.type = 'AWS::S3::Bucket'
+       |        AND r.raw_data IS NOT NULL
+       |),
+       |untrusted_buckets AS (
+       |    SELECT
+       |        be.*,
+       |        tk.key_arn IS NULL AS is_untrusted_key
+       |    FROM bucket_encryption be
+       |    LEFT JOIN trusted_keys tk ON (
+       |        be.kms_key_id = tk.key_arn
+       |        OR be.kms_key_id LIKE '%' || split_part(tk.key_arn, '/', -1) || '%'
+       |    )
+       |    WHERE be.encryption_algorithm = 'aws:kms'
+       |        AND be.kms_key_id IS NOT NULL
+       |)
+       |SELECT
+       |    'FAIL' AS status, ub.id AS resource_id, ub.name AS bucket_name,
+       |    ub.arn AS bucket_arn, ub.region, ub.account_id, ub.kms_key_id,
+       |    'Bucket encrypted with untrusted KMS key' AS issue_description,
+       |    'HIGH' AS severity,
+       |    json_object(
+       |        'bucket_name', ub.name,
+       |        'kms_key_id', ub.kms_key_id,
+       |        'encryption_algorithm', ub.encryption_algorithm,
+       |        'region', ub.region,
+       |        'account_id', ub.account_id,
+       |        'tags', ub.tags
+       |    ) AS details,
+       |    ub.scanned_at
+       |FROM untrusted_buckets ub
+       |WHERE ub.is_untrusted_key = true
+       |UNION ALL
+       |SELECT
+       |    'PASS' AS status, ub.id AS resource_id, ub.name AS bucket_name,
+       |    ub.arn AS bucket_arn, ub.region, ub.account_id, ub.kms_key_id,
+       |    'Bucket encrypted with trusted KMS key' AS issue_description,
+       |    'INFO' AS severity,
+       |    json_object(
+       |        'bucket_name', ub.name,
+       |        'kms_key_id', ub.kms_key_id,
+       |        'encryption_algorithm', ub.encryption_algorithm,
+       |        'region', ub.region,
+       |        'account_id', ub.account_id,
+       |        'tags', ub.tags
+       |    ) AS details,
+       |    ub.scanned_at
+       |FROM untrusted_buckets ub
+       |WHERE ub.is_untrusted_key = false""".stripMargin
+
   // ===== registry ======================================================
 
   val all: Map[String, Q] = Map(
@@ -976,6 +1067,7 @@ object Queries {
     "q_g6_components" -> g6Components,
     "q_c1_compliance_pack" -> c1PackQuery,
     "q_c2_pack_scaled" -> c2PackScaled,
+    "q_c3_pack_params" -> c3PackParams,
     "q_a14_histogram" -> a14Histogram,
     "q_w6_window_battery" -> w6WindowBattery,
     "q_a8_dimensional" -> a8Dimensional,
@@ -1034,5 +1126,6 @@ object Queries {
     "q_a13_percentiles" -> a13Oracle,
     "q_a14_histogram" -> a14Oracle,
     "q_w6_window_battery" -> w6Oracle,
-    "q_c2_pack_scaled" -> c2Oracle)
+    "q_c2_pack_scaled" -> c2Oracle,
+    "q_c3_pack_params" -> c3Oracle)
 }
