@@ -560,6 +560,60 @@ object Queries {
       |  LEAST(COUNT(*) / 160.0, 1.0)
       |FROM events GROUP BY user_id HAVING COUNT(*) > 80""".stripMargin
 
+  /** E18: the impact-assessment rule engine (base_change_tracker.go:
+    * 115-312) — keyword-weighted risk scoring + severity derivation —
+    * driven over synthesized changed-field names covering every rule
+    * branch. The oracle re-derives the identical CASE arithmetic, so the
+    * whole rule table is hash-checked, not just spec-sampled.
+    */
+  val e18Impact: Q = (s, d) => {
+    val fieldNames = Seq("iam_policy", "kms_key_id", "public_acl",
+      "instance_size", "delete_protection", "status", "iops_limit",
+      "description")
+    val field = element_at(
+      typedlit(fieldNames), (pmod(col("event_id"), lit(8)) + 1).cast("int"))
+    t(s, d, "events")
+      .withColumn("field", field)
+      .withColumn("impact_score",
+        Changes.impactScore(col("field")).cast("bigint"))
+      .withColumn("severity", Changes.severityFromScore(col("impact_score")))
+      .groupBy("field", "impact_score", "severity")
+      .agg(count(lit(1)).as("n"))
+  }
+  val e18Oracle =
+    """WITH f AS (
+      |  SELECT (['iam_policy','kms_key_id','public_acl','instance_size',
+      |           'delete_protection','status','iops_limit','description'])
+      |          [(event_id % 8) + 1] AS field
+      |  FROM events),
+      |sc AS (
+      |  SELECT field,
+      |    CAST(LEAST(
+      |      (CASE WHEN field LIKE '%policy%' OR field LIKE '%permission%'
+      |               OR field LIKE '%role%' OR field LIKE '%security%' THEN 40
+      |            WHEN field LIKE '%encryption%' OR field LIKE '%kms%'
+      |               OR field LIKE '%key%' THEN 30
+      |            WHEN field LIKE '%public%' OR field LIKE '%acl%' THEN 15
+      |            ELSE 5 END) +
+      |      (CASE WHEN field LIKE '%delete%' OR field LIKE '%terminate%' THEN 30
+      |            WHEN field LIKE '%state%' OR field LIKE '%status%' THEN 20
+      |            WHEN field LIKE '%size%' OR field LIKE '%capacity%' THEN 10
+      |            ELSE 2 END) +
+      |      (CASE WHEN field LIKE '%instance%' OR field LIKE '%size%'
+      |               OR field LIKE '%tier%' OR field LIKE '%sku%' THEN 15
+      |            ELSE 0 END) +
+      |      (CASE WHEN field LIKE '%iops%' OR field LIKE '%throughput%'
+      |               OR field LIKE '%performance%' THEN 15 ELSE 0 END),
+      |      100) AS BIGINT) AS impact_score
+      |  FROM f)
+      |SELECT field, impact_score,
+      |  CASE WHEN impact_score >= 70 THEN 'CRITICAL'
+      |       WHEN impact_score >= 50 THEN 'HIGH'
+      |       WHEN impact_score >= 25 THEN 'MEDIUM'
+      |       ELSE 'LOW' END AS severity,
+      |  COUNT(*) AS n
+      |FROM sc GROUP BY 1, 2, 3""".stripMargin
+
   // ===== §2.10 graph ===================================================
 
   /** Edge table derived from the star schema (both dialects verbatim):
@@ -1060,6 +1114,7 @@ object Queries {
     "q_a6_impact_trend" -> a6ImpactTrend,
     "q_a7_top_resources" -> a7TopResources,
     "q_e16_anomalies" -> e16Anomalies,
+    "q_e18_impact" -> e18Impact,
     "q_g2_reach" -> g2Reach,
     "q_g3_khop" -> g3KHop,
     "q_g4_dependents" -> g4Dependents,
@@ -1127,5 +1182,6 @@ object Queries {
     "q_a14_histogram" -> a14Oracle,
     "q_w6_window_battery" -> w6Oracle,
     "q_c2_pack_scaled" -> c2Oracle,
-    "q_c3_pack_params" -> c3Oracle)
+    "q_c3_pack_params" -> c3Oracle,
+    "q_e18_impact" -> e18Oracle)
 }

@@ -60,9 +60,13 @@ object Similarity {
   }
 
   /** Planes carry more dims than any vector we meet; vec_dot stops at the
-    * shorter operand, so the same literal serves every embedding width.
+    * shorter operand, so the same literal serves every embedding width up
+    * to MaxDim. Kept modest because every LSH bit embeds one plane as a
+    * literal array in the plan — at 512 dims × 48 bits the codegen
+    * compiles 24k doubles of literals and plan build dominates the query.
+    * Widen (or project wider vectors down) for >128-dim corpora.
     */
-  private val MaxDim = 512
+  private val MaxDim = 128
   private def plane(bb: Int): Array[Double] =
     Array.tabulate(MaxDim)(planeComponent(bb, _))
 
@@ -130,7 +134,7 @@ object Similarity {
         .repartition(vectors.sparkSession.sparkContext.defaultParallelism)
         .select(col(idCol).as("id"), col(vecCol).as("vec"),
           norm(col(vecCol)).as("nrm")),
-      "vec", "bucket").localCheckpoint(true)
+      "vec", "bucket").localCheckpoint(false)
     val qb = bucketed(queries.select(col("query_id"), col("qvec"),
       norm(col("qvec")).as("qnrm")), "qvec", "qbucket")
     val cands = vb.join(broadcast(qb),
