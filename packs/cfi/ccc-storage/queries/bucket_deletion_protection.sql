@@ -100,10 +100,13 @@ SELECT
         'mfa_delete_status', mfa_delete_status,
         'has_lifecycle_policy', has_lifecycle_policy,
         'has_delete_protection_policy', has_delete_protection_policy,
-        'protection_issues', array_join(filter(protection_issues_list, x -> x IS NOT NULL), ', '),
+        -- DuckDB's array_to_string returns NULL for an empty list; nullif
+        -- reproduces that, and ignoreNullFields=false keeps null-valued
+        -- keys (mfa_delete_status is usually absent) like json_object does.
+        'protection_issues', nullif(array_join(filter(protection_issues_list, x -> x IS NOT NULL), ', '), ''),
         'retention_period_days', :retention_period_days,
         'tags', tags
-    )) AS details,
+    ), map('ignoreNullFields', 'false')) AS details,
     scanned_at
 FROM protection_issues
 ORDER BY is_protected ASC, bucket_name

@@ -907,7 +907,17 @@ object Queries {
       |    CASE WHEN p_partkey % 4 = 0 THEN 'Production' ELSE 'Development' END ||
       |    '"}' AS tags,
       |  CASE WHEN p_partkey % 11 = 10 THEN NULL ELSE
-      |  '{"PublicAccessBlockConfiguration":{' ||
+      |  '{' ||
+      |  '"Versioning":{"Status":"' ||
+      |    CASE WHEN p_partkey % 3 = 0 THEN 'Suspended' ELSE 'Enabled' END || '"' ||
+      |    CASE WHEN p_partkey % 13 = 0 THEN ',"MfaDelete":"Enabled"' ELSE '' END ||
+      |  '},' ||
+      |  CASE WHEN p_partkey % 4 = 1
+      |    THEN '"LifecycleConfiguration":{"Rules":[{"ID":"expire","Status":"Enabled"}]},'
+      |    ELSE '' END ||
+      |  CASE WHEN p_partkey % 6 = 1
+      |    THEN '"Policy":"Deny s3:DeleteBucket",' ELSE '' END ||
+      |  '"PublicAccessBlockConfiguration":{' ||
       |    '"BlockPublicAcls":"' ||
       |      CASE WHEN p_partkey % 2 = 0 THEN 'true' ELSE 'false' END || '",' ||
       |    '"BlockPublicPolicy":"' ||
@@ -1084,6 +1094,90 @@ object Queries {
        |FROM untrusted_buckets ub
        |WHERE ub.is_untrusted_key = false""".stripMargin
 
+  /** C4: the CCC.ObjStor.C03 pack query (deletion protection) over the
+    * scaled table — the 3-CTE multi-join shape (J3) with a numeric param
+    * in the details payload, hash-checked against the reference's DuckDB
+    * dialect.
+    */
+  val c4PackProtection: Q = (s, d) => {
+    Tables.register(s, d)
+    s.sql(scaledAwsResourcesSql).createOrReplaceTempView("aws_resources")
+    JsonMacros.register(s)
+    val pack = graft.compliance.PackLoader.load(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("GRAFT_PACKS_DIR", "/root/repo/packs"),
+        "cfi/ccc-storage/manifest.yaml"))
+    val q = pack.queries.find(_.id == "CCC.ObjStor.C03").get
+    s.sql(QueryEngine.bindParams(q.sql, Map("retention_period_days" -> 90)))
+  }
+  val c4Oracle =
+    s"""WITH aws_resources AS ($scaledAwsResourcesSql),
+       |bucket_versioning AS (
+       |    SELECT r.id, r.name, r.arn, r.region, r.account_id,
+       |        json_extract_string(r.raw_data, '$$.Versioning.Status') AS versioning_status,
+       |        json_extract_string(r.raw_data, '$$.Versioning.MfaDelete') AS mfa_delete_status,
+       |        r.tags, r.scanned_at
+       |    FROM aws_resources r WHERE r.type = 'AWS::S3::Bucket'
+       |),
+       |bucket_lifecycle AS (
+       |    SELECT r.id, r.name,
+       |        json_extract(r.raw_data, '$$.LifecycleConfiguration.Rules') AS lifecycle_rules,
+       |        CASE WHEN json_extract(r.raw_data, '$$.LifecycleConfiguration.Rules') IS NOT NULL
+       |             THEN true ELSE false END AS has_lifecycle_policy
+       |    FROM aws_resources r WHERE r.type = 'AWS::S3::Bucket'
+       |),
+       |bucket_policy AS (
+       |    SELECT r.id, r.name,
+       |        json_extract_string(r.raw_data, '$$.Policy') AS bucket_policy,
+       |        CASE WHEN json_extract_string(r.raw_data, '$$.Policy') LIKE '%s3:DeleteBucket%'
+       |              AND json_extract_string(r.raw_data, '$$.Policy') LIKE '%Deny%'
+       |             THEN true ELSE false END AS has_delete_protection_policy
+       |    FROM aws_resources r WHERE r.type = 'AWS::S3::Bucket'
+       |),
+       |bucket_protection_analysis AS (
+       |    SELECT bv.*, bl.has_lifecycle_policy, bl.lifecycle_rules,
+       |        bp.has_delete_protection_policy, bp.bucket_policy,
+       |        CASE WHEN bv.versioning_status = 'Enabled' THEN true ELSE false END AS has_versioning,
+       |        CASE WHEN bv.mfa_delete_status = 'Enabled' THEN true ELSE false END AS has_mfa_delete,
+       |        CASE WHEN bv.versioning_status = 'Enabled'
+       |              AND (bl.has_lifecycle_policy OR bp.has_delete_protection_policy)
+       |             THEN true ELSE false END AS is_protected
+       |    FROM bucket_versioning bv
+       |    LEFT JOIN bucket_lifecycle bl ON bv.id = bl.id
+       |    LEFT JOIN bucket_policy bp ON bv.id = bp.id
+       |),
+       |protection_issues AS (
+       |    SELECT *,
+       |        [
+       |            CASE WHEN NOT has_versioning THEN 'Versioning not enabled' END,
+       |            CASE WHEN NOT has_mfa_delete THEN 'MFA delete not enabled' END,
+       |            CASE WHEN NOT has_lifecycle_policy AND NOT has_delete_protection_policy
+       |                 THEN 'No lifecycle policy or bucket deletion protection' END
+       |        ] AS protection_issues_list
+       |    FROM bucket_protection_analysis
+       |)
+       |SELECT
+       |    CASE WHEN NOT is_protected THEN 'FAIL' ELSE 'PASS' END AS status,
+       |    id AS resource_id, name AS bucket_name, arn AS bucket_arn,
+       |    region, account_id,
+       |    CASE WHEN NOT is_protected THEN 'Bucket lacks adequate deletion protection mechanisms'
+       |         ELSE 'Bucket has proper deletion protection' END AS issue_description,
+       |    CASE WHEN NOT is_protected THEN 'CRITICAL' ELSE 'INFO' END AS severity,
+       |    json_object(
+       |        'bucket_name', name,
+       |        'region', region,
+       |        'account_id', account_id,
+       |        'versioning_status', versioning_status,
+       |        'mfa_delete_status', mfa_delete_status,
+       |        'has_lifecycle_policy', has_lifecycle_policy,
+       |        'has_delete_protection_policy', has_delete_protection_policy,
+       |        'protection_issues', array_to_string(array_filter(protection_issues_list, x -> x IS NOT NULL), ', '),
+       |        'retention_period_days', 90,
+       |        'tags', tags
+       |    ) AS details,
+       |    scanned_at
+       |FROM protection_issues""".stripMargin
+
   // ===== registry ======================================================
 
   val all: Map[String, Q] = Map(
@@ -1123,6 +1217,7 @@ object Queries {
     "q_c1_compliance_pack" -> c1PackQuery,
     "q_c2_pack_scaled" -> c2PackScaled,
     "q_c3_pack_params" -> c3PackParams,
+    "q_c4_pack_protection" -> c4PackProtection,
     "q_a14_histogram" -> a14Histogram,
     "q_w6_window_battery" -> w6WindowBattery,
     "q_a8_dimensional" -> a8Dimensional,
@@ -1183,5 +1278,6 @@ object Queries {
     "q_w6_window_battery" -> w6Oracle,
     "q_c2_pack_scaled" -> c2Oracle,
     "q_c3_pack_params" -> c3Oracle,
+    "q_c4_pack_protection" -> c4Oracle,
     "q_e18_impact" -> e18Oracle)
 }
