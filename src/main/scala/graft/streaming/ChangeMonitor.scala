@@ -79,4 +79,24 @@ object ChangeMonitor {
   def incrementalSince(events: DataFrame, tsCol: String,
       checkpointTs: java.sql.Timestamp): DataFrame =
     events.filter(col(tsCol) > lit(checkpointTs))
+
+  /** Stream-stream enrichment join (beyond the reference's transport-only
+    * streams): join a change-event stream with a resource-update stream on
+    * the resource key, accepting only updates within `maxDelay` BEFORE the
+    * event. Both sides carry watermarks and the join condition bounds
+    * event-time distance, so state is evicted continuously — the two
+    * requirements that make a stream-stream join runnable indefinitely at
+    * scale (unbounded state otherwise).
+    */
+  def enrichWithRecent(events: DataFrame, updates: DataFrame, key: String,
+      eventTs: String, updateTs: String,
+      maxDelay: String = "10 minutes", watermark: String = "10 minutes"): DataFrame = {
+    val e = events.withWatermark(eventTs, watermark)
+    val u = updates.withWatermark(updateTs, watermark)
+    e.join(u,
+      e(key) === u(key) &&
+        u(updateTs) <= e(eventTs) &&
+        u(updateTs) >= e(eventTs) - expr(s"INTERVAL $maxDelay"))
+      .drop(u(key))
+  }
 }

@@ -72,4 +72,32 @@ class ChangeMonitorSpec extends SparkSpec {
       .select("id").as[Long].collect().toSeq
     assert(out == Seq(2L))
   }
+
+  test("stream-stream enrichment joins only recent updates (bounded state)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evIn = MemoryStream[(String, Timestamp, String)]
+    val upIn = MemoryStream[(String, Timestamp, String)]
+    val events = evIn.toDF().toDF("rid", "ets", "action")
+    val updates = upIn.toDF().toDF("rid", "uts", "detail")
+    val joined = ChangeMonitor.enrichWithRecent(
+      events, updates, "rid", "ets", "uts", maxDelay = "10 minutes")
+    val q = joined.writeStream.format("memory")
+      .queryName("enrich_test").outputMode("append").start()
+    try {
+      upIn.addData(
+        ("r1", ts("2024-01-01 10:00:00"), "recent"),   // 5 min before event
+        ("r1", ts("2024-01-01 09:00:00"), "stale"),    // 65 min before: dropped
+        ("r2", ts("2024-01-01 10:04:00"), "other-key"))
+      evIn.addData(("r1", ts("2024-01-01 10:05:00"), "delete"))
+      q.processAllAvailable()
+      // advance both watermarks so the join emits
+      upIn.addData(("zz", ts("2024-01-01 11:00:00"), "wm"))
+      evIn.addData(("zz2", ts("2024-01-01 11:00:00"), "wm"))
+      q.processAllAvailable()
+      val rows = spark.table("enrich_test")
+        .select("rid", "action", "detail")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      assert(rows == Set(("r1", "delete", "recent")), rows.toString)
+    } finally q.stop()
+  }
 }
