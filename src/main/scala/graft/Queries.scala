@@ -614,6 +614,26 @@ object Queries {
       |  COUNT(*) AS n
       |FROM sc GROUP BY 1, 2, 3""".stripMargin
 
+  /** K1: a composed KQL pipeline (S4/J6 surface — resource_graph.go's
+    * `| where | extend extract_all | mv-expand | summarize count() by
+    * | order by | take`) through the Kql operator module, hash-checked
+    * against plain SQL. The Azure Resource-Graph pull shape end to end.
+    */
+  val k1KqlPipeline: Q = (s, d) => {
+    val base = Kql.where(t(s, d, "part"), col("p_size") > 20)
+      .withColumn("w", Kql.extractAll(col("p_name"), "([a-z]+)"))
+    val expanded = Kql.mvExpand(base, "w")
+    Kql.take(
+      Kql.orderBy(Kql.summarizeCount(expanded, "w"),
+        ("count_", false), ("w", true)),
+      20)
+  }
+  val k1Oracle =
+    """SELECT w, COUNT(*) AS count_
+      |FROM (SELECT unnest(regexp_extract_all(p_name, '([a-z]+)', 1)) AS w
+      |      FROM part WHERE p_size > 20) z
+      |GROUP BY w ORDER BY count_ DESC, w ASC LIMIT 20""".stripMargin
+
   // ===== §2.10 graph ===================================================
 
   /** Edge table derived from the star schema (both dialects verbatim):
@@ -1209,6 +1229,7 @@ object Queries {
     "q_a7_top_resources" -> a7TopResources,
     "q_e16_anomalies" -> e16Anomalies,
     "q_e18_impact" -> e18Impact,
+    "q_k1_kql_pipeline" -> k1KqlPipeline,
     "q_g2_reach" -> g2Reach,
     "q_g3_khop" -> g3KHop,
     "q_g4_dependents" -> g4Dependents,
@@ -1279,5 +1300,6 @@ object Queries {
     "q_c2_pack_scaled" -> c2Oracle,
     "q_c3_pack_params" -> c3Oracle,
     "q_c4_pack_protection" -> c4Oracle,
-    "q_e18_impact" -> e18Oracle)
+    "q_e18_impact" -> e18Oracle,
+    "q_k1_kql_pipeline" -> k1Oracle)
 }
