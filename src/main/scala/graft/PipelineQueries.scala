@@ -297,6 +297,44 @@ object PipelineQueries {
       |  md5(text) AS checksum
       |FROM documents""".stripMargin
 
+  /** T8: corpus bigram statistics — top-40 adjacent token pairs, the
+    * n-gram LM-data profiling job. One scan, explode of zipped adjacent
+    * tokens, two-phase aggregation.
+    */
+  val t8Bigrams: Q = (s, d) => {
+    val toks = split(TextAnalysis.normalize(col("text")), " ")
+    t(s, d, "documents")
+      .select(explode(zip_with(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => concat_ws(" ", a, b))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(40)
+  }
+  val t8Oracle =
+    s"""WITH t AS (SELECT $wordsSql AS w FROM documents),
+       |b AS (
+       |  SELECT w[i] || ' ' || w[i+1] AS bigram
+       |  FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i FROM t) z)
+       |SELECT bigram, COUNT(*) AS n FROM b
+       |GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 40""".stripMargin
+
+  /** M2: frame-sampling plumbing — every 5th frame index per media row,
+    * capped; the explode shape of video frame extraction, hash-checked
+    * via generate_series.
+    */
+  val m2Frames: Q = (s, d) =>
+    Multimodal.sampleFrameIndexes(
+        t(s, d, "documents").select(col("doc_id"),
+          (col("n_chars").cast("long") % 240 + 1).as("n_frames")),
+        col("n_frames"), stride = 5, maxFrames = 12)
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"))
+  val m2Oracle =
+    """SELECT doc_id, n_frames, unnest(generate_series(0,
+      |    LEAST(n_frames - 1, 60), 5)) AS frame_idx
+      |FROM (SELECT doc_id, n_chars % 240 + 1 AS n_frames FROM documents) z""".stripMargin
+
   // ===== similarity ====================================================
 
   private def queryVecs(s: SparkSession, d: String): DataFrame =
@@ -384,7 +422,9 @@ object PipelineQueries {
     "q_t6_split" -> t6Split,
     "q_t7_sample" -> t7Sample,
     "q_x5_url" -> x5Url,
+    "q_t8_bigrams" -> t8Bigrams,
     "q_m1_media_meta" -> m1MediaMeta,
+    "q_m2_frames" -> m2Frames,
     "q_s1_topk_bruteforce" -> s1TopKBruteForce,
     "q_s2_cosine_pairs" -> s2CosinePairs,
     "q_s3_lsh_topk" -> s3LshTopK,
@@ -403,7 +443,9 @@ object PipelineQueries {
     "q_t7_sample" -> t7Oracle,
     "q_d7_editdist" -> d7Oracle,
     "q_x5_url" -> x5Oracle,
+    "q_t8_bigrams" -> t8Oracle,
     "q_m1_media_meta" -> m1Oracle,
+    "q_m2_frames" -> m2Oracle,
     "q_s1_topk_bruteforce" -> s1Oracle,
     "q_s2_cosine_pairs" -> s2Oracle)
 }
