@@ -149,6 +149,36 @@ object QueryEngine {
     }
   }
 
+  /** Spark-native parameterized execution (Spark 4 named parameter
+    * markers): values are passed to the engine as typed args and never
+    * enter the SQL text, so there is no escaping surface at all. This is
+    * the preferred path for scalar params. Seq/Array params fall back to
+    * [[execute]]'s textual binding — the reference's pack dialect relies
+    * on `IN :list` expansion and `split(:csv)` string semantics that
+    * markers don't express.
+    */
+  def executeParameterized(spark: SparkSession, sql: String,
+      params: Map[String, Any]): QueryResult = {
+    val needsTextual = params.values.exists {
+      case _: Seq[_] | _: Array[_] => true
+      case _ => false
+    }
+    if (needsTextual) execute(spark, sql, params)
+    else {
+      // The statement-class guard parses the raw text; Spark 4's parser
+      // accepts named parameter markers, so no pre-binding is needed.
+      validate(spark, sql) match {
+        case Left(err) => throw err
+        case Right(()) =>
+          val t0 = System.nanoTime()
+          val df = spark.sql(sql, params)
+          val rows = df.collect().toSeq
+          QueryResult(columnsOf(df), rows, rows.size.toLong,
+            (System.nanoTime() - t0) / 1000000)
+      }
+    }
+  }
+
   def columnsOf(df: DataFrame): Seq[ColumnInfo] =
     df.schema.fields.toSeq.map { case StructField(n, t, nullable, _) =>
       ColumnInfo(n, t.simpleString, nullable)

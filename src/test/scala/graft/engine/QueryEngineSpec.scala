@@ -64,6 +64,30 @@ class QueryEngineSpec extends SparkSpec {
       "SELECT `col:p`, 'X' FROM t")
   }
 
+  test("native parameterized execution: typed args, no escaping surface") {
+    Seq("o'brien", "back\\slash\\", "\\'", "a\\'b''c", "; DROP TABLE x; --")
+      .foreach { v =>
+        val r = QueryEngine.executeParameterized(spark,
+          "SELECT :v AS v, :n + 1 AS n", Map("v" -> v, "n" -> 41))
+        assert(r.rows.head.getString(0) == v, s"round-trip failed for <$v>")
+        assert(r.rows.head.getInt(1) == 42)
+      }
+  }
+
+  test("native parameterized path still rejects dangerous statements") {
+    intercept[QueryEngine.QueryValidationError] {
+      QueryEngine.executeParameterized(spark,
+        "DROP TABLE t", Map("x" -> 1))
+    }
+  }
+
+  test("Seq params fall back to textual IN-list expansion") {
+    val r = QueryEngine.executeParameterized(spark,
+      "SELECT id FROM range(10) WHERE id IN :ids ORDER BY id",
+      Map("ids" -> Seq(2, 5)))
+    assert(r.rows.map(_.getLong(0)) == Seq(2L, 5L))
+  }
+
   test("longest-name-first binding avoids prefix capture") {
     val bound = QueryEngine.bindParams(
       "SELECT :region, :region_list", Map("region" -> "us", "region_list" -> Seq("a")))
