@@ -335,6 +335,35 @@ object PipelineQueries {
       |    LEAST(n_frames - 1, 60), 5)) AS frame_idx
       |FROM (SELECT doc_id, n_chars % 240 + 1 AS n_frames FROM documents) z""".stripMargin
 
+  /** D8: winnowing fingerprints (rolling k-gram hash + sliding-window
+    * min, MOSS-style) — shared substrings of ≥ k+win-1 tokens guarantee a
+    * shared fingerprint. md5-string hashes so DuckDB derives identical
+    * values; aggregated to per-doc fingerprint counts plus the global
+    * distinct count shape via a top-k of hottest fingerprints.
+    */
+  val d8Winnow: Q = (s, d) =>
+    TextAnalysis.winnowFingerprints(t(s, d, "documents"), "doc_id", "text",
+        k = 5, win = 4)
+      .groupBy("fp").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("fp").asc)
+      .limit(50)
+  val d8Oracle =
+    s"""WITH t AS (SELECT doc_id, $wordsSql AS w FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(1, greatest(len(w) - 4, 0)),
+       |      i -> md5(array_to_string(list_slice(w, i, i + 4), ' '))) AS hs
+       |  FROM t),
+       |f AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    list_transform(generate_series(1, greatest(len(hs) - 3, 0)),
+       |      j -> list_min(list_slice(hs, j, j + 3))))) AS fp
+       |  FROM g)
+       |SELECT fp, COUNT(*) AS n_docs FROM f
+       |GROUP BY fp HAVING COUNT(*) >= 2
+       |ORDER BY n_docs DESC, fp ASC LIMIT 50""".stripMargin
+
   // ===== similarity ====================================================
 
   private def queryVecs(s: SparkSession, d: String): DataFrame =
@@ -414,6 +443,7 @@ object PipelineQueries {
     "q_d5_simhash_neardup" -> d5SimhashNearDup,
     "q_d6_dedup_near" -> d6DedupNear,
     "q_d7_editdist" -> d7EditDist,
+    "q_d8_winnow" -> d8Winnow,
     "q_t1_quality" -> t1Quality,
     "q_t2_langid" -> t2LangId,
     "q_t3_top_tokens" -> t3TopTokens,
@@ -442,6 +472,7 @@ object PipelineQueries {
     "q_t6_split" -> t6Oracle,
     "q_t7_sample" -> t7Oracle,
     "q_d7_editdist" -> d7Oracle,
+    "q_d8_winnow" -> d8Oracle,
     "q_x5_url" -> x5Oracle,
     "q_t8_bigrams" -> t8Oracle,
     "q_m1_media_meta" -> m1Oracle,

@@ -50,6 +50,32 @@ object Multimodal {
   def withMediaMeta(df: DataFrame, payloadCol: String = "payload"): DataFrame =
     df.withColumn("media_meta", decodeStub(col(payloadCol)))
 
+  /** STUB RESIZE — the image-resize stage's plumbing: takes the payload
+    * plus target dims, returns a new payload + updated metadata struct.
+    * The byte transform is a deterministic stand-in (truncate/repeat to a
+    * size proportional to the target area — no imaging libs in this
+    * container); a real implementation swaps only the byte expression.
+    * Shape-wise this is a narrow projection: no shuffle, scales as a map
+    * stage over any corpus.
+    */
+  def resizeStub(payload: Column, width: Int, height: Int): Column = {
+    val targetLen = greatest(lit(1L),
+      floor(octet_length(payload).cast("long") * (width.toLong * height) /
+        (640L * 480L)).cast("long"))
+    struct(
+      // ??? real pixel resample goes here; stand-in keeps a prefix of the
+      // bytes sized by the area ratio so downstream stages see realistic
+      // payload-size changes:
+      substr(payload, lit(1), targetLen).as("payload"),
+      lit(width).as("width"), lit(height).as("height"),
+      targetLen.as("n_bytes"))
+  }
+
+  /** Attach a resized payload + metadata (the batch resize stage). */
+  def withResized(df: DataFrame, width: Int, height: Int,
+      payloadCol: String = "payload"): DataFrame =
+    df.withColumn("resized", resizeStub(col(payloadCol), width, height))
+
   /** Frame sampling plumbing: pick every `stride`-th frame index below
     * `maxFrames` — the real pipeline replaces index generation with actual
     * frame extraction; the explode/partition shape is what matters.

@@ -162,6 +162,31 @@ object TextAnalysis {
       .select(col("id_a"), col("id_b"), col("edit_dist"))
   }
 
+  /** Winnowing document fingerprints (the rolling-hash fingerprint scheme
+    * of Schleimer et al.'s MOSS): hash every k-gram, slide a window of
+    * `win` hashes, keep each window's minimum, emit the distinct set.
+    * Guarantees any shared substring of length ≥ k+win-1 yields a shared
+    * fingerprint — the standard local-similarity sketch for plagiarism /
+    * near-dup detection. Hashes are md5 strings (min = lexicographic) so
+    * the DuckDB oracle computes identical values. Pure HOF chain — one
+    * scan, no shuffle until the (doc, fp) explode.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int, win: Int): DataFrame = {
+    // sequence(1, 0) DESCENDS in Spark (DuckDB's generate_series is
+    // empty) — guard short documents to an empty index list.
+    def seq1(n: Column) = when(n < 1, array().cast("array<int>"))
+      .otherwise(sequence(lit(1), n.cast("int")))
+    val toks = split(normalize(col(textCol)), " ")
+    val nGrams = size(toks) - (k - 1)
+    val grams = transform(seq1(nGrams),
+      i => md5(concat_ws(" ", slice(toks, i, lit(k)))))
+    val nWins = size(grams) - (win - 1)
+    val fps = array_distinct(transform(seq1(nWins),
+      j => array_min(slice(grams, j, lit(win)))))
+    df.select(col(idCol), explode(fps).as("fp"))
+  }
+
   def langId(text: Column): Column = {
     val toks = split(normalize(text), " ")
     // struct(score DESC via negation, lang ASC) → array_min = argmax.

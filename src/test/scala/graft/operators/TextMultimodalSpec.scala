@@ -77,6 +77,39 @@ class TextMultimodalSpec extends SparkSpec {
       (2L, 0L) -> ("x y", 2L)))
   }
 
+  test("winnowing: shared long substrings guarantee a shared fingerprint") {
+    import spark.implicits._
+    val common = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"unrelated prefix words here $common and a suffix"),
+      (2L, s"$common totally different tail content follows now"),
+      (3L, "nothing in common with the others at all whatsoever"),
+      (4L, "tiny")).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(docs, "doc_id", "text", k = 5, win = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // k+win-1 = 8 ≤ 10 shared tokens ⇒ docs 1 and 2 must share a fingerprint
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty)
+    assert((byDoc(1L) & byDoc(3L)).isEmpty)
+    assert(!byDoc.contains(4L), "sub-k docs produce no fingerprints")
+  }
+
+  test("resize stub scales payload size by area ratio, keeps determinism") {
+    import spark.implicits._
+    val df = Seq((1L, "x" * 4800)).toDF("id", "s")
+      .withColumn("payload", Multimodal.asBinary(col("s")))
+    val r = Multimodal.withResized(df, width = 320, height = 240)
+      .select("resized.n_bytes", "resized.width", "resized.height")
+      .collect()(0)
+    assert(r.getLong(0) == 4800L * (320L * 240L) / (640L * 480L))
+    assert(r.getInt(1) == 320 && r.getInt(2) == 240)
+    val again = Multimodal.withResized(df, 320, 240)
+      .select("resized.payload").collect()(0).getAs[Array[Byte]](0)
+    val first = Multimodal.withResized(df, 320, 240)
+      .select("resized.payload").collect()(0).getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(again, first))
+  }
+
   test("approx_count_distinct escape hatch lands within HLL error bounds") {
     // SURVEY §2.4: exact countDistinct is the contract; approx is the
     // documented perf escape hatch for 100 TB cardinalities. Spot-check
