@@ -335,6 +335,49 @@ object PipelineQueries {
       |    LEAST(n_frames - 1, 60), 5)) AS frame_idx
       |FROM (SELECT doc_id, n_chars % 240 + 1 AS n_frames FROM documents) z""".stripMargin
 
+  /** T9: PII-style redaction — the standard pre-training scrub pass.
+    * Email / phone / long-digit-run patterns are replaced with typed
+    * placeholder tokens in one regexp_replace chain (single scan, no
+    * shuffle); the rollup counts affected documents per pattern. URLs are
+    * synthesized into the text so the patterns actually fire. Both
+    * engines run the same regexes.
+    */
+  val t9Redact: Q = (s, d) => {
+    val decorated = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com or +1-555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\+?[0-9][0-9()\\-\\. ]{6,}[0-9]"
+    t(s, d, "documents")
+      .withColumn("raw", decorated)
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col("raw"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>"))
+      .select(col("doc_id"),
+        (length(col("raw")) - length(col("redacted"))).cast("bigint")
+          .as("chars_removed"),
+        col("redacted").contains("<EMAIL>").as("had_email"),
+        col("redacted").contains("<PHONE>").as("had_phone"))
+  }
+  val t9Oracle =
+    """WITH r AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+      |      '@example.com or +1-555-' ||
+      |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+      |  FROM documents),
+      |x AS (
+      |  SELECT doc_id, raw,
+      |    regexp_replace(
+      |      regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '\+?[0-9][0-9()\-\. ]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+      |  FROM r)
+      |SELECT doc_id,
+      |  CAST(length(raw) - length(redacted) AS BIGINT) AS chars_removed,
+      |  contains(redacted, '<EMAIL>') AS had_email,
+      |  contains(redacted, '<PHONE>') AS had_phone
+      |FROM x""".stripMargin
+
   /** D8: winnowing fingerprints (rolling k-gram hash + sliding-window
     * min, MOSS-style) — shared substrings of ≥ k+win-1 tokens guarantee a
     * shared fingerprint. md5-string hashes so DuckDB derives identical
@@ -453,6 +496,7 @@ object PipelineQueries {
     "q_t7_sample" -> t7Sample,
     "q_x5_url" -> x5Url,
     "q_t8_bigrams" -> t8Bigrams,
+    "q_t9_redact" -> t9Redact,
     "q_m1_media_meta" -> m1MediaMeta,
     "q_m2_frames" -> m2Frames,
     "q_s1_topk_bruteforce" -> s1TopKBruteForce,
@@ -475,6 +519,7 @@ object PipelineQueries {
     "q_d8_winnow" -> d8Oracle,
     "q_x5_url" -> x5Oracle,
     "q_t8_bigrams" -> t8Oracle,
+    "q_t9_redact" -> t9Oracle,
     "q_m1_media_meta" -> m1Oracle,
     "q_m2_frames" -> m2Oracle,
     "q_s1_topk_bruteforce" -> s1Oracle,
