@@ -302,12 +302,21 @@ object PipelineQueries {
     * tokens, two-phase aggregation.
     */
   val t8Bigrams: Q = (s, d) => {
-    val toks = split(TextAnalysis.normalize(col("text")), " ")
+    import org.apache.spark.sql.expressions.Window
+    // posexplode + lag, NOT zip_with-over-slices: HOF lambdas fall out of
+    // codegen and Catalyst can inline the token-array derivation into the
+    // lambda body, re-running normalize() per element (observed: one task
+    // pinned for minutes). The window form is fully codegen'd; its one
+    // shuffle keys on doc_id — embarrassingly parallel at corpus scale.
+    val w = Window.partitionBy("doc_id").orderBy("pos")
     t(s, d, "documents")
-      .select(explode(zip_with(
-        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
-        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
-        (a, b) => concat_ws(" ", a, b))).as("bigram"))
+      .select(col("doc_id"),
+        posexplode(split(TextAnalysis.normalize(col("text")), " ")))
+      .withColumnRenamed("col", "tok")
+      .filter(length(col("tok")) > 0)
+      .withColumn("prev", lag(col("tok"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(concat_ws(" ", col("prev"), col("tok")).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram").asc)
       .limit(40)

@@ -173,18 +173,33 @@ object TextAnalysis {
     */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int, win: Int): DataFrame = {
-    // sequence(1, 0) DESCENDS in Spark (DuckDB's generate_series is
-    // empty) — guard short documents to an empty index list.
-    def seq1(n: Column) = when(n < 1, array().cast("array<int>"))
-      .otherwise(sequence(lit(1), n.cast("int")))
-    val toks = split(normalize(col(textCol)), " ")
-    val nGrams = size(toks) - (k - 1)
-    val grams = transform(seq1(nGrams),
-      i => md5(concat_ws(" ", slice(toks, i, lit(k)))))
-    val nWins = size(grams) - (win - 1)
-    val fps = array_distinct(transform(seq1(nWins),
-      j => array_min(slice(grams, j, lit(win)))))
-    df.select(col(idCol), explode(fps).as("fp"))
+    // Shape: posexplode + window functions, NOT HOF transforms over a
+    // derived token array — lambda bodies fall out of codegen and the
+    // optimizer can inline the array derivation into them, re-running
+    // normalize() per element (quadratic blowup, observed). The window
+    // form shuffles once on the doc id and stays codegen'd.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val toks = df.select(col(idCol),
+      posexplode(split(normalize(col(textCol)), " ")))
+      .withColumnRenamed("col", "tok")
+    // k-gram hash at each position (token + its k-1 successors); the
+    // validity filter drops tail positions — concat_ws would silently
+    // skip null leads otherwise.
+    val gramText = concat_ws(" ",
+      (col("tok") +: (1 until k).map(i => lead(col("tok"), i).over(w))): _*)
+    val grams = toks
+      .withColumn("gh", md5(gramText))
+      .withColumn("valid", lead(col("tok"), k - 1).over(w).isNotNull)
+      .filter(col("valid"))
+    // window minimum over `win` consecutive gram hashes, again with a
+    // completeness guard on the last gram of the window
+    val wMin = Window.partitionBy(idCol).orderBy("pos").rowsBetween(0, win - 1)
+    grams
+      .withColumn("fp", min(col("gh")).over(wMin))
+      .withColumn("full", lead(col("gh"), win - 1).over(w).isNotNull)
+      .filter(col("full"))
+      .select(col(idCol), col("fp")).distinct()
   }
 
   def langId(text: Column): Column = {
