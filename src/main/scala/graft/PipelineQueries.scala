@@ -387,6 +387,46 @@ object PipelineQueries {
       |  contains(redacted, '<PHONE>') AS had_phone
       |FROM x""".stripMargin
 
+  /** T10: token-budget shard packing — running-total bin assignment per
+    * language, rolled up to shard manifests (docs + tokens per shard).
+    */
+  val t10Pack: Q = (s, d) =>
+    TextAnalysis.packByTokenBudget(
+        t(s, d, "documents").select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("bigint").as("n_tokens")),
+        "doc_id", "lang", "n_tokens", budget = 2048)
+      .groupBy("lang", "shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("shard_tokens"))
+  val t10Oracle =
+    """WITH tok AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |sh AS (
+      |  SELECT lang, n_tokens,
+      |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS shard_id
+      |  FROM tok)
+      |SELECT lang, shard_id, COUNT(*) AS n_docs, SUM(n_tokens) AS shard_tokens
+      |FROM sh GROUP BY 1, 2""".stripMargin
+
+  /** T11: repetition signals (Gopher-style boilerplate filters) — top
+    * bigram share and duplicate-bigram fraction per document.
+    */
+  val t11Repetition: Q = (s, d) =>
+    TextAnalysis.repetitionSignals(t(s, d, "documents"), "doc_id", "text")
+  val t11Oracle =
+    s"""WITH t AS (SELECT doc_id, $wordsSql AS w FROM documents),
+       |b AS (
+       |  SELECT doc_id, w[i] || ' ' || w[i+1] AS bigram
+       |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM t) z),
+       |c AS (SELECT doc_id, bigram, COUNT(*) AS c FROM b GROUP BY 1, 2)
+       |SELECT doc_id, MAX(c) AS top_bigram_n, SUM(c) AS n_bigrams,
+       |  COUNT(*) AS n_distinct_bigrams,
+       |  CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_frac,
+       |  CAST(SUM(c) - COUNT(*) AS DOUBLE) / SUM(c) AS dup_bigram_frac
+       |FROM c GROUP BY doc_id""".stripMargin
+
   /** D8: winnowing fingerprints (rolling k-gram hash + sliding-window
     * min, MOSS-style) — shared substrings of ≥ k+win-1 tokens guarantee a
     * shared fingerprint. md5-string hashes so DuckDB derives identical
@@ -506,6 +546,8 @@ object PipelineQueries {
     "q_x5_url" -> x5Url,
     "q_t8_bigrams" -> t8Bigrams,
     "q_t9_redact" -> t9Redact,
+    "q_t10_pack" -> t10Pack,
+    "q_t11_repetition" -> t11Repetition,
     "q_m1_media_meta" -> m1MediaMeta,
     "q_m2_frames" -> m2Frames,
     "q_s1_topk_bruteforce" -> s1TopKBruteForce,
@@ -529,6 +571,8 @@ object PipelineQueries {
     "q_x5_url" -> x5Oracle,
     "q_t8_bigrams" -> t8Oracle,
     "q_t9_redact" -> t9Oracle,
+    "q_t10_pack" -> t10Oracle,
+    "q_t11_repetition" -> t11Oracle,
     "q_m1_media_meta" -> m1Oracle,
     "q_m2_frames" -> m2Oracle,
     "q_s1_topk_bruteforce" -> s1Oracle,

@@ -202,6 +202,55 @@ object TextAnalysis {
       .select(col(idCol), col("fp")).distinct()
   }
 
+  /** Pack documents into fixed-token-budget training shards: within each
+    * stratum, the running (exclusive) token total divided by the budget
+    * is the shard id — the standard streaming approximation of
+    * bin-packing for context-window shard assembly. One window over the
+    * stratum; deterministic order by the id column.
+    *
+    * Scale: the window partitions by stratum, so parallelism = stratum
+    * count; for a single giant stratum, pre-split by a hash prefix and
+    * treat (stratum, prefix) as the shard key.
+    */
+  def packByTokenBudget(df: DataFrame, idCol: String, strataCol: String,
+      tokenCol: String, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(strataCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("_before",
+        coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .withColumn("shard_id", (col("_before") / budget).cast("bigint"))
+      .drop("_before")
+  }
+
+  /** Gopher-style repetition signals per document: the dominant bigram's
+    * share of all bigrams and the duplicate-bigram fraction — the cheap
+    * filters that catch boilerplate/spam in pre-training corpora.
+    * Same posexplode+lag shape as the bigram stats (codegen-safe).
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val bigrams = df
+      .select(col(idCol), posexplode(split(normalize(col(textCol)), " ")))
+      .withColumnRenamed("col", "tok")
+      .filter(length(col("tok")) > 0)
+      .withColumn("prev", lag(col("tok"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col(idCol), concat_ws(" ", col("prev"), col("tok")).as("bigram"))
+    bigrams.groupBy(col(idCol), col("bigram")).agg(count(lit(1)).as("c"))
+      .groupBy(idCol)
+      .agg(
+        max(col("c")).as("top_bigram_n"),
+        sum(col("c")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"))
+      .withColumn("top_bigram_frac",
+        col("top_bigram_n").cast("double") / col("n_bigrams"))
+      .withColumn("dup_bigram_frac",
+        (col("n_bigrams") - col("n_distinct_bigrams")).cast("double") /
+          col("n_bigrams"))
+  }
+
   def langId(text: Column): Column = {
     val toks = split(normalize(text), " ")
     // struct(score DESC via negation, lang ASC) → array_min = argmax.
