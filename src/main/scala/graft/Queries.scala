@@ -614,6 +614,77 @@ object Queries {
       |  COUNT(*) AS n
       |FROM sc GROUP BY 1, 2, 3""".stripMargin
 
+  /** E19: compliance scoring per framework (change_analytics.go:506-582)
+    * — severities derived through the E18 rule chain, counted per
+    * framework (event_type), scored 85 − 10·crit − 5·high − 2·med with
+    * floor 0 and the improving/stable/declining trend thresholds. Whole
+    * scoring path hash-checked via identical CASE arithmetic.
+    */
+  val e19Score: Q = (s, d) => {
+    val fieldNames = Seq("iam_policy", "kms_key_id", "public_acl",
+      "instance_size", "delete_protection", "status", "iops_limit",
+      "description")
+    val field = element_at(
+      typedlit(fieldNames), (pmod(col("event_id"), lit(8)) + 1).cast("int"))
+    val sev = Changes.severityFromScore(Changes.impactScore(field))
+    val counts = t(s, d, "events")
+      .groupBy(col("event_type").as("framework"))
+      .agg(
+        count(when(sev === "CRITICAL", 1)).as("n_critical"),
+        count(when(sev === "HIGH", 1)).as("n_high"),
+        count(when(sev === "MEDIUM", 1)).as("n_medium"))
+    val (score, trend) = Analytics.complianceScoreCols(
+      col("n_critical"), col("n_high"), col("n_medium"))
+    counts.select(col("framework"), col("n_critical"), col("n_high"),
+      col("n_medium"), score.as("score"), trend.as("trend"))
+  }
+  val e19Oracle =
+    """WITH f AS (
+      |  SELECT event_type AS framework,
+      |    (['iam_policy','kms_key_id','public_acl','instance_size',
+      |      'delete_protection','status','iops_limit','description'])
+      |     [(event_id % 8) + 1] AS field
+      |  FROM events),
+      |sc AS (
+      |  SELECT framework,
+      |    LEAST(
+      |      (CASE WHEN field LIKE '%policy%' OR field LIKE '%permission%'
+      |               OR field LIKE '%role%' OR field LIKE '%security%' THEN 40
+      |            WHEN field LIKE '%encryption%' OR field LIKE '%kms%'
+      |               OR field LIKE '%key%' THEN 30
+      |            WHEN field LIKE '%public%' OR field LIKE '%acl%' THEN 15
+      |            ELSE 5 END) +
+      |      (CASE WHEN field LIKE '%delete%' OR field LIKE '%terminate%' THEN 30
+      |            WHEN field LIKE '%state%' OR field LIKE '%status%' THEN 20
+      |            WHEN field LIKE '%size%' OR field LIKE '%capacity%' THEN 10
+      |            ELSE 2 END) +
+      |      (CASE WHEN field LIKE '%instance%' OR field LIKE '%size%'
+      |               OR field LIKE '%tier%' OR field LIKE '%sku%' THEN 15
+      |            ELSE 0 END) +
+      |      (CASE WHEN field LIKE '%iops%' OR field LIKE '%throughput%'
+      |               OR field LIKE '%performance%' THEN 15 ELSE 0 END),
+      |      100) AS impact
+      |  FROM f),
+      |sv AS (
+      |  SELECT framework,
+      |    CASE WHEN impact >= 70 THEN 'CRITICAL'
+      |         WHEN impact >= 50 THEN 'HIGH'
+      |         WHEN impact >= 25 THEN 'MEDIUM' ELSE 'LOW' END AS sev
+      |  FROM sc),
+      |c AS (
+      |  SELECT framework,
+      |    COUNT(*) FILTER (WHERE sev = 'CRITICAL') AS n_critical,
+      |    COUNT(*) FILTER (WHERE sev = 'HIGH') AS n_high,
+      |    COUNT(*) FILTER (WHERE sev = 'MEDIUM') AS n_medium
+      |  FROM sv GROUP BY framework)
+      |SELECT framework, n_critical, n_high, n_medium,
+      |  GREATEST(0.0, 85.0 - 10 * n_critical - 5 * n_high - 2 * n_medium) AS score,
+      |  CASE WHEN GREATEST(0.0, 85.0 - 10 * n_critical - 5 * n_high - 2 * n_medium) > 90
+      |       THEN 'improving'
+      |       WHEN GREATEST(0.0, 85.0 - 10 * n_critical - 5 * n_high - 2 * n_medium) > 75
+      |       THEN 'stable' ELSE 'declining' END AS trend
+      |FROM c""".stripMargin
+
   /** K1: a composed KQL pipeline (S4/J6 surface — resource_graph.go's
     * `| where | extend extract_all | mv-expand | summarize count() by
     * | order by | take`) through the Kql operator module, hash-checked
@@ -1229,6 +1300,7 @@ object Queries {
     "q_a7_top_resources" -> a7TopResources,
     "q_e16_anomalies" -> e16Anomalies,
     "q_e18_impact" -> e18Impact,
+    "q_e19_score" -> e19Score,
     "q_k1_kql_pipeline" -> k1KqlPipeline,
     "q_g2_reach" -> g2Reach,
     "q_g3_khop" -> g3KHop,
@@ -1301,5 +1373,6 @@ object Queries {
     "q_c3_pack_params" -> c3Oracle,
     "q_c4_pack_protection" -> c4Oracle,
     "q_e18_impact" -> e18Oracle,
+    "q_e19_score" -> e19Oracle,
     "q_k1_kql_pipeline" -> k1Oracle)
 }

@@ -119,4 +119,17 @@ object Analytics {
     val trend = if (score > 90) "improving" else if (score > 75) "stable" else "declining"
     (score, trend)
   }
+
+  /** Columnar twin of [[complianceScore]] for scoring many frameworks in
+    * one distributed pass: takes per-severity count columns, yields the
+    * (score, trend) columns with identical arithmetic.
+    */
+  def complianceScoreCols(critical: Column, high: Column, medium: Column):
+      (Column, Column) = {
+    val score = greatest(lit(0.0),
+      lit(85.0) - lit(10) * critical - lit(5) * high - lit(2) * medium)
+    val trend = when(score > 90, "improving")
+      .when(score > 75, "stable").otherwise("declining")
+    (score, trend)
+  }
 }
