@@ -57,6 +57,25 @@ class SimilaritySpec extends SparkSpec {
     assert(r2 >= 0.2 && r2 <= r8, s"recall@2=$r2 recall@8=$r8")
   }
 
+  test("persisted IVF index partitioned by cell prunes probe reads") {
+    // The documented 100 TB path: write the assigned frame partitioned by
+    // cell; a probe of nProbe cells must read only those partitions
+    // (partition pruning visible in the scan's partition filters).
+    val (_, assigned) = Similarity.ivfIndex(emb, "vec_id", "embedding",
+      nCells = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    assigned.write.partitionBy("cell").mode("overwrite").parquet(dir)
+    val index = spark.read.parquet(dir)
+    val probe = index.filter(col("cell").isin(1, 3))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      (plan.contains("cell#") || plan.contains("isin") || plan.contains("IN")),
+      plan)
+    // the probe touches exactly the rows of the two cells
+    val expect = assigned.filter(col("cell").isin(1, 3)).count()
+    assert(probe.count() == expect)
+  }
+
   test("bruteForcePairs symmetric-free and thresholded") {
     val pairs = Similarity.bruteForcePairs(emb.limit(50), "vec_id", "embedding", 0.2)
       .collect()
