@@ -21,7 +21,14 @@ object Bench {
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Release checkpoint/cache blocks OUTSIDE the timer: ~144 executions
+      // otherwise hoard localCheckpoint blocks and drag every later query
+      // 2-6x (round-2 measured). Each run rebuilds its own blocks, so the
+      // release costs the next run nothing but a cold cache — which is
+      // exactly what BASELINE.md's per-query methodology measures.
+      Hygiene.release(spark)
+      dt
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t1 = timeOnce(fn)

@@ -397,6 +397,9 @@ object PipelineQueries {
         "doc_id", "lang", "n_tokens", budget = 2048)
       .groupBy("lang", "shard_id")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("shard_tokens"))
+  // Determinism: DuckDB SUM(BIGINT) yields HUGEINT, which a pandas-based
+  // harness fetch coerces to float64 ("14.0" vs Spark's "14" → hash miss).
+  // Every SUM is cast to BIGINT *before* any division or output.
   val t10Oracle =
     """WITH tok AS (
       |  SELECT doc_id, lang,
@@ -405,9 +408,10 @@ object PipelineQueries {
       |sh AS (
       |  SELECT lang, n_tokens,
       |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS shard_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) // 2048 AS shard_id
       |  FROM tok)
-      |SELECT lang, shard_id, COUNT(*) AS n_docs, SUM(n_tokens) AS shard_tokens
+      |SELECT lang, shard_id, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
       |FROM sh GROUP BY 1, 2""".stripMargin
 
   /** T11: repetition signals (Gopher-style boilerplate filters) — top
@@ -420,12 +424,15 @@ object PipelineQueries {
        |b AS (
        |  SELECT doc_id, w[i] || ' ' || w[i+1] AS bigram
        |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM t) z),
-       |c AS (SELECT doc_id, bigram, COUNT(*) AS c FROM b GROUP BY 1, 2)
-       |SELECT doc_id, MAX(c) AS top_bigram_n, SUM(c) AS n_bigrams,
-       |  COUNT(*) AS n_distinct_bigrams,
-       |  CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_frac,
-       |  CAST(SUM(c) - COUNT(*) AS DOUBLE) / SUM(c) AS dup_bigram_frac
-       |FROM c GROUP BY doc_id""".stripMargin
+       |c AS (SELECT doc_id, bigram, COUNT(*) AS c FROM b GROUP BY 1, 2),
+       |g AS (SELECT doc_id, MAX(c) AS top_bigram_n,
+       |        CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       |        COUNT(*) AS n_distinct_bigrams
+       |      FROM c GROUP BY doc_id)
+       |SELECT doc_id, top_bigram_n, n_bigrams, n_distinct_bigrams,
+       |  CAST(top_bigram_n AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS top_bigram_frac,
+       |  CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS dup_bigram_frac
+       |FROM g""".stripMargin
 
   /** D8: winnowing fingerprints (rolling k-gram hash + sliding-window
     * min, MOSS-style) — shared substrings of ≥ k+win-1 tokens guarantee a

@@ -37,7 +37,8 @@ object ComplianceExecutor {
       params: Map[String, Any]): Map[String, Either[String, String]] = {
     JsonMacros.register(spark)
     pack.queries.filter(_.enabled).map { q =>
-      val bound = QueryEngine.bindParams(q.sql, withDefaults(pack, params))
+      val bound = QueryEngine.bindParams(q.sql, withDefaults(pack, params),
+        QueryEngine.escapedLiterals(spark))
       q.id -> (QueryEngine.validate(spark, bound) match {
         case Left(err) => Left(err.message)
         case Right(()) => Try(QueryEngine.explain(spark.sql(bound)))
@@ -62,7 +63,8 @@ object ComplianceExecutor {
         onProgress(ProgressEvent.QueryFailed(q.id, err))
         QueryRun(q.id, q.title, Nil, Some(err), elapsedMs(t0))
       } else {
-        val bound = QueryEngine.bindParams(q.sql, allParams)
+        val bound = QueryEngine.bindParams(q.sql, allParams,
+          QueryEngine.escapedLiterals(spark))
         try {
           val rows = executeWithTimeout(spark, bound, timeout, q.id)
           val results = rows.map(toResult(_, q))

@@ -68,8 +68,16 @@ object QueryEngine {
     * comments are left untouched (a regex replace would rewrite them), and
     * `::` (cast-style) is never treated as a marker. Unknown `:name`
     * markers pass through unchanged so Spark reports them.
+    *
+    * `escapedLiterals` must mirror the target session's
+    * `spark.sql.parser.escapedStringLiterals`: when true, `\` is a literal
+    * character to the parser, so string values escape quotes by doubling
+    * (`''`) and backslashes pass through untouched; when false (default
+    * parser), both `\` and `'` are backslash-escaped. [[execute]] /
+    * [[executeParameterized]] read the conf themselves.
     */
-  def bindParams(sql: String, params: Map[String, Any]): String = {
+  def bindParams(sql: String, params: Map[String, Any],
+      escapedLiterals: Boolean = false): String = {
     val sb = new StringBuilder(sql.length + 32)
     val n = sql.length
     var i = 0
@@ -106,7 +114,7 @@ object QueryEngine {
           var j = i + 1
           while (j < n && (sql.charAt(j).isLetterOrDigit || sql.charAt(j) == '_')) j += 1
           params.get(sql.substring(i + 1, j)) match {
-            case Some(v) => sb.append(toLiteral(v)); i = j
+            case Some(v) => sb.append(toLiteral(v, escapedLiterals)); i = j
             case None    => sb.append(':'); i += 1
           }
         case c => sb.append(c); i += 1
@@ -115,29 +123,42 @@ object QueryEngine {
     sb.toString
   }
 
-  /** SQL literal for a parameter value. Strings escape both the quote AND
-    * the backslash: Spark's default parser treats `\` as an escape inside
-    * string literals, so a value ending in `\` (or containing `\'`) would
-    * otherwise swallow the closing quote and change statement structure.
+  /** SQL literal for a parameter value. With the default parser, strings
+    * escape both the quote AND the backslash (`\` is an escape inside
+    * string literals, so a value ending in `\` or containing `\'` would
+    * otherwise swallow the closing quote and change statement structure).
+    * With `spark.sql.parser.escapedStringLiterals=true` the backslash is
+    * literal, so ONLY quotes are escaped — by ANSI `''` doubling, which
+    * both parser modes accept.
     */
-  private def toLiteral(v: Any): String = v match {
+  private def toLiteral(v: Any, escapedLiterals: Boolean): String = v match {
     case null            => "NULL"
-    case s: String       => "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
-    case seq: Seq[_]     => seq.map(toLiteral).mkString("(", ", ", ")")
-    case arr: Array[_]   => toLiteral(arr.toSeq)
+    case s: String =>
+      if (escapedLiterals) "'" + s.replace("'", "''") + "'"
+      else "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    case seq: Seq[_]     => seq.map(toLiteral(_, escapedLiterals))
+      .mkString("(", ", ", ")")
+    case arr: Array[_]   => toLiteral(arr.toSeq, escapedLiterals)
     case b: Boolean      => b.toString
     case n: java.lang.Number => n.toString
     case t: java.sql.Timestamp => s"TIMESTAMP '$t'"
     case d: java.sql.Date      => s"DATE '$d'"
-    case other           => toLiteral(other.toString)
+    case other           => toLiteral(other.toString, escapedLiterals)
   }
+
+  /** The session's `spark.sql.parser.escapedStringLiterals` (bindParams
+    * must escape string literals to match the parser that will read them).
+    */
+  def escapedLiterals(spark: SparkSession): Boolean =
+    spark.conf.get("spark.sql.parser.escapedStringLiterals", "false").toBoolean
 
   /** Execute guarded SQL, returning corkscrew-shaped result+stats
     * (engine.go:130-229). For large results prefer [[executeStreaming]].
     */
   def execute(spark: SparkSession, sql: String,
       params: Map[String, Any] = Map.empty): QueryResult = {
-    val bound = if (params.isEmpty) sql else bindParams(sql, params)
+    val bound = if (params.isEmpty) sql
+      else bindParams(sql, params, escapedLiterals(spark))
     validate(spark, bound) match {
       case Left(err) => throw err
       case Right(()) =>
@@ -191,7 +212,8 @@ object QueryEngine {
     */
   def executeStreaming(spark: SparkSession, sql: String,
       params: Map[String, Any] = Map.empty): (Seq[ColumnInfo], Iterator[Row]) = {
-    val bound = if (params.isEmpty) sql else bindParams(sql, params)
+    val bound = if (params.isEmpty) sql
+      else bindParams(sql, params, escapedLiterals(spark))
     validate(spark, bound) match {
       case Left(err) => throw err
       case Right(()) =>

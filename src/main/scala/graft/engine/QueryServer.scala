@@ -31,6 +31,14 @@ class QueryServer(spark: SparkSession, port: Int = 0) {
   /** Bound port (useful when constructed with port 0). */
   def boundPort: Int = server.getAddress.getPort
 
+  // Long-lived-session hygiene: operator checkpoint frames orphaned by
+  // finished requests are only reclaimed when a GC proves them dead
+  // (ContextCleaner). Nudge periodically so a soak of checkpoint-heavy
+  // queries keeps flat latency; QueryCache entries stay referenced by the
+  // cache map and survive (see graft.Hygiene).
+  private val served = new java.util.concurrent.atomic.AtomicLong(0)
+  private val gcEvery = 16L
+
   def start(): Unit = server.start()
   def stop(): Unit = server.stop(0)
 
@@ -61,6 +69,7 @@ class QueryServer(spark: SparkSession, port: Int = 0) {
     exchange.sendResponseHeaders(status, bytes.length)
     val os = exchange.getResponseBody
     try os.write(bytes) finally os.close()
+    if (served.incrementAndGet() % gcEvery == 0) graft.Hygiene.gcNudge()
   }
 
   private def render(r: QueryEngine.QueryResult): String = {

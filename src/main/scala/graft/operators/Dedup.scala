@@ -78,8 +78,12 @@ object Dedup {
       .select(col(idCol).as("id"),
         split(TextAnalysis.normalize(col(textCol)), " ").as("toks"))
       .localCheckpoint(true)
-    toks.select(col("id"), hashedShinglesFromTokens(col("toks"), w).as("sh"))
+    val sh = toks
+      .select(col("id"), hashedShinglesFromTokens(col("toks"), w).as("sh"))
       .localCheckpoint(true)
+    // sh is materialized with its own blocks — the token barrier is dead.
+    toks.unpersist(blocking = false)
+    sh
   }
 
   /** Hashed shingles from an already-materialized token array attribute. */
@@ -189,14 +193,16 @@ object Dedup {
     graft.functions.VecExprs.register(df.sparkSession)
     // Same two-stage tokenize-then-shingle as shingleFrame (lambdas must
     // index a materialized token attribute, not the normalize subtree).
-    val sh = df
+    val toks = df
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(blockCol).as("blk"), col(idCol).as("id"),
         split(TextAnalysis.normalize(col(textCol)), " ").as("toks"))
       .localCheckpoint(true)
+    val sh = toks
       .select(col("blk"), col("id"),
         hashedShinglesFromTokens(col("toks"), w).as("sh"))
       .localCheckpoint(true) // compute shingles once, not per join side
+    toks.unpersist(blocking = false) // shingles materialized; tokens dead
     val a = sh.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("blk"))

@@ -163,9 +163,18 @@ object Graph {
     // node-count job is needed.
     val idType = sym.schema("a").dataType
     val nEdges = sym.count()
-    if (nEdges < 8L * 1000 * 1000 &&
-        (idType == org.apache.spark.sql.types.LongType ||
-         idType == org.apache.spark.sql.types.StringType)) {
+    // Two-stage gate: the edge count bounds the candidate set cheaply
+    // (materializes the persist anyway), then an approx node count over
+    // the persisted frame decides — the contracted path collects the full
+    // (id, comp) map per round, and 8M edges could mean 16M nodes, too
+    // much for a default driver. ±2% sketch error is irrelevant at a 4M
+    // threshold (~few hundred MB of collected rows).
+    val contractable = nEdges < 8L * 1000 * 1000 &&
+      (idType == org.apache.spark.sql.types.LongType ||
+       idType == org.apache.spark.sql.types.StringType) &&
+      sym.select(approx_count_distinct(col("a")))
+        .head.getLong(0) < 4L * 1000 * 1000
+    if (contractable) {
       val out = ccContracted(sym, maxIter)
       sym.unpersist(blocking = false)
       return out
@@ -264,7 +273,8 @@ object Graph {
     def run[K: org.apache.spark.sql.Encoder: scala.reflect.ClassTag](
         get: org.apache.spark.sql.Row => (K, K),
         mkLookup: scala.collection.mutable.HashMap[K, K] =>
-          (org.apache.spark.sql.Column => org.apache.spark.sql.Column))
+          (org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+           () => Unit))
         (implicit tt: scala.reflect.runtime.universe.TypeTag[K]): DataFrame = {
       var m = new scala.collection.mutable.HashMap[K, K]
       var ids: Array[K] = null
@@ -274,13 +284,18 @@ object Graph {
         iter += 1
         val tRound = System.nanoTime()
         // Round 1: identity labels (no lookup); this IS the init agg.
-        val lk = if (iter == 1) identity[org.apache.spark.sql.Column] _
-                 else mkLookup(m)
+        val (lk, releaseLk) =
+          if (iter == 1) (identity[org.apache.spark.sql.Column] _, () => ())
+          else mkLookup(m)
         val stepped = sym
           .select(col("a"), lk(col("b")).as("nb"))
           .groupBy(col("a").as("id")).agg(min("nb").as("nbr_comp"))
           .select(col("id"), least(lk(col("id")), col("nbr_comp")).as("comp"))
         val rows = stepped.collect()
+        // The collect consumed the lookup — free the round's broadcasts
+        // now, or a long session accumulates one key+value array pair per
+        // round for its lifetime.
+        releaseLk()
         if (ids == null) ids = rows.map(r => get(r)._1)
         val next = new scala.collection.mutable.HashMap[K, K]
         rows.foreach { r => val (k, v) = get(r); if (k != v) next.update(k, v) }
@@ -306,7 +321,8 @@ object Graph {
           val i = java.util.Arrays.binarySearch(bk.value, x)
           if (i >= 0) bv.value(i) else x
         })
-        c => f(c)
+        ((c: org.apache.spark.sql.Column) => f(c),
+         () => { bk.destroy(); bv.destroy() })
       })
     } else {
       run[String](r => (r.getString(0), r.getString(1)), m => {
@@ -319,7 +335,8 @@ object Graph {
             bk.value.asInstanceOf[Array[AnyRef]], x)
           if (i >= 0) bv.value(i) else x
         })
-        c => f(c)
+        ((c: org.apache.spark.sql.Column) => f(c),
+         () => { bk.destroy(); bv.destroy() })
       })
     }
   }

@@ -59,23 +59,45 @@ object Similarity {
     (((h % m) + m) % m).toDouble / 1000000.0 - 1.0
   }
 
-  /** Planes carry more dims than any vector we meet; vec_dot stops at the
-    * shorter operand, so the same literal serves every embedding width up
-    * to MaxDim. Kept modest because every LSH bit embeds one plane as a
-    * literal array in the plan — at 512 dims × 48 bits the codegen
-    * compiles 24k doubles of literals and plan build dominates the query.
-    * Widen (or project wider vectors down) for >128-dim corpora.
+  /** Default plane width; vec_dot stops at the shorter operand, so one
+    * literal serves every embedding width up to the plane's. Kept modest
+    * because every LSH bit embeds one plane as a literal array in the plan
+    * — at 512 dims × 48 bits the codegen compiles 24k doubles of literals
+    * and plan build starts to dominate small queries. [[lshTopK]] and
+    * [[cosineNearDups]] sample the corpus width and widen the planes to
+    * match (up to [[PlaneDimCap]]), so wider embeddings hash their FULL
+    * projection instead of silently truncating to a 128-dim prefix.
     */
   private val MaxDim = 128
-  private def plane(bb: Int): Array[Double] =
-    Array.tabulate(MaxDim)(planeComponent(bb, _))
+
+  /** Hard ceiling on sampled plane width: beyond this, literal-plane
+    * codegen is the wrong tool — project the embeddings down (PCA/OPQ or
+    * a slice) before LSH, as any production indexer would at 100 TB.
+    */
+  private val PlaneDimCap = 1024
+  private def plane(bb: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim)(planeComponent(bb, _))
+
+  /** Observed vector width from one sampled row (embedding columns are
+    * fixed-width per corpus); MaxDim on an empty input. Fails fast past
+    * [[PlaneDimCap]] instead of degrading recall silently.
+    */
+  private def sampledDim(vectors: DataFrame, vecCol: String): Int = {
+    val d = vectors.select(size(col(vecCol)).as("d")).take(1)
+      .headOption.map(_.getInt(0)).getOrElse(MaxDim)
+    require(d <= PlaneDimCap,
+      s"embedding width $d exceeds LSH plane cap $PlaneDimCap — " +
+        "project the vectors down before LSH bucketing")
+    math.max(d, 1)
+  }
 
   /** Sign-bit bucket for bits [bitBase, bitBase+nBits) as one bit-packed
-    * long, built from literal-plane projections.
+    * long, built from literal-plane projections of width `dim`.
     */
-  private def packedBucket(vec: Column, bitBase: Int, nBits: Int): Column =
+  private def packedBucket(vec: Column, bitBase: Int, nBits: Int,
+      dim: Int): Column =
     (0 until nBits).map { b =>
-      when(dot(vec, typedlit(plane(bitBase + b))) > 0, lit(1L << b))
+      when(dot(vec, typedlit(plane(bitBase + b, dim))) > 0, lit(1L << b))
         .otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
 
@@ -106,8 +128,8 @@ object Similarity {
     * storing planes (see [[planeComponent]]; same values as the original
     * per-row hash expression). Returns a bucket id (bit-packed signs).
     */
-  def lshBucket(vec: Column, nBits: Int = 12): Column =
-    packedBucket(vec, 0, nBits)
+  def lshBucket(vec: Column, nBits: Int = 12, dim: Int = MaxDim): Column =
+    packedBucket(vec, 0, nBits, dim)
 
   /** Approximate top-k: score only vectors whose LSH bucket matches the
     * query's bucket in at least one of `tables` independent hash tables
@@ -118,12 +140,13 @@ object Similarity {
       queries: DataFrame, k: Int, nBits: Int = 4, tables: Int = 12): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     init(vectors.sparkSession)
+    val dim = sampledDim(vectors, vecCol)
     // per-table planes: offset the bit index by table * nBits; tables are
     // unrolled statically so every projection is a literal-plane vec_dot
     def bucketed(df: DataFrame, vc: String, out: String): DataFrame =
       df.withColumn("tb", explode(array((0 until tables).map { tbl =>
           struct(lit(tbl).as("tbl"),
-            packedBucket(col(vc), tbl * nBits, nBits).as("b"))
+            packedBucket(col(vc), tbl * nBits, nBits, dim).as("b"))
         }: _*)))
         .withColumn("tbl", col("tb.tbl"))
         .withColumn(out, col("tb.b"))
@@ -199,12 +222,23 @@ object Similarity {
     * is HALF_UP at 6 decimals exactly like Spark's round().
     */
   private def blockedPairs(vectors: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nBlocks: Int = 16): DataFrame = {
+      threshold: Double, nBlocks: Int = 0): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val v = vectors.select(col(idCol).cast("long").as("id"),
+    val intIds = vectors.schema(idCol).dataType ==
+      org.apache.spark.sql.types.IntegerType
+    val v0 = vectors.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<float>").as("vec"))
-      .withColumn("blk", pmod(hash(col("id")), lit(nBlocks)))
+    // Block count scales with input size: each block materializes as ONE
+    // collect_list row, so block size (n/B) bounds both the single-row
+    // ceiling (~2GB) and executor heap. ~4k vectors/block ≈ 8MB at 512
+    // dims; the cap keeps B² (task count) sane — past it the exact
+    // all-pairs baseline is the wrong tool anyway (use cosineNearDups).
+    val b = if (nBlocks > 0) nBlocks else {
+      val n = v0.count()
+      math.min(1024L, math.max(16L, (n + 4095L) / 4096L)).toInt
+    }
+    val v = v0.withColumn("blk", pmod(hash(col("id")), lit(b)))
     val blocks = v.groupBy("blk")
       .agg(collect_list(struct(col("id"), col("vec"))).as("rows"))
     val pairsOfBlocks = blocks.select(col("blk").as("blk_x"), col("rows").as("rows_x"))
@@ -246,7 +280,7 @@ object Similarity {
         .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
     }
 
-    pairsOfBlocks.flatMap { row =>
+    val pairs = pairsOfBlocks.flatMap { row =>
       val same = row.getInt(0) == row.getInt(1)
       val (xi, xv, xn) = unpack(row.getSeq[org.apache.spark.sql.Row](2))
       val (yi, yv, yn) =
@@ -267,6 +301,12 @@ object Similarity {
       }
       out
     }.toDF("id_a", "id_b", "cosine_sim")
+    // Hand back ids in the caller's type (int ids were widened to long for
+    // the primitive loop) so the output schema doesn't depend on the path.
+    if (intIds)
+      pairs.select(col("id_a").cast("int"), col("id_b").cast("int"),
+        col("cosine_sim"))
+    else pairs
   }
 
   /** IVF (inverted-file) index: k-means centroids + per-vector cell
@@ -294,6 +334,7 @@ object Similarity {
     val assigned = model.transform(feat)
       .select(col("id"), col("vec"), col("prediction").as("cell"))
       .localCheckpoint(true)
+    feat.unpersist(blocking = false) // fit + assignment done; barrier dead
     (centroids, assigned)
   }
 
@@ -332,7 +373,8 @@ object Similarity {
     init(vectors.sparkSession)
     val vb = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"),
         norm(col(vecCol)).as("nrm"))
-      .withColumn("bucket", lshBucket(col("vec"), nBits))
+      .withColumn("bucket",
+        lshBucket(col("vec"), nBits, sampledDim(vectors, vecCol)))
       .localCheckpoint(true)
     val a = vb.select(col("bucket"), col("id").as("id_a"),
       col("vec").as("vec_a"), col("nrm").as("nrm_a"))

@@ -219,7 +219,10 @@ object TextAnalysis {
       .rowsBetween(Window.unboundedPreceding, -1)
     df.withColumn("_before",
         coalesce(sum(col(tokenCol)).over(w), lit(0L)))
-      .withColumn("shard_id", (col("_before") / budget).cast("bigint"))
+      // integer floor-division: exact past 2^53 tokens, where a double
+      // quotient would lose ulps (and truncate-vs-floor diverges if a
+      // caller ever feeds negative token counts)
+      .withColumn("shard_id", expr(s"_before div ${budget}"))
       .drop("_before")
   }
 
@@ -244,11 +247,14 @@ object TextAnalysis {
         max(col("c")).as("top_bigram_n"),
         sum(col("c")).as("n_bigrams"),
         count(lit(1)).as("n_distinct_bigrams"))
+      // fractions derived from the emitted integer columns, double/double
+      // on both engines — no engine-specific wide-int promotion in the
+      // division path (the integer columns stay authoritative)
       .withColumn("top_bigram_frac",
-        col("top_bigram_n").cast("double") / col("n_bigrams"))
+        col("top_bigram_n").cast("double") / col("n_bigrams").cast("double"))
       .withColumn("dup_bigram_frac",
         (col("n_bigrams") - col("n_distinct_bigrams")).cast("double") /
-          col("n_bigrams"))
+          col("n_bigrams").cast("double"))
   }
 
   def langId(text: Column): Column = {
