@@ -9,7 +9,11 @@ final case class PackParameter(
     description: String,
     paramType: String, // string | int | float | bool | list
     required: Boolean,
-    default: Option[Any])
+    default: Option[Any],
+    // validation rules (pack.go:378-436): pattern / min_length /
+    // max_length / min_value / max_value / allowed_values
+    validation: Map[String, Any] = Map.empty,
+    examples: Seq[Any] = Nil)
 
 final case class PackQuery(
     id: String,
@@ -19,7 +23,27 @@ final case class PackQuery(
     queryFile: String,
     parameters: Seq[String],
     enabled: Boolean,
-    sql: String)
+    sql: String,
+    // descriptive metadata (pack.go:51-75) — parsed and round-tripped so a
+    // reference manifest loses nothing
+    description: String = "",
+    objective: String = "",
+    controlFamily: String = "",
+    nistCsf: String = "",
+    tags: Seq[String] = Nil,
+    threats: Seq[String] = Nil)
+
+/** A spec.depends_on entry — either a bare fullName string or the
+  * structured {name, namespace, version, required} map form the reference
+  * manifests use (packs/cfi/ccc-storage/manifest.yaml depends_on block).
+  */
+final case class PackDependency(
+    name: String,
+    namespace: String,
+    versionConstraint: String,
+    required: Boolean) {
+  def ref: String = if (namespace.nonEmpty) s"$namespace/$name" else name
+}
 
 final case class PackManifest(
     name: String,
@@ -29,7 +53,18 @@ final case class PackManifest(
     provider: String,
     dependsOn: Seq[String],
     parameters: Seq[PackParameter],
-    queries: Seq[PackQuery]) {
+    queries: Seq[PackQuery],
+    // PackMetadata fidelity fields (pack.go:29-47)
+    author: String = "",
+    maintainers: Seq[String] = Nil,
+    tags: Seq[String] = Nil,
+    resources: Seq[String] = Nil,
+    frameworks: Seq[String] = Nil,
+    minEngineVersion: String = "",
+    labels: Map[String, String] = Map.empty,
+    annotations: Map[String, String] = Map.empty,
+    includes: Seq[String] = Nil,
+    dependencies: Seq[PackDependency] = Nil) {
   /** `publisher/framework/name` id (loader.go namespace scheme). */
   def fullName: String = s"$namespace/$name"
 }

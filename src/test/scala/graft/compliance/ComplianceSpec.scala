@@ -102,4 +102,103 @@ class ComplianceSpec extends SparkSpec {
     plans.values.foreach(p => assert(p.isRight, p))
     assert(plans("CCC.ObjStor.C02").toOption.get.contains("Physical Plan"))
   }
+
+  test("manifest metadata fidelity fields round-trip (pack.go:29-47)") {
+    assert(pack.author == "Cloud Foundry Initiative")
+    assert(pack.maintainers == Seq("security-team@example.org"))
+    assert(pack.tags == Seq("ccc", "storage", "security", "compliance"))
+    assert(pack.resources == Seq("s3", "kms"))
+    assert(pack.frameworks == Seq("ccc", "iso27001", "nist"))
+    assert(pack.minEngineVersion == "1.0.0")
+    assert(pack.labels == Map("category" -> "security", "domain" -> "storage"))
+    assert(pack.annotations.get("documentation")
+      .exists(_.contains("common-cloud-controls")))
+    val c01 = pack.queries.find(_.id == "CCC.ObjStor.C01").get
+    assert(c01.controlFamily == "Data" && c01.nistCsf == "PR.DS-1")
+    assert(c01.tags.contains("kms") && c01.threats == Seq("CCC.TH01", "CCC.TH06"))
+    assert(c01.description.contains("untrusted KMS keys"))
+    assert(c01.objective.contains("trusted KMS keys"))
+  }
+
+  test("reference manifest parses verbatim when SQL files are present") {
+    // Replica of the reference manifest's structural surface
+    // (pkg/query/compliance/packs/cfi/ccc-storage/manifest.yaml):
+    // structured depends_on maps, parameter validation + examples blocks.
+    val dir = java.nio.file.Files.createTempDirectory("graft-manifest")
+    java.nio.file.Files.createDirectories(dir.resolve("queries"))
+    java.nio.file.Files.writeString(dir.resolve("queries/q.sql"), "SELECT 1")
+    java.nio.file.Files.writeString(dir.resolve("manifest.yaml"),
+      """apiVersion: v1
+        |kind: QueryPack
+        |metadata:
+        |  name: ccc-storage
+        |  namespace: cfi/ccc
+        |  version: 1.0.0
+        |  description: Common Cloud Controls (CCC) for Object Storage
+        |  author: Cloud Foundry Initiative
+        |  maintainers:
+        |    - security-team@example.org
+        |  tags: [ccc, storage]
+        |  provider: aws
+        |  resources: [s3, kms]
+        |  frameworks: [ccc, iso27001, nist]
+        |  min_engine_version: 1.0.0
+        |spec:
+        |  parameters:
+        |    - name: trusted_kms_keys
+        |      description: List of trusted KMS key ARNs
+        |      type: list
+        |      required: true
+        |      validation:
+        |        min_length: 1
+        |      examples:
+        |        - ["arn:aws:kms:us-east-1:123456789012:key/k"]
+        |  queries:
+        |    - id: CCC.ObjStor.C01
+        |      title: Untrusted KMS keys
+        |      severity: HIGH
+        |      category: security
+        |      control_family: Data
+        |      nist_csf: PR.DS-1
+        |      query_file: queries/q.sql
+        |      parameters: [trusted_kms_keys]
+        |      threats: [CCC.TH01, CCC.TH06]
+        |      enabled: true
+        |  depends_on:
+        |    - name: ccc-common
+        |      namespace: cfi/ccc
+        |      version: ">=1.0.0"
+        |      required: false
+        |  includes:
+        |    - ccc-iam-common.yaml
+        |""".stripMargin)
+    val m = PackLoader.load(dir.resolve("manifest.yaml"))
+    assert(m.dependencies ==
+      Seq(PackDependency("ccc-common", "cfi/ccc", ">=1.0.0", required = false)))
+    assert(m.includes == Seq("ccc-iam-common.yaml"))
+    assert(m.parameters.head.validation == Map("min_length" -> 1))
+    assert(m.parameters.head.examples.size == 1)
+    // optional missing dependency is skipped, not an error (loader.go:226-307)
+    val order = PackLoader.resolveWithDeps(m.fullName, Map(m.fullName -> m))
+    assert(order.map(_.name) == Seq("ccc-storage"))
+  }
+
+  test("validation: provider, namespace format, duplicate ids, rule sanity") {
+    assert(PackLoader.validate(pack.copy(provider = ""))
+      .exists(_.contains("provider")))
+    assert(PackLoader.validate(pack.copy(namespace = "noslash"))
+      .exists(_.contains("publisher/framework")))
+    assert(PackLoader.validate(
+      pack.copy(queries = Seq(pack.queries.head, pack.queries.head)))
+      .exists(_.contains("duplicate query id")))
+    val p0 = pack.parameters.head
+    assert(PackLoader.validate(pack.copy(parameters = Seq(p0, p0)))
+      .exists(_.contains("duplicate parameter name")))
+    assert(PackLoader.validate(pack.copy(parameters = Seq(p0.copy(
+      validation = Map("min_value" -> 10, "max_value" -> 1)))))
+      .exists(_.contains("min_value cannot be greater")))
+    assert(PackLoader.validate(pack.copy(parameters = Seq(p0.copy(
+      validation = Map("pattern" -> "[unclosed")))))
+      .exists(_.contains("invalid regex")))
+  }
 }
