@@ -176,6 +176,22 @@ object Queries {
       |  quantile_cont(value, 0.95) AS p95
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** A15: approximate percentiles — the measured 100 TB path for A13.
+    * `percentile_approx` aggregates a bounded sketch
+    * (positional quantile digest, accuracy 10k ⇒ ≤0.01% rank error)
+    * with map-side partial merge, so memory stays O(accuracy) per group
+    * while the exact form must sort every value. Sketch-specific output
+    * ⇒ no SQL oracle; ApproxPercentileSpec bounds the error vs the exact
+    * A13 answer at 5%.
+    */
+  val a15ApproxPercentiles: Q = (s, d) =>
+    t(s, d, "events").groupBy("event_type")
+      .agg(percentile_approx(col("value"), typedlit(Seq(0.5, 0.95)),
+        lit(10000)).as("q"))
+      .select(col("event_type"),
+        element_at(col("q"), 1).as("p50"),
+        element_at(col("q"), 2).as("p95"))
+
   /** A14: integer-bucket histogram (beyond the reference) — value
     * distribution profiling with pure integer division, so both engines
     * agree exactly. The everyday "what does this column look like" job.
@@ -963,12 +979,13 @@ object Queries {
 
   /** E6/E7/E8: load the embedded CCC pack, execute its C02 query through
     * the engine (macro registration, param binding, guard) over the
-    * corkscrew-shaped fixtures. Rows-only check: the fixture table is
-    * in-memory, so the DuckDB oracle can't see it; semantics are asserted
-    * in ComplianceSpec instead.
+    * corkscrew-shaped fixtures. The fixtures are also written to parquet
+    * inside the repo so the DuckDB oracle reads the identical rows and
+    * the canonical pack run is hash-checked, not rows-only.
     */
   val c1PackQuery: Q = (s, _) => {
     graft.fixtures.CorkscrewFixtures.register(s)
+    graft.fixtures.CorkscrewFixtures.writeParquet(s)
     JsonMacros.register(s)
     val pack = graft.compliance.PackLoader.load(
       java.nio.file.Paths.get(
@@ -1046,9 +1063,10 @@ object Queries {
     val q = pack.queries.find(_.id == "CCC.ObjStor.C02").get
     s.sql(QueryEngine.bindParams(q.sql, Map.empty))
   }
-  val c2Oracle =
-    s"""WITH aws_resources AS ($scaledAwsResourcesSql),
-       |bucket_public_access AS (
+  // The C02 DuckDB translation body (everything after the aws_resources
+  // CTE) — shared by the scaled oracle (c2) and the fixture oracle (c1).
+  private val c02DuckBody =
+    s"""bucket_public_access AS (
        |    SELECT
        |        r.id, r.name, r.arn, r.region, r.account_id,
        |        json_extract_string(r.raw_data, '$$.PublicAccessBlockConfiguration.BlockPublicAcls') AS block_public_acls,
@@ -1101,6 +1119,42 @@ object Queries {
        |    ) AS details,
        |    scanned_at
        |FROM non_compliant_buckets""".stripMargin
+
+  val c2Oracle: String =
+    "WITH aws_resources AS (" + scaledAwsResourcesSql + "),\n" + c02DuckBody
+
+  /** C1 oracle: the same C02 DuckDB translation over the fixture parquet
+    * the Spark side materialized (scanned_at excluded — the Spark query
+    * drops it).
+    */
+  val c1Oracle: String =
+    "SELECT * EXCLUDE (scanned_at) FROM (WITH aws_resources AS " +
+      s"(SELECT * FROM read_parquet('${graft.fixtures.CorkscrewFixtures.parquetDir}/*.parquet')),\n" +
+      c02DuckBody + ") z"
+
+  /** C5: the reference's canonical macro example
+    * (json_helpers_test.go:247-323 TestComplexQueryExample) — extract_json
+    * on a nested array path plus has_tag, over the macro fixture row, with
+    * the DuckDB twin reading the materialized fixture parquet.
+    */
+  val c5MacroCanonical: Q = (s, _) => {
+    graft.fixtures.CorkscrewFixtures.register(s)
+    graft.fixtures.CorkscrewFixtures.writeParquet(s)
+    JsonMacros.register(s)
+    s.sql("""SELECT name,
+      extract_json(raw_data, '$.BucketPolicy.Statement[0].Effect') AS policy_effect,
+      has_tag(tags, 'Environment', 'production') AS is_prod
+      FROM aws_resources
+      WHERE type = 'AWS::S3::Bucket'
+      ORDER BY name""")
+  }
+  val c5Oracle: String =
+    s"""SELECT name,
+       |  json_extract_string(raw_data, '$$.BucketPolicy.Statement[0].Effect') AS policy_effect,
+       |  COALESCE(json_extract_string(tags, '$$.Environment') = 'production', false) AS is_prod
+       |FROM read_parquet('${graft.fixtures.CorkscrewFixtures.parquetDir}/*.parquet')
+       |WHERE type = 'AWS::S3::Bucket'
+       |ORDER BY name""".stripMargin
 
   /** C3: the CCC.ObjStor.C01 pack query (untrusted KMS keys) over the
     * scaled resource table, bound through the engine's named-parameter
@@ -1269,6 +1323,92 @@ object Queries {
        |    scanned_at
        |FROM protection_issues""".stripMargin
 
+  // ===== §2.10 typed service views ====================================
+
+  /** V1: the `aws_s3_buckets` typed view (ServiceViews) over the scaled
+    * resource table — schema-on-read `from_json` projection of raw_data
+    * (the reference's generated aws_s3_buckets table,
+    * schema_generator.go:189-219). Hash-checks the typed scalar columns,
+    * the derived booleans, and the re-emitted JSON subtree.
+    */
+  val v1TypedS3: Q = (s, d) => {
+    Tables.register(s, d)
+    s.sql(scaledAwsResourcesSql).createOrReplaceTempView("aws_resources")
+    graft.catalog.ServiceViews.registerAll(s)
+    s.sql("""SELECT id, name, region, versioning_status, encryption_enabled,
+      public_access_blocked, lifecycle_configuration FROM aws_s3_buckets""")
+  }
+  val v1Oracle: String =
+    "WITH aws_resources AS (" + scaledAwsResourcesSql + ")\n" +
+      s"""SELECT id, name, region,
+         |  json_extract_string(raw_data, '$$.Versioning.Status') AS versioning_status,
+         |  json_extract(raw_data, '$$.ServerSideEncryptionConfiguration') IS NOT NULL AS encryption_enabled,
+         |  (COALESCE(json_extract_string(raw_data, '$$.PublicAccessBlockConfiguration.BlockPublicAcls'), 'false') = 'true'
+         |   AND COALESCE(json_extract_string(raw_data, '$$.PublicAccessBlockConfiguration.BlockPublicPolicy'), 'false') = 'true'
+         |   AND COALESCE(json_extract_string(raw_data, '$$.PublicAccessBlockConfiguration.IgnorePublicAcls'), 'false') = 'true'
+         |   AND COALESCE(json_extract_string(raw_data, '$$.PublicAccessBlockConfiguration.RestrictPublicBuckets'), 'false') = 'true')
+         |    AS public_access_blocked,
+         |  CAST(json_extract(raw_data, '$$.LifecycleConfiguration') AS STRING) AS lifecycle_configuration
+         |FROM aws_resources WHERE type = 'AWS::S3::Bucket'""".stripMargin
+
+  /** V2: the `gcp_iam_analysis` view shape (db_schema.go:499-509) over a
+    * TPC-H-derived fabric: suppliers as service accounts, parts as
+    * resources, lineitem (l_partkey → l_suppkey) as relationship edges.
+    * resource_types is emitted as a sorted joined string so both engines
+    * agree on set order and empty-set representation.
+    */
+  val v2IamAnalysis: Q = (s, d) => {
+    Tables.register(s, d)
+    val sa = s.table("supplier").select(
+      concat(lit("sa-"), col("s_suppkey")).as("id"),
+      concat(lit("sa-"), col("s_suppkey"), lit("@proj-"), col("s_nationkey"),
+        lit(".iam")).as("email"),
+      concat(lit("proj-"), col("s_nationkey")).as("project_id"))
+    val res = s.table("part").select(
+      concat(lit("res-"), col("p_partkey")).as("id"),
+      when(pmod(col("p_partkey"), lit(3)) === 0, lit("compute"))
+        .when(pmod(col("p_partkey"), lit(3)) === 1, lit("storage"))
+        .otherwise(lit("bigquery")).as("service"),
+      when(pmod(col("p_partkey"), lit(3)) === 0, lit("Instance"))
+        .when(pmod(col("p_partkey"), lit(3)) === 1, lit("Bucket"))
+        .otherwise(lit("Dataset")).as("type"))
+    val rel = s.table("lineitem").select(
+      concat(lit("res-"), col("l_partkey")).as("source_id"),
+      concat(lit("sa-"), col("l_suppkey")).as("target_id"))
+    graft.catalog.ServiceViews.gcpIamAnalysis(sa, rel, res)
+      .withColumn("resource_types",
+        expr("nullif(array_join(resource_types, ','), '')"))
+  }
+  val v2Oracle: String =
+    """WITH sa AS (
+      |  SELECT 'sa-' || CAST(s_suppkey AS STRING) AS id,
+      |    'sa-' || CAST(s_suppkey AS STRING) || '@proj-' ||
+      |      CAST(s_nationkey AS STRING) || '.iam' AS email,
+      |    'proj-' || CAST(s_nationkey AS STRING) AS project_id
+      |  FROM supplier),
+      |res AS (
+      |  SELECT 'res-' || CAST(p_partkey AS STRING) AS id,
+      |    CASE WHEN p_partkey % 3 = 0 THEN 'compute'
+      |         WHEN p_partkey % 3 = 1 THEN 'storage'
+      |         ELSE 'bigquery' END AS service,
+      |    CASE WHEN p_partkey % 3 = 0 THEN 'Instance'
+      |         WHEN p_partkey % 3 = 1 THEN 'Bucket'
+      |         ELSE 'Dataset' END AS type
+      |  FROM part),
+      |rel AS (
+      |  SELECT 'res-' || CAST(l_partkey AS STRING) AS source_id,
+      |    'sa-' || CAST(l_suppkey AS STRING) AS target_id
+      |  FROM lineitem)
+      |SELECT sa.email AS service_account, sa.project_id,
+      |  COUNT(DISTINCT rel.source_id) AS attached_resources,
+      |  array_to_string(list_sort(list_distinct(
+      |    list(res.service || ':' || res.type)
+      |      FILTER (WHERE res.service IS NOT NULL))), ',') AS resource_types
+      |FROM sa
+      |LEFT JOIN rel ON rel.target_id = sa.id
+      |LEFT JOIN res ON rel.source_id = res.id
+      |GROUP BY sa.email, sa.project_id""".stripMargin
+
   // ===== registry ======================================================
 
   val all: Map[String, Q] = Map(
@@ -1308,6 +1448,9 @@ object Queries {
     "q_g5_edge_derivation" -> g5EdgeDerivation,
     "q_g6_components" -> g6Components,
     "q_c1_compliance_pack" -> c1PackQuery,
+    "q_c5_macro_canonical" -> c5MacroCanonical,
+    "q_v1_typed_s3_view" -> v1TypedS3,
+    "q_v2_iam_analysis" -> v2IamAnalysis,
     "q_c2_pack_scaled" -> c2PackScaled,
     "q_c3_pack_params" -> c3PackParams,
     "q_c4_pack_protection" -> c4PackProtection,
@@ -1318,6 +1461,7 @@ object Queries {
     "q_a11_pivot" -> a11Pivot,
     "q_a12_rollup" -> a12Rollup,
     "q_a13_percentiles" -> a13Percentiles,
+    "q_a15_approx_percentiles" -> a15ApproxPercentiles,
     "q_x1_scalar_battery" -> x1ScalarBattery,
     "q_x2_interval" -> x2Interval,
     "q_x3_asof_join" -> x3AsofJoin,
@@ -1369,6 +1513,10 @@ object Queries {
     "q_a13_percentiles" -> a13Oracle,
     "q_a14_histogram" -> a14Oracle,
     "q_w6_window_battery" -> w6Oracle,
+    "q_c1_compliance_pack" -> c1Oracle,
+    "q_c5_macro_canonical" -> c5Oracle,
+    "q_v1_typed_s3_view" -> v1Oracle,
+    "q_v2_iam_analysis" -> v2Oracle,
     "q_c2_pack_scaled" -> c2Oracle,
     "q_c3_pack_params" -> c3Oracle,
     "q_c4_pack_protection" -> c4Oracle,

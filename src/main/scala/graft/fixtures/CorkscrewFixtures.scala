@@ -80,6 +80,18 @@ object CorkscrewFixtures {
     relationships(spark).createOrReplaceTempView("cloud_relationships")
   }
 
+  /** Fixture parquet location: inside the repo so the driver's DuckDB
+    * oracle can `read_parquet` the very same rows the Spark side queried
+    * (the fixtures are otherwise in-memory and invisible to the oracle).
+    */
+  val parquetDir = "/root/repo/target/fixtures/aws_resources"
+
+  /** Materialize the fixture rows as parquet (idempotent overwrite; rows
+    * are deterministic, so every writer produces identical content).
+    */
+  def writeParquet(spark: SparkSession): Unit =
+    awsResources(spark).coalesce(1).write.mode("overwrite").parquet(parquetDir)
+
   final case class Relationship(
       from_id: String, to_id: String, relationship_type: String,
       provider: String, properties: String, direction: String,

@@ -40,6 +40,42 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"recall $recall too low")
   }
 
+  test("LSH planes widen to the sampled width: 256-dim recall survives") {
+    // Adversarial for prefix truncation: dims 0-127 are per-vector noise,
+    // the cluster signal lives ONLY in dims 128-255. Hashing a 128-dim
+    // prefix (the old hard cap) would bucket on pure noise and recall
+    // would collapse; sampling the width keeps same-cluster vectors in
+    // shared buckets.
+    val rnd = new scala.util.Random(42)
+    val dim = 256
+    val centers = Array.fill(4)(Array.fill(dim / 2)(
+      (if (rnd.nextBoolean()) 4f else -4f)))
+    val vecs = (0L until 200L).map { i =>
+      val noise = Array.fill(dim / 2)(rnd.nextGaussian().toFloat)
+      (i, noise ++ centers((i % 4).toInt))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val qs = df.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(df, "vec_id", "embedding", qs, 10)
+      .select("query_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(df, "vec_id", "embedding", qs, 10)
+      .select("query_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"256-dim recall $recall — planes not widened?")
+  }
+
+  test("LSH rejects embeddings beyond the plane cap instead of truncating") {
+    val wide = Seq((0L, Array.fill(1025)(1f)), (1L, Array.fill(1025)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val qs = wide.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.lshTopK(wide, "vec_id", "embedding", qs, 5).collect()
+    }
+    assert(e.getMessage.contains("plane cap"))
+  }
+
   test("IVF index partitions the corpus; top-k recall rises with nProbe") {
     val (centroids, assigned) = Similarity.ivfIndex(emb, "vec_id", "embedding",
       nCells = 8)
