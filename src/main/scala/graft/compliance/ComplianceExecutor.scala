@@ -87,6 +87,12 @@ object ComplianceExecutor {
       params: Map[String, Any]): Map[String, Any] =
     pack.parameters.flatMap(p => p.default.map(p.name -> _)).toMap ++ params
 
+  /** Reference result cap: queries collect at most this many rows
+    * (base_change_tracker.go:76-82 caps query limits at 10000), so a
+    * runaway pack query cannot OOM the driver.
+    */
+  val MaxResultRows = 10000
+
   /** Per-query timeout via job-group cancellation (executor.go:167-172). */
   private def executeWithTimeout(spark: SparkSession, sql: String,
       timeout: Duration, group: String): Seq[Row] = {
@@ -94,7 +100,7 @@ object ComplianceExecutor {
     val sc = spark.sparkContext
     val fut = Future {
       sc.setJobGroup(group, s"compliance:$group", interruptOnCancel = true)
-      try spark.sql(sql).collect().toSeq
+      try spark.sql(sql).limit(MaxResultRows).collect().toSeq
       finally sc.clearJobGroup()
     }
     try Await.result(fut, timeout)

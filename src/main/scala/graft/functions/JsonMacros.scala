@@ -34,9 +34,16 @@ object JsonMacros {
   private def badJson(j: Column): Column =
     j.isNull || j === "" || j === "null" || !jsonValid(j)
 
-  /** json_helpers.go:27-33. */
+  /** json_helpers.go:27-33. Guard note: the full badJson() validity parse
+    * is REDUNDANT here — get_json_object natively returns NULL exactly
+    * when its own (same) parser fails, so only the literal cases that
+    * Jackson would accept ('null', p='$' round-trips) need guarding. One
+    * JSON parse per call instead of two; this macro sits in every pack
+    * query's hot path.
+    */
   def extract_json(j: Column, p: Column): Column =
-    when(badJson(j) || p.isNull, lit(null).cast("string"))
+    when(j.isNull || j === "" || j === "null" || p.isNull,
+        lit(null).cast("string"))
       .otherwise(call_function("get_json_object", j, p))
 
   /** json_helpers.go:37-43 — returns the JSON fragment (DuckDB
@@ -75,10 +82,12 @@ object JsonMacros {
   def register(spark: SparkSession): Unit = {
     val validGuard =
       "j IS NULL OR j = '' OR j = 'null' OR (get_json_object(j, '$') IS NULL AND j <> 'null')"
+    // extract_json: literal-only guard — see the scaladoc on the Column
+    // twin for why the validity parse is redundant for this macro.
     spark.sql(
       s"""CREATE OR REPLACE TEMPORARY FUNCTION extract_json(j STRING, p STRING)
          |RETURNS STRING RETURN
-         |CASE WHEN $validGuard OR p IS NULL THEN NULL
+         |CASE WHEN j IS NULL OR j = '' OR j = 'null' OR p IS NULL THEN NULL
          |     ELSE get_json_object(j, p) END""".stripMargin)
     spark.sql(
       s"""CREATE OR REPLACE TEMPORARY FUNCTION json_path(j STRING, p STRING)

@@ -120,12 +120,17 @@ object TextAnalysis {
       .filter(length(col("term")) > 0)
     val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val n = docs.select(col(idCol)).distinct().count()
+    // Corpus size as a broadcast 1-row frame, not a driver-side
+    // distinct().count(): the old form was a blocking job per call (a
+    // driver sync point); this way N is computed inside the same job and
+    // cross-joined (broadcast) onto the scored frame.
+    val nDf = docs.select(countDistinct(col(idCol)).as("n"))
     val w = Window.partitionBy(idCol)
       .orderBy(col("tfidf").desc, col("term").asc)
     tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(nDf))
       .withColumn("tfidf",
-        col("tf").cast("double") * lit(n.toDouble) / col("df").cast("double"))
+        col("tf").cast("double") * col("n").cast("double") / col("df").cast("double"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topN)
       .select(col(idCol), col("rank").cast("bigint").as("rank"),

@@ -72,6 +72,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("Exchange")) <= 2, p)
   }
 
+  test("C3 pack join: one resource scan, no JSON parse or regex per pair") {
+    val p = plan("q_c3_pack_params")
+    // one parquet scan of the materialized resource table (the FAIL/PASS
+    // union used to scan + re-extract twice); count the detail entries,
+    // not the tree rendering
+    assert(p.linesIterator.count(l =>
+      l.trim.matches("""\(\d+\) Scan parquet\s*""")) == 1, p)
+    // the trusted-key join condition must not re-derive the extraction or
+    // compile a LIKE regex per (bucket x key) pair
+    val cond = p.linesIterator.find(_.trim.startsWith("Join condition:"))
+    assert(cond.isDefined, p)
+    assert(!cond.get.contains("get_json_object"), cond.get)
+    assert(!cond.get.contains("LIKE"), cond.get)
+    assert(cond.get.contains("Contains"), cond.get)
+  }
+
   test("similarity hot path stays inside whole-stage codegen") {
     val df = SparkEntry.queries("q_s1_topk_bruteforce")(spark, sf)
     df.collect() // finalize the adaptive plan so codegen stages are visible
