@@ -302,21 +302,16 @@ object PipelineQueries {
     * tokens, two-phase aggregation.
     */
   val t8Bigrams: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
-    // posexplode + lag, NOT zip_with-over-slices: HOF lambdas fall out of
-    // codegen and Catalyst can inline the token-array derivation into the
-    // lambda body, re-running normalize() per element (observed: one task
-    // pinned for minutes). The window form is fully codegen'd; its one
-    // shuffle keys on doc_id — embarrassingly parallel at corpus scale.
-    val w = Window.partitionBy("doc_id").orderBy("pos")
+    // bigrams via a native expression (functions.TextExprs.BigramsExpr):
+    // one scan, explode straight into the two-phase vocabulary aggregate
+    // — the former posexplode + lag-window shape shuffled every token on
+    // doc_id first. (A HOF zip_with was rejected earlier for the
+    // lambda-inlining trap; a native expression evaluates the token
+    // array once per row.)
+    graft.functions.VecExprs.register(s)
     t(s, d, "documents")
-      .select(col("doc_id"),
-        posexplode(split(TextAnalysis.normalize(col("text")), " ")))
-      .withColumnRenamed("col", "tok")
-      .filter(length(col("tok")) > 0)
-      .withColumn("prev", lag(col("tok"), 1).over(w))
-      .filter(col("prev").isNotNull)
-      .select(concat_ws(" ", col("prev"), col("tok")).as("bigram"))
+      .select(explode(call_function("bigrams",
+        split(TextAnalysis.normalize(col("text")), " "))).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram").asc)
       .limit(40)

@@ -261,5 +261,18 @@ object VecExprs {
         case other => throw new IllegalArgumentException(
           s"minhash_sig k must be an int literal, got $other")
       }), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bigrams", exprs => BigramsExpr(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "repetition_stats", exprs => RepetitionStatsExpr(exprs(0)), "built-in")
+    def intLit(e: Expression, name: String): Int = e match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"$name expects an int literal, got $other")
+    }
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_fps", exprs => WinnowExpr(exprs(0),
+        intLit(exprs(1), "winnow_fps k"), intLit(exprs(2), "winnow_fps win")),
+      "built-in")
   }
 }

@@ -178,33 +178,18 @@ object TextAnalysis {
     */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int, win: Int): DataFrame = {
-    // Shape: posexplode + window functions, NOT HOF transforms over a
-    // derived token array — lambda bodies fall out of codegen and the
-    // optimizer can inline the array derivation into them, re-running
-    // normalize() per element (quadratic blowup, observed). The window
-    // form shuffles once on the doc id and stays codegen'd.
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(idCol).orderBy("pos")
-    val toks = df.select(col(idCol),
-      posexplode(split(normalize(col(textCol)), " ")))
-      .withColumnRenamed("col", "tok")
-    // k-gram hash at each position (token + its k-1 successors); the
-    // validity filter drops tail positions — concat_ws would silently
-    // skip null leads otherwise.
-    val gramText = concat_ws(" ",
-      (col("tok") +: (1 until k).map(i => lead(col("tok"), i).over(w))): _*)
-    val grams = toks
-      .withColumn("gh", md5(gramText))
-      .withColumn("valid", lead(col("tok"), k - 1).over(w).isNotNull)
-      .filter(col("valid"))
-    // window minimum over `win` consecutive gram hashes, again with a
-    // completeness guard on the last gram of the window
-    val wMin = Window.partitionBy(idCol).orderBy("pos").rowsBetween(0, win - 1)
-    grams
-      .withColumn("fp", min(col("gh")).over(wMin))
-      .withColumn("full", lead(col("gh"), win - 1).over(w).isNotNull)
-      .filter(col("full"))
-      .select(col(idCol), col("fp")).distinct()
+    // One pass, no per-doc shuffle: the k-gram md5 chain and the
+    // sliding-window minima run inside the `winnow_fps` native
+    // expression (functions.TextExprs) — value-identical to the former
+    // posexplode + window formulation (same tail/completeness drops,
+    // same lexicographic md5-hex minima, per-doc distinct), but the only
+    // rows that leave the scan are the (doc, fingerprint) pairs.
+    // (The earlier HOF rewrite was rejected for the lambda-inlining
+    // trap; a native expression evaluates its token-array child once.)
+    graft.functions.VecExprs.register(df.sparkSession)
+    df.select(col(idCol),
+      explode(call_function("winnow_fps",
+        split(normalize(col(textCol)), " "), lit(k), lit(win))).as("fp"))
   }
 
   /** Pack documents into fixed-token-budget training shards: within each
@@ -234,24 +219,25 @@ object TextAnalysis {
   /** Gopher-style repetition signals per document: the dominant bigram's
     * share of all bigrams and the duplicate-bigram fraction — the cheap
     * filters that catch boilerplate/spam in pre-training corpora.
-    * Same posexplode+lag shape as the bigram stats (codegen-safe).
+    *
+    * One pass, NO shuffle: per-document bigram counting happens inside
+    * the `repetition_stats` native expression (functions.TextExprs), so
+    * the per-token explode + two grouping shuffles of the window
+    * formulation are gone — a pure map over the corpus. (An ordinary
+    * expression's child is evaluated once per row, so the HOF
+    * lambda-inlining trap doesn't apply.) Documents with no bigram
+    * (fewer than two tokens) are absent, as before.
     */
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(idCol).orderBy("pos")
-    val bigrams = df
-      .select(col(idCol), posexplode(split(normalize(col(textCol)), " ")))
-      .withColumnRenamed("col", "tok")
-      .filter(length(col("tok")) > 0)
-      .withColumn("prev", lag(col("tok"), 1).over(w))
-      .filter(col("prev").isNotNull)
-      .select(col(idCol), concat_ws(" ", col("prev"), col("tok")).as("bigram"))
-    bigrams.groupBy(col(idCol), col("bigram")).agg(count(lit(1)).as("c"))
-      .groupBy(idCol)
-      .agg(
-        max(col("c")).as("top_bigram_n"),
-        sum(col("c")).as("n_bigrams"),
-        count(lit(1)).as("n_distinct_bigrams"))
+    graft.functions.VecExprs.register(df.sparkSession)
+    df.select(col(idCol),
+        call_function("repetition_stats",
+          split(normalize(col(textCol)), " ")).as("s"))
+      .filter(col("s.n_bigrams") > 0)
+      .select(col(idCol),
+        col("s.top_bigram_n").as("top_bigram_n"),
+        col("s.n_bigrams").as("n_bigrams"),
+        col("s.n_distinct_bigrams").as("n_distinct_bigrams"))
       // fractions derived from the emitted integer columns, double/double
       // on both engines — no engine-specific wide-int promotion in the
       // division path (the integer columns stay authoritative)
