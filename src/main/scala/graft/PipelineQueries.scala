@@ -516,6 +516,15 @@ object PipelineQueries {
     Similarity.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding",
       queryVecs(s, d), k = 10)
 
+  /** S5: embedding-cosine near-duplicate pairs via LSH bucket blocking —
+    * the scale path of S2's exact all-pairs (only same-bucket vectors are
+    * scored; exact cosine verifies). Rows-only (bucketing is
+    * hash-specific); recall vs S2 asserted in SimilaritySpec.
+    */
+  val s5CosineNearDup: Q = (s, d) =>
+    Similarity.cosineNearDups(t(s, d, "embeddings"), "vec_id", "embedding",
+      threshold = 0.4, nBits = 4, tables = 12)
+
   /** S4: IVF (inverted-file) approximate top-k — k-means cells + nProbe
     * probing (rows-only: the index is model-derived, not SQL-expressible;
     * recall vs S1 is asserted in ScalaTest).
@@ -555,7 +564,8 @@ object PipelineQueries {
     "q_s1_topk_bruteforce" -> s1TopKBruteForce,
     "q_s2_cosine_pairs" -> s2CosinePairs,
     "q_s3_lsh_topk" -> s3LshTopK,
-    "q_s4_ivf_topk" -> s4IvfTopK)
+    "q_s4_ivf_topk" -> s4IvfTopK,
+    "q_s5_cosine_neardup" -> s5CosineNearDup)
 
   val oracles: Map[String, String] = Map(
     "q_d1_fingerprint" -> d1Oracle,

@@ -365,23 +365,33 @@ object Similarity {
       .select("query_id", "rank", "id", "cosine_sim")
   }
 
-  /** Embedding-cosine near-duplicate pairs via bucket blocking: pairs
-    * sharing an LSH bucket whose exact cosine ≥ threshold.
+  /** Embedding-cosine near-duplicate pairs via multi-table LSH blocking:
+    * pairs sharing a bucket in ANY of `tables` independent hash tables
+    * are candidates (standard OR-amplification — single-table recall is
+    * p^nBits and collapses for anything but the tightest thresholds);
+    * exact cosine verifies, so emitted pairs are never false positives.
+    * Candidate volume tunes with (nBits, tables), never all pairs.
     */
   def cosineNearDups(vectors: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, nBits: Int = 10): DataFrame = {
+      threshold: Double = 0.95, nBits: Int = 10, tables: Int = 8): DataFrame = {
     init(vectors.sparkSession)
+    val dim = sampledDim(vectors, vecCol)
     val vb = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"),
         norm(col(vecCol)).as("nrm"))
-      .withColumn("bucket",
-        lshBucket(col("vec"), nBits, sampledDim(vectors, vecCol)))
+      .withColumn("tb", explode(array((0 until tables).map { tbl =>
+          struct(lit(tbl).as("tbl"),
+            packedBucket(col("vec"), tbl * nBits, nBits, dim).as("bucket"))
+        }: _*)))
+      .select(col("id"), col("vec"), col("nrm"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
       .localCheckpoint(true)
-    val a = vb.select(col("bucket"), col("id").as("id_a"),
+    val a = vb.select(col("tbl"), col("bucket"), col("id").as("id_a"),
       col("vec").as("vec_a"), col("nrm").as("nrm_a"))
-    val b = vb.select(col("bucket"), col("id").as("id_b"),
+    val b = vb.select(col("tbl"), col("bucket"), col("id").as("id_b"),
       col("vec").as("vec_b"), col("nrm").as("nrm_b"))
-    a.join(b, Seq("bucket"))
+    a.join(b, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
       .withColumn("cosine_sim", round(cosineWithNorms(
         dot(col("vec_a"), col("vec_b")), col("nrm_a"), col("nrm_b")), 6))
       .filter(col("cosine_sim") >= threshold)

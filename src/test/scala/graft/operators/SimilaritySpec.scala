@@ -112,6 +112,22 @@ class SimilaritySpec extends SparkSpec {
     assert(probe.count() == expect)
   }
 
+  test("cosineNearDups (LSH-bucketed) recalls exact pairs, no false positives") {
+    val exact = Similarity.bruteForcePairs(emb, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.cosineNearDups(emb, "vec_id", "embedding",
+        threshold = 0.4, nBits = 4, tables = 12)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verification is exact cosine, so every emitted pair is a true pair
+    assert(approx.subsetOf(exact), (approx diff exact).take(3))
+    if (exact.nonEmpty) {
+      val recall = (exact intersect approx).size.toDouble / exact.size
+      assert(recall >= 0.5, s"recall $recall too low at nBits=4 x 12 tables")
+    }
+  }
+
   test("bruteForcePairs symmetric-free and thresholded") {
     val pairs = Similarity.bruteForcePairs(emb.limit(50), "vec_id", "embedding", 0.2)
       .collect()
