@@ -162,18 +162,20 @@ object Graph {
     // count (materializes the persist; nodes ≤ 2·edges) so no separate
     // node-count job is needed.
     val idType = sym.schema("a").dataType
-    val nEdges = sym.count()
-    // Two-stage gate: the edge count bounds the candidate set cheaply
-    // (materializes the persist anyway), then an approx node count over
-    // the persisted frame decides — the contracted path collects the full
-    // (id, comp) map per round, and 8M edges could mean 16M nodes, too
-    // much for a default driver. ±2% sketch error is irrelevant at a 4M
-    // threshold (~few hundred MB of collected rows).
+    // One gating job: edge count (materializes the persist) and an approx
+    // node count together. The contracted path collects the full
+    // (id, comp) map per round, and 8M edges could mean 16M nodes — too
+    // much for a default driver — so the node estimate decides near the
+    // boundary; below 2M edges the worst case (2 edges/node) is already
+    // safe and the sketch value is simply ignored. ±2% sketch error is
+    // irrelevant at a 4M threshold (~few hundred MB of collected rows).
+    val gate = sym.select(count(lit(1)).as("m"),
+      approx_count_distinct(col("a")).as("n")).head
+    val nEdges = gate.getLong(0)
     val contractable = nEdges < 8L * 1000 * 1000 &&
       (idType == org.apache.spark.sql.types.LongType ||
        idType == org.apache.spark.sql.types.StringType) &&
-      sym.select(approx_count_distinct(col("a")))
-        .head.getLong(0) < 4L * 1000 * 1000
+      (nEdges < 2L * 1000 * 1000 || gate.getLong(1) < 4L * 1000 * 1000)
     if (contractable) {
       val out = ccContracted(sym, maxIter)
       sym.unpersist(blocking = false)
