@@ -523,7 +523,7 @@ object PipelineQueries {
     */
   val s5CosineNearDup: Q = (s, d) =>
     Similarity.cosineNearDups(t(s, d, "embeddings"), "vec_id", "embedding",
-      threshold = 0.4, nBits = 4, tables = 12)
+      threshold = 0.4, nBits = 5, tables = 16)
 
   /** S4: IVF (inverted-file) approximate top-k — k-means cells + nProbe
     * probing (rows-only: the index is model-derived, not SQL-expressible;

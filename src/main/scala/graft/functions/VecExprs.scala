@@ -246,6 +246,90 @@ object MinHashSigExpr {
   }
 }
 
+/** Multi-table hyperplane LSH buckets: for each of `tables` tables, the
+  * bit-packed signs of `nBits` plane projections — one expression instead
+  * of tables×nBits literal-array dot products (whose plan build dominates
+  * small queries; the plane matrix here is derived DATA, not AST). Values
+  * are bit-identical to the literal-plane formulation: same deterministic
+  * plane components (the xxhash64 chain of
+  * graft.operators.Similarity.planeComponent), same left-to-right double
+  * accumulation, same `> 0` sign rule.
+  */
+case class LshBucketsExpr(child: Expression, nBits: Int, tables: Int,
+    dim: Int) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"lsh_buckets expects array<float>/array<double>, got ${dt.simpleString}")
+  }
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  // row-major [tables*nBits][dim]; rebuilt lazily per JVM (deterministic)
+  @transient private lazy val planes: Array[Double] = {
+    val out = new Array[Double](tables * nBits * dim)
+    var bb = 0
+    while (bb < tables * nBits) {
+      var i = 0
+      while (i < dim) {
+        out(bb * dim + i) = LshBucketsExpr.planeComponent(bb, i)
+        i += 1
+      }
+      bb += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    val n = math.min(vec.numElements(), dim)
+    val isF = elemIsFloat
+    val out = new Array[Any](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var b = 0
+      while (b < nBits) {
+        val base = (t * nBits + b) * dim
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          val v = if (isF) vec.getFloat(i).toDouble else vec.getDouble(i)
+          acc += v * planes(base + i)
+          i += 1
+        }
+        if (acc > 0) bucket |= (1L << b)
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LshBucketsExpr {
+  /** Deterministic pseudo-gaussian plane component in [-1, 1] for LSH bit
+    * `bb`, dimension `i` — the canonical formula (Similarity delegates
+    * here so literal-plane and expression paths stay bit-identical).
+    */
+  def planeComponent(bb: Int, i: Int): Double = {
+    val h = XXH64.hashInt(i, XXH64.hashInt(bb, 42L))
+    val m = 2000001L
+    (((h % m) + m) % m).toDouble / 1000000.0 - 1.0
+  }
+}
+
 object VecExprs {
   /** Register the custom expressions (idempotent). */
   def register(spark: SparkSession): Unit = {
@@ -274,5 +358,10 @@ object VecExprs {
       "winnow_fps", exprs => WinnowExpr(exprs(0),
         intLit(exprs(1), "winnow_fps k"), intLit(exprs(2), "winnow_fps win")),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lsh_buckets", exprs => LshBucketsExpr(exprs(0),
+        intLit(exprs(1), "lsh_buckets nBits"),
+        intLit(exprs(2), "lsh_buckets tables"),
+        intLit(exprs(3), "lsh_buckets dim")), "built-in")
   }
 }

@@ -52,12 +52,8 @@ object Similarity {
     * evaluated ONCE at plan build instead of per vector element. Planes
     * become literal arrays and each projection a single codegen vec_dot.
     */
-  private def planeComponent(bb: Int, i: Int): Double = {
-    import org.apache.spark.sql.catalyst.expressions.XXH64
-    val h = XXH64.hashInt(i, XXH64.hashInt(bb, 42L))
-    val m = 2000001L
-    (((h % m) + m) % m).toDouble / 1000000.0 - 1.0
-  }
+  private def planeComponent(bb: Int, i: Int): Double =
+    graft.functions.LshBucketsExpr.planeComponent(bb, i)
 
   /** Default plane width; vec_dot stops at the shorter operand, so one
     * literal serves every embedding width up to the plane's. Kept modest
@@ -221,6 +217,46 @@ object Similarity {
     * cosine divides by the norm product with a zero guard, and rounding
     * is HALF_UP at 6 decimals exactly like Spark's round().
     */
+  /** Unpack a collect_list'd array of (id: long, vec: array<float>) rows
+    * into primitive arrays + precomputed norms (the per-task hot-loop
+    * input shared by [[blockedPairs]] and [[cosineNearDups]]).
+    */
+  private def unpackRows(rows: scala.collection.Seq[org.apache.spark.sql.Row]):
+      (Array[Long], Array[Array[Float]], Array[Double]) = {
+    val n = rows.length
+    val ids = new Array[Long](n)
+    val vecs = new Array[Array[Float]](n)
+    val nrms = new Array[Double](n)
+    var i = 0
+    rows.foreach { r =>
+      ids(i) = r.getLong(0)
+      val s = r.getSeq[Float](1)
+      val a = new Array[Float](s.length)
+      var j = 0; while (j < s.length) { a(j) = s(j); j += 1 }
+      vecs(i) = a
+      var acc = 0.0
+      j = 0; while (j < a.length) { acc += a(j).toDouble * a(j).toDouble; j += 1 }
+      nrms(i) = math.sqrt(acc)
+      i += 1
+    }
+    (ids, vecs, nrms)
+  }
+
+  /** Cosine of two unpacked vectors, rounded HALF_UP at 6 — bit-compatible
+    * with the expression path (see [[blockedPairs]] numerics note).
+    */
+  private def scorePair(ax: Array[Float], ay: Array[Float],
+      nx: Double, ny: Double): Double = {
+    val len = math.min(ax.length, ay.length)
+    var acc = 0.0
+    var j = 0
+    while (j < len) { acc += ax(j).toDouble * ay(j).toDouble; j += 1 }
+    val den = nx * ny
+    val c = if (den == 0) 0.0 else acc / den
+    java.math.BigDecimal.valueOf(c)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+  }
+
   private def blockedPairs(vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nBlocks: Int = 0): DataFrame = {
     val spark = vectors.sparkSession
@@ -248,49 +284,18 @@ object Similarity {
       // B² tiny rows, each heavy: spread block pairs across all cores.
       .repartition(spark.sparkContext.defaultParallelism)
 
-    def unpack(rows: scala.collection.Seq[org.apache.spark.sql.Row]):
-        (Array[Long], Array[Array[Float]], Array[Double]) = {
-      val n = rows.length
-      val ids = new Array[Long](n)
-      val vecs = new Array[Array[Float]](n)
-      val nrms = new Array[Double](n)
-      var i = 0
-      rows.foreach { r =>
-        ids(i) = r.getLong(0)
-        val s = r.getSeq[Float](1)
-        val a = new Array[Float](s.length)
-        var j = 0; while (j < s.length) { a(j) = s(j); j += 1 }
-        vecs(i) = a
-        var acc = 0.0
-        j = 0; while (j < a.length) { acc += a(j).toDouble * a(j).toDouble; j += 1 }
-        nrms(i) = math.sqrt(acc)
-        i += 1
-      }
-      (ids, vecs, nrms)
-    }
-
-    def score(ax: Array[Float], ay: Array[Float], nx: Double, ny: Double): Double = {
-      val len = math.min(ax.length, ay.length)
-      var acc = 0.0
-      var j = 0
-      while (j < len) { acc += ax(j).toDouble * ay(j).toDouble; j += 1 }
-      val den = nx * ny
-      val c = if (den == 0) 0.0 else acc / den
-      java.math.BigDecimal.valueOf(c)
-        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
-    }
-
     val pairs = pairsOfBlocks.flatMap { row =>
       val same = row.getInt(0) == row.getInt(1)
-      val (xi, xv, xn) = unpack(row.getSeq[org.apache.spark.sql.Row](2))
+      val (xi, xv, xn) = unpackRows(row.getSeq[org.apache.spark.sql.Row](2))
       val (yi, yv, yn) =
-        if (same) (xi, xv, xn) else unpack(row.getSeq[org.apache.spark.sql.Row](3))
+        if (same) (xi, xv, xn)
+        else unpackRows(row.getSeq[org.apache.spark.sql.Row](3))
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
       var i = 0
       while (i < xi.length) {
         var j = if (same) i + 1 else 0
         while (j < yi.length) {
-          val s = score(xv(i), yv(j), xn(i), yn(j))
+          val s = scorePair(xv(i), yv(j), xn(i), yn(j))
           if (s >= threshold) {
             if (xi(i) < yi(j)) out += ((xi(i), yi(j), s))
             else out += ((yi(j), xi(i), s))
@@ -374,27 +379,77 @@ object Similarity {
     */
   def cosineNearDups(vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nBits: Int = 10, tables: Int = 8): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
     init(vectors.sparkSession)
+    val spark = vectors.sparkSession
+    import spark.implicits._
     val dim = sampledDim(vectors, vecCol)
-    val vb = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"),
-        norm(col(vecCol)).as("nrm"))
-      .withColumn("tb", explode(array((0 until tables).map { tbl =>
-          struct(lit(tbl).as("tbl"),
-            packedBucket(col("vec"), tbl * nBits, nBits, dim).as("bucket"))
-        }: _*)))
-      .select(col("id"), col("vec"), col("nrm"),
-        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-      .localCheckpoint(true)
-    val a = vb.select(col("tbl"), col("bucket"), col("id").as("id_a"),
-      col("vec").as("vec_a"), col("nrm").as("nrm_a"))
-    val b = vb.select(col("tbl"), col("bucket"), col("id").as("id_b"),
-      col("vec").as("vec_b"), col("nrm").as("nrm_b"))
-    a.join(b, Seq("tbl", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("cosine_sim", round(cosineWithNorms(
-        dot(col("vec_a"), col("vec_b")), col("nrm_a"), col("nrm_b")), 6))
-      .filter(col("cosine_sim") >= threshold)
-      .select("id_a", "id_b", "cosine_sim")
+    val intIds = vectors.schema(idCol).dataType == IntegerType
+    val longish = intIds || vectors.schema(idCol).dataType == LongType
+    // All tables' buckets from ONE expression call (bit-identical to the
+    // literal-plane packedBucket chain, but the plane matrix is data, so
+    // plan build/codegen don't carry tables x nBits x dim literals).
+    val bucketed = vectors
+      .select(col(idCol).as("id0"), col(vecCol).as("vec"))
+      .select(col("id0"), col("vec"),
+        posexplode(call_function("lsh_buckets", col("vec"),
+          lit(nBits), lit(tables), lit(dim))))
+      .withColumnRenamed("pos", "tbl")
+      .withColumnRenamed("col", "bucket")
+    if (longish) {
+      // Per-(table, bucket) primitive all-pairs loop — the blockedPairs
+      // machinery scoped to same-bucket pairs. A join-based verify copies
+      // both float arrays per candidate row (measured 5x this shape);
+      // here each bucket materializes once per task and the dedup
+      // shuffle moves only thresholded survivors. Bucket row size is
+      // n·tables/2^nBits vectors — callers raise nBits with corpus size.
+      val grouped = bucketed
+        .select(col("tbl"), col("bucket"),
+          struct(col("id0").cast("long").as("id"),
+            col("vec").cast("array<float>").as("vec")).as("r"))
+        .groupBy("tbl", "bucket")
+        .agg(collect_list(col("r")).as("rows"))
+        .repartition(spark.sparkContext.defaultParallelism)
+      val pairs = grouped.flatMap { row =>
+        val (ids, vecs, nrms) =
+          unpackRows(row.getSeq[org.apache.spark.sql.Row](2))
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var i = 0
+        while (i < ids.length) {
+          var j = i + 1
+          while (j < ids.length) {
+            val s = scorePair(vecs(i), vecs(j), nrms(i), nrms(j))
+            if (s >= threshold) {
+              if (ids(i) < ids(j)) out += ((ids(i), ids(j), s))
+              else out += ((ids(j), ids(i), s))
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out
+      }.toDF("id_a", "id_b", "cosine_sim")
+        .dropDuplicates("id_a", "id_b")
+      if (intIds)
+        pairs.select(col("id_a").cast("int"), col("id_b").cast("int"),
+          col("cosine_sim"))
+      else pairs
+    } else {
+      // generic-id fallback: bucket self-join + expression scoring
+      val vb = bucketed
+        .withColumn("nrm", norm(col("vec")))
+        .localCheckpoint(true)
+      val a = vb.select(col("tbl"), col("bucket"), col("id0").as("id_a"),
+        col("vec").as("vec_a"), col("nrm").as("nrm_a"))
+      val b = vb.select(col("tbl"), col("bucket"), col("id0").as("id_b"),
+        col("vec").as("vec_b"), col("nrm").as("nrm_b"))
+      a.join(b, Seq("tbl", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cosine_sim", round(cosineWithNorms(
+          dot(col("vec_a"), col("vec_b")), col("nrm_a"), col("nrm_b")), 6))
+        .filter(col("cosine_sim") >= threshold)
+        .dropDuplicates("id_a", "id_b")
+        .select("id_a", "id_b", "cosine_sim")
+    }
   }
 }
