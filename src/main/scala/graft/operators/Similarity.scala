@@ -137,16 +137,13 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     init(vectors.sparkSession)
     val dim = sampledDim(vectors, vecCol)
-    // per-table planes: offset the bit index by table * nBits; tables are
-    // unrolled statically so every projection is a literal-plane vec_dot
+    // All tables' buckets from one lsh_buckets expression call (plane
+    // matrix as data — the former statically-unrolled literal-plane
+    // projections made plan build dominate; values are bit-identical).
     def bucketed(df: DataFrame, vc: String, out: String): DataFrame =
-      df.withColumn("tb", explode(array((0 until tables).map { tbl =>
-          struct(lit(tbl).as("tbl"),
-            packedBucket(col(vc), tbl * nBits, nBits, dim).as("b"))
-        }: _*)))
-        .withColumn("tbl", col("tb.tbl"))
-        .withColumn(out, col("tb.b"))
-        .drop("tb")
+      df.select((df.columns.map(col) :+
+          posexplode(call_function("lsh_buckets", col(vc),
+            lit(nBits), lit(tables), lit(dim))).as(Seq("tbl", out))): _*)
     // Materialization barrier: without it Catalyst collapses projections
     // and re-inlines the per-table bucket expression everywhere.
     val vb = bucketed(vectors
