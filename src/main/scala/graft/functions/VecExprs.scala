@@ -318,6 +318,49 @@ case class LshBucketsExpr(child: Expression, nBits: Int, tables: Int,
     copy(child = newChild)
 }
 
+/** Nearest-centroid assignment for the IVF index: argmin of squared
+  * Euclidean distance over the (data-carried) centroid matrix; ties break
+  * to the lowest cell index. The per-row hot loop of index assignment —
+  * one expression over the scan instead of an MLlib transform.
+  */
+case class NearestCellExpr(child: Expression,
+    centroids: Array[Array[Float]]) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"nearest_cell expects array<float>, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    val n = vec.numElements()
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cen = centroids(c)
+      val len = math.min(n, cen.length)
+      var acc = 0.0
+      var i = 0
+      while (i < len) {
+        val d = vec.getFloat(i).toDouble - cen(i)
+        acc += d * d
+        i += 1
+      }
+      if (acc < bestD) { bestD = acc; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object LshBucketsExpr {
   /** Deterministic pseudo-gaussian plane component in [-1, 1] for LSH bit
     * `bb`, dimension `i` — the canonical formula (Similarity delegates

@@ -318,26 +318,95 @@ object Similarity {
     * fixed seed over a (deterministic) sample; the assigned frame is the
     * reusable index (at cluster scale: written out partitioned by cell).
     */
+  /** Max training-sample size for the centroid fit: IVF centroids are
+    * trained on a bounded sample at any corpus size (the standard
+    * practice — FAISS trains on ~max(10k·k, 1M) points, not the corpus);
+    * assignment then streams the full data through one expression.
+    */
+  private val MaxTrainSample = 10000
+
+  private val ivfFnCounter = new java.util.concurrent.atomic.AtomicInteger()
+
   def ivfIndex(vectors: DataFrame, idCol: String, vecCol: String,
       nCells: Int = 16, seed: Long = 42L): (DataFrame, DataFrame) = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     init(vectors.sparkSession)
-    val feat = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("features", array_to_vector(col("vec").cast("array<double>")))
-      .localCheckpoint(true)
-    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
-      .fit(feat)
     val spark = vectors.sparkSession
     import spark.implicits._
-    val centroids = model.clusterCenters.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
-      .toDF("cell", "centroid")
-    val assigned = model.transform(feat)
-      .select(col("id"), col("vec"), col("prediction").as("cell"))
+    val base = vectors.select(col(idCol).as("id"),
+        col(vecCol).cast("array<float>").as("vec"))
       .localCheckpoint(true)
-    feat.unpersist(blocking = false) // fit + assignment done; barrier dead
-    (centroids, assigned)
+    // Deterministic bounded sample (TakeOrdered by id — stable under
+    // partitioning), Lloyd iterations on the driver: k x sample x dim
+    // flops, microseconds-to-milliseconds of CPU vs an MLlib fit's
+    // multi-job cascade (instrumentation, cached conversions, per-iter
+    // jobs) that dominated index build at every SF.
+    val train = base.sort("id").limit(MaxTrainSample)
+      .select("vec").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val centroids = Similarity.lloyd(train, nCells, seed, iters = 10)
+    val fname = s"ivf_cell_${ivfFnCounter.incrementAndGet()}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fname, exprs => graft.functions.NearestCellExpr(exprs(0), centroids),
+      "built-in")
+    val assigned = base
+      .withColumn("cell", call_function(fname, col("vec")))
+      .localCheckpoint(true)
+    base.unpersist(blocking = false) // assignment materialized; barrier dead
+    val centroidsDf = centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c) }.toDF("cell", "centroid")
+    (centroidsDf, assigned)
+  }
+
+  /** Driver-side Lloyd k-means over a bounded float sample (squared
+    * Euclidean, deterministic seed init, empty clusters keep their
+    * previous centroid). Ties break to the lowest cell index, matching
+    * [[graft.functions.NearestCellExpr]].
+    */
+  private[operators] def lloyd(train: Array[Array[Float]], k: Int,
+      seed: Long, iters: Int): Array[Array[Float]] = {
+    require(train.nonEmpty, "ivf: empty training sample")
+    val rnd = new java.util.Random(seed)
+    val dim = train.map(_.length).max
+    val centers = Array.tabulate(k) { _ =>
+      val src = train(rnd.nextInt(train.length))
+      java.util.Arrays.copyOf(src, dim)
+    }
+    def d2(v: Array[Float], c: Array[Float]): Double = {
+      val n = math.min(v.length, c.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { val d = v(i).toDouble - c(i); acc += d * d; i += 1 }
+      acc
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = Array.ofDim[Double](k, dim)
+      val counts = new Array[Long](k)
+      train.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          val dd = d2(v, centers(c))
+          if (dd < bestD) { bestD = dd; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < dim) {
+            centers(c)(i) = (sums(c)(i) / counts(c)).toFloat; i += 1
+          }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    centers
   }
 
   /** IVF top-k: for each query, rank only vectors in the `nProbe` cells
