@@ -216,6 +216,30 @@ object TextAnalysis {
       .drop("_before")
   }
 
+  /** Skew-safe shard packing: a single giant stratum serializes
+    * [[packByTokenBudget]]'s window into one task, so here each stratum is
+    * pre-split into `subSplits` deterministic sub-strata by an id-hash
+    * prefix and packed independently — parallelism becomes
+    * strata x subSplits, at the cost of up to one underfilled shard per
+    * sub-stratum. Shard ids are namespaced `split * 1e9 + local` so they
+    * stay unique within the stratum but do NOT match the serial
+    * numbering (packing quality and determinism are the contract, not
+    * shard order).
+    */
+  def packByTokenBudgetSharded(df: DataFrame, idCol: String,
+      strataCol: String, tokenCol: String, budget: Long,
+      subSplits: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val split = pmod(xxhash64(col(idCol)), lit(subSplits))
+    val w = Window.partitionBy(col(strataCol), col("_split"))
+      .orderBy(idCol).rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("_split", split)
+      .withColumn("_before", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .withColumn("shard_id",
+        col("_split") * lit(1000000000L) + expr(s"_before div ${budget}"))
+      .drop("_split", "_before")
+  }
+
   /** Gopher-style repetition signals per document: the dominant bigram's
     * share of all bigrams and the duplicate-bigram fraction — the cheap
     * filters that catch boilerplate/spam in pre-training corpora.

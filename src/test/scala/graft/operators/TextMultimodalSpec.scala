@@ -110,6 +110,30 @@ class TextMultimodalSpec extends SparkSpec {
     assert(java.util.Arrays.equals(again, first))
   }
 
+  test("sharded shard packing: bin bound holds, every doc covered") {
+    import spark.implicits._
+    val docs = (1L to 2000L).map(i => (i, "all-one-stratum", 100L + (i % 7)))
+      .toDF("doc_id", "lang", "n_tokens")
+    val packed = TextAnalysis.packByTokenBudgetSharded(
+      docs, "doc_id", "lang", "n_tokens", budget = 2048, subSplits = 8)
+    assert(packed.count() == 2000) // every doc assigned exactly once
+    // streaming bin-packing bound: a shard's tokens never exceed
+    // budget + max single-doc tokens
+    val maxDoc = 106L
+    val over = packed.groupBy("shard_id").agg(sum("n_tokens").as("t"))
+      .filter(col("t") > 2048L + maxDoc).count()
+    assert(over == 0)
+    // parallel shape: the window partitions by (stratum, split), so a
+    // single stratum fans out across sub-splits
+    val splits = packed.select((col("shard_id") / 1000000000L).cast("long"))
+      .distinct().count()
+    assert(splits > 1, "expected multiple sub-splits for a giant stratum")
+    // deterministic across runs
+    val again = TextAnalysis.packByTokenBudgetSharded(
+      docs, "doc_id", "lang", "n_tokens", budget = 2048, subSplits = 8)
+    assert(packed.collect().toSet == again.collect().toSet)
+  }
+
   test("approx_count_distinct escape hatch lands within HLL error bounds") {
     // SURVEY §2.4: exact countDistinct is the contract; approx is the
     // documented perf escape hatch for 100 TB cardinalities. Spot-check
