@@ -429,6 +429,26 @@ object PipelineQueries {
        |  CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS dup_bigram_frac
        |FROM g""".stripMargin
 
+  /** T12: token accounting — whitespace tokens vs BPE-ish pre-tokenizer
+    * segments per document (the budget signal training pipelines size
+    * shards and context windows with). Both engines run the identical
+    * lookaround-free regex.
+    */
+  val t12TokenAccounting: Q = (s, d) =>
+    t(s, d, "documents").select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("bigint").as("n_ws_tokens"),
+      TextAnalysis.bpeTokenCount(col("text")).cast("bigint").as("n_bpe_tokens"))
+  val t12Oracle: String = {
+    // DuckDB string literals take backslashes literally; only quotes double
+    val re = TextAnalysis.bpePretokenRe.replace("'", "''")
+    s"""SELECT doc_id,
+       |  len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS n_ws_tokens,
+       |  len(list_filter(regexp_extract_all(text, '$re'),
+       |      t -> regexp_matches(t, '\\S'))) AS n_bpe_tokens
+       |FROM documents""".stripMargin
+  }
+
   /** D8: winnowing fingerprints (rolling k-gram hash + sliding-window
     * min, MOSS-style) — shared substrings of ≥ k+win-1 tokens guarantee a
     * shared fingerprint. md5-string hashes so DuckDB derives identical
@@ -559,6 +579,7 @@ object PipelineQueries {
     "q_t9_redact" -> t9Redact,
     "q_t10_pack" -> t10Pack,
     "q_t11_repetition" -> t11Repetition,
+    "q_t12_token_accounting" -> t12TokenAccounting,
     "q_m1_media_meta" -> m1MediaMeta,
     "q_m2_frames" -> m2Frames,
     "q_s1_topk_bruteforce" -> s1TopKBruteForce,
@@ -585,6 +606,7 @@ object PipelineQueries {
     "q_t9_redact" -> t9Oracle,
     "q_t10_pack" -> t10Oracle,
     "q_t11_repetition" -> t11Oracle,
+    "q_t12_token_accounting" -> t12Oracle,
     "q_m1_media_meta" -> m1Oracle,
     "q_m2_frames" -> m2Oracle,
     "q_s1_topk_bruteforce" -> s1Oracle,

@@ -14,14 +14,22 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     size(split(trim(text), "\\s+"))
 
-  /** BPE-ish subword count: splits on word boundaries and punctuation the
-    * way a byte-pair tokenizer's pre-tokenizer does (letters / digits /
-    * single punctuation marks), a cheap deterministic proxy for real BPE.
+  /** GPT-2-style pre-tokenizer pattern: contractions, space-prefixed
+    * letter runs, digit runs, punctuation runs, residual whitespace — the
+    * segmentation a byte-pair tokenizer applies BEFORE merges, so its
+    * match count is the standard cheap proxy for "BPE token count".
+    * Lookaround-free, so Java (Spark) and RE2 (DuckDB) agree match for
+    * match and the count is oracle-checkable.
     */
-  def subwordCount(text: Column): Column =
-    size(filter(
-      split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
-      t => length(trim(t)) > lit(0)))
+  val bpePretokenRe: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+"
+
+  /** BPE-ish token count: pre-tokenizer segments that carry content
+    * (pure-whitespace runs excluded).
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(filter(regexp_extract_all(text, lit(bpePretokenRe), lit(0)),
+      t => t.rlike("\\S")))
 
   /** Normalized text: lowercase, punctuation stripped, whitespace
     * collapsed — the canonical form used for exact-dup hashing and
