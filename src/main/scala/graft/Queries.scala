@@ -822,6 +822,53 @@ object Queries {
        |SELECT v.id AS id, v.name AS name FROM edges e
        |JOIN vertices v ON e.from_id = v.id WHERE e.to_id = 'n5'""".stripMargin
 
+  /** G7: path-array BFS — the reference recursive CTE's `path || to_id`
+    * / `NOT = ANY(path)` idiom with actual path output, over the
+    * region→nation→customer→orders containment tree (unique paths, so
+    * both engines' shortest-path choice is forced). Closes the §2.7
+    * array_append / = ANY row with a hash-checked query.
+    */
+  val g7PathArrays: Q = (s, d) => {
+    Tables.register(s, d)
+    val e1 = s.table("nation").select(
+      concat(lit("r-"), col("n_regionkey")).as("from_id"),
+      concat(lit("n-"), col("n_nationkey")).as("to_id"))
+    val e2 = s.table("customer").select(
+      concat(lit("n-"), col("c_nationkey")).as("from_id"),
+      concat(lit("c-"), col("c_custkey")).as("to_id"))
+    val e3 = s.table("orders").select(
+      concat(lit("c-"), col("o_custkey")).as("from_id"),
+      concat(lit("o-"), col("o_orderkey")).as("to_id"))
+    Graph.reachPaths(e1.unionByName(e2).unionByName(e3), Seq("r-0"),
+        maxHops = 3)
+      .select(col("id"), col("distance").cast("bigint").as("distance"),
+        array_join(col("path"), "->").as("path"))
+  }
+  val g7Oracle =
+    """WITH RECURSIVE edges AS (
+      |  SELECT 'r-' || CAST(n_regionkey AS STRING) AS from_id,
+      |         'n-' || CAST(n_nationkey AS STRING) AS to_id FROM nation
+      |  UNION ALL
+      |  SELECT 'n-' || CAST(c_nationkey AS STRING),
+      |         'c-' || CAST(c_custkey AS STRING) FROM customer
+      |  UNION ALL
+      |  SELECT 'c-' || CAST(o_custkey AS STRING),
+      |         'o-' || CAST(o_orderkey AS STRING) FROM orders
+      |),
+      |r AS (
+      |  SELECT 'r-0' AS id, ['r-0'] AS path, 0 AS distance
+      |  UNION ALL
+      |  SELECT e.to_id, list_append(r.path, e.to_id), r.distance + 1
+      |  FROM r JOIN edges e ON e.from_id = r.id
+      |  WHERE r.distance < 3 AND NOT list_contains(r.path, e.to_id)
+      |)
+      |SELECT id, CAST(distance AS BIGINT) AS distance,
+      |  array_to_string(path, '->') AS path
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+      |        ORDER BY distance, array_to_string(path, '->')) AS rn
+      |      FROM r) z
+      |WHERE rn = 1""".stripMargin
+
   /** G5: relationship inference from raw JSON by field-name rules
     * (relationships.go:94-136). raw_data is synthesized from orders so the
     * oracle can state the expected edges directly.
@@ -1463,6 +1510,7 @@ object Queries {
     "q_g3_khop" -> g3KHop,
     "q_g4_dependents" -> g4Dependents,
     "q_g5_edge_derivation" -> g5EdgeDerivation,
+    "q_g7_path_arrays" -> g7PathArrays,
     "q_g6_components" -> g6Components,
     "q_c1_compliance_pack" -> c1PackQuery,
     "q_c5_macro_canonical" -> c5MacroCanonical,
@@ -1517,6 +1565,7 @@ object Queries {
     "q_g3_khop" -> g3Oracle,
     "q_g4_dependents" -> g4Oracle,
     "q_g5_edge_derivation" -> g5Oracle,
+    "q_g7_path_arrays" -> g7Oracle,
     "q_a8_dimensional" -> a8Oracle,
     "q_a10_passfail" -> a10Oracle,
     "q_x1_scalar_battery" -> x1Oracle,

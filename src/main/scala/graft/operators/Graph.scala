@@ -110,6 +110,50 @@ object Graph {
     visited
   }
 
+  /** BFS variant that carries the reference's path-array semantics
+    * (the recursive CTE's `path || to_id` + `NOT to_id = ANY(path)`
+    * idiom): returns (id, path, distance) where `path` is the
+    * lexicographically-smallest shortest path from any source. The lean
+    * [[reachFrom]] remains the 100 TB route (visited-set, no per-row
+    * arrays); this one exists for reference-exact path output and is
+    * bounded the same way (paths cost O(depth) ids per row).
+    */
+  def reachPaths(edges: DataFrame, sources: Seq[String],
+      maxHops: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("from_id").cast("string"),
+        col("to_id").cast("string"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var visited = sources.toDF("id")
+      .withColumn("path", array(col("id")))
+      .withColumn("distance", lit(0))
+      .localCheckpoint(eager = false)
+    var frontier = visited
+    var n = frontier.count()
+    var hop = 0
+    while (hop < maxHops && n > 0) {
+      hop += 1
+      val fr = frontier.hint("broadcast")
+      val stepped = fr.join(e, fr("id") === e("from_id"))
+        .select(e("to_id").as("nid"),
+          concat(col("path"), array(e("to_id"))).as("path"))
+        .join(visited.select(col("id").as("vid")).hint("broadcast"),
+          col("nid") === col("vid"), "left_anti")
+        // shortest-path tree determinism: among equal-length paths keep
+        // the array-lexicographic minimum (arrays of equal length, so
+        // Spark and any list-ordering engine agree)
+        .groupBy(col("nid").as("id")).agg(min("path").as("path"))
+        .withColumn("distance", lit(hop))
+        .localCheckpoint(eager = false)
+      n = stepped.count()
+      visited = visited.unionByName(stepped)
+      frontier = stepped
+    }
+    e.unpersist(blocking = false)
+    visited
+  }
+
   /** Shortest-path length from `from` to `to`, depth ≤ maxDepth
     * (graph_loader.go:402-433: `WHERE to_id = ? ORDER BY depth LIMIT 1`).
     * None if unreachable within the bound.
