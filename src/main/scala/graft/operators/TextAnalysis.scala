@@ -157,22 +157,71 @@ object TextAnalysis {
     */
   def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[Column], prefixLen: Int, maxDist: Int): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
     val base = docs.select(
       struct(blockCols: _*).as("blk"),
       col(idCol).as("id"),
       substring(col(textCol), 1, prefixLen).as("prefix"))
-    val a = base.select(col("blk"), col("id").as("id_a"), col("prefix").as("p_a"))
-    val b = base.select(col("blk"), col("id").as("id_b"), col("prefix").as("p_b"))
-    a.join(b, Seq("blk"))
-      .filter(col("id_a") < col("id_b"))
-      // 3-arg levenshtein computes a banded DP and bails out at the
-      // threshold (-1 when exceeded) — O(len·maxDist) per pair instead of
-      // O(len²), and most pairs exit early. Exact distances for kept
-      // pairs are identical to the full DP, so the oracle (full
-      // levenshtein + filter) still hash-matches.
-      .withColumn("edit_dist", levenshtein(col("p_a"), col("p_b"), maxDist))
-      .filter(col("edit_dist") >= 0)
-      .select(col("id_a"), col("id_b"), col("edit_dist"))
+    docs.schema(idCol).dataType match {
+      case LongType | IntegerType =>
+        // Per-block primitive loop (the blocked all-pairs shape): one
+        // collect_list row per block, pairs enumerated in a tight loop
+        // calling UTF8String.levenshteinDistance — the SAME banded DP the
+        // 3-arg levenshtein expression runs, so distances are identical,
+        // without a self-join materializing both prefixes per pair.
+        val spark = docs.sparkSession
+        import spark.implicits._
+        val intIds = docs.schema(idCol).dataType == IntegerType
+        val grouped = base
+          .select(col("blk"), struct(col("id").cast("long").as("id"),
+            col("prefix")).as("r"))
+          .groupBy("blk").agg(collect_list(col("r")).as("rows"))
+          .repartition(spark.sparkContext.defaultParallelism)
+        val pairs = grouped.flatMap { row =>
+          import org.apache.spark.unsafe.types.UTF8String
+          val rows = row.getSeq[org.apache.spark.sql.Row](1)
+          val n = rows.length
+          val ids = new Array[Long](n)
+          val ps = new Array[UTF8String](n)
+          var i = 0
+          rows.foreach { r =>
+            ids(i) = r.getLong(0)
+            ps(i) = UTF8String.fromString(
+              if (r.isNullAt(1)) "" else r.getString(1))
+            i += 1
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+          i = 0
+          while (i < n) {
+            var j = i + 1
+            while (j < n) {
+              val d = ps(i).levenshteinDistance(ps(j), maxDist)
+              if (d >= 0) {
+                if (ids(i) < ids(j)) out += ((ids(i), ids(j), d))
+                else out += ((ids(j), ids(i), d))
+              }
+              j += 1
+            }
+            i += 1
+          }
+          out
+        }.toDF("id_a", "id_b", "edit_dist")
+        if (intIds)
+          pairs.select(col("id_a").cast("int"), col("id_b").cast("int"),
+            col("edit_dist"))
+        else pairs
+      case _ =>
+        val a = base.select(col("blk"), col("id").as("id_a"), col("prefix").as("p_a"))
+        val b = base.select(col("blk"), col("id").as("id_b"), col("prefix").as("p_b"))
+        a.join(b, Seq("blk"))
+          .filter(col("id_a") < col("id_b"))
+          // 3-arg levenshtein computes a banded DP and bails out at the
+          // threshold (-1 when exceeded) — O(len·maxDist) per pair
+          // instead of O(len²), and most pairs exit early.
+          .withColumn("edit_dist", levenshtein(col("p_a"), col("p_b"), maxDist))
+          .filter(col("edit_dist") >= 0)
+          .select(col("id_a"), col("id_b"), col("edit_dist"))
+    }
   }
 
   /** Winnowing document fingerprints (the rolling-hash fingerprint scheme
