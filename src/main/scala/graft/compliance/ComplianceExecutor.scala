@@ -22,7 +22,8 @@ object ComplianceExecutor {
       title: String,
       results: Seq[ComplianceResult],
       error: Option[String],
-      durationMs: Long)
+      durationMs: Long,
+      truncated: Boolean = false)
 
   final case class PackRun(pack: String, runs: Seq[QueryRun]) {
     def passed: Int = runs.flatMap(_.results).count(_.status == "PASS")
@@ -67,9 +68,10 @@ object ComplianceExecutor {
           QueryEngine.escapedLiterals(spark))
         try {
           val rows = executeWithTimeout(spark, bound, timeout, q.id)
-          val results = rows.map(toResult(_, q))
+          val truncated = rows.size > MaxResultRows
+          val results = rows.take(MaxResultRows).map(toResult(_, q))
           onProgress(ProgressEvent.QueryFinished(q.id, results.size, elapsedMs(t0)))
-          QueryRun(q.id, q.title, results, None, elapsedMs(t0))
+          QueryRun(q.id, q.title, results, None, elapsedMs(t0), truncated)
         } catch {
           case e: Throwable =>
             val msg = categorize(e)
@@ -89,7 +91,10 @@ object ComplianceExecutor {
 
   /** Reference result cap: queries collect at most this many rows
     * (base_change_tracker.go:76-82 caps query limits at 10000), so a
-    * runaway pack query cannot OOM the driver.
+    * runaway pack query cannot OOM the driver. We fetch one row past the
+    * cap so the run can tell "exactly at the cap" from "silently cut" and
+    * surface [[QueryRun.truncated]] instead of returning an arbitrary,
+    * run-dependent subset with no indicator.
     */
   val MaxResultRows = 10000
 
@@ -100,7 +105,7 @@ object ComplianceExecutor {
     val sc = spark.sparkContext
     val fut = Future {
       sc.setJobGroup(group, s"compliance:$group", interruptOnCancel = true)
-      try spark.sql(sql).limit(MaxResultRows).collect().toSeq
+      try spark.sql(sql).limit(MaxResultRows + 1).collect().toSeq
       finally sc.clearJobGroup()
     }
     try Await.result(fut, timeout)

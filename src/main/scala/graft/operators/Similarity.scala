@@ -74,17 +74,20 @@ object Similarity {
   private def plane(bb: Int, dim: Int): Array[Double] =
     Array.tabulate(dim)(planeComponent(bb, _))
 
-  /** Observed vector width from one sampled row (embedding columns are
-    * fixed-width per corpus); MaxDim on an empty input. Fails fast past
+  /** Observed vector width from one sampled non-null row (embedding
+    * columns are fixed-width per corpus); MaxDim when the corpus is empty
+    * or all-NULL, or when the sampled width is non-positive (a NULL-laden
+    * first row must not collapse plane width to 0). Fails fast past
     * [[PlaneDimCap]] instead of degrading recall silently.
     */
   private def sampledDim(vectors: DataFrame, vecCol: String): Int = {
-    val d = vectors.select(size(col(vecCol)).as("d")).take(1)
+    val d = vectors.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol)).as("d")).take(1)
       .headOption.map(_.getInt(0)).getOrElse(MaxDim)
     require(d <= PlaneDimCap,
       s"embedding width $d exceeds LSH plane cap $PlaneDimCap — " +
         "project the vectors down before LSH bucketing")
-    math.max(d, 1)
+    if (d <= 0) MaxDim else d
   }
 
   /** Sign-bit bucket for bits [bitBase, bitBase+nBits) as one bit-packed
@@ -348,9 +351,11 @@ object Similarity {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       fname, exprs => graft.functions.NearestCellExpr(exprs(0), centroids),
       "built-in")
-    val assigned = base
-      .withColumn("cell", call_function(fname, col("vec")))
-      .localCheckpoint(true)
+    val assigned =
+      try base.withColumn("cell", call_function(fname, col("vec")))
+        .localCheckpoint(true) // eager: the temp function is dead after this
+      finally spark.sessionState.functionRegistry.dropFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(fname))
     base.unpersist(blocking = false) // assignment materialized; barrier dead
     val centroidsDf = centroids.zipWithIndex.toSeq
       .map { case (c, i) => (i, c) }.toDF("cell", "centroid")

@@ -183,6 +183,28 @@ class ComplianceSpec extends SparkSpec {
     assert(order.map(_.name) == Seq("ccc-storage"))
   }
 
+  test("results past MaxResultRows cap are flagged truncated") {
+    val cap = ComplianceExecutor.MaxResultRows
+    def probe(id: String, n: Int) = PackQuery(id, "truncation probe", "LOW",
+      "test", "inline", Nil, enabled = true,
+      sql = s"""SELECT CAST(id AS STRING) AS resource_id,
+                CAST(id AS STRING) AS resource_name,
+                'bucket' AS resource_type, '$id' AS control_id,
+                'truncation probe' AS control_name, 'PASS' AS status,
+                'LOW' AS severity, '' AS details
+                FROM range($n)""")
+    val p = pack.copy(parameters = Nil,
+      queries = Seq(probe("T.Trunc.Over", cap + 5), probe("T.Trunc.At", cap)))
+    val run = ComplianceExecutor.run(spark, p, Map.empty)
+    val over = run.runs.find(_.queryId == "T.Trunc.Over").get
+    assert(over.error.isEmpty, over.error)
+    assert(over.truncated, "over-cap query must surface the truncation")
+    assert(over.results.size == cap)
+    val at = run.runs.find(_.queryId == "T.Trunc.At").get
+    assert(!at.truncated, "exactly-at-cap query must NOT be flagged")
+    assert(at.results.size == cap)
+  }
+
   test("validation: provider, namespace format, duplicate ids, rule sanity") {
     assert(PackLoader.validate(pack.copy(provider = ""))
       .exists(_.contains("provider")))

@@ -136,4 +136,41 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getDouble(2) >= 0.2)
     }
   }
+
+  test("LSH survives a NULL embedding in the sampled row") {
+    // The width sample must skip NULL vectors: a corpus whose FIRST row
+    // carries a NULL embedding used to NPE in sampledDim's getInt.
+    val rows = (null.asInstanceOf[Array[Float]], -1L) +:
+      (0L until 50L).map(i => (Array.fill(16)((i % 5).toFloat + 1f), i))
+    val df = rows.toDF("embedding", "vec_id")
+      .select(col("vec_id"), col("embedding"))
+    val qs = df.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val top = Similarity.lshTopK(df, "vec_id", "embedding", qs, 5)
+      .select("id").collect().map(_.getLong(0))
+    assert(top.nonEmpty, "non-null corpus rows must still be searchable")
+    assert(!top.contains(-1L), "NULL vector must never rank")
+    // all-NULL corpus: no width observable — falls back, never throws
+    val allNull = Seq((1L, null.asInstanceOf[Array[Float]]),
+      (2L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding")
+    val qn = Seq((9L, Array.fill(16)(1f))).toDF("query_id", "qvec")
+    assert(Similarity.lshTopK(allNull, "vec_id", "embedding", qn, 5)
+      .collect().isEmpty)
+  }
+
+  test("ivfIndex drops its temp function: registry stable across 50 builds") {
+    val df = (0L until 100L).map(i => (i, Array.fill(8)((i % 7).toFloat)))
+      .toDF("vec_id", "embedding")
+    Similarity.ivfIndex(df, "vec_id", "embedding", nCells = 4)._2
+      .unpersist(blocking = false)
+    val before = spark.sessionState.functionRegistry.listFunction().size
+    (1 to 50).foreach { _ =>
+      val (_, assigned) = Similarity.ivfIndex(df, "vec_id", "embedding",
+        nCells = 4)
+      assigned.unpersist(blocking = false)
+    }
+    val after = spark.sessionState.functionRegistry.listFunction().size
+    assert(after == before,
+      s"function registry grew $before -> $after across ivfIndex calls")
+  }
 }
