@@ -18,14 +18,30 @@ class GraphSpec extends SparkSpec {
   private def distances(df: org.apache.spark.sql.DataFrame): Map[String, Int] =
     df.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
 
-  test("directed reach with cycle termination") {
-    val d = distances(Graph.reach(edges, Seq("a"), 10, undirected = false))
-    assert(d == Map("a" -> 0, "b" -> 1, "c" -> 2, "d" -> 3, "e" -> 3))
+  // Every scenario asserts BOTH execution paths: the driver-contracted
+  // endgame (default gate — these graphs are tiny) and the distributed
+  // iterative loop (localEdgeLimit = 0 disables the gate).
+  private def reachBoth(src: Seq[String], maxHops: Int,
+      undirected: Boolean): Seq[Map[String, Int]] =
+    Seq(Long.MaxValue, 0L).map { lim =>
+      distances(Graph.reachFrom(
+        if (undirected)
+          edges.unionByName(edges.select(col("to_id").as("from_id"),
+            col("from_id").as("to_id")))
+        else edges,
+        src.toDF("id"), maxHops, undirected = false, localEdgeLimit = lim))
+    }
+
+  test("directed reach with cycle termination (local + distributed)") {
+    val Seq(local, dist) = reachBoth(Seq("a"), 10, undirected = false)
+    assert(local == Map("a" -> 0, "b" -> 1, "c" -> 2, "d" -> 3, "e" -> 3))
+    assert(dist == local)
   }
 
   test("maxHops bound (reference depth ≤ 10 → here 2)") {
-    val d = distances(Graph.reach(edges, Seq("a"), 2, undirected = false))
-    assert(d == Map("a" -> 0, "b" -> 1, "c" -> 2))
+    val Seq(local, dist) = reachBoth(Seq("a"), 2, undirected = false)
+    assert(local == Map("a" -> 0, "b" -> 1, "c" -> 2))
+    assert(dist == local)
   }
 
   test("shortest path length and unreachable") {
@@ -39,12 +55,30 @@ class GraphSpec extends SparkSpec {
   test("undirected k-hop neighborhood keeps min distance") {
     val d = distances(Graph.neighborhood(edges, "e", 2))
     assert(d == Map("e" -> 0, "c" -> 1, "b" -> 2, "d" -> 2))
+    val Seq(local, dist) = reachBoth(Seq("e"), 2, undirected = true)
+    assert(local == d && dist == d)
   }
 
-  test("multi-source reach takes min over sources") {
-    val d = distances(Graph.reachFrom(edges,
-      Seq("a", "c").toDF("id"), 10))
-    assert(d == Map("a" -> 0, "c" -> 0, "b" -> 1, "d" -> 1, "e" -> 1))
+  test("multi-source reach takes min over sources (local + distributed)") {
+    val Seq(local, dist) = reachBoth(Seq("a", "c"), 10, undirected = false)
+    assert(local == Map("a" -> 0, "c" -> 0, "b" -> 1, "d" -> 1, "e" -> 1))
+    assert(dist == local)
+  }
+
+  test("reachPaths: lexicographic-min tie-break agrees across both paths") {
+    // two equal-length routes into d (a→b→d, a→c→d): min path is via b;
+    // cycle edge d→a must not re-enter; e only via the longer chain
+    val pe = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"),
+      ("d", "a"), ("d", "e")).toDF("from_id", "to_id")
+    def run(lim: Long): Map[String, (Seq[String], Int)] =
+      Graph.reachPaths(pe, Seq("a"), 10, localEdgeLimit = lim).collect()
+        .map(r => r.getString(0) ->
+          ((r.getSeq[String](1), r.getInt(2)))).toMap
+    val local = run(Long.MaxValue)
+    assert(local("d") == (Seq("a", "b", "d"), 2))
+    assert(local("e") == (Seq("a", "b", "d", "e"), 3))
+    assert(local("a") == (Seq("a"), 0))
+    assert(run(0L) == local)
   }
 
   test("1-hop dependencies/dependents join vertices") {
