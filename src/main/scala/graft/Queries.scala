@@ -990,7 +990,11 @@ object Queries {
     * back to its session interval by time containment (sessions from the
     * same gap rule as q_st1). Oracle: DuckDB inequality join (its
     * optimizer plans IEJoin natively; Spark gets the bin-equi-join
-    * rewrite from operators.RangeJoin).
+    * rewrite from operators.RangeJoin). Bin width is pinned to the gap
+    * (1800 s) analytically rather than sampled: a gap-rule session is
+    * rarely longer than its gap (p99 length 1459 s < 1800 s at sf0.1 ⇒
+    * measured fan-out 1.02 bins/interval), and the explicit width skips
+    * the sampling job the auto mode would spend re-deriving it.
     */
   val x4RangeJoin: Q = (s, d) => {
     val sessions = graft.streaming.Sessionize.batch(t(s, d, "events"),

@@ -71,6 +71,40 @@ object TextExprs {
     org.apache.spark.sql.catalyst.InternalRow(top, n.toLong, counts.size.toLong)
   }
 
+  /** Term → occurrence-count map of the non-empty tokens, insertion-
+    * ordered. The per-row half of TF-IDF: tf depends only on the row's own
+    * text, so counting here (then exploding the map) removes the
+    * (doc, term) aggregation shuffle entirely — what leaves the scan is
+    * already one row per (doc, term, tf). Keys are cloned on first insert
+    * so the returned map never aliases reusable input buffers.
+    */
+  def termCounts(arr: ArrayData): org.apache.spark.sql.catalyst.util.MapData = {
+    val n = arr.numElements()
+    val counts = new java.util.LinkedHashMap[UTF8String, java.lang.Long]()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        if (s.numBytes > 0) {
+          val prev = counts.get(s)
+          if (prev == null) counts.put(s.clone(), java.lang.Long.valueOf(1L))
+          else counts.put(s, java.lang.Long.valueOf(prev.longValue() + 1L))
+        }
+      }
+      i += 1
+    }
+    val k = new Array[Any](counts.size)
+    val v = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      k(j) = e.getKey; v(j) = e.getValue.longValue(); j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new GenericArrayData(k), new GenericArrayData(v))
+  }
+
   /** Winnowing fingerprints: md5-hex of each k-gram (space-joined), then
     * the lexicographic minimum of every complete window of `win`
     * consecutive gram hashes, distinct. Mirrors the posexplode+window
@@ -164,6 +198,24 @@ case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       a => s"graft.functions.TextExprs$$.MODULE$$.repetitionStats($a)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `term_counts(array<string>) -> map<string,bigint>` (non-empty tokens). */
+case class TermCountsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    MapType(StringType, LongType, valueContainsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"term_counts expects array<string>, got ${dt.simpleString}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    TextExprs.termCounts(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.TextExprs$$.MODULE$$.termCounts($a)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

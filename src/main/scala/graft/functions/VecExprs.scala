@@ -392,6 +392,8 @@ object VecExprs {
       "bigrams", exprs => BigramsExpr(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "repetition_stats", exprs => RepetitionStatsExpr(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "term_counts", exprs => TermCountsExpr(exprs(0)), "built-in")
     def intLit(e: Expression, name: String): Int = e match {
       case Literal(v: Int, IntegerType) => v
       case other => throw new IllegalArgumentException(

@@ -108,26 +108,30 @@ object TextAnalysis {
           .cast("bigint"))
   }
 
-  /** Top-`topN` TF-IDF terms per document. Classic two-aggregation shape:
-    * explode → per-(doc, term) counts (map-side combine carries pairs, not
-    * raw tokens) → document frequencies joined back → ranked window.
+  /** Top-`topN` TF-IDF terms per document. Zero aggregations, two windows:
+    * tf depends only on a document's own text, so the `term_counts` native
+    * expression (functions.TextExprs) counts terms per row and exploding
+    * the map yields (doc, term, tf) directly — the raw token stream never
+    * shuffles. `df` is then a count-over-term window ON that frame (one
+    * row per (doc, term) means rows-per-term IS the document frequency),
+    * and the rank is the usual per-doc window.
     * The idf is the RAW ratio `N / df` (no logarithm): logs differ in the
     * last ulp across libm implementations and would break cross-engine
     * hash checks, and the ranking it induces per document is identical
     * (log is monotone). Score = tf · N / df as left-associated double ops.
     *
-    * Scale: both aggregations are partial-agg friendly; `df` (vocabulary ×
-    * 1 row) is broadcast back onto the (doc, term) frame, so the only big
-    * shuffle is the groupBy on (doc, term).
+    * Scale: the only shuffles are the two windows over the already
+    * (doc, term, tf)-shaped frame (vocabulary × docs rows, ≪ token
+    * count); term-frequency skew is bounded because a window count needs
+    * no per-row state beyond the partition count itself.
     */
   def tfidf(docs: DataFrame, idCol: String, textCol: String, topN: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spark = docs.sparkSession
-    val terms = docs
-      .select(col(idCol), explode(split(normalize(col(textCol)), " ")).as("term"))
-      .filter(length(col("term")) > 0)
-    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    graft.functions.VecExprs.register(docs.sparkSession)
+    val tf = docs
+      .select(col(idCol),
+        explode(call_function("term_counts",
+          split(normalize(col(textCol)), " "))).as(Seq("term", "tf")))
     // Corpus size as a broadcast 1-row frame, not a driver-side
     // distinct().count(): the old form was a blocking job per call (a
     // driver sync point); this way N is computed inside the same job and
@@ -135,7 +139,7 @@ object TextAnalysis {
     val nDf = docs.select(countDistinct(col(idCol)).as("n"))
     val w = Window.partitionBy(idCol)
       .orderBy(col("tfidf").desc, col("term").asc)
-    tf.join(broadcast(dfreq), "term")
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
       .crossJoin(broadcast(nDf))
       .withColumn("tfidf",
         col("tf").cast("double") * col("n").cast("double") / col("df").cast("double"))

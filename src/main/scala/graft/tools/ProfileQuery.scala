@@ -26,8 +26,13 @@ object ProfileQuery {
       val fn = graft.SparkEntry.queries(name)
       for (i <- 1 to reps) {
         val t0 = System.nanoTime()
-        val n = fn(spark, sfDir).count()
+        val df = fn(spark, sfDir)
+        val n = df.count()
         println(f"[profile] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+        // After the action, AQE has finalized the plan — print what ran.
+        if (i == reps && sys.env.contains("GRAFT_PROFILE_EXPLAIN"))
+          println(df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
       }
     }
     spark.stop()

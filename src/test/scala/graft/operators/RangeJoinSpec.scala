@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 import java.sql.Timestamp
 
 class RangeJoinSpec extends SparkSpec {
@@ -27,6 +28,40 @@ class RangeJoinSpec extends SparkSpec {
       .select($"p", $"ival.name").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(out == Map("p1" -> "w1", "p2" -> "w1", "p4" -> "w2", "p5" -> "w3"))
+  }
+
+  test("auto bin width: p99-derived, same matches, bounded fan-out") {
+    // interval lengths cluster near 100 s with one 1000 s outlier; the
+    // sampled p99 must land near the cluster scale, NOT at a fixed
+    // constant that would explode week-long intervals into thousands of
+    // bins. Fan-out bound: ~99% of intervals span ≤ 2 bins.
+    val intervals = (0 until 200).map { i =>
+      val start = 1704100000L + i * 5000L
+      val len = if (i == 199) 1000L else 90L + (i % 21)
+      (1L, new Timestamp(start * 1000), new Timestamp((start + len) * 1000),
+        s"w$i")
+    }.toDF("key", "start_ts", "end_ts", "name")
+    val width = RangeJoin.sampledBinSeconds(intervals, "start_ts", "end_ts")
+    assert(width >= 90 && width <= 1000, s"p99 width $width out of range")
+    val points = (0 until 200).map { i =>
+      (1L, new Timestamp((1704100000L + i * 5000L + 50L) * 1000), s"p$i")
+    }.toDF("key", "ts", "p")
+    val auto = RangeJoin.rangeJoin(points, intervals, "key", "ts",
+        "start_ts", "end_ts")
+      .select($"p", $"ival.name").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val fixed = RangeJoin.rangeJoin(points, intervals, "key", "ts",
+        "start_ts", "end_ts", binSeconds = 600)
+      .select($"p", $"ival.name").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(auto == fixed && auto.size == 200)
+    // no row explosion: replicated-bin row count stays within 2x + outlier
+    val bins = intervals.select(
+      (floor(unix_timestamp($"end_ts") / width) -
+        floor(unix_timestamp($"start_ts") / width) + 1).as("nb"))
+      .agg(sum($"nb")).as[Long].collect()(0)
+    assert(bins <= intervals.count() * 2 + 1000 / width + 1,
+      s"bin fan-out $bins rows for ${intervals.count()} intervals")
   }
 
   test("overlapping intervals yield one row per match") {

@@ -18,6 +18,25 @@ class TextMultimodalSpec extends SparkSpec {
     assert(fp(0) == fp(1)) // normalization folds case/punct/space
   }
 
+  test("term_counts matches the explode-groupBy formulation") {
+    graft.functions.VecExprs.register(spark)
+    val m = spark.sql(
+      "SELECT term_counts(array('a','b','a','','c','b','a')) AS m")
+      .collect()(0).getMap[String, Long](0)
+    assert(m == Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+    assert(spark.sql("SELECT term_counts(array('', '')) AS m")
+      .collect()(0).getMap[String, Long](0).isEmpty)
+    // tfidf end-to-end on a toy corpus: df counts docs, not occurrences
+    val docs = Seq((1L, "x x y"), (2L, "x z")).toDF("doc_id", "text")
+    val rows = TextAnalysis.tfidf(docs, "doc_id", "text", topN = 3)
+      .select("doc_id", "term", "tf", "df").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(rows((1L, "x")) == ((2L, 2L)))
+    assert(rows((1L, "y")) == ((1L, 1L)))
+    assert(rows((2L, "z")) == ((1L, 1L)))
+  }
+
   test("quality metrics ranges and monotonicity") {
     val df = Seq(
       (1L, "the cat is on the mat and it is a good cat that sleeps for hours"),
