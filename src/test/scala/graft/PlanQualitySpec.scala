@@ -52,9 +52,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
   }
 
-  test("T5 tfidf: document-frequency table broadcast onto the tf frame") {
+  test("T5 tfidf: zero aggregations on the token frame, scalar N broadcast") {
     val p = plan("q_t5_tfidf")
-    assert(p.contains("BroadcastHashJoin"), p)
+    // tf comes from the per-row term_counts map (explode), df from a
+    // window count over terms — the token frame must reach its window
+    // without any aggregation. The only HashAggregates allowed are the
+    // countDistinct corpus-size scalar (partial/final x distinct = 4);
+    // a regression to groupBy-based tf or df would add more.
+    assert(p.contains("Generate"), p)
+    // count detail entries, not tree lines (each node renders twice)
+    assert(p.linesIterator.count(l =>
+      l.trim.matches("""\(\d+\) HashAggregate\s*""")) <= 4, p)
+    // corpus size joins on as a broadcast 1-row frame, never a cartesian
+    assert(p.contains("BroadcastNestedLoopJoin Cross"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
