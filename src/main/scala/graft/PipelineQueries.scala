@@ -6,10 +6,14 @@ import graft.operators._
 
 /** Training-data pipeline queries over `documents` / `embeddings`:
   * deduplication, text analysis, multimodal plumbing, similarity search.
-  * Oracles follow the same determinism rules as [[Queries]]; approximate
-  * operators (MinHash, SimHash, LSH) are registered without oracles (the
-  * driver records rows-only checks) and are instead validated against
-  * their exact counterparts in ScalaTest.
+  * Oracles follow the same determinism rules as [[Queries]]. Approximate
+  * operators (MinHash, SimHash, LSH, IVF) get *emitted-row* oracles: the
+  * candidate set is hash-specific (recall vs the exact counterpart is
+  * asserted in ScalaTest), but every emitted row must carry an exact,
+  * recomputable similarity — the oracle SQL reads the dumped Spark result
+  * back (via the `__SPARK_OUT__` placeholder Verify resolves) and
+  * recomputes each pair's metric from the raw tables, so wrong values,
+  * threshold violations, and fabricated ids all fail the driver's compare.
   */
 object PipelineQueries {
 
@@ -65,26 +69,70 @@ object PipelineQueries {
        |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id)
        |SELECT source, id_a, id_b, jaccard FROM p WHERE jaccard >= 0.2""".stripMargin
 
-  /** D4: MinHash+LSH near-dups, verified by exact Jaccard (approximate
-    * candidate generation ⇒ no SQL oracle; ScalaTest checks recall vs D3).
+  /** D4: MinHash+LSH near-dups, verified by exact Jaccard. Candidate
+    * generation is hash-specific (recall vs D3 asserted in DedupSpec),
+    * but every *emitted* pair is exact — so the oracle reads the emitted
+    * pairs back and recomputes their 3-shingle Jaccard from the raw text
+    * in DuckDB: a wrong similarity, a below-threshold pair, or a
+    * fabricated doc id all turn the row red.
     */
   val d4MinhashNearDup: Q = (s, d) =>
     Dedup.minhashNearDups(t(s, d, "documents"), "doc_id", "text",
-      threshold = 0.2)
+        threshold = 0.2)
+      .select("id_a", "id_b", "jaccard")
+  val d4Oracle =
+    s"""WITH sp AS (
+       |  SELECT id_a, id_b FROM '__SPARK_OUT__/q_d4_minhash_neardup/*.parquet'),
+       |t AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+       |  FROM (SELECT doc_id, $wordsSql AS w FROM documents) z
+       |  WHERE doc_id IN (SELECT id_a FROM sp UNION SELECT id_b FROM sp)),
+       |p AS (
+       |  SELECT sp.id_a, sp.id_b,
+       |    ROUND(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+       |      ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |           len(list_distinct(list_concat(a.sh, b.sh))) END, 6) AS jaccard
+       |  FROM sp JOIN t a ON a.doc_id = sp.id_a JOIN t b ON b.doc_id = sp.id_b)
+       |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.2""".stripMargin
 
-  /** D5: SimHash near-dup pairs (hash-function-specific ⇒ rows-only). */
+  /** D5: SimHash near-dup pairs. The signature is hash-specific
+    * (bit-parity with the HOF twin asserted in DedupSpec), so both
+    * signatures ride along and the oracle recomputes
+    * hamming = popcount(sh_a XOR sh_b) in DuckDB, enforces the ≤3
+    * threshold and id ordering, and joins both ids back to `documents` —
+    * wrong arithmetic, threshold violations, and invented ids all fail.
+    */
   val d5SimhashNearDup: Q = (s, d) =>
     Dedup.simhashNearDups(t(s, d, "documents"), "doc_id", "text",
       maxHamming = 3)
+  val d5Oracle =
+    """WITH sp AS (
+      |  SELECT * FROM '__SPARK_OUT__/q_d5_simhash_neardup/*.parquet')
+      |SELECT sp.id_a, sp.id_b, sp.sh_a, sp.sh_b, sp.hamming
+      |FROM sp
+      |JOIN documents da ON da.doc_id = sp.id_a
+      |JOIN documents db ON db.doc_id = sp.id_b
+      |WHERE bit_count(xor(sp.sh_a, sp.sh_b)) = sp.hamming
+      |  AND sp.hamming <= 3 AND sp.id_a < sp.id_b""".stripMargin
 
   /** D6: the full near-dedup pipeline — MinHash pairs → connected-
-    * component clusters → canonical keeper per cluster (rows-only:
-    * candidate generation is hash-specific; the clustering stage is
-    * oracle-checked via q_g6_components and DedupSpec).
+    * component clusters → canonical keeper per cluster. Keeper choice
+    * depends on the hash-specific candidate graph (clustering is
+    * oracle-checked via q_g6_components and DedupSpec); the oracle
+    * verifies the emitted survivors are genuine, distinct documents with
+    * unaltered attributes.
     */
   val d6DedupNear: Q = (s, d) =>
     Dedup.dedupNear(t(s, d, "documents"), "doc_id", "text", threshold = 0.2)
       .select("doc_id", "source", "lang")
+  val d6Oracle =
+    """WITH sp AS (
+      |  SELECT DISTINCT doc_id
+      |  FROM '__SPARK_OUT__/q_d6_dedup_near/*.parquet')
+      |SELECT d.doc_id, d.source, d.lang
+      |FROM documents d JOIN sp USING (doc_id)""".stripMargin
 
   // ===== text analysis =================================================
 
@@ -529,25 +577,79 @@ object PipelineQueries {
       |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
       |SELECT id_a, id_b, cosine_sim FROM p WHERE cosine_sim >= 0.4""".stripMargin
 
-  /** S3: LSH-bucketed approximate top-k (rows-only; recall vs S1 is
-    * asserted in ScalaTest).
+  /** Shared oracle shape for approximate top-k (S3 LSH / S4 IVF): the
+    * candidate set is hash/index-specific (recall vs exact S1 asserted in
+    * SimilaritySpec), but every emitted row must carry the *exact* cosine
+    * of (query, id) and ranks must order the emitted set by
+    * (cosine desc, id asc) — the emitted rows are the top k of the
+    * candidate set, so re-ranking them reproduces rank 1..k exactly.
+    * The oracle recomputes both from raw embeddings.
+    */
+  private def topKEchoOracle(name: String): String =
+    s"""WITH sp AS (
+       |  SELECT query_id, id FROM '__SPARK_OUT__/$name/*.parquet'),
+       |e AS (
+       |  SELECT vec_id, embedding,
+       |    SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+       |          FROM (SELECT UNNEST(embedding) AS x) ux)) AS nrm
+       |  FROM embeddings
+       |  WHERE vec_id < 5 OR vec_id IN (SELECT id FROM sp)),
+       |q AS (SELECT vec_id AS query_id, embedding AS qvec, nrm AS qnrm
+       |      FROM e WHERE vec_id < 5),
+       |sc AS (
+       |  SELECT sp.query_id, sp.id,
+       |    ROUND(CASE WHEN e.nrm * q.qnrm = 0 THEN 0.0 ELSE
+       |      (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+       |       FROM (SELECT UNNEST(e.embedding) AS x, UNNEST(q.qvec) AS y) u)
+       |      / (e.nrm * q.qnrm) END, 6) AS cosine_sim
+       |  FROM sp JOIN e ON e.vec_id = sp.id JOIN q ON q.query_id = sp.query_id)
+       |SELECT query_id,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine_sim DESC, id) AS rank,
+       |  id, cosine_sim
+       |FROM sc""".stripMargin
+
+  /** S3: LSH-bucketed approximate top-k — every emitted (query, id,
+    * cosine, rank) row is oracle-verified; see [[topKEchoOracle]].
     */
   val s3LshTopK: Q = (s, d) =>
     Similarity.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding",
-      queryVecs(s, d), k = 10)
+        queryVecs(s, d), k = 10)
+      .withColumn("rank", col("rank").cast("bigint"))
+  val s3Oracle = topKEchoOracle("q_s3_lsh_topk")
 
   /** S5: embedding-cosine near-duplicate pairs via LSH bucket blocking —
     * the scale path of S2's exact all-pairs (only same-bucket vectors are
-    * scored; exact cosine verifies). Rows-only (bucketing is
-    * hash-specific); recall vs S2 asserted in SimilaritySpec.
+    * scored; exact cosine verifies). Bucketing is hash-specific (recall
+    * vs S2 asserted in SimilaritySpec), but every emitted pair's cosine
+    * is exact — the oracle recomputes it from raw embeddings and
+    * re-enforces the threshold.
     */
   val s5CosineNearDup: Q = (s, d) =>
     Similarity.cosineNearDups(t(s, d, "embeddings"), "vec_id", "embedding",
       threshold = 0.4, nBits = 5, tables = 16)
+  val s5Oracle =
+    """WITH sp AS (
+      |  SELECT id_a, id_b FROM '__SPARK_OUT__/q_s5_cosine_neardup/*.parquet'),
+      |e AS (
+      |  SELECT vec_id, embedding,
+      |    SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+      |          FROM (SELECT UNNEST(embedding) AS x) ux)) AS nrm
+      |  FROM embeddings
+      |  WHERE vec_id IN (SELECT id_a FROM sp UNION SELECT id_b FROM sp)),
+      |p AS (
+      |  SELECT sp.id_a, sp.id_b,
+      |    ROUND(CASE WHEN a.nrm * b.nrm = 0 THEN 0.0 ELSE
+      |      (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+      |       FROM (SELECT UNNEST(a.embedding) AS x, UNNEST(b.embedding) AS y) u)
+      |      / (a.nrm * b.nrm) END, 6) AS cosine_sim
+      |  FROM sp JOIN e a ON a.vec_id = sp.id_a JOIN e b ON b.vec_id = sp.id_b)
+      |SELECT id_a, id_b, cosine_sim FROM p
+      |WHERE cosine_sim >= 0.4 AND id_a < id_b""".stripMargin
 
   /** S4: IVF (inverted-file) approximate top-k — k-means cells + nProbe
-    * probing (rows-only: the index is model-derived, not SQL-expressible;
-    * recall vs S1 is asserted in ScalaTest).
+    * probing. The index is model-derived (recall vs S1 asserted in
+    * ScalaTest); emitted rows are oracle-verified like S3.
     */
   val s4IvfTopK: Q = (s, d) => {
     val (centroids, assigned) = Similarity.ivfIndex(
@@ -555,6 +657,7 @@ object PipelineQueries {
     Similarity.ivfTopK(assigned, centroids, queryVecs(s, d), k = 10, nProbe = 4)
       .withColumn("rank", col("rank").cast("bigint"))
   }
+  val s4Oracle = topKEchoOracle("q_s4_ivf_topk")
 
   // ===== registry ======================================================
 
@@ -610,5 +713,11 @@ object PipelineQueries {
     "q_m1_media_meta" -> m1Oracle,
     "q_m2_frames" -> m2Oracle,
     "q_s1_topk_bruteforce" -> s1Oracle,
-    "q_s2_cosine_pairs" -> s2Oracle)
+    "q_s2_cosine_pairs" -> s2Oracle,
+    "q_d4_minhash_neardup" -> d4Oracle,
+    "q_d5_simhash_neardup" -> d5Oracle,
+    "q_d6_dedup_near" -> d6Oracle,
+    "q_s3_lsh_topk" -> s3Oracle,
+    "q_s4_ivf_topk" -> s4Oracle,
+    "q_s5_cosine_neardup" -> s5Oracle)
 }

@@ -180,9 +180,12 @@ object Queries {
     * `percentile_approx` aggregates a bounded sketch
     * (positional quantile digest, accuracy 10k ⇒ ≤0.01% rank error)
     * with map-side partial merge, so memory stays O(accuracy) per group
-    * while the exact form must sort every value. Sketch-specific output
-    * ⇒ no SQL oracle; ApproxPercentileSpec bounds the error vs the exact
-    * A13 answer at 5%.
+    * while the exact form must sort every value. The sketch output is an
+    * *observed value* with a rank-error guarantee, so the oracle verifies
+    * the emitted rows directly: each pXX must exist in the group and its
+    * empirical rank must sit within the sketch's error band (±0.002,
+    * 20x the guarantee). ApproxPercentileSpec additionally bounds the
+    * value error vs the exact A13 answer at 5%.
     */
   val a15ApproxPercentiles: Q = (s, d) =>
     t(s, d, "events").groupBy("event_type")
@@ -191,6 +194,24 @@ object Queries {
       .select(col("event_type"),
         element_at(col("q"), 1).as("p50"),
         element_at(col("q"), 2).as("p95"))
+  val a15Oracle =
+    """WITH sp AS (
+      |  SELECT * FROM '__SPARK_OUT__/q_a15_approx_percentiles/*.parquet'),
+      |g AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type)
+      |SELECT sp.event_type, sp.p50, sp.p95
+      |FROM sp JOIN g USING (event_type)
+      |WHERE EXISTS (SELECT 1 FROM events e
+      |        WHERE e.event_type = sp.event_type AND e.value = sp.p50)
+      |  AND EXISTS (SELECT 1 FROM events e
+      |        WHERE e.event_type = sp.event_type AND e.value = sp.p95)
+      |  AND (SELECT COUNT(*) FROM events e WHERE e.event_type = sp.event_type
+      |        AND e.value <= sp.p50) >= (0.5 - 0.002) * g.n
+      |  AND (SELECT COUNT(*) FROM events e WHERE e.event_type = sp.event_type
+      |        AND e.value <  sp.p50) <= (0.5 + 0.002) * g.n
+      |  AND (SELECT COUNT(*) FROM events e WHERE e.event_type = sp.event_type
+      |        AND e.value <= sp.p95) >= (0.95 - 0.002) * g.n
+      |  AND (SELECT COUNT(*) FROM events e WHERE e.event_type = sp.event_type
+      |        AND e.value <  sp.p95) <= (0.95 + 0.002) * g.n""".stripMargin
 
   /** A14: integer-bucket histogram (beyond the reference) — value
     * distribution profiling with pure integer division, so both engines
@@ -1582,6 +1603,7 @@ object Queries {
     "q_a12_rollup" -> a12Oracle,
     "q_a13_percentiles" -> a13Oracle,
     "q_a14_histogram" -> a14Oracle,
+    "q_a15_approx_percentiles" -> a15Oracle,
     "q_w6_window_battery" -> w6Oracle,
     "q_c1_compliance_pack" -> c1Oracle,
     "q_c5_macro_canonical" -> c5Oracle,

@@ -297,6 +297,8 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", hamming64(col("sh_a"), col("sh_b")))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+      // both signatures ride along so any downstream verifier (or the
+      // driver's oracle) can recheck hamming = popcount(sh_a XOR sh_b)
+      .select("id_a", "id_b", "sh_a", "sh_b", "hamming")
   }
 }
