@@ -115,16 +115,27 @@ object Graph {
     // O(edges) of driver CPU instead of ~2 jobs per hop. Only the forward
     // edges come over the wire (undirected mirrors them driver-side). An
     // estimate that turns out wrong (too many actual rows) falls back to
-    // the distributed loop rather than failing.
-    val localRows: Option[Array[org.apache.spark.sql.Row]] =
-      if (fitsDriver(fwd, localEdgeLimit)) {
-        val edgeRows = fwd.collect()
-        mark(s"endgame collect (${edgeRows.length} edges)")
-        if (edgeRows.length < localEdgeLimit) Some(edgeRows) else None
-      } else None
-    if (localRows.isDefined) {
-      val edgeRows = localRows.get
-      val adjMap = localAdjacency(edgeRows, undirected)
+    // the distributed loop rather than failing. The collected adjacency is
+    // kept in [[GraphIndexCache]] (reference parity: graph_loader.go loads
+    // the graph once and serves every traversal from memory), so repeated
+    // traversals over the same edge frame skip the collect entirely.
+    val canon = fwd.queryExecution.analyzed.canonicalized
+    val localAdj: Option[GraphIndexCache.Adj] =
+      (if (localEdgeLimit > 0) GraphIndexCache.get(spark, canon, undirected)
+       else None).orElse {
+        if (fitsDriver(fwd, localEdgeLimit)) {
+          val edgeRows = fwd.collect()
+          mark(s"endgame collect (${edgeRows.length} edges)")
+          if (edgeRows.length < localEdgeLimit) {
+            val adj = localAdjacency(edgeRows, undirected)
+            GraphIndexCache.put(spark, canon, undirected, adj,
+              edgeRows.length.toLong * (if (undirected) 2 else 1))
+            Some(adj)
+          } else None
+        } else None
+      }
+    if (localAdj.isDefined) {
+      val adjMap = localAdj.get
       // no distinct(): that would be a 32-partition shuffle job for a seed
       // list; the visited-map insert below dedups for free
       val srcRows = sources.select(col("id").cast("string")).collect()
@@ -234,19 +245,28 @@ object Graph {
     val eBase = edges.select(col("from_id").cast("string"),
       col("to_id").cast("string"))
 
-    // Driver-contracted endgame (see [[reachFrom]]): same gate, plus the
-    // distributed path's determinism contract — among equal-length paths
-    // to a node keep the array-lexicographic minimum, compared element-wise
-    // in UTF8 binary order exactly as Spark's min on array<string> does.
-    val localRows: Option[Array[org.apache.spark.sql.Row]] =
-      if (fitsDriver(eBase, localEdgeLimit)) {
-        val rows = eBase.collect()
-        mark(s"endgame collect (${rows.length} edges)")
-        if (rows.length < localEdgeLimit) Some(rows) else None
-      } else None
-    if (localRows.isDefined) {
+    // Driver-contracted endgame (see [[reachFrom]]): same gate + cache,
+    // plus the distributed path's determinism contract — among equal-length
+    // paths to a node keep the array-lexicographic minimum, compared
+    // element-wise in UTF8 binary order exactly as Spark's min on
+    // array<string> does.
+    val canon = eBase.queryExecution.analyzed.canonicalized
+    val localAdj: Option[GraphIndexCache.Adj] =
+      (if (localEdgeLimit > 0) GraphIndexCache.get(spark, canon, undirected = false)
+       else None).orElse {
+        if (fitsDriver(eBase, localEdgeLimit)) {
+          val rows = eBase.collect()
+          mark(s"endgame collect (${rows.length} edges)")
+          if (rows.length < localEdgeLimit) {
+            val adj = localAdjacency(rows)
+            GraphIndexCache.put(spark, canon, undirected = false, adj, rows.length.toLong)
+            Some(adj)
+          } else None
+        } else None
+      }
+    if (localAdj.isDefined) {
       import org.apache.spark.unsafe.types.UTF8String
-      val adjMap = localAdjacency(localRows.get)
+      val adjMap = localAdj.get
       def pathLess(a: Array[String], b: Array[String]): Boolean = {
         var i = 0
         while (i < a.length && i < b.length) {
