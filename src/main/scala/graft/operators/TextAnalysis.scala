@@ -125,7 +125,8 @@ object TextAnalysis {
     * count); term-frequency skew is bounded because a window count needs
     * no per-row state beyond the partition count itself.
     */
-  def tfidf(docs: DataFrame, idCol: String, textCol: String, topN: Int): DataFrame = {
+  def tfidf(docs: DataFrame, idCol: String, textCol: String, topN: Int,
+      assumeUniqueIds: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.VecExprs.register(docs.sparkSession)
     val tf = docs
@@ -135,8 +136,13 @@ object TextAnalysis {
     // Corpus size as a broadcast 1-row frame, not a driver-side
     // distinct().count(): the old form was a blocking job per call (a
     // driver sync point); this way N is computed inside the same job and
-    // cross-joined (broadcast) onto the scored frame.
-    val nDf = docs.select(countDistinct(col(idCol)).as("n"))
+    // cross-joined (broadcast) onto the scored frame. Under the standard
+    // TF-IDF contract the id column is the document key (unique), so N is
+    // a plain count — one exchange instead of countDistinct's two; pass
+    // assumeUniqueIds = false for frames where ids may repeat.
+    val nDf =
+      if (assumeUniqueIds) docs.select(count(lit(1)).as("n"))
+      else docs.select(countDistinct(col(idCol)).as("n"))
     val w = Window.partitionBy(idCol)
       .orderBy(col("tfidf").desc, col("term").asc)
     tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))

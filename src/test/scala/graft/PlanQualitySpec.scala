@@ -57,8 +57,9 @@ class PlanQualitySpec extends SparkSpec {
     // tf comes from the per-row term_counts map (explode), df from a
     // window count over terms — the token frame must reach its window
     // without any aggregation. The only HashAggregates allowed are the
-    // countDistinct corpus-size scalar (partial/final x distinct = 4);
-    // a regression to groupBy-based tf or df would add more.
+    // corpus-size scalar count (partial/final = 2; ≤4 also tolerates the
+    // assumeUniqueIds=false countDistinct form); a regression to
+    // groupBy-based tf or df would add more.
     assert(p.contains("Generate"), p)
     // count detail entries, not tree lines (each node renders twice)
     assert(p.linesIterator.count(l =>
