@@ -83,28 +83,44 @@ object Analytics {
     *  1. frequency spike: total changes in range > spikeThreshold
     *  2. service concentration: one dim value > 50% of all changes
     *  3. resource hotspot: one key with > hotspotThreshold changes
+    *
+    * One scan, one shuffle: GROUPING SETS ((), (dim), (key)) computes the
+    * global count, per-dim counts, and per-key counts in a single
+    * partially-aggregated pass (a 3-branch union would scan the input three
+    * times, and the corpus total the concentration rule needs was
+    * previously a blocking driver-side count — here it is the () row,
+    * window-summed over the already-tiny aggregated frame).
     */
   def anomalies(events: DataFrame, dimCol: String, keyCol: String,
       spikeThreshold: Long = 1000, hotspotThreshold: Long = 50): DataFrame = {
-    val total = events.agg(count(lit(1)).as("n"))
-      .select(lit("frequency_spike").as("anomaly_type"),
-        lit(null).cast("string").as("subject"),
-        col("n").as("n"),
-        least(col("n").cast("double") / (spikeThreshold * 2), lit(1.0)).as("confidence"))
-      .filter(col("n") > spikeThreshold)
-    val totalCount = events.count()
-    val concentration = events.groupBy(col(dimCol).cast("string").as("subject"))
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n").cast("double") / totalCount > 0.5)
-      .select(lit("service_concentration").as("anomaly_type"), col("subject"),
-        col("n"), (col("n").cast("double") / totalCount).as("confidence"))
-    val hotspot = events.groupBy(col(keyCol).cast("string").as("subject"))
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") > hotspotThreshold)
-      .select(lit("resource_hotspot").as("anomaly_type"), col("subject"),
-        col("n"),
-        least(col("n").cast("double") / (hotspotThreshold * 2), lit(1.0)).as("confidence"))
-    total.unionByName(concentration).unionByName(hotspot)
+    import org.apache.spark.sql.expressions.Window
+    val g = events
+      .select(col(dimCol).cast("string").as("_dim"),
+        col(keyCol).cast("string").as("_key"))
+      .groupingSets(Seq(Seq(), Seq(col("_dim")), Seq(col("_key"))),
+        col("_dim"), col("_key"))
+      .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+    // gid over (_dim,_key): () = 3, (_dim) = 1, (_key) = 2
+    val tot = sum(when(col("gid") === 3, col("n"))).over(Window.partitionBy())
+    g.withColumn("tot", tot)
+      .withColumn("anomaly_type",
+        when(col("gid") === 3, "frequency_spike")
+          .when(col("gid") === 1, "service_concentration")
+          .otherwise("resource_hotspot"))
+      .withColumn("subject",
+        when(col("gid") === 1, col("_dim"))
+          .when(col("gid") === 2, col("_key")).cast("string"))
+      .withColumn("confidence",
+        when(col("gid") === 3,
+          least(col("n").cast("double") / (spikeThreshold * 2), lit(1.0)))
+          .when(col("gid") === 1, col("n").cast("double") / col("tot"))
+          .otherwise(
+            least(col("n").cast("double") / (hotspotThreshold * 2), lit(1.0))))
+      .filter(
+        (col("gid") === 3 && col("n") > spikeThreshold) ||
+          (col("gid") === 1 && col("n").cast("double") / col("tot") > 0.5) ||
+          (col("gid") === 2 && col("n") > hotspotThreshold))
+      .select("anomaly_type", "subject", "n", "confidence")
   }
 
   /** Compliance scoring (E19, change_analytics.go:506-582): score starts at
