@@ -497,6 +497,39 @@ object PipelineQueries {
        |FROM documents""".stripMargin
   }
 
+  /** T13: benchmark decontamination — the leakage guard an LLM pipeline
+    * runs before pretraining. Bench = the deterministic 5% md5 split of
+    * `documents` (stand-in for an eval set), train = the rest; every
+    * train doc sharing an 8-word n-gram with a bench doc is flagged with
+    * the offending pair and the distinct shared-gram count. Exact op
+    * (same shingle normalization as the dedup family) ⇒ full hash
+    * oracle: DuckDB rebuilds both gram sets and recounts the join.
+    */
+  val t13Decontaminate: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val thr = Sampling.hexThreshold(0.05)
+    val bench = docs.filter(Sampling.hashBucket(col("doc_id")) < lit(thr))
+    val train = docs.filter(Sampling.hashBucket(col("doc_id")) >= lit(thr))
+    Decontaminate.contaminatedPairs(train, "doc_id", "text",
+      bench, "doc_id", "text", n = 8)
+  }
+  val t13Oracle: String = {
+    val gram8 = (1 to 8).map(k => s"w[i+${k - 1}]").mkString(" || ' ' || ")
+    s"""WITH d AS (SELECT doc_id, $wordsSql AS w FROM documents),
+       |g AS (SELECT doc_id,
+       |  UNNEST(list_distinct(list_transform(
+       |    generate_series(1, greatest(len(w) - 7, 0)), i -> $gram8))) AS gram
+       |  FROM d),
+       |bench AS (SELECT * FROM g
+       |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '0ccccccc'),
+       |train AS (SELECT * FROM g
+       |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) >= '0ccccccc')
+       |SELECT t.doc_id AS train_id, b.doc_id AS bench_id,
+       |  COUNT(*) AS shared_ngrams
+       |FROM train t JOIN bench b USING (gram)
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   /** D8: winnowing fingerprints (rolling k-gram hash + sliding-window
     * min, MOSS-style) — shared substrings of ≥ k+win-1 tokens guarantee a
     * shared fingerprint. md5-string hashes so DuckDB derives identical
@@ -683,6 +716,7 @@ object PipelineQueries {
     "q_t10_pack" -> t10Pack,
     "q_t11_repetition" -> t11Repetition,
     "q_t12_token_accounting" -> t12TokenAccounting,
+    "q_t13_decontaminate" -> t13Decontaminate,
     "q_m1_media_meta" -> m1MediaMeta,
     "q_m2_frames" -> m2Frames,
     "q_s1_topk_bruteforce" -> s1TopKBruteForce,
@@ -710,6 +744,7 @@ object PipelineQueries {
     "q_t10_pack" -> t10Oracle,
     "q_t11_repetition" -> t11Oracle,
     "q_t12_token_accounting" -> t12Oracle,
+    "q_t13_decontaminate" -> t13Oracle,
     "q_m1_media_meta" -> m1Oracle,
     "q_m2_frames" -> m2Oracle,
     "q_s1_topk_bruteforce" -> s1Oracle,

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination for training corpora (pipeline extra, beyond
+  * the reference's surface): flag every training document that shares at
+  * least `minShared` distinct word n-grams with any benchmark/eval
+  * document, then drop the flagged docs. This is the standard leakage
+  * guard run before LLM pretraining (n ≈ 8..13 word n-grams).
+  *
+  * Scale shape (100 TB corpus): the benchmark side is tiny — eval sets are
+  * MBs while the corpus is TBs — so its exploded n-gram frame is
+  * broadcast and the corpus side streams through a map-side hash join:
+  * the corpus is scanned once and never shuffled. Only the matched grams
+  * (a vanishingly small fraction) reach the one aggregation shuffle, keyed
+  * by (train_id, bench_id). N-grams are the dedup family's materialized
+  * hashed shingles ([[Dedup.shingleFrame]] — the token barrier matters:
+  * an inlined shingle HOF re-runs the normalize+split subtree per gram,
+  * measured 20x slower), distinct per document on both sides, so the join
+  * emits each shared gram exactly once per pair and a plain count is the
+  * distinct-gram count. Grams match by xxhash64 (8 bytes broadcast per
+  * gram instead of a ~50-byte string); a collision needs ~2^32 distinct
+  * benchmark grams to matter.
+  */
+object Decontaminate {
+
+  /** (train_id, bench_id, shared_ngrams) for every contaminated pair. */
+  def contaminatedPairs(train: DataFrame, trainId: String, trainText: String,
+      bench: DataFrame, benchId: String, benchText: String,
+      n: Int = 8, minShared: Long = 1L): DataFrame = {
+    val tg = Dedup.shingleFrame(train, trainId, trainText, n)
+      .select(col("id").as("train_id"), explode(col("sh")).as("gram"))
+    val bg = Dedup.shingleFrame(bench, benchId, benchText, n)
+      .select(col("id").as("bench_id"), explode(col("sh")).as("gram"))
+    tg.join(broadcast(bg), "gram")
+      .groupBy("train_id", "bench_id")
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .filter(col("shared_ngrams") >= minShared)
+  }
+
+  /** The training frame minus every contaminated document (left-anti on
+    * the flagged id set — the id set is small, so the anti join
+    * broadcasts too and the clean pass stays shuffle-free).
+    */
+  def clean(train: DataFrame, trainId: String, trainText: String,
+      bench: DataFrame, benchId: String, benchText: String,
+      n: Int = 8, minShared: Long = 1L): DataFrame = {
+    val bad = contaminatedPairs(train, trainId, trainText,
+        bench, benchId, benchText, n, minShared)
+      .select(col("train_id")).distinct()
+    train.join(broadcast(bad), train(trainId) === bad("train_id"), "left_anti")
+  }
+}
