@@ -538,8 +538,23 @@ object Graph {
         val next = new scala.collection.mutable.HashMap[K, K]
         rows.foreach { r => val (k, v) = get(r); if (k != v) next.update(k, v) }
         contract(next)
-        converged = next == m
+        // Fixed point if the map didn't move — or, usually a full round
+        // earlier, if no edge still crosses two labels: with full path
+        // compression, label groups then ARE the components (labels only
+        // decrease and a component's minimum node is always its own
+        // root), so the "run one more round and watch nothing change"
+        // confirmation is replaced by a shuffle-free, collect-free scan
+        // of the persisted edge set.
+        val mapFixed = next == m
         m = next
+        if (mapFixed) converged = true
+        else {
+          val (lkc, releaseC) = mkLookup(m)
+          converged = sym
+            .select(lkc(col("a")).as("la"), lkc(col("b")).as("lb"))
+            .filter(col("la") =!= col("lb")).take(1).isEmpty
+          releaseC()
+        }
         if (sys.env.contains("GRAFT_CC_DEBUG"))
           println(s"[cc] contracted round $iter ${(System.nanoTime() - tRound) / 1e9}s converged=$converged")
       }
