@@ -50,6 +50,80 @@ object Multimodal {
   def withMediaMeta(df: DataFrame, payloadCol: String = "payload"): DataFrame =
     df.withColumn("media_meta", decodeStub(col(payloadCol)))
 
+  /** Probe result: sniffed container type + dimensions where the header
+    * carries them (images; audio containers yield type only).
+    */
+  case class MediaProbe(media_type: String,
+      width: Option[Int], height: Option[Int])
+
+  /** REAL header probe — no stub: magic-byte container sniffing and
+    * dimension extraction for PNG (IHDR), JPEG (SOF marker walk), GIF,
+    * BMP, WAV and MP3, in pure JVM byte inspection. This is the cheap
+    * metadata pass a pipeline runs over every payload to filter by
+    * type/size/aspect *before* any expensive pixel decode (which remains
+    * [[decodeStub]] — that step genuinely needs imaging libs). Malformed
+    * or truncated payloads classify as application/octet-stream rather
+    * than throwing, so a corrupt file can't fail the scan.
+    */
+  def probeMedia(bytes: Array[Byte]): MediaProbe = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def be32(i: Int): Int =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le32(i: Int): Int =
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def ascii(i: Int, s: String): Boolean =
+      i + s.length <= bytes.length && s.indices.forall(k => u8(i + k) == s(k).toInt)
+    val unknown = MediaProbe("application/octet-stream", None, None)
+    if (bytes == null) unknown
+    else if (bytes.length >= 24 && u8(0) == 0x89 && ascii(1, "PNG"))
+      MediaProbe("image/png", Some(be32(16)), Some(be32(20)))
+    else if (bytes.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      // SOF walk: segments are (0xFF, marker, len16, payload); the frame
+      // header SOF0..SOF15 (minus DHT/JPG/DAC 0xc4/0xc8/0xcc) carries
+      // height at +5, width at +7.
+      var i = 2
+      var out = MediaProbe("image/jpeg", None, None)
+      var done = false
+      while (!done && i + 9 < bytes.length) {
+        if (u8(i) != 0xff) i += 1
+        else {
+          val m = u8(i + 1)
+          if (m == 0xff) i += 1
+          else if ((m >= 0xd0 && m <= 0xd9) || m == 0x01) i += 2
+          else {
+            val len = be16(i + 2)
+            if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+              out = MediaProbe("image/jpeg", Some(be16(i + 7)), Some(be16(i + 5)))
+              done = true
+            } else if (len < 2) done = true
+            else i += 2 + len
+          }
+        }
+      }
+      out
+    }
+    else if (bytes.length >= 10 && (ascii(0, "GIF87a") || ascii(0, "GIF89a")))
+      MediaProbe("image/gif", Some(le16(6)), Some(le16(8)))
+    else if (bytes.length >= 26 && ascii(0, "BM"))
+      MediaProbe("image/bmp", Some(le32(18)), Some(le32(22)))
+    else if (bytes.length >= 12 && ascii(0, "RIFF") && ascii(8, "WAVE"))
+      MediaProbe("audio/wav", None, None)
+    else if (bytes.length >= 3 &&
+        (ascii(0, "ID3") || (u8(0) == 0xff && (u8(1) & 0xe0) == 0xe0)))
+      MediaProbe("audio/mpeg", None, None)
+    else unknown
+  }
+
+  private val probeUdf = udf((b: Array[Byte]) => probeMedia(b))
+
+  /** Attach the real header-probe struct (`probe.media_type/width/height`)
+    * — same narrow no-shuffle map shape as [[withMediaMeta]].
+    */
+  def withProbedMeta(df: DataFrame, payloadCol: String = "payload"): DataFrame =
+    df.withColumn("probe", probeUdf(col(payloadCol)))
+
   /** STUB RESIZE — the image-resize stage's plumbing: takes the payload
     * plus target dims, returns a new payload + updated metadata struct.
     * The byte transform is a deterministic stand-in (truncate/repeat to a
