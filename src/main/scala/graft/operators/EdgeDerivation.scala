@@ -9,10 +9,15 @@ import org.apache.spark.sql.functions._
   * `…key id/arn → encrypted_with`, etc.; K8s ownerReferences → `owned-by`,
   * kubernetes-provider/relationships.go:18-52).
   *
-  * Spark re-expression: explode the JSON object's keys (json_object_keys —
-  * codegen'd), match each key against the rule table, and emit one edge per
-  * (row, matching field). One generator + filter — fully distributed, no
-  * UDFs; the rule table is a literal map broadcast inside the expression.
+  * Spark re-expression: parse the payload ONCE as map<string,string>
+  * (from_json coerces exactly like get_json_object: numbers to their
+  * text, nested objects to their JSON text, nulls to NULL) and explode
+  * (field, value) pairs together, match each field against the rule
+  * table, and emit one edge per (row, matching field). One parse + one
+  * generator + filter — fully distributed, no UDFs, no re-parse per
+  * matched field (the previous keys-then-get_json_object shape parsed
+  * the payload once for the key list and once more per matching field);
+  * the rule table is a literal decision chain inside the expression.
   */
 object EdgeDerivation {
 
@@ -42,16 +47,16 @@ object EdgeDerivation {
     */
   def derive(df: DataFrame, idCol: Column, jsonCol: Column,
       rules: Seq[(String, String)] = defaultRules): DataFrame = {
+    import org.apache.spark.sql.types.{MapType, StringType}
     val keyed = Spread(df.select(idCol.cast("string").as("from_id"), jsonCol.as("j")))
-      .withColumn("field", explode(call_function("json_object_keys", col("j"))))
+      .select(col("from_id"),
+        explode(from_json(col("j"), MapType(StringType, StringType)))
+          .as(Seq("field", "to_id")))
     val relType = rules.foldLeft(lit(null).cast("string")) { case (acc, (suffix, rel)) =>
       when(lower(col("field")).endsWith(suffix), rel).otherwise(acc)
     }
     keyed.withColumn("relationship_type", relType)
-      .filter(col("relationship_type").isNotNull)
-      .withColumn("to_id",
-        call_function("get_json_object", col("j"), concat(lit("$."), col("field"))))
-      .filter(col("to_id").isNotNull)
+      .filter(col("relationship_type").isNotNull && col("to_id").isNotNull)
       .select("from_id", "to_id", "relationship_type", "field")
   }
 }
