@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop}
+
+import graft.operators.{Decontaminate, Multimodal, RangeJoin, Sampling}
+
+/** Property-based hardening over generated inputs. Each property batches
+  * its generated cases into ONE DataFrame job (a Spark action per
+  * scalacheck sample would be seconds per case), so the whole spec stays
+  * fast while covering hundreds of generated rows.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(p: Prop, minSuccessful: Int): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default
+        .withMinSuccessfulTests(minSuccessful), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val words =
+    Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta")
+
+  test("hashSplit is disjoint, exhaustive, and deterministic for any keys") {
+    val keysGen = Gen.listOfN(300, Gen.alphaNumStr.map(_.take(12)))
+    check(Prop.forAllNoShrink(keysGen) { keys =>
+      val df = keys.toDF("k")
+      val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+      val labeled = Sampling.hashSplit(df, "k", splits)
+      val again = Sampling.hashSplit(df, "k", splits)
+      val one = labeled.groupBy("k").agg(countDistinct("split").as("d"))
+        .filter(col("d") =!= 1).count() == 0
+      val total = labeled.count() == keys.size
+      val stable = labeled.exceptAll(again).count() == 0
+      one && total && stable
+    }, minSuccessful = 3)
+  }
+
+  test("binned range join equals the naive inequality join on random data") {
+    // non-overlapping intervals per key (gap rule) + random points
+    val caseGen = for {
+      nIvals <- Gen.choose(1, 8)
+      starts <- Gen.listOfN(nIvals, Gen.choose(0L, 100000L))
+      lens <- Gen.listOfN(nIvals, Gen.choose(1L, 5000L))
+      nPts <- Gen.choose(1, 40)
+      pts <- Gen.listOfN(nPts, Gen.choose(0L, 110000L))
+    } yield (starts.zip(lens), pts)
+    check(Prop.forAllNoShrink(Gen.listOfN(5, caseGen)) { cases =>
+      val ivals = cases.zipWithIndex.flatMap { case ((sl, _), k) =>
+        sl.zipWithIndex.map { case ((s, l), i) =>
+          (s"k$k", i.toLong, new java.sql.Timestamp(s * 1000),
+            new java.sql.Timestamp((s + l) * 1000))
+        }
+      }.toDF("key", "ival_id", "start_ts", "end_ts")
+      val points = cases.zipWithIndex.flatMap { case ((_, pts), k) =>
+        pts.zipWithIndex.map { case (p, i) =>
+          (s"k$k", s"p$k-$i", new java.sql.Timestamp(p * 1000))
+        }
+      }.toDF("key", "pt_id", "ts")
+      val binned = RangeJoin.rangeJoin(points, ivals, "key", "ts",
+          "start_ts", "end_ts", binSeconds = 600)
+        .select(col("pt_id"), col("ival.ival_id"))
+        .as[(String, Long)].collect().toSet
+      val naive = points.as("p").join(ivals.as("i"),
+          col("p.key") === col("i.key") &&
+            col("p.ts") >= col("i.start_ts") && col("p.ts") <= col("i.end_ts"))
+        .select(col("pt_id"), col("ival_id"))
+        .as[(String, Long)].collect().toSet
+      binned == naive
+    }, minSuccessful = 3)
+  }
+
+  test("decontamination equals brute-force shared-gram counting") {
+    val docGen = Gen.chooseNum(3, 20)
+      .flatMap(n => Gen.listOfN(n, words).map(_.mkString(" ")))
+    check(Prop.forAllNoShrink(
+        Gen.listOfN(12, docGen), Gen.listOfN(3, docGen)) { (train, bench) =>
+      val n = 3
+      val tdf = train.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val bdf = bench.zipWithIndex.map { case (t, i) => (1000L + i, t) }
+        .toDF("doc_id", "text")
+      val got = Decontaminate.contaminatedPairs(
+          tdf, "doc_id", "text", bdf, "doc_id", "text", n = n)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      def grams(s: String): Set[String] =
+        s.split(" ").toSeq.sliding(n).filter(_.size == n)
+          .map(_.mkString(" ")).toSet
+      val want = (for {
+        (t, i) <- train.zipWithIndex
+        (b, j) <- bench.zipWithIndex
+        shared = (grams(t) & grams(b)).size
+        if shared > 0
+      } yield (i.toLong, 1000L + j) -> shared.toLong).toMap
+      got == want
+    }, minSuccessful = 3)
+  }
+
+  test("probeMedia is total: never throws on arbitrary bytes") {
+    check(Prop.forAllNoShrink(
+        Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { bs =>
+      Multimodal.probeMedia(bs.toArray) != null
+    }, minSuccessful = 200)
+  }
+}
