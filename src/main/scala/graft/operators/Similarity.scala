@@ -147,20 +147,35 @@ object Similarity {
       df.select((df.columns.map(col) :+
           posexplode(call_function("lsh_buckets", col(vc),
             lit(nBits), lit(tables), lit(dim))).as(Seq("tbl", out))): _*)
-    // Materialization barrier: without it Catalyst collapses projections
-    // and re-inlines the per-table bucket expression everywhere.
-    val vb = bucketed(vectors
-        .repartition(vectors.sparkSession.sparkContext.defaultParallelism)
-        .select(col(idCol).as("id"), col(vecCol).as("vec"),
-          norm(col(vecCol)).as("nrm")),
-      "vec", "bucket").localCheckpoint(false)
-    val qb = bucketed(queries.select(col("query_id"), col("qvec"),
-      norm(col("qvec")).as("qnrm")), "qvec", "qbucket")
-    val cands = vb.join(broadcast(qb),
+    // The base (id, vec, nrm) frame is materialized once and reused for
+    // the final scoring; the bucket frame it feeds carries ONLY
+    // (id, tbl, bucket) — carrying the vectors through the tables-way
+    // explode would duplicate every embedding `tables` times through the
+    // shuffle-free pipeline (at corpus scale that is the dominant byte
+    // volume of the whole query). Materialization barriers keep Catalyst
+    // from collapsing the projections and re-inlining the bucket
+    // expression per column.
+    val base = vectors
+      .repartition(vectors.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        norm(col(vecCol)).as("nrm"))
+      .localCheckpoint(false)
+    val vb = bucketed(base.select("id", "vec"), "vec", "bucket")
+      .select("id", "tbl", "bucket").localCheckpoint(false)
+    val qb = bucketed(queries.select(col("query_id"), col("qvec")),
+      "qvec", "qbucket")
+    // Candidate ids: thin (query_id, id) pairs — the only rows that ever
+    // leave the bucket join. Vectors and query vectors join back by
+    // broadcast (candidates ≤ queries × bucket occupancy ≪ corpus), so
+    // the corpus side is never shuffled and never duplicated.
+    val candIds = vb.join(broadcast(qb.select(col("query_id"),
+        col("tbl"), col("qbucket"))),
         vb("tbl") === qb("tbl") && vb("bucket") === qb("qbucket"))
-      .select(col("query_id"), col("id"), col("vec"), col("qvec"),
-        col("nrm"), col("qnrm"))
+      .select(col("query_id"), col("id"))
       .dropDuplicates("query_id", "id")
+    val cands = base.join(broadcast(candIds), "id")
+      .join(broadcast(queries.select(col("query_id"), col("qvec"),
+        norm(col("qvec")).as("qnrm"))), "query_id")
       .withColumn("cosine_sim", round(cosineWithNorms(
         dot(col("vec"), col("qvec")), col("nrm"), col("qnrm")), 6))
     val w = Window.partitionBy("query_id")
