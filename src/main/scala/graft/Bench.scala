@@ -60,7 +60,14 @@ object Bench {
       "\"" + k + "\":[" + ts.map(fmt).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$rs,"sf":"$sfDir"}""")
+    // Fixed-work calibration probe: identical-code runs have shown uniform
+    // 1.5-2x per-query inflation under host CPU contention. A constant
+    // spark.range job timed after the sweep gives the reader a normalizer:
+    // compare probe times across BENCH_r*.json before comparing queries.
+    val tp = System.nanoTime()
+    spark.range(200L * 1000 * 1000).selectExpr("sum(id)").collect()
+    val probe = (System.nanoTime() - tp) / 1e9
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$rs,"probe":${fmt(probe)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
