@@ -48,20 +48,12 @@ class QueryServer(spark: SparkSession, port: Int = 0) {
         (405, """{"error":"POST a SQL string to /query"}""")
       else {
         val sql = new String(exchange.getRequestBody.readAllBytes(), UTF_8)
-        try {
-          val r = QueryEngine.execute(spark, sql)
-          (200, render(r))
-        } catch {
+        try (200, QueryWire.render(QueryEngine.execute(spark, sql)))
+        catch {
           case e: QueryEngine.QueryValidationError =>
-            (400, s"""{"error":${jstr(e.message)}}""")
+            (400, s"""{"error":${QueryWire.jstr(e.message)}}""")
           case e: Exception =>
-            val hint = Option(e.getMessage)
-              .flatMap(m => "TABLE_OR_VIEW_NOT_FOUND.*?`(\\w+)`".r
-                .findFirstMatchIn(m).map(_.group(1)))
-              .flatMap(QueryEngine.suggestTable(spark, _))
-              .map(s => s""","hint":${jstr(s"did you mean $s?")}""")
-              .getOrElse("")
-            (400, s"""{"error":${jstr(String.valueOf(e.getMessage))}$hint}""")
+            (400, QueryWire.renderError(spark, e))
         }
       }
     val bytes = body.getBytes(UTF_8)
@@ -70,39 +62,5 @@ class QueryServer(spark: SparkSession, port: Int = 0) {
     val os = exchange.getResponseBody
     try os.write(bytes) finally os.close()
     if (served.incrementAndGet() % gcEvery == 0) graft.Hygiene.gcNudge()
-  }
-
-  private def render(r: QueryEngine.QueryResult): String = {
-    val cols = r.columns.map(c =>
-      s"""{"name":${jstr(c.name)},"type":${jstr(c.dataType)},"nullable":${c.nullable}}""")
-      .mkString("[", ",", "]")
-    val rows = r.rows.map { row =>
-      (0 until row.length).map { i =>
-        if (row.isNullAt(i)) "null"
-        else row.get(i) match {
-          // NaN/Infinity have no JSON representation — emit null.
-          case d: java.lang.Double if d.isNaN || d.isInfinite => "null"
-          case f: java.lang.Float if f.isNaN || f.isInfinite  => "null"
-          case n: java.lang.Number  => n.toString
-          case b: java.lang.Boolean => b.toString
-          case other                => jstr(other.toString)
-        }
-      }.mkString("[", ",", "]")
-    }.mkString("[", ",", "]")
-    s"""{"columns":$cols,"rows":$rows,"rowCount":${r.rowCount},"durationMs":${r.durationMs}}"""
-  }
-
-  private def jstr(s: String): String = {
-    val sb = new StringBuilder("\"")
-    s.foreach {
-      case '"'  => sb.append("\\\"")
-      case '\\' => sb.append("\\\\")
-      case '\n' => sb.append("\\n")
-      case '\r' => sb.append("\\r")
-      case '\t' => sb.append("\\t")
-      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
-      case c    => sb.append(c)
-    }
-    sb.append('"').toString
   }
 }
