@@ -374,39 +374,37 @@ object LshBucketsExpr {
 }
 
 object VecExprs {
-  /** Register the custom expressions (idempotent). */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "arr_inter", exprs => SortedLongIntersectCount(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64Expr(exprs(0)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_sig", exprs => MinHashSigExpr(exprs(0), exprs(1) match {
-        case Literal(v: Int, IntegerType) => v
-        case other => throw new IllegalArgumentException(
-          s"minhash_sig k must be an int literal, got $other")
-      }), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bigrams", exprs => BigramsExpr(exprs(0)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "repetition_stats", exprs => RepetitionStatsExpr(exprs(0)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "term_counts", exprs => TermCountsExpr(exprs(0)), "built-in")
-    def intLit(e: Expression, name: String): Int = e match {
-      case Literal(v: Int, IntegerType) => v
-      case other => throw new IllegalArgumentException(
-        s"$name expects an int literal, got $other")
-    }
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "winnow_fps", exprs => WinnowExpr(exprs(0),
-        intLit(exprs(1), "winnow_fps k"), intLit(exprs(2), "winnow_fps win")),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "lsh_buckets", exprs => LshBucketsExpr(exprs(0),
-        intLit(exprs(1), "lsh_buckets nBits"),
-        intLit(exprs(2), "lsh_buckets tables"),
-        intLit(exprs(3), "lsh_buckets dim")), "built-in")
+
+  private def intLit(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$name expects an int literal, got $other")
   }
+
+  /** name → builder for every graft native SQL function — the single
+    * source shared by the per-session [[register]] path and the
+    * session-build injection path ([[graft.GraftExtensions]]).
+    */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vec_dot" -> (exprs => VecDot(exprs(0), exprs(1))),
+    "arr_inter" -> (exprs => SortedLongIntersectCount(exprs(0), exprs(1))),
+    "simhash64" -> (exprs => SimHash64Expr(exprs(0))),
+    "minhash_sig" -> (exprs =>
+      MinHashSigExpr(exprs(0), intLit(exprs(1), "minhash_sig k"))),
+    "bigrams" -> (exprs => BigramsExpr(exprs(0))),
+    "repetition_stats" -> (exprs => RepetitionStatsExpr(exprs(0))),
+    "term_counts" -> (exprs => TermCountsExpr(exprs(0))),
+    "winnow_fps" -> (exprs => WinnowExpr(exprs(0),
+      intLit(exprs(1), "winnow_fps k"), intLit(exprs(2), "winnow_fps win"))),
+    "lsh_buckets" -> (exprs => LshBucketsExpr(exprs(0),
+      intLit(exprs(1), "lsh_buckets nBits"),
+      intLit(exprs(2), "lsh_buckets tables"),
+      intLit(exprs(3), "lsh_buckets dim"))))
+
+  /** Register the custom expressions on a live session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
 }
