@@ -279,6 +279,43 @@ object PipelineQueries {
     """SELECT doc_id, lang, source FROM documents
       |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'""".stripMargin
 
+  /** T14: deterministic source-mixture sampling — per-source keep rates
+    * (the training-data mixture step: upweight some domains, downsample
+    * others) applied as one no-shuffle CASE + md5-threshold scan. The 20
+    * fixture sources cycle through rates 0.2/0.4/0.6/0.8/1.0.
+    */
+  val t14Rates: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" -> (((i % 5) + 1) / 5.0)).toMap
+  val t14Mixture: Q = (s, d) =>
+    Sampling.mixtureSample(t(s, d, "documents"), "doc_id", "source",
+        t14Rates, defaultRate = 0.5)
+      .select("doc_id", "source", "lang")
+  val t14Oracle = {
+    val cases = t14Rates.toSeq.sortBy(_._1).map { case (src, r) =>
+      s"WHEN source = '$src' THEN '${Sampling.hexThreshold(r)}'"
+    }.mkString(" ")
+    s"""SELECT doc_id, source, lang FROM documents
+       |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+       |  CASE $cases ELSE '${Sampling.hexThreshold(0.5)}' END""".stripMargin
+  }
+
+  /** T15: seeded deterministic interleave (global training order) —
+    * every row ordered by md5(seed:key), sharded on the hash's first 2
+    * hex chars, ranked within its shard. Global order = (shard, pos);
+    * no global window exists (rank partitions by shard).
+    */
+  val t15Interleave: Q = (s, d) =>
+    Sampling.interleave(t(s, d, "documents"), "doc_id", seed = "epoch0",
+        prefixChars = 2)
+      .select("doc_id", "shard", "pos")
+  val t15Oracle =
+    """WITH o AS (SELECT doc_id,
+      |  md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS ord FROM documents)
+      |SELECT doc_id, substr(ord, 1, 2) AS shard,
+      |  ROW_NUMBER() OVER (PARTITION BY substr(ord, 1, 2)
+      |                     ORDER BY ord, doc_id) AS pos
+      |FROM o""".stripMargin
+
   /** D7: edit-distance near-dup verify — Levenshtein over 60-char prefixes
     * within (lang, length-bucket) blocks. Integer-valued, so the DuckDB
     * levenshtein oracle agrees exactly.
@@ -559,6 +596,34 @@ object PipelineQueries {
        |GROUP BY fp HAVING COUNT(*) >= 2
        |ORDER BY n_docs DESC, fp ASC LIMIT 50""".stripMargin
 
+  /** D9: segment-level (CCNet-style line) dedup — fixed 20-token windows,
+    * drop every corpus-wide repeat of a segment (first occurrence wins),
+    * reassemble documents from surviving segments. Exactly deterministic,
+    * so the oracle recomputes the full pipeline in DuckDB.
+    */
+  val d9SegmentDedup: Q = (s, d) =>
+    Dedup.segmentDedup(t(s, d, "documents"), "doc_id", "text", segTokens = 20)
+  val d9Oracle =
+    s"""WITH w AS (SELECT doc_id, $wordsSql AS w FROM documents),
+       |segs AS (
+       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS seg_idx,
+       |         array_to_string(w[(i-1)*20+1:i*20], ' ') AS seg
+       |  FROM (SELECT doc_id, w,
+       |          unnest(generate_series(1, CAST(ceil(len(w)/20.0) AS BIGINT))) AS i
+       |        FROM w)),
+       |keep AS (
+       |  SELECT doc_id, seg_idx, seg,
+       |         ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+       |  FROM segs),
+       |agg AS (
+       |  SELECT doc_id, COUNT(*) AS kept_segments,
+       |         string_agg(seg, ' ' ORDER BY seg_idx) AS text_deduped
+       |  FROM keep WHERE rn = 1 GROUP BY doc_id)
+       |SELECT w.doc_id, CAST(ceil(len(w.w)/20.0) AS BIGINT) AS total_segments,
+       |       COALESCE(a.kept_segments, 0) AS kept_segments,
+       |       COALESCE(a.text_deduped, '') AS text_deduped
+       |FROM w LEFT JOIN agg a ON w.doc_id = a.doc_id""".stripMargin
+
   // ===== similarity ====================================================
 
   private def queryVecs(s: SparkSession, d: String): DataFrame =
@@ -703,6 +768,7 @@ object PipelineQueries {
     "q_d6_dedup_near" -> d6DedupNear,
     "q_d7_editdist" -> d7EditDist,
     "q_d8_winnow" -> d8Winnow,
+    "q_d9_segment_dedup" -> d9SegmentDedup,
     "q_t1_quality" -> t1Quality,
     "q_t2_langid" -> t2LangId,
     "q_t3_top_tokens" -> t3TopTokens,
@@ -710,6 +776,8 @@ object PipelineQueries {
     "q_t5_tfidf" -> t5Tfidf,
     "q_t6_split" -> t6Split,
     "q_t7_sample" -> t7Sample,
+    "q_t14_mixture" -> t14Mixture,
+    "q_t15_interleave" -> t15Interleave,
     "q_x5_url" -> x5Url,
     "q_t8_bigrams" -> t8Bigrams,
     "q_t9_redact" -> t9Redact,
@@ -736,8 +804,11 @@ object PipelineQueries {
     "q_t5_tfidf" -> t5Oracle,
     "q_t6_split" -> t6Oracle,
     "q_t7_sample" -> t7Oracle,
+    "q_t14_mixture" -> t14Oracle,
+    "q_t15_interleave" -> t15Oracle,
     "q_d7_editdist" -> d7Oracle,
     "q_d8_winnow" -> d8Oracle,
+    "q_d9_segment_dedup" -> d9Oracle,
     "q_x5_url" -> x5Oracle,
     "q_t8_bigrams" -> t8Oracle,
     "q_t9_redact" -> t9Oracle,

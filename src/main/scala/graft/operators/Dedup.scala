@@ -301,4 +301,51 @@ object Dedup {
       // driver's oracle) can recheck hamming = popcount(sh_a XOR sh_b)
       .select("id_a", "id_b", "sh_a", "sh_b", "hamming")
   }
+
+  /** Segment-level (CCNet/RefinedWeb-style line) dedup: split every
+    * document into fixed windows of `segTokens` normalized tokens, drop
+    * every repeat of a segment that occurs anywhere else in the corpus
+    * (keep the first occurrence — lowest (id, seg_idx)), and reassemble
+    * each document from its surviving segments in order. Documents whose
+    * every segment was seen earlier survive with `kept_segments = 0` and
+    * empty text, so the caller can filter or keep them.
+    *
+    * 100 TB shape: one explode (narrow), ONE shuffle — the first-occurrence
+    * window partitions on `md5(seg)` so the exchange hashes and sorts
+    * 32-char fingerprints, never long segment strings — then a groupBy on
+    * the document id (second narrow shuffle) to reassemble, and a narrow
+    * left join back for all-dropped documents. No all-pairs stage exists
+    * anywhere; identical segments co-locate by fingerprint exactly like
+    * CCNet shards lines by hash.
+    */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+      segTokens: Int = 20): DataFrame = {
+    require(segTokens > 0, s"segTokens must be positive: $segTokens")
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(TextAnalysis.normalize(col(textCol)), " ")
+    val base = df
+      .select(col(idCol), toks.as("_toks"))
+      .withColumn("total_segments",
+        ceil(size(col("_toks")) / lit(segTokens.toDouble)).cast("bigint"))
+    val segs = base
+      .withColumn("seg_idx", explode(sequence(lit(0L), col("total_segments") - 1)))
+      .select(col(idCol), col("seg_idx"),
+        concat_ws(" ", slice(col("_toks"),
+          (col("seg_idx") * segTokens + 1).cast("int"), lit(segTokens))).as("seg"))
+    val firstSeen = Window.partitionBy(md5(col("seg")))
+      .orderBy(col(idCol), col("seg_idx"))
+    val kept = segs
+      .withColumn("_rn", row_number().over(firstSeen))
+      .filter(col("_rn") === 1)
+    val reassembled = kept.groupBy(idCol).agg(
+      count(lit(1)).as("kept_segments"),
+      array_join(
+        transform(array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+          s => s.getField("seg")), " ").as("text_deduped"))
+    base.select(col(idCol), col("total_segments"))
+      .join(reassembled, Seq(idCol), "left")
+      .select(col(idCol), col("total_segments"),
+        coalesce(col("kept_segments"), lit(0L)).as("kept_segments"),
+        coalesce(col("text_deduped"), lit("")).as("text_deduped"))
+  }
 }

@@ -75,4 +75,50 @@ object Sampling {
       .filter(col("_rk") <= maxPerStratum)
       .drop("_rk")
   }
+
+  /** Deterministic source-mixture sampling: keep each row with the rate
+    * assigned to its source/domain (the "data mixture" step of a training
+    * pipeline — upweight books, downsample crawl, etc., expressed as
+    * per-source keep rates in [0,1]). The rate map folds into one CASE
+    * column, so the whole mixture is a single no-shuffle codegen'd scan;
+    * sources missing from the map keep `defaultRate`. Reproducible across
+    * runs/engines: same md5-threshold rule as [[sampleByKey]], applied
+    * per-source, and uniform within every source automatically.
+    */
+  def mixtureSample(df: DataFrame, keyCol: String, sourceCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    // Sort for a deterministic CASE chain (Map order is not stable).
+    val threshold = rates.toSeq.sortBy(_._1).foldRight(
+        lit(hexThreshold(defaultRate)): Column) { case ((src, r), rest) =>
+      when(col(sourceCol) === src, lit(hexThreshold(r))).otherwise(rest)
+    }
+    df.filter(hashBucket(col(keyCol)) < threshold)
+  }
+
+  /** Deterministic global interleave (seeded reshuffle) of training rows:
+    * order every row by `md5(seed || ":" || key)`, sharded by the first
+    * `prefixChars` hex chars of that hash. Returns the input plus
+    * `shard` (the hex prefix, 16^prefixChars shards) and `pos` (the row's
+    * 1-based position within its shard). The global training order is
+    * exactly (shard ASC, pos ASC) — recoverable because a prefix group is
+    * a contiguous range of the full hash order — but no global window
+    * ever exists: ranking partitions by shard, so a 100 TB corpus
+    * interleaves with ONE shuffle across 16^prefixChars independent
+    * partitions (raise `prefixChars` until a shard fits an executor; 4
+    * hex chars = 65 536 shards). Seed change = completely new order; same
+    * seed = byte-identical order across runs, engines, and retries —
+    * which is what makes a training run resumable and ablatable.
+    */
+  def interleave(df: DataFrame, keyCol: String, seed: String,
+      prefixChars: Int = 2): DataFrame = {
+    require(prefixChars >= 1 && prefixChars <= 8,
+      s"prefixChars out of [1,8]: $prefixChars")
+    import org.apache.spark.sql.expressions.Window
+    val ord = md5(concat(lit(seed + ":"), col(keyCol).cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("_ord"), col(keyCol))
+    df.withColumn("_ord", ord)
+      .withColumn("shard", substring(col("_ord"), 1, prefixChars))
+      .withColumn("pos", row_number().over(w).cast("bigint"))
+      .drop("_ord")
+  }
 }

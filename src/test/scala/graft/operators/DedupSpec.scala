@@ -108,4 +108,36 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(pairs.contains((1L, 2L)))
   }
+
+  test("segmentDedup drops corpus-wide repeated segments, keeps first") {
+    // 3-token segments: doc 1 = [a b c][d e f]; doc 2 repeats [a b c] then
+    // fresh [g h i]; doc 3 is entirely segments seen before (all dropped);
+    // doc 4 repeats its own first segment internally.
+    val df = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c g h i"),
+      (3L, "a b c d e f"),
+      (4L, "x y z x y z"))
+      .toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(df, "doc_id", "text", segTokens = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2L, 2L, "a b c d e f")))
+    assert(out(2L) == ((2L, 1L, "g h i")), "repeat of doc 1's segment dropped")
+    assert(out(3L) == ((2L, 0L, "")), "fully-duplicated doc survives empty")
+    assert(out(4L) == ((2L, 1L, "x y z")), "within-doc repeat deduped too")
+  }
+
+  test("segmentDedup: partial tail segment and reassembly order") {
+    val df = Seq(
+      (10L, "one two three four five"),          // [one two three][four five]
+      (11L, "four five one two three"))          // [four five one][two three]
+      .toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(df, "doc_id", "text", segTokens = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // no segment string repeats across the two docs (different windows)
+    assert(out(10L) == ((2L, 2L, "one two three four five")))
+    assert(out(11L) == ((2L, 2L, "four five one two three")))
+  }
 }

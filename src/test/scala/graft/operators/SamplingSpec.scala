@@ -73,4 +73,50 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
     assert(pairs.toSeq == Seq((1, 2, 1)), pairs.mkString(","))
   }
+
+  test("mixtureSample keeps per-source rates, deterministically") {
+    val df = (1 to 3000).map(i => (i, s"src${i % 3}")).toDF("id", "source")
+    val out = Sampling.mixtureSample(df, "id", "source",
+      Map("src0" -> 1.0, "src1" -> 0.3), defaultRate = 0.0)
+    val counts = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.getOrElse("src2", 0L) == 0L, "defaultRate 0 drops unmapped source")
+    assert(counts("src0") >= 999L, s"rate 1.0 keeps (nearly) all: $counts")
+    assert(counts("src1") > 200L && counts("src1") < 400L, counts.toString)
+    val again = Sampling.mixtureSample(df, "id", "source",
+      Map("src0" -> 1.0, "src1" -> 0.3), defaultRate = 0.0)
+      .collect().map(_.getInt(0)).toSet
+    assert(again == out.collect().map(_.getInt(0)).toSet, "reruns identical")
+    // mixture at rate r is exactly sampleByKey(r) within that source
+    val direct = Sampling.sampleByKey(df.filter(col("source") === "src1"), "id", 0.3)
+      .collect().map(_.getInt(0)).toSet
+    assert(again.filter(_ % 3 == 1) == direct)
+  }
+
+  test("interleave: (shard, pos) is a seeded total order, no global window") {
+    val df = (1 to 500).toDF("id")
+    val out = Sampling.interleave(df, "id", seed = "s1", prefixChars = 1)
+    val rows = out.select("id", "shard", "pos").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(rows.length == 500)
+    // positions within a shard are 1..n with no gaps
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+    // the (shard, pos) order equals the order of the full md5 hash
+    val byShardPos = rows.sortBy(r => (r._2, r._3)).map(_._1).toSeq
+    val byHash = df.select(col("id"),
+        md5(concat(lit("s1:"), col("id").cast("string"))).as("h"))
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+      .sortBy(_._2).map(_._1).toSeq
+    assert(byShardPos == byHash, "global order must be recoverable")
+    // different seed produces a different permutation
+    val other = Sampling.interleave(df, "id", seed = "s2", prefixChars = 1)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(other != rows.toSet)
+    // no single-partition exchange anywhere: ranking partitions by shard
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      "interleave must not rank over a global window:\n" + plan)
+  }
 }
