@@ -453,6 +453,31 @@ object Queries {
        |    ELSE json_extract_string(j, '$$.missing') END, 'dflt') AS missing_or_default
        |FROM e""".stripMargin
 
+  /** F6: VARIANT twin of the extract macro — Spark 4's native semi-
+    * structured type (`try_parse_json` → `variant_get`) instead of
+    * per-path string re-parsing. At 100 TB this is the shape that wins:
+    * the JSON text parses ONCE into a binary variant and every downstream
+    * path extraction is a cheap binary probe, where chained
+    * `get_json_object` calls re-parse the full text per path. Same
+    * scrambled NULL/invalid/empty input and the same DuckDB oracle as
+    * q_f1 (`try_parse_json` yields NULL exactly where the macro guards
+    * do), so the two paths are pinned value-identical.
+    */
+  val f6VariantExtract: Q = (s, d) => {
+    Tables.register(s, d)
+    s.sql(
+      s"""WITH e AS (SELECT event_id, $jCase AS j FROM events),
+         |v AS (SELECT event_id, try_parse_json(j) AS vj FROM e)
+         |SELECT event_id,
+         |  CASE WHEN is_variant_null(vj) THEN NULL
+         |       ELSE variant_get(vj, '$$.k', 'string') END AS k_val
+         |FROM v""".stripMargin)
+  }
+  val f6Oracle =
+    s"""WITH e AS (SELECT event_id, $jCase AS j FROM events)
+       |SELECT event_id, CASE WHEN $oracleGuard THEN NULL
+       |  ELSE json_extract_string(j, '$$.k') END AS k_val FROM e""".stripMargin
+
   // ===== §2.9 engine-level ============================================
 
   /** E2: named-parameter binding with IN-list expansion
@@ -1520,6 +1545,7 @@ object Queries {
     "q_f3_has_tag" -> f3HasTag,
     "q_f4_count_tags" -> f4CountTags,
     "q_f5_safe_json_extract" -> f5SafeExtract,
+    "q_f6_variant_extract" -> f6VariantExtract,
     "q_e2_named_params" -> e2NamedParams,
     "q_e7_compliance_contract" -> e7Compliance,
     "q_e13_change_history" -> e13History,
@@ -1578,6 +1604,7 @@ object Queries {
     "q_f3_has_tag" -> f3Oracle,
     "q_f4_count_tags" -> f4Oracle,
     "q_f5_safe_json_extract" -> f5Oracle,
+    "q_f6_variant_extract" -> f6Oracle,
     "q_e2_named_params" -> e2Oracle,
     "q_e7_compliance_contract" -> e7Oracle,
     "q_e13_change_history" -> e13Oracle,

@@ -77,4 +77,25 @@ class JsonMacrosSpec extends SparkSpec {
         |FROM aws_resources WHERE type = 'Bucket'""".stripMargin).collect()
     assert(r.toSeq == Seq(Row("test-bucket", "Allow", true)))
   }
+
+  test("variant path is value-identical to the extract macro") {
+    JsonMacros.register(spark)
+    import spark.implicits._
+    val inputs = Seq(
+      """{"k": 69, "s": "txt", "nested": {"a": 1}}""",
+      """{"other": 1}""",
+      "{bad json", "", "null", null)
+    val df = inputs.zipWithIndex.map { case (j, i) => (i, j) }.toDF("id", "j")
+    df.createOrReplaceTempView("vparity")
+    val rows = spark.sql(
+      """SELECT id,
+        |  extract_json(j, '$.k') AS via_macro,
+        |  CASE WHEN is_variant_null(try_parse_json(j)) THEN NULL
+        |       ELSE variant_get(try_parse_json(j), '$.k', 'string') END AS via_variant
+        |FROM vparity""".stripMargin).collect()
+    rows.foreach { r =>
+      assert(r.get(1) == r.get(2),
+        s"id=${r.get(0)}: macro=${r.get(1)} variant=${r.get(2)}")
+    }
+  }
 }
