@@ -567,6 +567,31 @@ object PipelineQueries {
        |GROUP BY 1, 2""".stripMargin
   }
 
+  /** T16: Count-Min-sketch heavy hitters — the 100 TB twin of exact
+    * q_t3: full-corpus token frequencies come from a tiny mergeable
+    * sketch (fixed seed → deterministic), candidates from a hash-sample.
+    * Emitted-row oracle: DuckDB recounts every emitted token exactly and
+    * keeps the row only if `exact <= est <= exact + ceil(eps * n_total)`
+    * with the emitted `n_total_tokens` matching the true total — an
+    * underestimate, a blown error bound, a fabricated token, or a wrong
+    * total all turn the driver row red.
+    */
+  val t16CmsHeavyHitters: Q = (s, d) =>
+    TextAnalysis.cmsHeavyHitters(t(s, d, "documents"), "doc_id", "text",
+      eps = 1e-4, confidence = 0.99, seed = 42,
+      candidateFraction = 0.2, topN = 50)
+  val t16Oracle =
+    s"""WITH out AS (SELECT token, est_count, n_total_tokens
+       |  FROM '__SPARK_OUT__/q_t16_cms_heavyhitters/*.parquet'),
+       |tok AS (SELECT UNNEST($wordsSql) AS t FROM documents),
+       |ex AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+       |n AS (SELECT COUNT(*) AS n FROM tok)
+       |SELECT o.token, o.est_count, o.n_total_tokens
+       |FROM out o JOIN ex ON ex.t = o.token, n
+       |WHERE o.n_total_tokens = n.n
+       |  AND o.est_count >= ex.c
+       |  AND o.est_count <= ex.c + CAST(ceil(0.0001 * n.n) AS BIGINT)""".stripMargin
+
   /** D8: winnowing fingerprints (rolling k-gram hash + sliding-window
     * min, MOSS-style) — shared substrings of ≥ k+win-1 tokens guarantee a
     * shared fingerprint. md5-string hashes so DuckDB derives identical
@@ -785,6 +810,7 @@ object PipelineQueries {
     "q_t11_repetition" -> t11Repetition,
     "q_t12_token_accounting" -> t12TokenAccounting,
     "q_t13_decontaminate" -> t13Decontaminate,
+    "q_t16_cms_heavyhitters" -> t16CmsHeavyHitters,
     "q_m1_media_meta" -> m1MediaMeta,
     "q_m2_frames" -> m2Frames,
     "q_s1_topk_bruteforce" -> s1TopKBruteForce,
@@ -816,6 +842,7 @@ object PipelineQueries {
     "q_t11_repetition" -> t11Oracle,
     "q_t12_token_accounting" -> t12Oracle,
     "q_t13_decontaminate" -> t13Oracle,
+    "q_t16_cms_heavyhitters" -> t16Oracle,
     "q_m1_media_meta" -> m1Oracle,
     "q_m2_frames" -> m2Oracle,
     "q_s1_topk_bruteforce" -> s1Oracle,

@@ -349,4 +349,48 @@ object TextAnalysis {
     val best = array_min(array(scored: _*))
     when(best.getField("negScore") === 0, lit("und")).otherwise(best.getField("lang"))
   }
+
+  /** Sketch-based heavy hitters: a Count-Min sketch over EVERY token
+    * (Spark's mergeable `count_min_sketch` aggregate — partial sketches
+    * merge map-side, so the full corpus contributes through tiny
+    * fixed-size partials and only one sketch ever reaches the driver),
+    * with candidate tokens drawn from a deterministic hash-sample of
+    * documents. This is the 100 TB twin of the exact top-k (q_t3): the
+    * exact path shuffles every distinct token; this path shuffles
+    * nothing but a `ceil(2/eps) * depth` counter grid regardless of
+    * corpus size.
+    *
+    * Emits (token, est_count, n_total_tokens). CMS guarantees
+    * `exact <= est_count` always (counters only over-count), and
+    * `est_count <= exact + eps * n_total_tokens` with probability
+    * `confidence` — both bounds are driver-oracle-checkable because the
+    * fixed seed makes the sketch deterministic.
+    */
+  def cmsHeavyHitters(df: DataFrame, idCol: String, textCol: String,
+      eps: Double = 1e-4, confidence: Double = 0.99, seed: Int = 42,
+      candidateFraction: Double = 0.2, topN: Int = 50): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(
+      explode(split(normalize(col(textCol)), " ")).as("token"))
+    val agg = toks.agg(
+      count_min_sketch(col("token"), lit(eps), lit(confidence), lit(seed))
+        .as("sk"),
+      count(lit(1)).as("n")).head()
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(agg.getAs[Array[Byte]]("sk")))
+    val nTotal = agg.getAs[Long]("n")
+    // Candidates: exact counts over a bounded hash-sample only — the
+    // full-corpus frequency comes from the sketch, never from a global
+    // distinct-token shuffle. topN is small by contract (driver-safe).
+    val candidates = Sampling.sampleByKey(df, idCol, candidateFraction)
+      .select(explode(split(normalize(col(textCol)), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token").asc)
+      .limit(topN)
+      .select("token").as[String].collect()
+    candidates.toSeq
+      .map(t => (t, cms.estimateCount(t), nTotal))
+      .toDF("token", "est_count", "n_total_tokens")
+  }
 }

@@ -164,4 +164,27 @@ class TextMultimodalSpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact < 0.05,
       s"approx=$approx exact=$exact")
   }
+
+  test("cmsHeavyHitters: estimates bound the exact counts") {
+    import spark.implicits._
+    // 'hot' appears 200x, each filler token once — eps*N < 1 so the CMS
+    // estimate for any token must EQUAL its exact count (over-count < 1),
+    // which also proves the driver-side estimateCount hashes bytes the
+    // same way the count_min_sketch aggregate does.
+    val docs = ((1 to 100).map(i => (i.toLong, "hot hot filler" + i)) :+
+      (101L, "hot " * 0 + "unique tail words here")).toDF("doc_id", "text")
+    val out = TextAnalysis.cmsHeavyHitters(docs, "doc_id", "text",
+        eps = 1e-4, confidence = 0.99, seed = 42,
+        candidateFraction = 1.0, topN = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val n = out.head._3
+    assert(n == 304, s"total token count: $n") // 100*3 + 4
+    val exact = Map("hot" -> 200L) // every other token count 1
+    out.foreach { case (tok, est, _) =>
+      val ex = exact.getOrElse(tok, 1L)
+      assert(est == ex, s"eps*N < 1 must make estimates exact: $tok est=$est")
+    }
+    assert(out.head._1 == "hot" && out.head._2 == 200L,
+      s"heavy hitter first: ${out.head}")
+  }
 }
