@@ -77,6 +77,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(!beforeAgg.contains("Exchange"), p)
   }
 
+  test("T14 mixture sampling is a single exchange-free scan") {
+    // The whole source-mixture step must compile to scan + filter +
+    // project: a CASE over thresholds adds no shuffle anywhere.
+    val p = plan("q_t14_mixture")
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("codegen id"), p)
+  }
+
+  test("D9 segment dedup exchanges carry fingerprints, not text") {
+    // The first-occurrence window must partition on md5(seg) — a 32-char
+    // key — and the plan must contain no cartesian/BNL stage.
+    val p = plan("q_d9_segment_dedup")
+    assert(p.contains("md5"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("A14 histogram aggregates partially before the single shuffle") {
     val p = plan("q_a14_histogram")
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
