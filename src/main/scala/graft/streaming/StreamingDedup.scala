@@ -1,9 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-import graft.operators.TextAnalysis
+import graft.operators.{Dedup, TextAnalysis}
 
 /** Streaming deduplication — the ingest-time twin of the batch dedup
   * operators: documents arriving on a stream are dropped if a document
@@ -37,4 +38,71 @@ object StreamingDedup {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("_fp")
       .drop("_fp")
+
+  /** Per-bucket signature state: the (docId, simhash) pairs seen so far
+    * in one (quarter, value) bucket, newest first, capped by the caller.
+    */
+  final case class BucketState(sigs: List[(Long, Long)])
+
+  /** A streaming near-dup candidate: `docId` matched an earlier-seen
+    * `dupOfId` at the given full-signature Hamming distance.
+    */
+  final case class NearDupHit(docId: Long, dupOfId: Long, hamming: Int)
+
+  /** Streaming SimHash near-dup — the ingest-time twin of the batch
+    * [[graft.operators.Dedup.simhashNearDups]]: each arriving document's
+    * 64-bit SimHash is blocked on its four 16-bit quarters (pigeonhole:
+    * any pair within Hamming distance 3 shares an exact quarter), and the
+    * keyed state store holds the signatures previously seen per
+    * (quarter, value) bucket. A new document compares against ONLY its
+    * four buckets' state — never the whole stream — so state is
+    * hash-partitioned across executors by bucket exactly like the batch
+    * self-join partitions by (q, part), and per-event work is bounded by
+    * `maxBucket`.
+    *
+    * Emits one [[NearDupHit]] per (new doc, earlier doc) pair with full
+    * Hamming distance ≤ `maxHamming`. A pair sharing several quarters
+    * emits from each — candidate-pair semantics, same as the batch LSH
+    * paths; downstream consumers dedup by (docId, dupOfId). Within one
+    * micro-batch, documents compare against earlier ids of the same batch
+    * (processed in ascending doc-id order), so batch boundaries don't
+    * change the candidate set. `maxBucket` caps per-bucket state
+    * (newest-first eviction) — the streaming analogue of LSH bucket-size
+    * caps, bounding both memory and per-event compare cost at 100 TB
+    * ingest rates.
+    */
+  def nearSimhash(docs: Dataset[(Long, String)], maxHamming: Int = 3,
+      maxBucket: Int = 64): Dataset[NearDupHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.VecExprs.register(spark)
+    val bucketed = docs.toDF("doc_id", "text")
+      .withColumn("sh", Dedup.simhash64(col("text")))
+      .select(col("doc_id"), col("sh"),
+        explode(transform(sequence(lit(0), lit(3)),
+          q => concat_ws(":", q,
+            call_function("shiftright", col("sh"), q * 16)
+              .bitwiseAND(0xFFFFL)))).as("bucket"))
+      .as[(Long, Long, String)]
+    bucketed.groupByKey(_._3)
+      .flatMapGroupsWithState[BucketState, NearDupHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[(Long, Long, String)],
+            state: GroupState[BucketState]) =>
+          var sigs = state.getOption.map(_.sigs).getOrElse(Nil)
+          val hits = Seq.newBuilder[NearDupHit]
+          // ascending doc id so same-batch comparisons are deterministic
+          rows.toSeq.sortBy(_._1).foreach { case (id, sh, _) =>
+            sigs.foreach { case (oldId, oldSh) =>
+              if (oldId != id) {
+                val d = java.lang.Long.bitCount(oldSh ^ sh)
+                if (d <= maxHamming) hits += NearDupHit(id, oldId, d)
+              }
+            }
+            sigs = ((id, sh) :: sigs).take(maxBucket)
+          }
+          state.update(BucketState(sigs))
+          hits.result().iterator
+      }
+  }
 }

@@ -53,4 +53,51 @@ class StreamingDedupSpec extends SparkSpec {
       assert(kept.contains(4L), s"re-seen after eviction should pass: $kept")
     } finally q.stop()
   }
+
+  test("streaming simhash near-dup flags close docs across batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight"
+    val input = MemoryStream[(Long, String)]
+    val hits = StreamingDedup.nearSimhash(input.toDS(), maxHamming = 3)
+    val q = hits.writeStream.format("memory")
+      .queryName("snear_test").outputMode("append").start()
+    try {
+      input.addData((1L, base),
+        (5L, "a completely different document on spark physical planning"))
+      q.processAllAvailable()
+      // near-identical doc arrives in a LATER batch → must match doc 1
+      input.addData((2L, base.toUpperCase))
+      q.processAllAvailable()
+      // and an unrelated doc must not match anything
+      input.addData((6L, "unrelated text about graph traversal analytics"))
+      q.processAllAvailable()
+      val pairs = spark.table("snear_test")
+        .select("docId", "dupOfId").as[(Long, Long)].collect().toSet
+      assert(pairs.contains((2L, 1L)), s"cross-batch near-dup missed: $pairs")
+      assert(!pairs.exists(p => p._1 == 6L || p._2 == 6L), pairs.toString)
+      // identical docs share all 4 quarters → up to 4 emissions, all (2,1)
+      val dupEmits = spark.table("snear_test").as[StreamingDedup.NearDupHit]
+        .collect().filter(_.docId == 2L)
+      assert(dupEmits.nonEmpty && dupEmits.forall(h => h.dupOfId == 1L && h.hamming == 0))
+    } finally q.stop()
+  }
+
+  test("streaming simhash near-dup matches within one micro-batch too") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = "spark structured streaming keyed state dedup operator test " +
+      "with enough tokens to make the signature stable across variants"
+    val input = MemoryStream[(Long, String)]
+    val hits = StreamingDedup.nearSimhash(input.toDS(), maxHamming = 3)
+    val q = hits.writeStream.format("memory")
+      .queryName("snear_batch_test").outputMode("append").start()
+    try {
+      input.addData((10L, base), (11L, base)) // same batch
+      q.processAllAvailable()
+      val pairs = spark.table("snear_batch_test")
+        .select("docId", "dupOfId").as[(Long, Long)].collect().toSet
+      assert(pairs.contains((11L, 10L)), s"same-batch pair missed: $pairs")
+      assert(!pairs.contains((10L, 11L)), "lower id must be the keeper")
+    } finally q.stop()
+  }
 }
