@@ -592,6 +592,34 @@ object PipelineQueries {
        |  AND o.est_count >= ex.c
        |  AND o.est_count <= ex.c + CAST(ceil(0.0001 * n.n) AS BIGINT)""".stripMargin
 
+  /** T17: mergeable HLL distinct-count sketches — per-source sketches of
+    * document fingerprints plus a pure-sketch union row (`__all__`): the
+    * persistable incremental-cardinality pattern (per-shard sketches now,
+    * any-combination distinct later, no re-scan). Echo oracle keeps each
+    * emitted row only if the estimate is within 5% of DuckDB's exact
+    * per-source (and overall) distinct count.
+    */
+  val t17HllDistinct: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val sk = Sketches.distinctSketch(docs, Seq("source"),
+      TextAnalysis.fingerprint(col("text")))
+    Sketches.estimate(sk).select(col("source"), col("est_distinct"))
+      .unionByName(Sketches.unionEstimate(sk)
+        .select(lit("__all__").as("source"), col("est_distinct")))
+  }
+  val t17Oracle =
+    s"""WITH out AS (SELECT source, est_distinct
+       |  FROM '__SPARK_OUT__/q_t17_hll_distinct/*.parquet'),
+       |ex AS (
+       |  SELECT source, COUNT(DISTINCT md5($normSql)) AS c
+       |  FROM documents GROUP BY source
+       |  UNION ALL
+       |  SELECT '__all__', COUNT(DISTINCT md5($normSql)) FROM documents)
+       |SELECT o.source, o.est_distinct
+       |FROM out o JOIN ex ON ex.source = o.source
+       |WHERE ABS(o.est_distinct - ex.c) <=
+       |      greatest(1, CAST(ceil(0.05 * ex.c) AS BIGINT))""".stripMargin
+
   /** D8: winnowing fingerprints (rolling k-gram hash + sliding-window
     * min, MOSS-style) — shared substrings of ≥ k+win-1 tokens guarantee a
     * shared fingerprint. md5-string hashes so DuckDB derives identical
@@ -811,6 +839,7 @@ object PipelineQueries {
     "q_t12_token_accounting" -> t12TokenAccounting,
     "q_t13_decontaminate" -> t13Decontaminate,
     "q_t16_cms_heavyhitters" -> t16CmsHeavyHitters,
+    "q_t17_hll_distinct" -> t17HllDistinct,
     "q_m1_media_meta" -> m1MediaMeta,
     "q_m2_frames" -> m2Frames,
     "q_s1_topk_bruteforce" -> s1TopKBruteForce,
@@ -843,6 +872,7 @@ object PipelineQueries {
     "q_t12_token_accounting" -> t12Oracle,
     "q_t13_decontaminate" -> t13Oracle,
     "q_t16_cms_heavyhitters" -> t16Oracle,
+    "q_t17_hll_distinct" -> t17Oracle,
     "q_m1_media_meta" -> m1Oracle,
     "q_m2_frames" -> m2Oracle,
     "q_s1_topk_bruteforce" -> s1Oracle,

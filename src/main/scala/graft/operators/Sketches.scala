@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable distinct-count sketches (Apache DataSketches HLL via Spark's
+  * `hll_sketch_agg` / `hll_union_agg` builtins) — the incremental
+  * cardinality pattern a 100 TB pipeline needs: build a per-group (per
+  * shard / per day / per source) sketch ONCE, persist the few-KB binary,
+  * and answer "distinct across any group combination" later by unioning
+  * sketches — no re-scan of the raw data, no distinct shuffle. The exact
+  * `COUNT(DISTINCT …)` paths (q_a3) remain the small-SF contract; the
+  * sketch path is the one that survives a 10^10-key cardinality.
+  *
+  * DataSketches HLL is deterministic for a given input multiset, so the
+  * estimates are oracle-checkable against exact counts with a fixed
+  * relative-error bound.
+  */
+object Sketches {
+
+  /** One HLL sketch per group over `valueExpr`. The returned frame is
+    * (groupCols..., sk binary) — small (4 KB/group at lgConfigK=12),
+    * persistable, and unionable later.
+    */
+  def distinctSketch(df: DataFrame, groupCols: Seq[String],
+      valueExpr: Column, lgConfigK: Int = 12): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_agg(valueExpr, lit(lgConfigK)).as("sk"))
+
+  /** Per-group estimates from a sketch frame. */
+  def estimate(sketches: DataFrame): DataFrame =
+    sketches.withColumn("est_distinct",
+      hll_sketch_estimate(col("sk")).cast("bigint"))
+
+  /** Union all group sketches into one overall estimate — the "distinct
+    * across every shard" answer computed purely from the persisted
+    * sketches.
+    */
+  def unionEstimate(sketches: DataFrame): DataFrame =
+    sketches.agg(hll_union_agg(col("sk")).as("sk"))
+      .select(hll_sketch_estimate(col("sk")).cast("bigint")
+        .as("est_distinct"))
+}
