@@ -620,6 +620,50 @@ object PipelineQueries {
        |WHERE ABS(o.est_distinct - ex.c) <=
        |      greatest(1, CAST(ceil(0.05 * ex.c) AS BIGINT))""".stripMargin
 
+  /** T18: the end-to-end training-data prep capstone — quality gate
+    * (≥ 10 tokens) → exact dedup (min-id per fingerprint among
+    * survivors) → source-mixture re-weighting → train/val/test split,
+    * summarized per (split, source). Every stage is deterministic, so
+    * ONE DuckDB oracle replays the whole pipeline: this pins not just
+    * each operator but their composition.
+    */
+  val t18PrepPipeline: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val quality = docs.filter(TextAnalysis.tokenCount(col("text")) >= 10)
+    val deduped = Dedup.dedupExact(quality, "doc_id", "text")
+    val mixed = Sampling.mixtureSample(deduped, "doc_id", "source",
+      t14Rates, defaultRate = 0.5)
+    val split = Sampling.hashSplit(mixed, "doc_id",
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    split.groupBy("split", "source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(TextAnalysis.tokenCount(col("text")).cast("bigint")).as("n_tokens"))
+  }
+  val t18Oracle: String = {
+    val ntSql =
+      "len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))"
+    val mixCases = t14Rates.toSeq.sortBy(_._1).map { case (src, r) =>
+      s"WHEN source = '$src' THEN '${Sampling.hexThreshold(r)}'"
+    }.mkString(" ")
+    val b = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)"
+    s"""WITH q AS (
+       |  SELECT doc_id, source, text FROM documents WHERE $ntSql >= 10),
+       |dd AS (
+       |  SELECT * FROM q WHERE doc_id IN (
+       |    SELECT MIN(doc_id) FROM q GROUP BY md5($normSql))),
+       |mixed AS (
+       |  SELECT * FROM dd WHERE $b <
+       |    CASE $mixCases ELSE '${Sampling.hexThreshold(0.5)}' END),
+       |sp AS (
+       |  SELECT *, CASE WHEN $b < '${Sampling.hexThreshold(0.9)}' THEN 'train'
+       |                 WHEN $b < '${Sampling.hexThreshold(0.95)}' THEN 'val'
+       |                 ELSE 'test' END AS split
+       |  FROM mixed)
+       |SELECT split, source, COUNT(*) AS n_docs,
+       |  CAST(SUM($ntSql) AS BIGINT) AS n_tokens
+       |FROM sp GROUP BY 1, 2""".stripMargin
+  }
+
   /** D8: winnowing fingerprints (rolling k-gram hash + sliding-window
     * min, MOSS-style) — shared substrings of ≥ k+win-1 tokens guarantee a
     * shared fingerprint. md5-string hashes so DuckDB derives identical
@@ -840,6 +884,7 @@ object PipelineQueries {
     "q_t13_decontaminate" -> t13Decontaminate,
     "q_t16_cms_heavyhitters" -> t16CmsHeavyHitters,
     "q_t17_hll_distinct" -> t17HllDistinct,
+    "q_t18_prep_pipeline" -> t18PrepPipeline,
     "q_m1_media_meta" -> m1MediaMeta,
     "q_m2_frames" -> m2Frames,
     "q_s1_topk_bruteforce" -> s1TopKBruteForce,
@@ -873,6 +918,7 @@ object PipelineQueries {
     "q_t13_decontaminate" -> t13Oracle,
     "q_t16_cms_heavyhitters" -> t16Oracle,
     "q_t17_hll_distinct" -> t17Oracle,
+    "q_t18_prep_pipeline" -> t18Oracle,
     "q_m1_media_meta" -> m1Oracle,
     "q_m2_frames" -> m2Oracle,
     "q_s1_topk_bruteforce" -> s1Oracle,
