@@ -664,6 +664,27 @@ object PipelineQueries {
        |FROM sp GROUP BY 1, 2""".stripMargin
   }
 
+  /** T19: Gopher-style quality rule battery — token-count range, mean
+    * word length range, distinct-stopword minimum, distinct-token ratio
+    * (repetition guard), and the combined pass flag; one exchange-free
+    * scan, fully replayed by the DuckDB oracle.
+    */
+  val t19GopherRules: Q = (s, d) =>
+    TextAnalysis.gopherRules(t(s, d, "documents"), "doc_id", "text")
+  val t19Oracle =
+    s"""WITH w AS (SELECT doc_id, $wordsSql AS w FROM documents),
+       |m AS (SELECT doc_id,
+       |  CAST(len(w) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_intersect(w, ['the','a','of','to','and','in','is','it','that','for'])) AS BIGINT) AS stop_hits,
+       |  CAST(len(array_to_string(w, '')) AS DOUBLE) / len(w) AS mean_word_len,
+       |  CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS distinct_ratio
+       |  FROM w)
+       |SELECT doc_id, n_tokens, stop_hits, mean_word_len, distinct_ratio,
+       |  (n_tokens >= 30 AND n_tokens <= 100000
+       |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+       |   AND stop_hits >= 2 AND distinct_ratio > 0.5) AS passes
+       |FROM m""".stripMargin
+
   /** D8: winnowing fingerprints (rolling k-gram hash + sliding-window
     * min, MOSS-style) — shared substrings of ≥ k+win-1 tokens guarantee a
     * shared fingerprint. md5-string hashes so DuckDB derives identical
@@ -885,6 +906,7 @@ object PipelineQueries {
     "q_t16_cms_heavyhitters" -> t16CmsHeavyHitters,
     "q_t17_hll_distinct" -> t17HllDistinct,
     "q_t18_prep_pipeline" -> t18PrepPipeline,
+    "q_t19_gopher_rules" -> t19GopherRules,
     "q_m1_media_meta" -> m1MediaMeta,
     "q_m2_frames" -> m2Frames,
     "q_s1_topk_bruteforce" -> s1TopKBruteForce,
@@ -919,6 +941,7 @@ object PipelineQueries {
     "q_t16_cms_heavyhitters" -> t16Oracle,
     "q_t17_hll_distinct" -> t17Oracle,
     "q_t18_prep_pipeline" -> t18Oracle,
+    "q_t19_gopher_rules" -> t19Oracle,
     "q_m1_media_meta" -> m1Oracle,
     "q_m2_frames" -> m2Oracle,
     "q_s1_topk_bruteforce" -> s1Oracle,

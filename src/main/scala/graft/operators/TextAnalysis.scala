@@ -350,6 +350,37 @@ object TextAnalysis {
     when(best.getField("negScore") === 0, lit("und")).otherwise(best.getField("lang"))
   }
 
+  /** Gopher-style quality rule battery — the standard document-level
+    * pretraining filters that are deterministic and cheap: token-count
+    * range, mean word length range, minimum distinct-stopword hits, and
+    * a distinct-token ratio (the repetition guard). Pure column
+    * expressions over one scan — no shuffle, no UDF; every metric is
+    * engine-reproducible (mean word length via
+    * `length(concat(tokens))/n`, raw IEEE division) so the whole battery
+    * is DuckDB-oracle-checkable.
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 30, maxTokens: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      minStopHits: Int = 2, minDistinctRatio: Double = 0.5): DataFrame = {
+    val toks = split(normalize(col(textCol)), " ")
+    val stop = Seq("the", "a", "of", "to", "and", "in", "is", "it", "that", "for")
+    val n = size(toks)
+    val out = df.select(
+      col(idCol),
+      n.cast("bigint").as("n_tokens"),
+      size(array_intersect(toks, array(stop.map(lit): _*)))
+        .cast("bigint").as("stop_hits"),
+      (length(concat_ws("", toks)).cast("double") / n).as("mean_word_len"),
+      (size(array_distinct(toks)).cast("double") / n).as("distinct_ratio"))
+    out.withColumn("passes",
+      col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
+      col("mean_word_len") >= minMeanWordLen &&
+      col("mean_word_len") <= maxMeanWordLen &&
+      col("stop_hits") >= minStopHits &&
+      col("distinct_ratio") > minDistinctRatio)
+  }
+
   /** Sketch-based heavy hitters: a Count-Min sketch over EVERY token
     * (Spark's mergeable `count_min_sketch` aggregate — partial sketches
     * merge map-side, so the full corpus contributes through tiny

@@ -187,4 +187,21 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out.head._1 == "hot" && out.head._2 == 200L,
       s"heavy hitter first: ${out.head}")
   }
+
+  test("gopherRules: each rule rejects its failure mode") {
+    import spark.implicits._
+    val good = "the quick brown fox jumps over a lazy dog and then it " +
+      "runs far away into that deep dark forest for many long nights " +
+      "while other animals watch with great interest from their warm dens"
+    val docs = Seq(
+      (1L, good),                                  // passes all rules
+      (2L, "too short a doc"),                     // fails n_tokens >= 30
+      (3L, ("spam " * 60).trim),                   // fails distinct ratio + stopwords
+      (4L, (Seq.tabulate(40)(i => s"internationalization$i").mkString(" "))))
+      .toDF("doc_id", "text")                      // 4 fails mean word len <= 10
+    val out = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(out(1L), "well-formed doc must pass")
+    assert(!out(2L) && !out(3L) && !out(4L), out.toString)
+  }
 }
