@@ -263,8 +263,8 @@ object PipelineQueries {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
       .groupBy("split", "lang").agg(count(lit(1)).as("n"))
   val t6Oracle =
-    """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
-      |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
+    """SELECT CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+      |            WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
       |            ELSE 'test' END AS split,
       |  lang, COUNT(*) AS n
       |FROM documents GROUP BY 1, 2""".stripMargin
@@ -295,7 +295,7 @@ object PipelineQueries {
       s"WHEN source = '$src' THEN '${Sampling.hexThreshold(r)}'"
     }.mkString(" ")
     s"""SELECT doc_id, source, lang FROM documents
-       |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+       |WHERE substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) <
        |  CASE $cases ELSE '${Sampling.hexThreshold(0.5)}' END""".stripMargin
   }
 
@@ -645,18 +645,19 @@ object PipelineQueries {
     val mixCases = t14Rates.toSeq.sortBy(_._1).map { case (src, r) =>
       s"WHEN source = '$src' THEN '${Sampling.hexThreshold(r)}'"
     }.mkString(" ")
-    val b = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)"
+    val bMix = "substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)"
+    val bSplit = "substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)"
     s"""WITH q AS (
        |  SELECT doc_id, source, text FROM documents WHERE $ntSql >= 10),
        |dd AS (
        |  SELECT * FROM q WHERE doc_id IN (
        |    SELECT MIN(doc_id) FROM q GROUP BY md5($normSql))),
        |mixed AS (
-       |  SELECT * FROM dd WHERE $b <
+       |  SELECT * FROM dd WHERE $bMix <
        |    CASE $mixCases ELSE '${Sampling.hexThreshold(0.5)}' END),
        |sp AS (
-       |  SELECT *, CASE WHEN $b < '${Sampling.hexThreshold(0.9)}' THEN 'train'
-       |                 WHEN $b < '${Sampling.hexThreshold(0.95)}' THEN 'val'
+       |  SELECT *, CASE WHEN $bSplit < '${Sampling.hexThreshold(0.9)}' THEN 'train'
+       |                 WHEN $bSplit < '${Sampling.hexThreshold(0.95)}' THEN 'val'
        |                 ELSE 'test' END AS split
        |  FROM mixed)
        |SELECT split, source, COUNT(*) AS n_docs,

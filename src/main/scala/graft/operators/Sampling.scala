@@ -20,9 +20,25 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** First 8 hex chars of md5(key) — the uniform [0, 2^32) bucket. */
-  def hashBucket(key: Column): Column =
-    substring(md5(key.cast("string")), 1, 8)
+  /** First 8 hex chars of md5(key) — the uniform [0, 2^32) bucket. A
+    * non-empty `salt` namespaces the hash (`md5(salt || ":" || key)`), so
+    * two pipeline stages keyed on the same column draw INDEPENDENT
+    * buckets. Stages composed on one unsalted hash are fully correlated:
+    * e.g. a mixture filter at rate r followed by an unsalted 90/5/5 split
+    * routes every survivor of any source with r <= 0.9 to 'train' and
+    * leaves val/test empty. [[hashSplit]] and [[mixtureSample]] therefore
+    * default to distinct salts.
+    */
+  def hashBucket(key: Column, salt: String = ""): Column =
+    if (salt.isEmpty) substring(md5(key.cast("string")), 1, 8)
+    else substring(md5(concat(lit(salt + ":"), key.cast("string"))), 1, 8)
+
+  private def requireFreshColumns(df: DataFrame, out: Seq[String]): Unit = {
+    val clash = out.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"output column(s) ${clash.mkString(", ")} already exist on the input; " +
+        "rename them or pass different output column names")
+  }
 
   /** Hex threshold such that P[bucket < threshold] == fraction. */
   def hexThreshold(fraction: Double): String = {
@@ -35,8 +51,9 @@ object Sampling {
     * every stratum automatically (md5 is independent of any column), so
     * this IS the stratified sample when the key is unique per row.
     */
-  def sampleByKey(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
-    df.filter(hashBucket(col(keyCol)) < lit(hexThreshold(fraction)))
+  def sampleByKey(df: DataFrame, keyCol: String, fraction: Double,
+      salt: String = ""): DataFrame =
+    df.filter(hashBucket(col(keyCol), salt) < lit(hexThreshold(fraction)))
 
   /** Deterministic train/val/test routing: `splits` are (label, weight)
     * pairs; weights must sum to 1. A row's label is the first split whose
@@ -44,11 +61,13 @@ object Sampling {
     * disjoint, exhaustive, and stable under re-runs and engine changes.
     */
   def hashSplit(df: DataFrame, keyCol: String,
-      splits: Seq[(String, Double)], outCol: String = "split"): DataFrame = {
+      splits: Seq[(String, Double)], outCol: String = "split",
+      salt: String = "split"): DataFrame = {
     require(splits.nonEmpty, "need at least one split")
+    requireFreshColumns(df, Seq(outCol))
     val total = splits.map(_._2).sum
     require(math.abs(total - 1.0) < 1e-9, s"weights must sum to 1, got $total")
-    val b = hashBucket(col(keyCol))
+    val b = hashBucket(col(keyCol), salt)
     val cum = splits.scanLeft(0.0)(_ + _._2).tail
     // Last split catches everything below threshold 1.0 exactly.
     val assign = splits.zip(cum).dropRight(1).foldRight(
@@ -86,13 +105,14 @@ object Sampling {
     * per-source, and uniform within every source automatically.
     */
   def mixtureSample(df: DataFrame, keyCol: String, sourceCol: String,
-      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+      rates: Map[String, Double], defaultRate: Double = 1.0,
+      salt: String = "mix"): DataFrame = {
     // Sort for a deterministic CASE chain (Map order is not stable).
     val threshold = rates.toSeq.sortBy(_._1).foldRight(
         lit(hexThreshold(defaultRate)): Column) { case ((src, r), rest) =>
       when(col(sourceCol) === src, lit(hexThreshold(r))).otherwise(rest)
     }
-    df.filter(hashBucket(col(keyCol)) < threshold)
+    df.filter(hashBucket(col(keyCol), salt) < threshold)
   }
 
   /** Deterministic global interleave (seeded reshuffle) of training rows:
@@ -113,6 +133,7 @@ object Sampling {
       prefixChars: Int = 2): DataFrame = {
     require(prefixChars >= 1 && prefixChars <= 8,
       s"prefixChars out of [1,8]: $prefixChars")
+    requireFreshColumns(df, Seq("shard", "pos"))
     import org.apache.spark.sql.expressions.Window
     val ord = md5(concat(lit(seed + ":"), col(keyCol).cast("string")))
     val w = Window.partitionBy(col("shard")).orderBy(col("_ord"), col(keyCol))

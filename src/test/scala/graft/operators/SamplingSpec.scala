@@ -87,10 +87,47 @@ class SamplingSpec extends SparkSpec {
       Map("src0" -> 1.0, "src1" -> 0.3), defaultRate = 0.0)
       .collect().map(_.getInt(0)).toSet
     assert(again == out.collect().map(_.getInt(0)).toSet, "reruns identical")
-    // mixture at rate r is exactly sampleByKey(r) within that source
-    val direct = Sampling.sampleByKey(df.filter(col("source") === "src1"), "id", 0.3)
+    // mixture at rate r is exactly sampleByKey(r, same salt) within that source
+    val direct = Sampling.sampleByKey(df.filter(col("source") === "src1"), "id",
+        0.3, salt = "mix")
       .collect().map(_.getInt(0)).toSet
     assert(again.filter(_ % 3 == 1) == direct)
+  }
+
+  test("mixture + split compose without correlation: val/test stay populated") {
+    // Regression: with one unsalted hash, every row surviving a mixture
+    // rate r <= 0.9 had bucket < threshold(r) <= threshold(0.9) and was
+    // routed to 'train' — val/test were empty for 16 of 20 sources. The
+    // per-purpose default salts ("mix" vs "split") decorrelate the stages.
+    val df = (1 to 4000).map(i => (i, s"src${i % 4}")).toDF("id", "source")
+    val mixed = Sampling.mixtureSample(df, "id", "source",
+      Map("src0" -> 0.2, "src1" -> 0.5, "src2" -> 0.8), defaultRate = 0.6)
+    val split = Sampling.hashSplit(mixed, "id",
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    val counts = split.groupBy("source", "split").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    for (src <- Seq("src0", "src1", "src2", "src3"); sp <- Seq("val", "test"))
+      assert(counts.getOrElse((src, sp), 0L) > 0L,
+        s"$src/$sp empty — mixture and split hashes are correlated: $counts")
+    // split proportions hold within each surviving source (~90/5/5)
+    for (src <- Seq("src0", "src1", "src2", "src3")) {
+      val total = Seq("train", "val", "test")
+        .map(sp => counts.getOrElse((src, sp), 0L)).sum.toDouble
+      val trainFrac = counts.getOrElse((src, "train"), 0L) / total
+      assert(trainFrac > 0.8 && trainFrac < 0.97,
+        s"$src train fraction $trainFrac out of range: $counts")
+    }
+  }
+
+  test("hashSplit and interleave fail fast on output column collisions") {
+    val withSplit = (1 to 10).map(i => (i, "x")).toDF("id", "split")
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(withSplit, "id", Seq("a" -> 0.5, "b" -> 0.5))
+    }
+    val withShard = (1 to 10).map(i => (i, "x")).toDF("id", "shard")
+    intercept[IllegalArgumentException] {
+      Sampling.interleave(withShard, "id", seed = "s")
+    }
   }
 
   test("interleave: (shard, pos) is a seeded total order, no global window") {
