@@ -35,6 +35,21 @@ import scala.jdk.CollectionConverters._
   * (one result partition in driver memory at a time), then a
   * `{"rowCount":n}` footer — the reference's channel-with-EOF-sentinel
   * shape as a gRPC stream.
+  *
+  * ==Deployment requirement==
+  * `org.sparkproject.connect.grpc.*` is a shading artifact of the
+  * `spark-connect` jar shipped in the Spark 4.1 distribution's `jars/`,
+  * NOT a supported public API: a Spark minor upgrade may re-relocate it,
+  * and a deployment that strips the connect jar loses the classes
+  * entirely (NoClassDefFoundError at class load). The core engine never
+  * references this file — nothing in `graft` loads these classes unless
+  * a caller instantiates the gRPC transport — so a connect-less
+  * deployment keeps the full engine plus the dependency-free HTTP
+  * transport ([[QueryServer]]). Callers should gate construction on
+  * [[GrpcTransport.available]] (reflective probe, safe on any
+  * classpath) and treat the HTTP transport as the fallback. Built and
+  * tested against Spark 4.1.x; re-verify the relocation prefix on any
+  * Spark upgrade.
   */
 class GrpcQueryServer(spark: SparkSession, port: Int = 0) {
   import GrpcQueryServer._
@@ -102,6 +117,25 @@ class GrpcQueryServer(spark: SparkSession, port: Int = 0) {
       case e: Exception =>
         out.onNext(QueryWire.renderError(spark, e).getBytes(UTF_8))
     }
+}
+
+/** Classpath probe for the optional gRPC transport. This object MUST NOT
+  * reference any `org.sparkproject.connect.grpc` type (not even in a
+  * method signature): its own class has to link on a classpath without
+  * the spark-connect jar, which is exactly the situation it reports on.
+  */
+object GrpcTransport {
+
+  /** True iff the relocated gRPC runtime (spark-connect jar) is present,
+    * i.e. [[GrpcQueryServer]] can be constructed without
+    * NoClassDefFoundError. Initialization is NOT forced — only linkage.
+    */
+  def available: Boolean =
+    try {
+      Class.forName("org.sparkproject.connect.grpc.stub.ServerCalls",
+        /* initialize = */ false, getClass.getClassLoader)
+      true
+    } catch { case _: ClassNotFoundException | _: LinkageError => false }
 }
 
 object GrpcQueryServer {

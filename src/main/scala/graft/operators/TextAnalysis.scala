@@ -408,6 +408,11 @@ object TextAnalysis {
       count_min_sketch(col("token"), lit(eps), lit(confidence), lit(seed))
         .as("sk"),
       count(lit(1)).as("n")).head()
+    // Zero input rows yield a NULL sketch (count_min_sketch is a typed
+    // agg with no zero value) — return the empty result, don't NPE.
+    if (agg.isNullAt(agg.fieldIndex("sk")))
+      return Seq.empty[(String, Long, Long)]
+        .toDF("token", "est_count", "n_total_tokens")
     val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
       new java.io.ByteArrayInputStream(agg.getAs[Array[Byte]]("sk")))
     val nTotal = agg.getAs[Long]("n")

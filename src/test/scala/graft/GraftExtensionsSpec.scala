@@ -10,6 +10,12 @@ class GraftExtensionsSpec extends SparkSpec {
 
   test("a session built with the extension resolves graft functions from SQL") {
     val shared = spark // forces shared-session init so the context exists
+    // Snapshot a REAL injected name's resolution state on the shared
+    // session before injection, so the isolation assertion below compares
+    // against it (a never-registered name would pass vacuously).
+    val vecDot = org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot")
+    val sharedHadVecDot = shared.sessionState.functionRegistry
+      .lookupFunctionBuilder(vecDot).isDefined
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     // `.withExtensions` is the same injection path `spark.sql.extensions`
@@ -39,10 +45,10 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(inter == 2L)
 
     // The shared session is untouched by the injection (extension scope
-    // is per-session): its registry resolves only after register().
+    // is per-session): vec_dot resolves there exactly iff it did before
+    // the extension session was built.
     assert(shared.sessionState.functionRegistry
-      .lookupFunctionBuilder(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot_nonexistent"))
-      .isEmpty)
+      .lookupFunctionBuilder(vecDot).isDefined == sharedHadVecDot,
+      "building an extension session must not mutate the shared registry")
   }
 }

@@ -10,6 +10,15 @@ import graft.SparkSpec
 class GrpcQueryServerSpec extends SparkSpec {
   import spark.implicits._
 
+  test("GrpcTransport.available reports the relocated runtime's presence") {
+    // This build runs on the full Spark 4.1 distribution (connect jar in
+    // jars/), so the probe must be true here; the probe itself must not
+    // link any relocated class (it would defeat its purpose on a
+    // connect-less classpath — enforced by the probe living in an object
+    // with zero org.sparkproject references).
+    assert(GrpcTransport.available)
+  }
+
   test("unary Execute over gRPC: result contract, guard, hints") {
     Seq((1, "alpha"), (2, "beta")).toDF("id", "name")
       .createOrReplaceTempView("grpc_things")

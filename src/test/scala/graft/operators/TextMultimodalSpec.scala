@@ -188,6 +188,14 @@ class TextMultimodalSpec extends SparkSpec {
       s"heavy hitter first: ${out.head}")
   }
 
+  test("cmsHeavyHitters: empty input yields an empty frame, not an NPE") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out = TextAnalysis.cmsHeavyHitters(empty, "doc_id", "text")
+    assert(out.columns.toSeq == Seq("token", "est_count", "n_total_tokens"))
+    assert(out.count() == 0)
+  }
+
   test("gopherRules: each rule rejects its failure mode") {
     import spark.implicits._
     val good = "the quick brown fox jumps over a lazy dog and then it " +
