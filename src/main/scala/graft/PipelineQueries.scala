@@ -69,70 +69,156 @@ object PipelineQueries {
        |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id)
        |SELECT source, id_a, id_b, jaccard FROM p WHERE jaccard >= 0.2""".stripMargin
 
+  /** Planted-duplicate fixture for the near-dup completeness oracles: an
+    * identical-text clone (`doc_id + PlantOffset`) of a deterministic ~2%
+    * of documents. Identical text makes detection CERTAIN, not
+    * probabilistic — MinHash signatures are equal so every band bucket
+    * collides, and SimHash hashes are equal so hamming is 0 — which lets
+    * the oracle REQUIRE every planted pair among the emitted rows:
+    * under-emission (a missing or deleted row) empties the oracle result
+    * and turns the driver red, closing the recall blind spot that a pure
+    * emitted-row oracle has.
+    */
+  private val PlantOffset = 1000000000L
+  private val PlantThr = Sampling.hexThreshold(0.02)
+  private def withPlantedClones(docs: DataFrame): DataFrame =
+    docs.unionByName(
+      docs.filter(Sampling.hashBucket(col("doc_id"), "plant") < lit(PlantThr))
+        .withColumn("doc_id", col("doc_id") + lit(PlantOffset)))
+  /** DuckDB twins of the plant: the cloned subset and the augmented corpus. */
+  private val plantSql =
+    s"""SELECT doc_id, text FROM documents
+       |  WHERE substr(md5('plant:' || CAST(doc_id AS STRING)), 1, 8) < '$PlantThr'""".stripMargin
+  private val plantedCorpusSql =
+    s"""SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + $PlantOffset, text FROM plant""".stripMargin
+
   /** D4: MinHash+LSH near-dups, verified by exact Jaccard. Candidate
     * generation is hash-specific (recall vs D3 asserted in DedupSpec),
     * but every *emitted* pair is exact — so the oracle reads the emitted
     * pairs back and recomputes their 3-shingle Jaccard from the raw text
     * in DuckDB: a wrong similarity, a below-threshold pair, or a
-    * fabricated doc id all turn the row red.
+    * fabricated doc id all turn the row red. Completeness: the corpus
+    * carries planted identical clones ([[withPlantedClones]]) and the
+    * oracle requires every planted pair to be present.
     */
   val d4MinhashNearDup: Q = (s, d) =>
-    Dedup.minhashNearDups(t(s, d, "documents"), "doc_id", "text",
-        threshold = 0.2)
+    Dedup.minhashNearDups(withPlantedClones(t(s, d, "documents")),
+        "doc_id", "text", threshold = 0.2)
       .select("id_a", "id_b", "jaccard")
   val d4Oracle =
     s"""WITH sp AS (
        |  SELECT id_a, id_b FROM '__SPARK_OUT__/q_d4_minhash_neardup/*.parquet'),
+       |plant AS ($plantSql),
+       |corpus AS ($plantedCorpusSql),
        |t AS (
        |  SELECT doc_id,
        |    list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-       |  FROM (SELECT doc_id, $wordsSql AS w FROM documents) z
+       |  FROM (SELECT doc_id, $wordsSql AS w FROM corpus) z
        |  WHERE doc_id IN (SELECT id_a FROM sp UNION SELECT id_b FROM sp)),
        |p AS (
        |  SELECT sp.id_a, sp.id_b,
        |    ROUND(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
        |      ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
        |           len(list_distinct(list_concat(a.sh, b.sh))) END, 6) AS jaccard
-       |  FROM sp JOIN t a ON a.doc_id = sp.id_a JOIN t b ON b.doc_id = sp.id_b)
-       |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.2""".stripMargin
+       |  FROM sp JOIN t a ON a.doc_id = sp.id_a JOIN t b ON b.doc_id = sp.id_b),
+       |ok AS (
+       |  SELECT NOT EXISTS (SELECT 1 FROM plant pl WHERE NOT EXISTS (
+       |    SELECT 1 FROM sp WHERE sp.id_a = pl.doc_id
+       |      AND sp.id_b = pl.doc_id + $PlantOffset)) AS complete)
+       |SELECT id_a, id_b, jaccard FROM p
+       |WHERE jaccard >= 0.2 AND (SELECT complete FROM ok)""".stripMargin
 
   /** D5: SimHash near-dup pairs. The signature is hash-specific
     * (bit-parity with the HOF twin asserted in DedupSpec), so both
     * signatures ride along and the oracle recomputes
     * hamming = popcount(sh_a XOR sh_b) in DuckDB, enforces the ≤3
-    * threshold and id ordering, and joins both ids back to `documents` —
+    * threshold and id ordering, and joins both ids back to the corpus —
     * wrong arithmetic, threshold violations, and invented ids all fail.
+    * Completeness: planted identical clones must all appear with
+    * hamming 0 (identical text ⇒ identical simhash ⇒ pigeonhole
+    * quarter-block collision is certain).
     */
   val d5SimhashNearDup: Q = (s, d) =>
-    Dedup.simhashNearDups(t(s, d, "documents"), "doc_id", "text",
-      maxHamming = 3)
+    Dedup.simhashNearDups(withPlantedClones(t(s, d, "documents")),
+      "doc_id", "text", maxHamming = 3)
   val d5Oracle =
-    """WITH sp AS (
-      |  SELECT * FROM '__SPARK_OUT__/q_d5_simhash_neardup/*.parquet')
-      |SELECT sp.id_a, sp.id_b, sp.sh_a, sp.sh_b, sp.hamming
-      |FROM sp
-      |JOIN documents da ON da.doc_id = sp.id_a
-      |JOIN documents db ON db.doc_id = sp.id_b
-      |WHERE bit_count(xor(sp.sh_a, sp.sh_b)) = sp.hamming
-      |  AND sp.hamming <= 3 AND sp.id_a < sp.id_b""".stripMargin
+    s"""WITH sp AS (
+       |  SELECT * FROM '__SPARK_OUT__/q_d5_simhash_neardup/*.parquet'),
+       |plant AS ($plantSql),
+       |corpus AS ($plantedCorpusSql),
+       |ok AS (
+       |  SELECT NOT EXISTS (SELECT 1 FROM plant pl WHERE NOT EXISTS (
+       |    SELECT 1 FROM sp WHERE sp.id_a = pl.doc_id
+       |      AND sp.id_b = pl.doc_id + $PlantOffset
+       |      AND sp.hamming = 0)) AS complete)
+       |SELECT sp.id_a, sp.id_b, sp.sh_a, sp.sh_b, sp.hamming
+       |FROM sp
+       |JOIN corpus da ON da.doc_id = sp.id_a
+       |JOIN corpus db ON db.doc_id = sp.id_b
+       |WHERE bit_count(xor(sp.sh_a, sp.sh_b)) = sp.hamming
+       |  AND sp.hamming <= 3 AND sp.id_a < sp.id_b
+       |  AND (SELECT complete FROM ok)""".stripMargin
 
-  /** D6: the full near-dedup pipeline — MinHash pairs → connected-
-    * component clusters → canonical keeper per cluster. Keeper choice
-    * depends on the hash-specific candidate graph (clustering is
-    * oracle-checked via q_g6_components and DedupSpec); the oracle
-    * verifies the emitted survivors are genuine, distinct documents with
-    * unaltered attributes.
+  /** D6: the full near-dedup pipeline as a MANIFEST — MinHash pairs →
+    * connected-component clusters → one row per INPUT doc with its
+    * keep/drop decision and evidence ([[Dedup.dedupNearManifest]]).
+    * Keeper choice depends on the hash-specific candidate graph
+    * (clustering is oracle-checked via q_g6_components and DedupSpec),
+    * but the manifest makes the result fully auditable by the driver:
+    * the oracle demands a doc_id BIJECTION with the corpus (so a
+    * deleted or fabricated row turns it red — this was the one place an
+    * under-emitting result could pass vacuously), recomputes every
+    * eliminated row's witness Jaccard exactly, and checks keeper
+    * consistency (keeper < id, keeper itself a survivor).
     */
-  val d6DedupNear: Q = (s, d) =>
-    Dedup.dedupNear(t(s, d, "documents"), "doc_id", "text", threshold = 0.2)
-      .select("doc_id", "source", "lang")
+  val d6DedupNear: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    Dedup.dedupNearManifest(docs, "doc_id", "text", threshold = 0.2)
+      .join(docs.select(col("doc_id").as("id"), col("source"), col("lang")),
+        Seq("id"))
+      .select(col("id").as("doc_id"), col("source"), col("lang"),
+        col("keeper_id"), col("is_survivor"),
+        col("witness_id"), col("witness_jaccard"))
+  }
   val d6Oracle =
-    """WITH sp AS (
-      |  SELECT DISTINCT doc_id
-      |  FROM '__SPARK_OUT__/q_d6_dedup_near/*.parquet')
-      |SELECT d.doc_id, d.source, d.lang
-      |FROM documents d JOIN sp USING (doc_id)""".stripMargin
+    s"""WITH sp AS (
+       |  SELECT * FROM '__SPARK_OUT__/q_d6_dedup_near/*.parquet'),
+       |ok AS (SELECT
+       |    (SELECT COUNT(*) FROM sp) = (SELECT COUNT(*) FROM documents)
+       |    AND (SELECT COUNT(DISTINCT doc_id) FROM sp) = (SELECT COUNT(*) FROM sp)
+       |    AND NOT EXISTS (SELECT 1 FROM documents d
+       |                    WHERE d.doc_id NOT IN (SELECT doc_id FROM sp))
+       |    AS complete),
+       |t AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+       |  FROM (SELECT doc_id, $wordsSql AS w FROM documents) z
+       |  WHERE doc_id IN (
+       |    SELECT doc_id FROM sp WHERE witness_id IS NOT NULL
+       |    UNION SELECT witness_id FROM sp WHERE witness_id IS NOT NULL)),
+       |jw AS (
+       |  SELECT sp.doc_id,
+       |    ROUND(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+       |      ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |           len(list_distinct(list_concat(a.sh, b.sh))) END, 6) AS j
+       |  FROM sp JOIN t a ON a.doc_id = sp.doc_id
+       |          JOIN t b ON b.doc_id = sp.witness_id
+       |  WHERE sp.witness_id IS NOT NULL)
+       |SELECT sp.doc_id, sp.source, sp.lang, sp.keeper_id, sp.is_survivor,
+       |       sp.witness_id, sp.witness_jaccard
+       |FROM sp JOIN documents d ON d.doc_id = sp.doc_id
+       |LEFT JOIN jw ON jw.doc_id = sp.doc_id
+       |WHERE (SELECT complete FROM ok)
+       |  AND d.source = sp.source AND d.lang = sp.lang
+       |  AND sp.is_survivor = (sp.keeper_id = sp.doc_id)
+       |  AND (sp.witness_id IS NULL OR (sp.witness_id <> sp.doc_id
+       |       AND jw.j = sp.witness_jaccard AND jw.j >= 0.2))
+       |  AND (sp.is_survivor OR (sp.witness_id IS NOT NULL
+       |       AND sp.keeper_id < sp.doc_id
+       |       AND sp.keeper_id IN (SELECT doc_id FROM sp WHERE is_survivor)))""".stripMargin
 
   // ===== text analysis =================================================
 
@@ -585,12 +671,25 @@ object PipelineQueries {
        |  FROM '__SPARK_OUT__/q_t16_cms_heavyhitters/*.parquet'),
        |tok AS (SELECT UNNEST($wordsSql) AS t FROM documents),
        |ex AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
-       |n AS (SELECT COUNT(*) AS n FROM tok)
+       |n AS (SELECT COUNT(*) AS n FROM tok),
+       |cand AS (
+       |  SELECT t AS token FROM (
+       |    SELECT UNNEST($wordsSql) AS t FROM documents
+       |    WHERE substr(md5(CAST(doc_id AS STRING)), 1, 8) <
+       |      '${Sampling.hexThreshold(0.2)}') z
+       |  GROUP BY t ORDER BY COUNT(*) DESC, t ASC LIMIT 50),
+       |ok AS (SELECT
+       |    NOT EXISTS (SELECT 1 FROM cand c
+       |                WHERE c.token NOT IN (SELECT token FROM out))
+       |    AND NOT EXISTS (SELECT 1 FROM out o
+       |                    WHERE o.token NOT IN (SELECT token FROM cand))
+       |    AS complete)
        |SELECT o.token, o.est_count, o.n_total_tokens
        |FROM out o JOIN ex ON ex.t = o.token, n
        |WHERE o.n_total_tokens = n.n
        |  AND o.est_count >= ex.c
-       |  AND o.est_count <= ex.c + CAST(ceil(0.0001 * n.n) AS BIGINT)""".stripMargin
+       |  AND o.est_count <= ex.c + CAST(ceil(0.0001 * n.n) AS BIGINT)
+       |  AND (SELECT complete FROM ok)""".stripMargin
 
   /** T17: mergeable HLL distinct-count sketches — per-source sketches of
     * document fingerprints plus a pure-sketch union row (`__all__`): the
@@ -614,11 +713,18 @@ object PipelineQueries {
        |  SELECT source, COUNT(DISTINCT md5($normSql)) AS c
        |  FROM documents GROUP BY source
        |  UNION ALL
-       |  SELECT '__all__', COUNT(DISTINCT md5($normSql)) FROM documents)
+       |  SELECT '__all__', COUNT(DISTINCT md5($normSql)) FROM documents),
+       |ok AS (SELECT
+       |    (SELECT COUNT(*) FROM out) =
+       |      (SELECT COUNT(DISTINCT source) FROM documents) + 1
+       |    AND NOT EXISTS (SELECT 1 FROM ex
+       |                    WHERE ex.source NOT IN (SELECT source FROM out))
+       |    AS complete)
        |SELECT o.source, o.est_distinct
        |FROM out o JOIN ex ON ex.source = o.source
        |WHERE ABS(o.est_distinct - ex.c) <=
-       |      greatest(1, CAST(ceil(0.05 * ex.c) AS BIGINT))""".stripMargin
+       |      greatest(1, CAST(ceil(0.05 * ex.c) AS BIGINT))
+       |  AND (SELECT complete FROM ok)""".stripMargin
 
   /** T18: the end-to-end training-data prep capstone — quality gate
     * (≥ 10 tokens) → exact dedup (min-id per fingerprint among
@@ -800,11 +906,20 @@ object PipelineQueries {
     * of (query, id) and ranks must order the emitted set by
     * (cosine desc, id asc) — the emitted rows are the top k of the
     * candidate set, so re-ranking them reproduces rank 1..k exactly.
-    * The oracle recomputes both from raw embeddings.
+    * The oracle recomputes both from raw embeddings. Completeness: both
+    * operators emit exactly k rows per query by contract (the fixture's
+    * candidate sets are far larger than k), so the oracle also requires
+    * every query id present with exactly k rows — under-emission empties
+    * the oracle result and turns the driver red.
     */
-  private def topKEchoOracle(name: String): String =
+  private def topKEchoOracle(name: String, k: Int = 10): String =
     s"""WITH sp AS (
        |  SELECT query_id, id FROM '__SPARK_OUT__/$name/*.parquet'),
+       |ok AS (SELECT
+       |    (SELECT COUNT(DISTINCT query_id) FROM sp) =
+       |      (SELECT COUNT(*) FROM embeddings WHERE vec_id < 5)
+       |    AND NOT EXISTS (SELECT 1 FROM sp GROUP BY query_id
+       |                    HAVING COUNT(*) <> $k) AS complete),
        |e AS (
        |  SELECT vec_id, embedding,
        |    SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
@@ -824,7 +939,7 @@ object PipelineQueries {
        |  ROW_NUMBER() OVER (PARTITION BY query_id
        |    ORDER BY cosine_sim DESC, id) AS rank,
        |  id, cosine_sim
-       |FROM sc""".stripMargin
+       |FROM sc WHERE (SELECT complete FROM ok)""".stripMargin
 
   /** S3: LSH-bucketed approximate top-k — every emitted (query, id,
     * cosine, rank) row is oracle-verified; see [[topKEchoOracle]].

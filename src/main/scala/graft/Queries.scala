@@ -200,7 +200,9 @@ object Queries {
       |g AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type)
       |SELECT sp.event_type, sp.p50, sp.p95
       |FROM sp JOIN g USING (event_type)
-      |WHERE EXISTS (SELECT 1 FROM events e
+      |WHERE (SELECT COUNT(*) FROM sp) = (SELECT COUNT(*) FROM g)
+      |  AND (SELECT COUNT(DISTINCT event_type) FROM sp) = (SELECT COUNT(*) FROM g)
+      |  AND EXISTS (SELECT 1 FROM events e
       |        WHERE e.event_type = sp.event_type AND e.value = sp.p50)
       |  AND EXISTS (SELECT 1 FROM events e
       |        WHERE e.event_type = sp.event_type AND e.value = sp.p95)

@@ -268,6 +268,46 @@ object Dedup {
     df.join(drop, df(idCol) === drop("drop_id"), "left_anti")
   }
 
+  /** Near-dedup MANIFEST: one row for EVERY input doc — the keep/drop
+    * decision plus its direct evidence. This is both what a production
+    * pipeline audits (why was this doc dropped?) and what makes
+    * completeness externally checkable: a verifier can demand full
+    * corpus coverage (any deleted row breaks the doc_id bijection) and
+    * recompute each eliminated row's witness similarity exactly, without
+    * ever rebuilding the hash-specific candidate graph.
+    *
+    * Columns: `id`; `keeper_id` — the min id of the doc's near-dup
+    * cluster (its own id when unpaired); `is_survivor` —
+    * `keeper_id == id`; `witness_id` — the smallest DIRECT near-dup
+    * partner from the verified pair set (NULL when unpaired);
+    * `witness_jaccard` — the exact n-gram Jaccard to that witness
+    * (≥ threshold by construction).
+    *
+    * Scale shape: identical to [[dedupNear]] plus two narrow joins on
+    * `id` — the manifest adds no stage touching text.
+    */
+  def dedupNearManifest(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashNearDups(df, idCol, textCol, threshold)
+    val clusters = dupClusters(pairs)
+    // Smallest direct partner rides as a struct min (lexicographic on
+    // (w, jaccard); w is unique per id so the pick is deterministic).
+    val wit = pairs
+      .select(col("id_a").as("id"),
+        struct(col("id_b").as("w"), col("jaccard")).as("wj"))
+      .unionByName(pairs.select(col("id_b").as("id"),
+        struct(col("id_a").as("w"), col("jaccard")).as("wj")))
+      .groupBy("id").agg(min("wj").as("wj"))
+    df.select(col(idCol).as("id"))
+      .join(clusters.select(col("id"), col("cluster_id")), Seq("id"), "left")
+      .join(wit, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster_id"), col("id")).as("keeper_id"),
+        (coalesce(col("cluster_id"), col("id")) === col("id")).as("is_survivor"),
+        col("wj.w").as("witness_id"),
+        col("wj.jaccard").as("witness_jaccard"))
+  }
+
   /** Hamming distance between two 64-bit simhashes (popcount via bit_count). */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

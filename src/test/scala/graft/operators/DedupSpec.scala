@@ -73,6 +73,32 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 4L, 5L))
   }
 
+  test("dedupNearManifest: full coverage, consistent keepers, exact witnesses") {
+    val m = Dedup.dedupNearManifest(docs, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("keeper_id"), r.getAs[Boolean]("is_survivor"),
+          Option(r.getAs[java.lang.Long]("witness_id")).map(_.longValue),
+          Option(r.getAs[java.lang.Double]("witness_jaccard")).map(_.doubleValue))))
+      .toMap
+    // one row per INPUT doc — the completeness property the driver oracle
+    // turns into a bijection guard
+    assert(m.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    // survivors agree with dedupNear
+    assert(m.filter(_._2._2).keySet == Set(1L, 4L, 5L))
+    // eliminated rows: keeper < id, keeper is a survivor, witness is a
+    // genuine partner above the threshold
+    for ((id, (keeper, surv, wit, wj)) <- m if !surv) {
+      assert(keeper < id && m(keeper)._2, s"doc $id keeper $keeper")
+      assert(wit.nonEmpty && wit.get != id, s"doc $id witness $wit")
+      assert(wj.exists(_ >= 0.3), s"doc $id witness jaccard $wj")
+    }
+    // doc 2 is an exact dup of 1: witness 1 at jaccard 1.0
+    assert(m(2L) == ((1L, false, Some(1L), Some(1.0))))
+    // unpaired docs carry no witness and keep themselves
+    assert(m(4L) == ((4L, true, None, None)))
+    assert(m(5L) == ((5L, true, None, None)))
+  }
+
   test("connectedComponents: chains converge via pointer doubling, isolated stay") {
     val chain = (1L until 12L).map(i => (i, i + 1)) :+ (20L, 21L)
     val comp = Graph.connectedComponents(

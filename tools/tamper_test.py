@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""Deletion-tamper negative test for the emitted-row/bound oracles.
+
+The approximate family's oracles read Spark's own dumped result back
+(__SPARK_OUT__), so a purely per-row oracle would pass vacuously if rows
+went missing. Each of those oracles therefore carries a completeness
+guard (planted-pair presence, per-query k-counts, corpus bijection,
+candidate-set equality, group coverage). This tool proves the guards are
+live: it copies a verify dump, DELETES targeted rows from each query's
+parquet, and asserts the oracle now FAILS the driver-style compare.
+
+Usage:
+    python3 tools/check.py  <sfdir> <outdir>          # produce a dump
+    python3 tools/tamper_test.py <sfdir> <outdir>     # tamper + recheck
+
+Exit 0 iff every tampered query turns red.
+"""
+import json
+import shutil
+import subprocess
+import sys
+from pathlib import Path
+
+import duckdb
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+SRC = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify")
+DST = Path(str(SRC) + "_tampered")
+
+# Query -> SQL predicate selecting the row(s) to DELETE from its dump
+# (src = the query's own result). Each targets the exact scenario the
+# completeness guard exists for.
+TARGETS = {
+    # per-query k-count guard: one missing (query 0, rank 1) row
+    "q_s3_lsh_topk": "query_id = 0 AND rank = 1",
+    "q_s4_ivf_topk": "query_id = 0 AND rank = 1",
+    # planted-pair guard: remove ONE planted identical-clone pair
+    "q_d4_minhash_neardup":
+        "id_b - id_a = 1000000000 AND id_a = "
+        "(SELECT MIN(id_a) FROM src WHERE id_b - id_a = 1000000000)",
+    "q_d5_simhash_neardup":
+        "id_b - id_a = 1000000000 AND hamming = 0 AND id_a = "
+        "(SELECT MIN(id_a) FROM src "
+        " WHERE id_b - id_a = 1000000000 AND hamming = 0)",
+    # corpus-bijection guard: drop one manifest row
+    "q_d6_dedup_near": "doc_id = (SELECT MIN(doc_id) FROM src)",
+    # candidate-set equality guard: drop one heavy hitter
+    "q_t16_cms_heavyhitters": "token = (SELECT MIN(token) FROM src)",
+    # source-coverage guard: drop the union row
+    "q_t17_hll_distinct": "source = '__all__'",
+    # group-coverage guard: drop one event type
+    "q_a15_approx_percentiles":
+        "event_type = (SELECT MIN(event_type) FROM src)",
+}
+
+if not (SRC / "oracle_sql.json").exists():
+    sys.exit(f"no dump at {SRC}; run tools/check.py first")
+
+if DST.exists():
+    shutil.rmtree(DST)
+shutil.copytree(SRC, DST)
+# Re-point the __SPARK_OUT__-resolved absolute paths at the tampered copy.
+osql = (DST / "oracle_sql.json").read_text()
+(DST / "oracle_sql.json").write_text(
+    osql.replace(str(SRC.resolve()), str(DST.resolve())))
+
+con = duckdb.connect()
+for name, predicate in TARGETS.items():
+    qdir = DST / name
+    files = sorted(qdir.glob("*.parquet"))
+    if not files:
+        sys.exit(f"{name}: no parquet in dump")
+    con.sql(f"CREATE OR REPLACE TEMP VIEW src AS "
+            f"SELECT * FROM '{qdir}/*.parquet'")
+    before = con.sql("SELECT COUNT(*) FROM src").fetchone()[0]
+    deleted = con.sql(f"SELECT COUNT(*) FROM src WHERE {predicate}"). \
+        fetchone()[0]
+    if deleted == 0:
+        sys.exit(f"{name}: tamper predicate matched no rows — test is dead")
+    tmp = qdir / "_tampered.parquet.tmp"
+    con.sql(f"COPY (SELECT * FROM src WHERE NOT ({predicate})) "
+            f"TO '{tmp}' (FORMAT PARQUET)")
+    for f in files:
+        f.unlink()
+    tmp.rename(qdir / "part-tampered.parquet")
+    print(f"tampered {name}: deleted {deleted}/{before} rows")
+
+r = subprocess.run(
+    [sys.executable, str(Path(__file__).parent / "check.py"),
+     SF, str(DST), "--skip-verify", *TARGETS],
+    capture_output=True, text=True)
+print(r.stdout)
+
+failed = {line.split()[1].rstrip(":") for line in r.stdout.splitlines()
+          if line.startswith("FAIL ")}
+missed = [q for q in TARGETS if q not in failed]
+if missed:
+    print(f"TAMPER TEST FAILED — deletion NOT detected for: {missed}")
+    sys.exit(1)
+print(f"tamper test OK: all {len(TARGETS)} deletions turned the oracle red")
