@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -70,6 +70,14 @@ object StreamingDedup {
     * (newest-first eviction) — the streaming analogue of LSH bucket-size
     * caps, bounding both memory and per-event compare cost at 100 TB
     * ingest rates.
+    *
+    * `maxBucket` bounds each bucket's list but NOT the number of bucket
+    * keys, which grows with the distinct signatures ever seen (≈4× per
+    * signature) — unbounded over an infinite stream. This variant is
+    * therefore for finite backfills where full-history dedup is
+    * intended; an indefinitely-running ingest should use
+    * [[nearSimhashWithinHorizon]], which evicts buckets whose newest
+    * event has aged past an event-time horizon.
     */
   def nearSimhash(docs: Dataset[(Long, String)], maxHamming: Int = 3,
       maxBucket: Int = 64): Dataset[NearDupHit] = {
@@ -78,31 +86,91 @@ object StreamingDedup {
     graft.functions.VecExprs.register(spark)
     val bucketed = docs.toDF("doc_id", "text")
       .withColumn("sh", Dedup.simhash64(col("text")))
-      .select(col("doc_id"), col("sh"),
-        explode(transform(sequence(lit(0), lit(3)),
-          q => concat_ws(":", q,
-            call_function("shiftright", col("sh"), q * 16)
-              .bitwiseAND(0xFFFFL)))).as("bucket"))
+      .select(col("doc_id"), col("sh"), explodedQuarters)
       .as[(Long, Long, String)]
     bucketed.groupByKey(_._3)
       .flatMapGroupsWithState[BucketState, NearDupHit](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (_: String, rows: Iterator[(Long, Long, String)],
             state: GroupState[BucketState]) =>
-          var sigs = state.getOption.map(_.sigs).getOrElse(Nil)
-          val hits = Seq.newBuilder[NearDupHit]
-          // ascending doc id so same-batch comparisons are deterministic
-          rows.toSeq.sortBy(_._1).foreach { case (id, sh, _) =>
-            sigs.foreach { case (oldId, oldSh) =>
-              if (oldId != id) {
-                val d = java.lang.Long.bitCount(oldSh ^ sh)
-                if (d <= maxHamming) hits += NearDupHit(id, oldId, d)
-              }
-            }
-            sigs = ((id, sh) :: sigs).take(maxBucket)
-          }
-          state.update(BucketState(sigs))
-          hits.result().iterator
+          compareAndUpdate(rows.map(r => (r._1, r._2)), state,
+            maxHamming, maxBucket)
       }
+  }
+
+  /** The bounded-state twin of [[nearSimhash]] for indefinitely running
+    * streams: rows carry an event timestamp, the stream is watermarked by
+    * `horizon`, and a bucket whose NEWEST event has aged past the horizon
+    * is evicted from the state store entirely (event-time timeout +
+    * `state.remove()`). Total state is therefore bounded by one horizon's
+    * worth of distinct signatures (≈4 bucket keys each), not the stream's
+    * full history — the same 30-day-style cap the reference applies to
+    * every monitor (base_change_tracker.go:66-93). Semantics within the
+    * horizon are identical to [[nearSimhash]]; duplicates farther apart
+    * than the horizon are intentionally not flagged (that is the
+    * contract, exactly like [[exactWithinWatermark]]).
+    */
+  def nearSimhashWithinHorizon(
+      docs: Dataset[(Long, String, java.sql.Timestamp)],
+      horizon: String, maxHamming: Int = 3,
+      maxBucket: Int = 64): Dataset[NearDupHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.VecExprs.register(spark)
+    val bucketed = docs.toDF("doc_id", "text", "ts")
+      .withWatermark("ts", horizon)
+      .withColumn("sh", Dedup.simhash64(col("text")))
+      .select(col("doc_id"), col("sh"), explodedQuarters, col("ts"))
+      .as[(Long, Long, String, java.sql.Timestamp)]
+    bucketed.groupByKey(_._3)
+      .flatMapGroupsWithState[BucketState, NearDupHit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: String, rows: Iterator[(Long, Long, String, java.sql.Timestamp)],
+            state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            // bucket idle past the horizon: drop its key entirely
+            state.remove()
+            Iterator.empty
+          } else {
+            val rowSeq = rows.toSeq
+            val out = compareAndUpdate(
+              rowSeq.iterator.map(r => (r._1, r._2)), state,
+              maxHamming, maxBucket)
+            // evict when the watermark passes newest-event + horizon
+            state.setTimeoutTimestamp(
+              rowSeq.iterator.map(_._4.getTime).max, horizon)
+            out
+          }
+      }
+  }
+
+  /** The four 16-bit quarter buckets of `sh` as "q:value" strings. */
+  private def explodedQuarters: Column =
+    explode(transform(sequence(lit(0), lit(3)),
+      q => concat_ws(":", q,
+        call_function("shiftright", col("sh"), q * 16)
+          .bitwiseAND(0xFFFFL)))).as("bucket")
+
+  /** Shared bucket-state step: compare arriving (id, simhash) rows against
+    * the bucket's remembered signatures, emit hits, keep the newest
+    * `maxBucket` signatures.
+    */
+  private def compareAndUpdate(rows: Iterator[(Long, Long)],
+      state: GroupState[BucketState], maxHamming: Int,
+      maxBucket: Int): Iterator[NearDupHit] = {
+    var sigs = state.getOption.map(_.sigs).getOrElse(Nil)
+    val hits = Seq.newBuilder[NearDupHit]
+    // ascending doc id so same-batch comparisons are deterministic
+    rows.toSeq.sortBy(_._1).foreach { case (id, sh) =>
+      sigs.foreach { case (oldId, oldSh) =>
+        if (oldId != id) {
+          val d = java.lang.Long.bitCount(oldSh ^ sh)
+          if (d <= maxHamming) hits += NearDupHit(id, oldId, d)
+        }
+      }
+      sigs = ((id, sh) :: sigs).take(maxBucket)
+    }
+    state.update(BucketState(sigs))
+    hits.result().iterator
   }
 }

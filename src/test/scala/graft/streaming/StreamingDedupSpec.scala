@@ -83,6 +83,41 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("simhash near-dup within horizon evicts bucket keys by event time") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = "a long enough stable document about state store eviction " +
+      "horizons in structured streaming with many ordinary english tokens"
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val hits = StreamingDedup.nearSimhashWithinHorizon(input.toDS(),
+      horizon = "10 minutes", maxHamming = 3)
+    val q = hits.writeStream.format("memory")
+      .queryName("snear_horizon_test").outputMode("append").start()
+    try {
+      input.addData((1L, base, ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      // within the horizon a duplicate is still flagged
+      input.addData((2L, base, ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      // advance event time far past the horizon; the watermark (12:00 -
+      // 10 min = 11:50) passes the bucket's timeout (10:05 + 10 min =
+      // 10:15), so the NEXT batch sweeps the key out of the state store
+      input.addData((60L, "unrelated content to push the watermark along",
+        ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      input.addData((61L, "more unrelated advancing filler text here",
+        ts("2024-01-01 12:01:00")))
+      q.processAllAvailable()
+      // the same text again: its bucket state is gone, so no hit
+      input.addData((3L, base, ts("2024-01-01 12:02:00")))
+      q.processAllAvailable()
+      val pairs = spark.table("snear_horizon_test")
+        .select("docId", "dupOfId").as[(Long, Long)].collect().toSet
+      assert(pairs.contains((2L, 1L)), s"within-horizon dup missed: $pairs")
+      assert(!pairs.exists(_._1 == 3L),
+        s"doc 3 matched evicted state — horizon eviction not working: $pairs")
+    } finally q.stop()
+  }
+
   test("streaming simhash near-dup matches within one micro-batch too") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val base = "spark structured streaming keyed state dedup operator test " +
