@@ -38,6 +38,26 @@ class GraphIndexCacheSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.graphIndex.ttlSeconds")
   }
 
+  test("overwriting a scanned parquet invalidates the index with no TTL wait") {
+    GraphIndexCache.clear()
+    val dir = java.nio.file.Files.createTempDirectory("gic_overwrite").toString
+    edgeDf(5).write.mode("overwrite").parquet(dir)
+    val r1 = Graph.reachFrom(spark.read.parquet(dir),
+        Seq("v0").toDF("id"), 20).collect()
+      .map(r => r.getString(0)).toSet
+    assert(GraphIndexCache.size == 1)
+    assert(r1.contains("v5") && !r1.contains("v6"), r1.toString)
+    // same path, new content: the file signature changes, so the next
+    // traversal must re-collect instead of serving the 5-edge adjacency
+    edgeDf(10).write.mode("overwrite").parquet(dir)
+    val r2 = Graph.reachFrom(spark.read.parquet(dir),
+        Seq("v0").toDF("id"), 20).collect()
+      .map(r => r.getString(0)).toSet
+    assert(r2.contains("v10"),
+      s"stale adjacency served after in-place overwrite: $r2")
+    GraphIndexCache.clear()
+  }
+
   test("distinct edge frames get distinct entries; budget evicts LRU") {
     GraphIndexCache.clear()
     (0 until 3).foreach { i =>
