@@ -448,24 +448,61 @@ object PipelineQueries {
   /** M1: binary payload plumbing — metadata extraction over an opaque
     * binary column (decode stubbed deterministically; see Multimodal).
     */
+  /** M1: REAL image decode, oracle-pinned without the oracle decoding
+    * anything: every doc gets a deterministic solid-color PNG fixture
+    * ([[Multimodal.syntheticPng]] — dims and fill are pure arithmetic in
+    * doc_id), Spark encodes and then REALLY decodes it (javax.imageio)
+    * and emits the decoded dimensions and exact channel means; DuckDB
+    * replays the arithmetic. A fake or broken decoder cannot reproduce
+    * the widths/means from the PNG bytes.
+    */
   val m1MediaMeta: Q = (s, d) =>
-    Multimodal.withMediaMeta(
+    Multimodal.withImageMeta(
         t(s, d, "documents").select(col("doc_id"),
-          Multimodal.asBinary(col("text")).as("payload")))
+          Multimodal.synthPayload(col("doc_id")).as("payload")))
       .select(col("doc_id"),
-        col("media_meta.n_bytes").as("n_bytes"),
-        col("media_meta.media_type").as("media_type"),
-        col("media_meta.width").as("width"),
-        col("media_meta.height").as("height"),
-        col("media_meta.checksum").as("checksum"))
+        col("image_meta.media_type").as("media_type"),
+        col("image_meta.width").as("width"),
+        col("image_meta.height").as("height"),
+        col("image_meta.n_pixels").as("n_pixels"),
+        col("image_meta.avg_r").as("avg_r"),
+        col("image_meta.avg_g").as("avg_g"),
+        col("image_meta.avg_b").as("avg_b"))
   val m1Oracle =
-    """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-      |  CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'image'
-      |       WHEN octet_length(encode(text)) % 3 = 1 THEN 'audio'
-      |       ELSE 'video' END AS media_type,
-      |  CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
-      |  CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,
-      |  md5(text) AS checksum
+    """SELECT doc_id, 'image/png' AS media_type,
+      |  CAST(doc_id % 16 + 1 AS INTEGER) AS width,
+      |  CAST(doc_id % 8 + 1 AS INTEGER) AS height,
+      |  CAST((doc_id % 16 + 1) * (doc_id % 8 + 1) AS BIGINT) AS n_pixels,
+      |  CAST(doc_id % 256 AS DOUBLE) AS avg_r,
+      |  CAST((doc_id * 7) % 256 AS DOUBLE) AS avg_g,
+      |  CAST((doc_id * 13) % 256 AS DOUBLE) AS avg_b
+      |FROM documents""".stripMargin
+
+  /** M3: REAL resample round-trip — synthesize the PNG fixture, resize
+    * it to 20×10 with the real nearest-neighbor resampler, re-decode the
+    * re-encoded PNG, and emit the decoded facts. Solid fills survive a
+    * lossless resample bit-exactly, so DuckDB again replays everything
+    * arithmetically: dims pin the resize, channel means pin that the
+    * resampled pixels are the original color.
+    */
+  val m3ResizeRoundtrip: Q = (s, d) =>
+    Multimodal.withImageMeta(
+        t(s, d, "documents").select(col("doc_id"),
+          Multimodal.resizedPayload(
+            Multimodal.synthPayload(col("doc_id")), 20, 10).as("payload")))
+      .select(col("doc_id"),
+        col("image_meta.width").as("width"),
+        col("image_meta.height").as("height"),
+        col("image_meta.n_pixels").as("n_pixels"),
+        col("image_meta.avg_r").as("avg_r"),
+        col("image_meta.avg_g").as("avg_g"),
+        col("image_meta.avg_b").as("avg_b"))
+  val m3Oracle =
+    """SELECT doc_id, CAST(20 AS INTEGER) AS width, CAST(10 AS INTEGER) AS height,
+      |  CAST(200 AS BIGINT) AS n_pixels,
+      |  CAST(doc_id % 256 AS DOUBLE) AS avg_r,
+      |  CAST((doc_id * 7) % 256 AS DOUBLE) AS avg_g,
+      |  CAST((doc_id * 13) % 256 AS DOUBLE) AS avg_b
       |FROM documents""".stripMargin
 
   /** T8: corpus bigram statistics — top-40 adjacent token pairs, the
@@ -1025,6 +1062,7 @@ object PipelineQueries {
     "q_t19_gopher_rules" -> t19GopherRules,
     "q_m1_media_meta" -> m1MediaMeta,
     "q_m2_frames" -> m2Frames,
+    "q_m3_resize_roundtrip" -> m3ResizeRoundtrip,
     "q_s1_topk_bruteforce" -> s1TopKBruteForce,
     "q_s2_cosine_pairs" -> s2CosinePairs,
     "q_s3_lsh_topk" -> s3LshTopK,
@@ -1060,6 +1098,7 @@ object PipelineQueries {
     "q_t19_gopher_rules" -> t19Oracle,
     "q_m1_media_meta" -> m1Oracle,
     "q_m2_frames" -> m2Oracle,
+    "q_m3_resize_roundtrip" -> m3Oracle,
     "q_s1_topk_bruteforce" -> s1Oracle,
     "q_s2_cosine_pairs" -> s2Oracle,
     "q_d4_minhash_neardup" -> d4Oracle,

@@ -6,10 +6,12 @@ import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing for training-data pipelines: image/audio/
   * video travel as opaque `binary` columns with typed metadata alongside.
-  * The container has no media libraries, so the *decode* step is a clearly
-  * marked deterministic stub; the Spark-side plumbing — schema, batch
-  * iteration, partitioning, metadata extraction — is real and tested, and
-  * a real decoder drops in by replacing [[decodeStub]] only.
+  * Image decode, pixel statistics, and resampling are REAL — the base JDK
+  * ships `javax.imageio` (PNG/JPEG/GIF/BMP), no external library needed —
+  * and the Spark-side plumbing (schema, batch iteration, partitioning,
+  * metadata extraction) is a narrow map stage throughout. Audio/video
+  * payloads get container sniffing ([[probeMedia]]) and byte-level
+  * metadata; their sample decode would need codecs the JDK doesn't carry.
   */
 object Multimodal {
 
@@ -26,29 +28,141 @@ object Multimodal {
     */
   def asBinary(c: Column): Column = to_binary(c, lit("utf-8"))
 
-  /** STUB DECODER — deterministic fake in place of a real image decode
-    * (no imaging libs in this container). Derives plausible metadata
-    * purely from the bytes so tests are reproducible. A production build
-    * replaces this body with the real decoder; everything downstream
-    * (schema, partitioning, batching) is unchanged.
+  // ===== real JDK image codec ==========================================
+
+  /** Decoded-image summary: container type (from the header probe),
+    * pixel dimensions, and exact per-channel means — enough to filter by
+    * size/aspect/brightness and to verify a decode end-to-end.
     */
-  def decodeStub(payload: Column): Column = {
-    val n = octet_length(payload).cast("long")
-    struct(
-      n.as("n_bytes"),
-      when(pmod(n, lit(3)) === 0, "image").when(pmod(n, lit(3)) === 1, "audio")
-        .otherwise("video").as("media_type"),
-      (pmod(n, lit(640)) + 1).cast("int").as("width"),
-      (pmod(n, lit(480)) + 1).cast("int").as("height"),
-      md5(payload).as("checksum"))
+  case class ImageMeta(media_type: String, width: Int, height: Int,
+      n_pixels: Long, avg_r: Double, avg_g: Double, avg_b: Double)
+
+  /** REAL pixel decode via `javax.imageio` (PNG/JPEG/GIF/BMP in the base
+    * JDK): returns dimensions and exact per-channel means, or None for
+    * bytes no installed reader accepts. Cost is O(pixels) per row — the
+    * per-record work of any decode stage; run [[probeMedia]] first to
+    * filter by type/size when only the header matters.
+    */
+  def decodeImage(bytes: Array[Byte]): Option[ImageMeta] = {
+    if (bytes == null) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        Some(ImageMeta(probeMedia(bytes).media_type, w, h, n,
+          sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
+      }
+    } catch { case _: Exception => None }
   }
 
+  /** REAL resample: decode, draw into a `width`×`height` RGB canvas with
+    * deterministic nearest-neighbor interpolation, re-encode as PNG
+    * (lossless, so solid regions survive bit-exactly). None for
+    * undecodable payloads.
+    */
+  def resizeImage(bytes: Array[Byte], width: Int,
+      height: Int): Option[Array[Byte]] = {
+    if (bytes == null || width <= 0 || height <= 0) return None
+    try {
+      val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (src == null) None
+      else {
+        val dst = new java.awt.image.BufferedImage(width, height,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+          g.drawImage(src, 0, 0, width, height, null)
+        } finally g.dispose()
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", out)
+        Some(out.toByteArray)
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Deterministic solid-color PNG fixture: dimensions and fill color are
+    * pure arithmetic in `id` (width = id%16+1, height = id%8+1, RGB =
+    * (id%256, 7id%256, 13id%256)), so an external oracle can predict the
+    * decoded dimensions and exact channel means of every fixture without
+    * being able to decode PNG itself.
+    */
+  def syntheticPng(id: Long): Array[Byte] = {
+    val w = (math.floorMod(id, 16) + 1).toInt
+    val h = (math.floorMod(id, 8) + 1).toInt
+    val rgb = ((math.floorMod(id, 256) << 16) |
+      (math.floorMod(id * 7, 256) << 8) | math.floorMod(id * 13, 256)).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try { g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h) }
+    finally g.dispose()
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  private val decodeImageUdf = udf((b: Array[Byte]) => decodeImage(b))
+  private val synthPngUdf = udf((id: Long) => syntheticPng(id))
+
+  /** Column form of [[syntheticPng]]. */
+  def synthPayload(idCol: Column): Column = synthPngUdf(idCol)
+
+  /** Column form of [[resizeImage]] (fixed target dims). */
+  def resizedPayload(payload: Column, width: Int, height: Int): Column =
+    udf((b: Array[Byte]) => resizeImage(b, width, height)).apply(payload)
+
+  /** Attach the real decoded-image struct (`image_meta.*`, NULL for
+    * non-image payloads) — a narrow no-shuffle map stage.
+    */
+  def withImageMeta(df: DataFrame, payloadCol: String = "payload"): DataFrame =
+    df.withColumn("image_meta", decodeImageUdf(col(payloadCol)))
+
+  private def md5Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map(b => f"${b & 0xff}%02x").mkString
+
+  /** Combined metadata record: byte-level facts for every payload, pixel
+    * dimensions where a real decode succeeds, header-probe dimensions
+    * otherwise. Matches [[mediaMetaSchema]].
+    */
+  case class MediaMetaRec(n_bytes: Long, media_type: String,
+      width: Option[Int], height: Option[Int], checksum: String)
+
+  private val mediaMetaUdf = udf((b: Array[Byte]) => {
+    val bytes = if (b == null) Array.emptyByteArray else b
+    decodeImage(bytes) match {
+      case Some(m) => MediaMetaRec(bytes.length.toLong, m.media_type,
+        Some(m.width), Some(m.height), md5Hex(bytes))
+      case None =>
+        val p = probeMedia(bytes)
+        MediaMetaRec(bytes.length.toLong, p.media_type, p.width, p.height,
+          md5Hex(bytes))
+    }
+  }).asNonNullable()
+
   /** Attach decoded metadata columns to a frame with a binary `payload`
-    * column. One narrow projection — no shuffle; at 100 TB this is the
-    * per-file map stage.
+    * column: REAL pixel dimensions for decodable images, header-probe
+    * facts otherwise. One narrow projection — no shuffle; at 100 TB this
+    * is the per-file map stage.
     */
   def withMediaMeta(df: DataFrame, payloadCol: String = "payload"): DataFrame =
-    df.withColumn("media_meta", decodeStub(col(payloadCol)))
+    df.withColumn("media_meta", mediaMetaUdf(col(payloadCol)))
 
   /** Probe result: sniffed container type + dimensions where the header
     * carries them (images; audio containers yield type only).
@@ -124,31 +238,26 @@ object Multimodal {
   def withProbedMeta(df: DataFrame, payloadCol: String = "payload"): DataFrame =
     df.withColumn("probe", probeUdf(col(payloadCol)))
 
-  /** STUB RESIZE — the image-resize stage's plumbing: takes the payload
-    * plus target dims, returns a new payload + updated metadata struct.
-    * The byte transform is a deterministic stand-in (truncate/repeat to a
-    * size proportional to the target area — no imaging libs in this
-    * container); a real implementation swaps only the byte expression.
-    * Shape-wise this is a narrow projection: no shuffle, scales as a map
-    * stage over any corpus.
+  /** Resized-image record: the re-encoded PNG payload + its new
+    * dimensions and byte count; all fields NULL when the input payload
+    * is not a decodable image.
     */
-  def resizeStub(payload: Column, width: Int, height: Int): Column = {
-    val targetLen = greatest(lit(1L),
-      floor(octet_length(payload).cast("long") * (width.toLong * height) /
-        (640L * 480L)).cast("long"))
-    struct(
-      // ??? real pixel resample goes here; stand-in keeps a prefix of the
-      // bytes sized by the area ratio so downstream stages see realistic
-      // payload-size changes:
-      substr(payload, lit(1), targetLen).as("payload"),
-      lit(width).as("width"), lit(height).as("height"),
-      targetLen.as("n_bytes"))
-  }
+  case class ResizedRec(payload: Array[Byte], width: Int, height: Int,
+      n_bytes: Long)
 
-  /** Attach a resized payload + metadata (the batch resize stage). */
+  /** Attach a REAL resized payload + metadata (the batch resize stage):
+    * decode, nearest-neighbor resample to `width`×`height`, re-encode as
+    * PNG ([[resizeImage]]). `resized` is NULL for non-image payloads.
+    * Shape-wise a narrow projection: no shuffle, scales as a map stage
+    * over any corpus.
+    */
   def withResized(df: DataFrame, width: Int, height: Int,
-      payloadCol: String = "payload"): DataFrame =
-    df.withColumn("resized", resizeStub(col(payloadCol), width, height))
+      payloadCol: String = "payload"): DataFrame = {
+    val resizeUdf = udf((b: Array[Byte]) =>
+      resizeImage(b, width, height).map(out =>
+        ResizedRec(out, width, height, out.length.toLong)))
+    df.withColumn("resized", resizeUdf(col(payloadCol)))
+  }
 
   /** Frame sampling plumbing: pick every `stride`-th frame index below
     * `maxFrames` — the real pipeline replaces index generation with actual
@@ -161,12 +270,14 @@ object Multimodal {
         least(nFramesCol - 1, lit(maxFrames.toLong * stride)), lit(stride))))
 
   /** Batched feature extraction via mapPartitions — the Scala analogue of
-    * `mapInPandas`: the decoder sees an iterator over a whole partition so
-    * a real implementation can batch GPU/library calls. The stub emits
-    * (id, n_bytes, feature) with a deterministic fake feature.
+    * `mapInPandas`: the extractor sees an iterator over a whole partition
+    * so model/library state loads once per batch. Emits (id, n_bytes,
+    * feature): for decodable images the feature is the REAL mean
+    * luminance (Rec. 601 weights over decoded pixels, in [0, 1]); for
+    * non-image payloads it falls back to a deterministic content hash in
+    * [0, 1] so mixed-modality frames still get a usable scalar.
     */
   def extractFeatures(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
-    val spark = df.sparkSession
     val outSchema = StructType(Seq(
       StructField("id", LongType), StructField("n_bytes", LongType),
       StructField("feature", DoubleType)))
@@ -174,12 +285,17 @@ object Multimodal {
       .encoderFor(outSchema)
     df.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
       .mapPartitions { rows =>
-        // batch boundary: a real decoder would load its model once here
+        // batch boundary: model/library state would initialize once here
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]]("payload")
-          // ??? real feature extraction goes here; deterministic stand-in:
-          Row(r.getLong(0), bytes.length.toLong,
-            bytes.foldLeft(0L)((a, b) => a * 31 + (b & 0xff)).toDouble / 1e9)
+          val feature = decodeImage(bytes) match {
+            case Some(m) =>
+              (0.299 * m.avg_r + 0.587 * m.avg_g + 0.114 * m.avg_b) / 255.0
+            case None =>
+              (bytes.foldLeft(0L)((a, b) => a * 31 + (b & 0xff)) & 0xfffff)
+                .toDouble / 0xfffff.toDouble
+          }
+          Row(r.getLong(0), bytes.length.toLong, feature)
         }
       }(encoder)
   }

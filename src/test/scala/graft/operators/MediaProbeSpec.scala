@@ -62,6 +62,60 @@ class MediaProbeSpec extends SparkSpec {
       == Multimodal.MediaProbe("image/jpeg", None, None))
   }
 
+  test("real decode: exact pixel values from a known PNG fixture") {
+    // 3x2 image, hand-set pixels: decode must read them back exactly.
+    val img = new java.awt.image.BufferedImage(3, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = Seq((0, 0, 0xff0000), (1, 0, 0x00ff00), (2, 0, 0x0000ff),
+      (0, 1, 0x102030), (1, 1, 0x405060), (2, 1, 0x708090))
+    px.foreach { case (x, y, rgb) => img.setRGB(x, y, rgb) }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val m = Multimodal.decodeImage(out.toByteArray).get
+    assert(m.media_type == "image/png" && m.width == 3 && m.height == 2)
+    assert(m.n_pixels == 6L)
+    // exact channel sums of the six hand-set pixels
+    val expR = px.map(p => (p._3 >> 16) & 0xff).sum / 6.0
+    val expG = px.map(p => (p._3 >> 8) & 0xff).sum / 6.0
+    val expB = px.map(p => p._3 & 0xff).sum / 6.0
+    assert(m.avg_r == expR && m.avg_g == expG && m.avg_b == expB,
+      s"decoded means (${m.avg_r}, ${m.avg_g}, ${m.avg_b})")
+    // non-image bytes decode to None, never throw
+    assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
+    assert(Multimodal.decodeImage(null).isEmpty)
+  }
+
+  test("real decode: JPEG round-trip preserves dims; lossy color is close") {
+    val img = new java.awt.image.BufferedImage(5, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try { g.setColor(new java.awt.Color(0x336699)); g.fillRect(0, 0, 5, 4) }
+    finally g.dispose()
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    val m = Multimodal.decodeImage(out.toByteArray).get
+    assert(m.media_type == "image/jpeg" && m.width == 5 && m.height == 4)
+    assert(math.abs(m.avg_r - 0x33) < 8 && math.abs(m.avg_g - 0x66) < 8 &&
+      math.abs(m.avg_b - 0x99) < 8,
+      s"JPEG means drifted: (${m.avg_r}, ${m.avg_g}, ${m.avg_b})")
+  }
+
+  test("real resize: nearest-neighbor resample keeps solid fills exact") {
+    val bytes = Multimodal.syntheticPng(42L) // 11x3, fill (42, 38, 34)
+    val m0 = Multimodal.decodeImage(bytes).get
+    assert((m0.width, m0.height) == (11, 3))
+    val resized = Multimodal.resizeImage(bytes, 7, 9).get
+    val m1 = Multimodal.decodeImage(resized).get
+    assert((m1.width, m1.height, m1.n_pixels) == (7, 9, 63L))
+    assert(m1.avg_r == (42 % 256).toDouble &&
+      m1.avg_g == ((42 * 7) % 256).toDouble &&
+      m1.avg_b == ((42 * 13) % 256).toDouble, m1.toString)
+    // deterministic: same input, same bytes
+    assert(java.util.Arrays.equals(resized,
+      Multimodal.resizeImage(bytes, 7, 9).get))
+    assert(Multimodal.resizeImage("junk".getBytes, 4, 4).isEmpty)
+  }
+
   test("withProbedMeta is a narrow projection over the frame") {
     val df = Seq((1L, png(64, 32)), (2L, "junk".getBytes), (3L, gif(8, 8)))
       .toDF("id", "payload")

@@ -61,21 +61,27 @@ class TextMultimodalSpec extends SparkSpec {
     assert(preds(4L) == "und")
   }
 
-  test("multimodal: metadata schema, determinism, feature extraction") {
-    val df = Seq((1L, "some fake image bytes"), (2L, "x"))
-      .toDF("doc_id", "text")
-      .select(col("doc_id"), Multimodal.asBinary(col("text")).as("payload"))
+  test("multimodal: metadata schema, real decode, feature extraction") {
+    // mixed frame: one real PNG payload, one plain-text payload
+    val df = Seq((1L, Multimodal.syntheticPng(1L)), (2L, "x".getBytes))
+      .toDF("doc_id", "payload")
     val meta = Multimodal.withMediaMeta(df)
       .select("doc_id", "media_meta.n_bytes", "media_meta.media_type",
         "media_meta.width", "media_meta.height")
       .collect().map(r => r.getLong(0) ->
-        (r.getLong(1), r.getString(2), r.getInt(3), r.getInt(4))).toMap
-    assert(meta(1L)._1 == 21L)
-    assert(meta(1L)._3 == 22 && meta(1L)._4 == 22)
-    assert(Set("image", "audio", "video").contains(meta(1L)._2))
+        (r.getLong(1), r.getString(2),
+          Option(r.get(3)), Option(r.get(4)))).toMap
+    // the PNG really decodes: dims are the synthesis arithmetic (2x2)
+    assert(meta(1L)._2 == "image/png")
+    assert(meta(1L)._3 == Some(2) && meta(1L)._4 == Some(2))
+    // text payload: probed type, no dimensions, byte count preserved
+    assert(meta(2L) == ((1L, "application/octet-stream", None, None)))
     val feats = Multimodal.extractFeatures(df, "doc_id", "payload").collect()
-    assert(feats.length == 2)
-    assert(feats.map(_.getLong(1)).toSet == Set(21L, 1L))
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // doc 1 fill is (1, 7, 13): mean luminance is the exact Rec. 601 mix
+    val lum = (0.299 * 1 + 0.587 * 7 + 0.114 * 13) / 255.0
+    assert(math.abs(feats(1L) - lum) < 1e-12, feats.toString)
+    assert(feats(2L) >= 0.0 && feats(2L) <= 1.0)
   }
 
   test("frame sampling explodes stride indexes") {
@@ -113,20 +119,28 @@ class TextMultimodalSpec extends SparkSpec {
     assert(!byDoc.contains(4L), "sub-k docs produce no fingerprints")
   }
 
-  test("resize stub scales payload size by area ratio, keeps determinism") {
+  test("withResized really resamples images; non-images yield NULL") {
     import spark.implicits._
-    val df = Seq((1L, "x" * 4800)).toDF("id", "s")
-      .withColumn("payload", Multimodal.asBinary(col("s")))
-    val r = Multimodal.withResized(df, width = 320, height = 240)
-      .select("resized.n_bytes", "resized.width", "resized.height")
-      .collect()(0)
-    assert(r.getLong(0) == 4800L * (320L * 240L) / (640L * 480L))
-    assert(r.getInt(1) == 320 && r.getInt(2) == 240)
-    val again = Multimodal.withResized(df, 320, 240)
-      .select("resized.payload").collect()(0).getAs[Array[Byte]](0)
-    val first = Multimodal.withResized(df, 320, 240)
-      .select("resized.payload").collect()(0).getAs[Array[Byte]](0)
-    assert(java.util.Arrays.equals(again, first))
+    val df = Seq((1L, Multimodal.syntheticPng(9L)), (2L, "text".getBytes))
+      .toDF("id", "payload")
+    val rows = Multimodal.withResized(df, width = 6, height = 4)
+      .select(col("id"), col("resized.payload").as("p"),
+        col("resized.width"), col("resized.height"), col("resized.n_bytes"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val p = rows(1L).getAs[Array[Byte]]("p")
+    assert(p != null && rows(1L).getInt(2) == 6 && rows(1L).getInt(3) == 4)
+    assert(rows(1L).getLong(4) == p.length.toLong)
+    // the resized payload is a real decodable PNG with the original fill
+    val m = Multimodal.decodeImage(p).get
+    assert((m.width, m.height) == (6, 4))
+    assert(m.avg_r == (9 % 256).toDouble && m.avg_g == (63 % 256).toDouble)
+    // non-image input: the whole resized struct is NULL
+    assert(rows(2L).isNullAt(1) && rows(2L).isNullAt(2))
+    // deterministic re-encode
+    val again = Multimodal.withResized(df, 6, 4)
+      .filter(col("id") === 1).select("resized.payload")
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(p, again))
   }
 
   test("sharded shard packing: bin bound holds, every doc covered") {
