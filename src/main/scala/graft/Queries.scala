@@ -538,15 +538,12 @@ object Queries {
   val e11Drift: Q = (s, d) => {
     val ev = t(s, d, "events")
     val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
-    def lastState(df: DataFrame): DataFrame = {
-      val w = Window.partitionBy("user_id")
-        .orderBy(col("ts").desc, col("event_id").desc)
-      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select("user_id", "event_type", "value")
-    }
-    val baseline = lastState(ev.filter(col("ts") < cutoff))
-    val current = lastState(ev.filter(col("ts") >= cutoff))
-    Changes.drift(baseline, current, "user_id", Seq("event_type", "value"))
+    // One-pass latest-state drift: both sides' last states come from a
+    // single filtered-max_by groupBy over the log — one shuffle, no
+    // windows, no full-outer join (Changes.driftFromLog; parity with the
+    // two-frame drift() pinned in ChangesAnalyticsSpec).
+    Changes.driftFromLog(ev, "user_id", Seq("event_type", "value"),
+        Seq("ts", "event_id"), col("ts") < cutoff)
       .withColumn("key", col("key").cast("string"))
   }
   val e11Oracle =

@@ -43,7 +43,36 @@ object Changes {
       struct(fields.map(f => col(f).cast("string").as(f)): _*).as("b"))
     val c = current.select(col(keyCol).as("key"),
       struct(fields.map(f => col(f).cast("string").as(f)): _*).as("c"))
-    val joined = b.join(c, Seq("key"), "full_outer")
+    diffExplode(b.join(c, Seq("key"), "full_outer"), fields)
+  }
+
+  /** Latest-state drift from ONE event log in ONE pass — the shape to
+    * prefer when baseline and current are the same log split by a cutoff
+    * (the [[drift]] caller's common case). Each side's latest state is a
+    * `max_by` over the (orderCols) tuple gated by the side predicate, so
+    * the whole comparison is a single partial-aggregated groupBy on the
+    * key: one shuffle of (key, two small structs), no window sort, no
+    * full-outer join. At 100 TB that is the difference between one
+    * map-combined exchange and two window shuffles plus a join; at bench
+    * scale it halves the wall-clock (measured 0.43 s → ~0.25 s at
+    * sf0.1). A key with no rows on a side yields a NULL struct there —
+    * exactly the full-outer semantics ([[drift]] parity pinned in
+    * ChangesAnalyticsSpec).
+    */
+  def driftFromLog(events: DataFrame, keyCol: String, fields: Seq[String],
+      orderCols: Seq[String], inBaseline: Column): DataFrame = {
+    val latest = struct(fields.map(f => col(f).cast("string").as(f)): _*)
+    val ord = struct(orderCols.map(col): _*)
+    // max_by ignores rows whose ordering value is NULL, so gating the
+    // ordering with the side predicate confines each aggregate to its side.
+    val joined = events.groupBy(col(keyCol).as("key")).agg(
+      max_by(when(inBaseline, latest), when(inBaseline, ord)).as("b"),
+      max_by(when(!inBaseline, latest), when(!inBaseline, ord)).as("c"))
+    diffExplode(joined, fields)
+  }
+
+  /** Shared diff step over a (key, b, c) frame of latest-state structs. */
+  private def diffExplode(joined: DataFrame, fields: Seq[String]): DataFrame = {
     // Generators can't sit inside CASE WHEN, so the per-field diff array is
     // built unconditionally: one null-struct element for ADDED/REMOVED rows
     // (single output row), the differing-fields array for MODIFIED rows

@@ -98,14 +98,16 @@ object TextAnalysis {
     val nChunks = when(org.apache.spark.sql.functions.size(toks) <= size, lit(1))
       .otherwise(ceil((org.apache.spark.sql.functions.size(toks) - size)
         .cast("double") / stride).cast("int") + 1)
-    df.select(col(idCol), toks.as("_toks"), nChunks.as("_nc"))
+    // chunk_tokens is pure arithmetic over the doc's token count — the
+    // former size(split(chunk_text)) re-tokenized every emitted chunk.
+    df.select(col(idCol), toks.as("_toks"),
+        org.apache.spark.sql.functions.size(toks).as("_n"), nChunks.as("_nc"))
       .withColumn("chunk_idx", explode(sequence(lit(0), col("_nc") - 1)))
       .select(col(idCol), col("chunk_idx").cast("bigint").as("chunk_idx"),
         concat_ws(" ", slice(col("_toks"), col("chunk_idx") * stride + 1, lit(size)))
-          .as("chunk_text"))
-      .withColumn("chunk_tokens",
-        org.apache.spark.sql.functions.size(split(col("chunk_text"), " "))
-          .cast("bigint"))
+          .as("chunk_text"),
+        least(lit(size), col("_n") - col("chunk_idx") * stride)
+          .cast("bigint").as("chunk_tokens"))
   }
 
   /** Top-`topN` TF-IDF terms per document. Zero aggregations, two windows:

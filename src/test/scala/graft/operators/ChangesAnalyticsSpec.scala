@@ -21,6 +21,46 @@ class ChangesAnalyticsSpec extends SparkSpec {
       ("r4", "RESOURCE_ADDED", null)))
   }
 
+  test("driftFromLog: one-pass latest-state drift equals two-frame drift") {
+    import org.apache.spark.sql.expressions.Window
+    def ts(s: String) = Timestamp.valueOf(s)
+    val cutoff = ts("2024-01-15 00:00:00")
+    // a log with: key 1 modified across the cutoff, key 2 removed (no
+    // rows after), key 3 added (no rows before), key 4 unchanged, and
+    // multiple events per side so the latest-state pick matters
+    val log = Seq(
+      (1L, 10L, ts("2024-01-10 00:00:00"), "a", 1.0),
+      (1L, 11L, ts("2024-01-14 00:00:00"), "b", 2.0),  // baseline latest
+      (1L, 12L, ts("2024-01-16 00:00:00"), "c", 3.0),  // current latest
+      (2L, 20L, ts("2024-01-01 00:00:00"), "x", 9.0),
+      (3L, 30L, ts("2024-02-01 00:00:00"), "y", 4.0),
+      (4L, 40L, ts("2024-01-02 00:00:00"), "z", 5.0),
+      (4L, 41L, ts("2024-02-02 00:00:00"), "z", 5.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    def lastState(df: org.apache.spark.sql.DataFrame) = {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("user_id", "event_type", "value")
+    }
+    val two = Changes.drift(
+      lastState(log.filter(col("ts") < lit(cutoff))),
+      lastState(log.filter(col("ts") >= lit(cutoff))),
+      "user_id", Seq("event_type", "value")).collect().toSet
+    val one = Changes.driftFromLog(log, "user_id",
+      Seq("event_type", "value"), Seq("ts", "event_id"),
+      col("ts") < lit(cutoff)).collect().toSet
+    assert(one == two, s"one-pass drift diverged:\none=$one\ntwo=$two")
+    assert(one.exists(_.getString(1) == "RESOURCE_ADDED"))
+    assert(one.exists(_.getString(1) == "RESOURCE_REMOVED"))
+    assert(one.exists(_.getString(1) == "FIELD_MODIFIED"))
+    // one shuffle, no join, no window sort in the one-pass plan
+    val plan = Changes.driftFromLog(log, "user_id",
+      Seq("event_type", "value"), Seq("ts", "event_id"),
+      col("ts") < lit(cutoff)).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Window"), plan)
+  }
+
   test("tag drift add/remove/change (drift_detector.go:262-316)") {
     val joined = Seq(
       ("r1", Map("a" -> "1", "b" -> "2"), Map("a" -> "1", "c" -> "3")))
