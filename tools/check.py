@@ -3,9 +3,16 @@
 then execute each oracle_sql.json entry in DuckDB over the same parquet
 tables and compare (columns sorted by name, rows sorted, values normalized).
 
-Usage: python3 tools/check.py [sfdir] [outdir] [--skip-verify] [names...]
+Usage: python3 tools/check.py [sfdir] [outdir] [--skip-verify]
+                              [--time-oracles] [names...]
+
+--time-oracles additionally times each oracle (min of 3 executions) and
+writes <outdir>/oracle_times.json: {query: {"sec": s, "echo": bool}} —
+"echo" marks emitted-row oracles that read Spark's own dump (their DuckDB
+time is not a meaningful engine comparison). tools/ratio.py joins this
+with a BENCH json from the same SF to produce Spark/DuckDB ratios.
 """
-import json, math, subprocess, sys
+import json, math, subprocess, sys, time
 from pathlib import Path
 
 import duckdb
@@ -14,6 +21,7 @@ SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
 flags = [a for a in sys.argv[3:]]
 skip_verify = "--skip-verify" in flags
+time_oracles = "--time-oracles" in flags
 only = [a for a in flags if not a.startswith("--")]
 
 if not skip_verify:
@@ -81,6 +89,25 @@ for name in sorted(oracle):
         fails.append((name, f"values differ, first diffs: {diff}"))
         continue
     passes.append((name, len(sr)))
+
+if time_oracles:
+    times = {}
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        sql = oracle[name]
+        try:
+            secs = []
+            for _ in range(3):
+                t0 = time.time()
+                con.sql(sql).fetchall()
+                secs.append(time.time() - t0)
+            times[name] = {"sec": round(min(secs), 4),
+                           "echo": str(Path(OUT).resolve()) in sql}
+        except Exception as e:
+            times[name] = {"sec": -1.0, "echo": False, "err": str(e)[:200]}
+    Path(f"{OUT}/oracle_times.json").write_text(json.dumps(times, indent=1))
+    print(f"wrote {OUT}/oracle_times.json ({len(times)} oracles timed)")
 
 for n, c in passes:
     print(f"PASS {n} ({c} rows)")
