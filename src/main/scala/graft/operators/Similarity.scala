@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`):
@@ -429,22 +429,27 @@ object Similarity {
     centers
   }
 
-  /** IVF top-k: for each query, rank only vectors in the `nProbe` cells
-    * whose centroids are nearest to the query. Exact cosine within the
-    * probed cells; recall rises with nProbe (nProbe = nCells ⇒ exact).
+  /** Nearest `nProbe` cells per query — tiny (nQueries x nCells), always
+    * broadcast-side.
     */
-  def ivfTopK(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
-      k: Int, nProbe: Int = 4): DataFrame = {
+  private def probeCells(centroids: DataFrame, queries: DataFrame,
+      nProbe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    init(assigned.sparkSession)
-    // nearest nProbe cells per query (tiny: nQueries x nCells, broadcast)
     val cellRank = Window.partitionBy("query_id")
       .orderBy(col("cell_sim").desc, col("cell").asc)
-    val probes = queries.crossJoin(broadcast(centroids))
+    queries.crossJoin(broadcast(centroids))
       .withColumn("cell_sim", cosine(col("qvec"), col("centroid")))
       .withColumn("cr", row_number().over(cellRank))
       .filter(col("cr") <= nProbe)
       .select("query_id", "qvec", "cell")
+  }
+
+  /** Exact-cosine scoring of probed cells: join the assigned vectors to
+    * their probing queries on `cell`, rank per query, keep top k.
+    */
+  private def scoreCells(assigned: DataFrame, probes: DataFrame,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine_sim").desc, col("id").asc)
     assigned.withColumn("nrm", norm(col("vec")))
@@ -454,6 +459,48 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "id", "cosine_sim")
+  }
+
+  /** IVF top-k: for each query, rank only vectors in the `nProbe` cells
+    * whose centroids are nearest to the query. Exact cosine within the
+    * probed cells; recall rises with nProbe (nProbe = nCells ⇒ exact).
+    */
+  def ivfTopK(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
+      k: Int, nProbe: Int = 4): DataFrame = {
+    init(assigned.sparkSession)
+    scoreCells(assigned, probeCells(centroids, queries, nProbe), k)
+  }
+
+  /** Persist an IVF index: the assigned frame written `partitionBy("cell")`
+    * plus the centroid table alongside. The on-disk layout IS the ANN
+    * scale path — each cell is its own partition directory, so a probe is
+    * a partition-pruned scan that reads nProbe/nCells of the corpus from
+    * disk, never the whole index.
+    */
+  def ivfWriteIndex(centroids: DataFrame, assigned: DataFrame,
+      path: String): Unit = {
+    assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/assigned")
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Disk-probed IVF top-k over an [[ivfWriteIndex]] layout: resolve each
+    * query's `nProbe` nearest cells from the (tiny) centroid table,
+    * collect the bounded probe-cell set (≤ nCells values) to the driver,
+    * and scan ONLY those partitions via a literal `cell IN (...)` filter —
+    * Catalyst prunes the rest at planning time (PartitionFilters, pinned
+    * in SimilaritySpec). Scoring is shared with [[ivfTopK]], so results
+    * are identical to the in-memory probe.
+    */
+  def ivfTopKIndexed(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, nProbe: Int = 4): DataFrame = {
+    init(spark)
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val probes = probeCells(centroids, queries, nProbe)
+    val cells = probes.select("cell").distinct().collect().map(_.get(0))
+    val assigned = spark.read.parquet(s"$path/assigned")
+      .filter(col("cell").isin(cells.toIndexedSeq: _*))
+    scoreCells(assigned, probes, k)
   }
 
   /** Embedding-cosine near-duplicate pairs via multi-table LSH blocking:

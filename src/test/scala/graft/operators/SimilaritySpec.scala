@@ -94,22 +94,50 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("persisted IVF index partitioned by cell prunes probe reads") {
-    // The documented 100 TB path: write the assigned frame partitioned by
-    // cell; a probe of nProbe cells must read only those partitions
-    // (partition pruning visible in the scan's partition filters).
-    val (_, assigned) = Similarity.ivfIndex(emb, "vec_id", "embedding",
-      nCells = 8)
+    // The 100 TB path as a first-class API: ivfWriteIndex lays the
+    // assigned frame out partitioned by cell; ivfTopKIndexed probes it
+    // with a literal IN filter that Catalyst prunes to the probed
+    // partitions, and returns exactly what the in-memory probe returns.
+    val (centroids, assigned) = Similarity.ivfIndex(emb, "vec_id",
+      "embedding", nCells = 8)
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
-    assigned.write.partitionBy("cell").mode("overwrite").parquet(dir)
-    val index = spark.read.parquet(dir)
-    val probe = index.filter(col("cell").isin(1, 3))
-    val plan = probe.queryExecution.executedPlan.toString
+    Similarity.ivfWriteIndex(centroids, assigned, dir)
+    val queries = emb.limit(5).select(col("vec_id").as("query_id"),
+      col("embedding").cast("array<float>").as("qvec"))
+    val fromDisk = Similarity.ivfTopKIndexed(spark, dir, queries,
+      k = 10, nProbe = 2)
+    // partition pruning is visible in the scan's partition filters
+    val plan = fromDisk.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") &&
       (plan.contains("cell#") || plan.contains("isin") || plan.contains("IN")),
       plan)
-    // the probe touches exactly the rows of the two cells
-    val expect = assigned.filter(col("cell").isin(1, 3)).count()
-    assert(probe.count() == expect)
+    // parity with the in-memory probe (same scoring path)
+    val inMem = Similarity.ivfTopK(assigned, centroids, queries,
+        k = 10, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val disk = fromDisk
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(disk == inMem)
+    // and the pruned scan reads strictly fewer partition dirs than exist
+    val allCells = new java.io.File(s"$dir/assigned").listFiles()
+      .count(_.getName.startsWith("cell="))
+    // the scan sits below an AdaptiveSparkPlanExec leaf — recurse through
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          scans(r.child)
+      }.flatten
+    val readCells = scans(fromDisk.queryExecution.executedPlan)
+      .collectFirst { case f if f.partitionFilters.nonEmpty =>
+        f.selectedPartitions.partitionCount }
+    assert(readCells.exists(n => n > 0 && n < allCells),
+      s"read $readCells of $allCells cells")
   }
 
   test("cosineNearDups (LSH-bucketed) recalls exact pairs, no false positives") {
