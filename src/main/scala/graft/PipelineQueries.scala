@@ -1028,6 +1028,24 @@ object PipelineQueries {
   }
   val s4Oracle = topKEchoOracle("q_s4_ivf_topk")
 
+  /** S6: disk-probed IVF — the persisted form of S4 and the true 100 TB
+    * serving shape: the index is laid out `partitionBy(cell)`
+    * ([[Similarity.ivfWriteIndex]]) and each probe reads ONLY the probed
+    * cells back via partition pruning ([[Similarity.ivfTopKIndexed]];
+    * pruned scan + in-memory parity pinned in SimilaritySpec). Scoring is
+    * shared with S4, so the same emitted-row + completeness oracle
+    * applies.
+    */
+  val s6IvfIndexed: Q = (s, d) => {
+    val (centroids, assigned) = Similarity.ivfIndex(
+      t(s, d, "embeddings"), "vec_id", "embedding", nCells = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-q").toString
+    Similarity.ivfWriteIndex(centroids, assigned, dir)
+    Similarity.ivfTopKIndexed(s, dir, queryVecs(s, d), k = 10, nProbe = 4)
+      .withColumn("rank", col("rank").cast("bigint"))
+  }
+  val s6Oracle = topKEchoOracle("q_s6_ivf_indexed")
+
   // ===== registry ======================================================
 
   val all: Map[String, Q] = Map(
@@ -1067,7 +1085,8 @@ object PipelineQueries {
     "q_s2_cosine_pairs" -> s2CosinePairs,
     "q_s3_lsh_topk" -> s3LshTopK,
     "q_s4_ivf_topk" -> s4IvfTopK,
-    "q_s5_cosine_neardup" -> s5CosineNearDup)
+    "q_s5_cosine_neardup" -> s5CosineNearDup,
+    "q_s6_ivf_indexed" -> s6IvfIndexed)
 
   val oracles: Map[String, String] = Map(
     "q_d1_fingerprint" -> d1Oracle,
@@ -1106,5 +1125,6 @@ object PipelineQueries {
     "q_d6_dedup_near" -> d6Oracle,
     "q_s3_lsh_topk" -> s3Oracle,
     "q_s4_ivf_topk" -> s4Oracle,
-    "q_s5_cosine_neardup" -> s5Oracle)
+    "q_s5_cosine_neardup" -> s5Oracle,
+    "q_s6_ivf_indexed" -> s6Oracle)
 }

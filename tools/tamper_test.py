@@ -34,6 +34,7 @@ TARGETS = {
     # per-query k-count guard: one missing (query 0, rank 1) row
     "q_s3_lsh_topk": "query_id = 0 AND rank = 1",
     "q_s4_ivf_topk": "query_id = 0 AND rank = 1",
+    "q_s6_ivf_indexed": "query_id = 0 AND rank = 1",
     # planted-pair guard: remove ONE planted identical-clone pair
     "q_d4_minhash_neardup":
         "id_b - id_a = 1000000000 AND id_a = "
