@@ -829,6 +829,49 @@ object PipelineQueries {
        |   AND stop_hits >= 2 AND distinct_ratio > 0.5) AS passes
        |FROM m""".stripMargin
 
+  /** T20: CCNet-style bigram-LM quality scoring — train a bounded LM on
+    * the corpus itself (top-20 unigrams / top-200 in-vocab bigrams at
+    * fixture scale; deterministic tie-breaks make the model
+    * engine-reproducible) and score every document's coverage against
+    * it. Driver-checked columns are the exact integer coverage stats;
+    * the stupid-backoff log-prob / perplexity doubles are
+    * ScalaTest-verified (LmSpec) and dropped here — cross-engine libm
+    * log() is not bit-contracted.
+    */
+  val t20LmScore: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val lm = TextAnalysis.bigramLm(docs, "text", vocabSize = 20,
+      maxBigrams = 200)
+    TextAnalysis.lmScore(docs, "doc_id", "text", lm)
+      .select("doc_id", "n_tokens", "n_oov", "n_bigrams", "n_bigram_hits")
+  }
+  val t20Oracle =
+    s"""WITH w AS (
+       |  SELECT doc_id, list_filter($wordsSql, x -> length(x) > 0) AS w
+       |  FROM documents),
+       |tok AS (SELECT unnest(w) AS tok FROM w),
+       |uni AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok
+       |        ORDER BY cnt DESC, tok ASC LIMIT 20),
+       |pr AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+       |       FROM (SELECT doc_id, w,
+       |             unnest(generate_series(1, len(w) - 1)) AS i FROM w) z),
+       |big AS (SELECT w1, w2, COUNT(*) AS cnt FROM pr
+       |        JOIN uni u1 ON pr.w1 = u1.tok JOIN uni u2 ON pr.w2 = u2.tok
+       |        GROUP BY w1, w2 ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT 200),
+       |oov AS (SELECT doc_id, COUNT(*) AS n_oov
+       |        FROM (SELECT doc_id, unnest(w) AS tok FROM w) t
+       |        LEFT JOIN uni ON t.tok = uni.tok
+       |        WHERE uni.tok IS NULL GROUP BY doc_id),
+       |hits AS (SELECT doc_id, COUNT(*) AS n_hits FROM pr
+       |         JOIN big ON pr.w1 = big.w1 AND pr.w2 = big.w2
+       |         GROUP BY doc_id)
+       |SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(oov.n_oov, 0) AS BIGINT) AS n_oov,
+       |  CAST(GREATEST(len(w.w) - 1, 0) AS BIGINT) AS n_bigrams,
+       |  CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_bigram_hits
+       |FROM w LEFT JOIN oov USING (doc_id)
+       |LEFT JOIN hits USING (doc_id)""".stripMargin
+
   /** D8: winnowing fingerprints (rolling k-gram hash + sliding-window
     * min, MOSS-style) — shared substrings of ≥ k+win-1 tokens guarantee a
     * shared fingerprint. md5-string hashes so DuckDB derives identical
@@ -1078,6 +1121,7 @@ object PipelineQueries {
     "q_t17_hll_distinct" -> t17HllDistinct,
     "q_t18_prep_pipeline" -> t18PrepPipeline,
     "q_t19_gopher_rules" -> t19GopherRules,
+    "q_t20_lm_score" -> t20LmScore,
     "q_m1_media_meta" -> m1MediaMeta,
     "q_m2_frames" -> m2Frames,
     "q_m3_resize_roundtrip" -> m3ResizeRoundtrip,
@@ -1115,6 +1159,7 @@ object PipelineQueries {
     "q_t17_hll_distinct" -> t17Oracle,
     "q_t18_prep_pipeline" -> t18Oracle,
     "q_t19_gopher_rules" -> t19Oracle,
+    "q_t20_lm_score" -> t20Oracle,
     "q_m1_media_meta" -> m1Oracle,
     "q_m2_frames" -> m2Oracle,
     "q_m3_resize_roundtrip" -> m3Oracle,

@@ -431,4 +431,112 @@ object TextAnalysis {
       .map(t => (t, cms.estimateCount(t), nTotal))
       .toDF("token", "est_count", "n_total_tokens")
   }
+
+  /** A bounded bigram language model trained on the corpus itself — the
+    * CCNet-shaped LM-quality stage of a pretraining pipeline (train a
+    * small LM, score every document against it, filter/ bucket on the
+    * score; cf. Wenzek et al., CCNet).
+    *
+    * Bounded by construction: the `vocabSize` most frequent unigrams
+    * and the `maxBigrams` most frequent in-vocab bigrams, both with
+    * fully deterministic tie-breaks (count desc, token asc) so any
+    * engine reproduces the exact same model. Both selections are
+    * sort + global limit (TakeOrdered — only kept rows survive the
+    * plan), so at any corpus scale the model is a fixed-size pair of
+    * tables that BROADCASTS to the scorer. Training cost: one token
+    * explode + two two-phase aggregations whose shuffles are
+    * vocabulary-sized (map-side combine carries (token, count) pairs,
+    * never raw token rows).
+    */
+  case class BigramLm(unigrams: DataFrame, bigrams: DataFrame,
+      totalTokens: Long)
+
+  /** Normalized non-empty token array (shared by train and score). */
+  private def lmToks(textCol: String): Column =
+    filter(split(normalize(col(textCol)), " "), t => length(t) > 0)
+
+  /** Adjacent (w1, w2) pairs of a token array; empty for < 2 tokens. */
+  private def lmPairs(toks: Column): Column = {
+    val n = greatest(size(toks) - 1, lit(0))
+    zip_with(slice(toks, lit(1), n), slice(toks, lit(2), n),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+  }
+
+  def bigramLm(docs: DataFrame, textCol: String = "text",
+      vocabSize: Int = 1000, maxBigrams: Int = 5000): BigramLm = {
+    val tokens = docs.select(explode(lmToks(textCol)).as("tok"))
+    val unigrams = tokens.groupBy("tok")
+      .agg(count(lit(1)).as("uni_cnt"))
+      .orderBy(col("uni_cnt").desc, col("tok").asc)
+      .limit(vocabSize)
+    val inVocab = unigrams.select("tok")
+    val bigrams = docs
+      .select(explode(lmPairs(lmToks(textCol))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .join(broadcast(inVocab.withColumnRenamed("tok", "w1")), "w1")
+      .join(broadcast(inVocab.withColumnRenamed("tok", "w2")), "w2")
+      .groupBy("w1", "w2").agg(count(lit(1)).as("big_cnt"))
+      .orderBy(col("big_cnt").desc, col("w1").asc, col("w2").asc)
+      .limit(maxBigrams)
+    BigramLm(unigrams, bigrams, tokens.count())
+  }
+
+  /** Score documents against a [[BigramLm]]: exact integer coverage
+    * stats (n_tokens, n_oov, n_bigrams, n_bigram_hits — the
+    * DuckDB-oracle-checkable part) plus a stupid-backoff mean
+    * log-probability and perplexity (doubles; ScalaTest-verified and
+    * kept out of the driver oracle because cross-engine libm log() is
+    * not bit-contracted).
+    *
+    *   p(w2 | w1) = big_cnt / uni_cnt(w1)   bigram in the LM
+    *              = 0.4 * uni_cnt(w2) / N   backoff, w2 in vocab
+    *              = 0.4 / N                 backoff, w2 OOV
+    *
+    * Plan shape: the corpus explodes once for unigram coverage and once
+    * for pairs; every model lookup is a broadcast hash join (the LM is
+    * bounded); both re-aggregations are doc-keyed sums with map-side
+    * partial aggregation, so their shuffles carry one row per
+    * (partition, doc), never token rows. Nothing in the path holds
+    * unbounded state — the 100 TB cost is two corpus scans.
+    */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String,
+      lm: BigramLm): DataFrame = {
+    val base = docs.select(col(idCol), lmToks(textCol).as("toks"))
+    val uniB = broadcast(lm.unigrams)
+    val oov = base.select(col(idCol), explode(col("toks")).as("tok"))
+      .join(uniB, Seq("tok"), "left")
+      .groupBy(idCol)
+      .agg(sum(when(col("uni_cnt").isNull, 1L).otherwise(0L)).as("n_oov"))
+    val n = lit(lm.totalTokens.toDouble)
+    val lp = when(col("big_cnt").isNotNull,
+        log(col("big_cnt").cast("double") / col("u1_cnt")))
+      .when(col("u2_cnt").isNotNull,
+        log(lit(0.4) * col("u2_cnt").cast("double") / n))
+      .otherwise(log(lit(0.4) / n))
+    val big = base.select(col(idCol), explode(lmPairs(col("toks"))).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .join(broadcast(lm.bigrams), Seq("w1", "w2"), "left")
+      .join(broadcast(lm.unigrams.select(col("tok").as("w1"),
+        col("uni_cnt").as("u1_cnt"))), Seq("w1"), "left")
+      .join(broadcast(lm.unigrams.select(col("tok").as("w2"),
+        col("uni_cnt").as("u2_cnt"))), Seq("w2"), "left")
+      .groupBy(idCol).agg(
+        sum(when(col("big_cnt").isNotNull, 1L).otherwise(0L))
+          .as("n_bigram_hits"),
+        sum(lp).as("lp_sum"))
+    base.select(col(idCol),
+        size(col("toks")).cast("bigint").as("n_tokens"),
+        greatest(size(col("toks")) - 1, lit(0)).cast("bigint")
+          .as("n_bigrams"))
+      .join(oov, Seq(idCol), "left")
+      .join(big, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        col("n_bigrams"),
+        coalesce(col("n_bigram_hits"), lit(0L)).as("n_bigram_hits"),
+        when(col("n_bigrams") > 0, col("lp_sum") / col("n_bigrams"))
+          .as("lm_logprob"))
+      .withColumn("lm_ppl",
+        when(col("lm_logprob").isNotNull, exp(-col("lm_logprob"))))
+  }
 }
