@@ -385,6 +385,55 @@ object PipelineQueries {
        |  CASE $cases ELSE '${Sampling.hexThreshold(0.5)}' END""".stripMargin
   }
 
+  /** T21: temperature-weighted source mixture — per-source keep rates
+    * `∝ n_s^(alpha-1)` (multinomial alpha-sampling, the mT5/XLM-R law),
+    * waterfilled so no rate exceeds 1 and the expected kept fraction is
+    * the target. Emits one row per source: exact doc count, the
+    * Spark-derived hex threshold (echoed — its alpha-law is pinned in
+    * SamplingSpec, deliberately NOT re-derived in SQL because pow() is
+    * not bit-contracted across engines), and the kept count, which the
+    * oracle RECOUNTS from the raw table using the emitted threshold —
+    * so a wrong mixture filter, a wrong count, or a missing source all
+    * turn the driver red, and no cross-engine float comparison exists
+    * anywhere.
+    */
+  val t21TempMixture: Q = (s, d) => {
+    import s.implicits._
+    val docs = t(s, d, "documents")
+    val rates = Sampling.temperatureRates(docs, "source",
+      alpha = 0.5, targetFraction = 0.3)
+    val kept = Sampling.mixtureSample(docs, "doc_id", "source", rates,
+      defaultRate = 0.0)
+    val th = rates.toSeq.sortBy(_._1)
+      .map { case (src, r) => (src, Sampling.hexThreshold(r)) }
+      .toDF("source", "threshold")
+    docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(broadcast(th), Seq("source"))
+      .join(kept.groupBy("source").agg(count(lit(1)).as("n_kept")),
+        Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("threshold"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+  val t21Oracle =
+    """WITH sp AS (
+      |  SELECT source, threshold
+      |  FROM '__SPARK_OUT__/q_t21_temperature_mixture/*.parquet'),
+      |src AS (SELECT source, COUNT(*) AS n_docs FROM documents
+      |        GROUP BY source),
+      |ok AS (SELECT (SELECT COUNT(*) FROM sp) = (SELECT COUNT(*) FROM src)
+      |        AND NOT EXISTS (SELECT 1 FROM src LEFT JOIN sp USING (source)
+      |                        WHERE sp.source IS NULL) AS complete),
+      |k AS (SELECT d.source, sp.threshold,
+      |        CAST(SUM(CASE WHEN
+      |          substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+      |            < sp.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |      FROM documents d JOIN sp ON d.source = sp.source
+      |      GROUP BY d.source, sp.threshold)
+      |SELECT src.source, CAST(src.n_docs AS BIGINT) AS n_docs,
+      |  k.threshold, k.n_kept
+      |FROM src JOIN k ON src.source = k.source
+      |WHERE (SELECT complete FROM ok)""".stripMargin
+
   /** T15: seeded deterministic interleave (global training order) —
     * every row ordered by md5(seed:key), sharded on the hash's first 2
     * hex chars, ranked within its shard. Global order = (shard, pos);
@@ -1122,6 +1171,7 @@ object PipelineQueries {
     "q_t18_prep_pipeline" -> t18PrepPipeline,
     "q_t19_gopher_rules" -> t19GopherRules,
     "q_t20_lm_score" -> t20LmScore,
+    "q_t21_temperature_mixture" -> t21TempMixture,
     "q_m1_media_meta" -> m1MediaMeta,
     "q_m2_frames" -> m2Frames,
     "q_m3_resize_roundtrip" -> m3ResizeRoundtrip,
@@ -1160,6 +1210,7 @@ object PipelineQueries {
     "q_t18_prep_pipeline" -> t18Oracle,
     "q_t19_gopher_rules" -> t19Oracle,
     "q_t20_lm_score" -> t20Oracle,
+    "q_t21_temperature_mixture" -> t21Oracle,
     "q_m1_media_meta" -> m1Oracle,
     "q_m2_frames" -> m2Oracle,
     "q_m3_resize_roundtrip" -> m3Oracle,

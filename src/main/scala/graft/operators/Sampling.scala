@@ -115,6 +115,64 @@ object Sampling {
     df.filter(hashBucket(col(keyCol), salt) < threshold)
   }
 
+  /** Temperature-weighted mixture rates — the standard multinomial
+    * source-sampling law of multilingual / multi-source training-data
+    * prep (mT5 / XLM-R / LLaMA style): sample source `s` with
+    * probability proportional to `n_s^alpha`, so `alpha = 1` keeps the
+    * natural distribution, `alpha -> 0` flattens it, and intermediate
+    * alphas upweight rare sources without drowning the head.
+    *
+    * Returns a per-source keep-rate map such that the expected kept
+    * fraction of the whole corpus is `targetFraction`:
+    * `rate_s = C * n_s^(alpha-1)` with `C` solved so
+    * `sum_s rate_s * n_s = targetFraction * N`, waterfilled where the
+    * cap binds (a rate can't exceed 1 — capped sources contribute all
+    * their rows and the remainder re-solves over the rest;
+    * deterministic iteration in source order). Source counts come from
+    * one vocabulary-sized aggregate collected to the driver — source
+    * cardinality is bounded by design (like the IVF centroid table), so
+    * the collect is a few dozen rows at any corpus scale.
+    */
+  def temperatureRates(df: DataFrame, sourceCol: String,
+      alpha: Double = 0.5, targetFraction: Double = 0.3)
+      : Map[String, Double] = {
+    require(alpha >= 0 && alpha <= 1, s"alpha out of [0,1]: $alpha")
+    require(targetFraction > 0 && targetFraction <= 1,
+      s"targetFraction out of (0,1]: $targetFraction")
+    val counts = df.groupBy(sourceCol).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    val target = targetFraction * total
+    // waterfill: capped sources keep everything; re-solve C on the rest
+    var capped = Set.empty[String]
+    var rates = Map.empty[String, Double]
+    var done = false
+    while (!done) {
+      val free = counts.keys.toSeq.sorted.filterNot(capped)
+      val cappedMass = capped.toSeq.map(counts(_).toDouble).sum
+      val freeWeight = free.map(s => math.pow(counts(s).toDouble, alpha)).sum
+      val c = (target - cappedMass) / freeWeight
+      rates = free.map { s =>
+        s -> c * math.pow(counts(s).toDouble, alpha - 1.0)
+      }.toMap ++ capped.map(_ -> 1.0)
+      val newlyCapped = free.filter(rates(_) >= 1.0)
+      if (newlyCapped.isEmpty) done = true
+      else capped ++= newlyCapped
+    }
+    rates
+  }
+
+  /** [[temperatureRates]] applied through [[mixtureSample]]: one
+    * no-shuffle codegen'd scan keeps each row iff its salted md5 bucket
+    * clears its source's temperature-derived threshold.
+    */
+  def temperatureMixture(df: DataFrame, keyCol: String, sourceCol: String,
+      alpha: Double = 0.5, targetFraction: Double = 0.3,
+      salt: String = "mix"): DataFrame =
+    mixtureSample(df, keyCol, sourceCol,
+      temperatureRates(df, sourceCol, alpha, targetFraction),
+      defaultRate = 0.0, salt = salt)
+
   /** Deterministic global interleave (seeded reshuffle) of training rows:
     * order every row by `md5(seed || ":" || key)`, sharded by the first
     * `prefixChars` hex chars of that hash. Returns the input plus

@@ -156,4 +156,50 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"),
       "interleave must not rank over a global window:\n" + plan)
   }
+
+  // 900 "big" rows + 100 "small" rows for the temperature law
+  private def twoSources = ((1 to 900).map(i => (i.toLong, "big")) ++
+    (901 to 1000).map(i => (i.toLong, "small"))).toDF("id", "source")
+
+  test("temperatureRates: alpha=1 is the natural distribution, alpha<1 boosts the tail") {
+    val nat = Sampling.temperatureRates(twoSources, "source",
+      alpha = 1.0, targetFraction = 0.5)
+    assert(math.abs(nat("big") - 0.5) < 1e-12 &&
+      math.abs(nat("small") - 0.5) < 1e-12)
+    val sq = Sampling.temperatureRates(twoSources, "source",
+      alpha = 0.5, targetFraction = 0.3)
+    // weights sqrt(900)=30, sqrt(100)=10: C = 300/40 = 7.5 ->
+    // big 7.5/30 = 0.25, small 7.5/10 = 0.75; no cap binds.
+    assert(math.abs(sq("big") - 0.25) < 1e-12, sq.toString)
+    assert(math.abs(sq("small") - 0.75) < 1e-12, sq.toString)
+    assert(sq("small") > sq("big"), "alpha<1 must upweight the rare source")
+    // expected kept mass hits the target exactly
+    val kept = sq("big") * 900 + sq("small") * 100
+    assert(math.abs(kept - 300.0) < 1e-9)
+  }
+
+  test("temperatureRates waterfills when a rate would exceed 1") {
+    val r = Sampling.temperatureRates(twoSources, "source",
+      alpha = 0.5, targetFraction = 0.5)
+    // uncapped solve gives small 12.5/10 = 1.25 -> cap at 1.0 and
+    // re-solve big on the remaining mass: (500-100)/30/30 = 0.4444...
+    assert(r("small") == 1.0, r.toString)
+    assert(math.abs(r("big") - 400.0 / 900.0) < 1e-12, r.toString)
+    val kept = r("big") * 900 + r("small") * 100
+    assert(math.abs(kept - 500.0) < 1e-9)
+  }
+
+  test("temperatureMixture keeps ~rate per source, deterministically") {
+    val out = Sampling.temperatureMixture(twoSources, "id", "source",
+      alpha = 0.5, targetFraction = 0.3)
+    val counts = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // md5-uniformity tolerance on 900/100-row strata
+    assert(math.abs(counts("big") - 225.0) < 60, counts.toString)
+    assert(math.abs(counts("small") - 75.0) < 35, counts.toString)
+    val again = Sampling.temperatureMixture(twoSources, "id", "source",
+      alpha = 0.5, targetFraction = 0.3)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == out.collect().map(_.getLong(0)).toSet)
+  }
 }

@@ -52,6 +52,8 @@ TARGETS = {
     # group-coverage guard: drop one event type
     "q_a15_approx_percentiles":
         "event_type = (SELECT MIN(event_type) FROM src)",
+    # source-coverage guard: drop one source's summary row
+    "q_t21_temperature_mixture": "source = (SELECT MIN(source) FROM src)",
 }
 
 if not (SRC / "oracle_sql.json").exists():
