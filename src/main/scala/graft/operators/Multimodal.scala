@@ -117,6 +117,92 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Decoded-audio facts: container type, format fields, and exact
+    * integer sample statistics (sum of squared samples and peak |sample|
+    * — the integer core of RMS/peak loudness, kept integer so an
+    * external oracle can replay them without any float compare; RMS
+    * itself = sqrt(sum_sq / n_samples), pinned in MediaProbeSpec).
+    */
+  case class AudioMeta(media_type: String, sample_rate: Int, channels: Int,
+      n_samples: Long, sum_sq: Long, peak: Int)
+
+  /** REAL sample-level WAV decode via `javax.sound.sampled` (base JDK,
+    * zero-egress): parses the RIFF/fmt headers through the JDK's audio
+    * system, streams the PCM payload, and computes exact sample
+    * statistics. Only 16-bit signed PCM is decoded (the dominant WAV
+    * encoding; anything else returns None rather than guessing). Cost is
+    * O(samples) per row — the per-record work of any decode stage; run
+    * [[probeMedia]] first when only the container type matters.
+    */
+  def decodeWav(bytes: Array[Byte]): Option[AudioMeta] = {
+    if (bytes == null) return None
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getEncoding !=
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16) None
+        else {
+          val data = in.readAllBytes()
+          val be = fmt.isBigEndian
+          var i = 0; var n = 0L; var ss = 0L; var peak = 0
+          while (i + 1 < data.length) {
+            val v =
+              if (be) ((data(i) << 8) | (data(i + 1) & 0xff)).toShort.toInt
+              else ((data(i + 1) << 8) | (data(i) & 0xff)).toShort.toInt
+            n += 1; ss += v.toLong * v
+            val a = math.abs(v); if (a > peak) peak = a
+            i += 2
+          }
+          Some(AudioMeta("audio/wav", fmt.getSampleRate.toInt,
+            fmt.getChannels, n, ss, peak))
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Deterministic PCM WAV fixture — the audio twin of [[syntheticPng]]:
+    * 8 kHz mono 16-bit signed PCM whose length and every sample are pure
+    * arithmetic in `id` (n = id%200+50 samples; sample i =
+    * (id*31 + i*17) % 2001 − 1000), encoded through the real
+    * `javax.sound.sampled` WAV writer — so an external oracle can predict
+    * the decoded sample count, sum of squares, and peak of every fixture
+    * without being able to parse WAV itself.
+    */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val n = (math.floorMod(id, 200) + 50).toInt
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = (math.floorMod(id * 31 + i.toLong * 17, 2001) - 1000).toInt
+      data(2 * i) = (v & 0xff).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  private val decodeWavUdf = udf((b: Array[Byte]) => decodeWav(b))
+  private val synthWavUdf = udf((id: Long) => syntheticWav(id))
+
+  /** Column form of [[syntheticWav]]. */
+  def synthWavPayload(idCol: Column): Column = synthWavUdf(idCol)
+
+  /** Attach the real decoded-audio struct (`audio_meta.*`, NULL for
+    * non-decodable payloads) — the same narrow no-shuffle map stage as
+    * [[withImageMeta]].
+    */
+  def withAudioMeta(df: DataFrame, payloadCol: String = "payload"): DataFrame =
+    df.withColumn("audio_meta", decodeWavUdf(col(payloadCol)))
+
   private val decodeImageUdf = udf((b: Array[Byte]) => decodeImage(b))
   private val synthPngUdf = udf((id: Long) => syntheticPng(id))
 
@@ -174,8 +260,8 @@ object Multimodal {
     * dimension extraction for PNG (IHDR), JPEG (SOF marker walk), GIF,
     * BMP, WAV and MP3, in pure JVM byte inspection. This is the cheap
     * metadata pass a pipeline runs over every payload to filter by
-    * type/size/aspect *before* any expensive pixel decode (which remains
-    * [[decodeStub]] — that step genuinely needs imaging libs). Malformed
+    * type/size/aspect *before* the expensive per-pixel/per-sample decode
+    * ([[decodeImage]] / [[decodeWav]]). Malformed
     * or truncated payloads classify as application/octet-stream rather
     * than throwing, so a corrupt file can't fail the scan.
     */

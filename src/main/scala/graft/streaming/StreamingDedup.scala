@@ -41,8 +41,11 @@ object StreamingDedup {
 
   /** Per-bucket signature state: the (docId, simhash) pairs seen so far
     * in one (quarter, value) bucket, newest first, capped by the caller.
+    * `newestTs` is the newest event time EVER seen in the bucket (epoch
+    * millis; 0 for the non-timestamped variant) — the horizon eviction
+    * deadline must key off it, not off any single batch's max.
     */
-  final case class BucketState(sigs: List[(Long, Long)])
+  final case class BucketState(sigs: List[(Long, Long)], newestTs: Long = 0L)
 
   /** A streaming near-dup candidate: `docId` matched an earlier-seen
     * `dupOfId` at the given full-signature Hamming distance.
@@ -133,12 +136,18 @@ object StreamingDedup {
             Iterator.empty
           } else {
             val rowSeq = rows.toSeq
+            // Evict when the watermark passes newest-event + horizon.
+            // "Newest" is across the bucket's WHOLE history, not just
+            // this batch: a later batch delivering older-but-not-late
+            // rows must not move the deadline earlier and evict
+            // still-in-horizon signatures.
+            val newest = math.max(
+              state.getOption.map(_.newestTs).getOrElse(0L),
+              rowSeq.iterator.map(_._4.getTime).max)
             val out = compareAndUpdate(
               rowSeq.iterator.map(r => (r._1, r._2)), state,
-              maxHamming, maxBucket)
-            // evict when the watermark passes newest-event + horizon
-            state.setTimeoutTimestamp(
-              rowSeq.iterator.map(_._4.getTime).max, horizon)
+              maxHamming, maxBucket, newest)
+            state.setTimeoutTimestamp(newest, horizon)
             out
           }
       }
@@ -157,7 +166,7 @@ object StreamingDedup {
     */
   private def compareAndUpdate(rows: Iterator[(Long, Long)],
       state: GroupState[BucketState], maxHamming: Int,
-      maxBucket: Int): Iterator[NearDupHit] = {
+      maxBucket: Int, newestTs: Long = 0L): Iterator[NearDupHit] = {
     var sigs = state.getOption.map(_.sigs).getOrElse(Nil)
     val hits = Seq.newBuilder[NearDupHit]
     // ascending doc id so same-batch comparisons are deterministic
@@ -170,7 +179,7 @@ object StreamingDedup {
       }
       sigs = ((id, sh) :: sigs).take(maxBucket)
     }
-    state.update(BucketState(sigs))
+    state.update(BucketState(sigs, newestTs))
     hits.result().iterator
   }
 }

@@ -116,6 +116,34 @@ class MediaProbeSpec extends SparkSpec {
     assert(Multimodal.resizeImage("junk".getBytes, 4, 4).isEmpty)
   }
 
+  test("real WAV decode: sample stats match the synthetic arithmetic") {
+    val id = 42L
+    val bytes = Multimodal.syntheticWav(id)
+    // the fixture is a genuine WAV container (header probe agrees)
+    assert(Multimodal.probeMedia(bytes).media_type == "audio/wav")
+    val m = Multimodal.decodeWav(bytes).get
+    val n = (id % 200 + 50).toInt
+    val samples = (0 until n).map(i => ((id * 31 + i * 17) % 2001 - 1000).toInt)
+    assert(m.media_type == "audio/wav")
+    assert(m.sample_rate == 8000 && m.channels == 1)
+    assert(m.n_samples == n.toLong)
+    assert(m.sum_sq == samples.map(v => v.toLong * v).sum)
+    assert(m.peak == samples.map(math.abs).max)
+    // RMS derives exactly from the integer core the oracle replays
+    val rms = math.sqrt(m.sum_sq.toDouble / m.n_samples)
+    val expected = math.sqrt(samples.map(v => v.toDouble * v).sum / n)
+    assert(math.abs(rms - expected) < 1e-9, s"rms $rms != $expected")
+  }
+
+  test("WAV decode: garbage, null and non-audio inputs return None") {
+    assert(Multimodal.decodeWav("not audio".getBytes).isEmpty)
+    assert(Multimodal.decodeWav(null).isEmpty)
+    assert(Multimodal.decodeWav(Multimodal.syntheticPng(3L)).isEmpty)
+    // truncated WAV header must not throw
+    assert(Multimodal.decodeWav(
+      Multimodal.syntheticWav(7L).take(20).toArray).isEmpty)
+  }
+
   test("withProbedMeta is a narrow projection over the frame") {
     val df = Seq((1L, png(64, 32)), (2L, "junk".getBytes), (3L, gif(8, 8)))
       .toDF("id", "payload")

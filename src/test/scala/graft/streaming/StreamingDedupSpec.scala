@@ -118,6 +118,43 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("horizon eviction keys off the bucket's newest event, not the last batch's") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = "an ordinary document with a comfortable number of english " +
+      "tokens that keeps its simhash signature perfectly stable"
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val hits = StreamingDedup.nearSimhashWithinHorizon(input.toDS(),
+      horizon = "10 minutes", maxHamming = 3)
+    val q = hits.writeStream.format("memory")
+      .queryName("snear_newest_test").outputMode("append").start()
+    try {
+      input.addData((1L, base, ts("2024-01-01 10:20:00")))
+      q.processAllAvailable()
+      // an OLDER-but-not-late duplicate arrives in a later batch; the
+      // eviction deadline must stay at newest-ever (10:20) + horizon,
+      // not shrink to this batch's max (10:12) + horizon
+      input.addData((2L, base, ts("2024-01-01 10:12:00")))
+      q.processAllAvailable()
+      // two filler batches push the watermark to 10:23+ — past the
+      // batch-max deadline (10:22) but inside the correct one (10:30);
+      // the second batch is where a wrongly-timed-out bucket would sweep
+      input.addData((60L, "unrelated filler advancing the watermark now",
+        ts("2024-01-01 10:33:00")))
+      q.processAllAvailable()
+      input.addData((61L, "more unrelated filler text for the sweep batch",
+        ts("2024-01-01 10:33:30")))
+      q.processAllAvailable()
+      // still within horizon of the bucket's newest event → must hit
+      input.addData((3L, base, ts("2024-01-01 10:28:00")))
+      q.processAllAvailable()
+      val pairs = spark.table("snear_newest_test")
+        .select("docId", "dupOfId").as[(Long, Long)].collect().toSet
+      assert(pairs.contains((2L, 1L)), s"older in-horizon dup missed: $pairs")
+      assert(pairs.exists(_._1 == 3L),
+        s"in-horizon signature evicted early — deadline keyed off batch max: $pairs")
+    } finally q.stop()
+  }
+
   test("streaming simhash near-dup matches within one micro-batch too") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val base = "spark structured streaming keyed state dedup operator test " +
