@@ -1,8 +1,9 @@
 package graft.catalog
 
 import java.nio.charset.StandardCharsets.UTF_8
-import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -17,18 +18,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * core):
   *
   * {{{
-  *   root/<table>/data/d<n>/...parquet     immutable data directories
-  *   root/<table>/_versions/v<n>.manifest  newline-separated data dirs
-  *   root/<table>/_latest                  pointer file: current version
+  *   root/<table>/data/d<n>-<token>/...parquet  immutable, writer-unique dirs
+  *   root/<table>/_versions/v<n>.manifest       newline-separated data dirs
+  *   root/<table>/_latest                       pointer file: roll-forward hint
   * }}}
   *
-  * Commit = write the new data dir, write the manifest with CREATE_NEW
-  * (optimistic concurrency: two writers racing for version n+1 — one
-  * wins, the other gets FileAlreadyExistsException and retries on the
-  * new current), then ATOMIC_MOVE a temp pointer over `_latest`. A
-  * crashed half-commit is invisible: its data dir and manifest exist but
-  * the pointer still names the previous version, and the orphan is
-  * overwritten by the next successful commit of that version number.
+  * **The manifest is the commit point.** A commit writes its data to a
+  * writer-unique directory first, then claims `v<n>.manifest` atomically:
+  * the manifest content is written to a unique temp file and published
+  * with `Files.createLink` (hard link), which fails with
+  * [[FileAlreadyExistsException]] if version n is already claimed and —
+  * unlike a direct write — makes the manifest appear with its FULL content
+  * or not at all. Because the data dir is complete before the claim, a
+  * manifest's existence implies a complete, readable version. The
+  * `_latest` pointer is only a roll-forward hint updated after the claim:
+  * [[currentVersion]] reads the pointer and then scans upward while
+  * `v<ptr+1>.manifest` exists, so a writer that crashed between claim and
+  * pointer move leaves a version that is still visible and the next
+  * commit simply claims n+1 — the table can never wedge on an orphan
+  * manifest. (Pointer writes may race and briefly regress; the scan-up
+  * self-heals, and the next commit rewrites it.)
+  *
+  * **Concurrency.** Data dirs carry a per-attempt random token, so racing
+  * writers for version n+1 never touch each other's files; the manifest
+  * hard-link claim is the only contended resource. The loser's claim
+  * throws, it re-reads the (now advanced) current version and retries;
+  * its already-written data dir becomes an unreferenced orphan — garbage,
+  * never corruption (see [[vacuumOrphans]]).
   *
   * Why this is the 100 TB layout:
   *  - `append` writes ONLY the appended bytes — the new manifest carries
@@ -36,7 +52,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - Old versions stay readable (`readVersion`) until vacuumed: cheap
   *    time travel for E12-style baselines.
   *  - Read-modify-write on the SAME table is safe: the merge plan reads
-  *    version n's files while the commit writes a fresh `d<n+1>` dir, so
+  *    version n's files while the commit writes a fresh unique dir, so
   *    the classic Spark "cannot overwrite a path being read" failure
   *    cannot happen (see [[SnapshotTableStore.upsertLoad]]).
   *  - Path-addressed caches ([[graft.operators.GraphIndexCache]])
@@ -52,25 +68,37 @@ final class SnapshotTableStore(root: String) extends TableStore {
   private def dataDir(table: String, name: String): Path =
     tableDir(table).resolve("data").resolve(name)
 
-  /** Current committed version, if the table exists. */
-  def currentVersion(table: String): Option[Int] = {
+  /** Pointer file value, if present — a lower bound on the committed
+    * version, not the committed version itself (see class doc).
+    */
+  private def pointer(table: String): Option[Int] = {
     val p = latestPtr(table)
     if (Files.exists(p)) Some(new String(Files.readAllBytes(p), UTF_8).trim.toInt)
     else None
   }
 
-  /** All committed versions, ascending (half-commits excluded: only
-    * versions at or below the pointer are committed).
+  /** Current committed version: the pointer rolled forward over any
+    * claimed-but-not-yet-pointed manifests (a manifest is the commit
+    * point, so each one found is a complete version).
     */
+  def currentVersion(table: String): Option[Int] = {
+    var v = pointer(table).getOrElse(0)
+    while (Files.exists(manifestPath(table, v + 1))) v += 1
+    if (v == 0) None else Some(v)
+  }
+
+  /** All committed versions, ascending. */
   def versions(table: String): Seq[Int] = currentVersion(table) match {
     case None => Seq.empty
     case Some(cur) =>
       val dir = tableDir(table).resolve("_versions")
-      Files.list(dir).iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case s if s.startsWith("v") && s.endsWith(".manifest") =>
-          s.stripPrefix("v").stripSuffix(".manifest").toInt }
-        .filter(_ <= cur).toSeq.sorted
+      Using.resource(Files.list(dir)) { ls =>
+        ls.iterator().asScala
+          .map(_.getFileName.toString)
+          .collect { case s if s.startsWith("v") && s.endsWith(".manifest") =>
+            s.stripPrefix("v").stripSuffix(".manifest").toInt }
+          .filter(_ <= cur).toSeq.sorted
+      }
   }
 
   private def manifestDirs(table: String, v: Int): Seq[String] = {
@@ -94,29 +122,68 @@ final class SnapshotTableStore(root: String) extends TableStore {
     readVersion(spark, table, v)
   }
 
-  /** One commit attempt; FileAlreadyExistsException on the manifest means
-    * a concurrent writer claimed this version number first.
+  /** Write `df` to a fresh writer-unique data dir and return its name.
+    * The numeric prefix is advisory (the version the writer was aiming
+    * for); the random token is what guarantees no two attempts — racing
+    * writers or retries — ever share a directory.
+    */
+  private def writeData(df: DataFrame, table: String, aimedVersion: Int): String = {
+    val tok = java.util.UUID.randomUUID().toString.take(8)
+    val name = f"d$aimedVersion%05d-$tok"
+    df.write.mode("errorifexists").parquet(dataDir(table, name).toString)
+    name
+  }
+
+  /** Atomically claim version `v` with the given data-dir list. Returns
+    * false if a concurrent writer already claimed it. The temp-write +
+    * hard-link publish makes the claim all-or-nothing: readers never see
+    * a partial manifest, and a crash before the link leaves only an
+    * unreferenced temp file.
+    */
+  private def tryClaim(table: String, v: Int, dirs: Seq[String]): Boolean = {
+    val mp = manifestPath(table, v)
+    Files.createDirectories(mp.getParent)
+    val tmp = mp.getParent.resolve(
+      s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp, dirs.mkString("\n").getBytes(UTF_8))
+    try { Files.createLink(mp, tmp); true }
+    catch { case _: FileAlreadyExistsException => false }
+    finally Files.deleteIfExists(tmp)
+  }
+
+  /** Best-effort pointer advance after a successful claim. Losing a race
+    * here is harmless: [[currentVersion]] scans upward from whatever the
+    * pointer says.
+    */
+  private def advancePointer(table: String, v: Int): Unit =
+    if (!pointer(table).exists(_ >= v)) {
+      val tmp = tableDir(table).resolve(s"_latest.tmp$v")
+      Files.write(tmp, v.toString.getBytes(UTF_8))
+      Files.move(tmp, latestPtr(table), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+
+  /** Commit `df` as the next version. The data is written ONCE (its
+    * content does not depend on the version number); only the manifest
+    * claim retries under contention, recomputing the carried-forward dir
+    * list against each new current version.
     */
   private def commit(df: DataFrame, table: String, carryForward: Boolean): Int = {
-    val cur = currentVersion(table)
-    val next = cur.getOrElse(0) + 1
-    val dname = f"d$next%05d"
-    val target = dataDir(table, dname)
-    // A previous crashed attempt at this version may have left an orphan
-    // data dir (never referenced: its manifest write is what claims the
-    // version). Overwrite it.
-    df.write.mode("overwrite").parquet(target.toString)
-    val prior = if (carryForward) cur.map(manifestDirs(table, _)).getOrElse(Nil)
-                else Nil
-    val mp = manifestPath(table, next)
-    Files.createDirectories(mp.getParent)
-    Files.write(mp, (prior :+ dname).mkString("\n").getBytes(UTF_8),
-      StandardOpenOption.CREATE_NEW)
-    val tmp = tableDir(table).resolve(s"_latest.tmp$next")
-    Files.write(tmp, next.toString.getBytes(UTF_8))
-    Files.move(tmp, latestPtr(table), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    next
+    val cur0 = currentVersion(table)
+    val dname = writeData(df, table, cur0.getOrElse(0) + 1)
+    while (true) {
+      val cur = currentVersion(table)
+      val next = cur.getOrElse(0) + 1
+      val prior = if (carryForward) cur.map(manifestDirs(table, _)).getOrElse(Nil)
+                  else Nil
+      if (tryClaim(table, next, prior :+ dname)) {
+        advancePointer(table, next)
+        return next
+      }
+      // claimed by a concurrent writer: currentVersion now sees (at
+      // least) `next`, so the loop always makes progress
+    }
+    -1 // unreachable
   }
 
   /** New snapshot containing exactly `df` (prior versions stay readable). */
@@ -134,17 +201,36 @@ final class SnapshotTableStore(root: String) extends TableStore {
     * snapshot with first-write-wins semantics
     * ([[ResourceCatalog.upsertResources]], graph_loader.go:189-216) and
     * commit the merge as a new version. The merge plan reads version n's
-    * immutable files while writing `d<n+1>` — safe even though source and
-    * destination are "the same table".
+    * immutable files while writing a fresh unique dir — safe even though
+    * source and destination are "the same table".
+    *
+    * Unlike [[append]], the DATA depends on the version it was merged
+    * against, so a lost claim race must recompute the merge from the new
+    * current version, not just re-aim the manifest — otherwise the racing
+    * writer's rows would be silently dropped from the merge base.
     */
   def upsertLoad(spark: SparkSession, table: String, incoming: DataFrame,
-      idCol: String = "id"): Int = {
-    val merged = currentVersion(table) match {
-      case Some(_) =>
-        ResourceCatalog.upsertResources(read(spark, table), incoming, idCol)
-      case None => incoming
+      idCol: String = "id", maxRetries: Int = 5): Int = {
+    var attempt = 0
+    while (true) {
+      val cur = currentVersion(table)
+      val merged = cur match {
+        case Some(v) =>
+          ResourceCatalog.upsertResources(readVersion(spark, table, v), incoming, idCol)
+        case None => incoming
+      }
+      val next = cur.getOrElse(0) + 1
+      val dname = writeData(merged, table, next)
+      if (tryClaim(table, next, Seq(dname))) {
+        advancePointer(table, next)
+        return next
+      }
+      attempt += 1
+      if (attempt > maxRetries)
+        throw new IllegalStateException(
+          s"upsertLoad($table): lost the commit race $attempt times; giving up")
     }
-    commit(merged, table, carryForward = false)
+    -1 // unreachable
   }
 
   /** Drop data dirs referenced only by versions below `keepFrom` and their
@@ -156,10 +242,35 @@ final class SnapshotTableStore(root: String) extends TableStore {
       .flatMap(manifestDirs(table, _)).toSet
     val dropVs = versions(table).filter(_ < keepFrom)
     val drop = dropVs.flatMap(manifestDirs(table, _)).toSet -- keep
-    drop.foreach { d =>
-      val dir = dataDir(table, d)
-      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    }
+    drop.foreach(d => deleteRecursively(dataDir(table, d)))
     dropVs.foreach(v => Files.deleteIfExists(manifestPath(table, v)))
   }
+
+  /** GC for data dirs no manifest references — crashed pre-claim writers
+    * and lost-race retries leave these behind. Only dirs whose last
+    * modification is older than `olderThanMillis` are removed, so an
+    * IN-FLIGHT writer's freshly written (not yet claimed) dir is never
+    * swept; pick a horizon comfortably above the longest plausible
+    * write-to-claim gap (e.g. hours).
+    */
+  def vacuumOrphans(table: String, olderThanMillis: Long): Unit = {
+    val dd = tableDir(table).resolve("data")
+    if (!Files.isDirectory(dd)) return
+    val referenced = versions(table).flatMap(manifestDirs(table, _)).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMillis
+    val orphans = Using.resource(Files.list(dd)) { ls =>
+      ls.iterator().asScala
+        .filter(p => !referenced.contains(p.getFileName.toString))
+        .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+        .toList
+    }
+    orphans.foreach(deleteRecursively)
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Using.resource(Files.walk(p)) { walk =>
+        walk.sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(q => Files.deleteIfExists(q))
+      }
 }

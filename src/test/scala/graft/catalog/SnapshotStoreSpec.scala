@@ -28,10 +28,15 @@ class SnapshotStoreSpec extends SparkSpec {
       Set((1L, "a"), (2L, "b")))
   }
 
+  private def manifest(dir: String, table: String, v: Int): Seq[String] =
+    new String(Files.readAllBytes(
+      Paths.get(dir, table, "_versions", f"v$v%05d.manifest"))).trim
+      .split("\n").toSeq
+
   test("append writes only the new rows — prior data dirs are untouched") {
     val (dir, store) = freshStore()
     store.overwrite(Seq((1L, "a")).toDF("id", "v"), "t")
-    val d1 = Paths.get(dir, "t", "data", "d00001")
+    val d1 = Paths.get(dir, "t", "data", manifest(dir, "t", 1).head)
     def listing() = Files.walk(d1).iterator().asScala
       .filter(Files.isRegularFile(_))
       .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis)
@@ -41,24 +46,97 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(listing() == before, "append rewrote version-1 data files")
     assert(store.read(spark, "t").as[(Long, String)].collect().toSet ==
       Set((1L, "a"), (2L, "b")))
-    // the v2 manifest carries d00001 forward by name and adds d00002
-    val m2 = new String(Files.readAllBytes(
-      Paths.get(dir, "t", "_versions", "v00002.manifest"))).trim
-    assert(m2.split("\n").toSeq == Seq("d00001", "d00002"), m2)
+    // the v2 manifest carries version 1's dir forward by NAME and adds one
+    val m2 = manifest(dir, "t", 2)
+    assert(m2.size == 2 && m2.head == manifest(dir, "t", 1).head
+      && m2(1).startsWith("d00002-"), m2)
   }
 
-  test("a half-commit (manifest written, pointer not swapped) is invisible") {
+  test("data dirs are writer-unique: racing commits never share a directory") {
     val (dir, store) = freshStore()
     store.overwrite(Seq((1L, "a")).toDF("id", "v"), "t")
-    // simulate a writer that crashed after the data+manifest writes
-    Seq((9L, "torn")).toDF("id", "v").write
-      .parquet(Paths.get(dir, "t", "data", "d00002").toString)
+    store.overwrite(Seq((2L, "b")).toDF("id", "v"), "t")
+    val names = Seq(1, 2).map(manifest(dir, "t", _).head)
+    assert(names.distinct.size == 2, names)
+    // the random token is what disambiguates, not just the version prefix
+    assert(names.forall(_.matches("d\\d{5}-[0-9a-f-]{8}")), names)
+  }
+
+  test("crash after the manifest claim: version is committed, pointer rolls forward") {
+    val (dir, store) = freshStore()
+    store.overwrite(Seq((1L, "a")).toDF("id", "v"), "t")
+    // simulate a writer that died between the manifest claim (the commit
+    // point: data + manifest both complete) and the pointer move
+    Seq((9L, "late")).toDF("id", "v").write
+      .parquet(Paths.get(dir, "t", "data", "d00002-deadbeef").toString)
     Files.write(Paths.get(dir, "t", "_versions", "v00002.manifest"),
-      "d00002".getBytes)
+      "d00002-deadbeef".getBytes)
+    assert(store.currentVersion("t").contains(2))
+    assert(store.versions("t") == Seq(1, 2))
+    assert(store.read(spark, "t").as[(Long, String)].collect().toSet ==
+      Set((9L, "late")))
+    // REGRESSION (round-6 ADVICE): the next commit must claim v3, not
+    // collide with the orphan v2 manifest forever
+    store.overwrite(Seq((3L, "c")).toDF("id", "v"), "t")
+    assert(store.currentVersion("t").contains(3))
+    assert(store.read(spark, "t").as[(Long, String)].collect().toSet ==
+      Set((3L, "c")))
+  }
+
+  test("crash before the manifest claim: orphan data dir is invisible and GC-able") {
+    val (dir, store) = freshStore()
+    store.overwrite(Seq((1L, "a")).toDF("id", "v"), "t")
+    val orphan = Paths.get(dir, "t", "data", "d00002-0badc0de")
+    Seq((9L, "torn")).toDF("id", "v").write.parquet(orphan.toString)
     assert(store.currentVersion("t").contains(1))
-    assert(store.versions("t") == Seq(1))
     assert(store.read(spark, "t").as[(Long, String)].collect().toSet ==
       Set((1L, "a")))
+    store.overwrite(Seq((2L, "b")).toDF("id", "v"), "t") // lands at v2, no clash
+    assert(store.currentVersion("t").contains(2))
+    store.vacuumOrphans("t", olderThanMillis = -1000) // everything is "old"
+    assert(!Files.exists(orphan), "orphan dir survived vacuumOrphans")
+    // referenced dirs are never swept, however old
+    assert(store.read(spark, "t").count() == 1)
+    assert(store.readVersion(spark, "t", 1).count() == 1)
+  }
+
+  test("upsertLoad merges against a claimed-but-unpointed version, not the stale pointer") {
+    val (dir, store) = freshStore()
+    store.upsertLoad(spark, "r",
+      Seq(("r1", "orig", ts("2024-01-01 00:00:00"))).toDF("id", "name", "scanned_at"))
+    // simulate a concurrent writer that claimed v2 (content: r1+rX)
+    val d2 = Paths.get(dir, "r", "data", "d00002-cafebabe")
+    Seq(("r1", "orig", ts("2024-01-01 00:00:00")),
+        ("rX", "racer", ts("2024-01-15 00:00:00")))
+      .toDF("id", "name", "scanned_at").write.parquet(d2.toString)
+    Files.write(Paths.get(dir, "r", "_versions", "v00002.manifest"),
+      "d00002-cafebabe".getBytes)
+    // our upsert must land at v3 and keep the racer's row in the merge base
+    val v = store.upsertLoad(spark, "r",
+      Seq(("r2", "fresh", ts("2024-02-01 00:00:00"))).toDF("id", "name", "scanned_at"))
+    assert(v == 3)
+    assert(store.read(spark, "r").select("id").as[String].collect().toSet ==
+      Set("r1", "rX", "r2"))
+  }
+
+  test("two concurrent upsertLoads both commit; neither's rows are lost") {
+    val (_, store) = freshStore()
+    store.upsertLoad(spark, "r",
+      Seq(("r0", "base", ts("2024-01-01 00:00:00"))).toDF("id", "name", "scanned_at"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = Seq("rA" -> "a", "rB" -> "b").map { case (id, n) =>
+      Future(store.upsertLoad(spark, "r",
+        Seq((id, n, ts("2024-02-01 00:00:00"))).toDF("id", "name", "scanned_at")))
+    }
+    val vs = Await.result(Future.sequence(fs), 120.seconds)
+    // one writer gets v2, the other loses the claim race (or serializes)
+    // and lands at v3 — and the final state contains BOTH writers' rows
+    assert(vs.toSet == Set(2, 3), vs)
+    assert(store.currentVersion("r").contains(3))
+    assert(store.read(spark, "r").select("id").as[String].collect().toSet ==
+      Set("r0", "rA", "rB"))
   }
 
   test("upsertLoad merges first-write-wins and reads+writes the same table safely") {
