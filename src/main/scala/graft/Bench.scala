@@ -15,7 +15,7 @@ object Bench {
   /** Queries timed by a driver-side loop of short jobs — extra-sensitive
     * to CPU contention, so they earn a third run when slow.
     */
-  private val IterativePrefixes = Seq("q_g", "q_d5", "q_d6")
+  private val IterativePrefixes = Seq("q_g", "q_d5", "q_d6", "q_st2")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

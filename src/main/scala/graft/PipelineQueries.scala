@@ -1264,6 +1264,84 @@ object PipelineQueries {
       .withColumn("rank", col("rank").cast("bigint"))
   val s6Oracle = topKEchoOracle("q_s6_ivf_indexed")
 
+  // ===== streaming =====================================================
+
+  /** ST2: the streaming SimHash near-dup family under a driver-visible
+    * oracle — [[graft.streaming.StreamingDedup.nearSimhash]] replayed
+    * one-shot over the planted documents fixture with an `availableNow`
+    * trigger (a real Structured Streaming run: file source → keyed state
+    * → memory sink), then the emitted hits normalized to (id_a < id_b)
+    * pairs with both signatures riding along. The emitted pair SET is
+    * invariant to micro-batch splitting: every same-bucket pair is
+    * compared exactly once, when its later-processed member arrives, and
+    * `maxBucket` is sized above the fixture's largest bucket so no state
+    * eviction perturbs it (batch-parity asserted in StreamingDedupSpec).
+    * The oracle is the q_d5 shape: recompute hamming = popcount(sh_a XOR
+    * sh_b) in DuckDB, enforce the threshold and id order, join both ids
+    * back to the planted corpus, and REQUIRE every planted clone pair
+    * (identical text ⇒ certain detection) — so under-emission turns the
+    * driver red (tools/tamper_test.py).
+    *
+    * The bounded result is collected off the memory sink (it is a
+    * verification harness; production runs write to a real sink) and
+    * re-created as a local frame so no temp view outlives the query.
+    */
+  val st2StreamNearDup: Q = (s, d) => {
+    import s.implicits._
+    graft.functions.VecExprs.register(s)
+    val sch = s.read.parquet(s"$d/documents.parquet").schema
+    // documents.parquet is a single FILE: a non-glob path makes
+    // FileStreamSource force basePath to the path itself, which must be a
+    // directory — so glob the last character and pin basePath to the
+    // fixture dir.
+    val stream = s.readStream.schema(sch).option("basePath", d)
+      .parquet(s"$d/documents.parque*")
+    val planted = stream.select("doc_id", "text").unionByName(
+      stream.filter(Sampling.hashBucket(col("doc_id"), "plant") < lit(PlantThr)
+          && size(split(TextAnalysis.normalize(col("text")), " ")) >= 3)
+        .select((col("doc_id") + lit(PlantOffset)).as("doc_id"), col("text")))
+    val hits = graft.streaming.StreamingDedup.nearSimhash(
+      planted.as[(Long, String)], maxHamming = 3, maxBucket = 1 << 20)
+    val qn = s"graft_st2_${java.util.UUID.randomUUID().toString.take(8)}"
+    val sq = hits.writeStream.format("memory").queryName(qn)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    sq.awaitTermination()
+    val local = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    s.table(qn).collect().foreach(local.add)
+    val localDf = s.createDataFrame(local, s.table(qn).schema)
+    s.catalog.dropTempView(qn)
+    val pairs = localDf.select(
+        least(col("docId"), col("dupOfId")).as("id_a"),
+        greatest(col("docId"), col("dupOfId")).as("id_b"),
+        col("hamming"))
+      .dropDuplicates("id_a", "id_b")
+    val sigs = withPlantedClones(t(s, d, "documents"))
+      .select(col("doc_id"), Dedup.simhash64(col("text")).as("sh"))
+    pairs
+      .join(sigs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sigs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b", "hamming")
+  }
+  val st2Oracle =
+    s"""WITH sp AS (
+       |  SELECT * FROM '__SPARK_OUT__/q_st2_stream_neardup/*.parquet'),
+       |plant AS ($plantSql),
+       |corpus AS ($plantedCorpusSql),
+       |ok AS (
+       |  SELECT NOT EXISTS (SELECT 1 FROM plant pl WHERE NOT EXISTS (
+       |    SELECT 1 FROM sp WHERE sp.id_a = pl.doc_id
+       |      AND sp.id_b = pl.doc_id + $PlantOffset
+       |      AND sp.hamming = 0)) AS complete)
+       |SELECT sp.id_a, sp.id_b, sp.sh_a, sp.sh_b, sp.hamming
+       |FROM sp
+       |JOIN corpus da ON da.doc_id = sp.id_a
+       |JOIN corpus db ON db.doc_id = sp.id_b
+       |WHERE bit_count(xor(sp.sh_a, sp.sh_b)) = sp.hamming
+       |  AND sp.hamming <= 3 AND sp.id_a < sp.id_b
+       |  AND (SELECT complete FROM ok)""".stripMargin
+
   // ===== registry ======================================================
 
   val all: Map[String, Q] = Map(
@@ -1307,7 +1385,8 @@ object PipelineQueries {
     "q_s3_lsh_topk" -> s3LshTopK,
     "q_s4_ivf_topk" -> s4IvfTopK,
     "q_s5_cosine_neardup" -> s5CosineNearDup,
-    "q_s6_ivf_indexed" -> s6IvfIndexed)
+    "q_s6_ivf_indexed" -> s6IvfIndexed,
+    "q_st2_stream_neardup" -> st2StreamNearDup)
 
   val oracles: Map[String, String] = Map(
     "q_d1_fingerprint" -> d1Oracle,
@@ -1350,5 +1429,6 @@ object PipelineQueries {
     "q_s3_lsh_topk" -> s3Oracle,
     "q_s4_ivf_topk" -> s4Oracle,
     "q_s5_cosine_neardup" -> s5Oracle,
-    "q_s6_ivf_indexed" -> s6Oracle)
+    "q_s6_ivf_indexed" -> s6Oracle,
+    "q_st2_stream_neardup" -> st2Oracle)
 }

@@ -1522,6 +1522,63 @@ object Queries {
       |LEFT JOIN res ON rel.source_id = res.id
       |GROUP BY sa.email, sa.project_id""".stripMargin
 
+  /** V3: transactional snapshot commits + time travel
+    * ([[graft.catalog.SnapshotTableStore]] — the E12/S6 load path the
+    * reference wraps in SQLite transactions, graph_loader.go:155-187) as
+    * a driver-checked query. Two upsert loads of overlapping event
+    * batches commit versions 1 and 2; the query time-travel-reads BOTH
+    * versions back and aggregates each per event_type. First-write-wins
+    * merge semantics mean version 2 = batch1 ∪ (batch2 \ batch1 by
+    * event_id), which the oracle replays relationally — so a commit that
+    * loses rows, resurrects stale ones, or breaks version isolation
+    * changes an aggregate and turns the driver red. The store root is
+    * wiped per invocation so version numbers are deterministic; the
+    * timed work IS the operator under test (two transactional commits +
+    * two snapshot reads).
+    */
+  val v3SnapshotTimeTravel: Q = (s, d) => {
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft-snap-qv3", math.abs(d.hashCode).toString)
+    if (java.nio.file.Files.exists(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+    val store = new graft.catalog.SnapshotTableStore(root.toString)
+    val ev = t(s, d, "events").withColumn("scanned_at", col("ts"))
+    val b1 = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+    val b2 = ev.filter(pmod(col("event_id"), lit(3)) === 0)
+    store.upsertLoad(s, "events_snap", b1, "event_id")
+    store.upsertLoad(s, "events_snap", b2, "event_id")
+    Seq(1, 2).map { v =>
+      store.readVersion(s, "events_snap", v)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct("user_id").as("n_users"),
+          exactSum(col("value")).as("sum_value"),
+          min("event_id").as("min_id"),
+          max("event_id").as("max_id"))
+        .withColumn("version", lit(v))
+    }.reduce(_ unionByName _)
+      .select("version", "event_type", "n_events", "n_users",
+        "sum_value", "min_id", "max_id")
+  }
+  val v3Oracle: String =
+    """WITH b1 AS (SELECT * FROM events WHERE event_id % 2 = 0),
+      |b2 AS (SELECT * FROM events WHERE event_id % 3 = 0),
+      |v2 AS (SELECT * FROM b1
+      |       UNION ALL
+      |       SELECT * FROM b2
+      |       WHERE event_id NOT IN (SELECT event_id FROM b1)),
+      |u AS (SELECT 1 AS version, * FROM b1
+      |      UNION ALL SELECT 2 AS version, * FROM v2)
+      |SELECT version, event_type, COUNT(*) AS n_events,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value,
+      |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+      |FROM u GROUP BY version, event_type""".stripMargin
+
   // ===== registry ======================================================
 
   val all: Map[String, Q] = Map(
@@ -1566,6 +1623,7 @@ object Queries {
     "q_c5_macro_canonical" -> c5MacroCanonical,
     "q_v1_typed_s3_view" -> v1TypedS3,
     "q_v2_iam_analysis" -> v2IamAnalysis,
+    "q_v3_snapshot_timetravel" -> v3SnapshotTimeTravel,
     "q_c2_pack_scaled" -> c2PackScaled,
     "q_c3_pack_params" -> c3PackParams,
     "q_c4_pack_protection" -> c4PackProtection,
@@ -1635,6 +1693,7 @@ object Queries {
     "q_c5_macro_canonical" -> c5Oracle,
     "q_v1_typed_s3_view" -> v1Oracle,
     "q_v2_iam_analysis" -> v2Oracle,
+    "q_v3_snapshot_timetravel" -> v3Oracle,
     "q_c2_pack_scaled" -> c2Oracle,
     "q_c3_pack_params" -> c3Oracle,
     "q_c4_pack_protection" -> c4Oracle,

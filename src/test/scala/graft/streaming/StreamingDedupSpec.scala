@@ -172,4 +172,17 @@ class StreamingDedupSpec extends SparkSpec {
       assert(!pairs.contains((10L, 11L)), "lower id must be the keeper")
     } finally q.stop()
   }
+
+  test("q_st2 availableNow replay is pair-set identical to the batch operator (q_d5)") {
+    val sf = "/root/testdata/sf0.001"
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "hamming")
+        .as[(Long, Long, Int)].collect().toSet
+    val streamed = pairSet(graft.PipelineQueries.st2StreamNearDup(spark, sf))
+    val batch = pairSet(graft.PipelineQueries.d5SimhashNearDup(spark, sf))
+    assert(streamed.nonEmpty, "fixture produced no near-dup pairs")
+    assert(streamed == batch,
+      s"stream-minus-batch: ${(streamed -- batch).take(5)}; " +
+        s"batch-minus-stream: ${(batch -- streamed).take(5)}")
+  }
 }

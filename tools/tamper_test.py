@@ -43,6 +43,10 @@ TARGETS = {
         "id_b - id_a = 1000000000 AND hamming = 0 AND id_a = "
         "(SELECT MIN(id_a) FROM src "
         " WHERE id_b - id_a = 1000000000 AND hamming = 0)",
+    "q_st2_stream_neardup":
+        "id_b - id_a = 1000000000 AND hamming = 0 AND id_a = "
+        "(SELECT MIN(id_a) FROM src "
+        " WHERE id_b - id_a = 1000000000 AND hamming = 0)",
     # planted identical-vector pair guard: remove ONE planted clone pair
     "q_s5_cosine_neardup":
         "id_b - id_a = 1000000000 AND id_a = "
