@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 
 /** Driver-run benchmark: every registered query on SPARK_GRAFT_SF_DIR,
   * one JSON line on stdout. Each query runs twice and reports the faster
@@ -17,6 +18,40 @@ object Bench {
     */
   private val IterativePrefixes = Seq("q_g", "q_d5", "q_d6", "q_st2")
 
+  /** Shuffle-skew telemetry: per-task shuffle-read bytes, grouped by
+    * stage. SkewJoin/AQE exist as the salted backstop for skewed keys —
+    * this measures whether they ever NEED to engage at the bench SF, so
+    * "no skew here" is a measured claim, not an asserted one. Events
+    * arrive on the single listener-bus thread, so plain buffers are safe.
+    */
+  private final class SkewProbe extends SparkListener {
+    val byStage = scala.collection.mutable.Map[Int, scala.collection.mutable.ArrayBuffer[Long]]()
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null && m.shuffleReadMetrics != null) {
+        val sr = m.shuffleReadMetrics.totalBytesRead
+        if (sr > 0) byStage.getOrElseUpdate(e.stageId,
+          scala.collection.mutable.ArrayBuffer[Long]()) += sr
+      }
+    }
+    /** (shuffle stages seen, worst max/median ratio, that stage's max MiB).
+      * Stages with < 8 tasks are skipped: a 4-task stage's "skew" is
+      * granularity, not key imbalance.
+      */
+    def summary: (Int, Double, Double) = {
+      val stages = byStage.values.filter(_.size >= 8).toSeq
+      if (stages.isEmpty) (byStage.size, 1.0, 0.0)
+      else {
+        val worst = stages.maxBy { ts =>
+          val s = ts.sorted; s.last.toDouble / math.max(s(s.size / 2), 1L)
+        }
+        val s = worst.sorted
+        (byStage.size, s.last.toDouble / math.max(s(s.size / 2), 1L),
+          s.last / 1048576.0)
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -28,6 +63,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val skew = new SkewProbe
+    spark.sparkContext.addSparkListener(skew)
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // Release checkpoint/cache blocks OUTSIDE the timer: ~144 executions
@@ -67,7 +104,15 @@ object Bench {
     val tp = System.nanoTime()
     spark.range(200L * 1000 * 1000).selectExpr("sum(id)").collect()
     val probe = (System.nanoTime() - tp) / 1e9
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$rs,"probe":${fmt(probe)},"sf":"$sfDir"}""")
+    // Listener events can trail task completion slightly (async bus, no
+    // public drain API); the probe job just queued hundreds of events
+    // behind the sweep's, so give the bus a beat before summarizing.
+    Thread.sleep(500)
+    val (shuffleStages, worstRatio, worstMaxMb) = skew.summary
+    val skewJson = s"""{"shuffle_stages":$shuffleStages,""" +
+      s""""worst_max_over_median":${fmt(worstRatio)},""" +
+      s""""worst_stage_max_task_mb":${fmt(worstMaxMb)}}"""
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$rs,"probe":${fmt(probe)},"skew":$skewJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -48,20 +48,36 @@ object ComplianceExecutor {
     }.toMap
   }
 
+  /** Run a pack. `parallelism = 1` (the default) preserves the
+    * reference's sequential continue-on-error contract
+    * (executor.go:129-244). `parallelism > 1` is the opt-in Spark-native
+    * mode: independent pack queries run as CONCURRENT Spark jobs on a
+    * bounded pool — the scheduler interleaves their stages across
+    * executor slots, so a pack of N small queries stops paying N× the
+    * per-job scheduling floor. Result order, per-query timeout,
+    * continue-on-error, and the result contract are identical in both
+    * modes (asserted in ComplianceSpec); progress events may interleave
+    * across queries but are delivered mutually excluded.
+    */
   def run(spark: SparkSession, pack: PackManifest,
       params: Map[String, Any],
       onProgress: ProgressEvent => Unit = _ => (),
-      timeout: Duration = 30.seconds): PackRun = {
+      timeout: Duration = 30.seconds,
+      parallelism: Int = 1): PackRun = {
     JsonMacros.register(spark)
     val allParams = withDefaults(pack, params)
     val enabled = pack.queries.filter(_.enabled)
-    val runs = enabled.zipWithIndex.map { case (q, i) =>
-      onProgress(ProgressEvent.QueryStarted(q.id, i + 1, enabled.size))
+    val lock = new Object
+    val prog: ProgressEvent => Unit =
+      if (parallelism <= 1) onProgress
+      else e => lock.synchronized(onProgress(e))
+    def runOne(q: PackQuery, i: Int): QueryRun = {
+      prog(ProgressEvent.QueryStarted(q.id, i + 1, enabled.size))
       val t0 = System.nanoTime()
       val missing = q.parameters.filterNot(allParams.contains)
       if (missing.nonEmpty) {
         val err = s"missing required parameters: ${missing.mkString(", ")}"
-        onProgress(ProgressEvent.QueryFailed(q.id, err))
+        prog(ProgressEvent.QueryFailed(q.id, err))
         QueryRun(q.id, q.title, Nil, Some(err), elapsedMs(t0))
       } else {
         val bound = QueryEngine.bindParams(q.sql, allParams,
@@ -70,16 +86,26 @@ object ComplianceExecutor {
           val rows = executeWithTimeout(spark, bound, timeout, q.id)
           val truncated = rows.size > MaxResultRows
           val results = rows.take(MaxResultRows).map(toResult(_, q))
-          onProgress(ProgressEvent.QueryFinished(q.id, results.size, elapsedMs(t0)))
+          prog(ProgressEvent.QueryFinished(q.id, results.size, elapsedMs(t0)))
           QueryRun(q.id, q.title, results, None, elapsedMs(t0), truncated)
         } catch {
           case e: Throwable =>
             val msg = categorize(e)
-            onProgress(ProgressEvent.QueryFailed(q.id, msg))
+            prog(ProgressEvent.QueryFailed(q.id, msg))
             QueryRun(q.id, q.title, Nil, Some(msg), elapsedMs(t0))
         }
       }
     }
+    val runs =
+      if (parallelism <= 1) enabled.zipWithIndex.map { case (q, i) => runOne(q, i) }
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+        val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        try enabled.zipWithIndex
+          .map { case (q, i) => Future(runOne(q, i))(ec) }
+          .map(Await.result(_, Duration.Inf))
+        finally pool.shutdown()
+      }
     PackRun(pack.fullName, runs)
   }
 

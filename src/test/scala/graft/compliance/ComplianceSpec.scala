@@ -85,6 +85,22 @@ class ComplianceSpec extends SparkSpec {
     assert(ComplianceResult.ValidSeverities.contains(r.severity))
   }
 
+  test("parallel mode returns byte-identical results in pack order") {
+    CorkscrewFixtures.register(spark)
+    val params = Map[String, Any]("trusted_kms_keys" ->
+      "arn:aws:kms:us-east-1:123456789012:key/trusted-key-123")
+    val seq = ComplianceExecutor.run(spark, pack, params)
+    val par = ComplianceExecutor.run(spark, pack, params, parallelism = 4)
+    assert(par.runs.map(_.queryId) == seq.runs.map(_.queryId), "order changed")
+    assert(par.runs.map(r => (r.queryId, r.results, r.error, r.truncated)) ==
+      seq.runs.map(r => (r.queryId, r.results, r.error, r.truncated)))
+    // continue-on-error survives concurrency: a missing param in one
+    // query must not poison its siblings
+    val par2 = ComplianceExecutor.run(spark, pack, Map.empty, parallelism = 4)
+    assert(par2.runs.find(_.queryId == "CCC.ObjStor.C01").get.error.isDefined)
+    assert(par2.runs.find(_.queryId == "CCC.ObjStor.C02").get.error.isEmpty)
+  }
+
   test("missing required parameter is a per-query error, run continues") {
     CorkscrewFixtures.register(spark)
     val run = ComplianceExecutor.run(spark, pack, Map.empty)
