@@ -1264,6 +1264,56 @@ object PipelineQueries {
       .withColumn("rank", col("rank").cast("bigint"))
   val s6Oracle = topKEchoOracle("q_s6_ivf_indexed")
 
+  /** S7: the full embedding-dedup pipeline as an audit MANIFEST — the
+    * vector twin of q_d6: LSH cosine pairs → connected components →
+    * keeper decision per input vector, with the direct witness and its
+    * exact cosine as evidence. The oracle demands an id BIJECTION with
+    * the embeddings corpus (deleted/fabricated rows turn it red),
+    * recomputes every witnessed row's cosine exactly in DuckDB, and
+    * checks keeper consistency (survivor ⟺ keeper = id; dropped rows
+    * have a witness, a smaller keeper, and that keeper is a survivor).
+    */
+  val s7EmbedDedupManifest: Q = (s, d) =>
+    Similarity.embeddingDedupManifest(t(s, d, "embeddings"),
+      "vec_id", "embedding", threshold = 0.4, nBits = 5, tables = 16)
+  val s7Oracle =
+    s"""WITH sp AS (
+       |  SELECT * FROM '__SPARK_OUT__/q_s7_embed_dedup_manifest/*.parquet'),
+       |ok AS (SELECT
+       |    (SELECT COUNT(*) FROM sp) = (SELECT COUNT(*) FROM embeddings)
+       |    AND (SELECT COUNT(DISTINCT id) FROM sp) = (SELECT COUNT(*) FROM sp)
+       |    AND NOT EXISTS (SELECT 1 FROM embeddings e
+       |                    WHERE e.vec_id NOT IN (SELECT id FROM sp))
+       |    AS complete),
+       |e AS (
+       |  SELECT vec_id, embedding,
+       |    SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+       |          FROM (SELECT UNNEST(embedding) AS x) ux)) AS nrm
+       |  FROM embeddings
+       |  WHERE vec_id IN (SELECT id FROM sp WHERE witness_id IS NOT NULL
+       |                   UNION SELECT witness_id FROM sp
+       |                   WHERE witness_id IS NOT NULL)),
+       |w AS (
+       |  SELECT sp.id,
+       |    ROUND(CASE WHEN a.nrm * b.nrm = 0 THEN 0.0 ELSE
+       |      (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+       |       FROM (SELECT UNNEST(a.embedding) AS x, UNNEST(b.embedding) AS y) u)
+       |      / (a.nrm * b.nrm) END, 6) AS c
+       |  FROM sp JOIN e a ON a.vec_id = sp.id
+       |          JOIN e b ON b.vec_id = sp.witness_id
+       |  WHERE sp.witness_id IS NOT NULL)
+       |SELECT sp.id, sp.keeper_id, sp.is_survivor, sp.witness_id,
+       |       sp.witness_cosine
+       |FROM sp JOIN embeddings ev ON ev.vec_id = sp.id
+       |LEFT JOIN w ON w.id = sp.id
+       |WHERE (SELECT complete FROM ok)
+       |  AND sp.is_survivor = (sp.keeper_id = sp.id)
+       |  AND (sp.witness_id IS NULL OR (sp.witness_id <> sp.id
+       |       AND w.c = sp.witness_cosine AND w.c >= 0.4))
+       |  AND (sp.is_survivor OR (sp.witness_id IS NOT NULL
+       |       AND sp.keeper_id < sp.id
+       |       AND sp.keeper_id IN (SELECT id FROM sp WHERE is_survivor)))""".stripMargin
+
   // ===== streaming =====================================================
 
   /** ST2: the streaming SimHash near-dup family under a driver-visible
@@ -1386,6 +1436,7 @@ object PipelineQueries {
     "q_s4_ivf_topk" -> s4IvfTopK,
     "q_s5_cosine_neardup" -> s5CosineNearDup,
     "q_s6_ivf_indexed" -> s6IvfIndexed,
+    "q_s7_embed_dedup_manifest" -> s7EmbedDedupManifest,
     "q_st2_stream_neardup" -> st2StreamNearDup)
 
   val oracles: Map[String, String] = Map(
@@ -1430,5 +1481,6 @@ object PipelineQueries {
     "q_s4_ivf_topk" -> s4Oracle,
     "q_s5_cosine_neardup" -> s5Oracle,
     "q_s6_ivf_indexed" -> s6Oracle,
+    "q_s7_embed_dedup_manifest" -> s7Oracle,
     "q_st2_stream_neardup" -> st2Oracle)
 }

@@ -585,4 +585,43 @@ object Similarity {
         .select("id_a", "id_b", "cosine_sim")
     }
   }
+
+  /** Embedding-space near-dedup MANIFEST — the vector twin of
+    * [[Dedup.dedupNearManifest]]: LSH-bucketed cosine pairs
+    * ([[cosineNearDups]]) → connected-component clusters → one row per
+    * INPUT vector with its keep/drop decision and direct evidence.
+    * `keeper_id` is the min id of the vector's near-dup cluster (its own
+    * id when unpaired), `witness_id` the smallest direct partner from
+    * the verified pair set, `witness_cosine` the exact cosine to it
+    * (≥ threshold by construction, recomputable by any verifier).
+    *
+    * Completeness is externally checkable exactly as for the text
+    * manifest: the id set is a bijection with the corpus, so deleted or
+    * fabricated rows are detectable without rebuilding the hash-specific
+    * candidate graph. Scale shape: [[cosineNearDups]] (banded, never
+    * all-pairs) + CC over the pair graph + two narrow id joins — no
+    * stage touches the embedding column beyond the bucket scan.
+    */
+  def embeddingDedupManifest(vectors: DataFrame, idCol: String,
+      vecCol: String, threshold: Double = 0.95, nBits: Int = 10,
+      tables: Int = 8): DataFrame = {
+    val pairs = cosineNearDups(vectors, idCol, vecCol, threshold, nBits, tables)
+    val clusters = Dedup.dupClusters(pairs)
+    // smallest direct partner as a struct min: lexicographic on (w, c),
+    // w unique per id, so the pick is deterministic
+    val wit = pairs
+      .select(col("id_a").as("id"),
+        struct(col("id_b").as("w"), col("cosine_sim").as("c")).as("wc"))
+      .unionByName(pairs.select(col("id_b").as("id"),
+        struct(col("id_a").as("w"), col("cosine_sim").as("c")).as("wc")))
+      .groupBy("id").agg(min("wc").as("wc"))
+    vectors.select(col(idCol).as("id"))
+      .join(clusters.select(col("id"), col("cluster_id")), Seq("id"), "left")
+      .join(wit, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster_id"), col("id")).as("keeper_id"),
+        (coalesce(col("cluster_id"), col("id")) === col("id")).as("is_survivor"),
+        col("wc.w").as("witness_id"),
+        col("wc.c").as("witness_cosine"))
+  }
 }

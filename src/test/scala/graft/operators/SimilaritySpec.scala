@@ -201,4 +201,41 @@ class SimilaritySpec extends SparkSpec {
     assert(after == before,
       s"function registry grew $before -> $after across ivfIndex calls")
   }
+
+  test("embedding dedup manifest: bijection, keeper rules, witness parity with pairs") {
+    val thr = 0.4
+    val manifest = Similarity.embeddingDedupManifest(emb, "vec_id",
+      "embedding", threshold = thr, nBits = 5, tables = 16)
+      .select("id", "keeper_id", "is_survivor", "witness_id", "witness_cosine")
+      .as[(Long, Long, Boolean, Option[Long], Option[Double])].collect()
+    val pairs = Similarity.cosineNearDups(emb, "vec_id", "embedding",
+      threshold = thr, nBits = 5, tables = 16)
+      .as[(Long, Long, Double)].collect()
+    // bijection with the corpus
+    val ids = emb.select("vec_id").as[Long].collect().toSet
+    assert(manifest.map(_._1).toSet == ids && manifest.length == ids.size)
+    val survivors = manifest.filter(_._3).map(_._1).toSet
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    manifest.foreach { case (id, keeper, surv, wit, wc) =>
+      assert(surv == (keeper == id), s"$id: survivor flag inconsistent")
+      if (!paired.contains(id)) {
+        assert(surv && wit.isEmpty, s"unpaired $id must be a keeper-less survivor")
+      } else {
+        // witness = smallest direct partner, cosine matches the pair set
+        val partners = pairs.collect {
+          case (a, b, c) if a == id => (b, c)
+          case (a, b, c) if b == id => (a, c)
+        }
+        val (w, c) = partners.minBy(_._1)
+        assert(wit.contains(w) && wc.exists(x => math.abs(x - c) < 1e-9),
+          s"$id witness mismatch: got ($wit,$wc) want ($w,$c)")
+      }
+      if (!surv) {
+        assert(keeper < id && survivors.contains(keeper),
+          s"dropped $id must point at a smaller surviving keeper")
+      }
+    }
+    // at least one real duplicate exists in the fixture, else vacuous
+    assert(manifest.exists(!_._3), "fixture has no near-dup to drop")
+  }
 }

@@ -53,6 +53,7 @@ TARGETS = {
         "(SELECT MIN(id_a) FROM src WHERE id_b - id_a = 1000000000)",
     # corpus-bijection guard: drop one manifest row
     "q_d6_dedup_near": "doc_id = (SELECT MIN(doc_id) FROM src)",
+    "q_s7_embed_dedup_manifest": "id = (SELECT MIN(id) FROM src)",
     # candidate-set equality guard: drop one heavy hitter
     "q_t16_cms_heavyhitters": "token = (SELECT MIN(token) FROM src)",
     # source-coverage guard: drop the union row
