@@ -6,9 +6,29 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared local session for all specs (one JVM, forked by sbt). */
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
+
+  /** Spec-scoped temp dir under a per-JVM root that a shutdown hook
+    * removes — so repeated test runs leave no graft-* litter in /tmp.
+    */
+  def tempDir(prefix: String): java.nio.file.Path = SparkSpec.tempDir(prefix)
 }
 
 object SparkSpec {
+  private lazy val tempRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft-spec")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      try {
+        val walk = java.nio.file.Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      } catch { case _: Throwable => () } // exit-time best effort
+    }))
+    root
+  }
+
+  def tempDir(prefix: String): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory(tempRoot, prefix)
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")

@@ -64,7 +64,7 @@ class ResourceCatalogSpec extends SparkSpec {
   }
 
   test("parquet table store round-trips") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-store").toString
+    val dir = tempDir("graft-store").toString
     val store = new ParquetTableStore(dir)
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     store.overwrite(df, "t")

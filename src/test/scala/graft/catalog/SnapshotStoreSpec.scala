@@ -12,7 +12,7 @@ class SnapshotStoreSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
   private def freshStore() = {
-    val dir = Files.createTempDirectory("graft-snap").toString
+    val dir = tempDir("graft-snap").toString
     (dir, new SnapshotTableStore(dir))
   }
 

@@ -140,7 +140,7 @@ class ComplianceSpec extends SparkSpec {
     // Replica of the reference manifest's structural surface
     // (pkg/query/compliance/packs/cfi/ccc-storage/manifest.yaml):
     // structured depends_on maps, parameter validation + examples blocks.
-    val dir = java.nio.file.Files.createTempDirectory("graft-manifest")
+    val dir = tempDir("graft-manifest")
     java.nio.file.Files.createDirectories(dir.resolve("queries"))
     java.nio.file.Files.writeString(dir.resolve("queries/q.sql"), "SELECT 1")
     java.nio.file.Files.writeString(dir.resolve("manifest.yaml"),

@@ -12,7 +12,7 @@ import PackRegistry._
   */
 class PackRegistrySpec extends AnyFunSuite {
 
-  private def tmpDir(): Path = Files.createTempDirectory("graft-registry")
+  private def tmpDir(): Path = graft.SparkSpec.tempDir("graft-registry")
   private def client(cachePath: Path,
       transport: RegistryTransport = NoTransport,
       offline: Boolean = true,

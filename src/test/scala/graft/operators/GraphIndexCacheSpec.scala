@@ -40,7 +40,7 @@ class GraphIndexCacheSpec extends SparkSpec {
 
   test("overwriting a scanned parquet invalidates the index with no TTL wait") {
     GraphIndexCache.clear()
-    val dir = java.nio.file.Files.createTempDirectory("gic_overwrite").toString
+    val dir = tempDir("gic-overwrite").toString
     edgeDf(5).write.mode("overwrite").parquet(dir)
     val r1 = Graph.reachFrom(spark.read.parquet(dir),
         Seq("v0").toDF("id"), 20).collect()

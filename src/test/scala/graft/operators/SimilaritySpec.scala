@@ -100,7 +100,7 @@ class SimilaritySpec extends SparkSpec {
     // partitions, and returns exactly what the in-memory probe returns.
     val (centroids, assigned) = Similarity.ivfIndex(emb, "vec_id",
       "embedding", nCells = 8)
-    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val dir = tempDir("graft-ivf").toString
     Similarity.ivfWriteIndex(centroids, assigned, dir)
     val queries = emb.limit(5).select(col("vec_id").as("query_id"),
       col("embedding").cast("array<float>").as("qvec"))

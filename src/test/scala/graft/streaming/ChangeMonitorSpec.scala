@@ -15,7 +15,7 @@ class ChangeMonitorSpec extends SparkSpec {
     val input = MemoryStream[(Long, String, Double)]
     val events = input.toDF().toDF("event_id", "event_type", "value")
     val seen = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
-    val checkpoint = java.nio.file.Files.createTempDirectory("graft-ck").toString
+    val checkpoint = tempDir("graft-ck").toString
     val q = ChangeMonitor.monitor(events, checkpoint, "100 milliseconds") {
       (batch, id) => seen.synchronized { seen += ((id, batch.count())) }
     }
