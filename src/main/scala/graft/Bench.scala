@@ -77,7 +77,13 @@ object Bench {
       } catch { case _: Throwable => -1.0 }
       finally Hygiene.release(spark)
     }
-    val runs = SparkEntry.queries.map { case (name, fn) =>
+    // Iteration aid: SPARK_GRAFT_BENCH_ONLY=q_a,q_b times just those
+    // queries (same methodology); the driver's full sweep leaves it unset.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) =>
+      only.forall(_.contains(n)) }
+    val runs = selected.map { case (name, fn) =>
       val t1 = timeOnce(fn)
       val t2 = if (t1 >= 0) timeOnce(fn) else -1.0
       val best2 = if (t2 >= 0) math.min(t1, t2) else t1

@@ -1579,6 +1579,176 @@ object Queries {
       |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
       |FROM u GROUP BY version, event_type""".stripMargin
 
+  /** K2: KQL `join kind=leftouter` pipeline (J6,
+    * resource_graph.go:268-277 — `Resources | where | join kind=leftouter
+    * (ResourceContainers | project ...) on resourceGroup | summarize
+    * count() by ...`). The right side is filtered so some keys have no
+    * container match, making the left-outer semantics observable: the
+    * unmatched group surfaces as the NULL-name row. Catalyst broadcasts
+    * the tiny container dim — at 100 TB the left side streams map-side.
+    */
+  val k2KqlLeftouter: Q = (s, d) => {
+    val containers = Kql.project(
+      Kql.where(t(s, d, "nation"), col("n_regionkey") < 3)
+        .withColumn("nationkey", col("n_nationkey")),
+      "nationkey", "n_name")
+    val resources = Kql.where(t(s, d, "customer"), col("c_acctbal") > 0)
+      .withColumn("nationkey", col("c_nationkey"))
+    val joined = Kql.joinLeftOuter(resources, containers, "nationkey")
+    Kql.take(Kql.orderBy(Kql.summarizeCount(joined, "n_name"),
+      ("count_", false), ("n_name", true)), 30)
+  }
+  val k2Oracle =
+    """SELECT n_name, COUNT(*) AS count_
+      |FROM customer c
+      |LEFT JOIN (SELECT n_nationkey, n_name FROM nation WHERE n_regionkey < 3) n
+      |  ON c.c_nationkey = n.n_nationkey
+      |WHERE c.c_acctbal > 0
+      |GROUP BY n_name ORDER BY count_ DESC, n_name ASC LIMIT 30""".stripMargin
+
+  /** E10+S6: scan aggregation over the unified cross-provider view
+    * (multi_region_scanner.go:260-360 merge + unified_schema.go:432-480
+    * `all_cloud_resources`/`resource_counts_by_provider`), fed by a REAL
+    * first-write-wins resource upsert ([[graft.catalog.ResourceCatalog
+    * .upsertResources]], `INSERT OR IGNORE` semantics of
+    * graph_loader.go:189-216). The aws side merges two overlapping
+    * supplier-derived batches — overlap keys keep the EXISTING row's
+    * scanned_at, so a wrong merge direction shifts first/last_scanned and
+    * turns the driver red. The rollup is one partial-aggregated groupBy;
+    * the upsert shuffles only on the id key.
+    */
+  val e10ScanRollup: Q = (s, d) => {
+    def supFrame(df: DataFrame, offsetSec: Int) = df.select(
+      concat(lit("s"), col("s_suppkey")).as("id"),
+      col("s_name").as("name"),
+      lit("Instance").as("type"),
+      concat(lit("svc-"), pmod(col("s_suppkey"), lit(4))).as("service"),
+      concat(lit("region-"), pmod(col("s_nationkey"), lit(5))).as("region"),
+      concat(lit("acct-"), pmod(col("s_suppkey"), lit(7))).as("account_id"),
+      lit("{}").as("tags"),
+      expr(s"TIMESTAMP '2025-01-01 00:00:00' + " +
+        s"make_interval(0, 0, 0, 0, 0, 0, s_suppkey + $offsetSec)")
+        .as("scanned_at"))
+    val sup = t(s, d, "supplier")
+    val merged = graft.catalog.ResourceCatalog.upsertResources(
+      supFrame(sup.filter(pmod(col("s_suppkey"), lit(2)) === 0), 0),
+      supFrame(sup.filter(pmod(col("s_suppkey"), lit(3)) === 0), 500000))
+    val azure = t(s, d, "customer").select(
+      concat(lit("c"), col("c_custkey")).as("id"),
+      col("c_name").as("name"),
+      lit("StorageAccount").as("type"),
+      concat(lit("svc-"), pmod(col("c_custkey"), lit(3))).as("service"),
+      concat(lit("region-"), pmod(col("c_nationkey"), lit(5))).as("region"),
+      concat(lit("acct-"), pmod(col("c_custkey"), lit(11))).as("account_id"),
+      lit("{}").as("tags"),
+      expr("TIMESTAMP '2025-01-01 00:00:00' + " +
+        "make_interval(0, 0, 0, 0, 0, 0, c_custkey)").as("scanned_at"))
+    graft.catalog.ResourceCatalog.resourceCountsByProvider(
+      graft.catalog.ResourceCatalog.allCloudResources(
+        Seq(("aws", merged, Map.empty[String, String]),
+          ("azure", azure, Map.empty[String, String]))))
+  }
+  val e10Oracle =
+    """WITH ex AS (SELECT s_suppkey AS k, s_nationkey AS nk FROM supplier
+      |            WHERE s_suppkey % 2 = 0),
+      |inc AS (SELECT s_suppkey AS k, s_nationkey AS nk FROM supplier
+      |        WHERE s_suppkey % 3 = 0),
+      |aws AS (
+      |  SELECT k, nk,
+      |    TIMESTAMP '2025-01-01 00:00:00' + k * INTERVAL 1 SECOND AS scanned_at
+      |  FROM ex
+      |  UNION ALL
+      |  SELECT k, nk,
+      |    TIMESTAMP '2025-01-01 00:00:00' + (k + 500000) * INTERVAL 1 SECOND
+      |  FROM inc WHERE k NOT IN (SELECT k FROM ex)),
+      |all_res AS (
+      |  SELECT 'aws' AS provider,
+      |    'svc-' || CAST(k % 4 AS STRING) AS service,
+      |    'region-' || CAST(nk % 5 AS STRING) AS region,
+      |    'acct-' || CAST(k % 7 AS STRING) AS account_id, scanned_at
+      |  FROM aws
+      |  UNION ALL
+      |  SELECT 'azure', 'svc-' || CAST(c_custkey % 3 AS STRING),
+      |    'region-' || CAST(c_nationkey % 5 AS STRING),
+      |    'acct-' || CAST(c_custkey % 11 AS STRING),
+      |    TIMESTAMP '2025-01-01 00:00:00' + c_custkey * INTERVAL 1 SECOND
+      |  FROM customer)
+      |SELECT provider, COUNT(*) AS resource_count,
+      |  COUNT(DISTINCT service) AS service_count,
+      |  COUNT(DISTINCT region) AS location_count,
+      |  COUNT(DISTINCT account_id) AS account_count,
+      |  MIN(scanned_at) AS first_scanned, MAX(scanned_at) AS last_scanned
+      |FROM all_res GROUP BY provider""".stripMargin
+
+  /** E14: retention applied as a driver-checked query
+    * (change_storage.go:283-295 `DELETE FROM change_events WHERE
+    * timestamp < ?`; on parquet the delete is a filtered rewrite —
+    * partition drop by date at scale). The per-type rollup pins both the
+    * boundary (oldest_kept ≥ cutoff) and that nothing newer was dropped.
+    */
+  val e14Retention: Q = (s, d) => {
+    val kept = graft.catalog.ResourceCatalog.applyRetention(
+      t(s, d, "events"), "ts",
+      java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+    kept.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_kept"),
+        min("ts").as("oldest_kept"), max("ts").as("newest_kept"))
+  }
+  val e14Oracle =
+    """SELECT event_type, COUNT(*) AS n_kept,
+      |  MIN(ts) AS oldest_kept, MAX(ts) AS newest_kept
+      |FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+      |GROUP BY event_type""".stripMargin
+
+  /** ST3/S3: the K8s informer watch-merge
+    * ([[graft.streaming.ChangeMonitor.applyWatchBatch]],
+    * informer_cache.go:78-110 ADDED/MODIFIED/DELETED upsert) replayed as
+    * a batch query. State = last even-id event per user; batch = odd-id
+    * events with a derived watch type; the merge keeps untouched state
+    * rows, overwrites with the batch's last event per key, and drops
+    * DELETED keys. The ordering column is the unique event_id (informer
+    * events are sequenced), so last-event-wins is deterministic. The
+    * oracle replays the merge relationally — wrong precedence, leaked
+    * DELETED keys, or lost survivors all change rows.
+    */
+  val st3WatchUpsert: Q = (s, d) => {
+    val ev = t(s, d, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+    val state = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col("user_id"), col("value"), col("event_id").as("ord"))
+    val batch = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+      .withColumn("watch_type",
+        when(pmod(col("event_id"), lit(7)) === 0, "DELETED")
+          .when(pmod(col("event_id"), lit(7)) < 4, "MODIFIED")
+          .otherwise("ADDED"))
+      .select(col("user_id"), col("value"), col("event_id").as("ord"),
+        col("watch_type"))
+    graft.streaming.ChangeMonitor.applyWatchBatch(
+      state, batch, "user_id", "watch_type", "ord")
+  }
+  val st3Oracle =
+    """WITH state AS (
+      |  SELECT user_id, value, event_id AS ord FROM (
+      |    SELECT user_id, value, event_id,
+      |      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+      |    FROM events WHERE event_id % 2 = 0) z WHERE rn = 1),
+      |batch AS (
+      |  SELECT user_id, value, event_id AS ord,
+      |    CASE WHEN event_id % 7 = 0 THEN 'DELETED'
+      |         WHEN event_id % 7 < 4 THEN 'MODIFIED'
+      |         ELSE 'ADDED' END AS watch_type
+      |  FROM events WHERE event_id % 2 = 1),
+      |last_b AS (
+      |  SELECT * FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ord DESC) rn
+      |    FROM batch) z WHERE rn = 1)
+      |SELECT user_id, value, ord FROM state
+      |WHERE user_id NOT IN (SELECT user_id FROM last_b)
+      |UNION ALL
+      |SELECT user_id, value, ord FROM last_b
+      |WHERE watch_type <> 'DELETED'""".stripMargin
+
   // ===== registry ======================================================
 
   val all: Map[String, Q] = Map(
@@ -1613,6 +1783,10 @@ object Queries {
     "q_e18_impact" -> e18Impact,
     "q_e19_score" -> e19Score,
     "q_k1_kql_pipeline" -> k1KqlPipeline,
+    "q_k2_kql_leftouter" -> k2KqlLeftouter,
+    "q_e10_scan_rollup" -> e10ScanRollup,
+    "q_e14_retention" -> e14Retention,
+    "q_st3_watch_upsert" -> st3WatchUpsert,
     "q_g2_reach" -> g2Reach,
     "q_g3_khop" -> g3KHop,
     "q_g4_dependents" -> g4Dependents,
@@ -1699,5 +1873,9 @@ object Queries {
     "q_c4_pack_protection" -> c4Oracle,
     "q_e18_impact" -> e18Oracle,
     "q_e19_score" -> e19Oracle,
-    "q_k1_kql_pipeline" -> k1Oracle)
+    "q_k1_kql_pipeline" -> k1Oracle,
+    "q_k2_kql_leftouter" -> k2Oracle,
+    "q_e10_scan_rollup" -> e10Oracle,
+    "q_e14_retention" -> e14Oracle,
+    "q_st3_watch_upsert" -> st3Oracle)
 }

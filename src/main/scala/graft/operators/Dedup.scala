@@ -288,7 +288,12 @@ object Dedup {
     */
   def dedupNearManifest(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8): DataFrame = {
+    // Eager checkpoint: the CC gate job and the witness aggregation both
+    // consume the pair set — without a barrier each recomputes the full
+    // shingle/minhash/verify pass. Thresholded pairs are tiny vs the
+    // corpus, so the checkpoint is cheap and stays distributed.
     val pairs = minhashNearDups(df, idCol, textCol, threshold)
+      .localCheckpoint(true)
     val clusters = dupClusters(pairs)
     // Smallest direct partner rides as a struct min (lexicographic on
     // (w, jaccard); w is unique per id so the pick is deterministic).

@@ -605,7 +605,13 @@ object Similarity {
   def embeddingDedupManifest(vectors: DataFrame, idCol: String,
       vecCol: String, threshold: Double = 0.95, nBits: Int = 10,
       tables: Int = 8): DataFrame = {
-    val pairs = cosineNearDups(vectors, idCol, vecCol, threshold, nBits, tables)
+    // Two consumers (CC + witness agg) would recompute the banded LSH
+    // scoring pass; the pair set is thresholded survivors only (tiny
+    // relative to the corpus), so an eager local checkpoint materializes
+    // it once and stays distributed — same barrier pattern as
+    // [[Dedup.simhashNearDups]].
+    val pairs = cosineNearDups(vectors, idCol, vecCol, threshold, nBits,
+      tables).localCheckpoint(true)
     val clusters = Dedup.dupClusters(pairs)
     // smallest direct partner as a struct min: lexicographic on (w, c),
     // w unique per id, so the pick is deterministic
