@@ -18,17 +18,29 @@ object Tables {
 
   private val registered = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Read one table of the star schema from `dir`. `events.ts` is stored
-    * as a nanosecond parquet timestamp, which Spark's vectorized reader
-    * rejects — read it as raw nanos and convert to a microsecond
-    * TimestampType (the data has microsecond resolution, so lossless).
+  /** Read one table of the star schema from `dir`, normalizing timestamp
+    * physical encodings across testdata generations so every downstream
+    * query sees session-zone `TimestampType` columns:
+    *   - nanosecond parquet timestamps (older generations; Spark's
+    *     vectorized reader rejects them) are read as raw nanos via
+    *     `nanosAsLong` and floored to microseconds — lossless, the data
+    *     has microsecond resolution;
+    *   - `timestamp[us]` without UTC adjustment (current generation) comes
+    *     back as TIMESTAMP_NTZ, which is cast to TimestampType — an
+    *     identity mapping under the engine's fixed UTC session zone.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    raw.schema.fields.foldLeft(raw) { (df, f) =>
+      f.dataType match {
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn(f.name, col(f.name).cast("timestamp"))
+        case org.apache.spark.sql.types.LongType if f.name == "ts" && name == "events" =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => df
+      }
+    }
   }
 
   /** Register all tables in `dir` as temp views (bare names). Fast no-op if
