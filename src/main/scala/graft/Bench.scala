@@ -65,7 +65,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val skew = new SkewProbe
     spark.sparkContext.addSparkListener(skew)
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A thrown query records its message here; round 7's sweep lost 95
+    // queries to a testdata schema change and the empty run-arrays were the
+    // only (easily missed) evidence. Errors now ride in the JSON and flip
+    // the exit code so a crashed sweep can never read as a successful one.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    def timeOnce(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // Release checkpoint/cache blocks OUTSIDE the timer: ~144 executions
       // otherwise hoard localCheckpoint blocks and drag every later query
@@ -74,7 +80,12 @@ object Bench {
       try {
         fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
-      } catch { case _: Throwable => -1.0 }
+      } catch { case e: Throwable =>
+        errors.getOrElseUpdate(name,
+          Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        -1.0
+      }
       finally Hygiene.release(spark)
     }
     // Iteration aid: SPARK_GRAFT_BENCH_ONLY=q_a,q_b times just those
@@ -84,11 +95,12 @@ object Bench {
     val selected = SparkEntry.queries.filter { case (n, _) =>
       only.forall(_.contains(n)) }
     val runs = selected.map { case (name, fn) =>
-      val t1 = timeOnce(fn)
-      val t2 = if (t1 >= 0) timeOnce(fn) else -1.0
+      val t1 = timeOnce(name, fn)
+      val t2 = if (t1 >= 0) timeOnce(name, fn) else -1.0
       val best2 = if (t2 >= 0) math.min(t1, t2) else t1
       val t3 =
-        if (best2 > 1.0 && IterativePrefixes.exists(name.startsWith)) timeOnce(fn)
+        if (best2 > 1.0 && IterativePrefixes.exists(name.startsWith))
+          timeOnce(name, fn)
         else -1.0
       name -> Seq(t1, t2, t3).filter(_ >= 0)
     }
@@ -118,7 +130,15 @@ object Bench {
     val skewJson = s"""{"shuffle_stages":$shuffleStages,""" +
       s""""worst_max_over_median":${fmt(worstRatio)},""" +
       s""""worst_stage_max_task_mb":${fmt(worstMaxMb)}}"""
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$rs,"probe":${fmt(probe)},"skew":$skewJson,"sf":"$sfDir"}""")
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val errJson = errors.map { case (k, v) => s"${jq(k)}:${jq(v)}" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$rs,"errors":$errJson,"probe":${fmt(probe)},"skew":$skewJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -17,11 +17,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.isEmpty || only.contains(name)) {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
+          failed += name
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }
@@ -48,5 +50,13 @@ object Verify {
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // A query that cannot even dump must fail the run visibly: round 7's
+    // sweep lost 95 dumps to a testdata schema change yet exited 0, so the
+    // driver recorded an all-green 2-query correctness file as success.
+    if (failed.nonEmpty) {
+      System.err.println(
+        s"[verify] ${failed.size} queries failed: ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }
