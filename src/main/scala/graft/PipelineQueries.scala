@@ -594,6 +594,43 @@ object PipelineQueries {
       |  CAST(MAX(ABS(x)) AS INTEGER) AS peak
       |FROM v GROUP BY doc_id""".stripMargin
 
+  /** M5: REAL multi-frame decode + stride sampling — the video completion
+    * of the M1/M4 pattern: every doc gets a deterministic animated-GIF
+    * fixture ([[Multimodal.syntheticGif]] — frame count, dimensions, and
+    * every frame's solid gray are pure arithmetic in doc_id), Spark
+    * REALLY parses the container and decodes every 2nd frame up to 4
+    * (`javax.imageio` GIF sequence reader; only sampled frames are
+    * decoded), and emits the per-frame facts; DuckDB replays the
+    * arithmetic, including the stride-sampling index set, over
+    * generate_series. A fake or broken decoder cannot reproduce the frame
+    * counts/means from GIF bytes.
+    */
+  val m5VideoFrames: Q = (s, d) =>
+    Multimodal.withSampledFrames(
+        t(s, d, "documents").select(col("doc_id"),
+          Multimodal.synthGifPayload(col("doc_id")).as("payload")),
+        stride = 2, maxFrames = 4)
+      .select(col("doc_id"),
+        col("frame.n_frames").as("n_frames"),
+        col("frame.frame_idx").as("frame_idx"),
+        col("frame.width").as("width"),
+        col("frame.height").as("height"),
+        col("frame.avg_r").as("avg_r"),
+        col("frame.avg_g").as("avg_g"),
+        col("frame.avg_b").as("avg_b"))
+  val m5Oracle =
+    """WITH z AS (SELECT doc_id, doc_id % 12 + 2 AS n FROM documents),
+      |f AS (SELECT doc_id, n,
+      |        unnest(generate_series(0, LEAST(n - 1, 6), 2)) AS i FROM z)
+      |SELECT doc_id, CAST(n AS INTEGER) AS n_frames,
+      |  CAST(i AS INTEGER) AS frame_idx,
+      |  CAST(doc_id % 5 + 2 AS INTEGER) AS width,
+      |  CAST(doc_id % 3 + 2 AS INTEGER) AS height,
+      |  CAST((doc_id * 11 + i * 37) % 256 AS DOUBLE) AS avg_r,
+      |  CAST((doc_id * 11 + i * 37) % 256 AS DOUBLE) AS avg_g,
+      |  CAST((doc_id * 11 + i * 37) % 256 AS DOUBLE) AS avg_b
+      |FROM f""".stripMargin
+
   /** T8: corpus bigram statistics — top-40 adjacent token pairs, the
     * n-gram LM-data profiling job. One scan, explode of zipped adjacent
     * tokens, two-phase aggregation.
@@ -1430,6 +1467,7 @@ object PipelineQueries {
     "q_m2_frames" -> m2Frames,
     "q_m3_resize_roundtrip" -> m3ResizeRoundtrip,
     "q_m4_audio_decode" -> m4AudioDecode,
+    "q_m5_video_frames" -> m5VideoFrames,
     "q_s1_topk_bruteforce" -> s1TopKBruteForce,
     "q_s2_cosine_pairs" -> s2CosinePairs,
     "q_s3_lsh_topk" -> s3LshTopK,
@@ -1472,6 +1510,7 @@ object PipelineQueries {
     "q_m2_frames" -> m2Oracle,
     "q_m3_resize_roundtrip" -> m3Oracle,
     "q_m4_audio_decode" -> m4Oracle,
+    "q_m5_video_frames" -> m5Oracle,
     "q_s1_topk_bruteforce" -> s1Oracle,
     "q_s2_cosine_pairs" -> s2Oracle,
     "q_d4_minhash_neardup" -> d4Oracle,

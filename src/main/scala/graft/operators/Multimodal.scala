@@ -6,12 +6,14 @@ import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing for training-data pipelines: image/audio/
   * video travel as opaque `binary` columns with typed metadata alongside.
-  * Image decode, pixel statistics, and resampling are REAL — the base JDK
-  * ships `javax.imageio` (PNG/JPEG/GIF/BMP), no external library needed —
-  * and the Spark-side plumbing (schema, batch iteration, partitioning,
-  * metadata extraction) is a narrow map stage throughout. Audio/video
-  * payloads get container sniffing ([[probeMedia]]) and byte-level
-  * metadata; their sample decode would need codecs the JDK doesn't carry.
+  * All three modalities decode for REAL with base-JDK codecs — pixels via
+  * `javax.imageio` (PNG/JPEG/GIF/BMP; decode, statistics, resample),
+  * audio samples via `javax.sound.sampled` (WAV PCM), multi-frame
+  * containers via the GIF sequence reader ([[decodeFrames]], stride
+  * sampling) — no external library needed. The Spark-side plumbing
+  * (schema, batch iteration, partitioning, metadata extraction) is a
+  * narrow map stage throughout; [[probeMedia]] sniffs containers the JDK
+  * cannot decode (MP3 et al.) at the byte level.
   */
 object Multimodal {
 
@@ -354,6 +356,108 @@ object Multimodal {
     df.withColumn("frame_idx",
       explode(sequence(lit(0),
         least(nFramesCol - 1, lit(maxFrames.toLong * stride)), lit(stride))))
+
+  // ===== real multi-frame (video-shaped) codec =========================
+
+  /** One sampled frame of a multi-frame container: total frame count,
+    * this frame's index, dimensions, and exact per-channel means.
+    */
+  case class FrameMeta(n_frames: Int, frame_idx: Int, width: Int,
+      height: Int, avg_r: Double, avg_g: Double, avg_b: Double)
+
+  /** REAL multi-frame decode with stride sampling, via the base JDK's GIF
+    * sequence reader — the video analogue of [[decodeImage]]/[[decodeWav]]:
+    * animated GIF is the one multi-frame container the JDK can both write
+    * and read losslessly, so it stands in for video the way WAV stands in
+    * for audio. Counts the stored frames, then decodes ONLY every
+    * `stride`-th frame up to `maxFrames` — per-row cost is
+    * O(sampled-frame pixels), not O(all frames), which is the property a
+    * frame-sampling stage exists for. Empty for undecodable payloads.
+    */
+  def decodeFrames(bytes: Array[Byte], stride: Int,
+      maxFrames: Int): Seq[FrameMeta] = {
+    if (bytes == null || stride <= 0 || maxFrames <= 0) return Seq.empty
+    val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+    if (!readers.hasNext) return Seq.empty
+    val reader = readers.next()
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      reader.setInput(iis, false, true)
+      val n = reader.getNumImages(true)
+      (0 until n by stride).take(maxFrames).map { i =>
+        val img = reader.read(i)
+        val w = img.getWidth; val h = img.getHeight
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val np = w.toLong * h
+        FrameMeta(n, i, w, h, sr.toDouble / np, sg.toDouble / np,
+          sb.toDouble / np)
+      }
+    } catch { case _: Exception => Seq.empty }
+    finally reader.dispose()
+  }
+
+  /** Deterministic multi-frame GIF fixture — the video twin of
+    * [[syntheticPng]]/[[syntheticWav]]: `id % 12 + 2` solid-gray frames of
+    * `(id%5+2)`×`(id%3+2)` pixels, frame f filled with gray
+    * `(id*11 + f*37) % 256`, written through the real JDK GIF sequence
+    * writer. GIF is palette-indexed and lossless, so every decoded frame's
+    * channel means equal the fill value exactly — an external oracle can
+    * predict frame count, sampled indexes, dimensions, and means of every
+    * fixture arithmetically without parsing GIF itself.
+    */
+  def syntheticGif(id: Long): Array[Byte] = {
+    val nFrames = (math.floorMod(id, 12) + 2).toInt
+    val w = (math.floorMod(id, 5) + 2).toInt
+    val h = (math.floorMod(id, 3) + 2).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val g = math.floorMod(id * 11 + f.toLong * 37, 256).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val gg = img.createGraphics()
+        try { gg.setColor(new java.awt.Color(g, g, g)); gg.fillRect(0, 0, w, h) }
+        finally gg.dispose()
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  private val synthGifUdf = udf((id: Long) => syntheticGif(id))
+
+  /** Column form of [[syntheticGif]]. */
+  def synthGifPayload(idCol: Column): Column = synthGifUdf(idCol)
+
+  /** Explode REAL sampled frames of a multi-frame payload: one output row
+    * per decoded frame (`frame.*` per [[FrameMeta]]), rows for payloads no
+    * reader accepts are dropped. A narrow map + generator stage — no
+    * shuffle, scales as a per-record decode over any corpus, and only the
+    * sampled frames are ever decoded.
+    */
+  def withSampledFrames(df: DataFrame, stride: Int, maxFrames: Int,
+      payloadCol: String = "payload"): DataFrame = {
+    val framesUdf = udf((b: Array[Byte]) => decodeFrames(b, stride, maxFrames))
+    df.withColumn("frame", explode(framesUdf(col(payloadCol))))
+  }
 
   /** Batched feature extraction via mapPartitions — the Scala analogue of
     * `mapInPandas`: the extractor sees an iterator over a whole partition

@@ -144,6 +144,54 @@ class MediaProbeSpec extends SparkSpec {
       Multimodal.syntheticWav(7L).take(20).toArray).isEmpty)
   }
 
+  test("real multi-frame decode: sampled frames match the GIF arithmetic") {
+    val id = 42L
+    val bytes = Multimodal.syntheticGif(id)
+    assert(Multimodal.probeMedia(bytes).media_type == "image/gif")
+    val n = (id % 12 + 2).toInt          // 8 frames
+    val (w, h) = ((id % 5 + 2).toInt, (id % 3 + 2).toInt)
+    val frames = Multimodal.decodeFrames(bytes, stride = 2, maxFrames = 4)
+    assert(frames.map(_.frame_idx) == (0 until n by 2).take(4))
+    frames.foreach { f =>
+      assert(f.n_frames == n && f.width == w && f.height == h, f.toString)
+      val g = ((id * 11 + f.frame_idx * 37) % 256).toDouble
+      assert(f.avg_r == g && f.avg_g == g && f.avg_b == g, f.toString)
+    }
+    // stride larger than the frame count still yields frame 0
+    assert(Multimodal.decodeFrames(bytes, stride = 100, maxFrames = 4)
+      .map(_.frame_idx) == Seq(0))
+    // a 2-frame fixture (id % 12 == 0) samples only frame 0 at stride 2...
+    assert(Multimodal.decodeFrames(Multimodal.syntheticGif(12L), 2, 4)
+      .map(_.frame_idx) == Seq(0))
+    // ...and both frames at stride 1
+    assert(Multimodal.decodeFrames(Multimodal.syntheticGif(12L), 1, 4)
+      .map(_.frame_idx) == Seq(0, 1))
+  }
+
+  test("multi-frame decode: garbage, null and degenerate args are empty") {
+    assert(Multimodal.decodeFrames("not a gif".getBytes, 2, 4).isEmpty)
+    assert(Multimodal.decodeFrames(null, 2, 4).isEmpty)
+    assert(Multimodal.decodeFrames(Multimodal.syntheticPng(3L), 2, 4).isEmpty)
+    assert(Multimodal.decodeFrames(Multimodal.syntheticGif(5L), 0, 4).isEmpty)
+    assert(Multimodal.decodeFrames(Multimodal.syntheticGif(5L), 2, 0).isEmpty)
+    // truncated container must not throw
+    assert(Multimodal.decodeFrames(
+      Multimodal.syntheticGif(7L).take(10).toArray, 2, 4).isEmpty)
+  }
+
+  test("withSampledFrames explodes real frames, drops undecodables, no shuffle") {
+    val df = Seq((1L, Multimodal.syntheticGif(1L)), (2L, "junk".getBytes))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.withSampledFrames(df, stride = 2, maxFrames = 4)
+      .select(col("doc_id"), col("frame.frame_idx"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(out.forall(_._1 == 1L) && out.map(_._2).sorted.sameElements(
+      (0 until (1 % 12 + 2) by 2).take(4)))
+    val plan = Multimodal.withSampledFrames(df, 2, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("withProbedMeta is a narrow projection over the frame") {
     val df = Seq((1L, png(64, 32)), (2L, "junk".getBytes), (3L, gif(8, 8)))
       .toDF("id", "payload")
