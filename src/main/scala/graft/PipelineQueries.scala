@@ -631,6 +631,51 @@ object PipelineQueries {
       |  CAST((doc_id * 11 + i * 37) % 256 AS DOUBLE) AS avg_b
       |FROM f""".stripMargin
 
+  /** T22: REAL BPE tokenizer — train a 128-merge table on the corpus
+    * (one distributed word-histogram pass + the vocabulary-bounded driver
+    * merge loop, [[Bpe.train]]) and encode every document with the greedy
+    * rank-ordered merge algorithm, emitting per-doc integer accounting.
+    * Oracle split per the q_t20 pattern: `n_pretokens` and `n_chars` are
+    * FULLY replayed by DuckDB from the raw text (BPE concatenation is
+    * exact, so the sum of token lengths must equal the normalized
+    * character count — a broken encoder that drops or duplicates
+    * characters turns this red); `n_tokens` needs the merge loop DuckDB
+    * cannot run, so it is bounded per-doc ([n_pretokens, n_chars]) and
+    * must compress globally (SUM(n_tokens) < SUM(n_chars) — 128 merges
+    * on any natural corpus guarantee it); corpus bijection makes
+    * under-emission driver-visible (tamper-tested). Exact merge-table
+    * and encode semantics are pinned in BpeSpec.
+    */
+  val t22BpeStats: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val model = Bpe.train(docs, "text", nMerges = 128, maxWords = 20000)
+    Bpe.withBpeStats(docs, "doc_id", "text", model)
+  }
+  val t22Oracle =
+    s"""WITH sp AS (
+       |  SELECT * FROM '__SPARK_OUT__/q_t22_bpe_stats/*.parquet'),
+       |f AS (SELECT doc_id,
+       |    CASE WHEN norm = '' THEN 0
+       |         ELSE length(norm) - length(replace(norm, ' ', '')) + 1
+       |    END AS n_pretokens,
+       |    length(replace(norm, ' ', '')) AS n_chars
+       |  FROM (SELECT doc_id, $normSql AS norm FROM documents) z),
+       |ok AS (SELECT
+       |    (SELECT COUNT(*) FROM sp) = (SELECT COUNT(*) FROM documents)
+       |    AND (SELECT COUNT(DISTINCT doc_id) FROM sp)
+       |        = (SELECT COUNT(*) FROM sp)
+       |    AND NOT EXISTS (SELECT 1 FROM f
+       |          WHERE f.doc_id NOT IN (SELECT doc_id FROM sp))
+       |    AND NOT EXISTS (SELECT 1 FROM sp JOIN f ON sp.doc_id = f.doc_id
+       |          WHERE sp.n_pretokens <> f.n_pretokens
+       |             OR sp.n_chars <> f.n_chars
+       |             OR sp.n_tokens < sp.n_pretokens
+       |             OR sp.n_tokens > sp.n_chars)
+       |    AND (SELECT SUM(n_tokens) < SUM(n_chars) FROM sp)
+       |    AS complete)
+       |SELECT sp.doc_id, sp.n_pretokens, sp.n_tokens, sp.n_chars FROM sp
+       |WHERE (SELECT complete FROM ok)""".stripMargin
+
   /** T8: corpus bigram statistics — top-40 adjacent token pairs, the
     * n-gram LM-data profiling job. One scan, explode of zipped adjacent
     * tokens, two-phase aggregation.
@@ -1463,6 +1508,7 @@ object PipelineQueries {
     "q_t19_gopher_rules" -> t19GopherRules,
     "q_t20_lm_score" -> t20LmScore,
     "q_t21_temperature_mixture" -> t21TempMixture,
+    "q_t22_bpe_stats" -> t22BpeStats,
     "q_m1_media_meta" -> m1MediaMeta,
     "q_m2_frames" -> m2Frames,
     "q_m3_resize_roundtrip" -> m3ResizeRoundtrip,
@@ -1506,6 +1552,7 @@ object PipelineQueries {
     "q_t19_gopher_rules" -> t19Oracle,
     "q_t20_lm_score" -> t20Oracle,
     "q_t21_temperature_mixture" -> t21Oracle,
+    "q_t22_bpe_stats" -> t22Oracle,
     "q_m1_media_meta" -> m1Oracle,
     "q_m2_frames" -> m2Oracle,
     "q_m3_resize_roundtrip" -> m3Oracle,

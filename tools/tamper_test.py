@@ -63,6 +63,8 @@ TARGETS = {
         "event_type = (SELECT MIN(event_type) FROM src)",
     # source-coverage guard: drop one source's summary row
     "q_t21_temperature_mixture": "source = (SELECT MIN(source) FROM src)",
+    # corpus-bijection guard: drop one doc's accounting row
+    "q_t22_bpe_stats": "doc_id = (SELECT MIN(doc_id) FROM src)",
 }
 
 if not (SRC / "oracle_sql.json").exists():
