@@ -1008,6 +1008,50 @@ object Queries {
       |  MIN(ts) AS session_start, MAX(ts) AS session_end
       |FROM sess GROUP BY user_id, session_id""".stripMargin
 
+  /** ST4: REAL watermarked tumbling-window aggregation — the canonical
+    * Structured Streaming op, run as an actual availableNow streaming
+    * query over the events fixture (file source → watermark → window →
+    * append-mode memory sink). Append mode emits exactly the windows the
+    * watermark finalizes: end ≤ max(ts) − 30 min, with max(ts) truncated
+    * to millis the way Spark's event-time stats are. That contract IS the
+    * oracle: DuckDB replays the bucketing AND the finalization predicate
+    * relationally — a full-replay cross-engine pin of watermark
+    * semantics, not an echo. Sums run in decimal(18,4) so values are
+    * order-independent across engines.
+    */
+  val st4WindowedAgg: Q = (s, d) => {
+    val sch = s.read.parquet(s"$d/events.parquet").schema
+    // single-FILE source: glob the last char and pin basePath (see ST2)
+    val stream = s.readStream.schema(sch).option("basePath", d)
+      .parquet(s"$d/events.parque*")
+    val ev = Tables.normalizeTimestamps(stream, nanosLongCols = Set("ts"))
+    val agg = graft.streaming.WindowedAgg.tumbling(
+      ev, "ts", "event_type", "value", "1 hour", "30 minutes")
+    val qn = s"graft_st4_${java.util.UUID.randomUUID().toString.take(8)}"
+    val sq = agg.writeStream.format("memory").queryName(qn)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    sq.awaitTermination()
+    val local = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    s.table(qn).collect().foreach(local.add)
+    val localDf = s.createDataFrame(local, s.table(qn).schema)
+    s.catalog.dropTempView(qn)
+    localDf
+  }
+  val st4Oracle =
+    """WITH mx AS (
+      |  SELECT make_timestamp((MAX(epoch_us(ts)) // 1000) * 1000
+      |                        - 1800000000) AS wm FROM events),
+      |b AS (SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |             value FROM events)
+      |SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+      |  event_type, COUNT(*) AS n_events,
+      |  SUM(CAST(value AS DECIMAL(18,4))) AS sum_value
+      |FROM b GROUP BY 1, 3
+      |HAVING window_start + INTERVAL 1 HOUR <= (SELECT wm FROM mx)"""
+      .stripMargin
+
   /** X3: as-of join (beyond the reference) — each event enriched with the
     * user's most recent purchase at that moment. Spark side is the
     * union+window composition (operators.AsofJoin, one shuffle); oracle is
@@ -1813,7 +1857,8 @@ object Queries {
     "q_x2_interval" -> x2Interval,
     "q_x3_asof_join" -> x3AsofJoin,
     "q_x4_range_join" -> x4RangeJoin,
-    "q_st1_sessionize" -> st1Sessionize)
+    "q_st1_sessionize" -> st1Sessionize,
+    "q_st4_windowed_agg" -> st4WindowedAgg)
 
   val oracles: Map[String, String] = Map(
     "q_p1_projection" -> p1Oracle,
@@ -1854,6 +1899,7 @@ object Queries {
     "q_x1_scalar_battery" -> x1Oracle,
     "q_x2_interval" -> x2Oracle,
     "q_st1_sessionize" -> st1Oracle,
+    "q_st4_windowed_agg" -> st4Oracle,
     "q_g6_components" -> g6Oracle,
     "q_x3_asof_join" -> x3Oracle,
     "q_x4_range_join" -> x4Oracle,

@@ -31,17 +31,29 @@ object Tables {
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    normalizeTimestamps(spark.read.parquet(s"$dir/$name.parquet"),
+      nanosLongCols = if (name == "events") Set("ts") else Set.empty)
+  }
+
+  /** Normalize a frame's timestamp physical encodings to session-zone
+    * `TimestampType` (see [[load]]). Works on batch AND streaming frames —
+    * the streaming queries reading raw fixture parquet reuse it so their
+    * event-time columns match what every batch query sees. `nanosLongCols`
+    * names columns that are raw nanosecond longs in older testdata
+    * generations.
+    */
+  def normalizeTimestamps(raw: DataFrame,
+      nanosLongCols: Set[String] = Set.empty): DataFrame =
     raw.schema.fields.foldLeft(raw) { (df, f) =>
       f.dataType match {
         case org.apache.spark.sql.types.TimestampNTZType =>
           df.withColumn(f.name, col(f.name).cast("timestamp"))
-        case org.apache.spark.sql.types.LongType if f.name == "ts" && name == "events" =>
-          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.LongType if nanosLongCols(f.name) =>
+          df.withColumn(f.name,
+            timestamp_micros(expr(s"${f.name} div 1000")))
         case _ => df
       }
     }
-  }
 
   /** Register all tables in `dir` as temp views (bare names). Fast no-op if
     * this session already points at `dir`.
