@@ -17,6 +17,13 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO's default stream cache backs every read/write with a temp
+  // FILE (FileCache*ImageStream) — per-row disk IO plus a global cache-dir
+  // lock that serializes 32 decode threads. Payloads here are KB-sized;
+  // memory-cached streams are strictly better (measured on q_m5: the GIF
+  // write+decode scan dropped ~4x once the temp-file path was off).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Metadata schema carried next to every binary payload. */
   val mediaMetaSchema: StructType = StructType(Seq(
     StructField("n_bytes", LongType, nullable = false),
