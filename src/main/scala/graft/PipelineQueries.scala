@@ -1434,16 +1434,7 @@ object PipelineQueries {
         .select((col("doc_id") + lit(PlantOffset)).as("doc_id"), col("text")))
     val hits = graft.streaming.StreamingDedup.nearSimhash(
       planted.as[(Long, String)], maxHamming = 3, maxBucket = 1 << 20)
-    val qn = s"graft_st2_${java.util.UUID.randomUUID().toString.take(8)}"
-    val sq = hits.writeStream.format("memory").queryName(qn)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    sq.awaitTermination()
-    val local = new java.util.ArrayList[org.apache.spark.sql.Row]()
-    s.table(qn).collect().foreach(local.add)
-    val localDf = s.createDataFrame(local, s.table(qn).schema)
-    s.catalog.dropTempView(qn)
+    val localDf = graft.streaming.Replay.availableNow(hits.toDF())
     val pairs = localDf.select(
         least(col("docId"), col("dupOfId")).as("id_a"),
         greatest(col("docId"), col("dupOfId")).as("id_b"),

@@ -1027,17 +1027,7 @@ object Queries {
     val ev = Tables.normalizeTimestamps(stream, nanosLongCols = Set("ts"))
     val agg = graft.streaming.WindowedAgg.tumbling(
       ev, "ts", "event_type", "value", "1 hour", "30 minutes")
-    val qn = s"graft_st4_${java.util.UUID.randomUUID().toString.take(8)}"
-    val sq = agg.writeStream.format("memory").queryName(qn)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    sq.awaitTermination()
-    val local = new java.util.ArrayList[org.apache.spark.sql.Row]()
-    s.table(qn).collect().foreach(local.add)
-    val localDf = s.createDataFrame(local, s.table(qn).schema)
-    s.catalog.dropTempView(qn)
-    localDf
+    graft.streaming.Replay.availableNow(agg)
   }
   val st4Oracle =
     """WITH mx AS (

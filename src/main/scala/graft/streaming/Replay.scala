@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+
+/** One-shot deterministic replay of a streaming frame: run it to
+  * completion under an AvailableNow trigger into a memory sink and hand
+  * back the emitted rows as a local batch frame. This is the verification
+  * harness for the streaming operators (q_st2/q_st4) — production runs
+  * write to a real sink with a durable checkpoint.
+  *
+  * The replay's checkpoint is pure scratch (the query is one-shot by
+  * construction), so it goes to tmpfs when the host has one: the state
+  * store's per-partition delta files + offset/commit logs are many small
+  * fsynced writes, and on a disk-backed java.io.tmpdir they dominate the
+  * micro-batch machinery cost. The directory is deleted afterwards either
+  * way.
+  */
+object Replay {
+
+  private def scratchRoot: java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) &&
+        java.nio.file.Files.isWritable(shm)) shm
+    else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+  }
+
+  def availableNow(emitted: DataFrame): DataFrame = {
+    val spark = emitted.sparkSession
+    val qn = s"graft_replay_${java.util.UUID.randomUUID().toString.take(8)}"
+    val ck = scratchRoot.resolve(s"$qn-ck")
+    try {
+      val sq = emitted.writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .option("checkpointLocation", ck.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      // re-create as a local frame so no temp view outlives the query
+      val local = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      spark.table(qn).collect().foreach(local.add)
+      val out = spark.createDataFrame(local, spark.table(qn).schema)
+      spark.catalog.dropTempView(qn)
+      out
+    } finally {
+      if (java.nio.file.Files.exists(ck)) {
+        val walk = java.nio.file.Files.walk(ck)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+    }
+  }
+}
