@@ -1346,6 +1346,116 @@ object PipelineQueries {
       .withColumn("rank", col("rank").cast("bigint"))
   val s6Oracle = topKEchoOracle("q_s6_ivf_indexed")
 
+  /** S8/S9/S10: product quantization — the compressed-index pairing of
+    * IVF for 100 TB ANN ([[Similarity.pqIndex]]/[[Similarity.pqTopK]]).
+    * Three artifacts, each driver-checked:
+    *   - q_s8 emits the trained codebook (echo oracle with structural
+    *     guards: exact (subspace, code) bijection, centroid dimension,
+    *     finiteness — k-means itself is not SQL-replayable, exactly like
+    *     the IVF centroid table);
+    *   - q_s9 emits every vector's per-subspace code, and DuckDB FULLY
+    *     replays the assignment: argmin over the emitted codebook of the
+    *     squared subvector distance, ties to the lowest code, plus a
+    *     (vector × subspace) bijection;
+    *   - q_s10 emits the ADC top-k serving result, and DuckDB recomputes
+    *     the ENTIRE serving path from the emitted index artifacts + raw
+    *     embeddings — it never reads q_s10's own dump, so any wrong,
+    *     missing, or fabricated row mismatches. Float distances stay out
+    *     of every emitted frame (ranks only, ties by id) so no IEEE sum
+    *     is ever compared across engines.
+    */
+  private val PqSubDim = 16 // 64-dim embeddings / 4 subspaces
+  val s8PqCodebook: Q = (s, d) => {
+    val (_, codebook, _) = Similarity.pqIndex(
+      t(s, d, "embeddings"), "vec_id", "embedding")
+    codebook.select(col("subspace").cast("bigint").as("subspace"),
+      col("code").cast("bigint").as("code"), col("centroid"))
+  }
+  val s8Oracle =
+    s"""WITH sp AS (
+       |  SELECT * FROM '__SPARK_OUT__/q_s8_pq_codebook/*.parquet'),
+       |ok AS (SELECT
+       |    (SELECT COUNT(*) FROM sp) = 64
+       |    AND (SELECT COUNT(*) FROM
+       |         (SELECT DISTINCT subspace, code FROM sp) z) = 64
+       |    AND NOT EXISTS (SELECT 1 FROM sp
+       |          WHERE subspace NOT BETWEEN 0 AND 3
+       |             OR code NOT BETWEEN 0 AND 15
+       |             OR len(centroid) <> $PqSubDim
+       |             OR len(list_filter(centroid,
+       |                  x -> NOT isfinite(CAST(x AS DOUBLE)))) > 0)
+       |    AS complete)
+       |SELECT subspace, code, centroid FROM sp
+       |WHERE (SELECT complete FROM ok)""".stripMargin
+
+  val s9PqCodes: Q = (s, d) => {
+    val (_, _, codes) = Similarity.pqIndex(
+      t(s, d, "embeddings"), "vec_id", "embedding")
+    codes.select(col("id").as("vec_id"),
+        posexplode(col("codes")).as(Seq("subspace", "code")))
+      .select(col("vec_id"), col("subspace").cast("bigint").as("subspace"),
+        col("code").cast("bigint").as("code"))
+  }
+  val s9Oracle =
+    s"""WITH sp AS (
+       |  SELECT * FROM '__SPARK_OUT__/q_s9_pq_codes/*.parquet'),
+       |cb AS (SELECT * FROM '__SPARK_OUT__/q_s8_pq_codebook/*.parquet'),
+       |d2 AS (
+       |  SELECT e.vec_id, cb.subspace, cb.code,
+       |    (SELECT SUM((CAST(a AS DOUBLE) - CAST(b AS DOUBLE))
+       |               * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE)))
+       |     FROM (SELECT UNNEST(list_slice(e.embedding,
+       |             cb.subspace * $PqSubDim + 1,
+       |             cb.subspace * $PqSubDim + $PqSubDim)) AS a,
+       |           UNNEST(cb.centroid) AS b) u) AS dd
+       |  FROM embeddings e, cb),
+       |amin AS (
+       |  SELECT vec_id, subspace, code FROM (
+       |    SELECT vec_id, subspace, code, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id, subspace ORDER BY dd, code) AS rn
+       |    FROM d2) z WHERE rn = 1),
+       |ok AS (SELECT
+       |    (SELECT COUNT(*) FROM sp)
+       |      = 4 * (SELECT COUNT(*) FROM embeddings)
+       |    AND (SELECT COUNT(*) FROM
+       |         (SELECT DISTINCT vec_id, subspace FROM sp) z)
+       |      = (SELECT COUNT(*) FROM sp)
+       |    AND NOT EXISTS (SELECT 1 FROM sp
+       |          JOIN amin ON amin.vec_id = sp.vec_id
+       |                   AND amin.subspace = sp.subspace
+       |          WHERE amin.code <> sp.code)
+       |    AS complete)
+       |SELECT vec_id, subspace, code FROM sp
+       |WHERE (SELECT complete FROM ok)""".stripMargin
+
+  val s10PqTopK: Q = (s, d) => {
+    val (model, _, codes) = Similarity.pqIndex(
+      t(s, d, "embeddings"), "vec_id", "embedding")
+    Similarity.pqTopK(model, codes, queryVecs(s, d), k = 10)
+      .withColumn("rank", col("rank").cast("bigint"))
+  }
+  val s10Oracle =
+    s"""WITH cb AS (
+       |  SELECT * FROM '__SPARK_OUT__/q_s8_pq_codebook/*.parquet'),
+       |cd AS (SELECT * FROM '__SPARK_OUT__/q_s9_pq_codes/*.parquet'),
+       |q AS (SELECT vec_id AS query_id, embedding AS qvec
+       |      FROM embeddings WHERE vec_id < 5),
+       |dist AS (
+       |  SELECT q.query_id, cd.vec_id AS id,
+       |    SUM((SELECT SUM((CAST(a AS DOUBLE) - CAST(b AS DOUBLE))
+       |                   * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE)))
+       |         FROM (SELECT UNNEST(list_slice(q.qvec,
+       |                 cb.subspace * $PqSubDim + 1,
+       |                 cb.subspace * $PqSubDim + $PqSubDim)) AS a,
+       |               UNNEST(cb.centroid) AS b) u)) AS dd
+       |  FROM q, cd
+       |  JOIN cb ON cb.subspace = cd.subspace AND cb.code = cd.code
+       |  GROUP BY q.query_id, cd.vec_id)
+       |SELECT query_id,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dd, id) AS rank,
+       |  id
+       |FROM dist QUALIFY rank <= 10""".stripMargin
+
   /** S7: the full embedding-dedup pipeline as an audit MANIFEST — the
     * vector twin of q_d6: LSH cosine pairs → connected components →
     * keeper decision per input vector, with the direct witness and its
@@ -1512,6 +1622,9 @@ object PipelineQueries {
     "q_s5_cosine_neardup" -> s5CosineNearDup,
     "q_s6_ivf_indexed" -> s6IvfIndexed,
     "q_s7_embed_dedup_manifest" -> s7EmbedDedupManifest,
+    "q_s8_pq_codebook" -> s8PqCodebook,
+    "q_s9_pq_codes" -> s9PqCodes,
+    "q_s10_pq_topk" -> s10PqTopK,
     "q_st2_stream_neardup" -> st2StreamNearDup)
 
   val oracles: Map[String, String] = Map(
@@ -1559,5 +1672,8 @@ object PipelineQueries {
     "q_s5_cosine_neardup" -> s5Oracle,
     "q_s6_ivf_indexed" -> s6Oracle,
     "q_s7_embed_dedup_manifest" -> s7Oracle,
+    "q_s8_pq_codebook" -> s8Oracle,
+    "q_s9_pq_codes" -> s9Oracle,
+    "q_s10_pq_topk" -> s10Oracle,
     "q_st2_stream_neardup" -> st2Oracle)
 }

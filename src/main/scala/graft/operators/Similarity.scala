@@ -630,4 +630,130 @@ object Similarity {
         col("wc.w").as("witness_id"),
         col("wc.c").as("witness_cosine"))
   }
+
+  // ===== product quantization (the IVF pairing for 100 TB ANN) =========
+
+  /** A trained PQ model: `books(s)(c)` is subspace `s`'s centroid for
+    * code `c`, each of dimension `dim / books.length`.
+    */
+  final case class PqModel(books: Array[Array[Array[Float]]]) {
+    def nSub: Int = books.length
+    def kCodes: Int = books(0).length
+    def subDim: Int = books(0)(0).length
+  }
+
+  /** Squared Euclidean distance between `v[off, off+n)` and `c[0, n)` —
+    * the fixed left-to-right accumulation every PQ path shares.
+    */
+  private def subD2(v: Seq[Float], off: Int, c: Array[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < c.length) {
+      val d = v(off + i).toDouble - c(i); acc += d * d; i += 1
+    }
+    acc
+  }
+
+  /** Product-quantization index: split the vector into `nSub` contiguous
+    * subspaces, train a `kCodes`-centroid codebook per subspace (the same
+    * bounded driver Lloyd's as [[ivfIndex]], per-subspace seeds), and
+    * encode every vector as its per-subspace argmin code (ties to the
+    * lowest code, matching [[lloyd]]). Returns (model,
+    * codebook frame (subspace, code, centroid), codes frame (id, codes)).
+    *
+    * Scale: the trained model is nSub×kCodes×subDim floats — broadcast
+    * size at any corpus scale — and encoding is one narrow scan. The
+    * codes frame stores nSub small ints per vector: a 64-dim float corpus
+    * compresses ~64×, which is what makes exhaustive ADC scans feasible
+    * where raw-vector scans are not.
+    */
+  def pqIndex(vectors: DataFrame, idCol: String, vecCol: String,
+      nSub: Int = 4, kCodes: Int = 16,
+      seed: Long = 42L): (PqModel, DataFrame, DataFrame) = {
+    init(vectors.sparkSession)
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val base = vectors.select(col(idCol).as("id"),
+      col(vecCol).cast("array<float>").as("vec"))
+    val train = base.sort("id").limit(MaxTrainSample)
+      .select("vec").collect().map(_.getSeq[Float](0).toArray)
+    require(train.nonEmpty, "pq: empty training sample")
+    val dim = train.map(_.length).max
+    require(dim % nSub == 0, s"pq: dim $dim not divisible into $nSub subspaces")
+    val subDim = dim / nSub
+    val books: Array[Array[Array[Float]]] = Array.tabulate(nSub) { s =>
+      val sub = train.map(v =>
+        java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
+      lloyd(sub, kCodes, seed + s, iters = 10)
+    }
+    val model = PqModel(books)
+    val bc = spark.sparkContext.broadcast(books)
+    val encode = udf((v: Seq[Float]) => {
+      val bs = bc.value
+      Array.tabulate(bs.length) { s =>
+        val off = s * bs(s)(0).length
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < bs(s).length) {
+          val dd = subD2(v, off, bs(s)(c))
+          if (dd < bestD) { bestD = dd; best = c }
+          c += 1
+        }
+        best
+      }
+    })
+    val codes = base.withColumn("codes", encode(col("vec")))
+      .select("id", "codes")
+    val codebook = books.zipWithIndex.flatMap { case (b, s) =>
+      b.zipWithIndex.map { case (cent, c) => (s, c, cent.toSeq) }
+    }.toSeq.toDF("subspace", "code", "centroid")
+    (model, codebook, codes)
+  }
+
+  /** Asymmetric-distance (ADC) top-k over a PQ-coded corpus: per query,
+    * precompute the nSub×kCodes table of squared distances from the
+    * query's subvectors to every centroid ONCE on the driver (queries are
+    * a bounded set, like every top-k path here), broadcast it, and score
+    * each coded vector with nSub table lookups + adds — no per-vector
+    * float math at all, which is the entire point of PQ serving at scale.
+    * Emits (query_id, rank, id) ranked by (adc_dist asc, id asc); the
+    * float distance itself stays out of the frame so cross-engine
+    * verification never compares IEEE sums.
+    */
+  def pqTopK(model: PqModel, codes: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    val spark = codes.sparkSession
+    val qs: Array[(Long, Seq[Float])] = queries
+      .select(col("query_id").cast("long"), col("qvec").cast("array<float>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    val tables: Array[(Long, Array[Array[Double]])] = qs.map { case (qid, q) =>
+      qid -> Array.tabulate(model.nSub) { s =>
+        Array.tabulate(model.kCodes) { c =>
+          subD2(q, s * model.subDim, model.books(s)(c)) }
+      }
+    }
+    val bc = spark.sparkContext.broadcast(tables)
+    import spark.implicits._
+    val scored = codes
+      .select(col("id").cast("long"), col("codes"))
+      .as[(Long, Seq[Int])]
+      .mapPartitions { rows =>
+        val ts = bc.value
+        rows.flatMap { case (id, cs) =>
+          ts.iterator.map { case (qid, t) =>
+            var acc = 0.0
+            var s = 0
+            while (s < cs.length) { acc += t(s)(cs(s)); s += 1 }
+            (qid, id, acc)
+          }
+        }
+      }.toDF("query_id", "id", "adc_dist")
+    import org.apache.spark.sql.expressions.Window
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("adc_dist").asc, col("id").asc)))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "id")
+  }
 }

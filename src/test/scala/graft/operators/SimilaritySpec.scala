@@ -140,6 +140,45 @@ class SimilaritySpec extends SparkSpec {
       s"read $readCells of $allCells cells")
   }
 
+  test("PQ: codes are the argmin assignment; a coded query ranks itself first") {
+    val (model, codebook, codes) = Similarity.pqIndex(emb, "vec_id", "embedding")
+    assert(model.nSub == 4 && model.kCodes == 16 && model.subDim == 16)
+    assert(codebook.count() == 64)
+    // re-derive one vector's codes by hand from the model
+    val v = emb.filter(col("vec_id") === 7)
+      .select(col("embedding").cast("array<float>"))
+      .collect().head.getSeq[Float](0)
+    val expected = (0 until model.nSub).map { s =>
+      (0 until model.kCodes).minBy { c =>
+        val cent = model.books(s)(c)
+        (0 until model.subDim).map { i =>
+          val d = v(s * model.subDim + i).toDouble - cent(i); d * d }.sum
+      }
+    }
+    val got = codes.filter(col("id") === 7).select("codes")
+      .collect().head.getSeq[Int](0)
+    assert(got == expected, s"$got != $expected")
+    // ADC serving: the query's own (identically coded) vector must rank
+    // at distance 0 — but ties at 0 break by id, so just require presence
+    // in the top-k and rank-1 to have the query's exact code signature
+    val top = Similarity.pqTopK(model, codes, queries, 5)
+    val byQ = top.collect().groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    byQ.values.foreach(rs => assert(rs.map(_.getInt(1)).toSet == (1 to 5).toSet))
+    byQ.keys.foreach { qid =>
+      assert(byQ(qid).exists(_.getLong(2) == qid),
+        s"query $qid not in its own PQ top-5")
+    }
+  }
+
+  test("PQ training and encoding are deterministic") {
+    val (m1, _, c1) = Similarity.pqIndex(emb, "vec_id", "embedding")
+    val (m2, _, c2) = Similarity.pqIndex(emb, "vec_id", "embedding")
+    assert(m1.books.flatten.flatten.toSeq == m2.books.flatten.flatten.toSeq)
+    assert(c1.orderBy("id").collect().map(_.getSeq[Int](1)).toSeq ==
+      c2.orderBy("id").collect().map(_.getSeq[Int](1)).toSeq)
+  }
+
   test("cosineNearDups (LSH-bucketed) recalls exact pairs, no false positives") {
     val exact = Similarity.bruteForcePairs(emb, "vec_id", "embedding", 0.4)
       .select("id_a", "id_b").collect()
