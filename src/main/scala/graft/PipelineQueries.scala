@@ -1545,17 +1545,17 @@ object PipelineQueries {
     val hits = graft.streaming.StreamingDedup.nearSimhash(
       planted.as[(Long, String)], maxHamming = 3, maxBucket = 1 << 20)
     val localDf = graft.streaming.Replay.availableNow(hits.toDF())
-    val pairs = localDf.select(
+    // hits carry both signatures as evidence, so the canonical (id_a <
+    // id_b) pair frame is a pure projection — no corpus-wide signature
+    // re-derivation join (it cost a second documents scan pre-round-8)
+    val flip = col("docId") > col("dupOfId")
+    localDf.select(
         least(col("docId"), col("dupOfId")).as("id_a"),
         greatest(col("docId"), col("dupOfId")).as("id_b"),
+        when(flip, col("dupOfSh")).otherwise(col("docSh")).as("sh_a"),
+        when(flip, col("docSh")).otherwise(col("dupOfSh")).as("sh_b"),
         col("hamming"))
       .dropDuplicates("id_a", "id_b")
-    val sigs = withPlantedClones(t(s, d, "documents"))
-      .select(col("doc_id"), Dedup.simhash64(col("text")).as("sh"))
-    pairs
-      .join(sigs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sigs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b", "hamming")
   }
   val st2Oracle =
     s"""WITH sp AS (

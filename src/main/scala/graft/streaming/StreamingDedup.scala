@@ -48,9 +48,12 @@ object StreamingDedup {
   final case class BucketState(sigs: List[(Long, Long)], newestTs: Long = 0L)
 
   /** A streaming near-dup candidate: `docId` matched an earlier-seen
-    * `dupOfId` at the given full-signature Hamming distance.
+    * `dupOfId` at the given full-signature Hamming distance. The hit
+    * carries both 64-bit signatures as evidence, so downstream
+    * verification (q_st2) never re-derives them from the corpus.
     */
-  final case class NearDupHit(docId: Long, dupOfId: Long, hamming: Int)
+  final case class NearDupHit(docId: Long, dupOfId: Long, hamming: Int,
+      docSh: Long, dupOfSh: Long)
 
   /** Streaming SimHash near-dup — the ingest-time twin of the batch
     * [[graft.operators.Dedup.simhashNearDups]]: each arriving document's
@@ -174,7 +177,7 @@ object StreamingDedup {
       sigs.foreach { case (oldId, oldSh) =>
         if (oldId != id) {
           val d = java.lang.Long.bitCount(oldSh ^ sh)
-          if (d <= maxHamming) hits += NearDupHit(id, oldId, d)
+          if (d <= maxHamming) hits += NearDupHit(id, oldId, d, sh, oldSh)
         }
       }
       sigs = ((id, sh) :: sigs).take(maxBucket)
