@@ -1456,6 +1456,94 @@ object PipelineQueries {
        |  id
        |FROM dist QUALIFY rank <= 10""".stripMargin
 
+  /** S11/S12: the combined IVF+PQ serving path — the production ANN
+    * architecture ([[Similarity.ivfPqTopK]]): IVF prunes to nProbe=4 of
+    * 16 cells, PQ's ADC tables score the survivors. q_s11 emits the IVF
+    * centroid table (structural echo, like q_s8); q_s12's oracle then
+    * replays the ENTIRE pipeline from emitted artifacts — every vector's
+    * cell assignment (argmin vs the centroid dump), each query's probed
+    * cell set (top-nProbe by distance, ties by cell), and the ADC
+    * ranking over exactly those candidates — without reading q_s12's own
+    * dump. Ranks only, ties by id: no cross-engine float compare.
+    */
+  val s11IvfCentroids: Q = (s, d) => {
+    val (centroids, _) = Similarity.ivfIndex(
+      t(s, d, "embeddings"), "vec_id", "embedding")
+    centroids.select(col("cell").cast("bigint").as("cell"), col("centroid"))
+  }
+  val s11Oracle =
+    """WITH sp AS (
+      |  SELECT * FROM '__SPARK_OUT__/q_s11_ivf_centroids/*.parquet'),
+      |ok AS (SELECT
+      |    (SELECT COUNT(*) FROM sp) = 16
+      |    AND (SELECT COUNT(DISTINCT cell) FROM sp) = 16
+      |    AND NOT EXISTS (SELECT 1 FROM sp
+      |          WHERE cell NOT BETWEEN 0 AND 15
+      |             OR len(centroid) <> 64
+      |             OR len(list_filter(centroid,
+      |                  x -> NOT isfinite(CAST(x AS DOUBLE)))) > 0)
+      |    AS complete)
+      |SELECT cell, centroid FROM sp
+      |WHERE (SELECT complete FROM ok)""".stripMargin
+
+  val s12IvfPqTopK: Q = (s, d) => {
+    val emb = t(s, d, "embeddings")
+    val (centroidsDf, assigned) = Similarity.ivfIndex(emb, "vec_id", "embedding")
+    val cents = centroidsDf.orderBy("cell").collect()
+      .map(_.getSeq[Float](1).toArray)
+    val (model, _, codes) = Similarity.pqIndex(emb, "vec_id", "embedding")
+    Similarity.ivfPqTopK(cents, assigned, model, codes, queryVecs(s, d),
+        k = 10, nProbe = 4)
+      .withColumn("rank", col("rank").cast("bigint"))
+  }
+  val s12Oracle =
+    s"""WITH cb AS (
+       |  SELECT * FROM '__SPARK_OUT__/q_s8_pq_codebook/*.parquet'),
+       |cd AS (SELECT * FROM '__SPARK_OUT__/q_s9_pq_codes/*.parquet'),
+       |ce AS (SELECT * FROM '__SPARK_OUT__/q_s11_ivf_centroids/*.parquet'),
+       |q AS (SELECT vec_id AS query_id, embedding AS qvec
+       |      FROM embeddings WHERE vec_id < 5),
+       |vd AS (
+       |  SELECT e.vec_id, ce.cell,
+       |    (SELECT SUM((CAST(a AS DOUBLE) - CAST(b AS DOUBLE))
+       |               * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE)))
+       |     FROM (SELECT UNNEST(e.embedding) AS a,
+       |                  UNNEST(ce.centroid) AS b) u) AS dd
+       |  FROM embeddings e, ce),
+       |vcell AS (SELECT vec_id, cell FROM (
+       |  SELECT vec_id, cell, ROW_NUMBER() OVER (
+       |    PARTITION BY vec_id ORDER BY dd, cell) AS rn FROM vd) z
+       |  WHERE rn = 1),
+       |qd AS (
+       |  SELECT q.query_id, ce.cell,
+       |    (SELECT SUM((CAST(a AS DOUBLE) - CAST(b AS DOUBLE))
+       |               * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE)))
+       |     FROM (SELECT UNNEST(q.qvec) AS a,
+       |                  UNNEST(ce.centroid) AS b) u) AS dd
+       |  FROM q, ce),
+       |probed AS (SELECT query_id, cell FROM (
+       |  SELECT query_id, cell, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY dd, cell) AS rn FROM qd) z
+       |  WHERE rn <= 4),
+       |dist AS (
+       |  SELECT p.query_id, cd.vec_id AS id,
+       |    SUM((SELECT SUM((CAST(a AS DOUBLE) - CAST(b AS DOUBLE))
+       |                   * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE)))
+       |         FROM (SELECT UNNEST(list_slice(q.qvec,
+       |                 cb.subspace * $PqSubDim + 1,
+       |                 cb.subspace * $PqSubDim + $PqSubDim)) AS a,
+       |               UNNEST(cb.centroid) AS b) u)) AS dd
+       |  FROM probed p
+       |  JOIN vcell v ON v.cell = p.cell
+       |  JOIN q ON q.query_id = p.query_id
+       |  JOIN cd ON cd.vec_id = v.vec_id
+       |  JOIN cb ON cb.subspace = cd.subspace AND cb.code = cd.code
+       |  GROUP BY p.query_id, cd.vec_id)
+       |SELECT query_id,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dd, id) AS rank,
+       |  id
+       |FROM dist QUALIFY rank <= 10""".stripMargin
+
   /** S7: the full embedding-dedup pipeline as an audit MANIFEST — the
     * vector twin of q_d6: LSH cosine pairs → connected components →
     * keeper decision per input vector, with the direct witness and its
@@ -1625,6 +1713,8 @@ object PipelineQueries {
     "q_s8_pq_codebook" -> s8PqCodebook,
     "q_s9_pq_codes" -> s9PqCodes,
     "q_s10_pq_topk" -> s10PqTopK,
+    "q_s11_ivf_centroids" -> s11IvfCentroids,
+    "q_s12_ivfpq_topk" -> s12IvfPqTopK,
     "q_st2_stream_neardup" -> st2StreamNearDup)
 
   val oracles: Map[String, String] = Map(
@@ -1675,5 +1765,7 @@ object PipelineQueries {
     "q_s8_pq_codebook" -> s8Oracle,
     "q_s9_pq_codes" -> s9Oracle,
     "q_s10_pq_topk" -> s10Oracle,
+    "q_s11_ivf_centroids" -> s11Oracle,
+    "q_s12_ivfpq_topk" -> s12Oracle,
     "q_st2_stream_neardup" -> st2Oracle)
 }

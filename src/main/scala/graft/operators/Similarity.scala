@@ -756,4 +756,57 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "id")
   }
+
+  /** The combined IVF+PQ serving path — the production ANN architecture
+    * at 100 TB: IVF prunes the candidate set to each query's `nProbe`
+    * nearest cells (so a disk-partitioned corpus reads nProbe/nCells of
+    * its bytes), and PQ's ADC tables score the survivors with lookups +
+    * adds over the compressed codes. Probed cells resolve on the driver
+    * (queries and centroids are both bounded, ties (d², cell) — the
+    * deterministic order an external oracle can replay); everything else
+    * is one narrow scan of the coded corpus + the final per-query top-k.
+    * Emits (query_id, rank, id) exactly like [[pqTopK]].
+    */
+  def ivfPqTopK(centroids: Array[Array[Float]], assigned: DataFrame,
+      model: PqModel, codes: DataFrame, queries: DataFrame, k: Int,
+      nProbe: Int): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val qs: Array[(Long, Seq[Float])] = queries
+      .select(col("query_id").cast("long"), col("qvec").cast("array<float>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    val perQuery: Array[(Long, Set[Int], Array[Array[Double]])] =
+      qs.map { case (qid, q) =>
+        val probed = centroids.indices
+          .sortBy(c => (subD2(q, 0, centroids(c)), c)).take(nProbe).toSet
+        val tables = Array.tabulate(model.nSub) { s =>
+          Array.tabulate(model.kCodes) { c =>
+            subD2(q, s * model.subDim, model.books(s)(c)) }
+        }
+        (qid, probed, tables)
+      }
+    val bc = spark.sparkContext.broadcast(perQuery)
+    val scored = codes
+      .join(assigned.select(col("id"), col("cell")), Seq("id"))
+      .select(col("id").cast("long"), col("codes"), col("cell").cast("int"))
+      .as[(Long, Seq[Int], Int)]
+      .mapPartitions { rows =>
+        val pq = bc.value
+        rows.flatMap { case (id, cs, cell) =>
+          pq.iterator.collect { case (qid, probed, t) if probed(cell) =>
+            var acc = 0.0
+            var s = 0
+            while (s < cs.length) { acc += t(s)(cs(s)); s += 1 }
+            (qid, id, acc)
+          }
+        }
+      }.toDF("query_id", "id", "adc_dist")
+    import org.apache.spark.sql.expressions.Window
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("adc_dist").asc, col("id").asc)))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "id")
+  }
 }

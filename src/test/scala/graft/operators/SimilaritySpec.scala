@@ -171,6 +171,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF+PQ with nProbe = nCells degenerates to exhaustive ADC exactly") {
+    val (centroidsDf, assigned) = Similarity.ivfIndex(emb, "vec_id", "embedding")
+    val cents = centroidsDf.orderBy("cell").collect()
+      .map(_.getSeq[Float](1).toArray)
+    val (model, _, codes) = Similarity.pqIndex(emb, "vec_id", "embedding")
+    val full = Similarity.pqTopK(model, codes, queries, 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val combined = Similarity.ivfPqTopK(cents, assigned, model, codes,
+        queries, 10, nProbe = cents.length)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(combined == full)
+    // pruned serving still finds each query's own vector (its nearest
+    // cell is probed first, its codes give ADC distance 0)
+    val pruned = Similarity.ivfPqTopK(cents, assigned, model, codes,
+      queries, 10, nProbe = 4).collect()
+    val byQ = pruned.groupBy(_.getLong(0))
+    byQ.foreach { case (qid, rs) =>
+      assert(rs.exists(_.getLong(2) == qid), s"query $qid lost itself") }
+    // pruning can only shrink the candidate pool
+    assert(pruned.length <= full.size)
+  }
+
   test("PQ training and encoding are deterministic") {
     val (m1, _, c1) = Similarity.pqIndex(emb, "vec_id", "embedding")
     val (m2, _, c2) = Similarity.pqIndex(emb, "vec_id", "embedding")

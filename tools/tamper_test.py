@@ -70,6 +70,7 @@ TARGETS = {
     # full serving-path replay: the oracle regenerates all k rows from the
     # index artifacts, so any deleted row mismatches
     "q_s10_pq_topk": "query_id = 0 AND rank = 1",
+    "q_s12_ivfpq_topk": "query_id = 0 AND rank = 1",
 }
 
 if not (SRC / "oracle_sql.json").exists():
