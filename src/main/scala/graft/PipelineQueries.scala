@@ -788,6 +788,41 @@ object PipelineQueries {
       |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
       |FROM sh GROUP BY 1, 2""".stripMargin
 
+  /** T23: fixed-context sequence packing — per-document packing
+    * coordinates in the sharded token stream
+    * ([[TextAnalysis.packSequences]]; ctx 512, 16 shards, whitespace
+    * token counts so the WHOLE computation — sharding, cumulative
+    * offsets, sequence spans — is replayed exactly by DuckDB window
+    * functions). The +1 in the cumulative sum is the EOD separator.
+    */
+  val t23SeqPacking: Q = (s, d) =>
+    TextAnalysis.packSequences(
+        t(s, d, "documents").select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("bigint").as("n_tokens")),
+        "doc_id", "n_tokens", ctxLen = 512, prefixChars = 1)
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("start_off"),
+        col("first_seq"), col("last_seq"), col("n_seqs"), col("head_fill"))
+  val t23Oracle =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens,
+      |    substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, shard, n_tokens,
+      |    CAST(COALESCE(SUM(n_tokens + 1) OVER (PARTITION BY shard
+      |      ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS start_off
+      |  FROM tok)
+      |SELECT doc_id, shard, n_tokens, start_off,
+      |  start_off // 512 AS first_seq,
+      |  GREATEST(start_off + n_tokens - 1, start_off) // 512 AS last_seq,
+      |  GREATEST(start_off + n_tokens - 1, start_off) // 512
+      |    - start_off // 512 + 1 AS n_seqs,
+      |  LEAST(n_tokens, 512 - (start_off % 512)) AS head_fill
+      |FROM c""".stripMargin
+
   /** T11: repetition signals (Gopher-style boilerplate filters) — top
     * bigram share and duplicate-bigram fraction per document.
     */
@@ -1594,6 +1629,73 @@ object PipelineQueries {
        |       AND sp.keeper_id < sp.id
        |       AND sp.keeper_id IN (SELECT id FROM sp WHERE is_survivor)))""".stripMargin
 
+  /** S13: SemDeDup-style semantic near-dedup manifest — clustered
+    * blocking via [[Similarity.semanticDedupManifest]] over the planted
+    * corpus ([[withPlantedVecClones]]): identical-vector clones always
+    * share a k-means cell AND score cosine 1, so their detection is
+    * certain and the oracle REQUIRES each planted pair to share a keeper
+    * with at most one survivor — under-emission (or an empty manifest)
+    * turns the driver red (tools/tamper_test.py). The rest is the q_s7
+    * shape: corpus bijection, keeper consistency, witness-cosine
+    * recompute ≥ threshold, keeper-is-survivor; plus semantic-cell
+    * structural checks (cell in range; witness within the SAME cell —
+    * candidates are generated per cell, so a cross-cell witness is a
+    * fabrication).
+    */
+  val s13SemanticDedup: Q = (s, d) =>
+    Similarity.semanticDedupManifest(
+      withPlantedVecClones(t(s, d, "embeddings")),
+      "vec_id", "embedding", threshold = 0.85, nCells = 16)
+  val s13Oracle =
+    s"""WITH sp AS (
+       |  SELECT * FROM '__SPARK_OUT__/q_s13_semantic_dedup/*.parquet'),
+       |plantv AS ($vecPlantSql),
+       |corpus AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL SELECT vec_id + $PlantOffset, embedding FROM plantv),
+       |ok AS (SELECT
+       |    (SELECT COUNT(*) FROM sp) = (SELECT COUNT(*) FROM corpus)
+       |    AND (SELECT COUNT(DISTINCT id) FROM sp) = (SELECT COUNT(*) FROM sp)
+       |    AND NOT EXISTS (SELECT 1 FROM corpus e
+       |                    WHERE e.vec_id NOT IN (SELECT id FROM sp))
+       |    AND NOT EXISTS (SELECT 1 FROM sp WHERE cell < 0 OR cell >= 16)
+       |    AND NOT EXISTS (SELECT 1 FROM plantv pl
+       |        JOIN sp a ON a.id = pl.vec_id
+       |        JOIN sp b ON b.id = pl.vec_id + $PlantOffset
+       |        WHERE a.keeper_id <> b.keeper_id
+       |           OR (a.is_survivor AND b.is_survivor))
+       |    AS complete),
+       |e AS (
+       |  SELECT vec_id, embedding,
+       |    SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+       |          FROM (SELECT UNNEST(embedding) AS x) ux)) AS nrm
+       |  FROM corpus
+       |  WHERE vec_id IN (SELECT id FROM sp WHERE witness_id IS NOT NULL
+       |                   UNION SELECT witness_id FROM sp
+       |                   WHERE witness_id IS NOT NULL)),
+       |w AS (
+       |  SELECT sp.id,
+       |    ROUND(CASE WHEN a.nrm * b.nrm = 0 THEN 0.0 ELSE
+       |      (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+       |       FROM (SELECT UNNEST(a.embedding) AS x, UNNEST(b.embedding) AS y) u)
+       |      / (a.nrm * b.nrm) END, 6) AS c
+       |  FROM sp JOIN e a ON a.vec_id = sp.id
+       |          JOIN e b ON b.vec_id = sp.witness_id
+       |  WHERE sp.witness_id IS NOT NULL)
+       |SELECT sp.id, sp.cell, sp.keeper_id, sp.is_survivor, sp.witness_id,
+       |       sp.witness_cosine
+       |FROM sp JOIN corpus ev ON ev.vec_id = sp.id
+       |LEFT JOIN w ON w.id = sp.id
+       |LEFT JOIN sp wc ON wc.id = sp.witness_id
+       |WHERE (SELECT complete FROM ok)
+       |  AND sp.is_survivor = (sp.keeper_id = sp.id)
+       |  AND (sp.witness_id IS NULL OR (sp.witness_id <> sp.id
+       |       AND w.c = sp.witness_cosine AND w.c >= 0.85
+       |       AND wc.cell = sp.cell))
+       |  AND (sp.is_survivor OR (sp.witness_id IS NOT NULL
+       |       AND sp.keeper_id < sp.id
+       |       AND sp.keeper_id IN (SELECT id FROM sp WHERE is_survivor)))""".stripMargin
+
   // ===== streaming =====================================================
 
   /** ST2: the streaming SimHash near-dup family under a driver-visible
@@ -1698,6 +1800,7 @@ object PipelineQueries {
     "q_t20_lm_score" -> t20LmScore,
     "q_t21_temperature_mixture" -> t21TempMixture,
     "q_t22_bpe_stats" -> t22BpeStats,
+    "q_t23_seq_packing" -> t23SeqPacking,
     "q_m1_media_meta" -> m1MediaMeta,
     "q_m2_frames" -> m2Frames,
     "q_m3_resize_roundtrip" -> m3ResizeRoundtrip,
@@ -1715,6 +1818,7 @@ object PipelineQueries {
     "q_s10_pq_topk" -> s10PqTopK,
     "q_s11_ivf_centroids" -> s11IvfCentroids,
     "q_s12_ivfpq_topk" -> s12IvfPqTopK,
+    "q_s13_semantic_dedup" -> s13SemanticDedup,
     "q_st2_stream_neardup" -> st2StreamNearDup)
 
   val oracles: Map[String, String] = Map(
@@ -1747,6 +1851,7 @@ object PipelineQueries {
     "q_t20_lm_score" -> t20Oracle,
     "q_t21_temperature_mixture" -> t21Oracle,
     "q_t22_bpe_stats" -> t22Oracle,
+    "q_t23_seq_packing" -> t23Oracle,
     "q_m1_media_meta" -> m1Oracle,
     "q_m2_frames" -> m2Oracle,
     "q_m3_resize_roundtrip" -> m3Oracle,
@@ -1767,5 +1872,6 @@ object PipelineQueries {
     "q_s10_pq_topk" -> s10Oracle,
     "q_s11_ivf_centroids" -> s11Oracle,
     "q_s12_ivfpq_topk" -> s12Oracle,
+    "q_s13_semantic_dedup" -> s13Oracle,
     "q_st2_stream_neardup" -> st2Oracle)
 }

@@ -1042,6 +1042,46 @@ object Queries {
       |HAVING window_start + INTERVAL 1 HOUR <= (SELECT wm FROM mx)"""
       .stripMargin
 
+  /** ST5: stream-stream interval join — each purchase attributed to the
+    * same user's clicks in the preceding 30 minutes
+    * (streaming.StreamJoin: watermarked bounded-state interval join,
+    * run as a real streaming self-join of the events file source). The
+    * fixture is one file → one micro-batch, and an inner join emits
+    * every match in the batch it forms, so the one-shot AvailableNow
+    * replay equals the batch join with the same predicates — which is
+    * exactly what the oracle recomputes from the raw table (full replay,
+    * no echo). Second floors before the gap subtraction in both engines.
+    */
+  val st5StreamJoin: Q = (s, d) => {
+    val sch = s.read.parquet(s"$d/events.parquet").schema
+    // single-FILE source: glob the last char and pin basePath (see ST2)
+    val stream = s.readStream.schema(sch).option("basePath", d)
+      .parquet(s"$d/events.parque*")
+    val ev = Tables.normalizeTimestamps(stream, nanosLongCols = Set("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val joined = graft.streaming.StreamJoin.intervalJoin(
+      purchases, clicks, "user_id", "ts",
+      lookback = "30 minutes", watermarkDelay = "10 minutes")
+    graft.streaming.Replay.availableNow(joined)
+      .select(col("l_event_id").as("purchase_id"),
+        col("r_event_id").as("click_id"),
+        col("l_user_id").as("user_id"),
+        (col("l_ts").cast("long") - col("r_ts").cast("long"))
+          .as("gap_seconds"))
+  }
+  val st5Oracle =
+    """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+      |  p.user_id,
+      |  CAST(epoch_us(p.ts) // 1000000 - epoch_us(c.ts) // 1000000
+      |       AS BIGINT) AS gap_seconds
+      |FROM events p JOIN events c
+      |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+      |  AND p.user_id = c.user_id
+      |  AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts""".stripMargin
+
   /** X3: as-of join (beyond the reference) — each event enriched with the
     * user's most recent purchase at that moment. Spark side is the
     * union+window composition (operators.AsofJoin, one shuffle); oracle is
@@ -1848,7 +1888,8 @@ object Queries {
     "q_x3_asof_join" -> x3AsofJoin,
     "q_x4_range_join" -> x4RangeJoin,
     "q_st1_sessionize" -> st1Sessionize,
-    "q_st4_windowed_agg" -> st4WindowedAgg)
+    "q_st4_windowed_agg" -> st4WindowedAgg,
+    "q_st5_stream_join" -> st5StreamJoin)
 
   val oracles: Map[String, String] = Map(
     "q_p1_projection" -> p1Oracle,
@@ -1890,6 +1931,7 @@ object Queries {
     "q_x2_interval" -> x2Oracle,
     "q_st1_sessionize" -> st1Oracle,
     "q_st4_windowed_agg" -> st4Oracle,
+    "q_st5_stream_join" -> st5Oracle,
     "q_g6_components" -> g6Oracle,
     "q_x3_asof_join" -> x3Oracle,
     "q_x4_range_join" -> x4Oracle,

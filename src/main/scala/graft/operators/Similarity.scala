@@ -510,6 +510,39 @@ object Similarity {
     * exact cosine verifies, so emitted pairs are never false positives.
     * Candidate volume tunes with (nBits, tables), never all pairs.
     */
+  /** Exact-cosine all-pairs WITHIN each row-group of `grouped` (any frame
+    * carrying a `rows` column of `array<struct<id:long,vec:array<float>>>`,
+    * one row per block/bucket/cluster): each group materializes once per
+    * task, a primitive loop scores its pairs, and only thresholded
+    * survivors leave the stage — the shared kernel of the LSH-bucket and
+    * cluster-blocked near-dup paths. Emits canonical `id_a < id_b`.
+    */
+  private def withinGroupPairs(grouped: DataFrame,
+      threshold: Double): DataFrame = {
+    val spark = grouped.sparkSession
+    import spark.implicits._
+    val rowsIdx = grouped.schema.fieldIndex("rows")
+    grouped.flatMap { row =>
+      val (ids, vecs, nrms) =
+        unpackRows(row.getSeq[org.apache.spark.sql.Row](rowsIdx))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      var i = 0
+      while (i < ids.length) {
+        var j = i + 1
+        while (j < ids.length) {
+          val s = scorePair(vecs(i), vecs(j), nrms(i), nrms(j))
+          if (s >= threshold) {
+            if (ids(i) < ids(j)) out += ((ids(i), ids(j), s))
+            else out += ((ids(j), ids(i), s))
+          }
+          j += 1
+        }
+        i += 1
+      }
+      out
+    }.toDF("id_a", "id_b", "cosine_sim")
+  }
+
   def cosineNearDups(vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nBits: Int = 10, tables: Int = 8): DataFrame = {
     import org.apache.spark.sql.types.{IntegerType, LongType}
@@ -543,25 +576,7 @@ object Similarity {
         .groupBy("tbl", "bucket")
         .agg(collect_list(col("r")).as("rows"))
         .repartition(spark.sparkContext.defaultParallelism)
-      val pairs = grouped.flatMap { row =>
-        val (ids, vecs, nrms) =
-          unpackRows(row.getSeq[org.apache.spark.sql.Row](2))
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-        var i = 0
-        while (i < ids.length) {
-          var j = i + 1
-          while (j < ids.length) {
-            val s = scorePair(vecs(i), vecs(j), nrms(i), nrms(j))
-            if (s >= threshold) {
-              if (ids(i) < ids(j)) out += ((ids(i), ids(j), s))
-              else out += ((ids(j), ids(i), s))
-            }
-            j += 1
-          }
-          i += 1
-        }
-        out
-      }.toDF("id_a", "id_b", "cosine_sim")
+      val pairs = withinGroupPairs(grouped, threshold)
         .dropDuplicates("id_a", "id_b")
       if (intIds)
         pairs.select(col("id_a").cast("int"), col("id_b").cast("int"),
@@ -612,6 +627,15 @@ object Similarity {
     // [[Dedup.simhashNearDups]].
     val pairs = cosineNearDups(vectors, idCol, vecCol, threshold, nBits,
       tables).localCheckpoint(true)
+    keeperManifest(vectors.select(col(idCol).as("id")), pairs)
+  }
+
+  /** Verified pairs → connected-component clusters → one keep/drop row
+    * per id of `ids` (a single-column `id` frame) — the shared manifest
+    * tail of the LSH and cluster-blocked dedup paths; column contract
+    * documented at [[embeddingDedupManifest]].
+    */
+  private def keeperManifest(ids: DataFrame, pairs: DataFrame): DataFrame = {
     val clusters = Dedup.dupClusters(pairs)
     // smallest direct partner as a struct min: lexicographic on (w, c),
     // w unique per id, so the pick is deterministic
@@ -621,7 +645,7 @@ object Similarity {
       .unionByName(pairs.select(col("id_b").as("id"),
         struct(col("id_a").as("w"), col("cosine_sim").as("c")).as("wc")))
       .groupBy("id").agg(min("wc").as("wc"))
-    vectors.select(col(idCol).as("id"))
+    ids
       .join(clusters.select(col("id"), col("cluster_id")), Seq("id"), "left")
       .join(wit, Seq("id"), "left")
       .select(col("id"),
@@ -629,6 +653,55 @@ object Similarity {
         (coalesce(col("cluster_id"), col("id")) === col("id")).as("is_survivor"),
         col("wc.w").as("witness_id"),
         col("wc.c").as("witness_cosine"))
+  }
+
+  /** SemDeDup-style semantic near-dedup manifest (clustered blocking,
+    * after Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
+    * embedding space — reusing the IVF machinery ([[ivfIndex]]:
+    * bounded-sample driver Lloyd + one codegen assignment expression) —
+    * and score candidate pairs ONLY within each cluster. This is the
+    * data-adaptive alternative to LSH blocking ([[cosineNearDups]]):
+    * dense regions split across cells and empty space costs nothing, at
+    * the price of boundary misses (the published trade-off). Identical
+    * vectors always share a cell (argmin of identical distance rows), so
+    * exact-duplicate recall stays certain. Verified pairs feed the same
+    * pairs → connected components → keeper chain as
+    * [[embeddingDedupManifest]]; the output adds the semantic `cell` so
+    * every witness relationship is checkable to be within-cell.
+    *
+    * Scale shape: candidate volume is Σ n_c² over cells, so `nCells`
+    * scales with the corpus (SemDeDup runs ~100k clusters at web scale —
+    * cells stay task-sized); Lloyd trains on a bounded sample regardless
+    * of corpus size, assignment is one narrow scan, and no stage ever
+    * materializes cross-cell pairs.
+    */
+  def semanticDedupManifest(vectors: DataFrame, idCol: String,
+      vecCol: String, threshold: Double = 0.95, nCells: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val idType = vectors.schema(idCol).dataType
+    require(idType == IntegerType || idType == LongType,
+      s"semanticDedupManifest: integral id column required, got $idType")
+    val (_, assigned) = ivfIndex(vectors, idCol, vecCol, nCells, seed)
+    val spark = assigned.sparkSession
+    val grouped = assigned
+      .select(col("cell"),
+        struct(col("id").cast("long").as("id"),
+          col("vec").cast("array<float>").as("vec")).as("r"))
+      .groupBy("cell")
+      .agg(collect_list(col("r")).as("rows"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    // cells partition the corpus, so within-cell pairs are already unique
+    val pairsL = withinGroupPairs(grouped, threshold)
+    val pairs = (if (idType == IntegerType)
+        pairsL.select(col("id_a").cast("int"), col("id_b").cast("int"),
+          col("cosine_sim"))
+      else pairsL).localCheckpoint(true)
+    keeperManifest(assigned.select("id"), pairs)
+      .join(assigned.select(col("id"), col("cell")), Seq("id"))
+      .select(col("id"), col("cell").cast("bigint").as("cell"),
+        col("keeper_id"), col("is_survivor"),
+        col("witness_id"), col("witness_cosine"))
   }
 
   // ===== product quantization (the IVF pairing for 100 TB ANN) =========

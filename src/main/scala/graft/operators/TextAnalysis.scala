@@ -309,6 +309,50 @@ object TextAnalysis {
       .drop("_split", "_before")
   }
 
+  /** Fixed-context sequence packing — the dataloader's final step before
+    * training: order documents deterministically, concatenate their
+    * token streams with one EOD separator token after each document, and
+    * cut the stream into training sequences of exactly `ctxLen` tokens.
+    * Emits each document's packing coordinates within its shard's
+    * stream: `start_off` (token offset of the doc's first token),
+    * `first_seq`/`last_seq` (the sequence indexes the doc spans),
+    * `n_seqs`, and `head_fill` (how many of its tokens land in the first
+    * of those sequences) — everything a loader needs to locate any
+    * document in the packed dataset, and everything an auditor needs to
+    * verify no token was dropped or double-packed.
+    *
+    * Scale shape: an md5-prefix shard column + ONE cumulative-sum window
+    * partitioned by shard — the [[Sampling.interleave]] sharding trick,
+    * so a 100 TB corpus packs with a single shuffle across
+    * 16^prefixChars independent partitions and no global order ever
+    * exists (each shard is an independent token stream, exactly how
+    * multi-worker loaders shard in practice). Determinism: same inputs ⇒
+    * byte-identical packing on any engine (md5 sharding, doc-id order),
+    * which is what makes a packed dataset resumable and reproducible.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokenCol: String,
+      ctxLen: Long, prefixChars: Int = 2): DataFrame = {
+    require(ctxLen > 0, s"packSequences: ctxLen must be positive: $ctxLen")
+    require(prefixChars >= 1 && prefixChars <= 8,
+      s"packSequences: prefixChars out of [1,8]: $prefixChars")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("shard",
+        substring(graft.operators.Sampling.hashBucket(col(idCol), "pack"),
+          1, prefixChars))
+      // +1 per doc = the EOD separator; integer div/mod throughout so the
+      // arithmetic stays exact past 2^53 stream tokens
+      .withColumn("start_off",
+        coalesce(sum(col(tokenCol).cast("long") + lit(1L)).over(w), lit(0L)))
+      .withColumn("first_seq", expr(s"start_off div ${ctxLen}"))
+      .withColumn("last_seq", expr(
+        s"greatest(start_off + ${tokenCol} - 1, start_off) div ${ctxLen}"))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + lit(1L))
+      .withColumn("head_fill", least(col(tokenCol).cast("long"),
+        lit(ctxLen) - pmod(col("start_off"), lit(ctxLen))))
+  }
+
   /** Gopher-style repetition signals per document: the dominant bigram's
     * share of all bigrams and the duplicate-bigram fraction — the cheap
     * filters that catch boilerplate/spam in pre-training corpora.

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Watermarked stream-stream interval join — the attribution shape: each
+  * left-stream row matched to right-stream rows with the same key whose
+  * event time falls inside a bounded lookback window ending at the left
+  * row's time. This is the one join class Structured Streaming can run
+  * with BOUNDED state: the time-range conjunct plus both watermarks lets
+  * Spark evict right-side state older than `left.ts − lookback − delay`
+  * and left-side state past the watermark, so an indefinitely running
+  * join holds one lookback+delay horizon of rows per side regardless of
+  * stream length (without the range conjunct the state is unbounded —
+  * that formulation is rejected here).
+  *
+  * Emission contract (what makes this batch-replayable): an INNER join
+  * emits every match in the micro-batch where it forms, with no
+  * watermark finalization wait — so a one-shot AvailableNow replay over
+  * a bounded fixture emits exactly the batch inner join with the same
+  * predicates, provided the watermark delay covers the fixture's
+  * event-time disorder (state for a key is only evicted once the
+  * watermark passes it; a delay ≥ the disorder means no match's partner
+  * is evicted before the match forms).
+  *
+  * Reference model: corkscrew correlates change events to API actions
+  * client-side after two range queries (internal/analytics/changes.go);
+  * here the correlation runs incrementally with bounded state.
+  */
+object StreamJoin {
+
+  /** Inner interval join: rows `(l.*, r.*)` where
+    * `l.keyCol == r.keyCol` and `r.tsCol ∈ [l.tsCol − lookback, l.tsCol]`.
+    * Column names are prefixed `l_`/`r_` so the two sides never clash.
+    * Works identically on batch frames (watermarks are ignored in batch
+    * plans — the intended batch twin).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, lookback: String, watermarkDelay: String): DataFrame = {
+    val l = left.withWatermark(tsCol, watermarkDelay)
+      .select(left.columns.map(c => col(c).as(s"l_$c")).toIndexedSeq: _*)
+    val r = right.withWatermark(tsCol, watermarkDelay)
+      .select(right.columns.map(c => col(c).as(s"r_$c")).toIndexedSeq: _*)
+    l.join(r,
+      col(s"l_$keyCol") === col(s"r_$keyCol") &&
+        col(s"r_$tsCol") >= col(s"l_$tsCol") - expr(s"INTERVAL $lookback") &&
+        col(s"r_$tsCol") <= col(s"l_$tsCol"))
+  }
+}

@@ -299,4 +299,38 @@ class SimilaritySpec extends SparkSpec {
     // at least one real duplicate exists in the fixture, else vacuous
     assert(manifest.exists(!_._3), "fixture has no near-dup to drop")
   }
+
+  test("semantic dedup manifest: clones share a cell and keeper, witnesses stay in-cell") {
+    // corpus + identical-vector clones (ids shifted by 1000): a clone
+    // must land in its original's cell and pair with it at cosine 1
+    val planted = emb.unionByName(
+      emb.filter(col("vec_id") < 5)
+        .withColumn("vec_id", col("vec_id") + 1000))
+    val nCells = 8
+    val m = Similarity.semanticDedupManifest(planted, "vec_id", "embedding",
+      threshold = 0.9, nCells = nCells)
+      .select("id", "cell", "keeper_id", "is_survivor", "witness_id",
+        "witness_cosine")
+      .as[(Long, Long, Long, Boolean, Option[Long], Option[Double])].collect()
+    val byId = m.map(r => r._1 -> r).toMap
+    // bijection with the planted corpus
+    val ids = planted.select("vec_id").as[Long].collect().toSet
+    assert(m.map(_._1).toSet == ids && m.length == ids.size)
+    assert(m.forall(r => r._2 >= 0 && r._2 < nCells))
+    val survivors = m.filter(_._4).map(_._1).toSet
+    (0L until 5L).foreach { id =>
+      val (orig, clone) = (byId(id), byId(id + 1000))
+      assert(orig._2 == clone._2, s"clone of $id landed in another cell")
+      assert(orig._3 == clone._3, s"clone of $id has a different keeper")
+      assert(!(orig._4 && clone._4), s"$id and its clone both survived")
+    }
+    m.foreach { case (id, cell, keeper, surv, wit, _) =>
+      assert(surv == (keeper == id), s"$id: survivor flag inconsistent")
+      if (!surv) assert(keeper < id && survivors.contains(keeper),
+        s"dropped $id must point at a smaller surviving keeper")
+      // candidates are generated per cell: witnesses cannot cross cells
+      wit.foreach(w => assert(byId(w)._2 == cell,
+        s"$id witnessed by $w from another cell"))
+    }
+  }
 }

@@ -226,4 +226,34 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out(1L), "well-formed doc must pass")
     assert(!out(2L) && !out(3L) && !out(4L), out.toString)
   }
+
+  test("packSequences: per-shard token conservation, span and fill arithmetic") {
+    val ctx = 10L
+    // token counts straddle every edge: 0, 1, exactly ctx, spanning many
+    val docs = Seq(0L -> 3L, 1L -> 0L, 2L -> 10L, 3L -> 27L, 4L -> 1L,
+      5L -> 9L, 6L -> 15L, 7L -> 2L, 8L -> 40L, 9L -> 7L)
+      .toDF("doc_id", "n_tokens")
+    val out = TextAnalysis.packSequences(docs, "doc_id", "n_tokens",
+        ctxLen = ctx, prefixChars = 1)
+      .select("doc_id", "shard", "n_tokens", "start_off", "first_seq",
+        "last_seq", "n_seqs", "head_fill")
+      .as[(Long, String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.length == 10 && out.map(_._1).toSet.size == 10)
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val inOrder = rows.sortBy(_._1)
+      // consecutive docs abut exactly: next start = prev start + n + 1 (EOD)
+      inOrder.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 == a._4 + a._3 + 1,
+          s"gap/overlap between ${a._1} and ${b._1}")
+        case _ => ()
+      }
+      assert(inOrder.head._4 == 0L, "shard stream must start at offset 0")
+    }
+    out.foreach { case (id, _, n, start, first, last, nSeqs, fill) =>
+      assert(first == start / ctx, s"$id first_seq")
+      assert(last == math.max(start + n - 1, start) / ctx, s"$id last_seq")
+      assert(nSeqs == last - first + 1, s"$id n_seqs")
+      assert(fill == math.min(n, ctx - start % ctx), s"$id head_fill")
+    }
+  }
 }

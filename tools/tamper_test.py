@@ -54,6 +54,9 @@ TARGETS = {
     # corpus-bijection guard: drop one manifest row
     "q_d6_dedup_near": "doc_id = (SELECT MIN(doc_id) FROM src)",
     "q_s7_embed_dedup_manifest": "id = (SELECT MIN(id) FROM src)",
+    # planted-corpus bijection + planted-pair keeper guard: drop a planted
+    # clone's manifest row (bijection breaks; keeper check loses its pair)
+    "q_s13_semantic_dedup": "id = (SELECT MIN(id) FROM src WHERE id >= 1000000000)",
     # candidate-set equality guard: drop one heavy hitter
     "q_t16_cms_heavyhitters": "token = (SELECT MIN(token) FROM src)",
     # source-coverage guard: drop the union row
