@@ -823,6 +823,77 @@ object PipelineQueries {
       |  LEAST(n_tokens, 512 - (start_off % 512)) AS head_fill
       |FROM c""".stripMargin
 
+  /** T24: trainable quality classifier (fastText-shaped distillation) —
+    * the CCNet/RefinedWeb pattern: an upstream quality signal labels a
+    * bounded sample, a cheap linear scorer is trained on it, and the
+    * scorer grades the whole corpus with one broadcast codegen scan
+    * ([[Classifier]]: driver GD on the md5-hashed bag-of-tokens of a
+    * deterministic sort-by-id sample — the ivfIndex bounded-sample
+    * precedent — then an exchange-free scoring expression). The fixture
+    * has no natural token-level class signal (all langs/sources share
+    * one vocabulary), so the upstream signal is synthesized the t9/d4
+    * way: a deterministic ~30% of docs get spam-marker tokens appended
+    * and the label IS that predicate — which makes separation learnable
+    * with certainty and lets the oracle REQUIRE a held-out pairwise
+    * ranking stat (AUC) ≥ 0.9 from the emitted probabilities, on top of
+    * corpus bijection, exact label/split/token-count replay, and prob
+    * range/finiteness. Training is bit-deterministic (sequential driver
+    * loops, sorted feature maps), so emitted probs are stable across
+    * runs and partitionings; the learned weights themselves are the one
+    * non-replayable part, exactly like the k-means centroids of q_s11.
+    */
+  private val QualMarkThr = Sampling.hexThreshold(0.3)
+  private val ClfTrainThr = Sampling.hexThreshold(0.8)
+  private val QualMarkers = " lowquality spamtok clickbait"
+  val t24QualityClassifier: Q = (s, d) => {
+    val mark = Sampling.hashBucket(col("doc_id"), "qual") < lit(QualMarkThr)
+    val docs = t(s, d, "documents")
+      .withColumn("label_low", mark)
+      .withColumn("text2", when(col("label_low"),
+        concat(col("text"), lit(QualMarkers))).otherwise(col("text")))
+    val isTrain = Sampling.hashBucket(col("doc_id"), "clf") < lit(ClfTrainThr)
+    val model = Classifier.trainOnSample(docs.filter(isTrain), "doc_id",
+      "text2", col("label_low").cast("double"), iters = 1500, lr = 10.0)
+    docs.select(col("doc_id"),
+      size(split(TextAnalysis.normalize(col("text2")), " ")).cast("bigint")
+        .as("n_feat_tokens"),
+      col("label_low"), isTrain.as("is_train"),
+      round(Classifier.scoreProb(model, col("text2")), 6).as("prob"))
+  }
+  val t24Oracle =
+    s"""WITH sp AS (
+       |  SELECT * FROM '__SPARK_OUT__/q_t24_quality_classifier/*.parquet'),
+       |base AS (
+       |  SELECT doc_id,
+       |    substr(md5('qual:' || CAST(doc_id AS STRING)), 1, 8) < '$QualMarkThr' AS label_low,
+       |    substr(md5('clf:' || CAST(doc_id AS STRING)), 1, 8) < '$ClfTrainThr' AS is_train,
+       |    text FROM documents),
+       |b2 AS (
+       |  SELECT doc_id, label_low, is_train,
+       |    CAST(len($wordsSql) AS BIGINT) AS n_feat_tokens
+       |  FROM (SELECT doc_id, label_low, is_train,
+       |        CASE WHEN label_low THEN text || '$QualMarkers'
+       |             ELSE text END AS text
+       |        FROM base) z),
+       |ok AS (SELECT
+       |    (SELECT COUNT(*) FROM sp) = (SELECT COUNT(*) FROM b2)
+       |    AND (SELECT COUNT(DISTINCT doc_id) FROM sp) = (SELECT COUNT(*) FROM sp)
+       |    AND NOT EXISTS (
+       |      SELECT 1 FROM b2 LEFT JOIN sp ON sp.doc_id = b2.doc_id
+       |      WHERE sp.doc_id IS NULL OR sp.label_low <> b2.label_low
+       |        OR sp.is_train <> b2.is_train
+       |        OR sp.n_feat_tokens <> b2.n_feat_tokens
+       |        OR sp.prob < 0 OR sp.prob > 1 OR NOT isfinite(sp.prob))
+       |    AND (SELECT SUM(CASE WHEN p.prob > n.prob THEN 1.0
+       |                         WHEN p.prob = n.prob THEN 0.5
+       |                         ELSE 0.0 END) / COUNT(*)
+       |         FROM sp p, sp n
+       |         WHERE p.label_low AND NOT n.label_low
+       |           AND NOT p.is_train AND NOT n.is_train) >= 0.9
+       |    AS complete)
+       |SELECT doc_id, n_feat_tokens, label_low, is_train, prob FROM sp
+       |WHERE (SELECT complete FROM ok)""".stripMargin
+
   /** T11: repetition signals (Gopher-style boilerplate filters) — top
     * bigram share and duplicate-bigram fraction per document.
     */
@@ -1801,6 +1872,7 @@ object PipelineQueries {
     "q_t21_temperature_mixture" -> t21TempMixture,
     "q_t22_bpe_stats" -> t22BpeStats,
     "q_t23_seq_packing" -> t23SeqPacking,
+    "q_t24_quality_classifier" -> t24QualityClassifier,
     "q_m1_media_meta" -> m1MediaMeta,
     "q_m2_frames" -> m2Frames,
     "q_m3_resize_roundtrip" -> m3ResizeRoundtrip,
@@ -1852,6 +1924,7 @@ object PipelineQueries {
     "q_t21_temperature_mixture" -> t21Oracle,
     "q_t22_bpe_stats" -> t22Oracle,
     "q_t23_seq_packing" -> t23Oracle,
+    "q_t24_quality_classifier" -> t24Oracle,
     "q_m1_media_meta" -> m1Oracle,
     "q_m2_frames" -> m2Oracle,
     "q_m3_resize_roundtrip" -> m3Oracle,

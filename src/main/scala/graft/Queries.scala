@@ -914,6 +914,40 @@ object Queries {
       |      FROM r) z
       |WHERE rn = 1""".stripMargin
 
+  /** G8: PageRank criticality ranking over the resource dependency
+    * graph ([[Graph.pageRank]]) — importance flows order→customer→
+    * nation→region, so shared infrastructure accumulates the mass of
+    * its transitive dependents. The fixed-point bigint arithmetic (no
+    * float anywhere) lets DuckDB replay ALL ten iterations exactly as
+    * ten unrolled CTEs; the compare is a full per-node hash match, the
+    * strongest oracle form — any arithmetic, convergence, or
+    * completeness drift mismatches.
+    */
+  val g8PageRank: Q = (s, d) =>
+    Graph.pageRank(Tables.sql(s, d, edgesSql), iters = 10)
+  val g8Oracle: String = {
+    val iterCtes = (1 to 10).map { i =>
+      s"""p$i AS (
+         |  SELECT n.id,
+         |    (15 * (SELECT init FROM params)) // 100
+         |      + (85 * COALESCE(f.inflow, 0)) // 100 AS pr
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.to_id AS id, SUM(p.pr // d.outdeg) AS inflow
+         |    FROM e JOIN p${i - 1} p ON p.id = e.from_id
+         |    JOIN deg d ON d.from_id = e.from_id
+         |    GROUP BY e.to_id) f ON f.id = n.id)"""
+    }.mkString(",\n")
+    s"""WITH e AS ($edgesSql),
+       |nodes AS (SELECT DISTINCT id FROM (
+       |  SELECT from_id AS id FROM e UNION ALL SELECT to_id FROM e) z),
+       |params AS (
+       |  SELECT CAST(1000000000000 AS BIGINT) // COUNT(*) AS init FROM nodes),
+       |deg AS (SELECT from_id, COUNT(*) AS outdeg FROM e GROUP BY 1),
+       |p0 AS (SELECT id, (SELECT init FROM params) AS pr FROM nodes),
+       |$iterCtes
+       |SELECT id, CAST(pr AS BIGINT) AS pr FROM p10""".stripMargin
+  }
+
   /** G5: relationship inference from raw JSON by field-name rules
     * (relationships.go:94-136). raw_data is synthesized from orders so the
     * oracle can state the expected edges directly.
@@ -1866,6 +1900,7 @@ object Queries {
     "q_g4_dependents" -> g4Dependents,
     "q_g5_edge_derivation" -> g5EdgeDerivation,
     "q_g7_path_arrays" -> g7PathArrays,
+    "q_g8_pagerank" -> g8PageRank,
     "q_g6_components" -> g6Components,
     "q_c1_compliance_pack" -> c1PackQuery,
     "q_c5_macro_canonical" -> c5MacroCanonical,
@@ -1925,6 +1960,7 @@ object Queries {
     "q_g4_dependents" -> g4Oracle,
     "q_g5_edge_derivation" -> g5Oracle,
     "q_g7_path_arrays" -> g7Oracle,
+    "q_g8_pagerank" -> g8Oracle,
     "q_a8_dimensional" -> a8Oracle,
     "q_a10_passfail" -> a10Oracle,
     "q_x1_scalar_battery" -> x1Oracle,

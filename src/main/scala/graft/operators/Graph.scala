@@ -80,6 +80,63 @@ object Graph {
     * never revisited at larger distance), `DISTINCT` via min-distance
     * aggregation.
     */
+  /** PageRank over the dependency edge table — "most-depended-on
+    * resource" criticality ranking, the natural next analytics step
+    * after 1-hop dependents (G4) and reachability (G2): importance
+    * flows along `from_id → to_id` edges, so shared infrastructure
+    * (nations/regions in the fixture; VPCs/accounts in a cloud graph)
+    * accumulates the mass of everything that transitively depends on it.
+    *
+    * Arithmetic is EXACT FIXED-POINT: ranks live in bigint units of
+    * 10⁻¹² (init = SCALE div N, contribution = pr div outdeg, update =
+    * base + (85·inflow) div 100 — integer ops only, dangling mass not
+    * redistributed, the standard simplified variant). No float exists
+    * anywhere, so any SQL engine replays every iteration bit-for-bit
+    * (all operands nonnegative ⇒ truncating and flooring division
+    * agree), and results are independent of partitioning, summation
+    * order, and retries — the same reproducibility contract as the
+    * md5-threshold samplers.
+    *
+    * Scale shape: one outdeg-annotated edge table built once, then per
+    * iteration one join keyed on `from_id` + one partial-agg groupBy on
+    * `to_id` — Pregel's message/combine halves as two exchanges over
+    * frames partitioned by vertex id; state per iteration is one bigint
+    * per vertex. Lineage is truncated with a periodic localCheckpoint so
+    * the plan stays iteration-bounded.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 10): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"pageRank: iters out of [1,50]: $iters")
+    val e = edges.select(col("from_id").cast("string").as("from_id"),
+      col("to_id").cast("string").as("to_id"))
+    val nodes = e.select(col("from_id").as("id"))
+      .unionByName(e.select(col("to_id").as("id")))
+      .distinct().localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "pageRank: empty graph")
+    val Scale = 1000000000000L // 10^-12 rank units
+    val init = Scale / n
+    val outdeg = e.groupBy("from_id").agg(count(lit(1)).as("outdeg"))
+    // pre-partition the (static) annotated edges on the per-iteration
+    // join key so the ten pr-joins reuse one layout instead of
+    // re-exchanging the edge table every round
+    val eo = e.join(outdeg, "from_id")
+      .repartition(col("from_id")).localCheckpoint(true)
+    var pr = nodes.withColumn("pr", lit(init))
+    var it = 0
+    while (it < iters) {
+      val inflow = eo.join(pr, eo("from_id") === pr("id"))
+        .select(col("to_id").as("id"), expr("pr div outdeg").as("c"))
+        .groupBy("id").agg(sum("c").as("inflow"))
+      pr = nodes.join(inflow, Seq("id"), "left")
+        .select(col("id"),
+          expr(s"${(15L * init) / 100L} + (85 * coalesce(inflow, 0)) div 100")
+            .as("pr"))
+      it += 1
+      if (it % 3 == 0 && it < iters) pr = pr.localCheckpoint(true)
+    }
+    pr
+  }
+
   def reach(edges: DataFrame, sources: Seq[String], maxHops: Int,
       undirected: Boolean): DataFrame = {
     val spark = edges.sparkSession

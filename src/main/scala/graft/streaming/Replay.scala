@@ -24,10 +24,23 @@ object Replay {
     else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
   }
 
+  /** Stateful replays pay per-(shuffle-partition, state-store) setup in
+    * EVERY micro-batch — a stream-stream join keeps four stores per
+    * partition, so at the session's scan-sized partition count (32) the
+    * store machinery dwarfs the fixture-sized data. Statefulness scales
+    * with keys, not partitions, so the one-shot replay runs at a small
+    * fixed partition count; production streams size this to their key
+    * cardinality via their own session conf.
+    */
+  private val ReplayPartitions = "4"
+
   def availableNow(emitted: DataFrame): DataFrame = {
     val spark = emitted.sparkSession
     val qn = s"graft_replay_${java.util.UUID.randomUUID().toString.take(8)}"
     val ck = scratchRoot.resolve(s"$qn-ck")
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(partKey)
+    spark.conf.set(partKey, ReplayPartitions)
     try {
       val sq = emitted.writeStream.format("memory").queryName(qn)
         .outputMode("append")
@@ -42,6 +55,7 @@ object Replay {
       spark.catalog.dropTempView(qn)
       out
     } finally {
+      spark.conf.set(partKey, prevParts)
       if (java.nio.file.Files.exists(ck)) {
         val walk = java.nio.file.Files.walk(ck)
         try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())

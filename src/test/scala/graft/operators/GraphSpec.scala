@@ -91,4 +91,24 @@ class GraphSpec extends SparkSpec {
       .select("name").as[String].collect().toSet
     assert(deps == Set("H"))
   }
+
+  test("pageRank: hub accumulates mass, fixed-point exact, partition-stable") {
+    // star: five leaves all point at the hub; one chain hangs off a leaf
+    val star = (Seq("l1", "l2", "l3", "l4", "l5").map(_ -> "hub") :+
+      ("c" -> "l1")).toDF("from_id", "to_id")
+    val pr = Graph.pageRank(star, iters = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pr.size == 7)
+    val hub = pr("hub")
+    assert(pr.filterNot(_._1 == "hub").values.forall(_ < hub),
+      s"hub must rank highest: $pr")
+    assert(pr("l1") > pr("l2"), "l1 has an in-edge and must outrank bare leaves")
+    assert(pr("l2") == pr("l3") && pr("l3") == pr("l4") && pr("l4") == pr("l5"))
+    // total mass bounded by the fixed-point scale (no redistribution)
+    assert(pr.values.forall(v => v > 0) && pr.values.sum <= 1000000000000L)
+    // bit-exact under repartitioning: integer arithmetic has no sum-order
+    val pr2 = Graph.pageRank(star.repartition(7), iters = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pr2 == pr)
+  }
 }

@@ -68,6 +68,8 @@ TARGETS = {
     "q_t21_temperature_mixture": "source = (SELECT MIN(source) FROM src)",
     # corpus-bijection guard: drop one doc's accounting row
     "q_t22_bpe_stats": "doc_id = (SELECT MIN(doc_id) FROM src)",
+    # corpus-bijection + holdout-AUC guard: drop one scored row
+    "q_t24_quality_classifier": "doc_id = (SELECT MIN(doc_id) FROM src)",
     # (vector x subspace)-bijection guard: drop one code row
     "q_s9_pq_codes": "vec_id = (SELECT MIN(vec_id) FROM src) AND subspace = 0",
     # full serving-path replay: the oracle regenerates all k rows from the
