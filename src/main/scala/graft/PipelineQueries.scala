@@ -894,6 +894,59 @@ object PipelineQueries {
        |SELECT doc_id, n_feat_tokens, label_low, is_train, prob FROM sp
        |WHERE (SELECT complete FROM ok)""".stripMargin
 
+  /** T25: DSIR importance weights ([[Dsir.importanceWeights]]) — the
+    * hashed-bigram log-likelihood-ratio scorer that ranks raw documents
+    * by target-domain resemblance. The target sample is synthesized the
+    * t24 way (a deterministic ~20% of docs get target-marker tokens
+    * appended; markers appear ONLY there, so the weight gap between the
+    * classes is certain). Oracle: corpus bijection + exact replay of the
+    * label, the split predicate, and each doc's bigram count, weight
+    * finiteness, and a REQUIRED mean log-weight gap (target − raw ≥ 2
+    * nats, measured ~7) computed from the emitted weights against
+    * replayed labels — under-emission, fabricated rows, or a scorer
+    * that stopped learning all turn the driver red. The log-ratio table
+    * itself is driver-computed (the one transcendental site) and not
+    * SQL-replayed, exactly like q_s11's centroids; exact per-doc weight
+    * arithmetic is pinned in DsirSpec instead.
+    */
+  private val DsirTargetThr = Sampling.hexThreshold(0.2)
+  private val DsirMarkers = " targetdomain wikitok referencetok"
+  val t25DsirWeights: Q = (s, d) => {
+    val isT = Sampling.hashBucket(col("doc_id"), "dsir") < lit(DsirTargetThr)
+    val docs = t(s, d, "documents")
+      .withColumn("is_t", isT)
+      .withColumn("text2", when(col("is_t"),
+        concat(col("text"), lit(DsirMarkers))).otherwise(col("text")))
+    Dsir.importanceWeights(docs, "doc_id", "text2", col("is_t"))
+  }
+  val t25Oracle =
+    s"""WITH sp AS (
+       |  SELECT * FROM '__SPARK_OUT__/q_t25_dsir_weights/*.parquet'),
+       |base AS (
+       |  SELECT doc_id,
+       |    substr(md5('dsir:' || CAST(doc_id AS STRING)), 1, 8) < '$DsirTargetThr' AS is_target,
+       |    text FROM documents),
+       |b2 AS (
+       |  SELECT doc_id, is_target,
+       |    GREATEST(CAST(len($wordsSql) AS BIGINT) - 1, 0) AS n_bigrams
+       |  FROM (SELECT doc_id, is_target,
+       |        CASE WHEN is_target THEN text || '$DsirMarkers'
+       |             ELSE text END AS text
+       |        FROM base) z),
+       |ok AS (SELECT
+       |    (SELECT COUNT(*) FROM sp) = (SELECT COUNT(*) FROM b2)
+       |    AND (SELECT COUNT(DISTINCT doc_id) FROM sp) = (SELECT COUNT(*) FROM sp)
+       |    AND NOT EXISTS (
+       |      SELECT 1 FROM b2 LEFT JOIN sp ON sp.doc_id = b2.doc_id
+       |      WHERE sp.doc_id IS NULL OR sp.is_target <> b2.is_target
+       |        OR sp.n_bigrams <> b2.n_bigrams
+       |        OR NOT isfinite(sp.log_weight))
+       |    AND (SELECT AVG(log_weight) FROM sp WHERE is_target)
+       |      - (SELECT AVG(log_weight) FROM sp WHERE NOT is_target) >= 2.0
+       |    AS complete)
+       |SELECT doc_id, is_target, n_bigrams, log_weight FROM sp
+       |WHERE (SELECT complete FROM ok)""".stripMargin
+
   /** T11: repetition signals (Gopher-style boilerplate filters) — top
     * bigram share and duplicate-bigram fraction per document.
     */
@@ -1873,6 +1926,7 @@ object PipelineQueries {
     "q_t22_bpe_stats" -> t22BpeStats,
     "q_t23_seq_packing" -> t23SeqPacking,
     "q_t24_quality_classifier" -> t24QualityClassifier,
+    "q_t25_dsir_weights" -> t25DsirWeights,
     "q_m1_media_meta" -> m1MediaMeta,
     "q_m2_frames" -> m2Frames,
     "q_m3_resize_roundtrip" -> m3ResizeRoundtrip,
@@ -1925,6 +1979,7 @@ object PipelineQueries {
     "q_t22_bpe_stats" -> t22Oracle,
     "q_t23_seq_packing" -> t23Oracle,
     "q_t24_quality_classifier" -> t24Oracle,
+    "q_t25_dsir_weights" -> t25Oracle,
     "q_m1_media_meta" -> m1Oracle,
     "q_m2_frames" -> m2Oracle,
     "q_m3_resize_roundtrip" -> m3Oracle,

@@ -70,6 +70,8 @@ TARGETS = {
     "q_t22_bpe_stats": "doc_id = (SELECT MIN(doc_id) FROM src)",
     # corpus-bijection + holdout-AUC guard: drop one scored row
     "q_t24_quality_classifier": "doc_id = (SELECT MIN(doc_id) FROM src)",
+    # corpus-bijection + mean-gap guard: drop one weighted row
+    "q_t25_dsir_weights": "doc_id = (SELECT MIN(doc_id) FROM src)",
     # (vector x subspace)-bijection guard: drop one code row
     "q_s9_pq_codes": "vec_id = (SELECT MIN(vec_id) FROM src) AND subspace = 0",
     # full serving-path replay: the oracle regenerates all k rows from the
