@@ -124,4 +124,31 @@ class PlanQualitySpec extends SparkSpec {
     // the scoring expression is the codegen'd VecDot, not an interpreted HOF
     assert(p.contains("vecdot"), p)
   }
+
+  test("T24 classifier scoring is an exchange-free scan (no join, no UDF)") {
+    // The model rides as a literal array inside one expression; grading
+    // the corpus must never shuffle, join, or leave codegen for a UDF.
+    val p = plan("q_t24_quality_classifier")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
+
+  test("T25 DSIR weight scan adds no join after the bounded model collect") {
+    // importanceWeights runs its model aggregation eagerly (bounded
+    // collect); the returned frame must be checkpoint-scan + project
+    // only — the log-ratio table is a literal, not a joined side.
+    val p = plan("q_t25_dsir_weights")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("T23 sequence packing shuffles once, partitioned by shard") {
+    // One cumulative-sum window partitioned by the md5-prefix shard: a
+    // single Exchange keyed on shard, and never a single-partition one.
+    val p = plan("q_t23_seq_packing")
+    assert(p.linesIterator.count(_.trim.startsWith("+- Exchange")) == 1, p)
+    assert(p.contains("hashpartitioning(shard"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
 }
