@@ -594,6 +594,37 @@ object Queries {
       |  COUNT(*) AS n
       |FROM events GROUP BY 1""".stripMargin
 
+  /** A16: gap-filled hourly trend ([[Analytics.gapFill]]) — every
+    * (event_type, hour) slot of each type's span appears exactly once,
+    * empty hours carry n = 0, and `carried_sum` repeats the last
+    * non-empty hour's decimal-exact sum (LOCF). DuckDB replays the
+    * densification with generate_series and the carry with
+    * LAST_VALUE IGNORE NULLS — full hash compare over the dense grid.
+    */
+  val a16GapFill: Q = (s, d) =>
+    Analytics.gapFill(t(s, d, "events"), "ts", "event_type", "value", "hour")
+  val a16Oracle =
+    """WITH a AS (
+      |  SELECT date_trunc('hour', ts) AS bucket, event_type AS dim,
+      |    COUNT(*) AS n,
+      |    CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE)
+      |      AS bucket_sum
+      |  FROM events GROUP BY 1, 2),
+      |s AS (
+      |  SELECT event_type AS dim, date_trunc('hour', MIN(ts)) AS lo,
+      |    date_trunc('hour', MAX(ts)) AS hi
+      |  FROM events GROUP BY 1),
+      |ax AS (
+      |  SELECT dim, unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+      |    AS bucket FROM s)
+      |SELECT ax.dim, CAST(ax.bucket AS TIMESTAMP) AS bucket,
+      |  COALESCE(a.n, 0) AS n,
+      |  LAST_VALUE(a.bucket_sum IGNORE NULLS) OVER (
+      |    PARTITION BY ax.dim ORDER BY ax.bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_sum
+      |FROM ax LEFT JOIN a ON a.dim = ax.dim AND a.bucket = ax.bucket"""
+      .stripMargin
+
   /** A7: top-N most-changed resources (change_analytics.go:452-494). */
   val a7TopResources: Q = (s, d) =>
     Analytics.topResources(t(s, d, "events"), "user_id", "ts", "value", 10)
@@ -1886,6 +1917,7 @@ object Queries {
     "q_e11_drift" -> e11Drift,
     "q_a5_time_bucket" -> a5TimeBucket,
     "q_a6_impact_trend" -> a6ImpactTrend,
+    "q_a16_gapfill" -> a16GapFill,
     "q_a7_top_resources" -> a7TopResources,
     "q_e16_anomalies" -> e16Anomalies,
     "q_e18_impact" -> e18Impact,
@@ -1953,6 +1985,7 @@ object Queries {
     "q_e11_drift" -> e11Oracle,
     "q_a5_time_bucket" -> a5Oracle,
     "q_a6_impact_trend" -> a6Oracle,
+    "q_a16_gapfill" -> a16Oracle,
     "q_a7_top_resources" -> a7Oracle,
     "q_e16_anomalies" -> e16Oracle,
     "q_g2_reach" -> g2Oracle,

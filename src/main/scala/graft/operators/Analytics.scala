@@ -55,6 +55,47 @@ object Analytics {
         count(when(col(scoreCol) > highRisk, 1)).as("high_risk_count"),
         count(lit(1)).as("n"))
 
+  /** Gap-filled time series — the densification step the reference's
+    * trend reports imply but compute client-side (a Go loop emits a
+    * bucket even when no event fell in it): every (dim, bucket) slot of
+    * the dimension's [min, max] event-time span appears exactly once,
+    * empty buckets carry n = 0, and `carried_sum` repeats the most
+    * recent non-empty bucket's sum (last-observation-carried-forward —
+    * the dashboard line that doesn't drop to zero when a quiet hour has
+    * no data).
+    *
+    * Shape: per-dim span from one partial-agg pass; the dense bucket
+    * axis is `sequence()` exploded from span rows (one row per dim — a
+    * frame of dims × buckets, never corpus-sized); actuals left-join in
+    * on (dim, bucket) and the carry-forward is a `last(_, ignoreNulls)`
+    * running window per dim, ordered by bucket — one shuffle keyed by
+    * dim. Sums are decimal-exact so the carried values replay
+    * bit-for-bit in any engine.
+    */
+  def gapFill(events: DataFrame, tsCol: String, dimCol: String,
+      valueCol: String, granularity: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val actual = events
+      .groupBy(date_trunc(granularity, col(tsCol)).as("bucket"),
+        col(dimCol).as("dim"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col(valueCol).cast("decimal(18,4)")), 4).cast("double")
+          .as("bucket_sum"))
+    val span = events.groupBy(col(dimCol).as("dim"))
+      .agg(date_trunc(granularity, min(col(tsCol))).as("lo"),
+        date_trunc(granularity, max(col(tsCol))).as("hi"))
+    val axis = span.select(col("dim"),
+      explode(sequence(col("lo"), col("hi"),
+        expr(s"INTERVAL 1 $granularity"))).as("bucket"))
+    val w = Window.partitionBy("dim").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    axis.join(actual, Seq("dim", "bucket"), "left")
+      .select(col("dim"), col("bucket"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("bucket_sum"), ignoreNulls = true).over(w)
+          .as("carried_sum"))
+  }
+
   /** Top-N most-changed resources (A7, change_analytics.go:452-494):
     * per-key counts, latest change, avg impact; deterministic order.
     */

@@ -120,4 +120,28 @@ class ChangesAnalyticsSpec extends SparkSpec {
     val tss = h.map(_.getTimestamp(1).getTime)
     assert(tss.sameElements(tss.sorted.reverse))
   }
+
+  test("gapFill densifies the span, zero-counts gaps, carries the last sum") {
+    import java.sql.Timestamp
+    // type a: events at hours 0 and 3 (gap at 1, 2); type b: hour 1 only
+    val events = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:10:00"), "a", 10.0),
+      (2L, Timestamp.valueOf("2024-01-01 00:50:00"), "a", 5.0),
+      (3L, Timestamp.valueOf("2024-01-01 03:20:00"), "a", 7.0),
+      (4L, Timestamp.valueOf("2024-01-01 01:00:00"), "b", 2.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    val out = Analytics.gapFill(events, "ts", "event_type", "value", "hour")
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString,
+        r.getLong(2), Option(r.get(3)).map(_.toString)))
+      .sortBy(r => (r._1, r._2))
+    val a = out.filter(_._1 == "a")
+    assert(a.length == 4, s"span 00..03 must give 4 hourly rows: ${a.toSeq}")
+    assert(a.map(_._3).toSeq == Seq(2L, 0L, 0L, 1L))
+    // carried_sum: 15.0 at hour 0, carried through the gap, 7.0 at hour 3
+    assert(a.map(_._4).toSeq ==
+      Seq(Some("15.0"), Some("15.0"), Some("15.0"), Some("7.0")))
+    val b = out.filter(_._1 == "b")
+    assert(b.length == 1 && b.head._3 == 1L && b.head._4 == Some("2.0"))
+  }
 }
