@@ -1259,6 +1259,87 @@ object PipelineQueries {
        |       COALESCE(a.text_deduped, '') AS text_deduped
        |FROM w LEFT JOIN agg a ON w.doc_id = a.doc_id""".stripMargin
 
+  /** D10: exact duplicated-substring spans (ExactSubstr, Lee et al. 2022)
+    * over the planted corpus — every length-20 token window occurring
+    * more than once marks its start; overlapping windows merge into
+    * maximal removal spans ([[Dedup.substringDedupSpans]]). The planted
+    * identical clones guarantee the result is never vacuously empty
+    * (every window of a cloned doc is duplicated by construction). The
+    * oracle is a FULL DuckDB replay — window fingerprints, corpus-wide
+    * counts, and the interval merge are all recomputed relationally, so
+    * a missing span, a wrong boundary, or an extra span all fail the
+    * hash compare.
+    */
+  val d10SubstrDedup: Q = (s, d) =>
+    Dedup.substringDedupSpans(withPlantedClones(t(s, d, "documents")),
+      "doc_id", "text", winTokens = 20)
+  val d10Oracle =
+    s"""WITH plant AS ($plantSql),
+       |corpus AS ($plantedCorpusSql),
+       |base AS (
+       |  SELECT doc_id, w, len(w) AS n
+       |  FROM (SELECT doc_id, $wordsSql AS w FROM corpus) z
+       |  WHERE len(w) >= 20),
+       |wins AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |         md5(array_to_string(w[i+1:i+20], ' ')) AS wfp
+       |  FROM (SELECT doc_id, w, unnest(generate_series(0, n - 20)) AS i
+       |        FROM base)),
+       |dup AS (SELECT wfp FROM wins GROUP BY wfp HAVING COUNT(*) > 1),
+       |dp AS (SELECT doc_id, pos FROM wins JOIN dup USING (wfp)),
+       |fl AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+       |              > 20 THEN 1 ELSE 0 END AS nw
+       |  FROM dp),
+       |gr AS (
+       |  SELECT doc_id, pos,
+       |    SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos
+       |                  ROWS UNBOUNDED PRECEDING) AS grp
+       |  FROM fl)
+       |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 20 AS span_end_excl,
+       |       COUNT(*) AS n_windows
+       |FROM gr GROUP BY doc_id, grp""".stripMargin
+
+  /** D11: incremental cross-batch dedup — the nightly-ingest shape. The
+    * corpus splits deterministically into a ~70% accumulated history and
+    * a ~30% incoming batch, plus planted clones of ~5% of history docs in
+    * the batch (so true duplicates are guaranteed to exist); each incoming
+    * doc is flagged if its fingerprint already exists in history.
+    * [[Dedup.crossBatchDedup]] Bloom-prefilters the HISTORY side before
+    * its shuffle (the 100 TB side never exchanges more than the candidate
+    * rows); the exact join makes the output independent of fpp, so the
+    * oracle is a full DuckDB replay of the split + fingerprint + semi
+    * join.
+    */
+  private val IncBatchThr = Sampling.hexThreshold(0.3)
+  private val IncPlantThr = Sampling.hexThreshold(0.05)
+  val d11CrossBatch: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val bucket = Sampling.hashBucket(col("doc_id"), "incbatch")
+    val history = docs.filter(bucket >= lit(IncBatchThr))
+    val incoming = docs.filter(bucket < lit(IncBatchThr))
+      .unionByName(history
+        .filter(Sampling.hashBucket(col("doc_id"), "incplant") < lit(IncPlantThr))
+        .withColumn("doc_id", col("doc_id") + lit(PlantOffset)))
+    Dedup.crossBatchDedup(incoming, history, "doc_id", "text",
+      expectedIncoming = 200000L)
+  }
+  val d11Oracle =
+    s"""WITH b AS (
+       |  SELECT doc_id, md5($normSql) AS fp,
+       |    substr(md5('incbatch:' || CAST(doc_id AS STRING)), 1, 8) AS bk,
+       |    substr(md5('incplant:' || CAST(doc_id AS STRING)), 1, 8) AS pk
+       |  FROM documents),
+       |inc AS (
+       |  SELECT doc_id, fp FROM b WHERE bk < '$IncBatchThr'
+       |  UNION ALL
+       |  SELECT doc_id + $PlantOffset, fp FROM b
+       |  WHERE bk >= '$IncBatchThr' AND pk < '$IncPlantThr'),
+       |hist AS (SELECT DISTINCT fp FROM b WHERE bk >= '$IncBatchThr')
+       |SELECT i.doc_id, i.fp, (h.fp IS NOT NULL) AS is_dup
+       |FROM inc i LEFT JOIN hist h ON i.fp = h.fp""".stripMargin
+
   // ===== similarity ====================================================
 
   private def queryVecs(s: SparkSession, d: String): DataFrame =
@@ -1901,6 +1982,8 @@ object PipelineQueries {
     "q_d7_editdist" -> d7EditDist,
     "q_d8_winnow" -> d8Winnow,
     "q_d9_segment_dedup" -> d9SegmentDedup,
+    "q_d10_substr_dedup" -> d10SubstrDedup,
+    "q_d11_crossbatch_dedup" -> d11CrossBatch,
     "q_t1_quality" -> t1Quality,
     "q_t2_langid" -> t2LangId,
     "q_t3_top_tokens" -> t3TopTokens,
@@ -1963,6 +2046,8 @@ object PipelineQueries {
     "q_d7_editdist" -> d7Oracle,
     "q_d8_winnow" -> d8Oracle,
     "q_d9_segment_dedup" -> d9Oracle,
+    "q_d10_substr_dedup" -> d10Oracle,
+    "q_d11_crossbatch_dedup" -> d11Oracle,
     "q_x5_url" -> x5Oracle,
     "q_t8_bigrams" -> t8Oracle,
     "q_t9_redact" -> t9Oracle,

@@ -393,4 +393,96 @@ object Dedup {
         coalesce(col("kept_segments"), lit(0L)).as("kept_segments"),
         coalesce(col("text_deduped"), lit("")).as("text_deduped"))
   }
+
+  /** Exact duplicated-substring spans (the ExactSubstr operator of Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models Better"):
+    * every window of `winTokens` consecutive normalized tokens that occurs
+    * MORE THAN ONCE in the corpus (across documents or repeated within
+    * one) marks its start position as duplicated; per document,
+    * overlapping / adjacent duplicated windows merge into maximal spans.
+    * Output is a removal manifest in token coordinates:
+    * `(id, span_start, span_end_excl, n_windows)` — the span covers token
+    * positions `[span_start, span_end_excl)` (0-based).
+    *
+    * The reference paper builds a suffix array over the concatenated
+    * corpus; the distributed equivalent is this shingle-sort: the set of
+    * length-L windows with count > 1 is exactly the set of positions a
+    * suffix-array dup scan with minimum match length L reports, and a
+    * hash-groupBy IS the distributed sort.
+    *
+    * 100 TB shape: one explode (one row per token position — corpus token
+    * count, not quadratic), one hash-groupBy on the 128-bit window
+    * fingerprint with map-side partial counts (shuffle volume = distinct
+    * windows, rows are (fp, count) only), one thin join back on the
+    * fingerprint, then a per-document window over (id, pos) pairs —
+    * integers only, the text never shuffles. No all-pairs stage; the
+    * quadratic structure of "which window equals which" is absorbed by
+    * the hash aggregation exactly like exact dedup absorbs it for whole
+    * documents.
+    */
+  def substringDedupSpans(df: DataFrame, idCol: String, textCol: String,
+      winTokens: Int = 20): DataFrame = {
+    require(winTokens > 0, s"winTokens must be positive: $winTokens")
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(TextAnalysis.normalize(col(textCol)), " ")
+    val base = df.select(col(idCol), toks.as("_toks"))
+      .withColumn("_n", size(col("_toks")))
+      .filter(col("_n") >= winTokens)
+    // One row per window start; the window fingerprint is md5 of the
+    // space-joined tokens so the oracle recomputes the identical value.
+    val wins = base
+      .select(col(idCol),
+        explode(sequence(lit(0), col("_n") - winTokens)).as("pos"),
+        col("_toks"))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        md5(concat_ws(" ",
+          slice(col("_toks"), col("pos") + 1, lit(winTokens)))).as("wfp"))
+    val dup = wins.groupBy("wfp").agg(count(lit(1)).as("_cnt"))
+      .filter(col("_cnt") > 1).select("wfp")
+    val dupPos = wins.join(dup, Seq("wfp")).select(col(idCol), col("pos"))
+    // Interval merge: windows are fixed-length [pos, pos+L); a new span
+    // starts when the gap to the previous duplicated start exceeds L
+    // (NULL lag => first row => ELSE 0, same in the DuckDB replay).
+    val byPos = Window.partitionBy(idCol).orderBy("pos")
+    val spans = dupPos
+      .withColumn("_new",
+        when(col("pos") - lag("pos", 1).over(byPos) > winTokens, 1)
+          .otherwise(0))
+      .withColumn("_grp", sum("_new").over(
+        byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("_grp"))
+      .agg(min("pos").as("span_start"),
+        (max("pos") + winTokens).as("span_end_excl"),
+        count(lit(1)).as("n_windows"))
+      .drop("_grp")
+    spans
+  }
+
+  /** Incremental cross-batch exact dedup: flag each `incoming` document
+    * whose normalized-text fingerprint already exists in `history`,
+    * without shuffling history. The Bloom filter is built over the SMALL
+    * side (the incoming batch's fingerprints) and the accumulated corpus
+    * is semi-filtered BEFORE any exchange ([[BloomJoin.preFilter]]), so
+    * the history-side shuffle carries only the ~|incoming| candidate
+    * rows; the exact inner join on the fingerprint then eliminates Bloom
+    * false positives, so the output is exact for any fpp.
+    *
+    * This is the nightly-ingest shape at 100 TB: history is the 100 TB
+    * corpus (scanned once, reduced to candidate fingerprints map-side),
+    * incoming is the day's batch.
+    */
+  def crossBatchDedup(incoming: DataFrame, history: DataFrame,
+      idCol: String, textCol: String, expectedIncoming: Long,
+      fpp: Double = 0.01): DataFrame = {
+    val finc = incoming.select(col(idCol),
+      TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val fhist = history
+      .select(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val candidates =
+      BloomJoin.preFilter(fhist, finc.select("fp"), "fp", expectedIncoming, fpp)
+    val dupFps = candidates.distinct()
+    finc.join(dupFps.withColumn("_hit", lit(true)), Seq("fp"), "left")
+      .select(col(idCol), col("fp"),
+        coalesce(col("_hit"), lit(false)).as("is_dup"))
+  }
 }

@@ -166,4 +166,75 @@ class DedupSpec extends SparkSpec {
     assert(out(10L) == ((2L, 2L, "one two three four five")))
     assert(out(11L) == ((2L, 2L, "four five one two three")))
   }
+
+  test("substringDedupSpans: shared run marks maximal merged spans") {
+    // Docs 20 and 21 share the 5-token run "alpha beta gamma delta epsilon"
+    // at different offsets; with L=3 the duplicated window starts are the
+    // run's 3 window positions, which merge into ONE span covering the run.
+    val df = Seq(
+      (20L, "alpha beta gamma delta epsilon zz yy xx ww vv"),
+      (21L, "qq rr alpha beta gamma delta epsilon ss tt uu"),
+      (22L, "totally unrelated words here nothing shared at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringDedupSpans(df, "doc_id", "text", winTokens = 3)
+      .collect().map(r => (r.getLong(0),
+        (r.getAs[Long]("span_start"), r.getAs[Long]("span_end_excl"),
+          r.getAs[Long]("n_windows")))).toMap
+    assert(out(20L) == ((0L, 5L, 3L)), "run at offset 0 covers tokens [0,5)")
+    assert(out(21L) == ((2L, 7L, 3L)), "run at offset 2 covers tokens [2,7)")
+    assert(!out.contains(22L), "doc with no duplicated window emits nothing")
+  }
+
+  test("substringDedupSpans: within-doc repetition and short docs") {
+    val df = Seq(
+      (30L, "x y z a b c x y z d e f"), // "x y z" repeats inside one doc
+      (31L, "too short"))               // < L tokens: no windows at all
+      .toDF("doc_id", "text")
+    val out = Dedup.substringDedupSpans(df, "doc_id", "text", winTokens = 3)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end_excl"))).toSet
+    assert(out == Set((30L, 0L, 3L), (30L, 6L, 9L)),
+      "both occurrences of the repeated window are spans; no merge across the gap")
+  }
+
+  test("substringDedupSpans: overlapping duplicated windows merge into one span") {
+    // Identical docs: every window start 0..2 duplicates; starts are
+    // consecutive so they merge into a single [0, 5) span per doc.
+    val df = Seq((40L, "p q r s t"), (41L, "p q r s t")).toDF("doc_id", "text")
+    val out = Dedup.substringDedupSpans(df, "doc_id", "text", winTokens = 3)
+      .collect().map(r => (r.getLong(0),
+        (r.getAs[Long]("span_start"), r.getAs[Long]("span_end_excl"),
+          r.getAs[Long]("n_windows")))).toMap
+    assert(out(40L) == ((0L, 5L, 3L)) && out(41L) == ((0L, 5L, 3L)))
+  }
+
+  test("crossBatchDedup flags exact history dupes and nothing else") {
+    val history = Seq(
+      (100L, "the shared history document text body"),
+      (101L, "another archived document from last night"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (200L, "THE SHARED HISTORY DOCUMENT TEXT BODY"), // dup after normalize
+      (201L, "a genuinely new document never seen before"),
+      (202L, "another archived document from last night")) // verbatim dup
+      .toDF("doc_id", "text")
+    val out = Dedup.crossBatchDedup(incoming, history, "doc_id", "text",
+        expectedIncoming = 10L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(200L -> true, 201L -> false, 202L -> true))
+  }
+
+  test("crossBatchDedup is exact even at an absurd Bloom fpp") {
+    // fpp 0.5 floods the prefilter with false positives; the exact join
+    // must still produce the identical flags (fpp tunes shuffle volume,
+    // never correctness).
+    val history = (0L until 50L).map(i => (i, s"hist doc number $i"))
+      .toDF("doc_id", "text")
+    val incoming = Seq((900L, "hist doc number 7"), (901L, "brand new"))
+      .toDF("doc_id", "text")
+    val out = Dedup.crossBatchDedup(incoming, history, "doc_id", "text",
+        expectedIncoming = 2L, fpp = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(900L -> true, 901L -> false))
+  }
 }
