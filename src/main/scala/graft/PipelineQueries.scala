@@ -1020,6 +1020,60 @@ object PipelineQueries {
        |GROUP BY 1, 2""".stripMargin
   }
 
+  /** T26: FUZZY benchmark decontamination — near-duplicates of eval items
+    * (paraphrased/lightly-edited leakage) that exact n-gram matching
+    * misses. Same bench/train split as q_t13, plus planted identical
+    * clones of every (≥3-token) bench doc in the train side: identical
+    * text collides in every LSH band, so detection of the plants is
+    * certain and the oracle can REQUIRE each planted (clone, bench) pair
+    * — under-emission turns the driver red (d4 pattern). Every emitted
+    * pair's exact 3-shingle Jaccard is recomputed in DuckDB from raw
+    * text.
+    */
+  val t26FuzzyDecontaminate: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val thr = Sampling.hexThreshold(0.05)
+    val bench = docs.filter(Sampling.hashBucket(col("doc_id")) < lit(thr))
+    val train = docs.filter(Sampling.hashBucket(col("doc_id")) >= lit(thr))
+      .unionByName(bench
+        .filter(size(split(TextAnalysis.normalize(col("text")), " ")) >= 3)
+        .withColumn("doc_id", col("doc_id") + lit(PlantOffset)))
+    Decontaminate.fuzzyContaminatedPairs(train, "doc_id", "text",
+      bench, "doc_id", "text", threshold = 0.5)
+  }
+  val t26Oracle: String = {
+    val thr = Sampling.hexThreshold(0.05)
+    s"""WITH sp AS (SELECT train_id, bench_id, jaccard
+       |  FROM '__SPARK_OUT__/q_t26_fuzzy_decontaminate/*.parquet'),
+       |benchdocs AS (SELECT doc_id, text FROM documents
+       |  WHERE substr(md5(CAST(doc_id AS STRING)), 1, 8) < '$thr'),
+       |plant AS (SELECT doc_id, text FROM benchdocs WHERE len($wordsSql) >= 3),
+       |corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE substr(md5(CAST(doc_id AS STRING)), 1, 8) >= '$thr'
+       |  UNION ALL SELECT doc_id + $PlantOffset, text FROM plant
+       |  UNION ALL SELECT doc_id, text FROM benchdocs),
+       |t AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+       |  FROM (SELECT doc_id, $wordsSql AS w FROM corpus) z
+       |  WHERE doc_id IN (SELECT train_id FROM sp UNION SELECT bench_id FROM sp)),
+       |p AS (
+       |  SELECT sp.train_id, sp.bench_id,
+       |    ROUND(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+       |      ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |           len(list_distinct(list_concat(a.sh, b.sh))) END, 6) AS jaccard
+       |  FROM sp JOIN t a ON a.doc_id = sp.train_id
+       |          JOIN t b ON b.doc_id = sp.bench_id),
+       |ok AS (
+       |  SELECT NOT EXISTS (SELECT 1 FROM plant pl WHERE NOT EXISTS (
+       |    SELECT 1 FROM sp WHERE sp.train_id = pl.doc_id + $PlantOffset
+       |      AND sp.bench_id = pl.doc_id)) AS complete)
+       |SELECT train_id, bench_id, jaccard FROM p
+       |WHERE jaccard >= 0.5 AND (SELECT complete FROM ok)""".stripMargin
+  }
+
   /** T16: Count-Min-sketch heavy hitters — the 100 TB twin of exact
     * q_t3: full-corpus token frequencies come from a tiny mergeable
     * sketch (fixed seed → deterministic), candidates from a hash-sample.
@@ -2000,6 +2054,7 @@ object PipelineQueries {
     "q_t11_repetition" -> t11Repetition,
     "q_t12_token_accounting" -> t12TokenAccounting,
     "q_t13_decontaminate" -> t13Decontaminate,
+    "q_t26_fuzzy_decontaminate" -> t26FuzzyDecontaminate,
     "q_t16_cms_heavyhitters" -> t16CmsHeavyHitters,
     "q_t17_hll_distinct" -> t17HllDistinct,
     "q_t18_prep_pipeline" -> t18PrepPipeline,
@@ -2055,6 +2110,7 @@ object PipelineQueries {
     "q_t11_repetition" -> t11Oracle,
     "q_t12_token_accounting" -> t12Oracle,
     "q_t13_decontaminate" -> t13Oracle,
+    "q_t26_fuzzy_decontaminate" -> t26Oracle,
     "q_t16_cms_heavyhitters" -> t16Oracle,
     "q_t17_hll_distinct" -> t17Oracle,
     "q_t18_prep_pipeline" -> t18Oracle,

@@ -233,6 +233,39 @@ final class SnapshotTableStore(root: String) extends TableStore {
     -1 // unreachable
   }
 
+  /** OPTIMIZE-style compaction: rewrite the current snapshot's files into
+    * ~`targetFileBytes`-sized ones and commit the rewrite as a new version
+    * with IDENTICAL logical content. Every [[append]]/[[upsertLoad]]
+    * leaves its own file set, so after N nightly loads a reader opens N
+    * commits' worth of small files — at 100 TB the footer/open overhead
+    * and lost row-group pruning dominate scan cost; bin-packing restores
+    * ~one-file-per-128MB layout. The rewrite reads version n's immutable
+    * files and writes a fresh writer-unique dir (never in place), then
+    * claims version n+1 ONLY if no other commit landed meanwhile —
+    * compaction must not silently drop a concurrent append, so on a lost
+    * race it returns None (the orphaned rewrite dir is [[vacuumOrphans]]
+    * fodder, never corruption) and the caller retries when quiet.
+    */
+  def compact(spark: SparkSession, table: String,
+      targetFileBytes: Long = 128L << 20): Option[Int] = {
+    val cur = currentVersion(table).getOrElse(
+      throw new IllegalArgumentException(s"snapshot table $table does not exist"))
+    val totalBytes = manifestDirs(table, cur).map { d =>
+      Using.resource(Files.walk(dataDir(table, d))) { walk =>
+        walk.iterator().asScala
+          .filter(Files.isRegularFile(_)).map(Files.size).sum
+      }
+    }.sum
+    val nFiles = math.max(1L,
+      (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val compacted = readVersion(spark, table, cur).repartition(nFiles)
+    val dname = writeData(compacted, table, cur + 1)
+    if (tryClaim(table, cur + 1, Seq(dname))) {
+      advancePointer(table, cur + 1)
+      Some(cur + 1)
+    } else None
+  }
+
   /** Drop data dirs referenced only by versions below `keepFrom` and their
     * manifests — the GC half of time travel. Never touches dirs the
     * current manifest chain still references.

@@ -51,4 +51,44 @@ object Decontaminate {
       .select(col("train_id")).distinct()
     train.join(broadcast(bad), train(trainId) === bad("train_id"), "left_anti")
   }
+
+  /** Fuzzy decontamination: flag training documents that are NEAR
+    * duplicates of a benchmark document — paraphrased or lightly edited
+    * eval items that exact n-gram matching ([[contaminatedPairs]]) can
+    * miss. Candidates come from MinHash LSH band collisions between the
+    * two frames; every emitted pair is verified with the exact n-gram
+    * Jaccard, so output rows are exact even though candidate generation
+    * is hash-approximate (same contract as the dedup family).
+    *
+    * Scale shape: the benchmark side is tiny, so its banded signature
+    * frame BROADCASTS and the corpus streams through a map-side join —
+    * the 100 TB side computes signatures in one scan and never shuffles
+    * for candidate generation; only the matched candidates (plus the two
+    * narrow shingle-set lookups for verification) move. This mirrors
+    * [[contaminatedPairs]]'s asymmetry exactly, one level fuzzier.
+    */
+  def fuzzyContaminatedPairs(train: DataFrame, trainId: String, trainText: String,
+      bench: DataFrame, benchId: String, benchText: String,
+      threshold: Double = 0.5, k: Int = 64, bands: Int = 16,
+      shingleW: Int = 3): DataFrame = {
+    val tsh = Dedup.shingleFrame(train, trainId, trainText, shingleW)
+    val bsh = Dedup.shingleFrame(bench, benchId, benchText, shingleW)
+    def banded(sh: DataFrame, idAs: String, sigAs: String): DataFrame =
+      sh.select(col("id"), Dedup.minhashSignature(col("sh"), k).as("sig"))
+        .localCheckpoint(true)
+        .select(col("id"), col("sig"),
+          explode(Dedup.lshBands(col("sig"), k, bands)).as("bb"))
+        .select(col("id").as(idAs), col("sig").as(sigAs),
+          col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cands = banded(tsh, "train_id", "sig_t")
+      .join(broadcast(banded(bsh, "bench_id", "sig_b")), Seq("band", "bucket"))
+      .select("train_id", "bench_id").dropDuplicates("train_id", "bench_id")
+    cands
+      .join(tsh.select(col("id").as("train_id"), col("sh").as("sh_t")), "train_id")
+      .join(broadcast(bsh.select(col("id").as("bench_id"), col("sh").as("sh_b"))),
+        "bench_id")
+      .withColumn("jaccard", round(Dedup.jaccardFast(col("sh_t"), col("sh_b")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("train_id", "bench_id", "jaccard")
+  }
 }

@@ -182,4 +182,48 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(store.read(spark, "t").count() == 1)
     assert(!Files.exists(Paths.get(dir, "t", "_versions", "v00001.manifest")))
   }
+
+  test("compact bin-packs many small commits into one identical version") {
+    val (dir, store) = freshStore()
+    (1 to 5).foreach(i =>
+      if (i == 1) store.overwrite(Seq((i.toLong, s"v$i")).toDF("id", "v"), "t")
+      else store.append(Seq((i.toLong, s"v$i")).toDF("id", "v"), "t"))
+    def parquetFiles(v: Int): Int = manifest(dir, "t", v)
+      .map(d => Files.walk(Paths.get(dir, "t", "data", d)).iterator().asScala
+        .count(p => p.toString.endsWith(".parquet"))).sum
+    val before = store.read(spark, "t").as[(Long, String)].collect().toSet
+    val nBefore = parquetFiles(5)
+    assert(nBefore >= 5, s"expected >=5 small files, saw $nBefore")
+    // huge target => everything packs into a single file
+    val v = store.compact(spark, "t", targetFileBytes = 1L << 30)
+    assert(v.contains(6))
+    assert(store.read(spark, "t").as[(Long, String)].collect().toSet == before,
+      "compaction changed table content")
+    assert(parquetFiles(6) == 1, "compaction did not bin-pack to one file")
+    // prior version untouched and still time-travel readable
+    assert(store.readVersion(spark, "t", 5)
+      .as[(Long, String)].collect().toSet == before)
+    // the manifest references exactly one fresh dir
+    assert(manifest(dir, "t", 6).size == 1)
+  }
+
+  test("compact never drops a concurrent append's rows") {
+    // The non-clobbering invariant: whatever interleaving the scheduler
+    // produces, every appended row must survive — a compaction that loses
+    // its claim race returns None and changes nothing; one that wins has
+    // committed a version whose content includes every prior commit.
+    val (dir, store) = freshStore()
+    store.overwrite(Seq((0L, "seed")).toDF("id", "v"), "t")
+    val racer = new SnapshotTableStore(dir)
+    val appender = new Thread(() =>
+      (1 to 4).foreach(i =>
+        racer.append(Seq((i.toLong, s"r$i")).toDF("id", "v"), "t")))
+    appender.start()
+    val outcomes = (1 to 3).map(_ =>
+      store.compact(spark, "t", targetFileBytes = 1L << 30))
+    appender.join()
+    val finalRows = store.read(spark, "t").select("id").as[Long].collect().toSet
+    assert((0L to 4L).toSet.subsetOf(finalRows),
+      s"lost rows: ${(0L to 4L).toSet -- finalRows}; compact outcomes $outcomes")
+  }
 }

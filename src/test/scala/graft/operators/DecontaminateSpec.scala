@@ -50,4 +50,29 @@ class DecontaminateSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("fuzzy: near-dup of a bench doc is flagged, clean doc is not") {
+    val editedCopy = benchText.replace("kappa", "lambda") // light edit
+    val ftrain = Seq(
+      (1L, benchText),           // identical -> jaccard 1, certain hit
+      (2L, editedCopy),          // near dup -> high jaccard
+      (3L, "totally unrelated words that never appeared in the benchmark set"))
+      .toDF("doc_id", "text")
+    val out = Decontaminate.fuzzyContaminatedPairs(
+        ftrain, "doc_id", "text", bench, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 100L)) == 1.0)
+    assert(out.get((2L, 100L)).exists(j => j > 0.5 && j < 1.0),
+      s"edited copy should clear 0.5: $out")
+    assert(!out.keySet.exists(_._1 == 3L), "clean doc flagged")
+  }
+
+  test("fuzzy: bench side broadcasts; corpus never sort-merge-joins") {
+    val df = Decontaminate.fuzzyContaminatedPairs(
+      train, "doc_id", "text", bench, "doc_id", "text", threshold = 0.5)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }

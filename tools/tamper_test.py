@@ -66,6 +66,10 @@ TARGETS = {
         "event_type = (SELECT MIN(event_type) FROM src)",
     # source-coverage guard: drop one source's summary row
     "q_t21_temperature_mixture": "source = (SELECT MIN(source) FROM src)",
+    # planted-pair guard: remove ONE planted (bench clone, bench) pair
+    "q_t26_fuzzy_decontaminate":
+        "train_id - bench_id = 1000000000 AND bench_id = "
+        "(SELECT MIN(bench_id) FROM src WHERE train_id - bench_id = 1000000000)",
     # corpus-bijection guard: drop one doc's accounting row
     "q_t22_bpe_stats": "doc_id = (SELECT MIN(doc_id) FROM src)",
     # corpus-bijection + holdout-AUC guard: drop one scored row
