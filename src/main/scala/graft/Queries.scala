@@ -625,6 +625,35 @@ object Queries {
       |FROM ax LEFT JOIN a ON a.dim = ax.dim AND a.bucket = ax.bucket"""
       .stripMargin
 
+  /** L1: Z-order (Morton) layout clustering ([[operators.Layout]]) — the
+    * OPTIMIZE ZORDER BY primitive that makes two-dimensional scan pruning
+    * work at 100 TB. The query audits the z-value arithmetic end to end:
+    * per 1024-value z-bucket it emits count, sum, min, and max of the
+    * interleaved value over lineitem's (partkey, suppkey) pair, and
+    * DuckDB replays the bit interleave exactly — one wrong bit in any row
+    * shifts a bucket's sum and fails the hash compare. (The partition
+    * locality property — tight per-partition spans on BOTH dimensions —
+    * is pinned quantitatively in LayoutSpec.)
+    */
+  val l1Zorder: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .select(operators.Layout.zValue2(
+        pmod(col("l_partkey"), lit(65536)),
+        pmod(col("l_suppkey"), lit(65536)), 16).as("zval"))
+      .groupBy(shiftright(col("zval"), 10).as("zbucket"))
+      .agg(count(lit(1)).as("n"), sum("zval").as("sum_zval"),
+        min("zval").as("min_zval"), max("zval").as("max_zval"))
+  val l1Oracle =
+    """WITH z AS (
+      |  SELECT list_sum(list_transform(range(0, 16), b ->
+      |    (((l_partkey % 65536) >> b) & 1) * (CAST(1 AS BIGINT) << (2*b)) +
+      |    (((l_suppkey % 65536) >> b) & 1) * (CAST(1 AS BIGINT) << (2*b+1))))
+      |    AS zval
+      |  FROM lineitem)
+      |SELECT zval >> 10 AS zbucket, COUNT(*) AS n, SUM(zval) AS sum_zval,
+      |       MIN(zval) AS min_zval, MAX(zval) AS max_zval
+      |FROM z GROUP BY 1""".stripMargin
+
   /** A7: top-N most-changed resources (change_analytics.go:452-494). */
   val a7TopResources: Q = (s, d) =>
     Analytics.topResources(t(s, d, "events"), "user_id", "ts", "value", 10)
@@ -1918,6 +1947,7 @@ object Queries {
     "q_a5_time_bucket" -> a5TimeBucket,
     "q_a6_impact_trend" -> a6ImpactTrend,
     "q_a16_gapfill" -> a16GapFill,
+    "q_l1_zorder" -> l1Zorder,
     "q_a7_top_resources" -> a7TopResources,
     "q_e16_anomalies" -> e16Anomalies,
     "q_e18_impact" -> e18Impact,
@@ -1986,6 +2016,7 @@ object Queries {
     "q_a5_time_bucket" -> a5Oracle,
     "q_a6_impact_trend" -> a6Oracle,
     "q_a16_gapfill" -> a16Oracle,
+    "q_l1_zorder" -> l1Oracle,
     "q_a7_top_resources" -> a7Oracle,
     "q_e16_anomalies" -> e16Oracle,
     "q_g2_reach" -> g2Oracle,
