@@ -411,35 +411,43 @@ object Dedup {
     * hash-groupBy IS the distributed sort.
     *
     * 100 TB shape: one explode (one row per token position — corpus token
-    * count, not quadratic), one hash-groupBy on the 128-bit window
-    * fingerprint with map-side partial counts (shuffle volume = distinct
-    * windows, rows are (fp, count) only), one thin join back on the
-    * fingerprint, then a per-document window over (id, pos) pairs —
-    * integers only, the text never shuffles. No all-pairs stage; the
+    * count, not quadratic), ONE shuffle partitioned on the 128-bit window
+    * fingerprint (rows are (id, pos, fp) — the text never shuffles) with
+    * a window count marking duplicated fingerprints, then a per-document
+    * window over (id, pos) integer pairs. No all-pairs stage; the
     * quadratic structure of "which window equals which" is absorbed by
-    * the hash aggregation exactly like exact dedup absorbs it for whole
-    * documents.
+    * hash partitioning exactly like exact dedup absorbs it for whole
+    * documents, and fingerprints are uniform so the shuffle cannot skew.
     */
   def substringDedupSpans(df: DataFrame, idCol: String, textCol: String,
       winTokens: Int = 20): DataFrame = {
     require(winTokens > 0, s"winTokens must be positive: $winTokens")
     import org.apache.spark.sql.expressions.Window
     val toks = split(TextAnalysis.normalize(col(textCol)), " ")
-    val base = df.select(col(idCol), toks.as("_toks"))
+    // Spread first: a single small parquet file would pin the CPU-bound
+    // normalize + per-window md5 pass to one task.
+    val base = Spread(df).select(col(idCol), toks.as("_toks"))
       .withColumn("_n", size(col("_toks")))
       .filter(col("_n") >= winTokens)
     // One row per window start; the window fingerprint is md5 of the
     // space-joined tokens so the oracle recomputes the identical value.
+    // The fingerprint ARRAY is built per doc first and the explode runs
+    // over it — exploding positions while carrying `_toks` would copy the
+    // whole token array into every position row (quadratic bytes per
+    // doc); the 32-char fingerprints are what actually fan out.
     val wins = base
       .select(col(idCol),
-        explode(sequence(lit(0), col("_n") - winTokens)).as("pos"),
-        col("_toks"))
-      .select(col(idCol), col("pos").cast("long").as("pos"),
-        md5(concat_ws(" ",
-          slice(col("_toks"), col("pos") + 1, lit(winTokens)))).as("wfp"))
-    val dup = wins.groupBy("wfp").agg(count(lit(1)).as("_cnt"))
-      .filter(col("_cnt") > 1).select("wfp")
-    val dupPos = wins.join(dup, Seq("wfp")).select(col(idCol), col("pos"))
+        posexplode(transform(sequence(lit(0), col("_n") - winTokens),
+          i => md5(concat_ws(" ", slice(col("_toks"), i + 1, lit(winTokens))))))
+          .as(Seq("pos", "wfp")))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("wfp"))
+    // Corpus-wide dup detection as ONE window count over the fingerprint —
+    // a groupBy + join-back would either recompute the whole upstream
+    // (AQE broadcasts the small dup side, dropping exchange reuse) or
+    // shuffle the positions twice; the window shuffles them once.
+    val dupPos = wins
+      .withColumn("_cnt", count(lit(1)).over(Window.partitionBy("wfp")))
+      .filter(col("_cnt") > 1).select(col(idCol), col("pos"))
     // Interval merge: windows are fixed-length [pos, pos+L); a new span
     // starts when the gap to the previous duplicated start exceeds L
     // (NULL lag => first row => ELSE 0, same in the DuckDB replay).
