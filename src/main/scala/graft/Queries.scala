@@ -1747,6 +1747,55 @@ object Queries {
       |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
       |FROM u GROUP BY version, event_type""".stripMargin
 
+  /** ST6: exactly-once streaming ingest ([[graft.streaming.SnapshotSink]])
+    * — a REAL Structured Streaming run appends the documents fixture into
+    * a [[graft.catalog.SnapshotTableStore]] through the batchId-keyed
+    * idempotent commit, then the ENTIRE run is re-executed with a FRESH
+    * checkpoint (the lost-checkpoint worst case: every batch re-delivered
+    * under the same ids). The query emits, per document, its round-tripped
+    * fingerprint, its copy count in the final table, and the table's
+    * version count — a duplicated commit shows up as n_copies = 2 and an
+    * extra version, a lost one as a missing row; the oracle is the full
+    * corpus with all-ones, so any failure of the exactly-once contract
+    * breaks the hash compare.
+    */
+  val st6ExactlyOnce: Q = (s, d) => {
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft-snap-qst6", math.abs(d.hashCode).toString)
+    if (java.nio.file.Files.exists(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+    val store = new graft.catalog.SnapshotTableStore(root.toString)
+    val sch = s.read.parquet(s"$d/documents.parquet").schema
+    def runOnce(ck: String): Unit = {
+      // single-FILE source: glob the last char and pin basePath (see ST2)
+      val stream = s.readStream.schema(sch).option("basePath", d)
+        .parquet(s"$d/documents.parque*")
+      val q = graft.streaming.SnapshotSink.appendStream(stream, store,
+        "docs_snap", root.resolve(ck).toString,
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    runOnce("ck1")
+    runOnce("ck2") // redelivery: same batch content, same batch ids
+    val nVersions = store.versions("docs_snap").size
+    store.read(s, "docs_snap")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_copies"),
+        min(operators.TextAnalysis.fingerprint(col("text"))).as("fp"))
+      .withColumn("n_versions", lit(nVersions).cast("long"))
+      .select("doc_id", "fp", "n_copies", "n_versions")
+  }
+  val st6Oracle: String =
+    s"""SELECT doc_id,
+       |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+       |      ' +', ' ', 'g'))) AS fp,
+       |  1 AS n_copies, 1 AS n_versions
+       |FROM documents""".stripMargin
+
   /** K2: KQL `join kind=leftouter` pipeline (J6,
     * resource_graph.go:268-277 — `Resources | where | join kind=leftouter
     * (ResourceContainers | project ...) on resourceGroup | summarize
@@ -1986,7 +2035,8 @@ object Queries {
     "q_x4_range_join" -> x4RangeJoin,
     "q_st1_sessionize" -> st1Sessionize,
     "q_st4_windowed_agg" -> st4WindowedAgg,
-    "q_st5_stream_join" -> st5StreamJoin)
+    "q_st5_stream_join" -> st5StreamJoin,
+    "q_st6_exactly_once" -> st6ExactlyOnce)
 
   val oracles: Map[String, String] = Map(
     "q_p1_projection" -> p1Oracle,
@@ -2032,6 +2082,7 @@ object Queries {
     "q_st1_sessionize" -> st1Oracle,
     "q_st4_windowed_agg" -> st4Oracle,
     "q_st5_stream_join" -> st5Oracle,
+    "q_st6_exactly_once" -> st6Oracle,
     "q_g6_components" -> g6Oracle,
     "q_x3_asof_join" -> x3Oracle,
     "q_x4_range_join" -> x4Oracle,

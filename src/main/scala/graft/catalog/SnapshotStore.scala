@@ -186,6 +186,42 @@ final class SnapshotTableStore(root: String) extends TableStore {
     -1 // unreachable
   }
 
+  /** Idempotent tagged append — the exactly-once primitive for streaming
+    * sinks. `foreachBatch` delivers at-least-once (a crash between the
+    * sink write and the checkpoint commit re-runs the batch on restart);
+    * tagging the commit with the batch id makes the retry a no-op: if any
+    * data dir the CURRENT manifest references carries `tag`, the batch
+    * already committed and this returns false without writing. The tag
+    * rides in the immutable data-dir name, so the check costs one
+    * manifest read — no side table, and [[vacuum]]/time travel semantics
+    * are untouched. (Append-only chains carry every prior dir forward, so
+    * the current manifest is a complete commit history; an [[overwrite]]
+    * resets it, which is correct — a new table generation restarts the
+    * stream's checkpoint too.)
+    */
+  def appendIdempotent(df: DataFrame, table: String, tag: String): Boolean = {
+    require(tag.nonEmpty && tag.forall(c => c.isLetterOrDigit || c == '_'),
+      s"tag must be [A-Za-z0-9_]+: '$tag'")
+    val marker = s"-t$tag"
+    def committed(): Boolean = currentVersion(table)
+      .exists(v => manifestDirs(table, v).exists(_.endsWith(marker)))
+    if (committed()) return false
+    val cur0 = currentVersion(table)
+    val tok = java.util.UUID.randomUUID().toString.take(8)
+    val dname = f"d${cur0.getOrElse(0) + 1}%05d-$tok$marker"
+    df.write.mode("errorifexists").parquet(dataDir(table, dname).toString)
+    while (true) {
+      val cur = currentVersion(table)
+      val prior = cur.map(manifestDirs(table, _)).getOrElse(Nil)
+      if (prior.exists(_.endsWith(marker))) return false // racing retry won
+      if (tryClaim(table, cur.getOrElse(0) + 1, prior :+ dname)) {
+        advancePointer(table, cur.getOrElse(0) + 1)
+        return true
+      }
+    }
+    false // unreachable
+  }
+
   /** New snapshot containing exactly `df` (prior versions stay readable). */
   def overwrite(df: DataFrame, table: String): Unit = commit(df, table, carryForward = false)
 

@@ -207,6 +207,40 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(manifest(dir, "t", 6).size == 1)
   }
 
+  test("appendIdempotent commits a tag once; retries are no-ops") {
+    val (_, store) = freshStore()
+    assert(store.appendIdempotent(Seq((1L, "a")).toDF("id", "v"), "t", "b0"))
+    assert(!store.appendIdempotent(Seq((1L, "a")).toDF("id", "v"), "t", "b0"),
+      "re-delivered batch must not commit again")
+    assert(store.appendIdempotent(Seq((2L, "b")).toDF("id", "v"), "t", "b1"))
+    assert(!store.appendIdempotent(Seq((2L, "b")).toDF("id", "v"), "t", "b1"))
+    assert(store.versions("t") == Seq(1, 2))
+    assert(store.read(spark, "t").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    // out-of-order redelivery of an OLD batch after newer commits: still a no-op
+    assert(!store.appendIdempotent(Seq((1L, "a")).toDF("id", "v"), "t", "b0"))
+    assert(store.versions("t") == Seq(1, 2))
+  }
+
+  test("SnapshotSink: rerunning a stream from a fresh checkpoint adds nothing") {
+    val (dir, store) = freshStore()
+    val src = tempDir("graft-sink-src")
+    Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+      .coalesce(1).write.parquet(s"$src/part1")
+    val sch = spark.read.parquet(s"$src/part1").schema
+    def runOnce(ck: String): Unit = {
+      val stream = spark.readStream.schema(sch).parquet(s"$src/part1")
+      val q = graft.streaming.SnapshotSink.appendStream(stream, store, "t",
+        s"$dir/$ck", org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    runOnce("ck1")
+    runOnce("ck2") // lost checkpoint: same batch, same id, must be a no-op
+    assert(store.versions("t").size == 1, store.versions("t"))
+    assert(store.read(spark, "t").as[(Long, String)].collect().toSet ==
+      Set((1L, "x"), (2L, "y")))
+  }
+
   test("compact never drops a concurrent append's rows") {
     // The non-clobbering invariant: whatever interleaving the scheduler
     // produces, every appended row must survive — a compaction that loses
