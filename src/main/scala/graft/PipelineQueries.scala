@@ -1074,6 +1074,41 @@ object PipelineQueries {
        |WHERE jaccard >= 0.5 AND (SELECT complete FROM ok)""".stripMargin
   }
 
+  /** T27: Unicode NFC canonicalization ([[graft.functions.TextExprs.nfc]]
+    * as a native codegen expression) — the text-cleaning step a corpus
+    * pipeline runs BEFORE fingerprinting, so that byte-different but
+    * canonically-equal strings (decomposed accents from different
+    * scrapers) dedup together. The fixture corpus is pure ASCII, so
+    * deterministic decomposed suffixes are planted on doc_id % 5 == 0 and
+    * the oracle replays the canonicalization with DuckDB's own
+    * `nfc_normalize` — two independent Unicode implementations (ICU-less
+    * java.text.Normalizer vs utf8proc) must agree byte-for-byte on the
+    * md5 of the result, and on the codepoint count saved by the fold.
+    */
+  val t27Nfc: Q = (s, d) => {
+    graft.functions.VecExprs.register(s)
+    val aug = t(s, d, "documents").withColumn("_ta",
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(col("text"), lit(" cafe\u0301 nin\u0303o")))
+        .otherwise(col("text")))
+    aug.select(col("doc_id"),
+      (call_function("nfc", col("_ta")) =!= col("_ta")).as("changed"),
+      md5(call_function("nfc", col("_ta"))).as("fp_nfc"),
+      (length(col("_ta")) - length(call_function("nfc", col("_ta"))))
+        .cast("bigint").as("delta_chars"))
+  }
+  val t27Oracle: String =
+    """WITH aug AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0
+      |         THEN text || ' cafe' || chr(769) || ' nin' || chr(771) || 'o'
+      |         ELSE text END AS ta
+      |  FROM documents)
+      |SELECT doc_id, nfc_normalize(ta) != ta AS changed,
+      |  md5(nfc_normalize(ta)) AS fp_nfc,
+      |  length(ta) - length(nfc_normalize(ta)) AS delta_chars
+      |FROM aug""".stripMargin
+
   /** T16: Count-Min-sketch heavy hitters — the 100 TB twin of exact
     * q_t3: full-corpus token frequencies come from a tiny mergeable
     * sketch (fixed seed → deterministic), candidates from a hash-sample.
@@ -2055,6 +2090,7 @@ object PipelineQueries {
     "q_t12_token_accounting" -> t12TokenAccounting,
     "q_t13_decontaminate" -> t13Decontaminate,
     "q_t26_fuzzy_decontaminate" -> t26FuzzyDecontaminate,
+    "q_t27_nfc" -> t27Nfc,
     "q_t16_cms_heavyhitters" -> t16CmsHeavyHitters,
     "q_t17_hll_distinct" -> t17HllDistinct,
     "q_t18_prep_pipeline" -> t18PrepPipeline,
@@ -2111,6 +2147,7 @@ object PipelineQueries {
     "q_t12_token_accounting" -> t12Oracle,
     "q_t13_decontaminate" -> t13Oracle,
     "q_t26_fuzzy_decontaminate" -> t26Oracle,
+    "q_t27_nfc" -> t27Oracle,
     "q_t16_cms_heavyhitters" -> t16Oracle,
     "q_t17_hll_distinct" -> t17Oracle,
     "q_t18_prep_pipeline" -> t18Oracle,

@@ -161,6 +161,18 @@ object TextExprs {
     while (it.hasNext) { out(i) = it.next(); i += 1 }
     new GenericArrayData(out)
   }
+
+  /** Unicode NFC canonicalization (java.text.Normalizer). The
+    * already-normalized fast path avoids the String round-trip for the
+    * common case — web text is overwhelmingly NFC already, so at corpus
+    * scale this is a cheap isNormalized scan per row.
+    */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
 }
 
 /** `bigrams(array<string>) -> array<string>` */
@@ -234,6 +246,23 @@ case class WinnowExpr(child: Expression, k: Int, win: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       a => s"graft.functions.TextExprs$$.MODULE$$.winnowFps($a, $k, $win)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `nfc(string) -> string` — Unicode NFC canonicalization. */
+case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"nfc expects string, got ${dt.simpleString}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    TextExprs.nfc(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.TextExprs$$.MODULE$$.nfc($a)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

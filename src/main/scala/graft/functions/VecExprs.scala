@@ -394,6 +394,7 @@ object VecExprs {
     "bigrams" -> (exprs => BigramsExpr(exprs(0))),
     "repetition_stats" -> (exprs => RepetitionStatsExpr(exprs(0))),
     "term_counts" -> (exprs => TermCountsExpr(exprs(0))),
+    "nfc" -> (exprs => NfcNormalizeExpr(exprs(0))),
     "winnow_fps" -> (exprs => WinnowExpr(exprs(0),
       intLit(exprs(1), "winnow_fps k"), intLit(exprs(2), "winnow_fps win"))),
     "lsh_buckets" -> (exprs => LshBucketsExpr(exprs(0),
