@@ -151,4 +151,28 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("hashpartitioning(shard"), p)
     assert(!p.contains("SinglePartition"), p)
   }
+
+  test("D10 substring dedup: fingerprint-keyed window, no join, no cartesian") {
+    // Dup detection is ONE window count over the wfp exchange (the
+    // groupBy+join-back shape recomputed the upstream once AQE broadcast
+    // the dup side); the text column must never be a shuffle key.
+    val p = plan("q_d10_substr_dedup")
+    assert(p.contains("hashpartitioning(wfp"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("T26 fuzzy decontamination: bench side broadcasts, corpus never SMJs") {
+    val p = plan("q_t26_fuzzy_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("L1 z-order audit: codegen arithmetic with partial aggregation") {
+    val p = plan("q_l1_zorder")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      "z-bucket agg must combine map-side\n" + p)
+  }
 }
