@@ -1136,6 +1136,44 @@ object Queries {
       |HAVING window_start + INTERVAL 1 HOUR <= (SELECT wm FROM mx)"""
       .stripMargin
 
+  /** ST7: hopping (sliding) windows — the trailing-period-rate twin of
+    * q_st4, run as the same REAL availableNow streaming query. Every
+    * event lands in two overlapping 1-hour windows (slide 30 min), and
+    * the append-mode finalization predicate (window_end ≤ ms-truncated
+    * max(ts) − delay) is replayed relationally by DuckDB: each event's
+    * two window starts are reconstructed by epoch arithmetic and the
+    * same HAVING gate selects the finalized set — a full cross-engine
+    * replay of both the overlap assignment and the watermark semantics.
+    */
+  val st7HoppingAgg: Q = (s, d) => {
+    val sch = s.read.parquet(s"$d/events.parquet").schema
+    // single-FILE source: glob the last char and pin basePath (see ST2)
+    val stream = s.readStream.schema(sch).option("basePath", d)
+      .parquet(s"$d/events.parque*")
+    val ev = Tables.normalizeTimestamps(stream, nanosLongCols = Set("ts"))
+    val agg = graft.streaming.WindowedAgg.hopping(
+      ev, "ts", "event_type", "value", "1 hour", "30 minutes", "30 minutes")
+    graft.streaming.Replay.availableNow(agg)
+  }
+  val st7Oracle: String =
+    """WITH mx AS (
+      |  SELECT make_timestamp((MAX(epoch_us(ts)) // 1000) * 1000
+      |                        - 1800000000) AS wm FROM events),
+      |s AS (
+      |  SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000)
+      |           AS s1, event_type, value
+      |  FROM events),
+      |w AS (
+      |  SELECT unnest([s1, s1 - INTERVAL 30 MINUTE]) AS window_start,
+      |         event_type, value
+      |  FROM s)
+      |SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+      |  event_type, COUNT(*) AS n_events,
+      |  SUM(CAST(value AS DECIMAL(18,4))) AS sum_value
+      |FROM w GROUP BY 1, 3
+      |HAVING window_start + INTERVAL 1 HOUR <= (SELECT wm FROM mx)"""
+      .stripMargin
+
   /** ST5: stream-stream interval join — each purchase attributed to the
     * same user's clicks in the preceding 30 minutes
     * (streaming.StreamJoin: watermarked bounded-state interval join,
@@ -2036,7 +2074,8 @@ object Queries {
     "q_st1_sessionize" -> st1Sessionize,
     "q_st4_windowed_agg" -> st4WindowedAgg,
     "q_st5_stream_join" -> st5StreamJoin,
-    "q_st6_exactly_once" -> st6ExactlyOnce)
+    "q_st6_exactly_once" -> st6ExactlyOnce,
+    "q_st7_hopping_agg" -> st7HoppingAgg)
 
   val oracles: Map[String, String] = Map(
     "q_p1_projection" -> p1Oracle,
@@ -2083,6 +2122,7 @@ object Queries {
     "q_st4_windowed_agg" -> st4Oracle,
     "q_st5_stream_join" -> st5Oracle,
     "q_st6_exactly_once" -> st6Oracle,
+    "q_st7_hopping_agg" -> st7Oracle,
     "q_g6_components" -> g6Oracle,
     "q_x3_asof_join" -> x3Oracle,
     "q_x4_range_join" -> x4Oracle,

@@ -35,4 +35,23 @@ object WindowedAgg {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         col(keyCol), col("n_events"), col("sum_value"))
+
+  /** Hopping (sliding) windows — each event contributes to
+    * windowDur/slideDur overlapping windows, the trailing-period-rate
+    * shape ("events in the last hour, updated every 30 minutes"). Same
+    * state model and append-mode finalization contract as [[tumbling]];
+    * state grows by the overlap factor (windowDur/slideDur open windows
+    * per key), still bounded by the watermark horizon.
+    */
+  def hopping(events: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String, windowDur: String, slideDur: String,
+      watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur, slideDur), col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast("decimal(18,4)")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col(keyCol), col("n_events"), col("sum_value"))
 }

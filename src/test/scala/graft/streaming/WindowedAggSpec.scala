@@ -60,4 +60,25 @@ class WindowedAggSpec extends SparkSpec {
       ("2024-01-01 11:00:00.0", "click", 1L),
       ("2024-01-01 12:00:00.0", "view", 1L)), out.toString)
   }
+
+  test("hopping: every event lands in exactly window/slide windows") {
+    // 1-hour windows sliding every 30 min => each event in 2 windows:
+    // starts floor30(ts) and floor30(ts) - 30min.
+    val out = WindowedAgg.hopping(rows.toDF("ts", "et", "value"),
+        "ts", "et", "value", "1 hour", "30 minutes", "30 minutes")
+      .select("window_start", "et", "n_events")
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+      .toSet
+    // 10:05 click -> starts {09:30, 10:00}; 10:45 -> {10:00, 10:30};
+    // 11:10 -> {10:30, 11:00}: the 10:30 window catches both later clicks.
+    assert(out.contains(("2024-01-01 09:30:00.0", "click", 1L)), out)
+    assert(out.contains(("2024-01-01 10:00:00.0", "click", 2L)), out)
+    assert(out.contains(("2024-01-01 10:30:00.0", "click", 2L)), out)
+    // per-event window membership count is exactly 2
+    val totalMemberships = WindowedAgg.hopping(rows.toDF("ts", "et", "value"),
+        "ts", "et", "value", "1 hour", "30 minutes", "30 minutes")
+      .agg(org.apache.spark.sql.functions.sum("n_events")).collect()(0).getLong(0)
+    assert(totalMemberships == rows.size * 2L, s"$totalMemberships")
+  }
 }
