@@ -1174,6 +1174,50 @@ object Queries {
       |HAVING window_start + INTERVAL 1 HOUR <= (SELECT wm FROM mx)"""
       .stripMargin
 
+  /** ST8: gap-based session windows (`session_window`) — the third
+    * canonical streaming window shape, run as the same REAL availableNow
+    * streaming query as q_st4/q_st7. A session spans events whose
+    * per-key inter-arrival gap stays under 30 minutes; end = last event
+    * + gap; an event at EXACTLY the previous end merges (pinned in
+    * WindowedAggSpec), so the DuckDB replay breaks strictly on gap >
+    * 30 min — classic gaps-and-islands in exact microsecond arithmetic,
+    * with the same append-mode finalization gate as the other windows.
+    * Full cross-engine replay: session boundaries, aggregates, AND
+    * watermark semantics.
+    */
+  val st8SessionAgg: Q = (s, d) => {
+    val sch = s.read.parquet(s"$d/events.parquet").schema
+    // single-FILE source: glob the last char and pin basePath (see ST2)
+    val stream = s.readStream.schema(sch).option("basePath", d)
+      .parquet(s"$d/events.parque*")
+    val ev = Tables.normalizeTimestamps(stream, nanosLongCols = Set("ts"))
+    val agg = graft.streaming.WindowedAgg.session(
+      ev, "ts", "event_type", "value", "30 minutes", "30 minutes")
+    graft.streaming.Replay.availableNow(agg)
+  }
+  val st8Oracle: String =
+    """WITH mx AS (
+      |  SELECT make_timestamp((MAX(epoch_us(ts)) // 1000) * 1000
+      |                        - 1800000000) AS wm FROM events),
+      |o AS (
+      |  SELECT event_type, ts, value,
+      |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+      |           (PARTITION BY event_type ORDER BY ts) > 1800000000
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |g AS (
+      |  SELECT event_type, ts, value,
+      |    SUM(brk) OVER (PARTITION BY event_type ORDER BY ts
+      |                   ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM o)
+      |SELECT MIN(ts) AS session_start,
+      |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  event_type, COUNT(*) AS n_events,
+      |  SUM(CAST(value AS DECIMAL(18,4))) AS sum_value
+      |FROM g GROUP BY event_type, sess
+      |HAVING MAX(ts) + INTERVAL 30 MINUTE <= (SELECT wm FROM mx)"""
+      .stripMargin
+
   /** ST5: stream-stream interval join — each purchase attributed to the
     * same user's clicks in the preceding 30 minutes
     * (streaming.StreamJoin: watermarked bounded-state interval join,
@@ -2075,7 +2119,8 @@ object Queries {
     "q_st4_windowed_agg" -> st4WindowedAgg,
     "q_st5_stream_join" -> st5StreamJoin,
     "q_st6_exactly_once" -> st6ExactlyOnce,
-    "q_st7_hopping_agg" -> st7HoppingAgg)
+    "q_st7_hopping_agg" -> st7HoppingAgg,
+    "q_st8_session_agg" -> st8SessionAgg)
 
   val oracles: Map[String, String] = Map(
     "q_p1_projection" -> p1Oracle,
@@ -2123,6 +2168,7 @@ object Queries {
     "q_st5_stream_join" -> st5Oracle,
     "q_st6_exactly_once" -> st6Oracle,
     "q_st7_hopping_agg" -> st7Oracle,
+    "q_st8_session_agg" -> st8Oracle,
     "q_g6_components" -> g6Oracle,
     "q_x3_asof_join" -> x3Oracle,
     "q_x4_range_join" -> x4Oracle,

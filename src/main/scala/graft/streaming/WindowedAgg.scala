@@ -54,4 +54,23 @@ object WindowedAgg {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         col(keyCol), col("n_events"), col("sum_value"))
+
+  /** Gap-based session windows (`session_window`) — the third canonical
+    * streaming window shape: a session spans events whose inter-arrival
+    * gap per key never reaches `gapDur`; its end is last-event time +
+    * gap. In append mode a session emits when the watermark passes its
+    * end, same contract as [[tumbling]]. State per (key, open session),
+    * merged incrementally — bounded by the watermark horizon like the
+    * rest of the family.
+    */
+  def session(events: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String, gapDur: String, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gapDur), col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast("decimal(18,4)")).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col(keyCol), col("n_events"), col("sum_value"))
 }

@@ -81,4 +81,33 @@ class WindowedAggSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.sum("n_events")).collect()(0).getLong(0)
     assert(totalMemberships == rows.size * 2L, s"$totalMemberships")
   }
+
+  test("session: gap merges and breaks; end = last event + gap") {
+    // key a: events at 10:00, 10:20, 10:39 chain (gaps < 30m) then 11:30
+    // breaks (gap 51m); exact-boundary probe: key b at 10:00 and 10:30
+    // (gap == 30m exactly) pins Spark's strict/non-strict merge choice.
+    val rows = Seq(
+      (ts("2024-01-01 10:00:00"), "a", 1.0),
+      (ts("2024-01-01 10:20:00"), "a", 2.0),
+      (ts("2024-01-01 10:39:00"), "a", 3.0),
+      (ts("2024-01-01 11:30:00"), "a", 4.0),
+      (ts("2024-01-01 10:00:00"), "b", 5.0),
+      (ts("2024-01-01 10:30:00"), "b", 6.0))
+    val out = WindowedAgg.session(rows.toDF("ts", "et", "value"),
+        "ts", "et", "value", "30 minutes", "30 minutes")
+      .select("session_start", "session_end", "et", "n_events")
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getTimestamp(1).toString,
+        r.getString(2), r.getLong(3)))
+      .toSet
+    assert(out.contains(
+      ("2024-01-01 10:00:00.0", "2024-01-01 11:09:00.0", "a", 3L)), out)
+    assert(out.contains(
+      ("2024-01-01 11:30:00.0", "2024-01-01 12:00:00.0", "a", 1L)), out)
+    // Boundary semantics: an event at EXACTLY prev_end merges (touching
+    // sessions coalesce) — so the relational replay breaks strictly on
+    // gap > gapDur, which the q_st8 oracle mirrors. This assert pins it.
+    assert(out.filter(_._3 == "b") ==
+      Set(("2024-01-01 10:00:00.0", "2024-01-01 11:00:00.0", "b", 2L)), out)
+  }
 }
