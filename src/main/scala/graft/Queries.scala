@@ -1177,10 +1177,10 @@ object Queries {
   /** ST8: gap-based session windows (`session_window`) — the third
     * canonical streaming window shape, run as the same REAL availableNow
     * streaming query as q_st4/q_st7. A session spans events whose
-    * per-key inter-arrival gap stays under 30 minutes; end = last event
+    * per-key inter-arrival gap stays under 10 minutes; end = last event
     * + gap; an event at EXACTLY the previous end merges (pinned in
     * WindowedAggSpec), so the DuckDB replay breaks strictly on gap >
-    * 30 min — classic gaps-and-islands in exact microsecond arithmetic,
+    * 10 min — classic gaps-and-islands in exact microsecond arithmetic,
     * with the same append-mode finalization gate as the other windows.
     * Full cross-engine replay: session boundaries, aggregates, AND
     * watermark semantics.
@@ -1192,17 +1192,17 @@ object Queries {
       .parquet(s"$d/events.parque*")
     val ev = Tables.normalizeTimestamps(stream, nanosLongCols = Set("ts"))
     val agg = graft.streaming.WindowedAgg.session(
-      ev, "ts", "event_type", "value", "30 minutes", "30 minutes")
+      ev, "ts", "event_type", "value", "10 minutes", "10 minutes")
     graft.streaming.Replay.availableNow(agg)
   }
   val st8Oracle: String =
     """WITH mx AS (
       |  SELECT make_timestamp((MAX(epoch_us(ts)) // 1000) * 1000
-      |                        - 1800000000) AS wm FROM events),
+      |                        - 600000000) AS wm FROM events),
       |o AS (
       |  SELECT event_type, ts, value,
       |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
-      |           (PARTITION BY event_type ORDER BY ts) > 1800000000
+      |           (PARTITION BY event_type ORDER BY ts) > 600000000
       |         THEN 1 ELSE 0 END AS brk
       |  FROM events),
       |g AS (
@@ -1211,11 +1211,11 @@ object Queries {
       |                   ROWS UNBOUNDED PRECEDING) AS sess
       |  FROM o)
       |SELECT MIN(ts) AS session_start,
-      |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  MAX(ts) + INTERVAL 10 MINUTE AS session_end,
       |  event_type, COUNT(*) AS n_events,
       |  SUM(CAST(value AS DECIMAL(18,4))) AS sum_value
       |FROM g GROUP BY event_type, sess
-      |HAVING MAX(ts) + INTERVAL 30 MINUTE <= (SELECT wm FROM mx)"""
+      |HAVING MAX(ts) + INTERVAL 10 MINUTE <= (SELECT wm FROM mx)"""
       .stripMargin
 
   /** ST5: stream-stream interval join — each purchase attributed to the
