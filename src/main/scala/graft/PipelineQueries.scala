@@ -1390,6 +1390,62 @@ object PipelineQueries {
        |       COUNT(*) AS n_windows
        |FROM gr GROUP BY doc_id, grp""".stripMargin
 
+  /** D12: apply the D10 span-removal manifest — the "remove the
+    * duplicated substring, keep the rest" step that closes the
+    * ExactSubstr loop ([[Dedup.applySpanRemoval]]). The oracle recomputes
+    * the ENTIRE chain relationally: window fingerprints → dup counts →
+    * merged spans → span positions exploded → anti-join against token
+    * positions → ordered reassembly — so a wrong span boundary, a
+    * dropped-but-should-keep token, or a kept-but-should-drop token all
+    * change `text_clean` and fail the hash compare.
+    */
+  val d12SubstrApply: Q = (s, d) => {
+    val corpus = withPlantedClones(t(s, d, "documents"))
+    val spans = Dedup.substringDedupSpans(corpus, "doc_id", "text",
+      winTokens = 20)
+    Dedup.applySpanRemoval(corpus, "doc_id", "text", spans)
+  }
+  val d12Oracle =
+    s"""WITH plant AS ($plantSql),
+       |corpus AS ($plantedCorpusSql),
+       |sel AS (SELECT doc_id, $wordsSql AS w FROM corpus),
+       |base AS (SELECT doc_id, w, len(w) AS n FROM sel WHERE len(w) >= 20),
+       |wins AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |         md5(array_to_string(w[i+1:i+20], ' ')) AS wfp
+       |  FROM (SELECT doc_id, w, unnest(generate_series(0, n - 20)) AS i
+       |        FROM base)),
+       |dup AS (SELECT wfp FROM wins GROUP BY wfp HAVING COUNT(*) > 1),
+       |dp AS (SELECT doc_id, pos FROM wins JOIN dup USING (wfp)),
+       |fl AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+       |              > 20 THEN 1 ELSE 0 END AS nw
+       |  FROM dp),
+       |spans AS (
+       |  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 20 AS e
+       |  FROM (
+       |    SELECT doc_id, pos,
+       |      SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos
+       |                    ROWS UNBOUNDED PRECEDING) AS grp
+       |    FROM fl) z GROUP BY doc_id, grp),
+       |rem AS (
+       |  SELECT doc_id, unnest(generate_series(s, e - 1)) AS pos FROM spans),
+       |posi AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos, w[i+1] AS tok
+       |  FROM (SELECT doc_id, w, unnest(generate_series(0, len(w) - 1)) AS i
+       |        FROM sel)),
+       |keptagg AS (
+       |  SELECT p.doc_id, COUNT(*) AS n_after,
+       |         string_agg(p.tok, ' ' ORDER BY p.pos) AS text_clean
+       |  FROM posi p LEFT JOIN rem r
+       |    ON r.doc_id = p.doc_id AND r.pos = p.pos
+       |  WHERE r.pos IS NULL GROUP BY p.doc_id)
+       |SELECT sel.doc_id, len(sel.w) AS n_tokens_before,
+       |  COALESCE(k.n_after, 0) AS n_tokens_after,
+       |  COALESCE(k.text_clean, '') AS text_clean
+       |FROM sel LEFT JOIN keptagg k ON k.doc_id = sel.doc_id""".stripMargin
+
   /** D11: incremental cross-batch dedup — the nightly-ingest shape. The
     * corpus splits deterministically into a ~70% accumulated history and
     * a ~30% incoming batch, plus planted clones of ~5% of history docs in
@@ -2073,6 +2129,7 @@ object PipelineQueries {
     "q_d9_segment_dedup" -> d9SegmentDedup,
     "q_d10_substr_dedup" -> d10SubstrDedup,
     "q_d11_crossbatch_dedup" -> d11CrossBatch,
+    "q_d12_substr_apply" -> d12SubstrApply,
     "q_t1_quality" -> t1Quality,
     "q_t2_langid" -> t2LangId,
     "q_t3_top_tokens" -> t3TopTokens,
@@ -2139,6 +2196,7 @@ object PipelineQueries {
     "q_d9_segment_dedup" -> d9Oracle,
     "q_d10_substr_dedup" -> d10Oracle,
     "q_d11_crossbatch_dedup" -> d11Oracle,
+    "q_d12_substr_apply" -> d12Oracle,
     "q_x5_url" -> x5Oracle,
     "q_t8_bigrams" -> t8Oracle,
     "q_t9_redact" -> t9Oracle,

@@ -466,6 +466,39 @@ object Dedup {
     spans
   }
 
+  /** Apply a duplicated-span removal manifest ([[substringDedupSpans]])
+    * to the corpus: drop every token whose position falls inside one of
+    * the document's spans and reassemble the remaining (normalized)
+    * tokens in order — the Lee et al. "remove the duplicated substring,
+    * keep the rest of the document" step.
+    *
+    * 100 TB shape: the manifest is tiny relative to the corpus (spans
+    * per doc, two longs each), so the join back is narrow and keyed on
+    * the doc id; the removal itself is a per-row codegen HOF pass over
+    * the token array — no shuffle beyond the manifest join.
+    */
+  def applySpanRemoval(df: DataFrame, idCol: String, textCol: String,
+      spans: DataFrame): DataFrame = {
+    val spanType = "array<struct<span_start:bigint,span_end_excl:bigint>>"
+    val spansAgg = spans.groupBy(idCol).agg(
+      collect_list(struct(col("span_start"), col("span_end_excl")))
+        .as("_spans"))
+    val toks = split(TextAnalysis.normalize(col(textCol)), " ")
+    val kept = filter(
+      transform(sequence(lit(0L), size(col("_toks")).cast("long") - 1), i =>
+        when(!exists(col("_spans"), sp =>
+            i >= sp.getField("span_start") && i < sp.getField("span_end_excl")),
+          element_at(col("_toks"), (i + 1).cast("int")))),
+      x => x.isNotNull)
+    Spread(df).select(col(idCol), toks.as("_toks"))
+      .join(spansAgg, Seq(idCol), "left")
+      .withColumn("_spans", coalesce(col("_spans"), array().cast(spanType)))
+      .select(col(idCol),
+        size(col("_toks")).cast("long").as("n_tokens_before"),
+        size(kept).cast("long").as("n_tokens_after"),
+        concat_ws(" ", kept).as("text_clean"))
+  }
+
   /** Incremental cross-batch exact dedup: flag each `incoming` document
     * whose normalized-text fingerprint already exists in `history`,
     * without shuffling history. The Bloom filter is built over the SMALL

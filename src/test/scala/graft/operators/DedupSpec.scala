@@ -208,6 +208,31 @@ class DedupSpec extends SparkSpec {
     assert(out(40L) == ((0L, 5L, 3L)) && out(41L) == ((0L, 5L, 3L)))
   }
 
+  test("applySpanRemoval excises exactly the span tokens, keeps order") {
+    val df = Seq(
+      (50L, "alpha beta gamma delta epsilon zz yy xx"),
+      (51L, "qq alpha beta gamma delta epsilon rr"),
+      (52L, "no duplicated content here at all"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.substringDedupSpans(df, "doc_id", "text", winTokens = 3)
+    val out = Dedup.applySpanRemoval(df, "doc_id", "text", spans)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // shared 5-token run removed from both docs, surroundings intact
+    assert(out(50L) == ((8L, 3L, "zz yy xx")), out(50L))
+    assert(out(51L) == ((7L, 2L, "qq rr")), out(51L))
+    assert(out(52L) == ((6L, 6L, "no duplicated content here at all")))
+  }
+
+  test("applySpanRemoval: fully-duplicated doc empties; counts stay exact") {
+    val df = Seq((60L, "p q r s t"), (61L, "p q r s t")).toDF("doc_id", "text")
+    val spans = Dedup.substringDedupSpans(df, "doc_id", "text", winTokens = 3)
+    val out = Dedup.applySpanRemoval(df, "doc_id", "text", spans)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(60L) == ((5L, 0L, "")) && out(61L) == ((5L, 0L, "")), out)
+  }
+
   test("crossBatchDedup flags exact history dupes and nothing else") {
     val history = Seq(
       (100L, "the shared history document text body"),
