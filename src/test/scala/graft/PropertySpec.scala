@@ -104,4 +104,73 @@ class PropertySpec extends SparkSpec {
       Multimodal.probeMedia(bs.toArray) != null
     }, minSuccessful = 200)
   }
+
+  /** Exact in-memory reference for substringDedupSpans: corpus-wide
+    * window counts, duplicated starts, interval merge with the operator's
+    * strict gap > L rule.
+    */
+  private def refSpans(docs: Seq[(Long, Vector[String])],
+      L: Int): Map[Long, Set[(Long, Long, Long)]] = {
+    val counts = scala.collection.mutable.Map[String, Int]()
+    val wins = docs.map { case (id, toks) =>
+      id -> (0 to toks.length - L)
+        .map(i => toks.slice(i, i + L).mkString(" ")).toVector
+    }
+    wins.foreach(_._2.foreach(w => counts(w) = counts.getOrElse(w, 0) + 1))
+    wins.map { case (id, ws) =>
+      val dup = ws.zipWithIndex.collect { case (w, i) if counts(w) > 1 => i }
+      val spans = scala.collection.mutable.ListBuffer[(Long, Long, Long)]()
+      var runStart = -1; var prev = -1; var n = 0
+      def flush(): Unit = if (runStart >= 0)
+        spans += ((runStart.toLong, (prev + L).toLong, n.toLong))
+      for (p <- dup) {
+        if (runStart < 0 || p - prev > L) { flush(); runStart = p; n = 0 }
+        prev = p; n += 1
+      }
+      flush()
+      id -> spans.toSet
+    }.toMap.withDefaultValue(Set.empty)
+  }
+
+  private val substrDocsGen = for {
+    nDocs <- Gen.choose(3, 6)
+    docs <- Gen.listOfN(nDocs, Gen.choose(3, 12).flatMap(k =>
+      Gen.listOfN(k, words).map(_.toVector)))
+  } yield docs.zipWithIndex.map { case (d, i) => (i.toLong, d) }
+
+  test("substringDedupSpans matches the exact suffix-scan reference") {
+    check(Prop.forAllNoShrink(substrDocsGen) { docs =>
+      val df = docs.map { case (id, t) => (id, t.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.Dedup
+        .substringDedupSpans(df, "doc_id", "text", winTokens = 3)
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (id, rows) => id -> rows.map(r =>
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toSet }
+      val want = refSpans(docs, 3).filter(_._2.nonEmpty)
+      got == want
+    }, minSuccessful = 3)
+  }
+
+  test("applySpanRemoval equals reference excision; counts reconcile") {
+    check(Prop.forAllNoShrink(substrDocsGen) { docs =>
+      val df = docs.map { case (id, t) => (id, t.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val spans = graft.operators.Dedup
+        .substringDedupSpans(df, "doc_id", "text", winTokens = 3)
+      val got = graft.operators.Dedup
+        .applySpanRemoval(df, "doc_id", "text", spans)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      val ref = refSpans(docs, 3)
+      docs.forall { case (id, toks) =>
+        val covered = ref(id).flatMap { case (s, e, _) => s until e }
+        val keptRef = toks.zipWithIndex
+          .collect { case (t, i) if !covered.contains(i.toLong) => t }
+        got(id) == ((toks.length.toLong, keptRef.length.toLong,
+          keptRef.mkString(" ")))
+      }
+    }, minSuccessful = 3)
+  }
 }
