@@ -18,22 +18,28 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  /** Morton/Z-value of two non-negative integer columns: the low `bits`
-    * bits of `x` go to even bit positions, `y` to odd. Caller is
-    * responsible for mapping raw values into [0, 2^bits) — modulo for
-    * synthetic keys, epoch-bucket or rank-scale for real dimensions.
+  /** Morton/Z-value of N ≥ 2 non-negative integer columns: bit b of
+    * column k lands at output bit `b * N + k` (column 0 on the lowest
+    * lane). Caller is responsible for mapping raw values into
+    * [0, 2^bits) — modulo for synthetic keys, epoch-bucket or rank-scale
+    * for real dimensions. `bits * N` must fit a signed long.
     */
-  def zValue2(x: Column, y: Column, bits: Int = 16): Column = {
-    require(bits >= 1 && bits <= 31, s"bits out of range: $bits")
-    val xl = x.cast("long")
-    val yl = y.cast("long")
-    val terms = (0 until bits).flatMap { b =>
-      Seq(
-        shiftright(xl, b).bitwiseAND(lit(1L)) * lit(1L << (2 * b)),
-        shiftright(yl, b).bitwiseAND(lit(1L)) * lit(1L << (2 * b + 1)))
-    }
+  def zValueN(cols: Seq[Column], bits: Int): Column = {
+    require(cols.size >= 2, s"zValueN needs >= 2 columns, got ${cols.size}")
+    require(bits >= 1 && bits * cols.size <= 62,
+      s"bits * columns out of range: $bits * ${cols.size}")
+    val n = cols.size
+    val terms = for {
+      b <- 0 until bits
+      (c, k) <- cols.zipWithIndex
+    } yield shiftright(c.cast("long"), b).bitwiseAND(lit(1L)) *
+      lit(1L << (b * n + k))
     terms.reduce(_ + _)
   }
+
+  /** Two-column convenience: `x` on even bit positions, `y` on odd. */
+  def zValue2(x: Column, y: Column, bits: Int = 16): Column =
+    zValueN(Seq(x, y), bits)
 
   /** Cluster `df` for two-dimensional locality: range-partition on the
     * z-value into `numPartitions` and sort within each partition, so a
@@ -43,8 +49,13 @@ object Layout {
     * skewed partitions.
     */
   def zorderPartitions(df: DataFrame, x: Column, y: Column,
-      bits: Int = 16, numPartitions: Int = 0): DataFrame = {
-    val withZ = df.withColumn("_zval", zValue2(x, y, bits))
+      bits: Int = 16, numPartitions: Int = 0): DataFrame =
+    zorderPartitionsN(df, Seq(x, y), bits, numPartitions)
+
+  /** N-column variant of [[zorderPartitions]]. */
+  def zorderPartitionsN(df: DataFrame, cols: Seq[Column],
+      bits: Int, numPartitions: Int = 0): DataFrame = {
+    val withZ = df.withColumn("_zval", zValueN(cols, bits))
     val parts = if (numPartitions > 0) numPartitions
                 else df.sparkSession.sparkContext.defaultParallelism
     withZ.repartitionByRange(parts, col("_zval"))

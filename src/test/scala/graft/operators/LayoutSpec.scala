@@ -36,6 +36,16 @@ class LayoutSpec extends SparkSpec {
       "x-sorted control should leave the full y domain in some partition")
   }
 
+  test("zValueN interleaves three dimensions exactly") {
+    // x=1 (bit0 -> out bit 0), y=1 (bit0 -> out bit 1), z=1 (bit0 -> out
+    // bit 2) => 7; x=2 (bit1 -> out bit 3) alone => 8.
+    val rows = Seq((1L, 1L, 1L), (2L, 0L, 0L), (0L, 2L, 0L), (0L, 0L, 2L))
+      .toDF("x", "y", "z")
+      .select(Layout.zValueN(Seq(col("x"), col("y"), col("z")), 4).as("v"))
+      .as[Long].collect().toSeq
+    assert(rows == Seq(7L, 8L, 16L, 32L), rows)
+  }
+
   test("z-value stays a codegen expression (no UDF)") {
     val df = spark.range(10).select(
       Layout.zValue2(col("id"), col("id") + 1, 8).as("z"))
