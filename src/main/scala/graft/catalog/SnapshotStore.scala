@@ -190,20 +190,28 @@ final class SnapshotTableStore(root: String) extends TableStore {
     * sinks. `foreachBatch` delivers at-least-once (a crash between the
     * sink write and the checkpoint commit re-runs the batch on restart);
     * tagging the commit with the batch id makes the retry a no-op: if any
-    * data dir the CURRENT manifest references carries `tag`, the batch
-    * already committed and this returns false without writing. The tag
-    * rides in the immutable data-dir name, so the check costs one
-    * manifest read — no side table, and [[vacuum]]/time travel semantics
-    * are untouched. (Append-only chains carry every prior dir forward, so
-    * the current manifest is a complete commit history; an [[overwrite]]
-    * resets it, which is correct — a new table generation restarts the
-    * stream's checkpoint too.)
+    * data dir referenced by ANY retained manifest carries `tag`, the
+    * batch already committed and this returns false without writing. The
+    * tag rides in the immutable data-dir name, so the check costs only
+    * manifest reads — no side table. The current manifest is checked
+    * first (the hit path for append-only chains), then older manifests
+    * newest-first — which is what keeps the guarantee across
+    * [[compact]]: the rewritten manifest drops the tag markers, but the
+    * pre-compaction manifests retain them until [[vacuum]]ed.
+    *
+    * Retention contract (same as Delta's txnAppId/txnVersion): vacuum
+    * must keep at least one manifest horizon longer than the stream's
+    * maximum possible re-delivery window (crash-to-restart gap).
+    * Vacuuming history younger than that can resurrect an already-
+    * committed batch — pick `keepFrom` accordingly. An [[overwrite]]
+    * also resets history, which is correct only when the stream's
+    * checkpoint restarts with the new table generation.
     */
   def appendIdempotent(df: DataFrame, table: String, tag: String): Boolean = {
     require(tag.nonEmpty && tag.forall(c => c.isLetterOrDigit || c == '_'),
       s"tag must be [A-Za-z0-9_]+: '$tag'")
     val marker = s"-t$tag"
-    def committed(): Boolean = currentVersion(table)
+    def committed(): Boolean = versions(table).reverseIterator
       .exists(v => manifestDirs(table, v).exists(_.endsWith(marker)))
     if (committed()) return false
     val cur0 = currentVersion(table)
@@ -213,7 +221,7 @@ final class SnapshotTableStore(root: String) extends TableStore {
     while (true) {
       val cur = currentVersion(table)
       val prior = cur.map(manifestDirs(table, _)).getOrElse(Nil)
-      if (prior.exists(_.endsWith(marker))) return false // racing retry won
+      if (committed()) return false // racing retry won
       if (tryClaim(table, cur.getOrElse(0) + 1, prior :+ dname)) {
         advancePointer(table, cur.getOrElse(0) + 1)
         return true
@@ -281,6 +289,11 @@ final class SnapshotTableStore(root: String) extends TableStore {
     * compaction must not silently drop a concurrent append, so on a lost
     * race it returns None (the orphaned rewrite dir is [[vacuumOrphans]]
     * fodder, never corruption) and the caller retries when quiet.
+    *
+    * The rewritten dir carries no `-t<tag>` batch markers; exactly-once
+    * idempotence survives because [[appendIdempotent]] checks ALL
+    * retained manifests, where the pre-compaction chain still records
+    * them (see its retention contract before vacuuming aggressively).
     */
   def compact(spark: SparkSession, table: String,
       targetFileBytes: Long = 128L << 20): Option[Int] = {

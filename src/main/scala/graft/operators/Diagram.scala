@@ -51,6 +51,44 @@ object Diagram {
   private def escapeLabel(s: String): String =
     Option(s).getOrElse("").replace("\"", "'").replace("\n", " ")
 
+  /** Bounded driver materialization shared by both renderers: nodes are
+    * limited BEFORE the collect (an over-limit frame trips the guard on
+    * maxNodes+1 rows, never an unbounded pull), edges are filtered to the
+    * collected id set BEFORE their collect, and raw ids map to render ids
+    * through one collision-safe table (sanitizing distinct raw ids to the
+    * same cleaned string would silently merge nodes in the diagram).
+    */
+  private def collectBounded(nodes: DataFrame, edges: DataFrame,
+      maxNodes: Int): (Seq[(String, String, String)], Seq[(String, String)],
+        Map[String, String]) = {
+    val n = nodes.select(col("id"),
+        coalesce(col("name"), col("id")).as("label"),
+        substring(col("id"), 1, 1).as("tpe"))
+      .limit(maxNodes + 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .sortBy(t => (t._3, t._1)).toSeq
+    require(n.length <= maxNodes,
+      s"diagram subgraph exceeds $maxNodes nodes; " +
+        "select a neighborhood or filtered subset first")
+    val rawIds = n.map(_._1)
+    val render = scala.collection.mutable.LinkedHashMap[String, String]()
+    val used = scala.collection.mutable.HashSet[String]()
+    rawIds.foreach { raw =>
+      val base = cleanId(raw)
+      var cand = base
+      var k = 1
+      while (!used.add(cand)) { cand = s"${base}_$k"; k += 1 }
+      render(raw) = cand
+    }
+    val idSet = rawIds.toSet
+    val e = edges.select("from_id", "to_id")
+      .filter(col("from_id").isin(rawIds: _*) && col("to_id").isin(rawIds: _*))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .filter(p => idSet.contains(p._1) && idSet.contains(p._2))
+      .distinct.sorted.toSeq
+    (n, e, render.toMap)
+  }
+
   /** Node shape by type, mirroring the reference's type→shape switch
     * (mermaid.go:64-88) with the test graph's type letters.
     */
@@ -72,51 +110,28 @@ object Diagram {
     */
   def toMermaid(nodes: DataFrame, edges: DataFrame,
       maxNodes: Int = 500): String = {
-    val n = nodes.select(col("id"),
-        coalesce(col("name"), col("id")).as("label"),
-        substring(col("id"), 1, 1).as("tpe"))
-      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
-      .sortBy(t => (t._3, t._1))
-    require(n.length <= maxNodes,
-      s"diagram subgraph has ${n.length} nodes (max $maxNodes); " +
-        "select a neighborhood or filtered subset first")
-    val idSet = n.map(_._1).toSet
-    val e = edges.select("from_id", "to_id").collect()
-      .map(r => (r.getString(0), r.getString(1)))
-      .filter(p => idSet.contains(p._1) && idSet.contains(p._2))
-      .distinct.sorted
+    val (n, e, render) = collectBounded(nodes, edges, maxNodes)
     val sb = new StringBuilder("graph TD\n")
     n.foreach { case (id, label, tpe) =>
-      sb.append(mermaidNode(cleanId(id), label, tpe)).append('\n')
+      sb.append(mermaidNode(render(id), label, tpe)).append('\n')
     }
     e.foreach { case (f, t) =>
-      sb.append(s"    ${cleanId(f)} --> ${cleanId(t)}\n")
+      sb.append(s"    ${render(f)} --> ${render(t)}\n")
     }
     sb.result()
   }
 
   /** Render as Graphviz DOT (`digraph`), colors keyed by type. */
   def toDot(nodes: DataFrame, edges: DataFrame, maxNodes: Int = 500): String = {
-    val n = nodes.select(col("id"),
-        coalesce(col("name"), col("id")).as("label"),
-        substring(col("id"), 1, 1).as("tpe"))
-      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
-      .sortBy(t => (t._3, t._1))
-    require(n.length <= maxNodes,
-      s"diagram subgraph has ${n.length} nodes (max $maxNodes)")
-    val idSet = n.map(_._1).toSet
-    val e = edges.select("from_id", "to_id").collect()
-      .map(r => (r.getString(0), r.getString(1)))
-      .filter(p => idSet.contains(p._1) && idSet.contains(p._2))
-      .distinct.sorted
+    val (n, e, render) = collectBounded(nodes, edges, maxNodes)
     val fill = Map("r" -> "lightblue", "n" -> "lightyellow",
       "c" -> "lightgrey", "s" -> "lightpink", "o" -> "lightgreen")
     val sb = new StringBuilder("digraph G {\n  rankdir=LR;\n  node [style=filled];\n")
     n.foreach { case (id, label, tpe) =>
-      sb.append(s"""  ${cleanId(id)} [label="${escapeLabel(label)}", """ +
+      sb.append(s"""  ${render(id)} [label="${escapeLabel(label)}", """ +
         s"""fillcolor=${fill.getOrElse(tpe, "white")}];\n""")
     }
-    e.foreach { case (f, t) => sb.append(s"  ${cleanId(f)} -> ${cleanId(t)};\n") }
+    e.foreach { case (f, t) => sb.append(s"  ${render(f)} -> ${render(t)};\n") }
     sb.append("}\n").result()
   }
 }

@@ -52,13 +52,21 @@ object Layout {
       bits: Int = 16, numPartitions: Int = 0): DataFrame =
     zorderPartitionsN(df, Seq(x, y), bits, numPartitions)
 
-  /** N-column variant of [[zorderPartitions]]. */
+  /** N-column variant of [[zorderPartitions]]. The helper z-value column
+    * is internal: it must not clobber caller data (guarded) and is
+    * dropped from the result — dropping a column after
+    * repartitionByRange + sortWithinPartitions keeps the partitioning
+    * and sort order, so the written files still get their tight stats.
+    */
   def zorderPartitionsN(df: DataFrame, cols: Seq[Column],
       bits: Int, numPartitions: Int = 0): DataFrame = {
+    require(!df.columns.contains("_zval"),
+      "input already has a _zval column; rename it before z-ordering")
     val withZ = df.withColumn("_zval", zValueN(cols, bits))
     val parts = if (numPartitions > 0) numPartitions
                 else df.sparkSession.sparkContext.defaultParallelism
     withZ.repartitionByRange(parts, col("_zval"))
       .sortWithinPartitions("_zval")
+      .drop("_zval")
   }
 }

@@ -222,6 +222,21 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(store.versions("t") == Seq(1, 2))
   }
 
+  test("appendIdempotent survives compaction: tags found in older manifests") {
+    val (_, store) = freshStore()
+    assert(store.appendIdempotent(Seq((1L, "a")).toDF("id", "v"), "t", "b0"))
+    assert(store.appendIdempotent(Seq((2L, "b")).toDF("id", "v"), "t", "b1"))
+    // compaction rewrites the manifest WITHOUT the -t markers...
+    assert(store.compact(spark, "t", targetFileBytes = 1L << 30).contains(3))
+    // ...but a re-delivered batch must STILL be a no-op (older manifests
+    // retain the tags until vacuumed)
+    assert(!store.appendIdempotent(Seq((1L, "a")).toDF("id", "v"), "t", "b0"),
+      "compaction erased exactly-once history")
+    assert(!store.appendIdempotent(Seq((2L, "b")).toDF("id", "v"), "t", "b1"))
+    assert(store.read(spark, "t").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+  }
+
   test("SnapshotSink: rerunning a stream from a fresh checkpoint adds nothing") {
     val (dir, store) = freshStore()
     val src = tempDir("graft-sink-src")

@@ -59,6 +59,17 @@ class DiagramSpec extends SparkSpec {
     val err = intercept[IllegalArgumentException] {
       Diagram.toMermaid(big, edges, maxNodes = 500)
     }
-    assert(err.getMessage.contains("max 500"))
+    assert(err.getMessage.contains("exceeds 500"))
+  }
+
+  test("sanitization collisions get distinct render ids, edges follow") {
+    // 'a.b' and 'a-b' both sanitize to a_b: the renderer must keep them
+    // apart or the diagram silently merges two different nodes.
+    val vs = Seq(("a.b", "Dot"), ("a-b", "Dash")).toDF("id", "name")
+    val es = Seq(("a.b", "a-b")).toDF("from_id", "to_id")
+    val m = Diagram.toMermaid(vs, es)
+    // sorted node order assigns render ids: 'a-b' < 'a.b' lexicographically
+    assert(m.contains("""a_b["Dash"]""") && m.contains("""a_b_1["Dot"]"""), m)
+    assert(m.contains("    a_b_1 --> a_b"), m)
   }
 }
