@@ -1074,6 +1074,50 @@ object PipelineQueries {
        |WHERE jaccard >= 0.5 AND (SELECT complete FROM ok)""".stripMargin
   }
 
+  /** X6: canonical-URL dedup ([[TextAnalysis.canonicalizeUrl]]) — the
+    * URL-level pre-filter web pipelines run before content dedup: fold
+    * scrape-time variants of one page (fragment, utm tracking params,
+    * host case) to a canonical URL and keep one representative per
+    * group. Deterministic variant noise is synthesized per doc_id so
+    * the fold does real work; ~doc_count/100 groups of mixed variants.
+    * Full DuckDB replay of construction + canonicalization + grouping.
+    */
+  val x6UrlDedup: Q = (s, d) => {
+    val u0 = concat(lit("https://WWW.Example.com/page/"),
+      pmod(col("doc_id"), lit(100)).cast("string"), lit("?lang=en"))
+    val m = pmod(col("doc_id"), lit(4))
+    val url = when(m === 1, concat(u0, lit("#frag")))
+      .when(m === 2, concat(u0, lit("&utm_source=feed")))
+      .when(m === 3, concat(u0, lit("&utm_campaign=x#y")))
+      .otherwise(u0)
+    t(s, d, "documents").select(col("doc_id"), url.as("url"))
+      .groupBy(TextAnalysis.canonicalizeUrl(col("url")).as("canon_url"))
+      .agg(count(lit(1)).as("n_variants"),
+        countDistinct("url").as("n_distinct_raw"),
+        min("doc_id").as("keep_id"))
+  }
+  val x6Oracle: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    'https://WWW.Example.com/page/' || CAST(doc_id % 100 AS STRING)
+      |      || '?lang=en' ||
+      |    CASE doc_id % 4 WHEN 1 THEN '#frag'
+      |                    WHEN 2 THEN '&utm_source=feed'
+      |                    WHEN 3 THEN '&utm_campaign=x#y'
+      |                    ELSE '' END AS url
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, url,
+      |    lower(regexp_extract(u2, '^(https?://[^/]+)', 1)) ||
+      |      regexp_extract(u2, '^https?://[^/]+(.*)$', 1) AS canon_url
+      |  FROM (SELECT doc_id, url,
+      |          regexp_replace(regexp_replace(url, '#.*$', ''),
+      |            '[?&]utm_[^&#]*', '', 'g') AS u2
+      |        FROM u) z)
+      |SELECT canon_url, COUNT(*) AS n_variants,
+      |  COUNT(DISTINCT url) AS n_distinct_raw, MIN(doc_id) AS keep_id
+      |FROM c GROUP BY canon_url""".stripMargin
+
   /** T27: Unicode NFC canonicalization ([[graft.functions.TextExprs.nfc]]
     * as a native codegen expression) — the text-cleaning step a corpus
     * pipeline runs BEFORE fingerprinting, so that byte-different but
@@ -2148,6 +2192,7 @@ object PipelineQueries {
     "q_t13_decontaminate" -> t13Decontaminate,
     "q_t26_fuzzy_decontaminate" -> t26FuzzyDecontaminate,
     "q_t27_nfc" -> t27Nfc,
+    "q_x6_url_dedup" -> x6UrlDedup,
     "q_t16_cms_heavyhitters" -> t16CmsHeavyHitters,
     "q_t17_hll_distinct" -> t17HllDistinct,
     "q_t18_prep_pipeline" -> t18PrepPipeline,
@@ -2206,6 +2251,7 @@ object PipelineQueries {
     "q_t13_decontaminate" -> t13Oracle,
     "q_t26_fuzzy_decontaminate" -> t26Oracle,
     "q_t27_nfc" -> t27Oracle,
+    "q_x6_url_dedup" -> x6Oracle,
     "q_t16_cms_heavyhitters" -> t16Oracle,
     "q_t17_hll_distinct" -> t17Oracle,
     "q_t18_prep_pipeline" -> t18Oracle,

@@ -31,6 +31,23 @@ object TextAnalysis {
     size(filter(regexp_extract_all(text, lit(bpePretokenRe), lit(0)),
       t => t.rlike("\\S")))
 
+  /** Canonical URL for URL-level dedup (the RefinedWeb/CCNet pre-filter
+    * that folds scrape-time variants of one page): strip the fragment,
+    * strip `utm_*` tracking parameters, lowercase the scheme+host
+    * (paths stay case-sensitive per RFC 3986). Pure regexp chain —
+    * lookaround-free so Java and RE2 agree, codegen'd, oracle-checkable.
+    * Limitation (documented, not guessed around): a `?utm_x=1&a=2` query
+    * whose FIRST parameter is tracking leaves a leading `&`; full RFC
+    * query re-assembly needs a parser, not a regex.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val noUtm = regexp_replace(noFrag, "[?&]utm_[^&#]*", "")
+    concat(
+      lower(regexp_extract(noUtm, "^(https?://[^/]+)", 1)),
+      regexp_extract(noUtm, "^https?://[^/]+(.*)$", 1))
+  }
+
   /** Normalized text: lowercase, punctuation stripped, whitespace
     * collapsed — the canonical form used for exact-dup hashing and
     * fingerprints.

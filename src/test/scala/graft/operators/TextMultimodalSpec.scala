@@ -256,4 +256,17 @@ class TextMultimodalSpec extends SparkSpec {
       assert(fill == math.min(n, ctx - start % ctx), s"$id head_fill")
     }
   }
+
+  test("canonicalizeUrl: fragment/utm stripped, host lowered, path kept") {
+    val cases = Seq(
+      "https://WWW.Ex.com/Page?lang=en#frag" -> "https://www.ex.com/Page?lang=en",
+      "https://a.com/p?lang=en&utm_source=x" -> "https://a.com/p?lang=en",
+      "https://a.com/p?lang=en&utm_campaign=x#y" -> "https://a.com/p?lang=en",
+      "https://a.com/CaseSensitive/Path" -> "https://a.com/CaseSensitive/Path",
+      "http://B.org/x?a=1&utm_a=1&b=2&utm_b=3" -> "http://b.org/x?a=1&b=2")
+    val got = cases.map(_._1).toDF("u")
+      .select(TextAnalysis.canonicalizeUrl(col("u")))
+      .as[String].collect().toSeq
+    assert(got == cases.map(_._2), got)
+  }
 }
