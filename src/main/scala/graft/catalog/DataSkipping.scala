@@ -1,0 +1,180 @@
+package graft.catalog
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, Paths}
+import java.util.Base64
+import scala.jdk.CollectionConverters._
+import scala.util.Using
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** File-level min/max statistics + stats-pruned reads for
+  * [[SnapshotTableStore]] tables — the data-skipping half of the
+  * lakehouse maintenance pair ([[graft.operators.Layout]] z-ordering
+  * makes per-file ranges tight; this module makes the reader exploit
+  * them). Delta and Iceberg keep per-file column stats in the commit
+  * log and prune the file list before the scan ever reaches the engine;
+  * parquet row-group stats alone cannot do that job at 100 TB because
+  * the engine still has to OPEN every footer (one S3 round trip per
+  * file — millions of requests for a needle query). Here each immutable
+  * data directory carries one tiny sidecar (`_graftstats.tsv`, ignored
+  * by Spark's scans like any underscore file) and [[readRange]] prunes
+  * to the intersecting files with driver-side metadata only.
+  *
+  * Correctness contract: stats ONLY prune — the residual predicate is
+  * always applied to whatever survives, files lacking stats are always
+  * kept, and a range predicate `lo <= c <= hi` is NULL-excluding, so a
+  * file whose non-null [min,max] misses the range can hold no matching
+  * row regardless of its null count. Wrong answers therefore cannot come
+  * from stale or missing stats, only lost pruning.
+  */
+object DataSkipping {
+
+  /** Sidecar name inside a data directory. Underscore prefix keeps every
+    * parquet scan from reading it as data.
+    */
+  val StatsFile = "_graftstats.tsv"
+
+  /** Per-file, per-column stats. `min`/`max` are the column values cast
+    * to string (Spark's cast, so numerics are plain decimal text and
+    * timestamps are minimal-digit session-zone text); `None` means the
+    * file has no non-null value in the column.
+    */
+  final case class ColStats(min: Option[String], max: Option[String],
+      nonNull: Long)
+
+  /** Compute per-file min/max for `cols` over the parquet files of `dir`
+    * and write the sidecar. One Spark job over the directory: grouping on
+    * `input_file_name()` gives exactly one row per physical file with
+    * partial aggregation, so the stats pass reads each byte once and
+    * shuffles one row per (file, column set). Re-running overwrites the
+    * sidecar (idempotent).
+    */
+  def collectStats(spark: SparkSession, dir: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "collectStats needs at least one column")
+    val df = spark.read.parquet(dir)
+    val aggs = cols.flatMap { c =>
+      Seq(min(col(c)).cast("string").as(s"min_$c"),
+        max(col(c)).cast("string").as(s"max_$c"),
+        count(col(c)).as(s"n_$c"))
+    }
+    val rows = df.groupBy(input_file_name().as("_file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // one row per parquet file in ONE directory: bounded
+    val b64 = Base64.getEncoder
+    def enc(s: String): String = b64.encodeToString(s.getBytes(UTF_8))
+    val lines = rows.flatMap { r =>
+      val file = Paths.get(new java.net.URI(r.getAs[String]("_file")).getPath)
+        .getFileName.toString
+      cols.map { c =>
+        val mn = Option(r.getAs[String](s"min_$c")).map(enc).getOrElse("-")
+        val mx = Option(r.getAs[String](s"max_$c")).map(enc).getOrElse("-")
+        s"$file\t${enc(c)}\t${r.getAs[Long](s"n_$c")}\t$mn\t$mx"
+      }
+    }
+    Files.write(Paths.get(dir, StatsFile),
+      lines.mkString("\n").getBytes(UTF_8))
+  }
+
+  /** Collect stats for every data directory of the CURRENT version of
+    * `table` that does not have a sidecar yet — the idempotent
+    * maintenance entry point to run after appends or [[SnapshotTableStore.compact]]
+    * (whose rewritten directory is new and therefore stat-less until this
+    * runs). Returns the number of directories processed.
+    */
+  def ensureStats(spark: SparkSession, store: SnapshotTableStore,
+      table: String, cols: Seq[String]): Int = {
+    val v = store.currentVersion(table).getOrElse(
+      throw new IllegalArgumentException(s"snapshot table $table does not exist"))
+    val missing = store.versionDataDirs(table, v)
+      .filterNot(d => Files.exists(Paths.get(d, StatsFile)))
+    missing.foreach(collectStats(spark, _, cols))
+    missing.size
+  }
+
+  private def parseSidecar(dir: Path): Map[String, Map[String, ColStats]] = {
+    val b64 = Base64.getDecoder
+    def dec(s: String): String = new String(b64.decode(s), UTF_8)
+    val txt = new String(Files.readAllBytes(dir.resolve(StatsFile)), UTF_8)
+    txt.split("\n").filter(_.nonEmpty).toSeq.map { ln =>
+      val Array(f, c, n, mn, mx) = ln.split("\t", -1)
+      (f, dec(c), ColStats(if (mn == "-") None else Some(dec(mn)),
+        if (mx == "-") None else Some(dec(mx)), n.toLong))
+    }.groupBy(_._1).map { case (f, es) =>
+      f -> es.map(e => e._2 -> e._3).toMap
+    }
+  }
+
+  /** Typed driver-side compare of two stat strings under the column's
+    * Spark type. Timestamps/dates compare correctly as text because
+    * Spark's cast emits fixed-order `yyyy-MM-dd[ HH:mm:ss[.S*]]` with
+    * minimal fractional digits (no trailing zeros), which makes
+    * lexicographic order chronological.
+    */
+  private def cmp(dt: DataType, a: String, b: String): Int = dt match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      java.lang.Long.compare(a.toLong, b.toLong)
+    case FloatType | DoubleType => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case _: DecimalType => BigDecimal(a).compare(BigDecimal(b))
+    case _ => a.compareTo(b)
+  }
+
+  /** Pruning decision for one directory's files. Files absent from the
+    * sidecar map (or whole directories without a sidecar) are kept —
+    * skipping is an optimization, never a correctness dependency.
+    */
+  private def keptFiles(dir: Path, column: String, dt: DataType,
+      lo: String, hi: String): (Seq[Path], Int) = {
+    val parquets = Using.resource(Files.list(dir)) { ls =>
+      ls.iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+        }.toList
+    }
+    if (!Files.exists(dir.resolve(StatsFile))) return (parquets, parquets.size)
+    val stats = parseSidecar(dir)
+    val kept = parquets.filter { p =>
+      stats.get(p.getFileName.toString).flatMap(_.get(column)) match {
+        case None => true // no stats for this file/column: must read it
+        case Some(ColStats(Some(mn), Some(mx), _)) =>
+          cmp(dt, mx, lo) >= 0 && cmp(dt, mn, hi) <= 0
+        case Some(_) => false // all-NULL column: a range predicate excludes NULLs
+      }
+    }
+    (kept, parquets.size)
+  }
+
+  /** Result of a pruned read: the DataFrame (residual filter applied) plus
+    * the file accounting that makes "skipping engaged" an observable,
+    * driver-checkable fact rather than an asserted one.
+    */
+  final case class PrunedScan(df: DataFrame, filesRead: Int, filesTotal: Int)
+
+  /** Read `table@version` (current version when `version` is empty) with
+    * `lo <= column <= hi` (inclusive, column-typed via cast from the
+    * string bounds), pruning non-intersecting files by sidecar stats
+    * before Spark ever lists them. The residual filter is always applied,
+    * so the result equals the unpruned filtered read by construction.
+    */
+  def readRange(spark: SparkSession, store: SnapshotTableStore, table: String,
+      column: String, lo: String, hi: String,
+      version: Option[Int] = None): PrunedScan = {
+    val v = version.orElse(store.currentVersion(table)).getOrElse(
+      throw new IllegalArgumentException(s"snapshot table $table does not exist"))
+    val dirs = store.versionDataDirs(table, v)
+    val schema = spark.read.parquet(dirs: _*).schema
+    val dt = schema(column).dataType
+    val perDir = dirs.map(d => keptFiles(Paths.get(d), column, dt, lo, hi))
+    val files = perDir.flatMap(_._1)
+    val total = perDir.map(_._2).sum
+    val pred = col(column).between(lit(lo).cast(dt), lit(hi).cast(dt))
+    val df =
+      if (files.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(files.map(_.toString): _*).where(pred)
+    PrunedScan(df, files.size, total)
+  }
+}

@@ -1,0 +1,61 @@
+package graft.catalog
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Change data feed between two committed versions of a
+  * [[SnapshotTableStore]] table — the Delta CDF / Iceberg changelog
+  * primitive: downstream consumers (incremental aggregation, replication,
+  * audit) read the row-level delta instead of rescanning the table. At
+  * 100 TB the delta of a nightly load is typically 2-4 orders of
+  * magnitude smaller than the snapshot, so everything built on the feed
+  * (see [[graft.operators.IncrementalAgg]]) costs O(changes), not
+  * O(table).
+  *
+  * The diff is ONE full-outer shuffle join keyed on the id column —
+  * change classification happens row-local after the join:
+  * only-in-new → `insert`, only-in-old → `delete`, both-but-any-field-
+  * differs (null-safe `<=>` per column, so NULL→value and value→NULL
+  * count as changes) → `update`; identical rows are dropped. Each output
+  * row carries the full before/after images (`<col>_prev` / `<col>`),
+  * which is what lets an aggregate be maintained without consulting the
+  * old snapshot again.
+  */
+object SnapshotDiff {
+
+  /** Row-level changes from `table@vOld` to `table@vNew`. Output schema:
+    * `idCol`, `change_type` ∈ {insert, update, delete}, then for every
+    * other column `c` of the table: `c` (the after-image, NULL for
+    * deletes) and `c_prev` (the before-image, NULL for inserts).
+    */
+  def changesBetween(spark: SparkSession, store: SnapshotTableStore,
+      table: String, vOld: Int, vNew: Int, idCol: String): DataFrame = {
+    val oldDf = store.readVersion(spark, table, vOld).alias("o")
+    val newDf = store.readVersion(spark, table, vNew).alias("n")
+    diff(oldDf, newDf, idCol)
+  }
+
+  /** The classification itself, usable on any pair of frames with the
+    * same schema (exposed for specs and for diffing outside the store).
+    */
+  def diff(oldDf: DataFrame, newDf: DataFrame, idCol: String): DataFrame = {
+    require(oldDf.columns.toSeq == newDf.columns.toSeq,
+      s"schema mismatch: ${oldDf.columns.toSeq} vs ${newDf.columns.toSeq}")
+    val dataCols = oldDf.columns.filter(_ != idCol).toSeq
+    val o = oldDf.alias("o")
+    val n = newDf.alias("n")
+    val joined = o.join(n, col(s"o.$idCol") <=> col(s"n.$idCol"), "full_outer")
+    val inOld = col(s"o.$idCol").isNotNull
+    val inNew = col(s"n.$idCol").isNotNull
+    val anyDiff: Column = dataCols
+      .map(c => !(col(s"o.$c") <=> col(s"n.$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val changeType = when(!inOld, lit("insert"))
+      .when(!inNew, lit("delete"))
+      .when(anyDiff, lit("update"))
+    val out = Seq(coalesce(col(s"n.$idCol"), col(s"o.$idCol")).as(idCol),
+      changeType.as("change_type")) ++
+      dataCols.flatMap(c => Seq(col(s"n.$c").as(c), col(s"o.$c").as(s"${c}_prev")))
+    joined.where(changeType.isNotNull).select(out: _*)
+  }
+}

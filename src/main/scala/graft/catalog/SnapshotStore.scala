@@ -108,6 +108,16 @@ final class SnapshotTableStore(root: String) extends TableStore {
       .filter(_.nonEmpty).toSeq
   }
 
+  /** Absolute data-directory paths backing committed version `v` — the
+    * file-listing entry point for maintenance that operates beside the
+    * read path ([[DataSkipping]] stats collection and pruning).
+    */
+  def versionDataDirs(table: String, v: Int): Seq[String] = {
+    val cur = currentVersion(table)
+    require(cur.exists(v <= _), s"snapshot $table@v$v is not committed (latest: $cur)")
+    manifestDirs(table, v).map(d => dataDir(table, d).toString)
+  }
+
   /** Time-travel read of a specific committed version. */
   def readVersion(spark: SparkSession, table: String, v: Int): DataFrame = {
     val cur = currentVersion(table)

@@ -1,0 +1,129 @@
+package graft.catalog
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DataSkippingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshStore() = {
+    val dir = tempDir("graft-skip").toString
+    (dir, new SnapshotTableStore(dir))
+  }
+
+  /** 0..999 range-partitioned on k into 8 files: tight per-file ranges. */
+  private def rangedTable(store: SnapshotTableStore, table: String): Unit = {
+    val df = spark.range(0, 1000).toDF("k")
+      .withColumn("v", col("k") * 7)
+      .repartitionByRange(8, col("k"))
+    store.overwrite(df, table)
+  }
+
+  test("readRange equals the unpruned filtered read and actually skips files") {
+    val (_, store) = freshStore()
+    rangedTable(store, "t")
+    assert(DataSkipping.ensureStats(spark, store, "t", Seq("k", "v")) == 1)
+    val scan = DataSkipping.readRange(spark, store, "t", "k", "100", "220")
+    assert(scan.filesTotal == 8)
+    assert(scan.filesRead < scan.filesTotal,
+      s"no pruning: read ${scan.filesRead}/${scan.filesTotal}")
+    val expected = store.read(spark, "t")
+      .where(col("k").between(100, 220)).as[(Long, Long)].collect().toSet
+    assert(scan.df.as[(Long, Long)].collect().toSet == expected)
+    assert(expected.size == 121)
+  }
+
+  test("a directory without a sidecar is fully kept — stats never gate correctness") {
+    val (_, store) = freshStore()
+    rangedTable(store, "t")
+    // no ensureStats call
+    val scan = DataSkipping.readRange(spark, store, "t", "k", "0", "10")
+    assert(scan.filesRead == scan.filesTotal)
+    assert(scan.df.count() == 11)
+  }
+
+  test("appended stat-less dir is read in full while the statted dir still prunes") {
+    val (_, store) = freshStore()
+    rangedTable(store, "t")
+    DataSkipping.ensureStats(spark, store, "t", Seq("k"))
+    // append rows INSIDE the queried range from a new (stat-less) dir
+    store.append(Seq((150L, -1L)).toDF("k", "v").coalesce(1), "t")
+    val scan = DataSkipping.readRange(spark, store, "t", "k", "140", "160")
+    assert(scan.df.as[(Long, Long)].collect().toSet ==
+      ((140L to 160L).map(k => k -> k * 7).toSet + (150L -> -1L)))
+    // second ensureStats covers only the new dir; a range that excludes its
+    // single row (k=150) then prunes the appended file too
+    assert(DataSkipping.ensureStats(spark, store, "t", Seq("k")) == 1)
+    val scan2 = DataSkipping.readRange(spark, store, "t", "k", "300", "320")
+    assert(scan2.filesRead < scan.filesRead)
+    assert(scan2.df.count() == 21)
+  }
+
+  test("an empty intersection prunes every file and yields an empty frame") {
+    val (_, store) = freshStore()
+    rangedTable(store, "t")
+    DataSkipping.ensureStats(spark, store, "t", Seq("k"))
+    val scan = DataSkipping.readRange(spark, store, "t", "k", "5000", "6000")
+    assert(scan.filesRead == 0)
+    assert(scan.df.count() == 0)
+    assert(scan.df.schema.fieldNames.toSeq == Seq("k", "v"))
+  }
+
+  test("string columns prune lexicographically") {
+    val (_, store) = freshStore()
+    val df = spark.range(0, 260).toDF("i")
+      .withColumn("s", concat(lit("key-"), format_string("%03d", col("i"))))
+      .repartitionByRange(4, col("s"))
+    store.overwrite(df, "s")
+    DataSkipping.ensureStats(spark, store, "s", Seq("s"))
+    val scan = DataSkipping.readRange(spark, store, "s", "s", "key-100", "key-120")
+    assert(scan.filesRead < scan.filesTotal)
+    assert(scan.df.count() == 21)
+  }
+
+  test("all-NULL files are skipped for range predicates (NULL-excluding) ") {
+    val (_, store) = freshStore()
+    val withVals = Seq((1L, java.lang.Long.valueOf(10L)),
+      (2L, java.lang.Long.valueOf(20L))).toDF("id", "x").coalesce(1)
+    val allNull = Seq((3L, null.asInstanceOf[java.lang.Long]),
+      (4L, null.asInstanceOf[java.lang.Long])).toDF("id", "x").coalesce(1)
+    store.overwrite(withVals, "n")
+    store.append(allNull, "n")
+    DataSkipping.ensureStats(spark, store, "n", Seq("x"))
+    val scan = DataSkipping.readRange(spark, store, "n", "x",
+      java.lang.Long.MIN_VALUE.toString, java.lang.Long.MAX_VALUE.toString)
+    assert(scan.filesRead == 1, "the all-NULL file must be skipped")
+    assert(scan.df.select("id").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
+  test("compact produces a stat-less dir; ensureStats re-covers it") {
+    val (dir, store) = freshStore()
+    rangedTable(store, "t")
+    DataSkipping.ensureStats(spark, store, "t", Seq("k"))
+    assert(store.compact(spark, "t", targetFileBytes = 4096).nonEmpty)
+    assert(DataSkipping.ensureStats(spark, store, "t", Seq("k")) == 1)
+    val scan = DataSkipping.readRange(spark, store, "t", "k", "100", "220")
+    assert(scan.df.count() == 121)
+    // sidecar rides in the data dir, never read as table data
+    assert(store.read(spark, "t").columns.toSeq == Seq("k", "v"))
+    assert(Files.list(Paths.get(dir, "t", "data")).count() >= 2)
+  }
+
+  test("z-ordered write gives two-dimensional skipping on the same sidecars") {
+    val (_, store) = freshStore()
+    val df = spark.range(0, 4096).toDF("i")
+      .withColumn("x", col("i") % 64)
+      .withColumn("y", floor(col("i") / 64))
+    val z = graft.operators.Layout.zorderPartitions(df, col("x"), col("y"),
+      bits = 6, numPartitions = 16)
+    store.overwrite(z, "z")
+    DataSkipping.ensureStats(spark, store, "z", Seq("x", "y"))
+    val sx = DataSkipping.readRange(spark, store, "z", "x", "0", "7")
+    val sy = DataSkipping.readRange(spark, store, "z", "y", "0", "7")
+    assert(sx.filesRead < sx.filesTotal, "no x-skipping under z-order")
+    assert(sy.filesRead < sy.filesTotal, "no y-skipping under z-order")
+    assert(sx.df.count() == 4096 / 8 && sy.df.count() == 4096 / 8)
+  }
+}

@@ -2,7 +2,11 @@
 """Join a graft Bench JSON line with check.py's oracle_times.json (same
 SF!) and report per-query and aggregate Spark/DuckDB wall-clock ratios.
 
-Usage: python3 tools/ratio.py BENCH.json ORACLE_TIMES.json
+Usage: python3 tools/ratio.py BENCH_FULL.json ORACLE_TIMES.json
+
+Pass BENCH_FULL.json (written by graft.Bench next to the build) — the
+stdout line now carries only the slowest-query subset to fit the
+driver's 2000-char capture window; the sidecar has every query.
 
 Echo oracles (emitted-row checks that read Spark's own dump) are listed
 but excluded from the aggregate — their DuckDB time measures the check,
