@@ -1153,6 +1153,48 @@ object PipelineQueries {
       |  length(ta) - length(nfc_normalize(ta)) AS delta_chars
       |FROM aug""".stripMargin
 
+  /** T28: BM25 top-k retrieval scoring ([[TextAnalysis.bm25TopK]]) — the
+    * lexical data-selection primitive (pull target-domain documents by
+    * query relevance; the sparse sibling of q_t25's DSIR weights). The
+    * integer arithmetic (k1/b folded to the 88/40/12/36 constants,
+    * integer idf surrogate, `div` everywhere) makes every score
+    * bit-replayable: DuckDB recomputes the full scoring pipeline —
+    * tokenize, per-doc tf/len, corpus df/avgdl, score, top-k — and the
+    * hash compare pins scores AND ranking. One corpus scan + one
+    * doc-keyed partial-agg shuffle + a 1-row broadcast (plan-pinned).
+    */
+  private val Bm25Terms = Seq("hash", "vector", "stream")
+  val t28Bm25: Q = (s, d) =>
+    TextAnalysis.bm25TopK(t(s, d, "documents"), "doc_id", "text",
+      Bm25Terms, k = 20)
+  val t28Oracle: String = {
+    val tfDefs = Bm25Terms.indices.map(i =>
+      s"SUM(CASE WHEN w = '${Bm25Terms(i)}' THEN 1 ELSE 0 END) AS tf$i")
+      .mkString(",\n  ")
+    val dfDefs = Bm25Terms.indices.map(i =>
+      s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(",\n  ")
+    val scoreTerms = Bm25Terms.indices.map(i =>
+      s"(CASE WHEN tf$i > 0 THEN ((((n_docs - df$i + 1) * 1000000) // (df$i + 1))" +
+        s" * tf$i * 88 * avgdl) // (40 * avgdl * tf$i + 12 * avgdl + 36 * len)" +
+        " ELSE 0 END)").mkString(" +\n  ")
+    val nTerms = Bm25Terms.indices.map(i =>
+      s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH tk AS (SELECT doc_id, UNNEST($wordsSql) AS w FROM documents),
+       |tk2 AS (SELECT doc_id, w FROM tk WHERE length(w) > 0),
+       |perdoc AS (SELECT doc_id, COUNT(*) AS len,
+       |  $tfDefs
+       |  FROM tk2 GROUP BY doc_id),
+       |c AS (SELECT COUNT(*) AS n_docs, SUM(len) // COUNT(*) AS avgdl,
+       |  $dfDefs
+       |  FROM perdoc),
+       |s AS (SELECT doc_id,
+       |  CAST($scoreTerms AS BIGINT) AS score,
+       |  CAST($nTerms AS BIGINT) AS n_terms
+       |FROM perdoc, c)
+       |SELECT doc_id, score, n_terms FROM s WHERE score > 0
+       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   /** T16: Count-Min-sketch heavy hitters — the 100 TB twin of exact
     * q_t3: full-corpus token frequencies come from a tiny mergeable
     * sketch (fixed seed → deterministic), candidates from a hash-sample.
@@ -2192,6 +2234,7 @@ object PipelineQueries {
     "q_t13_decontaminate" -> t13Decontaminate,
     "q_t26_fuzzy_decontaminate" -> t26FuzzyDecontaminate,
     "q_t27_nfc" -> t27Nfc,
+    "q_t28_bm25" -> t28Bm25,
     "q_x6_url_dedup" -> x6UrlDedup,
     "q_t16_cms_heavyhitters" -> t16CmsHeavyHitters,
     "q_t17_hll_distinct" -> t17HllDistinct,
@@ -2251,6 +2294,7 @@ object PipelineQueries {
     "q_t13_decontaminate" -> t13Oracle,
     "q_t26_fuzzy_decontaminate" -> t26Oracle,
     "q_t27_nfc" -> t27Oracle,
+    "q_t28_bm25" -> t28Oracle,
     "q_x6_url_dedup" -> x6Oracle,
     "q_t16_cms_heavyhitters" -> t16Oracle,
     "q_t17_hll_distinct" -> t17Oracle,

@@ -285,6 +285,36 @@ object Queries {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name""".stripMargin
 
+  /** J4b: salted skew join ([[operators.SkewJoin]]) — the backstop for
+    * hot keys that AQE cannot split (a single key's rows land in one task
+    * when the build side must shuffle). The fixture makes the skew real:
+    * 70% of lineitem rows collapse onto key 0, the rest spread over 99
+    * keys; the salted join fans the hot key over 8 salt replicas of a
+    * 100-row dimension. The oracle is the PLAIN join — the whole point of
+    * salting is that results are identical to the unsalted join, so the
+    * hash compare is exactly the operator's correctness contract.
+    */
+  val j4SkewSalted: Q = (s, d) => {
+    val sk = t(s, d, "lineitem").select(
+      when(pmod(col("l_orderkey"), lit(10)) < 7, lit(0L))
+        .otherwise(pmod(col("l_orderkey"), lit(100))).as("k"),
+      col("l_extendedprice"))
+    val dim = s.range(0, 100).select(col("id").as("k"),
+      concat(lit("grp-"), col("id").cast("string")).as("label"))
+    SkewJoin.saltedJoin(sk, dim, Seq("k"), salts = 8)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), exactSum(col("l_extendedprice")).as("sum_price"))
+  }
+  val j4Oracle =
+    """WITH sk AS (SELECT CASE WHEN l_orderkey % 10 < 7 THEN 0
+      |    ELSE l_orderkey % 100 END AS k, l_extendedprice FROM lineitem),
+      |dim AS (SELECT range AS k, 'grp-' || CAST(range AS STRING) AS label
+      |        FROM range(0, 100))
+      |SELECT label, COUNT(*) AS n,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+      |    AS sum_price
+      |FROM sk JOIN dim USING (k) GROUP BY label""".stripMargin
+
   // ===== §2.6 set ops ==================================================
 
   /** U1: UNION ALL splice (unified_schema.go:432-462). */
@@ -2239,6 +2269,7 @@ object Queries {
     "q_j1_join_agg" -> j1JoinAgg,
     "q_j2_antijoin" -> j2AntiJoin,
     "q_j3_multiway_revenue" -> j3MultiwayRevenue,
+    "q_j4_skew_salted" -> j4SkewSalted,
     "q_u1_union" -> u1Union,
     "q_w1_topk" -> w1TopK,
     "q_w4_pagination" -> w4Pagination,
@@ -2314,6 +2345,7 @@ object Queries {
     "q_j1_join_agg" -> j1Oracle,
     "q_j2_antijoin" -> j2Oracle,
     "q_j3_multiway_revenue" -> j3Oracle,
+    "q_j4_skew_salted" -> j4Oracle,
     "q_u1_union" -> u1Oracle,
     "q_w1_topk" -> w1Oracle,
     "q_w4_pagination" -> w4Oracle,

@@ -600,4 +600,69 @@ object TextAnalysis {
       .withColumn("lm_ppl",
         when(col("lm_logprob").isNotNull, exp(-col("lm_logprob"))))
   }
+
+  /** BM25 top-k retrieval scoring over the corpus for a bounded literal
+    * term set — the lexical-relevance primitive a data-selection pipeline
+    * runs to pull target-domain documents (the sparse sibling of the
+    * DSIR importance weights and the ANN dense path).
+    *
+    * Arithmetic is ENTIRELY integer, so ranks and scores are
+    * bit-identical across engines and the driver oracle replays every
+    * score: k1 = 1.2 and b = 0.75 are folded into the integer constants
+    * of score = idf · tf·(k1+1) / (tf + k1·(1−b+b·len/avgdl)) multiplied
+    * through by 40·avgdl:
+    *
+    * {{{ (idf · tf · 88 · avgdl) div (40·avgdl·tf + 12·avgdl + 36·len) }}}
+    *
+    * with avgdl = totalTokens div nDocs and the RSJ-shaped integer idf
+    * surrogate ((nDocs − df + 1) · idfScale) div (df + 1) — monotone in
+    * df like the log form and, like Lucene's ln(1 + ·) floor, strictly
+    * positive even for a term present in EVERY document; deterministic
+    * unlike either (cross-engine ln() at
+    * half-ulp boundaries is exactly the float trap the oracle rules ban).
+    * Magnitudes: idf ≤ nDocs·idfScale, so the product stays far inside
+    * int64 up to ~10⁷ docs at the default scale; beyond that lower
+    * idfScale or lift the expressions to decimal(38,0) — the shape is
+    * unchanged.
+    *
+    * Plan shape (the 100 TB story): ONE corpus scan + ONE doc-keyed
+    * partial-agg shuffle. Per-term tf and doc length come from the same
+    * groupBy (conditional sums over the literal term list — no per-term
+    * join, no second scan); corpus stats (nDocs, avgdl, per-term df)
+    * reduce to ONE row broadcast back; top-k is TakeOrderedAndProject.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int, idfScale: Long = 1000000L): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.size <= 64,
+      s"bm25TopK wants a bounded literal term set, got ${queryTerms.size}")
+    val toks = docs.select(col(idCol),
+        explode(split(normalize(col(textCol)), " ")).as("tok"))
+      .where(length(col("tok")) > 0)
+    val tfCols = queryTerms.indices.map(i =>
+      sum(when(col("tok") === queryTerms(i), 1L).otherwise(0L)).as(s"tf_$i"))
+    val perDoc = toks.groupBy(col(idCol))
+      .agg(count(lit(1)).as("len"), tfCols: _*)
+    val dfCols = queryTerms.indices.flatMap(i => Seq(
+      sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i")))
+    val corpusAggs = Seq(sum("len").as("tot_len")) ++ dfCols
+    val corpus = perDoc.agg(count(lit(1)).as("n_docs"), corpusAggs: _*)
+      // exact integer avgdl: float division then truncation could round
+      // up across an integer boundary on a huge corpus; div cannot
+      .withColumn("avgdl", expr("tot_len div n_docs"))
+    val termScore: Int => Column = { i =>
+      when(col(s"tf_$i") > 0,
+        expr(s"(((n_docs - df_$i + 1) * ${idfScale}L) div (df_$i + 1))" +
+          s" * tf_$i * 88L * avgdl div " +
+          s"(40L * avgdl * tf_$i + 12L * avgdl + 36L * len)"))
+        .otherwise(lit(0L))
+    }
+    perDoc.crossJoin(broadcast(corpus))
+      .withColumn("score", queryTerms.indices.map(termScore).reduce(_ + _))
+      .withColumn("n_terms", queryTerms.indices
+        .map(i => when(col(s"tf_$i") > 0, 1L).otherwise(0L)).reduce(_ + _))
+      .where(col("score") > 0)
+      .select(col(idCol), col("score"), col("n_terms"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
 }
