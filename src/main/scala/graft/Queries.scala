@@ -765,6 +765,98 @@ object Queries {
       |FROM lineitem, b
       |WHERE l_orderkey BETWEEN mk // 4 AND mk // 4 + mk // 10""".stripMargin
 
+  // Build-once z-ordered store for L3 (same fixture-cache discipline as
+  // skipStoreDir): lineitem z-ordered on (partkey, suppkey) into 16
+  // files, stats on BOTH columns from the same one write.
+  private def zskipStoreDir(s: SparkSession, d: String): String = {
+    import java.nio.file.{Files, Paths}
+    val sig = try {
+      val a = Files.readAttributes(Paths.get(d, "lineitem.parquet"),
+        classOf[java.nio.file.attribute.BasicFileAttributes])
+      s"${a.lastModifiedTime().toMillis}:${a.size()}"
+    } catch { case _: java.io.IOException => "unknown" }
+    skipBuilt.computeIfAbsent(s"z:$d@$sig", _ => {
+      def md5hex(v: String): String =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(v.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+      val root = Paths.get(sys.props("java.io.tmpdir"), "graft-zskip-store")
+      val dKey = md5hex(d).take(8)
+      val dir = root.resolve(s"$dKey-${md5hex(sig).take(8)}")
+      if (Files.isDirectory(root)) {
+        val ls = Files.list(root)
+        try ls.iterator().forEachRemaining { p =>
+          if (p.getFileName.toString.startsWith(s"$dKey-") && p != dir) {
+            val walk = Files.walk(p)
+            try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(q => Files.deleteIfExists(q))
+            finally walk.close()
+          }
+        } finally ls.close()
+      }
+      val store = new catalog.SnapshotTableStore(dir.toString)
+      if (store.currentVersion("lineitem_z").isEmpty) {
+        val li = t(s, d, "lineitem")
+          .select("l_partkey", "l_suppkey", "l_quantity")
+        // Interleaving RAW keys would be lopsided: partkey spans ~8 more
+        // bits than suppkey at every SF, so the z-sort degenerates to
+        // partkey strips and the suppkey dimension gets no locality.
+        // Rank-scale both to a common 10-bit domain first — monotone in
+        // the raw value, so tight scaled tiles are tight RAW min/max in
+        // the file stats, which is what readRange prunes on.
+        val mx = li.agg(max("l_partkey"), max("l_suppkey")).head
+        val (mp, ms) = (mx.getLong(0), mx.getLong(1))
+        val z = operators.Layout.zorderPartitionsN(li,
+          Seq(expr(s"(l_partkey * 1024L) div ${mp + 1}"),
+            expr(s"(l_suppkey * 1024L) div ${ms + 1}")), bits = 10,
+          numPartitions = 16)
+        store.overwrite(z, "lineitem_z")
+        catalog.DataSkipping.ensureStats(s, store, "lineitem_z",
+          Seq("l_partkey", "l_suppkey"))
+      }
+      dir.toString
+    })
+  }
+
+  /** L3: the composed lakehouse flow — ONE z-ordered write (L1), file
+    * stats on BOTH dimensions from that same write, and stats-pruned
+    * reads (L2) on EITHER column. A one-column sort would make the
+    * second dimension's per-file ranges full-domain (LayoutSpec pins
+    * this quantitatively); here both range reads must observe pruning
+    * from the single layout, which is the whole point of z-ordering.
+    * Each emitted row carries its dimension's observed pruned flag; the
+    * aggregates hash-check that neither pruned read lost rows.
+    */
+  val l3ZorderSkipping: Q = (s, d) => {
+    val store = new catalog.SnapshotTableStore(zskipStoreDir(s, d))
+    val mx = t(s, d, "lineitem")
+      .agg(max("l_partkey"), max("l_suppkey")).head
+    val (mp, ms) = (mx.getLong(0), mx.getLong(1))
+    def pruned(column: String, lo: Long, hi: Long, dim: String) = {
+      val scan = catalog.DataSkipping.readRange(s, store, "lineitem_z",
+        column, lo.toString, hi.toString)
+      scan.df.agg(count(lit(1)).as("n_rows"),
+          exactSum(col("l_quantity")).as("sum_qty"))
+        .select(lit(dim).as("dim"), col("n_rows"), col("sum_qty"),
+          lit(scan.filesRead < scan.filesTotal).as("pruned"))
+    }
+    pruned("l_partkey", mp / 3, mp / 3 + mp / 8, "partkey")
+      .unionByName(pruned("l_suppkey", ms / 3, ms / 3 + ms / 8, "suppkey"))
+  }
+  val l3Oracle =
+    """WITH b AS (SELECT MAX(l_partkey) AS mp, MAX(l_suppkey) AS ms
+      |           FROM lineitem)
+      |SELECT 'partkey' AS dim, COUNT(*) AS n_rows,
+      |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+      |    AS sum_qty, TRUE AS pruned
+      |FROM lineitem, b
+      |WHERE l_partkey BETWEEN mp // 3 AND mp // 3 + mp // 8
+      |UNION ALL
+      |SELECT 'suppkey', COUNT(*),
+      |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE),
+      |  TRUE
+      |FROM lineitem, b
+      |WHERE l_suppkey BETWEEN ms // 3 AND ms // 3 + ms // 8""".stripMargin
+
   /** A7: top-N most-changed resources (change_analytics.go:452-494). */
   val a7TopResources: Q = (s, d) =>
     Analytics.topResources(t(s, d, "events"), "user_id", "ts", "value", 10)
@@ -2289,6 +2381,7 @@ object Queries {
     "q_a16_gapfill" -> a16GapFill,
     "q_l1_zorder" -> l1Zorder,
     "q_l2_data_skipping" -> l2DataSkipping,
+    "q_l3_zorder_skipping" -> l3ZorderSkipping,
     "q_a7_top_resources" -> a7TopResources,
     "q_e16_anomalies" -> e16Anomalies,
     "q_e18_impact" -> e18Impact,
@@ -2365,6 +2458,7 @@ object Queries {
     "q_a16_gapfill" -> a16Oracle,
     "q_l1_zorder" -> l1Oracle,
     "q_l2_data_skipping" -> l2Oracle,
+    "q_l3_zorder_skipping" -> l3Oracle,
     "q_a7_top_resources" -> a7Oracle,
     "q_e16_anomalies" -> e16Oracle,
     "q_g2_reach" -> g2Oracle,

@@ -27,6 +27,12 @@ object SnapshotDiff {
     * `idCol`, `change_type` ∈ {insert, update, delete}, then for every
     * other column `c` of the table: `c` (the after-image, NULL for
     * deletes) and `c_prev` (the before-image, NULL for inserts).
+    *
+    * Contract: `idCol` must be a UNIQUE, non-null key within each
+    * version (the invariant [[SnapshotTableStore.upsertLoad]] maintains).
+    * Duplicate ids would fan the full-outer join out many-to-many and a
+    * NULL id on both sides would pair arbitrary rows — the feed reports
+    * per-KEY changes and is meaningless without key semantics.
     */
   def changesBetween(spark: SparkSession, store: SnapshotTableStore,
       table: String, vOld: Int, vNew: Int, idCol: String): DataFrame = {
