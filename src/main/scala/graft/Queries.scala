@@ -720,9 +720,11 @@ object Queries {
         val li = t(s, d, "lineitem").select("l_orderkey", "l_quantity")
           .repartitionByRange(8, col("l_orderkey"))
         store.overwrite(li, "lineitem_skip")
-        catalog.DataSkipping.ensureStats(s, store, "lineitem_skip",
-          Seq("l_orderkey"))
       }
+      // outside the build guard: idempotent, and re-collects sidecars a
+      // previous build left in an older format
+      catalog.DataSkipping.ensureStats(s, store, "lineitem_skip",
+        Seq("l_orderkey"))
       dir.toString
     })
   }
@@ -810,9 +812,10 @@ object Queries {
             expr(s"(l_suppkey * 1024L) div ${ms + 1}")), bits = 10,
           numPartitions = 16)
         store.overwrite(z, "lineitem_z")
-        catalog.DataSkipping.ensureStats(s, store, "lineitem_z",
-          Seq("l_partkey", "l_suppkey"))
       }
+      // outside the build guard: idempotent + stale-format re-collection
+      catalog.DataSkipping.ensureStats(s, store, "lineitem_z",
+        Seq("l_partkey", "l_suppkey"))
       dir.toString
     })
   }
@@ -856,6 +859,34 @@ object Queries {
       |  TRUE
       |FROM lineitem, b
       |WHERE l_suppkey BETWEEN ms // 3 AND ms // 3 + ms // 8""".stripMargin
+
+  /** L4: metadata-only aggregates ([[catalog.DataSkipping.metadataAggs]])
+    * — COUNT/MIN/MAX answered purely from the stats sidecars, zero data
+    * files opened (Delta's "COUNT(*) from the log" fast path; at 100 TB
+    * a catalog lookup instead of a scan). The emitted `metadata_only`
+    * flag is observed: if any file lacked stats the query falls back to
+    * a real scan and the flag turns false, failing the oracle — so the
+    * metadata path working IS the checked fact, and the values
+    * hash-check against DuckDB's direct aggregation over the raw table.
+    */
+  val l4MetadataAggs: Q = (s, d) => {
+    import s.implicits._
+    val store = new catalog.SnapshotTableStore(skipStoreDir(s, d))
+    catalog.DataSkipping.metadataAggs(store, "lineitem_skip", "l_orderkey") match {
+      case Some(a) =>
+        Seq((a.count, a.min.get.toLong, a.max.get.toLong, true))
+          .toDF("n_rows", "min_k", "max_k", "metadata_only")
+      case None => // stats incomplete: honest fallback, flag goes false
+        store.read(s, "lineitem_skip").agg(
+          count(col("l_orderkey")).as("n_rows"),
+          min("l_orderkey").as("min_k"), max("l_orderkey").as("max_k"))
+          .withColumn("metadata_only", lit(false))
+    }
+  }
+  val l4Oracle =
+    """SELECT COUNT(l_orderkey) AS n_rows, MIN(l_orderkey) AS min_k,
+      |  MAX(l_orderkey) AS max_k, TRUE AS metadata_only
+      |FROM lineitem""".stripMargin
 
   /** A7: top-N most-changed resources (change_analytics.go:452-494). */
   val a7TopResources: Q = (s, d) =>
@@ -2382,6 +2413,7 @@ object Queries {
     "q_l1_zorder" -> l1Zorder,
     "q_l2_data_skipping" -> l2DataSkipping,
     "q_l3_zorder_skipping" -> l3ZorderSkipping,
+    "q_l4_metadata_aggs" -> l4MetadataAggs,
     "q_a7_top_resources" -> a7TopResources,
     "q_e16_anomalies" -> e16Anomalies,
     "q_e18_impact" -> e18Impact,
@@ -2459,6 +2491,7 @@ object Queries {
     "q_l1_zorder" -> l1Oracle,
     "q_l2_data_skipping" -> l2Oracle,
     "q_l3_zorder_skipping" -> l3Oracle,
+    "q_l4_metadata_aggs" -> l4Oracle,
     "q_a7_top_resources" -> a7Oracle,
     "q_e16_anomalies" -> e16Oracle,
     "q_g2_reach" -> g2Oracle,

@@ -37,13 +37,34 @@ object DataSkipping {
     */
   val StatsFile = "_graftstats.tsv"
 
+  /** First line of every sidecar. A sidecar whose header does not match
+    * (older format, foreign file, torn write) is treated exactly like a
+    * MISSING sidecar everywhere: reads keep all files, [[metadataAggs]]
+    * refuses, [[ensureStats]] re-collects — format evolution can
+    * therefore never produce a wrong answer, only lost pruning until the
+    * next maintenance pass.
+    */
+  val StatsHeader = "#graftstats\tv2"
+
+  /** A sidecar exists AND is the current format. */
+  def hasCurrentStats(dir: Path): Boolean = {
+    val p = dir.resolve(StatsFile)
+    Files.exists(p) && {
+      val txt = new String(Files.readAllBytes(p), UTF_8)
+      txt.startsWith(StatsHeader + "\n") || txt.trim == StatsHeader
+    }
+  }
+
   /** Per-file, per-column stats. `min`/`max` are the column values cast
     * to string (Spark's cast, so numerics are plain decimal text and
     * timestamps are minimal-digit session-zone text); `None` means the
-    * file has no non-null value in the column.
+    * file has no non-null value in the column. `dt` is the column's
+    * Spark type in DDL form, recorded at collect time so every later
+    * consumer ([[metadataAggs]], pruning) compares with the right
+    * semantics without opening a single parquet footer.
     */
   final case class ColStats(min: Option[String], max: Option[String],
-      nonNull: Long)
+      nonNull: Long, dt: String)
 
   /** Compute per-file min/max for `cols` over the parquet files of `dir`
     * and write the sidecar. One Spark job over the directory: grouping on
@@ -65,17 +86,18 @@ object DataSkipping {
       .collect() // one row per parquet file in ONE directory: bounded
     val b64 = Base64.getEncoder
     def enc(s: String): String = b64.encodeToString(s.getBytes(UTF_8))
+    val ddl = cols.map(c => c -> df.schema(c).dataType.sql).toMap
     val lines = rows.flatMap { r =>
       val file = Paths.get(new java.net.URI(r.getAs[String]("_file")).getPath)
         .getFileName.toString
       cols.map { c =>
         val mn = Option(r.getAs[String](s"min_$c")).map(enc).getOrElse("-")
         val mx = Option(r.getAs[String](s"max_$c")).map(enc).getOrElse("-")
-        s"$file\t${enc(c)}\t${r.getAs[Long](s"n_$c")}\t$mn\t$mx"
+        s"$file\t${enc(c)}\t${enc(ddl(c))}\t${r.getAs[Long](s"n_$c")}\t$mn\t$mx"
       }
     }
     Files.write(Paths.get(dir, StatsFile),
-      lines.mkString("\n").getBytes(UTF_8))
+      (StatsHeader +: lines).mkString("\n").getBytes(UTF_8))
   }
 
   /** Collect stats for every data directory of the CURRENT version of
@@ -89,7 +111,7 @@ object DataSkipping {
     val v = store.currentVersion(table).getOrElse(
       throw new IllegalArgumentException(s"snapshot table $table does not exist"))
     val missing = store.versionDataDirs(table, v)
-      .filterNot(d => Files.exists(Paths.get(d, StatsFile)))
+      .filterNot(d => hasCurrentStats(Paths.get(d)))
     missing.foreach(collectStats(spark, _, cols))
     missing.size
   }
@@ -98,10 +120,10 @@ object DataSkipping {
     val b64 = Base64.getDecoder
     def dec(s: String): String = new String(b64.decode(s), UTF_8)
     val txt = new String(Files.readAllBytes(dir.resolve(StatsFile)), UTF_8)
-    txt.split("\n").filter(_.nonEmpty).toSeq.map { ln =>
-      val Array(f, c, n, mn, mx) = ln.split("\t", -1)
+    txt.split("\n").filter(l => l.nonEmpty && !l.startsWith("#")).toSeq.map { ln =>
+      val Array(f, c, d, n, mn, mx) = ln.split("\t", -1)
       (f, dec(c), ColStats(if (mn == "-") None else Some(dec(mn)),
-        if (mx == "-") None else Some(dec(mx)), n.toLong))
+        if (mx == "-") None else Some(dec(mx)), n.toLong, dec(d)))
     }.groupBy(_._1).map { case (f, es) =>
       f -> es.map(e => e._2 -> e._3).toMap
     }
@@ -134,17 +156,62 @@ object DataSkipping {
           n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
         }.toList
     }
-    if (!Files.exists(dir.resolve(StatsFile))) return (parquets, parquets.size)
+    if (!hasCurrentStats(dir)) return (parquets, parquets.size)
     val stats = parseSidecar(dir)
     val kept = parquets.filter { p =>
       stats.get(p.getFileName.toString).flatMap(_.get(column)) match {
         case None => true // no stats for this file/column: must read it
-        case Some(ColStats(Some(mn), Some(mx), _)) =>
+        case Some(ColStats(Some(mn), Some(mx), _, _)) =>
           cmp(dt, mx, lo) >= 0 && cmp(dt, mn, hi) <= 0
         case Some(_) => false // all-NULL column: a range predicate excludes NULLs
       }
     }
     (kept, parquets.size)
+  }
+
+  /** Metadata-only aggregates: COUNT / MIN / MAX over a whole snapshot
+    * version answered purely from the sidecars — zero data files opened
+    * (the Delta "answer COUNT(*) from the log" fast path; at 100 TB the
+    * difference between a catalog lookup and a full scan). Returns None
+    * when any data directory of the version lacks a sidecar or any
+    * sidecar lacks the column — the caller falls back to a real scan;
+    * metadata answers are only ever exact-or-absent, never approximate.
+    *
+    * Semantics match SQL aggregates over the column: `count` is the
+    * non-null count, min/max are None for an all-null table.
+    */
+  final case class ColumnAggs(count: Long, min: Option[String], max: Option[String])
+
+  def metadataAggs(store: SnapshotTableStore, table: String, column: String,
+      version: Option[Int] = None): Option[ColumnAggs] = {
+    val v = version.orElse(store.currentVersion(table)).getOrElse(
+      throw new IllegalArgumentException(s"snapshot table $table does not exist"))
+    val dirs = store.versionDataDirs(table, v).map(Paths.get(_))
+    if (!dirs.forall(hasCurrentStats)) return None
+    var total = 0L
+    var mn: Option[String] = None
+    var mx: Option[String] = None
+    for (dir <- dirs) {
+      val stats = parseSidecar(dir)
+      val parquets = Using.resource(Files.list(dir)) { ls =>
+        ls.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.endsWith(".parquet") && !n.startsWith("_") &&
+            !n.startsWith(".")).toList
+      }
+      for (f <- parquets) {
+        stats.get(f).flatMap(_.get(column)) match {
+          case None => return None // a file without stats: cannot answer
+          case Some(cs) =>
+            total += cs.nonNull
+            if (cs.min.isDefined) {
+              val d = DataType.fromDDL(cs.dt) // recorded at collect time
+              if (mn.forall(m => cmp(d, cs.min.get, m) < 0)) mn = cs.min
+              if (mx.forall(m => cmp(d, cs.max.get, m) > 0)) mx = cs.max
+            }
+        }
+      }
+    }
+    Some(ColumnAggs(total, mn, mx))
   }
 
   /** Result of a pruned read: the DataFrame (residual filter applied) plus

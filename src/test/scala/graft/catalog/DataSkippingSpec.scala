@@ -111,6 +111,94 @@ class DataSkippingSpec extends SparkSpec {
     assert(Files.list(Paths.get(dir, "t", "data")).count() >= 2)
   }
 
+  test("metadataAggs answers count/min/max from sidecars alone and matches the scan") {
+    val (_, store) = freshStore()
+    rangedTable(store, "t")
+    assert(DataSkipping.metadataAggs(store, "t", "k").isEmpty,
+      "no sidecar yet: must refuse, never guess")
+    DataSkipping.ensureStats(spark, store, "t", Seq("k"))
+    val Some(a) = DataSkipping.metadataAggs(store, "t", "k")
+    assert(a.count == 1000L && a.min.get.toLong == 0L && a.max.get.toLong == 999L)
+    // appended stat-less dir poisons the metadata answer until re-statted
+    store.append(Seq((-5L, 0L)).toDF("k", "v").coalesce(1), "t")
+    assert(DataSkipping.metadataAggs(store, "t", "k").isEmpty)
+    DataSkipping.ensureStats(spark, store, "t", Seq("k"))
+    val Some(b) = DataSkipping.metadataAggs(store, "t", "k")
+    assert(b.count == 1001L && b.min.get.toLong == -5L)
+    // count is the NON-NULL count; all-null files contribute 0 and
+    // never perturb min/max
+    val nulls = Seq((null.asInstanceOf[java.lang.Long], 1L))
+      .toDF("k", "v").coalesce(1)
+    store.append(nulls, "t")
+    DataSkipping.ensureStats(spark, store, "t", Seq("k"))
+    val Some(c) = DataSkipping.metadataAggs(store, "t", "k")
+    assert(c.count == 1001L && c.min.get.toLong == -5L && c.max.get.toLong == 999L)
+  }
+
+  test("metadataAggs on an earlier version ignores later appends") {
+    val (_, store) = freshStore()
+    rangedTable(store, "t")
+    DataSkipping.ensureStats(spark, store, "t", Seq("k"))
+    store.append(Seq((5000L, 0L)).toDF("k", "v").coalesce(1), "t")
+    DataSkipping.ensureStats(spark, store, "t", Seq("k"))
+    val Some(v1) = DataSkipping.metadataAggs(store, "t", "k", Some(1))
+    val Some(v2) = DataSkipping.metadataAggs(store, "t", "k", Some(2))
+    assert(v1.count == 1000L && v1.max.get.toLong == 999L)
+    assert(v2.count == 1001L && v2.max.get.toLong == 5000L)
+  }
+
+  test("randomized: pruned reads equal full filtered reads on every range (seeded)") {
+    val (_, store) = freshStore()
+    val rnd = new scala.util.Random(20260814L)
+    // clustered-but-messy data: three value clusters, written as three
+    // commits with different partitioners, one dir left stat-less
+    val a = spark.createDataFrame(
+      (1 to 400).map(_ => (rnd.nextInt(300).toLong, rnd.nextLong() % 100)))
+      .toDF("k", "v").repartitionByRange(3, col("k"))
+    val b = spark.createDataFrame(
+      (1 to 400).map(_ => (500L + rnd.nextInt(300), rnd.nextLong() % 100)))
+      .toDF("k", "v").repartition(2)
+    val c = spark.createDataFrame(
+      (1 to 200).map(_ => (900L + rnd.nextInt(50), rnd.nextLong() % 100)))
+      .toDF("k", "v").coalesce(1)
+    store.overwrite(a, "r"); store.append(b, "r")
+    DataSkipping.ensureStats(spark, store, "r", Seq("k"))
+    store.append(c, "r") // stays stat-less on purpose
+    val full = store.read(spark, "r")
+    var anyPruned = false
+    for (_ <- 1 to 25) {
+      val x = rnd.nextInt(1100) - 50
+      val y = x + rnd.nextInt(400)
+      val scan = DataSkipping.readRange(spark, store, "r", "k",
+        x.toString, y.toString)
+      val expect = full.where(col("k").between(x.toLong, y.toLong))
+        .groupBy("k").count().as[(Long, Long)].collect().toMap
+      val got = scan.df.groupBy("k").count().as[(Long, Long)].collect().toMap
+      assert(got == expect, s"range [$x,$y]")
+      if (scan.filesRead < scan.filesTotal) anyPruned = true
+    }
+    assert(anyPruned, "no range ever pruned — stats are dead")
+  }
+
+  test("a stale-format sidecar acts exactly like a missing one") {
+    val (dir, store) = freshStore()
+    rangedTable(store, "t")
+    DataSkipping.ensureStats(spark, store, "t", Seq("k"))
+    // corrupt the sidecar into a pre-v2 (headerless) format
+    val dd = store.versionDataDirs("t", 1).head
+    val sc = Paths.get(dd, DataSkipping.StatsFile)
+    Files.write(sc, "part-x\tx\t1\t-\t-".getBytes)
+    val scan = DataSkipping.readRange(spark, store, "t", "k", "100", "220")
+    assert(scan.filesRead == scan.filesTotal, "stale stats must not prune")
+    assert(scan.df.count() == 121)
+    assert(DataSkipping.metadataAggs(store, "t", "k").isEmpty)
+    // maintenance re-collects it
+    assert(DataSkipping.ensureStats(spark, store, "t", Seq("k")) == 1)
+    assert(DataSkipping.readRange(spark, store, "t", "k", "100", "220")
+      .filesRead < scan.filesRead)
+    assert(dir.nonEmpty)
+  }
+
   test("z-ordered write gives two-dimensional skipping on the same sidecars") {
     val (_, store) = freshStore()
     val df = spark.range(0, 4096).toDF("i")
