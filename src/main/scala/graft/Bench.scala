@@ -148,20 +148,33 @@ object Bench {
     // finally succeeds. Fields the judge needs most ride at the END of
     // the line, surviving even if a future query-count bump re-truncates.
     val fullJson = s"""{"queries":$qs,"runs":$rs,"errors":$errJson,$tailFields}"""
-    java.nio.file.Files.writeString(
+    // best-effort sidecar: the stdout line is the primary channel and must
+    // print even when CWD is read-only (cluster scratch dirs)
+    try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
-    val budget = 1500 - tailFields.length - 64
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] BENCH_FULL.json not written: ${e.getMessage}") }
+    val errHead = errors.take(3).map { case (k, v) => s"${jq(k)}:${jq(v.take(80))}" }
+      .mkString("{", ",", "}")
+    // budget for the queries object: total line target minus every other
+    // field ACTUALLY printed (errHead can be ~600 chars of escaped text
+    // when queries fail — precisely when the line must still parse)
+    val budget = 1800 - tailFields.length - errHead.length - 110
     val bySlow = results.toSeq.filter(_._2 >= 0).sortBy(-_._2)
     val kept = scala.collection.mutable.ArrayBuffer[String]()
     var used = 0
-    bySlow.foreach { case (k, v) =>
+    // stop at the FIRST entry that does not fit: kept must stay a prefix
+    // of bySlow or omitted_sum misattributes times
+    val it = bySlow.iterator
+    var full = false
+    while (it.hasNext && !full) {
+      val (k, v) = it.next()
       val ent = "\"" + k + "\":" + fmt(v)
       if (used + ent.length + 1 <= budget) { kept += ent; used += ent.length + 1 }
+      else full = true
     }
     val omitted = bySlow.size - kept.size
     val omittedSum = bySlow.drop(kept.size).map(_._2).sum
-    val errHead = errors.take(3).map { case (k, v) => s"${jq(k)}:${jq(v.take(80))}" }
-      .mkString("{", ",", "}")
     println(s"""{"queries":${kept.mkString("{", ",", "}")},"queries_omitted":$omitted,"omitted_sum":${fmt(omittedSum)},"full":"BENCH_FULL.json","errors":$errHead,$tailFields}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

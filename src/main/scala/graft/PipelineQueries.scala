@@ -1761,45 +1761,16 @@ object PipelineQueries {
     * including a later JVM, detected via the parquet `_SUCCESS` markers —
     * reuse the index byte-for-byte.
     */
-  private val ivfBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def md5hex(v: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(v.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(p)) {
-      val walk = java.nio.file.Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(q => java.nio.file.Files.deleteIfExists(q))
-      finally walk.close()
-    }
-  private def ivfIndexDir(s: SparkSession, d: String): String = {
-    import java.nio.file.{Files, Paths}
-    val sig = try {
-      val a = Files.readAttributes(Paths.get(d, "embeddings.parquet"),
-        classOf[java.nio.file.attribute.BasicFileAttributes])
-      s"${a.lastModifiedTime().toMillis}:${a.size()}"
-    } catch { case _: java.io.IOException => "unknown" }
-    ivfBuilt.computeIfAbsent(s"$d@$sig", _ => {
-      val root = Paths.get(sys.props("java.io.tmpdir"), "graft-ivf-index")
-      val dKey = md5hex(d).take(8)
-      val dir = root.resolve(s"$dKey-${md5hex(sig).take(8)}")
-      if (Files.isDirectory(root)) {
-        val ls = Files.list(root)
-        try ls.iterator().forEachRemaining { p =>
-          if (p.getFileName.toString.startsWith(s"$dKey-") && p != dir)
-            deleteRecursively(p)
-        } finally ls.close()
-      }
-      val ready = Files.exists(dir.resolve("centroids").resolve("_SUCCESS")) &&
-        Files.exists(dir.resolve("assigned").resolve("_SUCCESS"))
-      if (!ready) {
-        val (centroids, assigned) = Similarity.ivfIndex(
-          t(s, d, "embeddings"), "vec_id", "embedding", nCells = 16)
-        Similarity.ivfWriteIndex(centroids, assigned, dir.toString)
-      }
-      dir.toString
-    })
-  }
+  private def ivfIndexDir(s: SparkSession, d: String): String =
+    FixtureCache.resolve("graft-ivf-index", d, "embeddings.parquet")(
+      dir => java.nio.file.Files.exists(
+          dir.resolve("centroids").resolve("_SUCCESS")) &&
+        java.nio.file.Files.exists(
+          dir.resolve("assigned").resolve("_SUCCESS"))) { dir =>
+      val (centroids, assigned) = Similarity.ivfIndex(
+        t(s, d, "embeddings"), "vec_id", "embedding", nCells = 16)
+      Similarity.ivfWriteIndex(centroids, assigned, dir.toString)
+    }()
 
   /** S6: disk-probed IVF — the persisted form of S4 and the true 100 TB
     * serving shape: the index is laid out `partitionBy(cell)`

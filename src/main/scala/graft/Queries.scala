@@ -688,46 +688,19 @@ object Queries {
   // snapshot commit + stats sidecar per (fixture dir, lineitem mtime/size).
   // The measured query is then the PRUNED read — the serving path the
   // feature exists for — not the one-time table build (same discipline as
-  // the IVF index fixture, PipelineQueries.ivfIndexDir).
-  private val skipBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def skipStoreDir(s: SparkSession, d: String): String = {
-    import java.nio.file.{Files, Paths}
-    val sig = try {
-      val a = Files.readAttributes(Paths.get(d, "lineitem.parquet"),
-        classOf[java.nio.file.attribute.BasicFileAttributes])
-      s"${a.lastModifiedTime().toMillis}:${a.size()}"
-    } catch { case _: java.io.IOException => "unknown" }
-    skipBuilt.computeIfAbsent(s"$d@$sig", _ => {
-      def md5hex(v: String): String =
-        java.security.MessageDigest.getInstance("MD5")
-          .digest(v.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
-      val root = Paths.get(sys.props("java.io.tmpdir"), "graft-skip-store")
-      val dKey = md5hex(d).take(8)
-      val dir = root.resolve(s"$dKey-${md5hex(sig).take(8)}")
-      if (Files.isDirectory(root)) { // stale generations of this fixture
-        val ls = Files.list(root)
-        try ls.iterator().forEachRemaining { p =>
-          if (p.getFileName.toString.startsWith(s"$dKey-") && p != dir) {
-            val walk = Files.walk(p)
-            try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-              .forEach(q => Files.deleteIfExists(q))
-            finally walk.close()
-          }
-        } finally ls.close()
-      }
-      val store = new catalog.SnapshotTableStore(dir.toString)
-      if (store.currentVersion("lineitem_skip").isEmpty) {
-        val li = t(s, d, "lineitem").select("l_orderkey", "l_quantity")
-          .repartitionByRange(8, col("l_orderkey"))
-        store.overwrite(li, "lineitem_skip")
-      }
-      // outside the build guard: idempotent, and re-collects sidecars a
-      // previous build left in an older format
-      catalog.DataSkipping.ensureStats(s, store, "lineitem_skip",
+  // the IVF index fixture; shared machinery in graft.FixtureCache).
+  private def skipStoreDir(s: SparkSession, d: String): String =
+    FixtureCache.resolve("graft-skip-store", d, "lineitem.parquet")(
+      dir => new catalog.SnapshotTableStore(dir.toString)
+        .currentVersion("lineitem_skip").nonEmpty) { dir =>
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_quantity")
+        .repartitionByRange(8, col("l_orderkey"))
+      new catalog.SnapshotTableStore(dir.toString).overwrite(li, "lineitem_skip")
+    } { dir => // idempotent upkeep: re-collects stale-format sidecars
+      catalog.DataSkipping.ensureStats(s,
+        new catalog.SnapshotTableStore(dir.toString), "lineitem_skip",
         Seq("l_orderkey"))
-      dir.toString
-    })
-  }
+    }
 
   /** L2: file-stats data skipping ([[catalog.DataSkipping]]) — the
     * reader half of the L1 layout story and the Delta/Iceberg scan-prune
@@ -767,58 +740,33 @@ object Queries {
       |FROM lineitem, b
       |WHERE l_orderkey BETWEEN mk // 4 AND mk // 4 + mk // 10""".stripMargin
 
-  // Build-once z-ordered store for L3 (same fixture-cache discipline as
-  // skipStoreDir): lineitem z-ordered on (partkey, suppkey) into 16
-  // files, stats on BOTH columns from the same one write.
-  private def zskipStoreDir(s: SparkSession, d: String): String = {
-    import java.nio.file.{Files, Paths}
-    val sig = try {
-      val a = Files.readAttributes(Paths.get(d, "lineitem.parquet"),
-        classOf[java.nio.file.attribute.BasicFileAttributes])
-      s"${a.lastModifiedTime().toMillis}:${a.size()}"
-    } catch { case _: java.io.IOException => "unknown" }
-    skipBuilt.computeIfAbsent(s"z:$d@$sig", _ => {
-      def md5hex(v: String): String =
-        java.security.MessageDigest.getInstance("MD5")
-          .digest(v.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
-      val root = Paths.get(sys.props("java.io.tmpdir"), "graft-zskip-store")
-      val dKey = md5hex(d).take(8)
-      val dir = root.resolve(s"$dKey-${md5hex(sig).take(8)}")
-      if (Files.isDirectory(root)) {
-        val ls = Files.list(root)
-        try ls.iterator().forEachRemaining { p =>
-          if (p.getFileName.toString.startsWith(s"$dKey-") && p != dir) {
-            val walk = Files.walk(p)
-            try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-              .forEach(q => Files.deleteIfExists(q))
-            finally walk.close()
-          }
-        } finally ls.close()
-      }
-      val store = new catalog.SnapshotTableStore(dir.toString)
-      if (store.currentVersion("lineitem_z").isEmpty) {
-        val li = t(s, d, "lineitem")
-          .select("l_partkey", "l_suppkey", "l_quantity")
-        // Interleaving RAW keys would be lopsided: partkey spans ~8 more
-        // bits than suppkey at every SF, so the z-sort degenerates to
-        // partkey strips and the suppkey dimension gets no locality.
-        // Rank-scale both to a common 10-bit domain first — monotone in
-        // the raw value, so tight scaled tiles are tight RAW min/max in
-        // the file stats, which is what readRange prunes on.
-        val mx = li.agg(max("l_partkey"), max("l_suppkey")).head
-        val (mp, ms) = (mx.getLong(0), mx.getLong(1))
-        val z = operators.Layout.zorderPartitionsN(li,
-          Seq(expr(s"(l_partkey * 1024L) div ${mp + 1}"),
-            expr(s"(l_suppkey * 1024L) div ${ms + 1}")), bits = 10,
-          numPartitions = 16)
-        store.overwrite(z, "lineitem_z")
-      }
-      // outside the build guard: idempotent + stale-format re-collection
-      catalog.DataSkipping.ensureStats(s, store, "lineitem_z",
+  // Build-once z-ordered store for L3: lineitem z-ordered on
+  // (partkey, suppkey) into 16 files, stats on BOTH columns from the
+  // same one write.
+  private def zskipStoreDir(s: SparkSession, d: String): String =
+    FixtureCache.resolve("graft-zskip-store", d, "lineitem.parquet")(
+      dir => new catalog.SnapshotTableStore(dir.toString)
+        .currentVersion("lineitem_z").nonEmpty) { dir =>
+      val li = t(s, d, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_quantity")
+      // Interleaving RAW keys would be lopsided: partkey spans ~8 more
+      // bits than suppkey at every SF, so the z-sort degenerates to
+      // partkey strips and the suppkey dimension gets no locality.
+      // Rank-scale both to a common 10-bit domain first — monotone in
+      // the raw value, so tight scaled tiles are tight RAW min/max in
+      // the file stats, which is what readRange prunes on.
+      val mx = li.agg(max("l_partkey"), max("l_suppkey")).head
+      val (mp, ms) = (mx.getLong(0), mx.getLong(1))
+      val z = operators.Layout.zorderPartitionsN(li,
+        Seq(expr(s"(l_partkey * 1024L) div ${mp + 1}"),
+          expr(s"(l_suppkey * 1024L) div ${ms + 1}")), bits = 10,
+        numPartitions = 16)
+      new catalog.SnapshotTableStore(dir.toString).overwrite(z, "lineitem_z")
+    } { dir =>
+      catalog.DataSkipping.ensureStats(s,
+        new catalog.SnapshotTableStore(dir.toString), "lineitem_z",
         Seq("l_partkey", "l_suppkey"))
-      dir.toString
-    })
-  }
+    }
 
   /** L3: the composed lakehouse flow — ONE z-ordered write (L1), file
     * stats on BOTH dimensions from that same write, and stats-pruned

@@ -96,25 +96,48 @@ object DataSkipping {
         s"$file\t${enc(c)}\t${enc(ddl(c))}\t${r.getAs[Long](s"n_$c")}\t$mn\t$mx"
       }
     }
-    Files.write(Paths.get(dir, StatsFile),
-      (StatsHeader +: lines).mkString("\n").getBytes(UTF_8))
+    // temp-write + atomic move: a torn write must look like a MISSING
+    // sidecar (the class-doc contract), never a current-format file with
+    // truncated lines that parse wrong or crash the reader
+    val target = Paths.get(dir, StatsFile)
+    val tmp = Paths.get(dir, s".${StatsFile}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp, (StatsHeader +: lines).mkString("\n").getBytes(UTF_8))
+    Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Collect stats for every data directory of the CURRENT version of
-    * `table` that does not have a sidecar yet — the idempotent
-    * maintenance entry point to run after appends or [[SnapshotTableStore.compact]]
-    * (whose rewritten directory is new and therefore stat-less until this
-    * runs). Returns the number of directories processed.
+    * `table` whose sidecar is missing, stale-format, or does not cover
+    * every requested column — the idempotent maintenance entry point to
+    * run after appends, [[SnapshotTableStore.compact]] (whose rewritten
+    * directory is new and therefore stat-less until this runs), or when
+    * extending stats to more columns. Returns the number of directories
+    * processed.
     */
   def ensureStats(spark: SparkSession, store: SnapshotTableStore,
       table: String, cols: Seq[String]): Int = {
     val v = store.currentVersion(table).getOrElse(
       throw new IllegalArgumentException(s"snapshot table $table does not exist"))
-    val missing = store.versionDataDirs(table, v)
-      .filterNot(d => hasCurrentStats(Paths.get(d)))
-    missing.foreach(collectStats(spark, _, cols))
+    val missing = store.versionDataDirs(table, v).map(Paths.get(_))
+      .filterNot(d => hasCurrentStats(d) && statsCover(d, cols))
+    missing.foreach { d =>
+      // a re-collect must EXTEND coverage, not shrink it: keep columns an
+      // earlier maintenance pass already statted
+      val existing =
+        if (hasCurrentStats(d))
+          parseSidecar(d).values.flatMap(_.keySet).toSeq.distinct
+        else Nil
+      collectStats(spark, d.toString, (existing ++ cols).distinct)
+    }
     missing.size
   }
+
+  /** Every file entry of `dir`'s sidecar carries every column in `cols`
+    * (vacuously true for an empty sidecar — an empty directory has
+    * nothing to stat).
+    */
+  private def statsCover(dir: Path, cols: Seq[String]): Boolean =
+    parseSidecar(dir).values.forall(m => cols.forall(m.contains))
 
   private def parseSidecar(dir: Path): Map[String, Map[String, ColStats]] = {
     val b64 = Base64.getDecoder
@@ -143,19 +166,23 @@ object DataSkipping {
     case _ => a.compareTo(b)
   }
 
-  /** Pruning decision for one directory's files. Files absent from the
-    * sidecar map (or whole directories without a sidecar) are kept —
-    * skipping is an optimization, never a correctness dependency.
-    */
-  private def keptFiles(dir: Path, column: String, dt: DataType,
-      lo: String, hi: String): (Seq[Path], Int) = {
-    val parquets = Using.resource(Files.list(dir)) { ls =>
+  /** The data files of one directory (sidecars and markers excluded). */
+  private def allParquets(dir: Path): List[Path] =
+    Using.resource(Files.list(dir)) { ls =>
       ls.iterator().asScala
         .filter { p =>
           val n = p.getFileName.toString
           n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
         }.toList
     }
+
+  /** Pruning decision for one directory's files. Files absent from the
+    * sidecar map (or whole directories without a sidecar) are kept —
+    * skipping is an optimization, never a correctness dependency.
+    */
+  private def keptFiles(dir: Path, column: String, dt: DataType,
+      lo: String, hi: String): (Seq[Path], Int) = {
+    val parquets = allParquets(dir)
     if (!hasCurrentStats(dir)) return (parquets, parquets.size)
     val stats = parseSidecar(dir)
     val kept = parquets.filter { p =>
@@ -193,12 +220,7 @@ object DataSkipping {
     var mx: Option[String] = None
     for (dir <- dirs) {
       val stats = parseSidecar(dir)
-      val parquets = Using.resource(Files.list(dir)) { ls =>
-        ls.iterator().asScala.map(_.getFileName.toString)
-          .filter(n => n.endsWith(".parquet") && !n.startsWith("_") &&
-            !n.startsWith(".")).toList
-      }
-      for (f <- parquets) {
+      for (f <- allParquets(dir).map(_.getFileName.toString)) {
         stats.get(f).flatMap(_.get(column)) match {
           case None => return None // a file without stats: cannot answer
           case Some(cs) =>
@@ -225,6 +247,15 @@ object DataSkipping {
     * string bounds), pruning non-intersecting files by sidecar stats
     * before Spark ever lists them. The residual filter is always applied,
     * so the result equals the unpruned filtered read by construction.
+    *
+    * Bounds are canonicalized through the SAME Spark cast that produced
+    * the stats before any comparison — a timestamp given as ISO
+    * `2020-01-01T00:00:00` or a long given as `1e3` would otherwise
+    * compare wrongly (or crash) against canonical stat text. Casting is
+    * `try_cast` on both the probe and the residual predicate, so a bound
+    * the type cannot parse yields a NULL comparison → an empty result,
+    * with pruning disabled (all files listed) for honest accounting —
+    * never an ANSI cast error from inside a metadata step.
     */
   def readRange(spark: SparkSession, store: SnapshotTableStore, table: String,
       column: String, lo: String, hi: String,
@@ -234,10 +265,19 @@ object DataSkipping {
     val dirs = store.versionDataDirs(table, v)
     val schema = spark.read.parquet(dirs: _*).schema
     val dt = schema(column).dataType
-    val perDir = dirs.map(d => keptFiles(Paths.get(d), column, dt, lo, hi))
+    val canon = spark.range(1).select(
+      lit(lo).try_cast(dt).cast("string"), lit(hi).try_cast(dt).cast("string")).head
+    val perDir = (Option(canon.getString(0)), Option(canon.getString(1))) match {
+      case (Some(loC), Some(hiC)) =>
+        dirs.map(d => keptFiles(Paths.get(d), column, dt, loC, hiC))
+      case _ => // unparseable bound: no pruning, residual filter decides
+        dirs.map { d =>
+          val all = allParquets(Paths.get(d)); (all, all.size)
+        }
+    }
     val files = perDir.flatMap(_._1)
     val total = perDir.map(_._2).sum
-    val pred = col(column).between(lit(lo).cast(dt), lit(hi).cast(dt))
+    val pred = col(column).between(lit(lo).try_cast(dt), lit(hi).try_cast(dt))
     val df =
       if (files.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

@@ -119,12 +119,8 @@ final class SnapshotTableStore(root: String) extends TableStore {
   }
 
   /** Time-travel read of a specific committed version. */
-  def readVersion(spark: SparkSession, table: String, v: Int): DataFrame = {
-    val cur = currentVersion(table)
-    require(cur.exists(v <= _), s"snapshot $table@v$v is not committed (latest: $cur)")
-    val dirs = manifestDirs(table, v).map(d => dataDir(table, d).toString)
-    spark.read.parquet(dirs: _*)
-  }
+  def readVersion(spark: SparkSession, table: String, v: Int): DataFrame =
+    spark.read.parquet(versionDataDirs(table, v): _*)
 
   def read(spark: SparkSession, table: String): DataFrame = {
     val v = currentVersion(table).getOrElse(

@@ -180,6 +180,31 @@ class DataSkippingSpec extends SparkSpec {
     assert(anyPruned, "no range ever pruned — stats are dead")
   }
 
+  test("unparseable bounds disable pruning and fall through to the residual filter") {
+    val (_, store) = freshStore()
+    rangedTable(store, "t")
+    DataSkipping.ensureStats(spark, store, "t", Seq("k"))
+    val scan = DataSkipping.readRange(spark, store, "t", "k", "abc", "200")
+    assert(scan.filesRead == scan.filesTotal, "must not prune on a bad bound")
+    assert(scan.df.count() == 0, "residual filter: NULL bound matches nothing")
+    // scientific notation is not canonical long text either — same path
+    val sci = DataSkipping.readRange(spark, store, "t", "k", "1e2", "200")
+    assert(sci.filesRead == sci.filesTotal)
+  }
+
+  test("ensureStats extends column coverage without dropping existing columns") {
+    val (_, store) = freshStore()
+    rangedTable(store, "t")
+    assert(DataSkipping.ensureStats(spark, store, "t", Seq("k")) == 1)
+    assert(DataSkipping.metadataAggs(store, "t", "v").isEmpty)
+    // second pass with a NEW column re-collects and unions coverage
+    assert(DataSkipping.ensureStats(spark, store, "t", Seq("v")) == 1)
+    assert(DataSkipping.metadataAggs(store, "t", "v").nonEmpty)
+    assert(DataSkipping.metadataAggs(store, "t", "k").nonEmpty,
+      "extending coverage must not drop previously statted columns")
+    assert(DataSkipping.ensureStats(spark, store, "t", Seq("k", "v")) == 0)
+  }
+
   test("a stale-format sidecar acts exactly like a missing one") {
     val (dir, store) = freshStore()
     rangedTable(store, "t")

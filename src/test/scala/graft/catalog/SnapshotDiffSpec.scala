@@ -49,12 +49,28 @@ class SnapshotDiffSpec extends SparkSpec {
     val changes = SnapshotDiff.diff(v1, v2, "id")
     val prev = IncrementalAgg.directRollup(v1, "g", "v")
     val maintained = IncrementalAgg.applyChanges(prev, changes, "g", "v")
-      .as[(String, Long, java.math.BigDecimal)].collect().toSet
+      .as[(String, Long, Long, java.math.BigDecimal)].collect().toSet
     val direct = IncrementalAgg.directRollup(v2, "g", "v")
-      .as[(String, Long, java.math.BigDecimal)].collect().toSet
+      .as[(String, Long, Long, java.math.BigDecimal)].collect().toSet
     assert(maintained == direct)
     assert(!maintained.exists(_._1 == "c"), "emptied group must be dropped")
     assert(maintained.find(_._1 == "b").get._2 == 2L)
+  }
+
+  test("retracting a group's last non-null value yields NULL, not 0 (SQL SUM semantics)") {
+    val nd: java.lang.Double = null
+    val v1 = Seq((1L, "a", java.lang.Double.valueOf(5.0)), (2L, "a", nd))
+      .toDF("id", "g", "v")
+    // update nulls out id=1's value; id=2 stays null → group 'a' has
+    // rows but NO non-null values in v2
+    val v2 = Seq((1L, "a", nd), (2L, "a", nd)).toDF("id", "g", "v")
+    val changes = SnapshotDiff.diff(v1, v2, "id")
+    val prev = IncrementalAgg.directRollup(v1, "g", "v")
+    val m = IncrementalAgg.applyChanges(prev, changes, "g", "v").head
+    val d = IncrementalAgg.directRollup(v2, "g", "v").head
+    assert(m.getAs[Any]("sum_value") == null, "maintained sum must be NULL")
+    assert(d.getAs[Any]("sum_value") == null)
+    assert(m.getAs[Long]("n") == 2L && m.getAs[Long]("n_vals") == 0L)
   }
 
   test("an empty feed maintains the rollup unchanged") {
@@ -63,8 +79,8 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(changes.isEmpty)
     val prev = IncrementalAgg.directRollup(v1, "g", "v")
     val maintained = IncrementalAgg.applyChanges(prev, changes, "g", "v")
-    assert(maintained.as[(String, Long, java.math.BigDecimal)].collect().toSet ==
-      prev.as[(String, Long, java.math.BigDecimal)].collect().toSet)
+    assert(maintained.as[(String, Long, Long, java.math.BigDecimal)].collect().toSet ==
+      prev.as[(String, Long, Long, java.math.BigDecimal)].collect().toSet)
   }
 
   test("diff rejects mismatched schemas") {
