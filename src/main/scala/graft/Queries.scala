@@ -2108,6 +2108,37 @@ object Queries {
        |    AS sum_value
        |FROM b2 GROUP BY event_type""".stripMargin
 
+  /** V6: SQL over snapshot views ([[catalog.SnapshotViews]]) — the
+    * store's versions exposed as plain SQL identifiers (`ev` = current,
+    * `ev_v1` = pinned version 1) and queried through the SAME guarded
+    * engine path as every pack query (validate → sql). The query itself
+    * is the canonical time-travel comparison: per event_type, row counts
+    * in version 1 vs version 2 via a FULL OUTER JOIN, so types that
+    * exist in only one version (the `-u` updates) surface with a zero on
+    * the other side. The oracle re-derives both versions relationally.
+    */
+  val v6SnapshotSql: Q = (s, d) => {
+    val store = v45CommitPair(s, d, "graft-snap-qv6")
+    catalog.SnapshotViews.register(s, store, "ev")
+    val sql =
+      """SELECT COALESCE(a.event_type, b.event_type) AS event_type,
+        |  COALESCE(a.n, 0) AS n_v1, COALESCE(b.n, 0) AS n_v2
+        |FROM (SELECT event_type, COUNT(*) AS n FROM ev_v1
+        |      GROUP BY event_type) a
+        |FULL OUTER JOIN (SELECT event_type, COUNT(*) AS n FROM ev
+        |      GROUP BY event_type) b
+        |ON a.event_type = b.event_type""".stripMargin
+    QueryEngine.validate(s, sql).left.foreach(e => throw e)
+    s.sql(sql)
+  }
+  val v6Oracle =
+    s"""WITH $v45OracleBatches,
+       |a AS (SELECT event_type, COUNT(*) AS n FROM b1 GROUP BY event_type),
+       |b AS (SELECT event_type, COUNT(*) AS n FROM b2 GROUP BY event_type)
+       |SELECT COALESCE(a.event_type, b.event_type) AS event_type,
+       |  COALESCE(a.n, 0) AS n_v1, COALESCE(b.n, 0) AS n_v2
+       |FROM a FULL OUTER JOIN b ON a.event_type = b.event_type""".stripMargin
+
   /** ST6: exactly-once streaming ingest ([[graft.streaming.SnapshotSink]])
     * — a REAL Structured Streaming run appends the documents fixture into
     * a [[graft.catalog.SnapshotTableStore]] through the batchId-keyed
@@ -2385,6 +2416,7 @@ object Queries {
     "q_v3_snapshot_timetravel" -> v3SnapshotTimeTravel,
     "q_v4_change_feed" -> v4ChangeFeed,
     "q_v5_incremental_rollup" -> v5IncrementalRollup,
+    "q_v6_snapshot_sql" -> v6SnapshotSql,
     "q_c2_pack_scaled" -> c2PackScaled,
     "q_c3_pack_params" -> c3PackParams,
     "q_c4_pack_protection" -> c4PackProtection,
@@ -2474,6 +2506,7 @@ object Queries {
     "q_v3_snapshot_timetravel" -> v3Oracle,
     "q_v4_change_feed" -> v4Oracle,
     "q_v5_incremental_rollup" -> v5Oracle,
+    "q_v6_snapshot_sql" -> v6Oracle,
     "q_c2_pack_scaled" -> c2Oracle,
     "q_c3_pack_params" -> c3Oracle,
     "q_c4_pack_protection" -> c4Oracle,
