@@ -2011,36 +2011,43 @@ object Queries {
       |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
       |FROM u GROUP BY version, event_type""".stripMargin
 
-  /** Deterministic version pair shared by V4/V5: version 1 = even
+  /** Deterministic version pair shared by V4/V5/V6: version 1 = even
     * event_ids; version 2 = ids divisible by 3, with event_type suffixed
     * `-u` on ids divisible by 12. So ids ≡ 0 (mod 6) exist in both
     * versions (updates exactly where 12 | id — only event_type moves),
     * even-not-div-3 ids are deletes, div-3-odd ids are inserts. Both
     * engines re-derive the same two logical states from the raw events
     * table, so the oracle never needs to read the store layout.
+    *
+    * The two commits are FIXTURE SETUP, not the operator under test
+    * (q_v3 measures commit machinery; v4/v5/v6 measure the diff, the
+    * maintenance, and the SQL surface) — so the store builds once per
+    * fixture and is shared read-only by all three, the same discipline
+    * as the IVF index and skipping stores.
     */
-  private def v45CommitPair(s: SparkSession, d: String, name: String)
-      : catalog.SnapshotTableStore = {
-    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      name, math.abs(d.hashCode).toString)
-    if (java.nio.file.Files.exists(root)) {
-      val walk = java.nio.file.Files.walk(root)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
-    }
-    val store = new catalog.SnapshotTableStore(root.toString)
-    val ev = t(s, d, "events")
-    val b1 = ev.filter(pmod(col("event_id"), lit(2)) === 0)
-    val b2 = ev.filter(pmod(col("event_id"), lit(3)) === 0)
-      .withColumn("event_type",
-        when(pmod(col("event_id"), lit(12)) === 0,
-          concat(col("event_type"), lit("-u")))
-          .otherwise(col("event_type")))
-    store.overwrite(b1, "ev")
-    store.overwrite(b2, "ev")
-    store
-  }
+  private def v45CommitPair(s: SparkSession, d: String)
+      : catalog.SnapshotTableStore =
+    new catalog.SnapshotTableStore(
+      FixtureCache.resolve("graft-cdf-store", d, "events.parquet")(
+        dir => new catalog.SnapshotTableStore(dir.toString)
+          .currentVersion("ev").contains(2)) { dir =>
+        // a crashed half-build (v1 only) must not be appended onto —
+        // overwrite would land b1 at version 2; rebuild from clean
+        FixtureCache.deleteRecursively(dir)
+        val store = new catalog.SnapshotTableStore(dir.toString)
+        val ev = t(s, d, "events")
+        val b1 = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        val b2 = ev.filter(pmod(col("event_id"), lit(3)) === 0)
+          .withColumn("event_type",
+            when(pmod(col("event_id"), lit(12)) === 0,
+              concat(col("event_type"), lit("-u")))
+              .otherwise(col("event_type")))
+        // few-file layout: the consumers re-read each version several
+        // times (rollup + diff sides); 32 shuffle-partition shards of a
+        // 100k-row fixture would pay footer overhead, not parallelism
+        store.overwrite(b1.coalesce(4), "ev")
+        store.overwrite(b2.coalesce(4), "ev")
+      }())
   private val v45OracleBatches =
     """b1 AS (SELECT * FROM events WHERE event_id % 2 = 0),
       |b2 AS (SELECT event_id, ts, user_id,
@@ -2063,7 +2070,7 @@ object Queries {
     * test is the whole truth.)
     */
   val v4ChangeFeed: Q = (s, d) => {
-    val store = v45CommitPair(s, d, "graft-snap-qv4")
+    val store = v45CommitPair(s, d)
     catalog.SnapshotDiff.changesBetween(s, store, "ev", 1, 2, "event_id")
       .select(col("event_id"), col("change_type"),
         col("event_type"), col("event_type_prev"),
@@ -2092,7 +2099,7 @@ object Queries {
     * the proof that maintenance ≡ recompute.
     */
   val v5IncrementalRollup: Q = (s, d) => {
-    val store = v45CommitPair(s, d, "graft-snap-qv5")
+    val store = v45CommitPair(s, d)
     val prev = IncrementalAgg.directRollup(
       store.readVersion(s, "ev", 1), "event_type", "value")
     val changes = catalog.SnapshotDiff.changesBetween(
@@ -2118,7 +2125,7 @@ object Queries {
     * the other side. The oracle re-derives both versions relationally.
     */
   val v6SnapshotSql: Q = (s, d) => {
-    val store = v45CommitPair(s, d, "graft-snap-qv6")
+    val store = v45CommitPair(s, d)
     catalog.SnapshotViews.register(s, store, "ev")
     val sql =
       """SELECT COALESCE(a.event_type, b.event_type) AS event_type,
