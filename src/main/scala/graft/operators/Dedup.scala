@@ -120,6 +120,40 @@ object Dedup {
     transform(sequence(lit(0), lit(k - 1)),
       seed => array_min(transform(shingleArr, s => xxhash64(s, seed))))
 
+  /** LSH parameter planner — the standard S-curve solve: with `bands`
+    * bands of `rows` rows over a k = bands·rows MinHash signature, a
+    * pair of Jaccard similarity s collides in ≥1 band with probability
+    * p(s) = 1 − (1 − s^rows)^bands. Given a signature budget k and a
+    * similarity threshold, pick the (bands, rows) factorization whose
+    * S-curve midpoint (the similarity where p = 1/2, ≈ (1/bands)^(1/rows))
+    * sits closest under the threshold — maximizing precision while
+    * keeping recall at the threshold above ~1 − (1−1/2)… callers wanting
+    * a recall floor use [[lshCollisionProb]] directly to check
+    * p(threshold) against their target and widen `k` if it falls short.
+    * Driver-side integer/double math over the divisors of k — nothing
+    * distributed; the S-curve shape is from Leskovec/Rajaraman/Ullman,
+    * Mining of Massive Datasets §3.4.
+    */
+  def lshCollisionProb(s: Double, bands: Int, rows: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(s, rows), bands)
+
+  def lshPlan(k: Int, threshold: Double): (Int, Int) = {
+    require(k > 0 && threshold > 0 && threshold < 1,
+      s"need k > 0 and 0 < threshold < 1, got k=$k threshold=$threshold")
+    val options = (1 to k).filter(k % _ == 0).map(b => (b, k / b))
+    // S-curve midpoint for (b, r): similarity where collision prob = 1/2
+    def midpoint(b: Int, r: Int): Double =
+      math.pow(1.0 - math.pow(0.5, 1.0 / b), 1.0 / r)
+    // closest midpoint at-or-below the threshold → candidates start
+    // ramping just under it (high recall at s ≥ threshold, low waste
+    // below); if every factorization's midpoint is above the threshold
+    // (tiny k, low threshold), take the lowest midpoint available.
+    val below = options.filter { case (b, r) => midpoint(b, r) <= threshold }
+    val pick = if (below.nonEmpty) below.maxBy { case (b, r) => midpoint(b, r) }
+               else options.minBy { case (b, r) => midpoint(b, r) }
+    pick
+  }
+
   /** LSH banding: split the k-length signature into `bands` bands of
     * k/bands rows each; each band hashes to a bucket.
     * Returns array of (band, bucket) structs.

@@ -262,4 +262,29 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     assert(out == Map(900L -> true, 901L -> false))
   }
+
+  test("lshPlan: S-curve midpoint sits at-or-under the threshold, recall ramps above it") {
+    for (k <- Seq(64, 128, 256); thr <- Seq(0.5, 0.7, 0.8, 0.9)) {
+      val (b, r) = Dedup.lshPlan(k, thr)
+      assert(b * r == k, s"k=$k thr=$thr: $b*$r")
+      val mid = math.pow(1.0 - math.pow(0.5, 1.0 / b), 1.0 / r)
+      assert(mid <= thr + 1e-9, s"k=$k thr=$thr midpoint $mid above threshold")
+      // pairs AT the threshold collide with p >= 1/2; well above it, near 1
+      assert(Dedup.lshCollisionProb(thr, b, r) >= 0.5 - 1e-9)
+      assert(Dedup.lshCollisionProb(math.min(0.99, thr + 0.15), b, r) > 0.9)
+      // well below the threshold the candidate rate collapses
+      assert(Dedup.lshCollisionProb(thr - 0.3, b, r) <
+        Dedup.lshCollisionProb(thr, b, r))
+    }
+  }
+
+  test("lshPlan matches the known 16x4 sweet spot for 64-sig near-0.5 thresholds") {
+    // the classic MMDS example: k=64, threshold ~0.5 → bands=16, rows=4
+    // (midpoint (1/16)^(1/4) ≈ 0.50)
+    assert(Dedup.lshPlan(64, 0.55) == (16, 4))
+    // collision probability is monotone in similarity for any plan
+    val (b, r) = Dedup.lshPlan(128, 0.8)
+    val ps = (1 to 9).map(i => Dedup.lshCollisionProb(i / 10.0, b, r))
+    assert(ps == ps.sorted)
+  }
 }
