@@ -1195,6 +1195,103 @@ object PipelineQueries {
        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  /** R1: hybrid retrieval — BM25 lexical rankings and brute-force dense
+    * rankings for the same three queries, fused with reciprocal-rank
+    * fusion ([[Retrieval.rrfFuse]]). Each query is a (term set, query
+    * vector) pair over the aligned documents/embeddings tables
+    * (doc_id ≡ vec_id). Every stage is deterministic — BM25 is the
+    * integer arithmetic of q_t28, the dense leg is the round-6 cosine
+    * ranking of q_s1, and the fusion contribution is
+    * `10^9 div (60 + rank)` in int64 — so the oracle replays the ENTIRE
+    * hybrid pipeline (both legs + fusion) bit-for-bit from the raw
+    * tables: a full-replay ✓ oracle, not an echo.
+    */
+  private val RrfQueries: Seq[(Int, Seq[String])] = Seq(
+    0 -> Seq("hash", "join", "merge"),
+    1 -> Seq("vector", "stream", "window"),
+    2 -> Seq("filter", "scan", "sort"))
+  private val RrfLegK = 20
+
+  val r1HybridRrf: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val emb = t(s, d, "embeddings")
+    val qvecs = emb.filter(col("vec_id") < RrfQueries.size)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val dense = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        qvecs, k = RrfLegK)
+      .select(col("query_id").cast("bigint").as("query_id"),
+        col("id").cast("bigint").as("id"), col("rank").cast("bigint").as("rank"),
+        lit("dense").as("source"))
+    // all three lexical legs in ONE corpus pass (vs 3 scans + 3 shuffles
+    // with per-query bm25TopK — bit-identical results, spec-pinned)
+    val lexical = TextAnalysis.bm25TopKMulti(docs, "doc_id", "text",
+        RrfQueries, k = RrfLegK)
+      .select(col("query_id"), col("id").cast("bigint").as("id"),
+        col("rank"), lit("lexical").as("source"))
+    Retrieval.rrfFuse(dense.unionByName(lexical), k = 10)
+  }
+
+  val r1Oracle: String = {
+    val allTerms = RrfQueries.flatMap(_._2)
+    val tfDefs = allTerms.indices.map(i =>
+      s"SUM(CASE WHEN w = '${allTerms(i)}' THEN 1 ELSE 0 END) AS tf$i")
+      .mkString(",\n  ")
+    val dfDefs = allTerms.indices.map(i =>
+      s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(",\n  ")
+    def lexLeg(qid: Int): String = {
+      val base = RrfQueries.take(qid).map(_._2.size).sum
+      val idx = RrfQueries(qid)._2.indices.map(_ + base)
+      val score = idx.map(i =>
+        s"(CASE WHEN tf$i > 0 THEN ((((n_docs - df$i + 1) * 1000000) // (df$i + 1))" +
+          s" * tf$i * 88 * avgdl) // (40 * avgdl * tf$i + 12 * avgdl + 36 * len)" +
+          " ELSE 0 END)").mkString(" +\n    ")
+      s"""lex$qid AS (
+         |  SELECT query_id, id, rank FROM (
+         |    SELECT CAST($qid AS BIGINT) AS query_id, doc_id AS id,
+         |      ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+         |    FROM (SELECT doc_id, CAST($score AS BIGINT) AS score
+         |          FROM perdoc, c) zs WHERE score > 0) zr
+         |  WHERE rank <= $RrfLegK)""".stripMargin
+    }
+    s"""WITH tk AS (SELECT doc_id, UNNEST($wordsSql) AS w FROM documents),
+       |tk2 AS (SELECT doc_id, w FROM tk WHERE length(w) > 0),
+       |perdoc AS (SELECT doc_id, COUNT(*) AS len,
+       |  $tfDefs
+       |  FROM tk2 GROUP BY doc_id),
+       |c AS (SELECT COUNT(*) AS n_docs, SUM(len) // COUNT(*) AS avgdl,
+       |  $dfDefs
+       |  FROM perdoc),
+       |${RrfQueries.map { case (qid, _) => lexLeg(qid) }.mkString(",\n")},
+       |e AS (
+       |  SELECT vec_id, embedding,
+       |    SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+       |          FROM (SELECT UNNEST(embedding) AS x) ux)) AS nrm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qvec, nrm AS qnrm
+       |      FROM e WHERE vec_id < ${RrfQueries.size}),
+       |dense AS (
+       |  SELECT query_id, id, rank FROM (
+       |    SELECT q.query_id, e.vec_id AS id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+       |        ROUND(CASE WHEN e.nrm * q.qnrm = 0 THEN 0.0 ELSE
+       |          (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+       |           FROM (SELECT UNNEST(e.embedding) AS x, UNNEST(q.qvec) AS y) u)
+       |          / (e.nrm * q.qnrm) END, 6) DESC, e.vec_id) AS rank
+       |    FROM e CROSS JOIN q) z WHERE rank <= $RrfLegK),
+       |allr AS (
+       |  SELECT * FROM dense
+       |  ${RrfQueries.map { case (qid, _) => s"UNION ALL SELECT * FROM lex$qid" }.mkString("\n  ")}),
+       |f AS (SELECT query_id, id,
+       |        CAST(SUM(${Retrieval.RrfScale} // (${Retrieval.DefaultK0} + rank)) AS BIGINT) AS rrf_score,
+       |        COUNT(*) AS n_sources
+       |      FROM allr GROUP BY query_id, id)
+       |SELECT query_id, rank, id, rrf_score, n_sources FROM (
+       |  SELECT query_id, id, rrf_score, n_sources,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY rrf_score DESC, id) AS rank
+       |  FROM f) z WHERE rank <= 10""".stripMargin
+  }
+
   /** T16: Count-Min-sketch heavy hitters — the 100 TB twin of exact
     * q_t3: full-corpus token frequencies come from a tiny mergeable
     * sketch (fixed seed → deterministic), candidates from a hash-sample.
@@ -2206,6 +2303,7 @@ object PipelineQueries {
     "q_t26_fuzzy_decontaminate" -> t26FuzzyDecontaminate,
     "q_t27_nfc" -> t27Nfc,
     "q_t28_bm25" -> t28Bm25,
+    "q_r1_hybrid_rrf" -> r1HybridRrf,
     "q_x6_url_dedup" -> x6UrlDedup,
     "q_t16_cms_heavyhitters" -> t16CmsHeavyHitters,
     "q_t17_hll_distinct" -> t17HllDistinct,
@@ -2266,6 +2364,7 @@ object PipelineQueries {
     "q_t26_fuzzy_decontaminate" -> t26Oracle,
     "q_t27_nfc" -> t27Oracle,
     "q_t28_bm25" -> t28Oracle,
+    "q_r1_hybrid_rrf" -> r1Oracle,
     "q_x6_url_dedup" -> x6Oracle,
     "q_t16_cms_heavyhitters" -> t16Oracle,
     "q_t17_hll_distinct" -> t17Oracle,

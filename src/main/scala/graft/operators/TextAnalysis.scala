@@ -665,4 +665,70 @@ object TextAnalysis {
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Multi-query [[bm25TopK]]: score Q independent term-set queries in
+    * ONE corpus pass. Running `bm25TopK` per query costs Q corpus scans +
+    * Q doc-keyed shuffles; here the per-doc tf columns for the UNION of
+    * all query terms come from a single groupBy, corpus stats reduce to
+    * one broadcast row, and per-query scores fan out row-locally (an
+    * array-of-structs explode AFTER the aggregation, so the exploded
+    * width is Q × matched docs, never Q × corpus). Identical integer
+    * arithmetic to `bm25TopK` — per-query results are bit-identical to Q
+    * separate calls (spec-pinned), so the same DuckDB replay applies.
+    *
+    * @param queries (query_id, terms) — term sets may overlap; the
+    *                union is bounded like `bm25TopK`'s single set.
+    * @return (query_id, id, rank, score, n_terms), rank 1-based within
+    *         query by (score desc, id asc), `rank <= k`, score > 0.
+    */
+  def bm25TopKMulti(docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Int, Seq[String])], k: Int,
+      idfScale: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val allTerms = queries.flatMap(_._2).distinct
+    require(queries.nonEmpty && allTerms.nonEmpty && allTerms.size <= 64,
+      s"bm25TopKMulti wants a bounded union term set, got ${allTerms.size}")
+    val termIdx = allTerms.zipWithIndex.toMap
+    val toks = docs.select(col(idCol),
+        explode(split(normalize(col(textCol)), " ")).as("tok"))
+      .where(length(col("tok")) > 0)
+    val tfCols = allTerms.indices.map(i =>
+      sum(when(col("tok") === allTerms(i), 1L).otherwise(0L)).as(s"tf_$i"))
+    val perDoc = toks.groupBy(col(idCol))
+      .agg(count(lit(1)).as("len"), tfCols: _*)
+    val dfCols = allTerms.indices.map(i =>
+      sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val corpus = perDoc
+      .agg(count(lit(1)).as("n_docs"),
+        (Seq(sum("len").as("tot_len")) ++ dfCols): _*)
+      .withColumn("avgdl", expr("tot_len div n_docs"))
+    val termScore: Int => Column = { i =>
+      when(col(s"tf_$i") > 0,
+        expr(s"(((n_docs - df_$i + 1) * ${idfScale}L) div (df_$i + 1))" +
+          s" * tf_$i * 88L * avgdl div " +
+          s"(40L * avgdl * tf_$i + 12L * avgdl + 36L * len)"))
+        .otherwise(lit(0L))
+    }
+    val perQuery = queries.map { case (qid, terms) =>
+      val idx = terms.map(termIdx)
+      struct(lit(qid.toLong).as("query_id"),
+        idx.map(termScore).reduce(_ + _).as("score"),
+        idx.map(i => when(col(s"tf_$i") > 0, 1L).otherwise(0L))
+          .reduce(_ + _).as("n_terms"))
+    }
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("id").asc)
+    perDoc.crossJoin(broadcast(corpus))
+      // docs containing none of the union terms cannot score for any
+      // query — drop them BEFORE the fan-out so the exploded width is
+      // Q × matched docs, not Q × corpus
+      .where(allTerms.indices.map(i => col(s"tf_$i") > 0).reduce(_ || _))
+      .select(col(idCol).as("id"), explode(array(perQuery: _*)).as("qs"))
+      .select(col("qs.query_id"), col("id"), col("qs.score"),
+        col("qs.n_terms"))
+      .where(col("score") > 0)
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select("query_id", "id", "rank", "score", "n_terms")
+  }
 }

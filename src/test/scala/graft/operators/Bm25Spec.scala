@@ -48,6 +48,28 @@ class Bm25Spec extends SparkSpec {
     assert(out == Seq(1L, 2L))
   }
 
+  test("bm25TopKMulti is bit-identical to per-query bm25TopK calls") {
+    val queries = Seq(0 -> Seq("hash"), 1 -> Seq("vector", "scan"),
+      2 -> Seq("hash", "vector")) // overlapping terms across queries
+    val multi = TextAnalysis.bm25TopKMulti(corpus, "doc_id", "text",
+        queries, k = 10)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    val single = queries.flatMap { case (qid, terms) =>
+      TextAnalysis.bm25TopK(corpus, "doc_id", "text", terms, k = 10)
+        .as[(Long, Long, Long)].collect().toSeq.zipWithIndex
+        .map { case ((id, score, nt), i) =>
+          (qid.toLong, id, i + 1L, score, nt) }
+    }.sorted
+    assert(multi == single)
+  }
+
+  test("bm25TopKMulti: a query whose terms are all absent emits no rows") {
+    val out = TextAnalysis.bm25TopKMulti(corpus, "doc_id", "text",
+      Seq(0 -> Seq("zzz"), 1 -> Seq("hash")), k = 10)
+    assert(out.filter("query_id = 0").count() == 0)
+    assert(out.filter("query_id = 1").count() == 2) // docs 1 and 2 contain "hash"
+  }
+
   test("plan: no sort-merge join, corpus stats broadcast, top-k take-ordered") {
     val plan = TextAnalysis.bm25TopK(corpus, "doc_id", "text",
       Seq("hash", "vector"), 5).queryExecution.executedPlan.toString
