@@ -1292,6 +1292,61 @@ object PipelineQueries {
        |  FROM f) z WHERE rank <= 10""".stripMargin
   }
 
+  /** S14: distributed Lloyd k-means in exact integer arithmetic
+    * ([[Clustering.kmeansExact]]) — the reproducible-clustering primitive
+    * under curation cells / SemDeDup-style semantic grouping. Because
+    * every stage is integer (power-of-two quantization, int64 sums,
+    * sign-safe half-up centroid rounding, integer argmin with
+    * lowest-cell ties), the oracle UNROLLS all three Lloyd iterations in
+    * SQL — seed selection, three assignment+update rounds, final
+    * assignment — and replays the result bit-for-bit from the raw
+    * embeddings. A float k-means could never be checked this way (ulp
+    * drift at cell boundaries); the quantized one is exactly portable.
+    */
+  private val KmK = 8; private val KmIters = 3
+  private val KmScale = 1024; private val KmDim = 64
+
+  val s14Kmeans: Q = (s, d) =>
+    Clustering.kmeansExact(t(s, d, "embeddings"), "vec_id", "embedding",
+        k = KmK, iters = KmIters, scale = KmScale)
+      .select(col("id").as("vec_id"), col("cell"), col("dist_sq"))
+
+  val s14Oracle: String = {
+    val m = Clustering.offsetFor(KmScale)
+    val rng = s"range(1, ${KmDim + 1})"
+    def distSql(v: String, c: String): String =
+      s"CAST(list_sum(list_transform($rng, i -> ($v.q[i] - $c.cent[i]) * ($v.q[i] - $c.cent[i]))) AS BIGINT)"
+    def iterSql(it: Int): String = {
+      val prev = s"c${it - 1}"
+      s"""a$it AS (SELECT vec_id, q, cell FROM (
+         |  SELECT vec_id, q, cell,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |  FROM (SELECT v.vec_id, v.q, c.cell, ${distSql("v", "c")} AS dist
+         |        FROM qv v CROSS JOIN $prev c) zz) z WHERE rn = 1),
+         |u$it AS (SELECT cell, d, SUM(q[d]) AS s, COUNT(*) AS n
+         |  FROM a$it, range(1, ${KmDim + 1}) t(d) GROUP BY cell, d),
+         |c$it AS (SELECT p.cell, COALESCE(nc.cent, p.cent) AS cent
+         |  FROM c${it - 1} p LEFT JOIN (
+         |    SELECT cell, list((2 * (s + $m * n) + n) // (2 * n) - $m
+         |                      ORDER BY d) AS cent
+         |    FROM u$it GROUP BY cell) nc USING (cell))""".stripMargin
+    }
+    s"""WITH qv AS (SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * $KmScale) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |c0 AS (SELECT cell, q AS cent FROM (
+       |  SELECT q, ROW_NUMBER() OVER (
+       |    ORDER BY md5(CAST(vec_id AS STRING)), vec_id) - 1 AS cell
+       |  FROM qv) z WHERE cell < $KmK),
+       |${(1 to KmIters).map(iterSql).mkString(",\n")}
+       |SELECT vec_id, CAST(cell AS BIGINT) AS cell, dist AS dist_sq FROM (
+       |  SELECT vec_id, cell, dist,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+       |  FROM (SELECT v.vec_id, c.cell, ${distSql("v", "c")} AS dist
+       |        FROM qv v CROSS JOIN c$KmIters c) zz) z WHERE rn = 1""".stripMargin
+  }
+
   /** T16: Count-Min-sketch heavy hitters — the 100 TB twin of exact
     * q_t3: full-corpus token frequencies come from a tiny mergeable
     * sketch (fixed seed → deterministic), candidates from a hash-sample.
@@ -2304,6 +2359,7 @@ object PipelineQueries {
     "q_t27_nfc" -> t27Nfc,
     "q_t28_bm25" -> t28Bm25,
     "q_r1_hybrid_rrf" -> r1HybridRrf,
+    "q_s14_kmeans" -> s14Kmeans,
     "q_x6_url_dedup" -> x6UrlDedup,
     "q_t16_cms_heavyhitters" -> t16CmsHeavyHitters,
     "q_t17_hll_distinct" -> t17HllDistinct,
@@ -2365,6 +2421,7 @@ object PipelineQueries {
     "q_t27_nfc" -> t27Oracle,
     "q_t28_bm25" -> t28Oracle,
     "q_r1_hybrid_rrf" -> r1Oracle,
+    "q_s14_kmeans" -> s14Oracle,
     "q_x6_url_dedup" -> x6Oracle,
     "q_t16_cms_heavyhitters" -> t16Oracle,
     "q_t17_hll_distinct" -> t17Oracle,
