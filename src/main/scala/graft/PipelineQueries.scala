@@ -1347,6 +1347,58 @@ object PipelineQueries {
        |        FROM qv v CROSS JOIN c$KmIters c) zz) z WHERE rn = 1""".stripMargin
   }
 
+  /** T29: HTML boilerplate removal ([[TextAnalysis.extractHtmlText]]) —
+    * the web-corpus cleaning step. Each document is wrapped in a
+    * deterministic HTML page (title + style/script payloads with stray
+    * `<`, nav/footer chrome, entity-laden metadata) INSIDE the query, so
+    * the extractor runs against real markup while DuckDB can rebuild the
+    * identical page and replay the identical regexp chain — a full ✓
+    * oracle over every row. The emitted `roundtrip_ok` flag additionally
+    * states the end-to-end invariant (extracted = title + decoded meta +
+    * body text) as data the driver hash-checks.
+    */
+  private val HtmlPre = "<html><head><title>Doc "
+  private val HtmlMid =
+    "</title><style>p{margin:0}</style>" +
+      "<script>var t=\"x\"; if (1<2) { go(); }</script></head>" +
+      "<body><nav><a href=\"/\">Home</a> | <a href=\"/about\">About</a></nav>" +
+      "<div class=\"meta\">id &amp; rank &lt;raw&gt; &amp;lt;esc&amp;gt;</div><p>"
+  private val HtmlPost = "</p><footer>(c) corpus</footer></body></html>"
+  private val HtmlMetaDecoded = " id & rank <raw> &lt;esc&gt; "
+
+  val t29HtmlExtract: Q = (s, d) => {
+    val html = concat(lit(HtmlPre), col("doc_id").cast("string"),
+      lit(HtmlMid), col("text"), lit(HtmlPost))
+    t(s, d, "documents")
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.extractHtmlText(html).as("extracted"))
+      .withColumn("n_chars", length(col("extracted")).cast("bigint"))
+      .withColumn("roundtrip_ok", col("extracted") === concat(
+        lit("Doc "), col("doc_id").cast("string"), lit(HtmlMetaDecoded),
+        trim(regexp_replace(col("text"), "\\s+", " "))))
+      .drop("text")
+  }
+
+  val t29Oracle: String = {
+    val chain = (Seq("script", "style", "nav", "footer", "header", "aside")
+      .map(tag => s"(?i)<$tag[^>]*>.*?</$tag>" -> " ") ++
+      Seq("<[^>]+>" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+        "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&"))
+      .foldLeft("html")((acc, pr) =>
+        s"regexp_replace($acc, '${pr._1.replace("'", "''")}', " +
+          s"'${pr._2.replace("'", "''")}', 'g')")
+    val extracted = s"trim(regexp_replace($chain, '\\s+', ' ', 'g'))"
+    s"""WITH h AS (SELECT doc_id, text,
+       |    '$HtmlPre' || CAST(doc_id AS STRING) || '$HtmlMid' || text ||
+       |    '$HtmlPost' AS html
+       |  FROM documents),
+       |x AS (SELECT doc_id, text, $extracted AS extracted FROM h)
+       |SELECT doc_id, extracted, length(extracted) AS n_chars,
+       |  extracted = 'Doc ' || CAST(doc_id AS STRING) || '$HtmlMetaDecoded'
+       |    || trim(regexp_replace(text, '\\s+', ' ', 'g')) AS roundtrip_ok
+       |FROM x""".stripMargin
+  }
+
   /** T16: Count-Min-sketch heavy hitters — the 100 TB twin of exact
     * q_t3: full-corpus token frequencies come from a tiny mergeable
     * sketch (fixed seed → deterministic), candidates from a hash-sample.
@@ -2360,6 +2412,7 @@ object PipelineQueries {
     "q_t28_bm25" -> t28Bm25,
     "q_r1_hybrid_rrf" -> r1HybridRrf,
     "q_s14_kmeans" -> s14Kmeans,
+    "q_t29_html_extract" -> t29HtmlExtract,
     "q_x6_url_dedup" -> x6UrlDedup,
     "q_t16_cms_heavyhitters" -> t16CmsHeavyHitters,
     "q_t17_hll_distinct" -> t17HllDistinct,
@@ -2422,6 +2475,7 @@ object PipelineQueries {
     "q_t28_bm25" -> t28Oracle,
     "q_r1_hybrid_rrf" -> r1Oracle,
     "q_s14_kmeans" -> s14Oracle,
+    "q_t29_html_extract" -> t29Oracle,
     "q_x6_url_dedup" -> x6Oracle,
     "q_t16_cms_heavyhitters" -> t16Oracle,
     "q_t17_hll_distinct" -> t17Oracle,

@@ -666,6 +666,32 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Boilerplate-stripping text extraction from HTML — the WET-style
+    * web-corpus cleaning step (drop script/style payloads and nav/footer
+    * chrome, strip tags, decode the common entities, collapse
+    * whitespace). Pure codegen'd regexp chain: one narrow scan, no UDF,
+    * no shuffle — at 100 TB this runs at parquet-read speed and
+    * pipelines into the quality/langid/dedup stages.
+    *
+    * Pattern discipline (cross-engine determinism): every pattern stays
+    * in the Java-regex ∩ RE2 common subset — inline `(?i)`, non-greedy
+    * `.*?`, character classes — so the DuckDB oracle replays the chain
+    * verbatim. Order matters and is load-bearing: containers drop before
+    * the generic tag strip (else their inner text leaks), and `&amp;`
+    * decodes LAST so `&amp;lt;` yields the literal `&lt;` rather than
+    * double-decoding — the classic extractor ordering bug, spec-pinned.
+    */
+  def extractHtmlText(html: Column): Column = {
+    val dropBlocks = Seq("script", "style", "nav", "footer", "header", "aside")
+      .foldLeft(html)((c, tag) =>
+        regexp_replace(c, s"(?i)<$tag[^>]*>.*?</$tag>", " "))
+    val noTags = regexp_replace(dropBlocks, "<[^>]+>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&") // &amp; last: no double-decode
+      .foldLeft(noTags)((c, e) => regexp_replace(c, e._1, e._2))
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Multi-query [[bm25TopK]]: score Q independent term-set queries in
     * ONE corpus pass. Running `bm25TopK` per query costs Q corpus scans +
     * Q doc-keyed shuffles; here the per-doc tf columns for the UNION of

@@ -269,4 +269,25 @@ class TextMultimodalSpec extends SparkSpec {
       .as[String].collect().toSeq
     assert(got == cases.map(_._2), got)
   }
+
+  test("extractHtmlText: blocks drop, tags strip, entities decode in order") {
+    val cases = Seq(
+      // script content with stray < survives non-greedy block removal
+      "<p>a</p><script>if (1<2) { x(); }</script><p>b</p>" -> "a b",
+      // nav/footer/header/aside chrome drops wholesale, content stays
+      "<header>H</header><nav>x | y</nav><div>keep</div><footer>f</footer>" -> "keep",
+      // entity decode AFTER tag strip: decoded <raw> is literal text
+      "<p>&lt;raw&gt;</p>" -> "<raw>",
+      // &amp;lt; must yield literal &lt; (no double decode)
+      "<p>&amp;lt;esc&amp;gt; &amp; &quot;q&#39;s&quot;</p>" ->
+        "&lt;esc&gt; & \"q's\"",
+      // case-insensitive block tags, attribute-bearing open tags
+      "<SCRIPT type=\"x\">junk</SCRIPT><p class=\"c\">t</p>" -> "t",
+      // whitespace collapse + trim
+      "  <p> a   b </p>  " -> "a b")
+    val got = cases.map(_._1).toDF("h")
+      .select(TextAnalysis.extractHtmlText(col("h")))
+      .as[String].collect().toSeq
+    assert(got == cases.map(_._2), got)
+  }
 }
