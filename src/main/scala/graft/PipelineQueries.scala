@@ -1292,6 +1292,79 @@ object PipelineQueries {
        |  FROM f) z WHERE rank <= 10""".stripMargin
   }
 
+  /** R2: MMR diversity selection ([[Retrieval.mmrSelect]]) over the
+    * dense top-20 head of each of the five q_s1 queries — pick 5 docs
+    * balancing rank-relevance against redundancy (λ = 0.7). Relevance is
+    * rank-arithmetic, similarity the round-6 cosine, and the greedy
+    * combination fixed-order IEEE arithmetic, so the oracle unrolls all
+    * five greedy steps in SQL and replays every pick and score exactly.
+    */
+  private val MmrK = 5; private val MmrCand = 20
+
+  val r2Mmr: Q = (s, d) => {
+    val emb = t(s, d, "embeddings")
+    val dense = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queryVecs(s, d), k = MmrCand)
+      .select(col("query_id"), col("id"), col("rank"))
+    Retrieval.mmrSelect(dense, emb, "vec_id", "embedding",
+      k = MmrK, nCand = MmrCand)
+  }
+
+  val r2Oracle: String = {
+    val relSql = s"CAST(0.7 AS DOUBLE) * (CAST(${MmrCand + 1} - rank AS DOUBLE) / $MmrCand)"
+    def step(t: Int): String =
+      if (t == 1)
+        """s1 AS (SELECT query_id, id, score, 1 AS pick FROM (
+          |  SELECT query_id, id, relterm AS score, ROW_NUMBER() OVER (
+          |    PARTITION BY query_id ORDER BY relterm DESC, id) AS rn
+          |  FROM relq) z WHERE rn = 1),
+          |sel1 AS (SELECT query_id, id FROM s1)""".stripMargin
+      else
+        s"""p$t AS (SELECT r.query_id, r.id, r.relterm - CAST(0.3 AS DOUBLE) * (
+           |    SELECT MAX(p.sim) FROM pairs p
+           |    WHERE p.query_id = r.query_id AND p.ia = r.id
+           |      AND p.ib IN (SELECT id FROM sel${t - 1} s
+           |                   WHERE s.query_id = r.query_id)) AS score
+           |  FROM relq r WHERE NOT EXISTS (
+           |    SELECT 1 FROM sel${t - 1} s
+           |    WHERE s.query_id = r.query_id AND s.id = r.id)),
+           |s$t AS (SELECT query_id, id, score, $t AS pick FROM (
+           |  SELECT query_id, id, score, ROW_NUMBER() OVER (
+           |    PARTITION BY query_id ORDER BY score DESC, id) AS rn
+           |  FROM p$t) z WHERE rn = 1),
+           |sel$t AS (SELECT query_id, id FROM sel${t - 1}
+           |  UNION ALL SELECT query_id, id FROM s$t)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+       |          FROM (SELECT UNNEST(embedding) AS x) ux)) AS nrm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qvec, nrm AS qnrm
+       |      FROM e WHERE vec_id < 5),
+       |cand AS (
+       |  SELECT query_id, id, rank FROM (
+       |    SELECT q.query_id, e.vec_id AS id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+       |        ROUND(CASE WHEN e.nrm * q.qnrm = 0 THEN 0.0 ELSE
+       |          (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+       |           FROM (SELECT UNNEST(e.embedding) AS x, UNNEST(q.qvec) AS y) u)
+       |          / (e.nrm * q.qnrm) END, 6) DESC, e.vec_id) AS rank
+       |    FROM e CROSS JOIN q) z WHERE rank <= $MmrCand),
+       |cv AS (SELECT c.query_id, c.id, c.rank, e.embedding, e.nrm
+       |       FROM cand c JOIN e ON e.vec_id = c.id),
+       |pairs AS (
+       |  SELECT a.query_id, a.id AS ia, b.id AS ib,
+       |    ROUND(CASE WHEN a.nrm * b.nrm = 0 THEN 0.0 ELSE
+       |      (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+       |       FROM (SELECT UNNEST(a.embedding) AS x, UNNEST(b.embedding) AS y) u)
+       |      / (a.nrm * b.nrm) END, 6) AS sim
+       |  FROM cv a JOIN cv b ON a.query_id = b.query_id),
+       |relq AS (SELECT query_id, id, $relSql AS relterm FROM cand),
+       |${(1 to MmrK).map(step).mkString(",\n")}
+       |SELECT query_id, CAST(pick AS BIGINT) AS pick, id, score AS mmr_score
+       |FROM (${(1 to MmrK).map(t => s"SELECT * FROM s$t").mkString(" UNION ALL ")}) zz""".stripMargin
+  }
+
   /** S14: distributed Lloyd k-means in exact integer arithmetic
     * ([[Clustering.kmeansExact]]) — the reproducible-clustering primitive
     * under curation cells / SemDeDup-style semantic grouping. Because
@@ -2413,6 +2486,7 @@ object PipelineQueries {
     "q_r1_hybrid_rrf" -> r1HybridRrf,
     "q_s14_kmeans" -> s14Kmeans,
     "q_t29_html_extract" -> t29HtmlExtract,
+    "q_r2_mmr" -> r2Mmr,
     "q_x6_url_dedup" -> x6UrlDedup,
     "q_t16_cms_heavyhitters" -> t16CmsHeavyHitters,
     "q_t17_hll_distinct" -> t17HllDistinct,
@@ -2476,6 +2550,7 @@ object PipelineQueries {
     "q_r1_hybrid_rrf" -> r1Oracle,
     "q_s14_kmeans" -> s14Oracle,
     "q_t29_html_extract" -> t29Oracle,
+    "q_r2_mmr" -> r2Oracle,
     "q_x6_url_dedup" -> x6Oracle,
     "q_t16_cms_heavyhitters" -> t16Oracle,
     "q_t17_hll_distinct" -> t17Oracle,

@@ -50,6 +50,89 @@ object Retrieval {
     *         1-based by (rrf_score desc, id asc); ties on the integer
     *         score break deterministically on the doc id.
     */
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein, SIGIR
+    * 1998) of a per-query candidate head: greedily pick k items maximizing
+    * `λ·relevance − (1−λ)·max-similarity-to-already-picked` — the
+    * diversity step a curation pipeline runs so its selected training
+    * docs aren't k near-copies of the single best hit.
+    *
+    * Determinism: relevance is rank-based (`(nCand − rank + 1) / nCand`),
+    * similarity is the engine's round-6 cosine (the q_s1 idiom), and the
+    * combination uses only IEEE `+ − × /` in a fixed operation order —
+    * bit-reproducible in any IEEE engine, so an oracle can unroll the
+    * greedy steps in SQL and match scores exactly. Ties break to the
+    * lowest id.
+    *
+    * Plan shape (the 100 TB story): candidate generation (the corpus-
+    * sized work) happens upstream in the ANN/BM25 legs; MMR itself runs
+    * on the bounded head — `queries × nCand` rows and `queries × nCand²`
+    * pairwise sims, both collected to the driver (the same bounded-
+    * serving-path pattern as the IVF probe-cell set). The greedy loop is
+    * inherently sequential in k; distributing it would serialize on the
+    * same dependency anyway.
+    *
+    * @param ranked  (query_id, id, rank) — rank 1-based; rows with
+    *                rank > nCand are ignored.
+    * @param vectors (idCol, vecCol) — embeddings for the similarity term.
+    * @return (query_id, pick, id, mmr_score): pick 1..k in selection
+    *         order; the first pick's score is pure λ-scaled relevance.
+    */
+  def mmrSelect(ranked: DataFrame, vectors: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCand: Int, lambdaPct: Int = 70): DataFrame = {
+    require(k >= 1 && nCand >= k, s"need nCand >= k >= 1, got k=$k nCand=$nCand")
+    require(lambdaPct >= 0 && lambdaPct <= 100, s"lambdaPct: $lambdaPct")
+    val spark = vectors.sparkSession
+    Similarity.init(spark)
+    import spark.implicits._
+    val lam = lambdaPct / 100.0
+    val mu = (100 - lambdaPct) / 100.0
+    val cand = ranked.filter(col("rank") <= nCand)
+      .join(vectors.select(col(idCol).cast("bigint").as("id"),
+        col(vecCol).as("_v")), "id")
+      .select(col("query_id").cast("bigint"), col("id"),
+        col("rank").cast("bigint"), col("_v"),
+        Similarity.norm(col("_v")).as("_n"))
+    val a = cand.select(col("query_id"), col("id").as("ia"),
+      col("_v").as("va"), col("_n").as("na"))
+    val b = cand.select(col("query_id"), col("id").as("ib"),
+      col("_v").as("vb"), col("_n").as("nb"))
+    val d = col("na") * col("nb")
+    val pairs = a.join(b, "query_id")
+      .select(col("query_id"), col("ia"), col("ib"),
+        round(when(d === 0, lit(0.0))
+          .otherwise(Similarity.dot(col("va"), col("vb")) / d), 6).as("sim"))
+      .collect() // bounded: queries × nCand² rows
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    val heads = cand.select(col("query_id"), col("id"), col("rank"))
+      .collect() // bounded: queries × nCand rows
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val picks = heads.groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+      val rel = rows.map { case (_, id, rank) =>
+        id -> lam * ((nCand - rank + 1).toDouble / nCand)
+      }.toMap
+      var selected = Vector.empty[Long]
+      var remaining = rows.map(_._2).sorted.toVector
+      (1 to k).flatMap { pick =>
+        if (remaining.isEmpty) None
+        else {
+          val (bestId, bestScore) = remaining.map { id =>
+            val s =
+              if (selected.isEmpty) rel(id)
+              else rel(id) -
+                mu * selected.map(sid => pairs((qid, id, sid))).max
+            (id, s)
+          }.maxBy { case (id, s) => (s, -id) } // ties -> lowest id
+          selected :+= bestId
+          remaining = remaining.filterNot(_ == bestId)
+          Some((qid, pick.toLong, bestId, bestScore))
+        }
+      }
+    }
+    picks.toDF("query_id", "pick", "id", "mmr_score")
+      .orderBy("query_id", "pick")
+  }
+
   def rrfFuse(rankings: DataFrame, k: Int, k0: Int = DefaultK0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val contrib: Column = expr(s"${RrfScale}L div (${k0}L + rank)")

@@ -59,4 +59,47 @@ class RetrievalSpec extends SparkSpec {
       .select("n_sources").as[Long].collect().toSeq
     assert(out === Seq(2L))
   }
+
+  // --- MMR ---------------------------------------------------------------
+
+  /** 4 candidates in 2D: ids 1/2 nearly identical direction, 3 orthogonal,
+    * 4 opposite. Ranked 1,2,3,4.
+    */
+  private def mmrFixture = {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.999f, 0.01f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(-1.0f, 0.0f)))
+      .toDF("vid", "emb")
+    val ranked = Seq((0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 3L), (0L, 4L, 4L))
+      .toDF("query_id", "id", "rank")
+    (ranked, vecs)
+  }
+
+  test("mmrSelect prefers diversity over a redundant higher-ranked item") {
+    val (ranked, vecs) = mmrFixture
+    val picks = Retrieval.mmrSelect(ranked, vecs, "vid", "emb",
+        k = 3, nCand = 4)
+      .select("pick", "id").as[(Long, Long)].collect().toSeq
+    // pick 1 = rank 1 (pure relevance). pick 2: id 2 is nearly identical
+    // to id 1 (sim ~1) so its score collapses to 0.225; id 4's OPPOSITE
+    // direction earns a diversity bonus (0.175 − 0.3·(−1) = 0.475) that
+    // beats orthogonal id 3 (0.35). pick 3: id 3 (0.35, max-sim 0) beats
+    // the near-duplicate id 2 (0.225).
+    assert(picks === Seq((1L, 1L), (2L, 4L), (3L, 3L)))
+  }
+
+  test("mmrSelect with lambda = 100 is pure relevance order") {
+    val (ranked, vecs) = mmrFixture
+    val picks = Retrieval.mmrSelect(ranked, vecs, "vid", "emb",
+        k = 4, nCand = 4, lambdaPct = 100)
+      .select("pick", "id").as[(Long, Long)].collect().toSeq
+    assert(picks === Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)))
+  }
+
+  test("mmrSelect first pick score is the pure scaled relevance") {
+    val (ranked, vecs) = mmrFixture
+    val s = Retrieval.mmrSelect(ranked, vecs, "vid", "emb", k = 1, nCand = 4)
+      .select("mmr_score").as[Double].first()
+    assert(s === 0.7 * (4.0 / 4)) // rank 1 of nCand 4
+  }
 }
