@@ -1195,6 +1195,41 @@ object PipelineQueries {
        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  /** D13: exact dedup with a QUALITY keeper ([[Dedup.dedupExactKeepBest]])
+    * — of each duplicate group keep the highest-quality capture (min id
+    * on ties), the curation-grade keeper rule vs q_d2's min-id. The raw
+    * fixture has no exact duplicates, so the corpus is the
+    * [[withPlantedClones]] one, and each planted clone gets a +1 quality
+    * bump: the correct keeper for every planted group is the CLONE
+    * (id ≥ [[PlantOffset]]), the exact opposite of the min-id rule — so
+    * a keeper-rule regression to min-id flips ~2% of rows red rather
+    * than passing vacuously. Fully replayed: DuckDB rebuilds the planted
+    * corpus and recomputes the argmax-with-tie-break keeper via an
+    * ordered FIRST.
+    */
+  val d13KeepBest: Q = (s, d) => {
+    val corpus = withPlantedClones(t(s, d, "documents"))
+      .withColumn("qual", col("n_chars") +
+        when(col("doc_id") >= PlantOffset, 1L).otherwise(0L))
+    Dedup.dedupExactKeepBest(corpus, "doc_id", "text", col("qual"))
+      .select(col("doc_id"), col("qual"), col("group_size"))
+  }
+  val d13KeepBestOracle =
+    s"""WITH plant AS (
+       |  SELECT doc_id, text, n_chars FROM documents
+       |  WHERE substr(md5('plant:' || CAST(doc_id AS STRING)), 1, 8) < '$PlantThr'
+       |    AND len($wordsSql) >= 3),
+       |corpus AS (
+       |  SELECT doc_id, text, n_chars + 0 AS qual FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $PlantOffset, text, n_chars + 1 FROM plant),
+       |g AS (SELECT doc_id, qual, md5($normSql) AS fp FROM corpus),
+       |k AS (SELECT fp, COUNT(*) AS group_size,
+       |        FIRST(doc_id ORDER BY qual DESC, doc_id ASC) AS kid
+       |      FROM g GROUP BY fp)
+       |SELECT g.doc_id, g.qual, k.group_size
+       |FROM g JOIN k ON g.fp = k.fp AND g.doc_id = k.kid""".stripMargin
+
   /** R1: hybrid retrieval — BM25 lexical rankings and brute-force dense
     * rankings for the same three queries, fused with reciprocal-rank
     * fusion ([[Retrieval.rrfFuse]]). Each query is a (term set, query
@@ -2487,6 +2522,7 @@ object PipelineQueries {
     "q_s14_kmeans" -> s14Kmeans,
     "q_t29_html_extract" -> t29HtmlExtract,
     "q_r2_mmr" -> r2Mmr,
+    "q_d13_dedup_keepbest" -> d13KeepBest,
     "q_x6_url_dedup" -> x6UrlDedup,
     "q_t16_cms_heavyhitters" -> t16CmsHeavyHitters,
     "q_t17_hll_distinct" -> t17HllDistinct,
@@ -2551,6 +2587,7 @@ object PipelineQueries {
     "q_s14_kmeans" -> s14Oracle,
     "q_t29_html_extract" -> t29Oracle,
     "q_r2_mmr" -> r2Oracle,
+    "q_d13_dedup_keepbest" -> d13KeepBestOracle,
     "q_x6_url_dedup" -> x6Oracle,
     "q_t16_cms_heavyhitters" -> t16Oracle,
     "q_t17_hll_distinct" -> t17Oracle,

@@ -38,6 +38,30 @@ object Dedup {
     df.join(keep, df(idCol) === keep("kid"), "left_semi")
   }
 
+  /** Exact dedup keeping the BEST row per group instead of the min-id
+    * one: keeper = argmax of `quality` with min-id tie-break — the rule a
+    * curation pipeline actually wants (of N copies, keep the longest /
+    * highest-scoring capture, not whichever crawled first). Deterministic
+    * via one `max(struct(quality, -id, id))` aggregate (struct ordering
+    * compares fields left to right, so equal quality falls through to the
+    * smallest id) — same two-narrow-shuffles shape as [[dedupExact]];
+    * the quality column adds one value per row to the agg side.
+    *
+    * Returns the kept rows with their `group_size` appended.
+    */
+  def dedupExactKeepBest(df: DataFrame, idCol: String, textCol: String,
+      quality: Column): DataFrame = {
+    val keep = df
+      .select(col(idCol).as("kid"), quality.as("q"),
+        TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("group_size"),
+        max(struct(col("q"), (-col("kid")).as("ni"), col("kid").as("k")))
+          .as("m"))
+      .select(col("group_size"), col("m.k").as("kid"))
+    df.join(keep, df(idCol) === keep("kid"), "inner").drop("kid")
+  }
+
   /** Word w-shingles of the normalized text (distinct, the MinHash input
     * universe).
     */

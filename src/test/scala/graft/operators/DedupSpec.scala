@@ -29,6 +29,24 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 3L, 4L, 5L))
   }
 
+  test("dedupExactKeepBest keeps the argmax-quality row, min-id on ties") {
+    // ids 1/2 are the same normalized text; give 2 the higher quality
+    val q = Seq((1L, 10L), (2L, 99L), (3L, 5L), (4L, 5L), (5L, 5L))
+      .toDF("doc_id", "qual")
+    val withQ = docs.join(q, "doc_id")
+    val kept = Dedup.dedupExactKeepBest(withQ, "doc_id", "text", col("qual"))
+    assert(kept.select("doc_id").as[Long].collect().toSet ==
+      Set(2L, 3L, 4L, 5L)) // 2 beats 1 on quality
+    assert(kept.filter("doc_id = 2").select("group_size")
+      .as[Long].first() == 2L)
+    // equal quality -> min id: make 1 and 2 tie
+    val tied = docs.join(Seq((1L, 7L), (2L, 7L), (3L, 1L), (4L, 1L),
+      (5L, 1L)).toDF("doc_id", "qual"), "doc_id")
+    val keptTied = Dedup.dedupExactKeepBest(tied, "doc_id", "text",
+      col("qual")).select("doc_id").as[Long].collect().toSet
+    assert(keptTied == Set(1L, 3L, 4L, 5L))
+  }
+
   test("shingles: w-grams of normalized text") {
     val sh = spark.range(1)
       .select(Dedup.shingles(lit("a b c d"), 2).as("s"))
