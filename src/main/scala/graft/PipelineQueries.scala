@@ -1400,6 +1400,59 @@ object PipelineQueries {
        |FROM (${(1 to MmrK).map(t => s"SELECT * FROM s$t").mkString(" UNION ALL ")}) zz""".stripMargin
   }
 
+  /** S15: contrastive hard-negative mining
+    * ([[Retrieval.hardNegativeTopK]]) — per anchor, the top-10 nearest
+    * vectors of a DIFFERENT label. Same full-replay form as q_s1 plus
+    * the label-inequality predicate.
+    */
+  val s15HardNegatives: Q = (s, d) => {
+    val emb = t(s, d, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("label").as("qlabel"))
+    Retrieval.hardNegativeTopK(emb, "vec_id", "embedding", "label", q, k = 10)
+  }
+  val s15Oracle =
+    """WITH e AS (
+      |  SELECT vec_id, label, embedding,
+      |    SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+      |          FROM (SELECT UNNEST(embedding) AS x) ux)) AS nrm
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, label AS qlabel, embedding AS qvec,
+      |             nrm AS qnrm
+      |      FROM e WHERE vec_id < 5),
+      |sc AS (
+      |  SELECT q.query_id, e.vec_id AS id, CAST(e.label AS BIGINT) AS neg_label,
+      |    ROUND(CASE WHEN e.nrm * q.qnrm = 0 THEN 0.0 ELSE
+      |      (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+      |       FROM (SELECT UNNEST(e.embedding) AS x, UNNEST(q.qvec) AS y) u)
+      |      / (e.nrm * q.qnrm) END, 6) AS cosine_sim
+      |  FROM e CROSS JOIN q WHERE e.label <> q.qlabel)
+      |SELECT query_id, rank, id, neg_label, cosine_sim FROM (
+      |  SELECT query_id, id, neg_label, cosine_sim,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY cosine_sim DESC, id) AS rank
+      |  FROM sc) z WHERE rank <= 10""".stripMargin
+
+  /** S16: per-label prototype vectors ([[Clustering.labelPrototypes]]) in
+    * the exact integer arithmetic of q_s14 — one partial-agg shuffle,
+    * every coordinate replayed engine-for-engine.
+    */
+  val s16LabelPrototypes: Q = (s, d) =>
+    Clustering.labelPrototypes(t(s, d, "embeddings"), "label", "embedding")
+  val s16Oracle = {
+    val m = Clustering.offsetFor(1024)
+    s"""WITH qv AS (SELECT label, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |u AS (SELECT CAST(label AS BIGINT) AS label, d, SUM(q[d]) AS s,
+       |             COUNT(*) AS n_vecs
+       |      FROM qv, range(1, 65) t(d) GROUP BY label, d)
+       |SELECT label, n_vecs, d - 1 AS dim,
+       |  (2 * (s + $m * n_vecs) + n_vecs) // (2 * n_vecs) - $m AS c_q
+       |FROM u""".stripMargin
+  }
+
   /** S14: distributed Lloyd k-means in exact integer arithmetic
     * ([[Clustering.kmeansExact]]) — the reproducible-clustering primitive
     * under curation cells / SemDeDup-style semantic grouping. Because
@@ -2523,6 +2576,8 @@ object PipelineQueries {
     "q_t29_html_extract" -> t29HtmlExtract,
     "q_r2_mmr" -> r2Mmr,
     "q_d13_dedup_keepbest" -> d13KeepBest,
+    "q_s15_hard_negatives" -> s15HardNegatives,
+    "q_s16_label_prototypes" -> s16LabelPrototypes,
     "q_x6_url_dedup" -> x6UrlDedup,
     "q_t16_cms_heavyhitters" -> t16CmsHeavyHitters,
     "q_t17_hll_distinct" -> t17HllDistinct,
@@ -2588,6 +2643,8 @@ object PipelineQueries {
     "q_t29_html_extract" -> t29Oracle,
     "q_r2_mmr" -> r2Oracle,
     "q_d13_dedup_keepbest" -> d13KeepBestOracle,
+    "q_s15_hard_negatives" -> s15Oracle,
+    "q_s16_label_prototypes" -> s16Oracle,
     "q_x6_url_dedup" -> x6Oracle,
     "q_t16_cms_heavyhitters" -> t16Oracle,
     "q_t17_hll_distinct" -> t17Oracle,

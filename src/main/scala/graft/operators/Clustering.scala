@@ -78,6 +78,33 @@ object Clustering {
     (array_position(d, array_min(d)) - 1).cast("int")
   }
 
+  /** Per-label prototype (mean) vectors in the same exact integer
+    * arithmetic as [[kmeansExact]] — the class-centroid primitive under
+    * prototype-based data selection (pick examples near/far from their
+    * class center) and nearest-prototype labeling. ONE partial-agg
+    * shuffle of (count + dim int64 sums) per label; output is long-form
+    * `(label, n_vecs, dim, c_q)` so the exact coordinates replay
+    * engine-for-engine with no float anywhere.
+    */
+  def labelPrototypes(vectors: DataFrame, labelCol: String, vecCol: String,
+      scale: Int = 1024, dim: Int = 64): DataFrame = {
+    require(Integer.bitCount(scale) == 1, s"scale must be a power of two, got $scale")
+    val m = offsetFor(scale)
+    val sums = (0 until dim).map(i =>
+      sum(element_at(col("q"), i + 1)).as(s"s_$i"))
+    vectors
+      .select(col(labelCol).cast("bigint").as("label"),
+        quantize(col(vecCol), scale).as("q"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), sums: _*)
+      .select(col("label"), col("n_vecs"),
+        posexplode(array((0 until dim).map(i =>
+          expr(s"(2 * (s_$i + $m * n_vecs) + n_vecs) div (2 * n_vecs) - $m")): _*))
+          .as(Seq("dim", "c_q")))
+      .select(col("label"), col("n_vecs"), col("dim").cast("bigint").as("dim"),
+        col("c_q"))
+  }
+
   /** Run `iters` Lloyd iterations; returns the final per-point assignment
     * `(id, cell, dist_sq)` with `cell` the 0-based seed-order index and
     * `dist_sq` the integer distance to the final centroid.

@@ -50,6 +50,40 @@ object Retrieval {
     *         1-based by (rrf_score desc, id asc); ties on the integer
     *         score break deterministically on the doc id.
     */
+  /** Hard-negative mining for contrastive training: for each query
+    * (anchor embedding + its label), the top-k most-similar vectors whose
+    * label DIFFERS — the near-miss negatives that make a contrastive
+    * batch informative (easy random negatives teach nothing). Same
+    * broadcast-queries × corpus-scan plan as brute-force top-k with the
+    * label inequality pushed below the ranking window; similarity is the
+    * engine's round-6 cosine, so every emitted row replays exactly.
+    *
+    * @param queries (query_id, qvec, qlabel)
+    * @return (query_id, rank, id, neg_label, cosine_sim)
+    */
+  def hardNegativeTopK(vectors: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = vectors.sparkSession
+    Similarity.init(spark)
+    val v = vectors.select(col(idCol).cast("bigint").as("id"),
+      col(vecCol).as("vec"), col(labelCol).cast("bigint").as("neg_label"),
+      Similarity.norm(col(vecCol)).as("nrm"))
+    val q = queries.select(col("query_id").cast("bigint").as("query_id"),
+      col("qvec"), col("qlabel").cast("bigint").as("qlabel"),
+      Similarity.norm(col("qvec")).as("qnrm"))
+    val d = col("nrm") * col("qnrm")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine_sim").desc, col("id").asc)
+    v.crossJoin(broadcast(q))
+      .filter(col("neg_label") =!= col("qlabel"))
+      .withColumn("cosine_sim", round(when(d === 0, lit(0.0))
+        .otherwise(Similarity.dot(col("vec"), col("qvec")) / d), 6))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "id", "neg_label", "cosine_sim")
+  }
+
   /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein, SIGIR
     * 1998) of a per-query candidate head: greedily pick k items maximizing
     * `λ·relevance − (1−λ)·max-similarity-to-already-picked` — the

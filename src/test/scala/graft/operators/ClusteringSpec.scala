@@ -92,6 +92,24 @@ class ClusteringSpec extends SparkSpec {
   private def out2CellCount(st: Seq[(Int, Long, Array[Long])]): Long =
     st.map(_._2).sum
 
+  test("labelPrototypes: exact integer means per label, long-form") {
+    // label 0: q-vectors [1024,0] and [0,1024] -> mean (512, 512)
+    // label 1: [-1024,-1024] alone -> itself
+    // label 2: [0,0] and [1,0] (from 0.001*1024=1.024 -> floor 1):
+    //   dim0 sum 1, n 2 -> half-up mean of 0.5 -> 1
+    val df = Seq(
+      (0, Seq(1.0f, 0.0f)), (0, Seq(0.0f, 1.0f)),
+      (1, Seq(-1.0f, -1.0f)),
+      (2, Seq(0.0f, 0.0f)), (2, Seq(0.001f, 0.0f)))
+      .toDF("label", "emb")
+    val out = Clustering.labelPrototypes(df, "label", "emb", dim = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out === Set(
+      (0L, 2L, 0L, 512L), (0L, 2L, 1L, 512L),
+      (1L, 1L, 0L, -1024L), (1L, 1L, 1L, -1024L),
+      (2L, 2L, 0L, 1L), (2L, 2L, 1L, 0L)))
+  }
+
   test("quantize floors (not rounds) and is exact on negatives") {
     val df = Seq((1L, Seq(-0.0001f, 0.5f, -0.5f, 0.9999f))).toDF("vid", "emb")
     val q = df.select(Clustering.quantize(col("emb"), 1024).as("q"))

@@ -96,6 +96,21 @@ class RetrievalSpec extends SparkSpec {
     assert(picks === Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)))
   }
 
+  test("hardNegativeTopK never returns the anchor's own label") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.9f, 0.1f), 0),
+      (3L, Seq(0.8f, 0.2f), 1), (4L, Seq(0.0f, 1.0f), 1),
+      (5L, Seq(-1.0f, 0.0f), 2))
+      .toDF("vid", "emb", "lab")
+    val q = Seq((1L, Seq(1.0f, 0.0f), 0)).toDF("query_id", "qvec", "qlabel")
+    val out = Retrieval.hardNegativeTopK(vecs, "vid", "emb", "lab", q, k = 3)
+      .select("rank", "id", "neg_label").as[(Long, Long, Long)]
+      .collect().toSeq
+    // same-label 1 and 2 excluded; 3 (closest different-label) leads
+    assert(out.map(_._2) === Seq(3L, 4L, 5L))
+    assert(out.forall(_._3 != 0L))
+  }
+
   test("mmrSelect first pick score is the pure scaled relevance") {
     val (ranked, vecs) = mmrFixture
     val s = Retrieval.mmrSelect(ranked, vecs, "vid", "emb", k = 1, nCand = 4)
