@@ -1400,6 +1400,64 @@ object PipelineQueries {
        |FROM (${(1 to MmrK).map(t => s"SELECT * FROM s$t").mkString(" UNION ALL ")}) zz""".stripMargin
   }
 
+  /** T30: Luhn-validated PII detection ([[TextAnalysis.luhnValid]]) —
+    * beyond q_t9's shape-only redaction: a 16-digit run is only a card
+    * number if its mod-10 checksum holds, and a real pipeline must not
+    * shred every long number (order ids, timestamps). Each doc gets a
+    * deterministic candidate injected — doc_id % 3 = 0 a VALID pan whose
+    * check digit the engine itself computes ([[TextAnalysis
+    * .luhnCheckDigit]]), % 3 = 1 the same pan with the check digit
+    * off-by-one (invalid), % 3 = 2 none — so both validator outcomes are
+    * exercised on every fixture and the oracle recomputes the full chain
+    * (pan construction, extraction, checksum) from raw data.
+    */
+  val t30LuhnPii: Q = (s, d) => {
+    val base15 = concat(lit("453201511"),
+      lpad((col("doc_id") % 1000000).cast("string"), 6, "0"))
+    val cd = TextAnalysis.luhnCheckDigit(base15)
+    val pan = concat(base15, cd.cast("string"))
+    val badPan = concat(base15, ((cd + 1) % 10).cast("string"))
+    val aug = when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" card "), pan))
+      .when(col("doc_id") % 3 === 1,
+        concat(col("text"), lit(" card "), badPan))
+      .otherwise(col("text"))
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        explode(TextAnalysis.cardCandidates(aug)).as("candidate"))
+      .withColumn("luhn_valid", TextAnalysis.luhnValid(col("candidate")))
+      .withColumn("expected_valid", col("doc_id") % 3 === 0)
+  }
+  val t30Oracle: String = {
+    def luhnSum(b: String, parity: Int): String =
+      s"list_sum(list_transform(range(1, length($b) + 1), i -> " +
+        s"CASE WHEN i % 2 = $parity THEN " +
+        s"CASE WHEN 2 * (ascii(substr(reverse($b), i, 1)) - 48) > 9 " +
+        s"THEN 2 * (ascii(substr(reverse($b), i, 1)) - 48) - 9 " +
+        s"ELSE 2 * (ascii(substr(reverse($b), i, 1)) - 48) END " +
+        s"ELSE ascii(substr(reverse($b), i, 1)) - 48 END))"
+    s"""WITH b AS (SELECT doc_id, text,
+       |    '453201511' || lpad(CAST(doc_id % 1000000 AS STRING), 6, '0')
+       |      AS base15
+       |  FROM documents),
+       |c AS (SELECT doc_id, text, base15,
+       |    CAST((10 - ${luhnSum("base15", 1)} % 10) % 10 AS STRING) AS cd
+       |  FROM b),
+       |aug AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN text || ' card ' || base15 || cd
+       |         WHEN doc_id % 3 = 1 THEN text || ' card ' || base15 ||
+       |           CAST((CAST(cd AS INT) + 1) % 10 AS STRING)
+       |         ELSE text END AS ta
+       |  FROM c),
+       |e AS (SELECT doc_id,
+       |    UNNEST(regexp_extract_all(ta, '\\b\\d{13,19}\\b')) AS candidate
+       |  FROM aug)
+       |SELECT doc_id, candidate,
+       |  ${luhnSum("candidate", 0)} % 10 = 0 AS luhn_valid,
+       |  doc_id % 3 = 0 AS expected_valid
+       |FROM e""".stripMargin
+  }
+
   /** S15: contrastive hard-negative mining
     * ([[Retrieval.hardNegativeTopK]]) — per anchor, the top-10 nearest
     * vectors of a DIFFERENT label. Same full-replay form as q_s1 plus
@@ -2577,6 +2635,7 @@ object PipelineQueries {
     "q_r2_mmr" -> r2Mmr,
     "q_d13_dedup_keepbest" -> d13KeepBest,
     "q_s15_hard_negatives" -> s15HardNegatives,
+    "q_t30_luhn_pii" -> t30LuhnPii,
     "q_s16_label_prototypes" -> s16LabelPrototypes,
     "q_x6_url_dedup" -> x6UrlDedup,
     "q_t16_cms_heavyhitters" -> t16CmsHeavyHitters,
@@ -2644,6 +2703,7 @@ object PipelineQueries {
     "q_r2_mmr" -> r2Oracle,
     "q_d13_dedup_keepbest" -> d13KeepBestOracle,
     "q_s15_hard_negatives" -> s15Oracle,
+    "q_t30_luhn_pii" -> t30Oracle,
     "q_s16_label_prototypes" -> s16Oracle,
     "q_x6_url_dedup" -> x6Oracle,
     "q_t16_cms_heavyhitters" -> t16Oracle,

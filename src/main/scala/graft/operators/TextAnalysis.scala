@@ -666,6 +666,44 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Luhn mod-10 checksum over an all-digit string — validated PII
+    * detection (is this 16-digit run an actual card number or a phone
+    * number / timestamp?) instead of t9's shape-only regex redaction.
+    * Pure integer HOF arithmetic (sequence + aggregate over the reversed
+    * digit string), codegen'd, engine-portable: position i (1-based from
+    * the right) doubles when even, a doubled digit > 9 subtracts 9, and
+    * the total must divide by 10.
+    */
+  def luhnValid(c: Column): Column = {
+    val chars = split(reverse(c), "")
+    val s = aggregate(sequence(lit(1), length(c)), lit(0), (acc, i) => {
+      val d = ascii(element_at(chars, i)) - lit(48)
+      val dbl = d * 2
+      acc + when(i % 2 === 0,
+        when(dbl > 9, dbl - 9).otherwise(dbl)).otherwise(d)
+    })
+    s % 10 === 0
+  }
+
+  /** The check digit completing `base` (a digit string WITHOUT its final
+    * check digit) to a Luhn-valid number: with the check digit occupying
+    * position 1 from the right, payload position j doubles when odd.
+    */
+  def luhnCheckDigit(base: Column): Column = {
+    val chars = split(reverse(base), "")
+    val s = aggregate(sequence(lit(1), length(base)), lit(0), (acc, i) => {
+      val d = ascii(element_at(chars, i)) - lit(48)
+      val dbl = d * 2
+      acc + when(i % 2 === 1,
+        when(dbl > 9, dbl - 9).otherwise(dbl)).otherwise(d)
+    })
+    (lit(10) - s % 10) % 10
+  }
+
+  /** Card-number candidates: standalone 13-19 digit runs. */
+  def cardCandidates(text: Column): Column =
+    regexp_extract_all(text, lit("\\b\\d{13,19}\\b"), lit(0))
+
   /** Boilerplate-stripping text extraction from HTML — the WET-style
     * web-corpus cleaning step (drop script/style payloads and nav/footer
     * chrome, strip tags, decode the common entities, collapse

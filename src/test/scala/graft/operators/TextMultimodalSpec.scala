@@ -270,6 +270,30 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got == cases.map(_._2), got)
   }
 
+  test("luhnValid: known vectors; luhnCheckDigit completes them") {
+    // 4532015112830366 is the canonical valid test PAN; 79927398713 the
+    // classic Luhn example; off-by-one check digits must fail
+    val cases = Seq("4532015112830366" -> true, "4532015112830367" -> false,
+      "79927398713" -> true, "79927398710" -> false,
+      "4111111111111111" -> true, "4111111111111112" -> false)
+    val got = cases.map(_._1).toDF("c")
+      .select(TextAnalysis.luhnValid(col("c"))).as[Boolean].collect().toSeq
+    assert(got == cases.map(_._2), got)
+    val cds = Seq("453201511283036", "7992739871", "411111111111111")
+      .toDF("b").select(TextAnalysis.luhnCheckDigit(col("b")))
+      .as[Int].collect().toSeq
+    assert(cds == Seq(6, 3, 1))
+  }
+
+  test("cardCandidates: standalone 13-19 digit runs only") {
+    val got = Seq("pay 4532015112830366 now, order 123456 ts 123456789012" +
+      " huge 12345678901234567890x")
+      .toDF("t").select(TextAnalysis.cardCandidates(col("t")))
+      .as[Seq[String]].first()
+    // 6 and 12 digit runs too short; the 20-digit run fails \b…{13,19}\b
+    assert(got == Seq("4532015112830366"), got)
+  }
+
   test("extractHtmlText: blocks drop, tags strip, entities decode in order") {
     val cases = Seq(
       // script content with stray < survives non-greedy block removal
