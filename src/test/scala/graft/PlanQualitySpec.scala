@@ -175,4 +175,48 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
       "z-bucket agg must combine map-side\n" + p)
   }
+
+  test("R1 hybrid RRF: no cartesian, corpus stats broadcast, no UDF") {
+    val p = plan("q_r1_hybrid_rrf")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
+  test("S15 hard negatives: queries broadcast, label filter below the window") {
+    val p = plan("q_s15_hard_negatives")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the label inequality must prune candidates BEFORE ranking: it
+    // appears as a Filter/join condition, not a post-window predicate
+    val windowIdx = p.indexOf("Window")
+    val filterIdx = p.indexOf("qlabel")
+    assert(windowIdx >= 0 && filterIdx >= 0, p)
+  }
+
+  test("S16 label prototypes: single partial aggregation, no explode before agg") {
+    val p = plan("q_s16_label_prototypes")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      "per-label sums must combine map-side\n" + p)
+    // the posexplode fan-out must sit ABOVE the aggregate (k rows), not
+    // below it (corpus × dim rows): in formatted output children print
+    // after parents, so Generate must appear before HashAggregate
+    val gen = p.indexOf("Generate")
+    val agg = p.indexOf("HashAggregate")
+    assert(gen >= 0 && agg >= 0 && gen < agg,
+      "explode must be above the aggregation\n" + p)
+  }
+
+  test("T29 html extraction: pure codegen scan, no shuffle, no UDF") {
+    val p = plan("q_t29_html_extract")
+    assert(!p.contains("Exchange"), "extraction must not shuffle\n" + p)
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+  }
+
+  test("T30 luhn detection: pure codegen scan + generate, no UDF") {
+    val p = plan("q_t30_luhn_pii")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+    assert(!p.contains("Exchange"), "detection must not shuffle\n" + p)
+  }
 }
