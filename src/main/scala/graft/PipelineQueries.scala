@@ -1400,6 +1400,51 @@ object PipelineQueries {
        |FROM (${(1 to MmrK).map(t => s"SELECT * FROM s$t").mkString(" UNION ALL ")}) zz""".stripMargin
   }
 
+  /** R3: positional inverted index + boolean/phrase retrieval
+    * ([[Postings]]) — conjunctive AND over three terms and an exact
+    * two-word phrase, both answered from the same positional postings.
+    * Everything is integer/array arithmetic on the shared normalized
+    * tokenization, so DuckDB rebuilds the postings (zipped UNNEST for
+    * positions) and replays both query modes verbatim.
+    */
+  private val R3Phrase = Seq("table", "value")
+  private val R3AndTerms = Seq("vector", "stream", "window")
+
+  val r3PhraseSearch: Q = (s, d) => {
+    val post = Postings.build(t(s, d, "documents"), "doc_id", "text")
+    val ph = Postings.phrase(post, R3Phrase)
+      .select(lit("phrase").as("mode"), col("doc_id"),
+        col("n_matches").as("metric"))
+    val conj = Postings.conjunctive(post, R3AndTerms)
+      .select(lit("and").as("mode"), col("doc_id"),
+        col("total_tf").as("metric"))
+    ph.unionByName(conj)
+  }
+  val r3Oracle: String = {
+    val andList = R3AndTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH z AS (SELECT doc_id, $wordsSql AS w FROM documents),
+       |tk AS (SELECT doc_id,
+       |    UNNEST(range(1, len(w) + 1)) - 1 AS pos, UNNEST(w) AS tok
+       |  FROM z),
+       |tk2 AS (SELECT doc_id, pos, tok FROM tk WHERE length(tok) > 0),
+       |post AS (SELECT tok AS term, doc_id,
+       |    list_sort(list(pos)) AS positions, COUNT(*) AS tf
+       |  FROM tk2 GROUP BY tok, doc_id),
+       |ph AS (SELECT a.doc_id,
+       |    len(list_filter(a.positions,
+       |        p -> list_contains(b.positions, p + 1))) AS m
+       |  FROM post a JOIN post b ON a.doc_id = b.doc_id
+       |  WHERE a.term = '${R3Phrase(0)}' AND b.term = '${R3Phrase(1)}'),
+       |conj AS (SELECT doc_id, SUM(tf) AS total_tf FROM post
+       |  WHERE term IN ($andList) GROUP BY doc_id
+       |  HAVING COUNT(DISTINCT term) = ${R3AndTerms.size})
+       |SELECT 'phrase' AS mode, doc_id, CAST(m AS BIGINT) AS metric
+       |FROM ph WHERE m > 0
+       |UNION ALL
+       |SELECT 'and' AS mode, doc_id, CAST(total_tf AS BIGINT) AS metric
+       |FROM conj""".stripMargin
+  }
+
   /** T30: Luhn-validated PII detection ([[TextAnalysis.luhnValid]]) —
     * beyond q_t9's shape-only redaction: a 16-digit run is only a card
     * number if its mod-10 checksum holds, and a real pipeline must not
@@ -2636,6 +2681,7 @@ object PipelineQueries {
     "q_d13_dedup_keepbest" -> d13KeepBest,
     "q_s15_hard_negatives" -> s15HardNegatives,
     "q_t30_luhn_pii" -> t30LuhnPii,
+    "q_r3_phrase_search" -> r3PhraseSearch,
     "q_s16_label_prototypes" -> s16LabelPrototypes,
     "q_x6_url_dedup" -> x6UrlDedup,
     "q_t16_cms_heavyhitters" -> t16CmsHeavyHitters,
@@ -2704,6 +2750,7 @@ object PipelineQueries {
     "q_d13_dedup_keepbest" -> d13KeepBestOracle,
     "q_s15_hard_negatives" -> s15Oracle,
     "q_t30_luhn_pii" -> t30Oracle,
+    "q_r3_phrase_search" -> r3Oracle,
     "q_s16_label_prototypes" -> s16Oracle,
     "q_x6_url_dedup" -> x6Oracle,
     "q_t16_cms_heavyhitters" -> t16Oracle,
