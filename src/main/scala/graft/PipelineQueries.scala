@@ -1556,6 +1556,37 @@ object PipelineQueries {
        |FROM u""".stripMargin
   }
 
+  /** S17: label-outlier mining ([[Clustering.labelOutliers]]) — per
+    * label, the 5 vectors farthest from their own label prototype:
+    * mislabel/noise candidates. Integer distances against the q_s16
+    * prototypes; the oracle rebuilds prototypes and replays ranking.
+    */
+  val s17LabelOutliers: Q = (s, d) =>
+    Clustering.labelOutliers(t(s, d, "embeddings"), "vec_id", "embedding",
+      "label", k = 5)
+  val s17Oracle = {
+    val m = Clustering.offsetFor(1024)
+    s"""WITH qv AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |u AS (SELECT label, d, SUM(q[d]) AS s, COUNT(*) AS n
+       |      FROM qv, range(1, 65) t(d) GROUP BY label, d),
+       |c AS (SELECT label,
+       |    list((2 * (s + $m * n) + n) // (2 * n) - $m ORDER BY d) AS cent
+       |  FROM u GROUP BY label)
+       |SELECT label, rank, id, dist_sq FROM (
+       |  SELECT v.label, v.vec_id AS id,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      i -> (v.q[i] - c.cent[i]) * (v.q[i] - c.cent[i]))) AS BIGINT)
+       |      AS dist_sq,
+       |    ROW_NUMBER() OVER (PARTITION BY v.label ORDER BY
+       |      list_sum(list_transform(range(1, 65),
+       |        i -> (v.q[i] - c.cent[i]) * (v.q[i] - c.cent[i]))) DESC,
+       |      v.vec_id) AS rank
+       |  FROM qv v JOIN c ON c.label = v.label) z WHERE rank <= 5""".stripMargin
+  }
+
   /** S14: distributed Lloyd k-means in exact integer arithmetic
     * ([[Clustering.kmeansExact]]) — the reproducible-clustering primitive
     * under curation cells / SemDeDup-style semantic grouping. Because
@@ -2683,6 +2714,7 @@ object PipelineQueries {
     "q_t30_luhn_pii" -> t30LuhnPii,
     "q_r3_phrase_search" -> r3PhraseSearch,
     "q_s16_label_prototypes" -> s16LabelPrototypes,
+    "q_s17_label_outliers" -> s17LabelOutliers,
     "q_x6_url_dedup" -> x6UrlDedup,
     "q_t16_cms_heavyhitters" -> t16CmsHeavyHitters,
     "q_t17_hll_distinct" -> t17HllDistinct,
@@ -2752,6 +2784,7 @@ object PipelineQueries {
     "q_t30_luhn_pii" -> t30Oracle,
     "q_r3_phrase_search" -> r3Oracle,
     "q_s16_label_prototypes" -> s16Oracle,
+    "q_s17_label_outliers" -> s17Oracle,
     "q_x6_url_dedup" -> x6Oracle,
     "q_t16_cms_heavyhitters" -> t16Oracle,
     "q_t17_hll_distinct" -> t17Oracle,

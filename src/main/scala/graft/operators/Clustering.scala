@@ -105,6 +105,36 @@ object Clustering {
         col("c_q"))
   }
 
+  /** Label-outlier mining: the k vectors FARTHEST from their own label's
+    * prototype, per label — the mislabel/noise candidates a curation pass
+    * sends to review (confident-learning's cheap geometric cousin).
+    * Distances are integer (quantized coords vs the integer prototype of
+    * [[labelPrototypes]]), so ranking is exact and fully replayable; the
+    * prototype side is a tiny broadcast join keyed on label.
+    */
+  def labelOutliers(vectors: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int, scale: Int = 1024, dim: Int = 64)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = labelPrototypes(vectors, labelCol, vecCol, scale, dim)
+      .groupBy("label")
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("c_q")))),
+        s => s("c_q")).as("cent"))
+    val q = vectors.select(col(idCol).cast("bigint").as("id"),
+      col(labelCol).cast("bigint").as("label"),
+      quantize(col(vecCol), scale).as("q"))
+    val w = Window.partitionBy("label")
+      .orderBy(col("dist_sq").desc, col("id").asc)
+    q.join(broadcast(cents), "label")
+      .withColumn("dist_sq", aggregate(
+        zip_with(col("q"), col("cent"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("label"), col("rank"), col("id"), col("dist_sq"))
+  }
+
   /** Run `iters` Lloyd iterations; returns the final per-point assignment
     * `(id, cell, dist_sq)` with `cell` the 0-based seed-order index and
     * `dist_sq` the integer distance to the final centroid.

@@ -110,6 +110,24 @@ class ClusteringSpec extends SparkSpec {
       (2L, 2L, 0L, 1L), (2L, 2L, 1L, 0L)))
   }
 
+  test("labelOutliers ranks by distance to the label's own prototype") {
+    // label 0: three points at x=1.0 and one stray at x=-1.0 -> the
+    // stray is rank 1; label 1: two symmetric points tie -> min id first
+    val df = Seq(
+      (10L, 0, Seq(1.0f, 0.0f)), (11L, 0, Seq(1.0f, 0.0f)),
+      (12L, 0, Seq(1.0f, 0.0f)), (13L, 0, Seq(-1.0f, 0.0f)),
+      (20L, 1, Seq(0.0f, 1.0f)), (21L, 1, Seq(0.0f, -1.0f)))
+      .toDF("vid", "lab", "emb")
+    val out = Clustering.labelOutliers(df, "vid", "emb", "lab",
+        k = 2, dim = 2)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    val l0 = out.filter(_._1 == 0L)
+    assert(l0.head == (0L, 1L, 13L, l0.head._4)) // stray leads
+    assert(l0.head._4 > l0(1)._4)
+    val l1 = out.filter(_._1 == 1L).map(r => (r._2, r._3))
+    assert(l1 == Seq((1L, 20L), (2L, 21L))) // symmetric tie -> min id
+  }
+
   test("quantize floors (not rounds) and is exact on negatives") {
     val df = Seq((1L, Seq(-0.0001f, 0.5f, -0.5f, 0.9999f))).toDF("vid", "emb")
     val q = df.select(Clustering.quantize(col("emb"), 1024).as("q"))
