@@ -1266,7 +1266,11 @@ object PipelineQueries {
     Retrieval.rrfFuse(dense.unionByName(lexical), k = 10)
   }
 
-  val r1Oracle: String = {
+  /** Shared CTE body: both retrieval legs + integer RRF fusion, ending in
+    * `fz(query_id, id, rrf_score, n_sources, rank)`. Used by the q_r1
+    * oracle and, with the MMR tail stacked on top, by q_r4's.
+    */
+  private val rrfBodySql: String = {
     val allTerms = RrfQueries.flatMap(_._2)
     val tfDefs = allTerms.indices.map(i =>
       s"SUM(CASE WHEN w = '${allTerms(i)}' THEN 1 ELSE 0 END) AS tf$i")
@@ -1288,7 +1292,7 @@ object PipelineQueries {
          |          FROM perdoc, c) zs WHERE score > 0) zr
          |  WHERE rank <= $RrfLegK)""".stripMargin
     }
-    s"""WITH tk AS (SELECT doc_id, UNNEST($wordsSql) AS w FROM documents),
+    s"""tk AS (SELECT doc_id, UNNEST($wordsSql) AS w FROM documents),
        |tk2 AS (SELECT doc_id, w FROM tk WHERE length(w) > 0),
        |perdoc AS (SELECT doc_id, COUNT(*) AS len,
        |  $tfDefs
@@ -1319,13 +1323,17 @@ object PipelineQueries {
        |f AS (SELECT query_id, id,
        |        CAST(SUM(${Retrieval.RrfScale} // (${Retrieval.DefaultK0} + rank)) AS BIGINT) AS rrf_score,
        |        COUNT(*) AS n_sources
-       |      FROM allr GROUP BY query_id, id)
-       |SELECT query_id, rank, id, rrf_score, n_sources FROM (
-       |  SELECT query_id, id, rrf_score, n_sources,
+       |      FROM allr GROUP BY query_id, id),
+       |fz AS (SELECT query_id, id, rrf_score, n_sources,
        |    ROW_NUMBER() OVER (PARTITION BY query_id
        |      ORDER BY rrf_score DESC, id) AS rank
-       |  FROM f) z WHERE rank <= 10""".stripMargin
+       |  FROM f)""".stripMargin
   }
+
+  val r1Oracle: String =
+    s"""WITH $rrfBodySql
+       |SELECT query_id, rank, id, rrf_score, n_sources FROM fz
+       |WHERE rank <= 10""".stripMargin
 
   /** R2: MMR diversity selection ([[Retrieval.mmrSelect]]) over the
     * dense top-20 head of each of the five q_s1 queries — pick 5 docs
@@ -1345,8 +1353,12 @@ object PipelineQueries {
       k = MmrK, nCand = MmrCand)
   }
 
-  val r2Oracle: String = {
-    val relSql = s"CAST(0.7 AS DOUBLE) * (CAST(${MmrCand + 1} - rank AS DOUBLE) / $MmrCand)"
+  /** MMR CTE tail: expects `cand(query_id, id, rank)` and `e` (embeddings
+    * with norms) to be defined upstream; emits the final pick SELECT.
+    * Shared by the q_r2 and q_r4 oracles.
+    */
+  private def mmrTailSql(nCand: Int, kPick: Int): String = {
+    val relSql = s"CAST(0.7 AS DOUBLE) * (CAST(${nCand + 1} - rank AS DOUBLE) / $nCand)"
     def step(t: Int): String =
       if (t == 1)
         """s1 AS (SELECT query_id, id, score, 1 AS pick FROM (
@@ -1369,6 +1381,22 @@ object PipelineQueries {
            |  FROM p$t) z WHERE rn = 1),
            |sel$t AS (SELECT query_id, id FROM sel${t - 1}
            |  UNION ALL SELECT query_id, id FROM s$t)""".stripMargin
+    s"""cv AS (SELECT c.query_id, c.id, c.rank, e.embedding, e.nrm
+       |       FROM cand c JOIN e ON e.vec_id = c.id),
+       |pairs AS (
+       |  SELECT a.query_id, a.id AS ia, b.id AS ib,
+       |    ROUND(CASE WHEN a.nrm * b.nrm = 0 THEN 0.0 ELSE
+       |      (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+       |       FROM (SELECT UNNEST(a.embedding) AS x, UNNEST(b.embedding) AS y) u)
+       |      / (a.nrm * b.nrm) END, 6) AS sim
+       |  FROM cv a JOIN cv b ON a.query_id = b.query_id),
+       |relq AS (SELECT query_id, id, $relSql AS relterm FROM cand),
+       |${(1 to kPick).map(step).mkString(",\n")}
+       |SELECT query_id, CAST(pick AS BIGINT) AS pick, id, score AS mmr_score
+       |FROM (${(1 to kPick).map(t => s"SELECT * FROM s$t").mkString(" UNION ALL ")}) zz""".stripMargin
+  }
+
+  val r2Oracle: String =
     s"""WITH e AS (
        |  SELECT vec_id, embedding,
        |    SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
@@ -1385,20 +1413,23 @@ object PipelineQueries {
        |           FROM (SELECT UNNEST(e.embedding) AS x, UNNEST(q.qvec) AS y) u)
        |          / (e.nrm * q.qnrm) END, 6) DESC, e.vec_id) AS rank
        |    FROM e CROSS JOIN q) z WHERE rank <= $MmrCand),
-       |cv AS (SELECT c.query_id, c.id, c.rank, e.embedding, e.nrm
-       |       FROM cand c JOIN e ON e.vec_id = c.id),
-       |pairs AS (
-       |  SELECT a.query_id, a.id AS ia, b.id AS ib,
-       |    ROUND(CASE WHEN a.nrm * b.nrm = 0 THEN 0.0 ELSE
-       |      (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
-       |       FROM (SELECT UNNEST(a.embedding) AS x, UNNEST(b.embedding) AS y) u)
-       |      / (a.nrm * b.nrm) END, 6) AS sim
-       |  FROM cv a JOIN cv b ON a.query_id = b.query_id),
-       |relq AS (SELECT query_id, id, $relSql AS relterm FROM cand),
-       |${(1 to MmrK).map(step).mkString(",\n")}
-       |SELECT query_id, CAST(pick AS BIGINT) AS pick, id, score AS mmr_score
-       |FROM (${(1 to MmrK).map(t => s"SELECT * FROM s$t").mkString(" UNION ALL ")}) zz""".stripMargin
+       |${mmrTailSql(MmrCand, MmrK)}""".stripMargin
+
+  /** R4: the retrieval-pipeline capstone — lexical BM25 + dense cosine
+    * legs, integer RRF fusion (q_r1), then MMR diversity re-ranking of
+    * the fused top-10 (relevance = fused rank) picking 5 per query. One
+    * oracle replays the ENTIRE composed pipeline: tokenize→BM25, cosine
+    * ranking, fusion, and all five greedy picks.
+    */
+  val r4RetrievalPipeline: Q = (s, d) => {
+    val fused = r1HybridRrf(s, d).select("query_id", "id", "rank")
+    Retrieval.mmrSelect(fused, t(s, d, "embeddings"), "vec_id", "embedding",
+      k = 5, nCand = 10)
   }
+  val r4Oracle: String =
+    s"""WITH $rrfBodySql,
+       |cand AS (SELECT query_id, id, rank FROM fz WHERE rank <= 10),
+       |${mmrTailSql(10, 5)}""".stripMargin
 
   /** R3: positional inverted index + boolean/phrase retrieval
     * ([[Postings]]) — conjunctive AND over three terms and an exact
@@ -2713,6 +2744,7 @@ object PipelineQueries {
     "q_s15_hard_negatives" -> s15HardNegatives,
     "q_t30_luhn_pii" -> t30LuhnPii,
     "q_r3_phrase_search" -> r3PhraseSearch,
+    "q_r4_retrieval_pipeline" -> r4RetrievalPipeline,
     "q_s16_label_prototypes" -> s16LabelPrototypes,
     "q_s17_label_outliers" -> s17LabelOutliers,
     "q_x6_url_dedup" -> x6UrlDedup,
@@ -2783,6 +2815,7 @@ object PipelineQueries {
     "q_s15_hard_negatives" -> s15Oracle,
     "q_t30_luhn_pii" -> t30Oracle,
     "q_r3_phrase_search" -> r3Oracle,
+    "q_r4_retrieval_pipeline" -> r4Oracle,
     "q_s16_label_prototypes" -> s16Oracle,
     "q_s17_label_outliers" -> s17Oracle,
     "q_x6_url_dedup" -> x6Oracle,
