@@ -1096,6 +1096,35 @@ object Queries {
        |  SELECT w.id, sy.b FROM walk w JOIN sym sy ON sy.a = w.reach)
        |SELECT id, MIN(reach) AS cluster_id FROM walk GROUP BY id""".stripMargin
 
+  /** G9: per-vertex triangle counts ([[Graph.triangles]]) over the
+    * co-ordered-parts graph (parts sharing an order are linked; a 20%
+    * order slice keeps the fixture graph bench-sized). The Spark side
+    * runs the degree-oriented wedge scheme; the oracle counts triangles
+    * with an INDEPENDENT plain-lexicographic three-way join — two
+    * different enumeration orders that must agree on every count.
+    */
+  val coPartEdgesSql: String =
+    """SELECT DISTINCT 'p' || CAST(a.l_partkey AS STRING) AS from_id,
+      |       'p' || CAST(b.l_partkey AS STRING) AS to_id
+      |FROM lineitem a JOIN lineitem b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |WHERE a.l_orderkey % 5 = 0""".stripMargin
+
+  val g9Triangles: Q = (s, d) =>
+    Graph.triangles(Tables.sql(s, d, coPartEdgesSql))
+  val g9Oracle =
+    s"""WITH edges AS ($coPartEdgesSql),
+       |sym AS (SELECT DISTINCT least(from_id, to_id) AS a,
+       |               greatest(from_id, to_id) AS b
+       |        FROM edges WHERE from_id <> to_id),
+       |tri AS (
+       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM sym e1
+       |  JOIN sym e2 ON e2.a = e1.b
+       |  JOIN sym e3 ON e3.a = e1.a AND e3.b = e2.b)
+       |SELECT id, COUNT(*) AS n_triangles FROM (
+       |  SELECT UNNEST([x, y, z]) AS id FROM tri) z GROUP BY id""".stripMargin
+
   /** G4: 1-hop dependents — inbound edges joined to vertices
     * (graph_loader.go:339-351).
     */
@@ -2416,6 +2445,7 @@ object Queries {
     "q_g7_path_arrays" -> g7PathArrays,
     "q_g8_pagerank" -> g8PageRank,
     "q_g6_components" -> g6Components,
+    "q_g9_triangles" -> g9Triangles,
     "q_c1_compliance_pack" -> c1PackQuery,
     "q_c5_macro_canonical" -> c5MacroCanonical,
     "q_v1_typed_s3_view" -> v1TypedS3,
@@ -2498,6 +2528,7 @@ object Queries {
     "q_st7_hopping_agg" -> st7Oracle,
     "q_st8_session_agg" -> st8Oracle,
     "q_g6_components" -> g6Oracle,
+    "q_g9_triangles" -> g9Oracle,
     "q_x3_asof_join" -> x3Oracle,
     "q_x4_range_join" -> x4Oracle,
     "q_a11_pivot" -> a11Oracle,

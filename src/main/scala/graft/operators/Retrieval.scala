@@ -120,12 +120,15 @@ object Retrieval {
     import spark.implicits._
     val lam = lambdaPct / 100.0
     val mu = (100 - lambdaPct) / 100.0
+    // cached: the head feeds TWO bounded collects (pairs and ranks) and
+    // upstream may be a whole retrieval pipeline worth recomputing once
     val cand = ranked.filter(col("rank") <= nCand)
       .join(vectors.select(col(idCol).cast("bigint").as("id"),
         col(vecCol).as("_v")), "id")
       .select(col("query_id").cast("bigint"), col("id"),
         col("rank").cast("bigint"), col("_v"),
         Similarity.norm(col("_v")).as("_n"))
+      .cache()
     val a = cand.select(col("query_id"), col("id").as("ia"),
       col("_v").as("va"), col("_n").as("na"))
     val b = cand.select(col("query_id"), col("id").as("ib"),

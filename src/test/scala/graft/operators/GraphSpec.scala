@@ -111,4 +111,27 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(pr2 == pr)
   }
+
+  test("triangles: per-vertex counts via degree orientation") {
+    // K4 on {a,b,c,d} (4 triangles, each vertex in 3), one pendant edge
+    // d-e (no triangle), a duplicate + reversed edge, and a self-loop —
+    // the last three must not change any count
+    val k4 = for {
+      Seq(x, y) <- Seq("a", "b", "c", "d").combinations(2).toSeq
+    } yield (x, y)
+    val e = (k4 ++ Seq(("d", "e"), ("b", "a"), ("a", "b"), ("c", "c")))
+      .toDF("from_id", "to_id")
+    val out = Graph.triangles(e)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L), out)
+  }
+
+  test("triangles: wedge apex is unique per triangle (no double count)") {
+    // a 5-cycle plus one chord creates exactly one triangle
+    val e = Seq(("1", "2"), ("2", "3"), ("3", "4"), ("4", "5"), ("5", "1"),
+      ("1", "3")).toDF("from_id", "to_id")
+    val out = Graph.triangles(e)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("1" -> 1L, "2" -> 1L, "3" -> 1L), out)
+  }
 }
