@@ -1476,6 +1476,29 @@ object PipelineQueries {
        |FROM conj""".stripMargin
   }
 
+  /** T31: weight-proportional systematic sampling
+    * ([[Sampling.weightedSystematic]]) — keep ~50 docs with probability
+    * ∝ n_chars, deterministically (no rand(), all int64). The Spark side
+    * runs the hierarchical shard-cumsum; the oracle replays the SAME
+    * selection with one global window, which must agree because the
+    * shard is a prefix of the sort key.
+    */
+  val t31WeightedSample: Q = (s, d) =>
+    Sampling.weightedSystematic(t(s, d, "documents"), "doc_id", "n_chars",
+        target = 50L)
+      .select(col("doc_id"), col("n_chars"), col("cum"), col("step"))
+  val t31Oracle =
+    """WITH h AS (SELECT doc_id, n_chars,
+      |    md5(CAST(doc_id AS STRING)) AS hx FROM documents),
+      |c AS (SELECT doc_id, n_chars,
+      |    CAST(SUM(n_chars) OVER (ORDER BY hx, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM h),
+      |s AS (SELECT CAST(GREATEST(SUM(n_chars) // 50, 1) AS BIGINT) AS step
+      |      FROM documents)
+      |SELECT doc_id, n_chars, cum, step FROM c, s
+      |WHERE cum // step > (cum - n_chars) // step""".stripMargin
+
   /** T30: Luhn-validated PII detection ([[TextAnalysis.luhnValid]]) —
     * beyond q_t9's shape-only redaction: a 16-digit run is only a card
     * number if its mod-10 checksum holds, and a real pipeline must not
@@ -2743,6 +2766,7 @@ object PipelineQueries {
     "q_d13_dedup_keepbest" -> d13KeepBest,
     "q_s15_hard_negatives" -> s15HardNegatives,
     "q_t30_luhn_pii" -> t30LuhnPii,
+    "q_t31_weighted_sample" -> t31WeightedSample,
     "q_r3_phrase_search" -> r3PhraseSearch,
     "q_r4_retrieval_pipeline" -> r4RetrievalPipeline,
     "q_s16_label_prototypes" -> s16LabelPrototypes,
@@ -2814,6 +2838,7 @@ object PipelineQueries {
     "q_d13_dedup_keepbest" -> d13KeepBestOracle,
     "q_s15_hard_negatives" -> s15Oracle,
     "q_t30_luhn_pii" -> t30Oracle,
+    "q_t31_weighted_sample" -> t31Oracle,
     "q_r3_phrase_search" -> r3Oracle,
     "q_r4_retrieval_pipeline" -> r4Oracle,
     "q_s16_label_prototypes" -> s16Oracle,

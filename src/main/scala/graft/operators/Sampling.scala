@@ -187,6 +187,58 @@ object Sampling {
     * seed = byte-identical order across runs, engines, and retries —
     * which is what makes a training run resumable and ablatable.
     */
+  /** Weight-proportional systematic sampling: keep ~`target` rows with
+    * P[keep] ∝ integer `weight`, deterministically — the
+    * quality-weighted downsampling step (keep more of the high-scoring
+    * docs) that rand()-based weighted sampling can't make reproducible.
+    *
+    * Scheme: order rows by `(md5(key), key)` (an order-free uniform
+    * permutation), take the running weight sum `cum`, and keep a row iff
+    * the interval `(cum − w, cum]` contains a multiple of
+    * `step = max(totalW div target, 1)` — classic systematic sampling
+    * over the cumulative axis, all int64, no floats, no rand(). Rows
+    * with `w ≥ step` are always kept (the heavy-doc guarantee); a heavy
+    * row absorbs every boundary in its interval while appearing once, so
+    * `target` bounds SELECTIONS and the kept-row count can run below it
+    * when heavy rows saturate — the usual deduplicated-systematic
+    * semantics.
+    *
+    * Scale: a global running sum would serialize, so the cumsum is
+    * hierarchical — per-shard window (shard = first md5 byte, 256-way)
+    * plus broadcast shard-offsets, the same two-pass pattern as
+    * [[TextAnalysis.packSequences]]. Because the shard is a PREFIX of
+    * the sort key, per-shard order + lexicographic shard offsets equal
+    * the one global order, which is exactly what the oracle replays with
+    * a single window.
+    *
+    * @return input rows kept, plus (`cum`, `step`) for audit.
+    */
+  def weightedSystematic(df: DataFrame, keyCol: String, weightCol: String,
+      target: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(target >= 1, s"target must be >= 1, got $target")
+    requireFreshColumns(df, Seq("_h", "_shard", "_w", "cum", "step"))
+    val h = df
+      .withColumn("_h", md5(col(keyCol).cast("string")))
+      .withColumn("_shard", substring(col("_h"), 1, 2))
+      .withColumn("_w", col(weightCol).cast("bigint"))
+    val totals = h.groupBy("_shard").agg(sum("_w").as("_sw"))
+    val wOff = Window.orderBy("_shard")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    // 256 rows: the offset window is driver-scale by construction
+    val offsets = totals.withColumn("_off",
+      coalesce(sum("_sw").over(wOff), lit(0L)))
+    val wCum = Window.partitionBy("_shard").orderBy(col("_h"), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stepDf = h.agg(sum("_w").as("_tw"))
+      .select(greatest(expr(s"_tw div ${target}L"), lit(1L)).as("step"))
+    h.join(broadcast(offsets.select(col("_shard"), col("_off"))), "_shard")
+      .withColumn("cum", col("_off") + sum("_w").over(wCum))
+      .crossJoin(broadcast(stepDf))
+      .filter(expr("cum div step") > expr("(cum - _w) div step"))
+      .drop("_h", "_shard", "_w", "_off")
+  }
+
   def interleave(df: DataFrame, keyCol: String, seed: String,
       prefixChars: Int = 2): DataFrame = {
     require(prefixChars >= 1 && prefixChars <= 8,

@@ -202,4 +202,42 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(again == out.collect().map(_.getLong(0)).toSet)
   }
+
+  test("weightedSystematic: ~target rows, weight-proportional, heavy rows always kept") {
+    // 1000 light rows (w=10) + 10 heavy rows (w=5000): totalW=60000,
+    // target 30 -> step=2000 < 5000, so every heavy row MUST be kept
+    val df = ((1 to 1000).map(i => (i.toLong, 10L)) ++
+      (2001 to 2010).map(i => (i.toLong, 5000L))).toDF("id", "w")
+    val kept = Sampling.weightedSystematic(df, "id", "w", target = 30L)
+    val ids = kept.select("id").as[Long].collect().toSet
+    assert((2001L to 2010L).forall(ids.contains), "heavy rows must all survive")
+    // heavy rows absorb multiple step boundaries but are kept once, so
+    // kept-rows <= target: 10 heavy rows soak up ~25 of the 30
+    // boundaries; the light pool (10000 weight) contributes ~5 more
+    val n = ids.size
+    assert(n >= 12 && n <= 20, s"kept $n (expected ~15 after saturation)")
+    // deterministic
+    val again = Sampling.weightedSystematic(df, "id", "w", target = 30L)
+      .select("id").as[Long].collect().toSet
+    assert(again == ids)
+  }
+
+  test("weightedSystematic: sharded cumsum equals the single global window") {
+    val df = (1 to 500).map(i => (i.toLong, (i % 7 + 1).toLong)).toDF("id", "w")
+    val out = Sampling.weightedSystematic(df, "id", "w", target = 40L)
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    // independent reference: one global in-memory cumsum in (md5, id) order
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = (1 to 500).map(i => (i.toLong, (i % 7 + 1).toLong))
+      .sortBy { case (id, _) => (md5hex(id.toString), id) }
+    val totalW = rows.map(_._2).sum
+    val step = math.max(totalW / 40L, 1L)
+    var cum = 0L
+    val expect = rows.flatMap { case (id, w) =>
+      cum += w
+      if (cum / step > (cum - w) / step) Some(id -> cum) else None
+    }.toMap
+    assert(out == expect)
+  }
 }
