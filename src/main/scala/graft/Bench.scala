@@ -16,7 +16,7 @@ object Bench {
   /** Queries timed by a driver-side loop of short jobs — extra-sensitive
     * to CPU contention, so they earn a third run when slow.
     */
-  private val IterativePrefixes = Seq("q_g", "q_d5", "q_d6", "q_st2")
+  private val IterativePrefixes = Seq("q_g", "q_d5", "q_d6", "q_st2", "q_s14")
 
   /** Shuffle-skew telemetry: per-task shuffle-read bytes, grouped by
     * stage. SkewJoin/AQE exist as the salted backstop for skewed keys —
