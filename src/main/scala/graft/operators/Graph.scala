@@ -119,10 +119,11 @@ object Graph {
     * are equi-joins on vertex ids; everything replays as plain SQL.
     */
   def triangles(edges: DataFrame): DataFrame = {
+    // cached: read three times (degrees, orientation, wedge closure)
     val und = edges
       .select(least(col("from_id"), col("to_id")).as("a"),
         greatest(col("from_id"), col("to_id")).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
+      .filter(col("a") =!= col("b")).distinct().cache()
     val deg = und.select(explode(array(col("a"), col("b"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("deg"))
     val withDeg = und

@@ -40,16 +40,6 @@ object Retrieval {
     */
   val RrfScale = 1000000000L
 
-  /** Fuse per-source rankings into one top-`k` list per query.
-    *
-    * @param rankings (query_id, id, rank, source) — `rank` is 1-based
-    *                 within (query_id, source); duplicate (query, source,
-    *                 doc) rows are invalid input and are guarded against
-    *                 by counting per-source contributions.
-    * @return (query_id, rank, id, rrf_score, n_sources) — fused rank
-    *         1-based by (rrf_score desc, id asc); ties on the integer
-    *         score break deterministically on the doc id.
-    */
   /** Hard-negative mining for contrastive training: for each query
     * (anchor embedding + its label), the top-k most-similar vectors whose
     * label DIFFERS — the near-miss negatives that make a contrastive
@@ -170,6 +160,16 @@ object Retrieval {
       .orderBy("query_id", "pick")
   }
 
+  /** Fuse per-source rankings into one top-`k` list per query.
+    *
+    * @param rankings (query_id, id, rank, source) — `rank` is 1-based
+    *                 within (query_id, source); duplicate (query, source,
+    *                 doc) rows are invalid input and are guarded against
+    *                 by counting per-source contributions.
+    * @return (query_id, rank, id, rrf_score, n_sources) — fused rank
+    *         1-based by (rrf_score desc, id asc); ties on the integer
+    *         score break deterministically on the doc id.
+    */
   def rrfFuse(rankings: DataFrame, k: Int, k0: Int = DefaultK0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val contrib: Column = expr(s"${RrfScale}L div (${k0}L + rank)")

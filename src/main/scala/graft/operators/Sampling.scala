@@ -217,7 +217,7 @@ object Sampling {
       target: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(target >= 1, s"target must be >= 1, got $target")
-    requireFreshColumns(df, Seq("_h", "_shard", "_w", "cum", "step"))
+    requireFreshColumns(df, Seq("_h", "_shard", "_w", "_off", "cum", "step"))
     val h = df
       .withColumn("_h", md5(col(keyCol).cast("string")))
       .withColumn("_shard", substring(col("_h"), 1, 2))
