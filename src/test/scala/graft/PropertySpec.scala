@@ -173,4 +173,97 @@ class PropertySpec extends SparkSpec {
       }
     }, minSuccessful = 3)
   }
+
+  test("triangles match an O(n^3) reference on random graphs, any edge form") {
+    // random multigraphs with duplicates, reversals, and self-loops: the
+    // degree-oriented count must equal brute-force enumeration over the
+    // canonical simple graph
+    val edgeGen = Gen.listOfN(60,
+      Gen.zip(Gen.choose(0, 11), Gen.choose(0, 11)))
+    check(Prop.forAllNoShrink(edgeGen) { raw =>
+      val df = raw.map { case (x, y) => (s"v$x", s"v$y") }
+        .toDF("from_id", "to_id")
+      val got = operators.Graph.triangles(df)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val simple = raw.collect { case (x, y) if x != y =>
+        (math.min(x, y), math.max(x, y)) }.toSet
+      val verts = simple.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+      val refCounts = scala.collection.mutable.Map[Int, Long]()
+      for {
+        Seq(x, y, z) <- verts.combinations(3)
+        if simple((x, y)) && simple((x, z)) && simple((y, z))
+        v <- Seq(x, y, z)
+      } refCounts(v) = refCounts.getOrElse(v, 0L) + 1
+      got == refCounts.map { case (v, n) => s"v$v" -> n }.toMap
+    }, minSuccessful = 4)
+  }
+
+  test("rrfFuse is invariant to input row order") {
+    val rowsGen = Gen.listOfN(40, Gen.zip(
+      Gen.choose(0L, 2L), Gen.choose(0L, 15L), Gen.oneOf("a", "b")))
+    check(Prop.forAllNoShrink(rowsGen) { raw =>
+      // build valid rankings: rank = position within (query, source)
+      val ranked = raw.distinct
+        .groupBy { case (q, _, s) => (q, s) }.toSeq
+        .flatMap { case ((q, s), rs) =>
+          rs.map(_._2).distinct.zipWithIndex
+            .map { case (id, i) => (q, id, i + 1L, s) }
+        }
+      val df = ranked.toDF("query_id", "id", "rank", "source")
+      val fwd = operators.Retrieval.rrfFuse(df, k = 5)
+        .collect().map(_.toSeq).toSet
+      val rev = operators.Retrieval
+        .rrfFuse(ranked.reverse.toDF("query_id", "id", "rank", "source")
+          .repartition(7), k = 5)
+        .collect().map(_.toSeq).toSet
+      fwd == rev
+    }, minSuccessful = 4)
+  }
+
+  test("kmeansExact is bit-identical under repartitioning (sum-order-free)") {
+    val ptsGen = Gen.listOfN(50, Gen.listOfN(4,
+      Gen.choose(-1000, 1000).map(_ / 500.0f)))
+    check(Prop.forAllNoShrink(ptsGen) { vs =>
+      val pts = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val df = pts.toDF("vid", "emb")
+      def run(d: org.apache.spark.sql.DataFrame) =
+        operators.Clustering.kmeansExact(d, "vid", "emb", k = 3, iters = 2)
+          .collect().map(_.toSeq).toSet
+      run(df) == run(df.repartition(13))
+    }, minSuccessful = 3)
+  }
+
+  test("luhnCheckDigit completes any digit payload; any single-digit edit breaks it") {
+    val payloadGen = Gen.listOfN(14, Gen.choose(0, 9)).map(_.mkString)
+    check(Prop.forAllNoShrink(payloadGen, Gen.choose(0, 13),
+      Gen.choose(1, 9)) { (base, pos, delta) =>
+      val rows = Seq(base).toDF("b")
+        .select(concat(col("b"),
+          operators.TextAnalysis.luhnCheckDigit(col("b")).cast("string"))
+          .as("pan"))
+      val pan = rows.as[String].first()
+      val mutated = pan.updated(pos,
+        (((pan(pos) - '0') + delta) % 10 + '0').toChar)
+      val checks = Seq(pan, mutated).toDF("c")
+        .select(operators.TextAnalysis.luhnValid(col("c")))
+        .as[Boolean].collect().toSeq
+      checks == Seq(true, false) // valid pan; any digit edit detected
+    }, minSuccessful = 6)
+  }
+
+  test("weightedSystematic keeps at most ceil(W/step) rows and every heavy row") {
+    val wGen = Gen.listOfN(120, Gen.choose(1L, 50L))
+    check(Prop.forAllNoShrink(wGen) { ws =>
+      val df = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+        .toDF("id", "w")
+      val out = Sampling.weightedSystematic(df, "id", "w", target = 20L)
+        .select("id", "step").as[(Long, Long)].collect()
+      val step = out.headOption.map(_._2).getOrElse(1L)
+      val totalW = ws.sum
+      val heavy = ws.zipWithIndex.collect {
+        case (w, i) if w >= step => i.toLong }.toSet
+      val ids = out.map(_._1).toSet
+      ids.size <= (totalW + step - 1) / step && heavy.subsetOf(ids)
+    }, minSuccessful = 4)
+  }
 }
