@@ -1499,6 +1499,60 @@ object PipelineQueries {
       |SELECT doc_id, n_chars, cum, step FROM c, s
       |WHERE cum // step > (cum - n_chars) // step""".stripMargin
 
+  /** M6: perceptual-hash image dedup ([[Multimodal.dHash64]]) — the
+    * multimodal×dedup bridge: byte-distinct gradient PNGs that differ
+    * only in exposure (`id div 64` brightness offsets on the same
+    * `id mod 64` structure) hash EQUAL under dHash (neighbor comparisons
+    * cancel uniform shifts), so the groups an md5 dedup can never find
+    * fall out of one hash groupBy. The fixture pattern is arithmetic and
+    * PNG is lossless, so the oracle recomputes every hash bit — real
+    * `javax.imageio` decode on the Spark side, closed-form integer
+    * replay on the DuckDB side — plus the grouping. `n_exposures` > 1 on
+    * multi-member groups states "the payload bytes differed" as data.
+    */
+  val m6PhashDedup: Q = (s, d) => {
+    val hashed = t(s, d, "documents").select(col("doc_id"))
+      .withColumn("payload",
+        Multimodal.syntheticGradientPayload(col("doc_id")))
+      .withColumn("dhash", Multimodal.dHashCol(col("payload")))
+    val groups = hashed.groupBy("dhash")
+      .agg(count(lit(1)).as("group_size"),
+        min("doc_id").as("keeper_id"),
+        countDistinct(expr("(doc_id div 64) % 3")).as("n_exposures"))
+    hashed.join(groups, "dhash")
+      .select(col("doc_id"), col("dhash"), col("group_size"),
+        col("keeper_id"), col("n_exposures"))
+  }
+  val m6Oracle: String = {
+    // integer Rec.601 luminance of the gradient pattern at 9x8-grid cell
+    // (xExpr, y) after nearest-neighbor sampling (sx = x*16//9, sy = y)
+    def lum(xExpr: String): String = {
+      val sx = s"((($xExpr) * 16) // 9)"
+      val sy = "(j // 8)"
+      s"(299 * ((11 * $sx + 23 * $sy + 5 * p) % 250 + b) + " +
+        s"587 * ((7 * $sx + 31 * $sy + 3 * p) % 250 + b) + " +
+        s"114 * ((17 * $sx + 13 * $sy + 11 * p) % 250 + b))"
+    }
+    s"""WITH ids AS (SELECT doc_id, CAST(doc_id % 64 AS INT) AS p,
+       |    CAST((doc_id // 64) % 3 AS INT) AS b FROM documents),
+       |hraw AS (SELECT doc_id, b,
+       |    list_sum(list_transform(range(0, 64), j ->
+       |      CASE WHEN ${lum("(j % 8) + 1")} > ${lum("j % 8")}
+       |      THEN (CAST(1 AS HUGEINT) << j) ELSE CAST(0 AS HUGEINT) END))
+       |      AS s
+       |  FROM ids),
+       |hx AS (SELECT doc_id, b,
+       |    CAST(CASE WHEN s >= CAST(9223372036854775808 AS HUGEINT)
+       |         THEN s - CAST(18446744073709551616 AS HUGEINT)
+       |         ELSE s END AS BIGINT) AS dhash
+       |  FROM hraw),
+       |g AS (SELECT dhash, COUNT(*) AS group_size, MIN(doc_id) AS keeper_id,
+       |        COUNT(DISTINCT b) AS n_exposures
+       |      FROM hx GROUP BY dhash)
+       |SELECT h.doc_id, h.dhash, g.group_size, g.keeper_id, g.n_exposures
+       |FROM hx h JOIN g USING (dhash)""".stripMargin
+  }
+
   /** T30: Luhn-validated PII detection ([[TextAnalysis.luhnValid]]) —
     * beyond q_t9's shape-only redaction: a 16-digit run is only a card
     * number if its mod-10 checksum holds, and a real pipeline must not
@@ -2767,6 +2821,7 @@ object PipelineQueries {
     "q_s15_hard_negatives" -> s15HardNegatives,
     "q_t30_luhn_pii" -> t30LuhnPii,
     "q_t31_weighted_sample" -> t31WeightedSample,
+    "q_m6_phash_dedup" -> m6PhashDedup,
     "q_r3_phrase_search" -> r3PhraseSearch,
     "q_r4_retrieval_pipeline" -> r4RetrievalPipeline,
     "q_s16_label_prototypes" -> s16LabelPrototypes,
@@ -2839,6 +2894,7 @@ object PipelineQueries {
     "q_s15_hard_negatives" -> s15Oracle,
     "q_t30_luhn_pii" -> t30Oracle,
     "q_t31_weighted_sample" -> t31Oracle,
+    "q_m6_phash_dedup" -> m6Oracle,
     "q_r3_phrase_search" -> r3Oracle,
     "q_r4_retrieval_pipeline" -> r4Oracle,
     "q_s16_label_prototypes" -> s16Oracle,

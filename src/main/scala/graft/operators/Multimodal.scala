@@ -126,6 +126,74 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Deterministic 16×8 gradient PNG — the patterned sibling of
+    * [[syntheticPng]] for perceptual hashing (a solid fill has no
+    * gradient, so its dHash is vacuously zero). Channel values at pixel
+    * (x, y) are pure arithmetic in the STRUCTURE key `p = id mod 64` plus
+    * a small brightness offset `b = (id div 64) mod 3`:
+    * r = (11x + 23y + 5p) mod 250 + b, g = (7x + 31y + 3p) mod 250 + b,
+    * blue = (17x + 13y + 11p) mod 250 + b. Ids sharing `p` are therefore
+    * the SAME picture at slightly different exposure — byte-distinct
+    * files that a perceptual hash must group and an md5 never will. PNG
+    * is lossless, so an oracle predicts every decoded pixel exactly.
+    */
+  def syntheticGradientPng(id: Long): Array[Byte] = {
+    val p = math.floorMod(id, 64).toInt
+    val b = math.floorMod(id / 64, 3).toInt
+    val img = new java.awt.image.BufferedImage(16, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 16) {
+      val r = (11 * x + 23 * y + 5 * p) % 250 + b
+      val g = (7 * x + 31 * y + 3 * p) % 250 + b
+      val bl = (17 * x + 13 * y + 11 * p) % 250 + b
+      img.setRGB(x, y, (r << 16) | (g << 8) | bl)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Column form of [[syntheticGradientPng]]. */
+  def syntheticGradientPayload(id: Column): Column =
+    udf((i: Long) => syntheticGradientPng(i)).apply(id)
+
+  /** 64-bit difference hash (dHash) — the standard cheap perceptual
+    * image fingerprint: sample the decoded image to a 9×8 luminance grid
+    * and emit one bit per horizontally adjacent pair (`L(x+1,y) >
+    * L(x,y)`). Comparing NEIGHBORS makes the hash invariant to uniform
+    * brightness shifts — the property the near-dup demo leans on — and
+    * resampling makes it invariant to scale. The resample here is
+    * explicit integer nearest-neighbor (`sx = X·w div 9`, `sy = Y·h div
+    * 8` on the JDK-decoded pixels) rather than Graphics2D, so every bit
+    * is integer arithmetic an external oracle can replay; luminance is
+    * integer Rec.601 (299r + 587g + 114b, unscaled).
+    */
+  def dHash64(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth < 1 || img.getHeight < 1) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        def lum(gx: Int, gy: Int): Long = {
+          val rgb = img.getRGB(gx * w / 9, gy * h / 8)
+          299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+            114L * (rgb & 0xff)
+        }
+        var hash = 0L
+        for (y <- 0 until 8; x <- 0 until 8)
+          if (lum(x + 1, y) > lum(x, y))
+            hash |= 1L << (y * 8 + x)
+        Some(hash)
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Column form of [[dHash64]]. */
+  def dHashCol(payload: Column): Column =
+    udf((b: Array[Byte]) => dHash64(b)).apply(payload)
+
   /** Decoded-audio facts: container type, format fields, and exact
     * integer sample statistics (sum of squared samples and peak |sample|
     * — the integer core of RMS/peak loudness, kept integer so an

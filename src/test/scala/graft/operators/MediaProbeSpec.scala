@@ -203,4 +203,35 @@ class MediaProbeSpec extends SparkSpec {
     val plan = Multimodal.withProbedMeta(df).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("dHash64: brightness-invariant, structure-sensitive, byte-distinct inputs") {
+    // same structure p, different exposure b: ids 5, 69 (= 5 + 64), 133
+    val base = Multimodal.syntheticGradientPng(5L)
+    val brighter = Multimodal.syntheticGradientPng(69L)
+    val brightest = Multimodal.syntheticGradientPng(133L)
+    assert(!java.util.Arrays.equals(base, brighter),
+      "payload bytes must differ across exposures")
+    val h = Seq(base, brighter, brightest).map(Multimodal.dHash64(_).get)
+    assert(h.distinct.size == 1, s"exposure shift must not change dHash: $h")
+    // a different structure key must (here) produce a different hash
+    val other = Multimodal.dHash64(Multimodal.syntheticGradientPng(6L)).get
+    assert(other != h.head)
+    // closed-form replay of the bit definition for one image
+    val p = 5; val b = 0
+    def lum(x9: Int, y: Int): Long = {
+      val sx = x9 * 16 / 9; val sy = y
+      299L * ((11 * sx + 23 * sy + 5 * p) % 250 + b) +
+        587L * ((7 * sx + 31 * sy + 3 * p) % 250 + b) +
+        114L * ((17 * sx + 13 * sy + 11 * p) % 250 + b)
+    }
+    var expect = 0L
+    for (y <- 0 until 8; x <- 0 until 8)
+      if (lum(x + 1, y) > lum(x, y)) expect |= 1L << (y * 8 + x)
+    assert(h.head == expect, f"decoded ${h.head}%016x vs closed-form $expect%016x")
+  }
+
+  test("dHash64: undecodable and null payloads yield None") {
+    assert(Multimodal.dHash64("junk".getBytes).isEmpty)
+    assert(Multimodal.dHash64(null).isEmpty)
+  }
 }
