@@ -1511,10 +1511,13 @@ object PipelineQueries {
     * multi-member groups states "the payload bytes differed" as data.
     */
   val m6PhashDedup: Q = (s, d) => {
+    // cached: the hash frame feeds both the group aggregate and the join
+    // back — without it every PNG decodes twice
     val hashed = t(s, d, "documents").select(col("doc_id"))
       .withColumn("payload",
         Multimodal.syntheticGradientPayload(col("doc_id")))
       .withColumn("dhash", Multimodal.dHashCol(col("payload")))
+      .drop("payload").cache()
     val groups = hashed.groupBy("dhash")
       .agg(count(lit(1)).as("group_size"),
         min("doc_id").as("keeper_id"),
