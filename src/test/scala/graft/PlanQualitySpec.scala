@@ -219,4 +219,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
     assert(!p.contains("Exchange"), "detection must not shuffle\n" + p)
   }
+
+  test("T31 weighted sampling: the data-sized window is shard-partitioned") {
+    val p = plan("q_t31_weighted_sample")
+    // two windows exist: the 256-row offset window may be global, but the
+    // corpus-sized cumsum must carry a partition spec (_shard) — a
+    // refactor to one global window would serialize the whole table
+    assert(p.contains("_shard"), p)
+    assert(p.contains("BroadcastExchange"), "offsets+step must broadcast\n" + p)
+  }
+
+  test("G9 triangles: equi-joins only, no cartesian, no broadcast of edges") {
+    val p = plan("q_g9_triangles")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
