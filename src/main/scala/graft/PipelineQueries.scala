@@ -1663,7 +1663,8 @@ object PipelineQueries {
        |             COUNT(*) AS n_vecs
        |      FROM qv, range(1, 65) t(d) GROUP BY label, d)
        |SELECT label, n_vecs, d - 1 AS dim,
-       |  (2 * (s + $m * n_vecs) + n_vecs) // (2 * n_vecs) - $m AS c_q
+       |  CAST((2 * (s + $m * n_vecs) + n_vecs) // (2 * n_vecs) - $m
+       |       AS BIGINT) AS c_q
        |FROM u""".stripMargin
   }
 
@@ -1787,7 +1788,7 @@ object PipelineQueries {
 
   val t29Oracle: String = {
     val chain = (Seq("script", "style", "nav", "footer", "header", "aside")
-      .map(tag => s"(?i)<$tag[^>]*>.*?</$tag>" -> " ") ++
+      .map(tag => s"(?is)<$tag[^>]*>.*?</$tag>" -> " ") ++
       Seq("<[^>]+>" -> " ", "&lt;" -> "<", "&gt;" -> ">",
         "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&"))
       .foldLeft("html")((acc, pr) =>
@@ -2420,24 +2421,31 @@ object PipelineQueries {
   val s8PqCodebook: Q = (s, d) => {
     val (_, codebook, _) = Similarity.pqIndex(
       t(s, d, "embeddings"), "vec_id", "embedding")
+    // Long form (subspace, code, dim, value): emitted frames carry only
+    // scalar columns — the driver's pandas hasher cannot sort an
+    // array-typed column (COVERAGE.md, determinism rules).
     codebook.select(col("subspace").cast("bigint").as("subspace"),
-      col("code").cast("bigint").as("code"), col("centroid"))
+        col("code").cast("bigint").as("code"),
+        posexplode(col("centroid")).as(Seq("dim", "value")))
+      .select(col("subspace"), col("code"),
+        col("dim").cast("bigint").as("dim"),
+        col("value").cast("double").as("value"))
   }
   val s8Oracle =
     s"""WITH sp AS (
        |  SELECT * FROM '__SPARK_OUT__/q_s8_pq_codebook/*.parquet'),
        |ok AS (SELECT
-       |    (SELECT COUNT(*) FROM sp) = 64
+       |    (SELECT COUNT(*) FROM sp) = 64 * $PqSubDim
        |    AND (SELECT COUNT(*) FROM
-       |         (SELECT DISTINCT subspace, code FROM sp) z) = 64
+       |         (SELECT DISTINCT subspace, code, dim FROM sp) z)
+       |      = 64 * $PqSubDim
        |    AND NOT EXISTS (SELECT 1 FROM sp
        |          WHERE subspace NOT BETWEEN 0 AND 3
        |             OR code NOT BETWEEN 0 AND 15
-       |             OR len(centroid) <> $PqSubDim
-       |             OR len(list_filter(centroid,
-       |                  x -> NOT isfinite(CAST(x AS DOUBLE)))) > 0)
+       |             OR dim NOT BETWEEN 0 AND ${PqSubDim - 1}
+       |             OR NOT isfinite(value))
        |    AS complete)
-       |SELECT subspace, code, centroid FROM sp
+       |SELECT subspace, code, dim, value FROM sp
        |WHERE (SELECT complete FROM ok)""".stripMargin
 
   val s9PqCodes: Q = (s, d) => {
@@ -2451,7 +2459,9 @@ object PipelineQueries {
   val s9Oracle =
     s"""WITH sp AS (
        |  SELECT * FROM '__SPARK_OUT__/q_s9_pq_codes/*.parquet'),
-       |cb AS (SELECT * FROM '__SPARK_OUT__/q_s8_pq_codebook/*.parquet'),
+       |cb AS (SELECT subspace, code, list(value ORDER BY dim) AS centroid
+       |       FROM '__SPARK_OUT__/q_s8_pq_codebook/*.parquet'
+       |       GROUP BY subspace, code),
        |d2 AS (
        |  SELECT e.vec_id, cb.subspace, cb.code,
        |    (SELECT SUM((CAST(a AS DOUBLE) - CAST(b AS DOUBLE))
@@ -2488,7 +2498,9 @@ object PipelineQueries {
   }
   val s10Oracle =
     s"""WITH cb AS (
-       |  SELECT * FROM '__SPARK_OUT__/q_s8_pq_codebook/*.parquet'),
+       |  SELECT subspace, code, list(value ORDER BY dim) AS centroid
+       |  FROM '__SPARK_OUT__/q_s8_pq_codebook/*.parquet'
+       |  GROUP BY subspace, code),
        |cd AS (SELECT * FROM '__SPARK_OUT__/q_s9_pq_codes/*.parquet'),
        |q AS (SELECT vec_id AS query_id, embedding AS qvec
        |      FROM embeddings WHERE vec_id < 5),
@@ -2521,21 +2533,26 @@ object PipelineQueries {
   val s11IvfCentroids: Q = (s, d) => {
     val (centroids, _) = Similarity.ivfIndex(
       t(s, d, "embeddings"), "vec_id", "embedding")
-    centroids.select(col("cell").cast("bigint").as("cell"), col("centroid"))
+    // Long form (cell, dim, value) — same scalar-columns-only rule as
+    // q_s8: the driver's pandas hasher cannot sort array columns.
+    centroids.select(col("cell").cast("bigint").as("cell"),
+        posexplode(col("centroid")).as(Seq("dim", "value")))
+      .select(col("cell"), col("dim").cast("bigint").as("dim"),
+        col("value").cast("double").as("value"))
   }
   val s11Oracle =
     """WITH sp AS (
       |  SELECT * FROM '__SPARK_OUT__/q_s11_ivf_centroids/*.parquet'),
       |ok AS (SELECT
-      |    (SELECT COUNT(*) FROM sp) = 16
-      |    AND (SELECT COUNT(DISTINCT cell) FROM sp) = 16
+      |    (SELECT COUNT(*) FROM sp) = 16 * 64
+      |    AND (SELECT COUNT(*) FROM
+      |         (SELECT DISTINCT cell, dim FROM sp) z) = 16 * 64
       |    AND NOT EXISTS (SELECT 1 FROM sp
       |          WHERE cell NOT BETWEEN 0 AND 15
-      |             OR len(centroid) <> 64
-      |             OR len(list_filter(centroid,
-      |                  x -> NOT isfinite(CAST(x AS DOUBLE)))) > 0)
+      |             OR dim NOT BETWEEN 0 AND 63
+      |             OR NOT isfinite(value))
       |    AS complete)
-      |SELECT cell, centroid FROM sp
+      |SELECT cell, dim, value FROM sp
       |WHERE (SELECT complete FROM ok)""".stripMargin
 
   val s12IvfPqTopK: Q = (s, d) => {
@@ -2550,9 +2567,13 @@ object PipelineQueries {
   }
   val s12Oracle =
     s"""WITH cb AS (
-       |  SELECT * FROM '__SPARK_OUT__/q_s8_pq_codebook/*.parquet'),
+       |  SELECT subspace, code, list(value ORDER BY dim) AS centroid
+       |  FROM '__SPARK_OUT__/q_s8_pq_codebook/*.parquet'
+       |  GROUP BY subspace, code),
        |cd AS (SELECT * FROM '__SPARK_OUT__/q_s9_pq_codes/*.parquet'),
-       |ce AS (SELECT * FROM '__SPARK_OUT__/q_s11_ivf_centroids/*.parquet'),
+       |ce AS (SELECT cell, list(value ORDER BY dim) AS centroid
+       |       FROM '__SPARK_OUT__/q_s11_ivf_centroids/*.parquet'
+       |       GROUP BY cell),
        |q AS (SELECT vec_id AS query_id, embedding AS qvec
        |      FROM embeddings WHERE vec_id < 5),
        |vd AS (

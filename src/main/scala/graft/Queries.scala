@@ -675,12 +675,13 @@ object Queries {
         min("zval").as("min_zval"), max("zval").as("max_zval"))
   val l1Oracle =
     """WITH z AS (
-      |  SELECT list_sum(list_transform(range(0, 16), b ->
+      |  SELECT CAST(list_sum(list_transform(range(0, 16), b ->
       |    (((l_partkey % 65536) >> b) & 1) * (CAST(1 AS BIGINT) << (2*b)) +
       |    (((l_suppkey % 65536) >> b) & 1) * (CAST(1 AS BIGINT) << (2*b+1))))
-      |    AS zval
+      |    AS BIGINT) AS zval
       |  FROM lineitem)
-      |SELECT zval >> 10 AS zbucket, COUNT(*) AS n, SUM(zval) AS sum_zval,
+      |SELECT zval >> 10 AS zbucket, COUNT(*) AS n,
+      |       CAST(SUM(zval) AS BIGINT) AS sum_zval,
       |       MIN(zval) AS min_zval, MAX(zval) AS max_zval
       |FROM z GROUP BY 1""".stripMargin
 
@@ -1125,6 +1126,55 @@ object Queries {
        |SELECT id, COUNT(*) AS n_triangles FROM (
        |  SELECT UNNEST([x, y, z]) AS id FROM tri) z GROUP BY id""".stripMargin
 
+  /** G10: GRAPH_TABLE-lite MATCH over a REGISTERED property graph
+    * ([[operators.PropertyGraph]]) — the Spark stand-in for the
+    * reference's `CREATE PROPERTY GRAPH` + PGQ surface
+    * (graph_loader.go:281-295): the star-schema vertex/edge tables
+    * register with SOURCE/DESTINATION key references, then the
+    * fixed-length pattern `(v0)-[]->(v1)-[]->(v2)` runs through the
+    * registration's edge view as two equi-joins. Oracle: the plain
+    * relational expansion of the same pattern.
+    */
+  val g10GraphTable: Q = (s, d) => {
+    val g = PropertyGraph.register("star",
+      Map("resources" ->
+        PropertyGraph.VertexTable(Tables.sql(s, d, verticesSql), "id")),
+      Map("depends_on" ->
+        PropertyGraph.EdgeTable(Tables.sql(s, d, edgesSql),
+          "from_id", "to_id", "resources", "resources")))
+    g.matchPath(2)
+  }
+  val g10Oracle =
+    s"""WITH edges AS ($edgesSql)
+       |SELECT a.from_id AS v0, a.to_id AS v1, b.to_id AS v2
+       |FROM edges a JOIN edges b ON b.from_id = a.to_id""".stripMargin
+
+  /** G11: the DDL form of the registration
+    * ([[operators.PropertyGraph.registerDdl]]) — the reference's
+    * simplified `CREATE OR REPLACE PROPERTY GRAPH` statement parsed
+    * verbatim (catalog-resolved tables, KEY / SOURCE KEY / DESTINATION
+    * KEY / REFERENCES), then the SAME multi-source reach as q_g2 routed
+    * through the named graph — green against the identical
+    * recursive-CTE oracle, so the registration layer provably changes
+    * nothing about traversal semantics.
+    */
+  val g11GraphDdl: Q = (s, d) => {
+    Tables.sql(s, d, verticesSql).createOrReplaceTempView("graph_vertices")
+    Tables.sql(s, d, edgesSql).createOrReplaceTempView("graph_edges")
+    val g = PropertyGraph.registerDdl(s,
+      """CREATE OR REPLACE PROPERTY GRAPH star_infrastructure
+        |VERTEX TABLES (
+        |  graph_vertices KEY (id)
+        |)
+        |EDGE TABLES (
+        |  graph_edges
+        |  SOURCE KEY (from_id) REFERENCES graph_vertices (id)
+        |  DESTINATION KEY (to_id) REFERENCES graph_vertices (id)
+        |)""".stripMargin)
+    g.reach(Seq("o1", "o2", "o3"), 10)
+  }
+  val g11Oracle: String = g2Oracle
+
   /** G4: 1-hop dependents — inbound edges joined to vertices
     * (graph_loader.go:339-351).
     */
@@ -1332,7 +1382,11 @@ object Queries {
     val ev = Tables.normalizeTimestamps(stream, nanosLongCols = Set("ts"))
     val agg = graft.streaming.WindowedAgg.tumbling(
       ev, "ts", "event_type", "value", "1 hour", "30 minutes")
+    // Driver-harness typing: the exact decimal(28,4) sum rounds in
+    // decimal space then leaves as DOUBLE (the exactSum discipline) so
+    // the pandas hasher sees float64 on both engines.
     graft.streaming.Replay.availableNow(agg)
+      .withColumn("sum_value", round(col("sum_value"), 2).cast("double"))
   }
   val st4Oracle =
     """WITH mx AS (
@@ -1342,7 +1396,8 @@ object Queries {
       |             value FROM events)
       |SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
       |  event_type, COUNT(*) AS n_events,
-      |  SUM(CAST(value AS DECIMAL(18,4))) AS sum_value
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+      |    AS sum_value
       |FROM b GROUP BY 1, 3
       |HAVING window_start + INTERVAL 1 HOUR <= (SELECT wm FROM mx)"""
       .stripMargin
@@ -1365,6 +1420,7 @@ object Queries {
     val agg = graft.streaming.WindowedAgg.hopping(
       ev, "ts", "event_type", "value", "1 hour", "30 minutes", "30 minutes")
     graft.streaming.Replay.availableNow(agg)
+      .withColumn("sum_value", round(col("sum_value"), 2).cast("double"))
   }
   val st7Oracle: String =
     """WITH mx AS (
@@ -1380,7 +1436,8 @@ object Queries {
       |  FROM s)
       |SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
       |  event_type, COUNT(*) AS n_events,
-      |  SUM(CAST(value AS DECIMAL(18,4))) AS sum_value
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+      |    AS sum_value
       |FROM w GROUP BY 1, 3
       |HAVING window_start + INTERVAL 1 HOUR <= (SELECT wm FROM mx)"""
       .stripMargin
@@ -1405,6 +1462,7 @@ object Queries {
     val agg = graft.streaming.WindowedAgg.session(
       ev, "ts", "event_type", "value", "10 minutes", "10 minutes")
     graft.streaming.Replay.availableNow(agg)
+      .withColumn("sum_value", round(col("sum_value"), 2).cast("double"))
   }
   val st8Oracle: String =
     """WITH mx AS (
@@ -1424,7 +1482,8 @@ object Queries {
       |SELECT MIN(ts) AS session_start,
       |  MAX(ts) + INTERVAL 10 MINUTE AS session_end,
       |  event_type, COUNT(*) AS n_events,
-      |  SUM(CAST(value AS DECIMAL(18,4))) AS sum_value
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+      |    AS sum_value
       |FROM g GROUP BY event_type, sess
       |HAVING MAX(ts) + INTERVAL 10 MINUTE <= (SELECT wm FROM mx)"""
       .stripMargin
@@ -2446,6 +2505,8 @@ object Queries {
     "q_g8_pagerank" -> g8PageRank,
     "q_g6_components" -> g6Components,
     "q_g9_triangles" -> g9Triangles,
+    "q_g10_graph_table" -> g10GraphTable,
+    "q_g11_graph_ddl" -> g11GraphDdl,
     "q_c1_compliance_pack" -> c1PackQuery,
     "q_c5_macro_canonical" -> c5MacroCanonical,
     "q_v1_typed_s3_view" -> v1TypedS3,
@@ -2529,6 +2590,8 @@ object Queries {
     "q_st8_session_agg" -> st8Oracle,
     "q_g6_components" -> g6Oracle,
     "q_g9_triangles" -> g9Oracle,
+    "q_g10_graph_table" -> g10Oracle,
+    "q_g11_graph_ddl" -> g11Oracle,
     "q_x3_asof_join" -> x3Oracle,
     "q_x4_range_join" -> x4Oracle,
     "q_a11_pivot" -> a11Oracle,

@@ -49,6 +49,24 @@ object Verify {
         s"${q(k)}: ${q(v.replace("__SPARK_OUT__", outAbs))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Coverage high-water guard (round-7 lesson #2): the checked-query
+    // count must never silently shrink. VERIFY_HIGHWATER in the repo root
+    // records the best-known count; a full run below it fails loudly, and
+    // a run above it is the signal to commit a raised file.
+    Files.writeString(Paths.get(s"$outDir/verify_meta.json"),
+      s"""{"n_queries": ${SparkEntry.queries.size}, """ +
+        s""""n_oracles": ${SparkEntry.oracleSql.size}, """ +
+        s""""n_failed": ${failed.size}}""")
+    val hwPath = Paths.get("VERIFY_HIGHWATER")
+    if (only.isEmpty && Files.exists(hwPath)) {
+      val hw = Files.readString(hwPath).trim.toInt
+      if (SparkEntry.queries.size < hw) {
+        System.err.println(s"[verify] query count ${SparkEntry.queries.size} " +
+          s"fell below the committed high-water $hw — coverage shrank")
+        spark.stop()
+        sys.exit(1)
+      }
+    }
     spark.stop()
     // A query that cannot even dump must fail the run visibly: round 7's
     // sweep lost 95 dumps to a testdata schema change yet exited 0, so the

@@ -51,6 +51,14 @@ object Dedup {
     */
   def dedupExactKeepBest(df: DataFrame, idCol: String, textCol: String,
       quality: Column): DataFrame = {
+    // The min-id tie-break rides on unary negation inside the max-struct;
+    // a non-numeric id would silently cast (null/double) and make the
+    // keeper nondeterministic instead of failing loudly — reject it here.
+    require(df.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"dedupExactKeepBest needs a numeric id column for its min-id " +
+        s"tie-break; '$idCol' is ${df.schema(idCol).dataType.simpleString} " +
+        "(use dedupExact, or map the id to a numeric surrogate first)")
     val keep = df
       .select(col(idCol).as("kid"), quality.as("q"),
         TextAnalysis.fingerprint(col(textCol)).as("fp"))

@@ -74,36 +74,6 @@ object Graph {
     adj
   }
 
-  /** Minimum-distance reachability from `sources` within `maxHops`.
-    * Returns (id, distance) with distance = fewest hops (sources at 0).
-    * Matches the recursive-CTE semantics: cycle-safe (visited nodes are
-    * never revisited at larger distance), `DISTINCT` via min-distance
-    * aggregation.
-    */
-  /** PageRank over the dependency edge table — "most-depended-on
-    * resource" criticality ranking, the natural next analytics step
-    * after 1-hop dependents (G4) and reachability (G2): importance
-    * flows along `from_id → to_id` edges, so shared infrastructure
-    * (nations/regions in the fixture; VPCs/accounts in a cloud graph)
-    * accumulates the mass of everything that transitively depends on it.
-    *
-    * Arithmetic is EXACT FIXED-POINT: ranks live in bigint units of
-    * 10⁻¹² (init = SCALE div N, contribution = pr div outdeg, update =
-    * base + (85·inflow) div 100 — integer ops only, dangling mass not
-    * redistributed, the standard simplified variant). No float exists
-    * anywhere, so any SQL engine replays every iteration bit-for-bit
-    * (all operands nonnegative ⇒ truncating and flooring division
-    * agree), and results are independent of partitioning, summation
-    * order, and retries — the same reproducibility contract as the
-    * md5-threshold samplers.
-    *
-    * Scale shape: one outdeg-annotated edge table built once, then per
-    * iteration one join keyed on `from_id` + one partial-agg groupBy on
-    * `to_id` — Pregel's message/combine halves as two exchanges over
-    * frames partitioned by vertex id; state per iteration is one bigint
-    * per vertex. Lineage is truncated with a periodic localCheckpoint so
-    * the plan stays iteration-bounded.
-    */
   /** Per-vertex triangle counts via degree orientation — the standard
     * O(m^1.5)-work scheme: orient every undirected edge from its
     * lower-(degree, id) endpoint to the higher one (a total order, so the
@@ -149,6 +119,30 @@ object Graph {
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** PageRank over the dependency edge table — "most-depended-on
+    * resource" criticality ranking, the natural next analytics step
+    * after 1-hop dependents (G4) and reachability (G2): importance
+    * flows along `from_id → to_id` edges, so shared infrastructure
+    * (nations/regions in the fixture; VPCs/accounts in a cloud graph)
+    * accumulates the mass of everything that transitively depends on it.
+    *
+    * Arithmetic is EXACT FIXED-POINT: ranks live in bigint units of
+    * 10⁻¹² (init = SCALE div N, contribution = pr div outdeg, update =
+    * base + (85·inflow) div 100 — integer ops only, dangling mass not
+    * redistributed, the standard simplified variant). No float exists
+    * anywhere, so any SQL engine replays every iteration bit-for-bit
+    * (all operands nonnegative ⇒ truncating and flooring division
+    * agree), and results are independent of partitioning, summation
+    * order, and retries — the same reproducibility contract as the
+    * md5-threshold samplers.
+    *
+    * Scale shape: one outdeg-annotated edge table built once, then per
+    * iteration one join keyed on `from_id` + one partial-agg groupBy on
+    * `to_id` — Pregel's message/combine halves as two exchanges over
+    * frames partitioned by vertex id; state per iteration is one bigint
+    * per vertex. Lineage is truncated with a periodic localCheckpoint so
+    * the plan stays iteration-bounded.
+    */
   def pageRank(edges: DataFrame, iters: Int = 10): DataFrame = {
     require(iters >= 1 && iters <= 50, s"pageRank: iters out of [1,50]: $iters")
     val e = edges.select(col("from_id").cast("string").as("from_id"),
@@ -182,6 +176,12 @@ object Graph {
     pr
   }
 
+  /** Minimum-distance reachability from `sources` within `maxHops`.
+    * Returns (id, distance) with distance = fewest hops (sources at 0).
+    * Matches the recursive-CTE semantics: cycle-safe (visited nodes are
+    * never revisited at larger distance), `DISTINCT` via min-distance
+    * aggregation.
+    */
   def reach(edges: DataFrame, sources: Seq[String], maxHops: Int,
       undirected: Boolean): DataFrame = {
     val spark = edges.sparkSession

@@ -221,7 +221,18 @@ object Sampling {
     val h = df
       .withColumn("_h", md5(col(keyCol).cast("string")))
       .withColumn("_shard", substring(col("_h"), 1, 2))
-      .withColumn("_w", col(weightCol).cast("bigint"))
+      // Guard the documented int64 w >= 0 contract distributively: a
+      // negative weight makes the cumulative axis non-monotonic (breaking
+      // the interval-contains-a-boundary semantics and the target bound),
+      // and a null would be silently dropped by sum() — both must fail
+      // loudly, not skew the sample.
+      .withColumn("_w",
+        when(col(weightCol).isNull || col(weightCol) < 0,
+          raise_error(concat(
+            lit(s"weightedSystematic: weight column '$weightCol' must be " +
+              "non-null and >= 0, got "),
+            coalesce(col(weightCol).cast("string"), lit("NULL")))))
+          .otherwise(col(weightCol)).cast("bigint"))
     val totals = h.groupBy("_shard").agg(sum("_w").as("_sw"))
     val wOff = Window.orderBy("_shard")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)

@@ -720,9 +720,13 @@ object TextAnalysis {
     * double-decoding — the classic extractor ordering bug, spec-pinned.
     */
   def extractHtmlText(html: Column): Column = {
+    // (?is): DOTALL is load-bearing — neither Java regex nor RE2 lets `.`
+    // cross newlines by default, and real-world script/style/nav blocks
+    // are virtually always multi-line; without it their payload leaks
+    // into the extracted text after the generic tag strip.
     val dropBlocks = Seq("script", "style", "nav", "footer", "header", "aside")
       .foldLeft(html)((c, tag) =>
-        regexp_replace(c, s"(?i)<$tag[^>]*>.*?</$tag>", " "))
+        regexp_replace(c, s"(?is)<$tag[^>]*>.*?</$tag>", " "))
     val noTags = regexp_replace(dropBlocks, "<[^>]+>", " ")
     val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&amp;" -> "&") // &amp; last: no double-decode

@@ -189,10 +189,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
     // the label inequality must prune candidates BEFORE ranking: it
-    // appears as a Filter/join condition, not a post-window predicate
+    // appears as a Filter/join condition, not a post-window predicate.
+    // Formatted output prints parents before children (the S16 test's
+    // convention), so the filter BELOW the window means the qlabel
+    // predicate prints AFTER the Window node.
     val windowIdx = p.indexOf("Window")
     val filterIdx = p.indexOf("qlabel")
     assert(windowIdx >= 0 && filterIdx >= 0, p)
+    assert(filterIdx > windowIdx,
+      "qlabel pruning must sit below (print after) the ranking window\n" + p)
   }
 
   test("S16 label prototypes: single partial aggregation, no explode before agg") {

@@ -308,7 +308,11 @@ class TextMultimodalSpec extends SparkSpec {
       // case-insensitive block tags, attribute-bearing open tags
       "<SCRIPT type=\"x\">junk</SCRIPT><p class=\"c\">t</p>" -> "t",
       // whitespace collapse + trim
-      "  <p> a   b </p>  " -> "a b")
+      "  <p> a   b </p>  " -> "a b",
+      // MULTI-LINE blocks: real-world script/style/nav markup spans
+      // lines; without DOTALL the payload leaks past the block drop
+      "<p>a</p>\n<script>\nvar t = 1;\nif (t<2) {\n  go();\n}\n</script>\n<p>b</p>" -> "a b",
+      "<style>\np {\n  margin: 0;\n}\n</style><nav>\n<a href=\"/\">x</a>\n</nav><div>keep</div>" -> "keep")
     val got = cases.map(_._1).toDF("h")
       .select(TextAnalysis.extractHtmlText(col("h")))
       .as[String].collect().toSeq

@@ -4,7 +4,16 @@ then execute each oracle_sql.json entry in DuckDB over the same parquet
 tables and compare (columns sorted by name, rows sorted, values normalized).
 
 Usage: python3 tools/check.py [sfdir] [outdir] [--skip-verify]
-                              [--time-oracles] [names...]
+                              [--time-oracles] [--driver-compat] [names...]
+
+--driver-compat additionally replays the DRIVER's comparator semantics
+(pandas-based): Spark output read via pandas.read_parquet (pyarrow types —
+int64 stays int64, decimals stay Decimal), oracle result via duckdb
+.df() (HUGEINT/DECIMAL(38,x) widen to float64), columns sorted by name,
+rows sort_values'd (raises on unhashable array columns, exactly like the
+driver), values stringified. This is stricter on TYPES than the exact
+comparator above and catches the round-8 failure class (widened oracle
+aggregates, array-typed columns) before the driver sees it.
 
 --time-oracles additionally times each oracle (min of 3 executions) and
 writes <outdir>/oracle_times.json: {query: {"sec": s, "echo": bool}} —
@@ -22,6 +31,7 @@ OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
 flags = [a for a in sys.argv[3:]]
 skip_verify = "--skip-verify" in flags
 time_oracles = "--time-oracles" in flags
+driver_compat = "--driver-compat" in flags
 only = [a for a in flags if not a.startswith("--")]
 
 if not skip_verify:
@@ -89,6 +99,43 @@ for name in sorted(oracle):
         fails.append((name, f"values differ, first diffs: {diff}"))
         continue
     passes.append((name, len(sr)))
+
+if driver_compat:
+    # Replay the driver's pandas normalization on both sides. The driver
+    # reads Spark parquet with pandas (pyarrow dtypes) but materializes
+    # the DuckDB oracle through .df() (which widens HUGEINT/DECIMAL(38,x)
+    # to float64) — so a value-identical pair can still hash-mismatch on
+    # rendered type. Reproduce that asymmetry exactly, fail on it here.
+    import pandas as pd
+
+    def compat_strings(df):
+        cols = sorted(df.columns)
+        df = df[cols]
+        df = df.sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+        return cols, [tuple(str(v) for v in row)
+                      for row in df.itertuples(index=False, name=None)]
+
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        pdir = Path(OUT) / name
+        if not pdir.exists():
+            continue  # already reported by the exact pass
+        try:
+            sdf = pd.read_parquet(pdir)          # driver's Spark-side read
+            odf = con.sql(oracle[name]).df()     # driver's oracle-side read
+            sc2, sr2 = compat_strings(sdf)
+            oc2, or2 = compat_strings(odf)
+        except Exception as e:
+            fails.append((name, f"driver-compat error: {e}"))
+            continue
+        if sc2 != oc2:
+            fails.append((name,
+                          f"driver-compat columns: spark={sc2} oracle={oc2}"))
+        elif sr2 != or2:
+            diff = [(a, b) for a, b in zip(sr2, or2) if a != b][:3]
+            fails.append((name, f"driver-compat values (rendered-type "
+                                f"mismatch?), first diffs: {diff}"))
 
 if time_oracles:
     times = {}
