@@ -1,0 +1,234 @@
+package graft.cli
+
+import java.nio.file.{Files, Paths}
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.SparkSession
+
+import graft.Tables
+import graft.compliance.{ComplianceExecutor, PackLoader}
+import graft.engine.QueryEngine
+
+/** The command-line query surface (cmd/corkscrew/main.go:797-901 `runQuery`):
+  * SQL from `--query` / `--file` / `--stdin` / a positional argument,
+  * compliance packs via `--pack` (+ `--tag`, `--param k=v`, `--dry-run`),
+  * output as table / CSV / JSON (`--output`, `--no-header`), optional
+  * `--save path` dump of the formatted result. Errors route through the
+  * E21 hint path — an unknown table suggests the nearest catalog name.
+  *
+  * The argv shell is a thin layer: all semantics live in [[QueryEngine]]
+  * (guarded execution, param binding), [[ComplianceExecutor]] (pack
+  * pipeline), and [[Formatters]] (presentation), each spec-tested on its
+  * own. `run` is a pure `(argv) => (text, exitCode)` function so CliSpec
+  * drives it without a JVM fork; `main` adds the SparkSession and
+  * System.exit around it.
+  */
+object Cli {
+
+  final case class CliArgs(
+      sfDir: String,
+      query: Option[String] = None,
+      file: Option[String] = None,
+      stdin: Boolean = false,
+      pack: Option[String] = None,
+      tags: Seq[String] = Nil,
+      params: Map[String, Any] = Map.empty,
+      dryRun: Boolean = false,
+      output: String = "table",
+      noHeader: Boolean = false,
+      save: Option[String] = None)
+
+  /** Parse argv: first positional is the table directory (the reference's
+    * `--db`), a later positional is the query text (main.go:861-863).
+    */
+  def parseArgs(argv: Seq[String]): Either[String, CliArgs] = {
+    if (argv.isEmpty) return Left(usage)
+    var a = CliArgs(sfDir = argv.head)
+    var rest = argv.tail.toList
+    var positional: Option[String] = None
+    while (rest.nonEmpty) {
+      rest match {
+        case "--query" :: v :: t => a = a.copy(query = Some(v)); rest = t
+        case "--file" :: v :: t => a = a.copy(file = Some(v)); rest = t
+        case "--stdin" :: t => a = a.copy(stdin = true); rest = t
+        case "--pack" :: v :: t => a = a.copy(pack = Some(v)); rest = t
+        case "--tag" :: v :: t =>
+          a = a.copy(tags = v.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          rest = t
+        case "--param" :: v :: t =>
+          v.split("=", 2) match {
+            case Array(k, value) => a = a.copy(params = a.params + (k -> value))
+            case _ => return Left(s"--param wants k=v, got '$v'")
+          }
+          rest = t
+        case "--dry-run" :: t => a = a.copy(dryRun = true); rest = t
+        case "--output" :: v :: t =>
+          if (!Set("table", "csv", "json").contains(v))
+            return Left(s"--output wants table|csv|json, got '$v'")
+          a = a.copy(output = v); rest = t
+        case "--no-header" :: t => a = a.copy(noHeader = true); rest = t
+        case "--save" :: v :: t => a = a.copy(save = Some(v)); rest = t
+        case flag :: _ if flag.startsWith("--") =>
+          return Left(s"unknown flag '$flag'\n$usage")
+        case pos :: t =>
+          if (positional.nonEmpty) return Left(s"extra argument '$pos'")
+          positional = Some(pos); rest = t
+        case Nil => ()
+      }
+    }
+    if (a.query.isEmpty && positional.nonEmpty) a = a.copy(query = positional)
+    Right(a)
+  }
+
+  val usage: String =
+    """usage: graft.Cli <tableDir> [sql] [flags]
+      |  --query SQL | --file path.sql | --stdin   query source
+      |  --pack manifest.yaml [--tag a,b] [--dry-run]  compliance pack
+      |  --param k=v        bind a named parameter (repeatable)
+      |  --output table|csv|json   (default table)
+      |  --no-header        omit the header row (table/CSV)
+      |  --save path        also write the formatted output to a file
+      |""".stripMargin
+
+  /** Execute parsed args; returns (formatted output, exit code). */
+  def run(spark: SparkSession, args: CliArgs,
+      readStdin: () => String = () =>
+        new String(System.in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)): (String, Int) = {
+    Tables.register(spark, args.sfDir)
+    // The reference's --db model: any parquet in the table dir beyond the
+    // star schema is a resource table (e.g. aws_resources for packs) —
+    // register it by basename so queries and packs can reference it.
+    val known = Tables.names.toSet
+    Option(new java.io.File(args.sfDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".parquet"))
+      .map(f => (f.getName.stripSuffix(".parquet"), f))
+      .filter { case (n, _) => !known.contains(n) && n.matches("[A-Za-z0-9_]+") }
+      .foreach { case (n, f) =>
+        spark.read.parquet(f.getPath).createOrReplaceTempView(n) }
+    val out =
+      try {
+        args.pack match {
+          case Some(manifest) => Right(runPack(spark, manifest, args))
+          case None =>
+            val sql = args.query
+              .orElse(args.file.map(f => Files.readString(Paths.get(f))))
+              .orElse(if (args.stdin) Some(readStdin()) else None)
+            sql match {
+              case None => Left("Error: no query provided " +
+                "(use --query, --file, --stdin, or a positional argument)\n" +
+                usage)
+              case Some(s) => Right(runSql(spark, s, args))
+            }
+        }
+      } catch {
+        case NonFatal(e) => Left(describeError(spark, e))
+      }
+    out match {
+      case Right(text) =>
+        args.save.foreach(p => Files.writeString(Paths.get(p), text))
+        (text, 0)
+      case Left(err) => (err, 1)
+    }
+  }
+
+  private def runSql(spark: SparkSession, sql: String, args: CliArgs): String = {
+    graft.functions.JsonMacros.register(spark)
+    val res = QueryEngine.executeParameterized(spark, sql, args.params)
+    val cols = res.columns.map(_.name)
+    val body = args.output match {
+      case "csv" => Formatters.csv(cols, res.rows.iterator)
+      case "json" => Formatters.json(cols, res.rows.iterator)
+      case _ => Formatters.table(cols, res.rows)
+    }
+    stripHeader(body, args)
+  }
+
+  private def runPack(spark: SparkSession, manifestPath: String,
+      args: CliArgs): String = {
+    val pack = PackLoader.load(Paths.get(manifestPath))
+    val selected =
+      if (args.tags.isEmpty) pack
+      else pack.copy(queries = pack.queries.filter(q =>
+        q.tags.exists(args.tags.contains)))
+    if (args.dryRun) {
+      val checks = ComplianceExecutor.dryRun(spark, selected, args.params)
+      checks.toSeq.sortBy(_._1).map {
+        case (id, Right(_)) => s"$id: OK"
+        case (id, Left(err)) => s"$id: INVALID — $err"
+      }.mkString("\n")
+    } else {
+      val run = ComplianceExecutor.run(spark, selected, args.params)
+      val rows = run.runs.flatMap { qr =>
+        qr.error match {
+          case Some(err) => Seq(Seq(qr.queryId, "", "", "ERROR", "", err))
+          case None => qr.results.map(r => Seq(qr.queryId, r.resourceId,
+            r.resourceType, r.status, r.severity, r.details))
+        }
+      }
+      val cols = Seq("query_id", "resource_id", "resource_type", "status",
+        "severity", "details")
+      val summary = s"${run.pack}: ${run.passed} PASS / ${run.failed} FAIL" +
+        (if (run.errors > 0) s" / ${run.errors} ERROR" else "")
+      val body = args.output match {
+        case "csv" => Formatters.csv(cols,
+          rows.iterator.map(org.apache.spark.sql.Row.fromSeq))
+        case "json" => Formatters.json(cols,
+          rows.iterator.map(org.apache.spark.sql.Row.fromSeq))
+        case _ => Formatters.table(cols,
+          rows.map(org.apache.spark.sql.Row.fromSeq))
+      }
+      stripHeader(body, args) + "\n" + summary
+    }
+  }
+
+  /** `--no-header`: drop the header line (CSV) or header row + its rule
+    * (table); JSON is self-describing and unaffected — main.go's
+    * noHeader applies only to the tabular printers.
+    */
+  private def stripHeader(body: String, args: CliArgs): String =
+    if (!args.noHeader) body
+    else args.output match {
+      case "csv" => body.linesIterator.drop(1).mkString("\n")
+      case "json" => body
+      case _ =>
+        val ls = body.linesIterator.toVector
+        // table layout: sep, header, sep, rows..., sep, count
+        (ls.take(1) ++ ls.drop(3)).mkString("\n")
+    }
+
+  /** E21 error surface (main.go:1238-1330): unknown tables get a
+    * nearest-name suggestion from the catalog; everything else reports
+    * its message class.
+    */
+  private def describeError(spark: SparkSession, e: Throwable): String = {
+    val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+    val missing = "`([A-Za-z0-9_]+)`".r.findFirstMatchIn(
+      if (msg.contains("TABLE_OR_VIEW_NOT_FOUND")) msg else "")
+      .map(_.group(1))
+    missing.flatMap(QueryEngine.suggestTable(spark, _)) match {
+      case Some(sugg) => s"Error: $msg\nDid you mean '$sugg'?"
+      case None => s"Error: $msg"
+    }
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    parseArgs(argv.toSeq) match {
+      case Left(err) => System.err.println(err); sys.exit(2)
+      case Right(args) =>
+        val spark = SparkSession.builder()
+          .master(s"local[$cpus]")
+          .config("spark.sql.shuffle.partitions", cpus)
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+        val (text, code) = run(spark, args)
+        if (code == 0) println(text) else System.err.println(text)
+        spark.stop()
+        if (code != 0) sys.exit(code)
+    }
+  }
+}

@@ -87,21 +87,35 @@ object Graph {
     *
     * Returns `(id, n_triangles)` for vertices in ≥ 1 triangle. All joins
     * are equi-joins on vertex ids; everything replays as plain SQL.
+    *
+    * Degree annotation runs join-free (round-9 trim): one count-window
+    * over the directed edge view puts each endpoint's degree on its
+    * outgoing copy, and one pair-aggregation on the canonical edge folds
+    * the two copies into `(a, b, da, db)` — two exchanges where the old
+    * shape spent three (degree groupBy + two und⋈deg joins). The window
+    * partition is a vertex's raw adjacency, the same O(deg) volume the
+    * old join materialized per edge; WindowExec spills it instead of
+    * partial-aggregating, which is fine because the wedge stage right
+    * after is the strictly larger Σ outdeg² cost either way.
     */
   def triangles(edges: DataFrame): DataFrame = {
-    // cached: read three times (degrees, orientation, wedge closure)
+    import org.apache.spark.sql.expressions.Window
+    // cached: read three times (degree window, pairing, wedge closure)
     val und = edges
       .select(least(col("from_id"), col("to_id")).as("a"),
         greatest(col("from_id"), col("to_id")).as("b"))
       .filter(col("a") =!= col("b")).distinct().cache()
-    val deg = und.select(explode(array(col("a"), col("b"))).as("id"))
-      .groupBy("id").agg(count(lit(1)).as("deg"))
-    val withDeg = und
-      .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
-      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+    val dir = und.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(und.select(col("b").as("u"), col("a").as("v")))
+    val ann = dir.withColumn("du", count(lit(1)).over(Window.partitionBy("u")))
+    val paired = ann.select(
+        least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"),
+        when(col("u") < col("v"), col("du")).as("dua"),
+        when(col("u") > col("v"), col("du")).as("dub"))
+      .groupBy("a", "b").agg(max("dua").as("da"), max("dub").as("db"))
     val aLower = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
-    val oriented = withDeg.select(
+    val oriented = paired.select(
       when(aLower, col("a")).otherwise(col("b")).as("src"),
       when(aLower, col("b")).otherwise(col("a")).as("dst"),
       when(aLower, col("db")).otherwise(col("da")).as("ddeg"))

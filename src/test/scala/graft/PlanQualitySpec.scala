@@ -238,5 +238,13 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("q_g9_triangles")
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // round-9 trim: degrees come from ONE count-window + one pair-agg,
+    // never a separate degree groupBy joined back twice — a regression
+    // to the join form re-adds an exchange
+    assert(p.contains("Window"), "degree annotation must be the window\n" + p)
+    // formatted output prints each node twice (tree + details): 2 joins
+    // — wedge and closure — mean at most 4 SortMergeJoin mentions
+    assert(p.linesIterator.count(_.contains("SortMergeJoin")) <= 4,
+      "only the wedge and closure joins may shuffle-join\n" + p)
   }
 }

@@ -1,0 +1,96 @@
+package graft.cli
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** The argv shell ([[Cli]]): query routing (flag/file/stdin/positional),
+  * the three output formats, --no-header, --save, --param binding, the
+  * E21 bad-table hint, and the pack dry-run path — mirroring the
+  * reference's engine_test.go / main.go runQuery cases.
+  */
+class CliSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def run(args: String*): (String, Int) =
+    Cli.parseArgs(sf +: args) match {
+      case Right(a) => Cli.run(spark, a)
+      case Left(err) => (err, 2)
+    }
+
+  test("positional query renders a table with a row count") {
+    val (out, code) = run("SELECT r_name FROM region ORDER BY r_name")
+    assert(code == 0, out)
+    assert(out.contains("r_name") && out.contains("AFRICA"))
+    assert(out.contains("5 row(s)"), out)
+  }
+
+  test("--output csv and json; --no-header drops the CSV header") {
+    val (csv, c1) = run("--query",
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+      "--output", "csv")
+    assert(c1 == 0 && csv.startsWith("r_regionkey,r_name"), csv)
+    val (noHead, c2) = run("--query",
+      "SELECT r_regionkey FROM region ORDER BY r_regionkey",
+      "--output", "csv", "--no-header")
+    assert(c2 == 0 && noHead.startsWith("0"), noHead)
+    val (json, c3) = run("--query",
+      "SELECT r_name FROM region WHERE r_regionkey = 0",
+      "--output", "json")
+    assert(c3 == 0 && json.contains("\"r_name\": \"AFRICA\""), json)
+  }
+
+  test("--file reads SQL from disk; --save dumps the formatted output") {
+    val dir = tempDir("cli")
+    val f = dir.resolve("q.sql")
+    Files.writeString(f, "SELECT COUNT(*) AS n FROM nation")
+    val saved = dir.resolve("out.txt")
+    val (out, code) = run("--file", f.toString, "--save", saved.toString)
+    assert(code == 0 && out.contains("25"), out)
+    assert(Files.readString(saved) == out)
+  }
+
+  test("--stdin reads the query text from the provided reader") {
+    val a = Cli.parseArgs(Seq(sf, "--stdin")).toOption.get
+    val (out, code) = Cli.run(spark, a,
+      readStdin = () => "SELECT COUNT(*) AS n FROM region")
+    assert(code == 0 && out.contains("5"), out)
+  }
+
+  test("--param binds named parameters") {
+    val (out, code) = run("--query",
+      "SELECT r_name FROM region WHERE r_name = :rname",
+      "--param", "rname=ASIA")
+    assert(code == 0 && out.contains("ASIA") && out.contains("1 row(s)"), out)
+  }
+
+  test("unknown table fails with the nearest-name hint (E21)") {
+    val (out, code) = run("SELECT * FROM regoin")
+    assert(code == 1, out)
+    assert(out.contains("Error:"), out)
+    assert(out.contains("Did you mean 'region'?"), out)
+  }
+
+  test("statement guard rejects non-queries with exit 1") {
+    val (out, code) = run("DROP TABLE region")
+    assert(code == 1 && out.contains("Error:"), out)
+  }
+
+  test("pack dry-run validates every enabled query") {
+    // the resource table a real run would find in the table dir
+    graft.fixtures.CorkscrewFixtures.register(spark)
+    val (out, code) = run("--pack", "packs/cfi/ccc-storage/manifest.yaml",
+      "--dry-run", "--param",
+      "trusted_kms_keys=arn:aws:kms:us-east-1:123456789012:key/key-1")
+    assert(code == 0, out)
+    assert(out.linesIterator.nonEmpty)
+    assert(!out.contains("INVALID"), out)
+  }
+
+  test("bad flags exit 2 with usage") {
+    assert(Cli.parseArgs(Seq(sf, "--frobnicate")).isLeft)
+    assert(Cli.parseArgs(Seq(sf, "--output", "xml")).isLeft)
+    assert(Cli.parseArgs(Seq(sf, "--param", "noequals")).isLeft)
+  }
+}
