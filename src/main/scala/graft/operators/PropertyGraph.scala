@@ -89,10 +89,36 @@ object PropertyGraph {
       */
     def matchPath(hops: Int): DataFrame = {
       require(hops >= 1 && hops <= 10, s"matchPath hops out of [1,10]: $hops")
-      var acc = e.select(col("from_id").as("v0"), col("to_id").as("v1"))
+      matchSteps(Seq.fill(hops)(None))
+    }
+
+    /** Label-constrained MATCH — PGQ's `(a)-[:label1]->(b)-[:label2]->…`:
+      * one entry per hop, `Some(edgeLabel)` restricting that hop to one
+      * edge table, `None` matching any. Labels are validated against the
+      * registration eagerly (a typo'd label fails here, not as an empty
+      * result). Each constrained hop prunes to its single edge table
+      * BEFORE the join — at scale that is the difference between joining
+      * one relationship type and the whole edge union.
+      */
+    def matchSteps(steps: Seq[Option[String]]): DataFrame = {
+      require(steps.nonEmpty && steps.size <= 10,
+        s"matchSteps wants 1..10 hops, got ${steps.size}")
+      steps.flatten.foreach(l => require(edges.contains(l),
+        s"no edge table '$l' in graph '$name' " +
+          s"(has: ${edges.keys.toSeq.sorted.mkString(", ")})"))
+      def hop(label: Option[String]): DataFrame = label match {
+        case Some(l) =>
+          val et = edges(l)
+          et.df.select(col(et.sourceKey).cast("string").as("from_id"),
+            col(et.destinationKey).cast("string").as("to_id"))
+        case None => e
+      }
+      var acc = hop(steps.head)
+        .select(col("from_id").as("v0"), col("to_id").as("v1"))
       var i = 2
-      while (i <= hops) {
-        val step = e.select(col("from_id").as(s"_j$i"), col("to_id").as(s"v$i"))
+      while (i <= steps.size) {
+        val step = hop(steps(i - 1))
+          .select(col("from_id").as(s"_j$i"), col("to_id").as(s"v$i"))
         acc = acc.join(step, col(s"v${i - 1}") === col(s"_j$i")).drop(s"_j$i")
         i += 1
       }

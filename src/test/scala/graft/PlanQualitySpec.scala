@@ -234,6 +234,12 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), "offsets+step must broadcast\n" + p)
   }
 
+  test("G10 graph-table MATCH: the path pattern is equi-joins, never OR/cartesian") {
+    val p = plan("q_g10_graph_table")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("G9 triangles: equi-joins only, no cartesian, no broadcast of edges") {
     val p = plan("q_g9_triangles")
     assert(!p.contains("CartesianProduct"), p)

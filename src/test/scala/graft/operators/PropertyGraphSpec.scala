@@ -61,6 +61,28 @@ class PropertyGraphSpec extends SparkSpec {
     PropertyGraph.drop("pg_match")
   }
 
+  test("matchSteps constrains hops by edge label and validates labels") {
+    val v = Seq(("a", "x"), ("b", "x"), ("c", "x")).toDF("id", "name")
+    val owns = Seq(("a", "b")).toDF("src", "dst")
+    val uses = Seq(("b", "c"), ("a", "c")).toDF("src", "dst")
+    val g = PropertyGraph.register("pg_steps",
+      Map("res" -> PropertyGraph.VertexTable(v, "id")),
+      Map("owns" -> PropertyGraph.EdgeTable(owns, "src", "dst", "res", "res"),
+        "uses" -> PropertyGraph.EdgeTable(uses, "src", "dst", "res", "res")))
+    // (a)-[:owns]->(b)-[:uses]->(c): exactly one path
+    val got = g.matchSteps(Seq(Some("owns"), Some("uses")))
+      .as[(String, String, String)].collect().toSet
+    assert(got == Set(("a", "b", "c")))
+    // unconstrained second hop adds nothing here; unconstrained both hops
+    // equals matchPath
+    assert(g.matchSteps(Seq(None, None)).count() == g.matchPath(2).count())
+    val bad = intercept[IllegalArgumentException] {
+      g.matchSteps(Seq(Some("ghost")))
+    }
+    assert(bad.getMessage.contains("no edge table 'ghost'"))
+    PropertyGraph.drop("pg_steps")
+  }
+
   test("routed reach matches the bare Graph facade") {
     val (v, e) = fixture()
     val g = PropertyGraph.register("pg_reach",

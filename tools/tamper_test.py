@@ -82,6 +82,11 @@ TARGETS = {
     # index artifacts, so any deleted row mismatches
     "q_s10_pq_topk": "query_id = 0 AND rank = 1",
     "q_s12_ivfpq_topk": "query_id = 0 AND rank = 1",
+    # long-form codebook/centroid count+bijection guards (round 9): a
+    # missing (subspace, code, dim) / (cell, dim) element row flips the
+    # structural `complete` gate and empties the echo
+    "q_s8_pq_codebook": "subspace = 0 AND code = 0 AND dim = 0",
+    "q_s11_ivf_centroids": "cell = 0 AND dim = 0",
 }
 
 if not (SRC / "oracle_sql.json").exists():
