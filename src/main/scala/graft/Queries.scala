@@ -2310,6 +2310,70 @@ object Queries {
       |WHERE c.c_acctbal > 0
       |GROUP BY n_name ORDER BY count_ DESC, n_name ASC LIMIT 30""".stripMargin
 
+  // In-process plugin endpoint for q_k3: one fake provider served over
+  // the REAL gRPC transport, started lazily per JVM on an ephemeral port.
+  private object PluginEndpoint {
+    val provider = new graft.sources.FakeCloudProvider(perServiceRegion = 200)
+    lazy val port: Int = {
+      val srv = new graft.sources.GrpcScannerServer(provider)
+      srv.start()
+      Runtime.getRuntime.addShutdownHook(new Thread(() => srv.stop()))
+      srv.boundPort
+    }
+  }
+
+  /** K3: the provider-plugin scan seam end to end
+    * ([[graft.sources.ScannerSource]]) — the reference's plugin fan-out
+    * (proto/scanner.proto `CloudProvider`, pipeline.go:230-368
+    * ScanService per (service, region)) with a deterministic fake
+    * provider behind the real gRPC transport. (service × region) tasks
+    * partition across executors; each task slice streams `Resource`
+    * messages over its own channel and parses under an explicit schema;
+    * the query aggregates tag/raw_data payload facts per slice. The
+    * oracle replays the provider's closed-form synthesis relationally —
+    * any dropped, duplicated, or corrupted message on the wire shifts a
+    * count and turns the driver red. The cloud SDK call is the ONLY
+    * fake part; every engine-side layer (protocol, transport, fan-out,
+    * parse, ingest typing) is the production path.
+    */
+  val k3PluginScan: Q = (s, _) => {
+    val work = graft.sources.ScannerSource.tasks(
+      PluginEndpoint.provider, Seq("us-east-1", "eu-west-1"))
+    val scanned =
+      if (graft.engine.GrpcTransport.available)
+        graft.sources.ScannerSource.scanDistributed(
+          s, "127.0.0.1", PluginEndpoint.port, work)
+      else // connect-jar-less deployment: same SPI, no wire
+        graft.sources.ScannerSource.scanLocal(s, PluginEndpoint.provider, work)
+    scanned.groupBy("service", "region").agg(
+      count(lit(1)).as("n_resources"),
+      sum(when(get_json_object(col("raw_data"), "$.Encrypted") === "true",
+        1L).otherwise(0L)).as("n_encrypted"),
+      sum(when(get_json_object(col("raw_data"), "$.PublicAccess") === "true",
+        1L).otherwise(0L)).as("n_public"),
+      sum(when(get_json_object(col("tags"), "$.Environment") === "Production",
+        1L).otherwise(0L)).as("n_production"),
+      sum(get_json_object(col("raw_data"), "$.SizeGb").cast("bigint"))
+        .as("sum_size_gb"),
+      min("name").as("min_name"), max("name").as("max_name"))
+  }
+  val k3Oracle =
+    """WITH svc(service) AS (VALUES ('s3'), ('ec2'), ('iam'), ('rds')),
+      |reg(region) AS (VALUES ('us-east-1'), ('eu-west-1')),
+      |idx AS (SELECT UNNEST(range(0, 200)) AS i),
+      |res AS (SELECT service, region, i FROM svc, reg, idx)
+      |SELECT service, region, COUNT(*) AS n_resources,
+      |  CAST(SUM(CASE WHEN i % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_encrypted,
+      |  CAST(SUM(CASE WHEN i % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_public,
+      |  CAST(SUM(CASE WHEN i % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_production,
+      |  CAST(SUM((i * 3) % 1000) AS BIGINT) AS sum_size_gb,
+      |  MIN(service || '-' || region || '-' || CAST(i AS STRING)) AS min_name,
+      |  MAX(service || '-' || region || '-' || CAST(i AS STRING)) AS max_name
+      |FROM res GROUP BY 1, 2""".stripMargin
+
   /** E10+S6: scan aggregation over the unified cross-provider view
     * (multi_region_scanner.go:260-360 merge + unified_schema.go:432-480
     * `all_cloud_resources`/`resource_counts_by_provider`), fed by a REAL
@@ -2494,6 +2558,7 @@ object Queries {
     "q_e19_score" -> e19Score,
     "q_k1_kql_pipeline" -> k1KqlPipeline,
     "q_k2_kql_leftouter" -> k2KqlLeftouter,
+    "q_k3_plugin_scan" -> k3PluginScan,
     "q_e10_scan_rollup" -> e10ScanRollup,
     "q_e14_retention" -> e14Retention,
     "q_st3_watch_upsert" -> st3WatchUpsert,
@@ -2615,6 +2680,7 @@ object Queries {
     "q_e19_score" -> e19Oracle,
     "q_k1_kql_pipeline" -> k1Oracle,
     "q_k2_kql_leftouter" -> k2Oracle,
+    "q_k3_plugin_scan" -> k3Oracle,
     "q_e10_scan_rollup" -> e10Oracle,
     "q_e14_retention" -> e14Oracle,
     "q_st3_watch_upsert" -> st3Oracle)
