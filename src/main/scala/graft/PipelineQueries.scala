@@ -2399,6 +2399,79 @@ object PipelineQueries {
       .withColumn("rank", col("rank").cast("bigint"))
   val s6Oracle = topKEchoOracle("q_s6_ivf_indexed")
 
+  // Build-once appended-index fixture for S18: index trained and built
+  // from the ¾ "original" corpus (vec_id % 4 != 0), then the remaining ¼
+  // APPENDED via the incremental path — so the append code runs at
+  // fixture build and the measured query is the serving probe over the
+  // mixed (built + appended) layout.
+  private def ivfAppendDir(s: SparkSession, d: String): String =
+    FixtureCache.resolve("graft-ivf-append", d, "embeddings.parquet")(
+      dir => java.nio.file.Files.exists(
+          dir.resolve("centroids").resolve("_SUCCESS")) &&
+        java.nio.file.Files.exists(
+          dir.resolve("assigned").resolve("_SUCCESS"))) { dir =>
+      val emb = t(s, d, "embeddings")
+      val (centroids, assigned) = Similarity.ivfIndex(
+        emb.filter(col("vec_id") % 4 =!= 0), "vec_id", "embedding",
+        nCells = 16)
+      Similarity.ivfWriteIndex(centroids, assigned, dir.toString)
+      Similarity.ivfAppendIndex(s, dir.toString,
+        emb.filter(col("vec_id") % 4 === 0), "vec_id", "embedding")
+    }()
+
+  /** S18: incremental IVF index maintenance
+    * ([[Similarity.ivfAppendIndex]]) — new vectors assigned against the
+    * FROZEN centroids and appended into the partitioned layout, no
+    * rebuild. The queries are themselves APPENDED vectors
+    * (`vec_id % 4 = 0, < 20`), so the oracle's self-presence guard —
+    * every query's own id must appear in its emitted top-k — turns the
+    * driver red if the append path drops, mis-assigns, or fails to
+    * surface rows through the pruned probe; every emitted cosine is
+    * recomputed exactly besides.
+    */
+  val s18IvfAppend: Q = (s, d) => {
+    val q = t(s, d, "embeddings")
+      .filter(col("vec_id") % 4 === 0 && col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    Similarity.ivfTopKIndexed(s, ivfAppendDir(s, d), q, k = 10, nProbe = 4)
+      .withColumn("rank", col("rank").cast("bigint"))
+  }
+  val s18Oracle: String =
+    """WITH sp AS (
+      |  SELECT query_id, id FROM '__SPARK_OUT__/q_s18_ivf_append/*.parquet'),
+      |qids AS (SELECT vec_id FROM embeddings
+      |         WHERE vec_id % 4 = 0 AND vec_id < 20),
+      |ok AS (SELECT
+      |    (SELECT COUNT(DISTINCT query_id) FROM sp) =
+      |      (SELECT COUNT(*) FROM qids)
+      |    AND NOT EXISTS (SELECT 1 FROM sp GROUP BY query_id
+      |                    HAVING COUNT(*) <> 10)
+      |    AND NOT EXISTS (SELECT 1 FROM qids q
+      |          WHERE NOT EXISTS (SELECT 1 FROM sp
+      |                WHERE sp.query_id = q.vec_id AND sp.id = q.vec_id))
+      |    AS complete),
+      |e AS (
+      |  SELECT vec_id, embedding,
+      |    SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+      |          FROM (SELECT UNNEST(embedding) AS x) ux)) AS nrm
+      |  FROM embeddings
+      |  WHERE vec_id IN (SELECT vec_id FROM qids)
+      |     OR vec_id IN (SELECT id FROM sp)),
+      |q AS (SELECT vec_id AS query_id, embedding AS qvec, nrm AS qnrm
+      |      FROM e WHERE vec_id IN (SELECT vec_id FROM qids)),
+      |sc AS (
+      |  SELECT sp.query_id, sp.id,
+      |    ROUND(CASE WHEN e.nrm * q.qnrm = 0 THEN 0.0 ELSE
+      |      (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+      |       FROM (SELECT UNNEST(e.embedding) AS x, UNNEST(q.qvec) AS y) u)
+      |      / (e.nrm * q.qnrm) END, 6) AS cosine_sim
+      |  FROM sp JOIN e ON e.vec_id = sp.id JOIN q ON q.query_id = sp.query_id)
+      |SELECT query_id,
+      |  ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY cosine_sim DESC, id) AS rank,
+      |  id, cosine_sim
+      |FROM sc WHERE (SELECT complete FROM ok)""".stripMargin
+
   /** S8/S9/S10: product quantization — the compressed-index pairing of
     * IVF for 100 TB ANN ([[Similarity.pqIndex]]/[[Similarity.pqTopK]]).
     * Three artifacts, each driver-checked:
@@ -2872,6 +2945,7 @@ object PipelineQueries {
     "q_s4_ivf_topk" -> s4IvfTopK,
     "q_s5_cosine_neardup" -> s5CosineNearDup,
     "q_s6_ivf_indexed" -> s6IvfIndexed,
+    "q_s18_ivf_append" -> s18IvfAppend,
     "q_s7_embed_dedup_manifest" -> s7EmbedDedupManifest,
     "q_s8_pq_codebook" -> s8PqCodebook,
     "q_s9_pq_codes" -> s9PqCodes,
@@ -2948,6 +3022,7 @@ object PipelineQueries {
     "q_s4_ivf_topk" -> s4Oracle,
     "q_s5_cosine_neardup" -> s5Oracle,
     "q_s6_ivf_indexed" -> s6Oracle,
+    "q_s18_ivf_append" -> s18Oracle,
     "q_s7_embed_dedup_manifest" -> s7Oracle,
     "q_s8_pq_codebook" -> s8Oracle,
     "q_s9_pq_codes" -> s9Oracle,

@@ -484,6 +484,41 @@ object Similarity {
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Incremental IVF maintenance — the operation a 100 TB serving index
+    * actually lives on: NEW vectors are assigned against the index's
+    * FROZEN centroid table (the same codegen'd nearest-cell expression
+    * the build used, so assignments are bit-identical to a full rebuild)
+    * and appended into the `partitionBy(cell)` layout. No training, no
+    * rewrite of existing cells — one narrow scan of the new batch, one
+    * partitioned append; probes immediately see old + new rows through
+    * the same partition-pruned read ([[ivfTopKIndexed]]). Centroid drift
+    * under sustained appends is a rebuild-policy decision (recall decays
+    * gracefully, correctness never — emitted distances stay exact);
+    * the index does not rebalance silently.
+    *
+    * @return number of vectors appended
+    */
+  def ivfAppendIndex(spark: SparkSession, path: String,
+      newVectors: DataFrame, idCol: String, vecCol: String): Long = {
+    init(spark)
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect()
+      .map(_.getSeq[Float](1).toArray) // bounded: nCells x dim
+    val base = newVectors.select(col(idCol).as("id"),
+      col(vecCol).cast("array<float>").as("vec"))
+    val fname = s"ivf_cell_${ivfFnCounter.incrementAndGet()}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fname, exprs => graft.functions.NearestCellExpr(exprs(0), centroids),
+      "built-in")
+    try {
+      val assigned = base.withColumn("cell", call_function(fname, col("vec")))
+      assigned.write.mode("append").partitionBy("cell")
+        .parquet(s"$path/assigned")
+    } finally spark.sessionState.functionRegistry.dropFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(fname))
+    base.count()
+  }
+
   /** Disk-probed IVF top-k over an [[ivfWriteIndex]] layout: resolve each
     * query's `nProbe` nearest cells from the (tiny) centroid table,
     * collect the bounded probe-cell set (≤ nCells values) to the driver,

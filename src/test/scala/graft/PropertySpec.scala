@@ -266,4 +266,48 @@ class PropertySpec extends SparkSpec {
       ids.size <= (totalW + step - 1) / step && heavy.subsetOf(ids)
     }, minSuccessful = 4)
   }
+
+  test("ScannerWire: jstr is valid JSON for any string; field round-trips") {
+    // driver-side only — no Spark job per sample, so run many
+    val strGen = Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar, 2 -> Gen.oneOf('"', '\\', '\n', '\t', '\r',
+        '', 'é', '∂', ' ', ':', '{', '}'))).map(_.mkString)
+    check(Prop.forAllNoShrink(strGen, strGen) { (service, region) =>
+      val req = s"""{"service":${graft.sources.ScannerWire.jstr(service)},""" +
+        s""""region":${graft.sources.ScannerWire.jstr(region)}}"""
+      // the rendered object must parse as JSON at all (Spark's parser)
+      val parsed = spark.range(1).select(
+        from_json(lit(req), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("service",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("region",
+            org.apache.spark.sql.types.StringType)))).as("o"))
+        .select("o.service", "o.region").head
+      // and the wire's own extractor must agree on simple-escape payloads
+      val fieldOk =
+        if (service.exists(c => c < ' ')) true // \uXXXX forms: parser-only
+        else graft.sources.ScannerWire.field(req, "service") == service
+      parsed.getString(0) == service && parsed.getString(1) == region &&
+        fieldOk
+    }, minSuccessful = 60)
+  }
+
+  test("matchPath(2) count equals sum over mid-vertex of indeg*outdeg") {
+    val edgeGen = Gen.listOfN(40,
+      Gen.zip(Gen.choose(0, 9), Gen.choose(0, 9)))
+    check(Prop.forAllNoShrink(edgeGen) { raw =>
+      val edges = raw.map { case (a, b) => (s"v$a", s"v$b") }
+      val df = edges.toDF("src", "dst")
+      val g = operators.PropertyGraph.register("prop_match",
+        Map("n" -> operators.PropertyGraph.VertexTable(
+          edges.flatMap(e => Seq(e._1, e._2)).distinct.toDF("id"), "id")),
+        Map("e" -> operators.PropertyGraph.EdgeTable(df, "src", "dst", "n", "n")))
+      val got = g.matchPath(2).count()
+      // multiset semantics: every (e1, e2) pair with e1.dst == e2.src
+      val expected = edges.groupBy(_._2).map { case (mid, in) =>
+        in.size.toLong * edges.count(_._1 == mid) }.sum
+      operators.PropertyGraph.drop("prop_match")
+      got == expected
+    }, minSuccessful = 4)
+  }
 }

@@ -140,6 +140,39 @@ class SimilaritySpec extends SparkSpec {
       s"read $readCells of $allCells cells")
   }
 
+  test("ivfAppendIndex: appended rows probe identically to a direct build") {
+    // build from 3/4 of the corpus, append the rest against the frozen
+    // centroids — the probe result must equal the in-memory probe over
+    // the UNION corpus with the SAME centroids (assignment bit-parity)
+    val original = emb.filter(col("vec_id") % 4 =!= 0)
+    val appended = emb.filter(col("vec_id") % 4 === 0)
+    val (centroids, assignedOrig) = Similarity.ivfIndex(
+      original, "vec_id", "embedding", nCells = 8)
+    val dir = tempDir("graft-ivf-app").toString
+    Similarity.ivfWriteIndex(centroids, assignedOrig, dir)
+    val n = Similarity.ivfAppendIndex(spark, dir, appended,
+      "vec_id", "embedding")
+    assert(n == appended.count())
+    // every corpus id present exactly once after the append
+    val idx = spark.read.parquet(s"$dir/assigned")
+    assert(idx.count() == emb.count())
+    assert(idx.select("id").distinct().count() == emb.count())
+    // queries = appended vectors; disk probe == in-memory union probe
+    val queries = appended.limit(5).select(col("vec_id").as("query_id"),
+      col("embedding").cast("array<float>").as("qvec"))
+    val fromDisk = Similarity.ivfTopKIndexed(spark, dir, queries,
+        k = 10, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val assignedUnion = idx.select("id", "vec", "cell")
+    val inMem = Similarity.ivfTopK(assignedUnion, centroids, queries,
+        k = 10, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(fromDisk == inMem)
+    // self-retrieval: each appended query finds itself (rank 1)
+    val self = fromDisk.filter { case (q, r, id) => q == id && r == 1 }
+    assert(self.size == 5, s"self-matches: $self")
+  }
+
   test("PQ: codes are the argmin assignment; a coded query ranks itself first") {
     val (model, codebook, codes) = Similarity.pqIndex(emb, "vec_id", "embedding")
     assert(model.nSub == 4 && model.kCodes == 16 && model.subDim == 16)

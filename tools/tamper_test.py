@@ -35,6 +35,9 @@ TARGETS = {
     "q_s3_lsh_topk": "query_id = 0 AND rank = 1",
     "q_s4_ivf_topk": "query_id = 0 AND rank = 1",
     "q_s6_ivf_indexed": "query_id = 0 AND rank = 1",
+    # k-count + append-visibility self-presence guard: rank 1 IS the
+    # query's own appended vector — deleting it trips both
+    "q_s18_ivf_append": "query_id = 0 AND rank = 1",
     # planted-pair guard: remove ONE planted identical-clone pair
     "q_d4_minhash_neardup":
         "id_b - id_a = 1000000000 AND id_a = "
