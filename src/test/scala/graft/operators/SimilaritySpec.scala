@@ -171,6 +171,24 @@ class SimilaritySpec extends SparkSpec {
     // self-retrieval: each appended query finds itself (rank 1)
     val self = fromDisk.filter { case (q, r, id) => q == id && r == 1 }
     assert(self.size == 5, s"self-matches: $self")
+
+    // compaction: appends left >1 file in touched cells; after
+    // ivfCompactIndex every cell is a single file and the probe result
+    // is bit-identical
+    def filesPerCell(): Map[String, Int] =
+      new java.io.File(s"$dir/assigned").listFiles()
+        .filter(_.getName.startsWith("cell=")).map(c =>
+          c.getName -> c.listFiles().count(_.getName.endsWith(".parquet")))
+        .toMap
+    assert(filesPerCell().values.exists(_ > 1), filesPerCell().toString)
+    Similarity.ivfCompactIndex(spark, dir)
+    val after = filesPerCell()
+    assert(after.values.forall(_ == 1), after.toString)
+    val compacted = Similarity.ivfTopKIndexed(spark, dir, queries,
+        k = 10, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(compacted == fromDisk)
+    assert(spark.read.parquet(s"$dir/assigned").count() == emb.count())
   }
 
   test("PQ: codes are the argmin assignment; a coded query ranks itself first") {
