@@ -83,13 +83,142 @@ object Cli {
 
   val usage: String =
     """usage: graft.Cli <tableDir> [sql] [flags]
+      |       graft.Cli <tableDir> <subcommand> [flags]
+      |query flags:
       |  --query SQL | --file path.sql | --stdin   query source
       |  --pack manifest.yaml [--tag a,b] [--dry-run]  compliance pack
       |  --param k=v        bind a named parameter (repeatable)
       |  --output table|csv|json   (default table)
       |  --no-header        omit the header row (table/CSV)
       |  --save path        also write the formatted output to a file
+      |subcommands (main.go command tree):
+      |  info     [--plugin host:port]            provider info
+      |  list     --service s --region r [--plugin host:port]
+      |  describe --service s --region r --id id [--plugin host:port]
+      |  schemas  --table t [--json-col raw_data] [--sample N]
+      |  serve    [--grpc] [--port N]             remote query API
+      |  version
       |""".stripMargin
+
+  val Version = "graft 1.0.0"
+
+  private val SubCommands =
+    Set("info", "list", "describe", "schemas", "serve", "version")
+
+  /** Subcommand router (main.go:85-118's command switch). The scan-side
+    * commands route through the [[graft.sources.ScannerProvider]] seam —
+    * `--plugin host:port` talks to a live plugin endpoint over gRPC, the
+    * default uses the in-process fake provider (the zero-egress
+    * stand-in). `serve` starts the remote query API; `blockServe = false`
+    * (spec mode) returns immediately after binding.
+    */
+  private def runSub(spark: SparkSession, sub: String, rest: List[String],
+      blockServe: Boolean): (String, Int) = {
+    def flag(name: String): Option[String] = {
+      val i = rest.indexOf(s"--$name")
+      if (i >= 0 && i + 1 < rest.size) Some(rest(i + 1)) else None
+    }
+    def need(name: String): String = flag(name).getOrElse(
+      throw new IllegalArgumentException(s"$sub needs --$name"))
+    def endpoint: Option[(String, Int)] = flag("plugin").map { hp =>
+      val Array(h, p) = hp.split(":", 2)
+      (h, p.toInt)
+    }
+    import graft.sources._
+    lazy val fake = new FakeCloudProvider()
+    sub match {
+      case "version" => (Version, 0)
+      case "info" => endpoint match {
+        case Some((h, p)) => (GrpcScannerClient.providerInfo(h, p), 0)
+        case None =>
+          val i = fake.providerInfo
+          (s"""{"name":${ScannerWire.jstr(i.name)},"version":${
+            ScannerWire.jstr(i.version)},"supported_services":${
+            i.supportedServices.map(ScannerWire.jstr)
+              .mkString("[", ",", "]")}}""", 0)
+      }
+      case "list" =>
+        val (svc, reg) = (need("service"), need("region"))
+        val refs = endpoint match {
+          case Some((h, p)) =>
+            // parse the wire payload back to rows via Spark's JSON reader
+            import spark.implicits._
+            val raw = GrpcScannerClient.listResources(h, p, svc, reg)
+            if (raw.contains("\"error\""))
+              return (s"Error: $raw", 1)
+            spark.read.json(Seq(raw).toDS)
+              .select(org.apache.spark.sql.functions.explode(
+                org.apache.spark.sql.functions.col("resources")).as("r"))
+              .select("r.id", "r.name", "r.type")
+              .collect().toSeq
+          case None => fake.listResources(svc, reg).map(r =>
+            org.apache.spark.sql.Row(r.id, r.name, r.resourceType))
+        }
+        (Formatters.table(Seq("id", "name", "type"), refs), 0)
+      case "describe" =>
+        val (svc, reg, id) = (need("service"), need("region"), need("id"))
+        val ref = fake.listResources(svc, reg).find(_.id == id)
+          .orElse(endpoint.flatMap { case (h, p) =>
+            // remote-only ids: reconstruct the ref from the listing
+            val raw = GrpcScannerClient.listResources(h, p, svc, reg)
+            if (raw.contains(id)) Some(ResourceRef(id, "", "", svc, reg))
+            else None
+          })
+        ref match {
+          case None => (s"Error: no resource '$id' in $svc/$reg", 1)
+          case Some(r) => endpoint match {
+            case Some((h, p)) =>
+              (GrpcScannerClient.describeResource(h, p, r), 0)
+            case None => (ScannerWire.renderResource(
+              fake.describeResource(r)), 0)
+          }
+        }
+      case "schemas" =>
+        val table = need("table")
+        val jsonCol = flag("json-col").getOrElse("raw_data")
+        val sampleN = flag("sample").map(_.toInt).getOrElse(10)
+        val schema = graft.catalog.SchemaInference.inferJsonSchema(
+          spark.table(table), jsonCol, sampleN)
+        (schema.treeString, 0)
+      case "serve" =>
+        val port = flag("port").map(_.toInt).getOrElse(0)
+        if (rest.contains("--grpc")) {
+          val srv = new graft.engine.GrpcQueryServer(spark, port)
+          srv.start()
+          val msg = s"gRPC query API listening on 127.0.0.1:${srv.boundPort}"
+          if (blockServe) { println(msg); scala.io.StdIn.readLine(); () }
+          srv.stop()
+          (msg, 0)
+        } else {
+          val srv = new graft.engine.QueryServer(spark, port)
+          srv.start()
+          val msg = s"HTTP query API listening on 127.0.0.1:${srv.boundPort}"
+          if (blockServe) { println(msg); scala.io.StdIn.readLine(); () }
+          srv.stop()
+          (msg, 0)
+        }
+      case other => (s"unknown subcommand '$other'\n$usage", 2)
+    }
+  }
+
+  /** Full argv entry: routes subcommands, else the query path. */
+  def runArgv(spark: SparkSession, argv: Seq[String],
+      blockServe: Boolean = true,
+      readStdin: () => String = () =>
+        new String(System.in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)): (String, Int) = {
+    if (argv.isEmpty) return (usage, 2)
+    if (argv.size >= 2 && SubCommands.contains(argv(1))) {
+      Tables.register(spark, argv.head)
+      try runSub(spark, argv(1), argv.drop(2).toList, blockServe)
+      catch { case scala.util.control.NonFatal(e) =>
+        (s"Error: ${Option(e.getMessage).getOrElse(e.toString)}", 1)
+      }
+    } else parseArgs(argv) match {
+      case Left(err) => (err, 2)
+      case Right(a) => run(spark, a, readStdin)
+    }
+  }
 
   /** Execute parsed args; returns (formatted output, exit code). */
   def run(spark: SparkSession, args: CliArgs,
@@ -214,21 +343,18 @@ object Cli {
   }
 
   def main(argv: Array[String]): Unit = {
+    if (argv.isEmpty) { System.err.println(usage); sys.exit(2) }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    parseArgs(argv.toSeq) match {
-      case Left(err) => System.err.println(err); sys.exit(2)
-      case Right(args) =>
-        val spark = SparkSession.builder()
-          .master(s"local[$cpus]")
-          .config("spark.sql.shuffle.partitions", cpus)
-          .config("spark.sql.session.timeZone", "UTC")
-          .config("spark.ui.enabled", "false")
-          .getOrCreate()
-        spark.sparkContext.setLogLevel("WARN")
-        val (text, code) = run(spark, args)
-        if (code == 0) println(text) else System.err.println(text)
-        spark.stop()
-        if (code != 0) sys.exit(code)
-    }
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (text, code) = runArgv(spark, argv.toSeq)
+    if (code == 0) println(text) else System.err.println(text)
+    spark.stop()
+    if (code != 0) sys.exit(code)
   }
 }

@@ -93,4 +93,55 @@ class CliSpec extends SparkSpec {
     assert(Cli.parseArgs(Seq(sf, "--output", "xml")).isLeft)
     assert(Cli.parseArgs(Seq(sf, "--param", "noequals")).isLeft)
   }
+
+  test("subcommands: version, info, list, describe route the scan seam") {
+    assert(Cli.runArgv(spark, Seq(sf, "version")) == (Cli.Version, 0))
+    val (info, c1) = Cli.runArgv(spark, Seq(sf, "info"))
+    assert(c1 == 0 && info.contains("\"fake-aws\""), info)
+    val (listed, c2) = Cli.runArgv(spark,
+      Seq(sf, "list", "--service", "s3", "--region", "us-east-1"))
+    assert(c2 == 0 && listed.contains("s3-us-east-1-0") &&
+      listed.contains("row(s)"), listed)
+    val (desc, c3) = Cli.runArgv(spark, Seq(sf, "describe",
+      "--service", "s3", "--region", "us-east-1",
+      "--id", "arn:fake:s3:us-east-1:123456789012:res/3"))
+    assert(c3 == 0 && desc.contains("\\\"SizeGb\\\":9"), desc)
+    val (miss, c4) = Cli.runArgv(spark, Seq(sf, "describe",
+      "--service", "s3", "--region", "us-east-1", "--id", "nope"))
+    assert(c4 == 1 && miss.contains("no resource"), miss)
+  }
+
+  test("subcommands: --plugin routes list/info over the gRPC wire") {
+    assume(graft.engine.GrpcTransport.available)
+    val srv = new graft.sources.GrpcScannerServer(
+      new graft.sources.FakeCloudProvider(perServiceRegion = 5))
+    srv.start()
+    try {
+      val ep = s"127.0.0.1:${srv.boundPort}"
+      val (info, c1) = Cli.runArgv(spark, Seq(sf, "info", "--plugin", ep))
+      assert(c1 == 0 && info.contains("\"fake-aws\""), info)
+      val (listed, c2) = Cli.runArgv(spark, Seq(sf, "list",
+        "--service", "ec2", "--region", "eu-west-1", "--plugin", ep))
+      assert(c2 == 0 && listed.contains("ec2-eu-west-1-4") &&
+        listed.contains("5 row(s)"), listed)
+      val (bad, c3) = Cli.runArgv(spark, Seq(sf, "list",
+        "--service", "ghost", "--region", "eu-west-1", "--plugin", ep))
+      assert(c3 == 1 && bad.contains("unknown service"), bad)
+    } finally srv.stop()
+  }
+
+  test("subcommands: schemas infers the JSON payload; serve binds and stops") {
+    graft.fixtures.CorkscrewFixtures.register(spark)
+    val (tree, c1) = Cli.runArgv(spark,
+      Seq(sf, "schemas", "--table", "aws_resources", "--sample", "5"))
+    assert(c1 == 0 && tree.contains("root") && tree.contains("--"), tree)
+    val (http, c2) = Cli.runArgv(spark, Seq(sf, "serve"),
+      blockServe = false)
+    assert(c2 == 0 && http.contains("HTTP query API listening"), http)
+    if (graft.engine.GrpcTransport.available) {
+      val (grpc, c3) = Cli.runArgv(spark, Seq(sf, "serve", "--grpc"),
+        blockServe = false)
+      assert(c3 == 0 && grpc.contains("gRPC query API listening"), grpc)
+    }
+  }
 }
