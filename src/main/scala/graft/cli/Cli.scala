@@ -92,6 +92,8 @@ object Cli {
       |  --no-header        omit the header row (table/CSV)
       |  --save path        also write the formatted output to a file
       |subcommands (main.go command tree):
+      |  scan     [--services a,b] [--regions r1,r2] [--plugin host:port]
+      |           [--out dir]   scan + transactional commit + ScanStats
       |  info     [--plugin host:port]            provider info
       |  list     --service s --region r [--plugin host:port]
       |  describe --service s --region r --id id [--plugin host:port]
@@ -103,7 +105,7 @@ object Cli {
   val Version = "graft 1.0.0"
 
   private val SubCommands =
-    Set("info", "list", "describe", "schemas", "serve", "version")
+    Set("scan", "info", "list", "describe", "schemas", "serve", "version")
 
   /** Subcommand router (main.go:85-118's command switch). The scan-side
     * commands route through the [[graft.sources.ScannerProvider]] seam —
@@ -128,6 +130,54 @@ object Cli {
     lazy val fake = new FakeCloudProvider()
     sub match {
       case "version" => (Version, 0)
+      case "scan" =>
+        // The reference's primary command (main.go:87, `corkscrew scan`):
+        // fan the (service x region) matrix out across executors, commit
+        // the scanned resources transactionally, report ScanStats. With
+        // no --plugin endpoint an ephemeral in-process server fronts the
+        // fake provider so even the default path exercises the real wire.
+        val t0 = System.nanoTime()
+        val services = flag("services").map(_.split(",").toSeq)
+          .getOrElse(fake.discoverServices().map(_.name))
+        val regions = flag("regions").map(_.split(",").toSeq)
+          .getOrElse(Seq("us-east-1"))
+        val work = for (s0 <- services; r <- regions) yield ScanTask(s0, r)
+        val scanned = (endpoint match {
+          case Some((h, p)) =>
+            ScannerSource.scanDistributed(spark, h, p, work)
+          case None if graft.engine.GrpcTransport.available =>
+            val srv = new GrpcScannerServer(fake)
+            srv.start()
+            try ScannerSource
+              .scanDistributed(spark, "127.0.0.1", srv.boundPort, work)
+              .localCheckpoint(true) // materialize before the server stops
+            finally srv.stop()
+          case None => ScannerSource.scanLocal(spark, fake, work)
+        }).withColumn("scanned_at",
+          org.apache.spark.sql.functions.current_timestamp())
+        val outDir = flag("out")
+        val merged = outDir match {
+          case Some(dir) =>
+            val store = new graft.catalog.SnapshotTableStore(dir)
+            val all = store.currentVersion("resources") match {
+              case Some(_) => graft.catalog.ResourceCatalog.upsertResources(
+                store.read(spark, "resources"), scanned)
+              case None => scanned
+            }
+            store.overwrite(all, "resources")
+            store.read(spark, "resources")
+          case None => scanned
+        }
+        val perService = merged.groupBy("service").count()
+          .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}")
+          .sorted.mkString(", ")
+        val ms = (System.nanoTime() - t0) / 1000000
+        (s"scanned ${work.size} task(s); total_resources=${merged.count()}" +
+          s" [$perService] duration_ms=$ms" +
+          outDir.map(d => s" committed=v${
+            new graft.catalog.SnapshotTableStore(d)
+              .currentVersion("resources").getOrElse(0)} at $d").getOrElse(""),
+          0)
       case "info" => endpoint match {
         case Some((h, p)) => (GrpcScannerClient.providerInfo(h, p), 0)
         case None =>

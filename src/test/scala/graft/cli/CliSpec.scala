@@ -111,6 +111,23 @@ class CliSpec extends SparkSpec {
     assert(c4 == 1 && miss.contains("no resource"), miss)
   }
 
+  test("scan: fans out, commits to the snapshot store, upsert on rescan") {
+    val dir = tempDir("cli-scan").toString
+    val (out1, c1) = Cli.runArgv(spark, Seq(sf, "scan",
+      "--services", "s3,ec2", "--regions", "us-east-1", "--out", dir))
+    assert(c1 == 0, out1)
+    assert(out1.contains("scanned 2 task(s)"), out1)
+    assert(out1.contains("total_resources=400") &&
+      out1.contains("s3=200") && out1.contains("committed=v"), out1)
+    // rescan: first-write-wins upsert — same totals, version advances
+    val (out2, c2) = Cli.runArgv(spark, Seq(sf, "scan",
+      "--services", "s3,ec2", "--regions", "us-east-1", "--out", dir))
+    assert(c2 == 0 && out2.contains("total_resources=400"), out2)
+    val store = new graft.catalog.SnapshotTableStore(dir)
+    assert(store.currentVersion("resources").exists(_ >= 2))
+    assert(store.read(spark, "resources").count() == 400)
+  }
+
   test("subcommands: --plugin routes list/info over the gRPC wire") {
     assume(graft.engine.GrpcTransport.available)
     val srv = new graft.sources.GrpcScannerServer(
