@@ -94,6 +94,8 @@ object Cli {
       |subcommands (main.go command tree):
       |  scan     [--services a,b] [--regions r1,r2] [--plugin host:port]
       |           [--out dir]   scan + transactional commit + ScanStats
+      |  discover [--plugin host:port]            service discovery table
+      |  list-packs [--packs-dir dir]             installed compliance packs
       |  info     [--plugin host:port]            provider info
       |  list     --service s --region r [--plugin host:port]
       |  describe --service s --region r --id id [--plugin host:port]
@@ -104,8 +106,8 @@ object Cli {
 
   val Version = "graft 1.0.0"
 
-  private val SubCommands =
-    Set("scan", "info", "list", "describe", "schemas", "serve", "version")
+  private val SubCommands = Set("scan", "discover", "info", "list",
+    "describe", "schemas", "serve", "version", "list-packs")
 
   /** Subcommand router (main.go:85-118's command switch). The scan-side
     * commands route through the [[graft.sources.ScannerProvider]] seam —
@@ -178,6 +180,33 @@ object Cli {
             new graft.catalog.SnapshotTableStore(d)
               .currentVersion("resources").getOrElse(0)} at $d").getOrElse(""),
           0)
+      case "discover" =>
+        // main.go:89 `corkscrew discover` — the service-discovery table
+        val services = endpoint match {
+          case Some((h, p)) =>
+            import spark.implicits._
+            val raw = GrpcScannerClient.discoverServices(h, p)
+            spark.read.json(Seq(raw).toDS)
+              .select(org.apache.spark.sql.functions.explode(
+                org.apache.spark.sql.functions.col("services")).as("s"))
+              .select("s.name", "s.display_name", "s.resource_type")
+              .collect().toSeq
+          case None => fake.discoverServices().map(s =>
+            org.apache.spark.sql.Row(s.name, s.displayName, s.resourceType))
+        }
+        (Formatters.table(Seq("name", "display_name", "resource_type"),
+          services), 0)
+      case "list-packs" =>
+        // main.go:826/843 `--list-packs` — installed compliance packs
+        val dir = flag("packs-dir").getOrElse(
+          sys.env.getOrElse("GRAFT_PACKS_DIR", "/root/repo/packs"))
+        val packs = graft.compliance.PackLoader.discover(Seq(dir))
+        val rows = packs.toSeq.sortBy(_._1).map { case (full, m) =>
+          org.apache.spark.sql.Row(full, m.version, m.provider,
+            m.queries.count(_.enabled).toString)
+        }
+        (Formatters.table(
+          Seq("pack", "version", "provider", "enabled_queries"), rows), 0)
       case "info" => endpoint match {
         case Some((h, p)) => (GrpcScannerClient.providerInfo(h, p), 0)
         case None =>

@@ -147,6 +147,14 @@ class CliSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("subcommands: discover and list-packs render their tables") {
+    val (disc, c1) = Cli.runArgv(spark, Seq(sf, "discover"))
+    assert(c1 == 0 && disc.contains("AWS::IAM::Role") &&
+      disc.contains("4 row(s)"), disc)
+    val (packs, c2) = Cli.runArgv(spark, Seq(sf, "list-packs"))
+    assert(c2 == 0 && packs.contains("ccc-storage"), packs)
+  }
+
   test("subcommands: schemas infers the JSON payload; serve binds and stops") {
     graft.fixtures.CorkscrewFixtures.register(spark)
     val (tree, c1) = Cli.runArgv(spark,
