@@ -234,6 +234,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), "offsets+step must broadcast\n" + p)
   }
 
+  test("K3 plugin scan: one aggregation exchange over the parsed stream") {
+    val p = plan("q_k3_plugin_scan")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+    // the scan parse + partial agg happen slice-local; only the final
+    // (service, region) combine may exchange
+    assert(p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("ReusedExchange")) <= 2, p)
+  }
+
   test("G10 graph-table MATCH: the path pattern is equi-joins, never OR/cartesian") {
     val p = plan("q_g10_graph_table")
     assert(!p.contains("CartesianProduct"), p)
