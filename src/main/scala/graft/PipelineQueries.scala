@@ -2406,10 +2406,11 @@ object PipelineQueries {
   // mixed (built + appended) layout.
   private def ivfAppendDir(s: SparkSession, d: String): String =
     FixtureCache.resolve("graft-ivf-append", d, "embeddings.parquet")(
-      dir => java.nio.file.Files.exists(
-          dir.resolve("centroids").resolve("_SUCCESS")) &&
-        java.nio.file.Files.exists(
-          dir.resolve("assigned").resolve("_SUCCESS"))) { dir =>
+      // ready ⇔ the APPEND finished, not just the base build: both
+      // _SUCCESS markers exist the moment ivfWriteIndex returns, so a
+      // crash before the append would otherwise leave a half fixture
+      // that every later run trusts
+      dir => java.nio.file.Files.exists(dir.resolve("_APPENDED"))) { dir =>
       val emb = t(s, d, "embeddings")
       val (centroids, assigned) = Similarity.ivfIndex(
         emb.filter(col("vec_id") % 4 =!= 0), "vec_id", "embedding",
@@ -2417,6 +2418,8 @@ object PipelineQueries {
       Similarity.ivfWriteIndex(centroids, assigned, dir.toString)
       Similarity.ivfAppendIndex(s, dir.toString,
         emb.filter(col("vec_id") % 4 === 0), "vec_id", "embedding")
+      java.nio.file.Files.writeString(dir.resolve("_APPENDED"), "ok")
+      ()
     }()
 
   /** S18: incremental IVF index maintenance

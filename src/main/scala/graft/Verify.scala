@@ -57,14 +57,26 @@ object Verify {
       s"""{"n_queries": ${SparkEntry.queries.size}, """ +
         s""""n_oracles": ${SparkEntry.oracleSql.size}, """ +
         s""""n_failed": ${failed.size}}""")
-    val hwPath = Paths.get("VERIFY_HIGHWATER")
-    if (only.isEmpty && Files.exists(hwPath)) {
-      val hw = Files.readString(hwPath).trim.toInt
-      if (SparkEntry.queries.size < hw) {
-        System.err.println(s"[verify] query count ${SparkEntry.queries.size} " +
-          s"fell below the committed high-water $hw — coverage shrank")
-        spark.stop()
-        sys.exit(1)
+    // The guard must not silently no-op when the process cwd isn't the
+    // repo root — try cwd, then the repo anchor, and WARN loudly if the
+    // committed file is findable nowhere (a missing guard is itself the
+    // silent-shrink failure mode this exists to catch).
+    if (only.isEmpty) {
+      val hwPath = Seq(Paths.get("VERIFY_HIGHWATER"),
+        Paths.get("/root/repo/VERIFY_HIGHWATER")).find(Files.exists(_))
+      hwPath match {
+        case Some(p) =>
+          val hw = Files.readString(p).trim.toInt
+          if (SparkEntry.queries.size < hw) {
+            System.err.println(
+              s"[verify] query count ${SparkEntry.queries.size} " +
+                s"fell below the committed high-water $hw — coverage shrank")
+            spark.stop()
+            sys.exit(1)
+          }
+        case None => System.err.println(
+          "[verify] WARNING: VERIFY_HIGHWATER not found from cwd " +
+            s"${sys.props("user.dir")} — coverage-shrink guard skipped")
       }
     }
     spark.stop()

@@ -140,13 +140,29 @@ object Cli {
         // fake provider so even the default path exercises the real wire.
         val t0 = System.nanoTime()
         val services = flag("services").map(_.split(",").toSeq)
-          .getOrElse(fake.discoverServices().map(_.name))
+          .getOrElse(endpoint match {
+            case Some((h, p)) =>
+              // an unfiltered scan must discover from the ENDPOINT — the
+              // remote plugin's service list, not the local stand-in's
+              import spark.implicits._
+              spark.read.json(
+                  Seq(GrpcScannerClient.discoverServices(h, p)).toDS)
+                .select(org.apache.spark.sql.functions.explode(
+                  org.apache.spark.sql.functions.col("services")).as("s"))
+                .select("s.name").collect().map(_.getString(0)).toSeq
+            case None => fake.discoverServices().map(_.name)
+          })
         val regions = flag("regions").map(_.split(",").toSeq)
           .getOrElse(Seq("us-east-1"))
         val work = for (s0 <- services; r <- regions) yield ScanTask(s0, r)
+        // localCheckpoint in every branch: the summary reads the frame
+        // twice (per-service counts + commit), and re-streaming the whole
+        // matrix from a remote endpoint per action would both double the
+        // wire cost and let the two reads disagree
         val scanned = (endpoint match {
           case Some((h, p)) =>
             ScannerSource.scanDistributed(spark, h, p, work)
+              .localCheckpoint(true)
           case None if graft.engine.GrpcTransport.available =>
             val srv = new GrpcScannerServer(fake)
             srv.start()
@@ -158,27 +174,27 @@ object Cli {
         }).withColumn("scanned_at",
           org.apache.spark.sql.functions.current_timestamp())
         val outDir = flag("out")
+        val committed = outDir.map { dir =>
+          // race-safe path: upsertLoad retries the merge from the new
+          // current version when a concurrent commit claims the slot
+          new graft.catalog.SnapshotTableStore(dir)
+            .upsertLoad(spark, "resources", scanned)
+        }
         val merged = outDir match {
-          case Some(dir) =>
-            val store = new graft.catalog.SnapshotTableStore(dir)
-            val all = store.currentVersion("resources") match {
-              case Some(_) => graft.catalog.ResourceCatalog.upsertResources(
-                store.read(spark, "resources"), scanned)
-              case None => scanned
-            }
-            store.overwrite(all, "resources")
-            store.read(spark, "resources")
+          case Some(dir) => new graft.catalog.SnapshotTableStore(dir)
+            .read(spark, "resources")
           case None => scanned
         }
-        val perService = merged.groupBy("service").count()
-          .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}")
-          .sorted.mkString(", ")
+        val counts = merged.groupBy("service").count()
+          .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+        val perService =
+          counts.map { case (s0, n) => s"$s0=$n" }.mkString(", ")
         val ms = (System.nanoTime() - t0) / 1000000
-        (s"scanned ${work.size} task(s); total_resources=${merged.count()}" +
+        (s"scanned ${work.size} task(s); " +
+          s"total_resources=${counts.map(_._2).sum}" +
           s" [$perService] duration_ms=$ms" +
-          outDir.map(d => s" committed=v${
-            new graft.catalog.SnapshotTableStore(d)
-              .currentVersion("resources").getOrElse(0)} at $d").getOrElse(""),
+          committed.map(v =>
+            s" committed=v$v at ${outDir.get}").getOrElse(""),
           0)
       case "discover" =>
         // main.go:89 `corkscrew discover` — the service-discovery table
@@ -236,19 +252,32 @@ object Cli {
         (Formatters.table(Seq("id", "name", "type"), refs), 0)
       case "describe" =>
         val (svc, reg, id) = (need("service"), need("region"), need("id"))
-        val ref = fake.listResources(svc, reg).find(_.id == id)
-          .orElse(endpoint.flatMap { case (h, p) =>
-            // remote-only ids: reconstruct the ref from the listing
+        // List → Describe against ONE source of truth: the endpoint when
+        // given, the in-process fake otherwise. (Resolving against the
+        // local fake in plugin mode would fabricate success for ids the
+        // remote endpoint never listed.)
+        endpoint match {
+          case Some((h, p)) =>
+            import spark.implicits._
             val raw = GrpcScannerClient.listResources(h, p, svc, reg)
-            if (raw.contains(id)) Some(ResourceRef(id, "", "", svc, reg))
-            else None
-          })
-        ref match {
-          case None => (s"Error: no resource '$id' in $svc/$reg", 1)
-          case Some(r) => endpoint match {
-            case Some((h, p)) =>
-              (GrpcScannerClient.describeResource(h, p, r), 0)
-            case None => (ScannerWire.renderResource(
+            if (raw.contains("\"error\"")) return (s"Error: $raw", 1)
+            val ref = spark.read.json(Seq(raw).toDS)
+              .select(org.apache.spark.sql.functions.explode(
+                org.apache.spark.sql.functions.col("resources")).as("r"))
+              .select("r.id", "r.name", "r.type")
+              .collect().collectFirst {
+                case row if row.getString(0) == id =>
+                  ResourceRef(id, row.getString(1), row.getString(2),
+                    svc, reg)
+              }
+            ref match {
+              case None => (s"Error: no resource '$id' in $svc/$reg", 1)
+              case Some(r) =>
+                (GrpcScannerClient.describeResource(h, p, r), 0)
+            }
+          case None => fake.listResources(svc, reg).find(_.id == id) match {
+            case None => (s"Error: no resource '$id' in $svc/$reg", 1)
+            case Some(r) => (ScannerWire.renderResource(
               fake.describeResource(r)), 0)
           }
         }

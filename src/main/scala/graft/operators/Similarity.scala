@@ -502,31 +502,43 @@ object Similarity {
     * [[ivfAppendIndex]] batch adds one file per touched cell, and at
     * serving scale thousands of small files per partition turn the
     * pruned probe into a listing/footers problem. Rewrites the assigned
-    * frame to `filesPerCell` files per cell through a staging directory
-    * + directory swap (readers either see the old complete layout or the
-    * new one; the crash window leaves the old layout in place — the
-    * fully transactional variant is hosting the index inside
-    * [[graft.catalog.SnapshotTableStore]], whose manifest commit this
-    * mirrors). Content is untouched: same rows, same cells, fewer files.
+    * frame to one file per cell through a staging directory + directory
+    * swap. Re-entrant and crash-recoverable: on entry a half-finished
+    * prior swap is rolled back (old layout restored) or rolled forward
+    * (leftover old dir cleaned), and stale staging output is discarded —
+    * so a crash at ANY point leaves a complete layout recoverable by the
+    * next call. The fully transactional variant is hosting the index
+    * inside [[graft.catalog.SnapshotTableStore]], whose manifest commit
+    * this mirrors. Content is untouched: same rows, same cells, fewer
+    * files.
     */
   def ivfCompactIndex(spark: SparkSession, path: String): Unit = {
+    val root = new java.io.File(path)
+    val live = new java.io.File(root, "assigned")
+    val oldF = new java.io.File(root, "assigned_old")
+    val tmpF = new java.io.File(root, "assigned_compacting")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    // Crash recovery makes the swap re-entrant: a crash mid-swap (old
+    // present, live missing) rolls BACK to the old complete layout; a
+    // crash after the swap (both present) just lost its cleanup — finish
+    // it. Stale staging output is always discarded.
+    if (oldF.exists() && !live.exists()) {
+      if (!oldF.renameTo(live)) throw new java.io.IOException(
+        s"ivfCompactIndex: crash-recovery restore failed at $path")
+    } else if (oldF.exists()) rm(oldF)
+    if (tmpF.exists()) rm(tmpF)
     val assigned = spark.read.parquet(s"$path/assigned")
     // hash-repartition ON the partition column: each cell lands wholly in
     // one task, so the partitioned write emits exactly one file per cell
     // while cells still compact in parallel across tasks
     assigned.repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$path/assigned_compacting")
-    val root = new java.io.File(path)
-    val live = new java.io.File(root, "assigned")
-    val oldF = new java.io.File(root, "assigned_old")
-    val tmpF = new java.io.File(root, "assigned_compacting")
+      .parquet(tmpF.getPath)
     if (!live.renameTo(oldF) || !tmpF.renameTo(live))
       throw new java.io.IOException(s"ivfCompactIndex: swap failed at $path")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
-    }
     rm(oldF)
   }
 

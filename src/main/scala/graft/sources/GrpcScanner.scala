@@ -66,10 +66,19 @@ class GrpcScannerServer(provider: ScannerProvider, port: Int = 0) {
         new ServerCalls.ServerStreamingMethod[Array[Byte], Array[Byte]] {
           override def invoke(req: Array[Byte],
               out: StreamObserver[Array[Byte]]): Unit = {
-            val r = new String(req, UTF_8)
-            provider.streamScan(field(r, "service"), field(r, "region"))
-              .foreach(res =>
-                out.onNext(renderResource(res).getBytes(UTF_8)))
+            // same error contract as the unary methods: a provider fault
+            // becomes an {"error":...} payload, never an opaque gRPC
+            // UNKNOWN that Spark would retry 4x before failing blind
+            try {
+              val r = new String(req, UTF_8)
+              provider.streamScan(field(r, "service"), field(r, "region"))
+                .foreach(res =>
+                  out.onNext(renderResource(res).getBytes(UTF_8)))
+            } catch { case e: Exception =>
+              out.onNext(s"""{"error":${jstr(
+                Option(e.getMessage).getOrElse(e.toString))}}"""
+                .getBytes(UTF_8))
+            }
             out.onCompleted()
           }
         }))
@@ -163,10 +172,16 @@ object GrpcScannerClient {
     */
   def streamScan(host: String, port: Int, task: ScanTask): Seq[String] =
     withChannel(host, port) { ch =>
-      ClientCalls.blockingServerStreamingCall(ch, StreamScanMethod,
-        CallOptions.DEFAULT,
+      val frames = ClientCalls.blockingServerStreamingCall(ch,
+        StreamScanMethod, CallOptions.DEFAULT,
         s"""{"service":${ScannerWire.jstr(task.service)},"region":${
           ScannerWire.jstr(task.region)}}""".getBytes(UTF_8))
         .asScala.map(new String(_, UTF_8)).toVector
+      // the server converts provider faults into an error frame — fail
+      // the task HERE with the real message instead of parsing it as data
+      frames.find(_.startsWith("{\"error\"")).foreach(err =>
+        throw new IllegalStateException(
+          s"StreamScan(${task.service}, ${task.region}) failed: $err"))
+      frames
     }
 }

@@ -117,14 +117,38 @@ object ScannerWire {
 
   /** Extract a flat string field from a request object — requests are
     * engine-authored `{"service":"…","region":"…"}` shapes; a missing
-    * field is a protocol error, reported as such.
+    * field is a protocol error, reported as such. Unescaping covers the
+    * FULL set [[jstr]] emits (`\" \\ \n \r \t \uXXXX`) so every string
+    * value round-trips through the wire byte-exact.
     */
   def field(json: String, name: String): String = {
     val m = ("\"" + java.util.regex.Pattern.quote(name) +
       "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r.findFirstMatchIn(json)
-    m.map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).getOrElse(
+    m.map(g => unescape(g.group(1))).getOrElse(
       throw new IllegalArgumentException(
         s"scanner request missing '$name': $json"))
+  }
+
+  private def unescape(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"' => b += '"'; i += 2
+          case '\\' => b += '\\'; i += 2
+          case 'n' => b += '\n'; i += 2
+          case 'r' => b += '\r'; i += 2
+          case 't' => b += '\t'; i += 2
+          case 'u' if i + 6 <= s.length =>
+            b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+            i += 6
+          case other => b += '\\'; b += other; i += 2
+        }
+      } else { b += c; i += 1 }
+    }
+    b.toString
   }
 
   def renderResource(r: ScannedResource): String =

@@ -283,12 +283,11 @@ class PropertySpec extends SparkSpec {
           org.apache.spark.sql.types.StructField("region",
             org.apache.spark.sql.types.StringType)))).as("o"))
         .select("o.service", "o.region").head
-      // and the wire's own extractor must agree on simple-escape payloads
-      val fieldOk =
-        if (service.exists(c => c < ' ')) true // \uXXXX forms: parser-only
-        else graft.sources.ScannerWire.field(req, "service") == service
-      parsed.getString(0) == service && parsed.getString(1) == region &&
-        fieldOk
+      // and the wire's own extractor must round-trip EVERY escape jstr
+      // emits, control chars and \uXXXX forms included
+      graft.sources.ScannerWire.field(req, "service") == service &&
+        graft.sources.ScannerWire.field(req, "region") == region &&
+        parsed.getString(0) == service && parsed.getString(1) == region
     }, minSuccessful = 60)
   }
 

@@ -50,6 +50,16 @@ class ScannerPluginSpec extends SparkSpec {
     }
   }
 
+  test("StreamScan provider faults surface as named errors, not UNKNOWN") {
+    withServer { (h, p) =>
+      val e = intercept[IllegalStateException] {
+        GrpcScannerClient.streamScan(h, p, ScanTask("ghost", "us-east-1"))
+      }
+      assert(e.getMessage.contains("ghost") &&
+        e.getMessage.contains("unknown service"), e.getMessage)
+    }
+  }
+
   test("distributed scan equals the in-process scan exactly") {
     withServer { (h, p) =>
       val work = ScannerSource.tasks(provider, Seq("us-east-1", "eu-west-1"))
