@@ -1786,6 +1786,54 @@ object PipelineQueries {
       .drop("text")
   }
 
+  /** T32: deterministic sentence segmentation + per-doc sentence stats
+    * ([[TextAnalysis.sentences]]) — the sentence-level feeder for
+    * chunking and quality scoring. Split pattern `[.!?]+\s+` over
+    * sentinel-terminated text lives in the Java-regex ∩ RE2 common
+    * subset, so DuckDB replays the segmentation byte-exact: counts, word
+    * totals, max, the raw-IEEE average, and the first sentence string
+    * all hash-compare. One narrow codegen scan, no shuffle.
+    */
+  val t32Sentences: Q = (s, d) =>
+    t(s, d, "documents")
+      .select(col("doc_id"), TextAnalysis.sentences(col("text")).as("sents"))
+      .select(col("doc_id"), col("sents"),
+        TextAnalysis.sentenceWordCounts(col("sents")).as("wc"))
+      .select(col("doc_id"), col("sents"),
+        size(col("sents")).cast("bigint").as("n_sentences"),
+        coalesce(aggregate(col("wc"), lit(0), (a, x) => a + x), lit(0))
+          .cast("bigint").as("n_words"),
+        coalesce(array_max(col("wc")), lit(0)).cast("bigint")
+          .as("max_sentence_words"))
+      .select(col("doc_id"), col("n_sentences"), col("n_words"),
+        col("max_sentence_words"),
+        when(col("n_sentences") === 0, lit(0.0))
+          .otherwise(col("n_words").cast("double") / col("n_sentences"))
+          .as("avg_words_per_sentence"),
+        coalesce(element_at(col("sents"), 1), lit(""))
+          .as("first_sentence"))
+  val t32Oracle: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    list_filter(list_transform(
+      |      regexp_split_to_array(trim(text) || ' ', '[.!?]+\s+'),
+      |      x -> trim(x)), x -> length(x) > 0) AS sents
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id, sents,
+      |    list_transform(sents, st -> len(list_filter(
+      |      regexp_split_to_array(st, '\s+'), t -> length(t) > 0))) AS wc
+      |  FROM s)
+      |SELECT doc_id,
+      |  CAST(len(sents) AS BIGINT) AS n_sentences,
+      |  CAST(COALESCE(list_sum(wc), 0) AS BIGINT) AS n_words,
+      |  CAST(COALESCE(list_max(wc), 0) AS BIGINT) AS max_sentence_words,
+      |  CASE WHEN len(sents) = 0 THEN 0.0
+      |       ELSE CAST(list_sum(wc) AS DOUBLE) / len(sents) END
+      |    AS avg_words_per_sentence,
+      |  COALESCE(sents[1], '') AS first_sentence
+      |FROM w""".stripMargin
+
   val t29Oracle: String = {
     val chain = (Seq("script", "style", "nav", "footer", "header", "aside")
       .map(tag => s"(?is)<$tag[^>]*>.*?</$tag>" -> " ") ++
@@ -2916,6 +2964,7 @@ object PipelineQueries {
     "q_r1_hybrid_rrf" -> r1HybridRrf,
     "q_s14_kmeans" -> s14Kmeans,
     "q_t29_html_extract" -> t29HtmlExtract,
+    "q_t32_sentences" -> t32Sentences,
     "q_r2_mmr" -> r2Mmr,
     "q_d13_dedup_keepbest" -> d13KeepBest,
     "q_s15_hard_negatives" -> s15HardNegatives,
@@ -2990,6 +3039,7 @@ object PipelineQueries {
     "q_r1_hybrid_rrf" -> r1Oracle,
     "q_s14_kmeans" -> s14Oracle,
     "q_t29_html_extract" -> t29Oracle,
+    "q_t32_sentences" -> t32Oracle,
     "q_r2_mmr" -> r2Oracle,
     "q_d13_dedup_keepbest" -> d13KeepBestOracle,
     "q_s15_hard_negatives" -> s15Oracle,

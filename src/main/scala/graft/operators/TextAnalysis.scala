@@ -48,6 +48,28 @@ object TextAnalysis {
       regexp_extract(noUtm, "^https?://[^/]+(.*)$", 1))
   }
 
+  /** Deterministic sentence segmentation: split on terminal-punctuation
+    * runs (`[.!?]+`) followed by whitespace or end-of-text, trim, drop
+    * empties. The pattern lives in the Java-regex ∩ RE2 common subset
+    * (NO lookbehind — RE2 has none), so a DuckDB
+    * `regexp_split_to_array` replays the segmentation byte-exact. Pure
+    * codegen'd array expressions: one narrow scan, no UDF, no shuffle —
+    * the sentence-level feeder for chunking and quality scoring.
+    */
+  def sentences(text: Column): Column =
+    // sentinel trailing space instead of a `$` alternative: Java's `$`
+    // also matches before a final newline, RE2's does not — the sentinel
+    // keeps the whole pattern inside byte-identical split semantics
+    filter(transform(split(concat(trim(text), lit(" ")), "[.!?]+\\s+"),
+      s => trim(s)), s => length(s) > 0)
+
+  /** Per-sentence word counts (whitespace tokens) for a [[sentences]]
+    * array — row-local, shuffle-free.
+    */
+  def sentenceWordCounts(sents: Column): Column =
+    transform(sents, st =>
+      size(filter(split(st, "\\s+"), t => length(t) > 0)))
+
   /** Normalized text: lowercase, punctuation stripped, whitespace
     * collapsed — the canonical form used for exact-dup hashing and
     * fingerprints.

@@ -294,6 +294,29 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got == Seq("4532015112830366"), got)
   }
 
+  test("sentences: punctuation runs split, decimals survive, newline-terminal safe") {
+    val cases = Seq(
+      "One. Two sentences! Third?" -> Seq("One", "Two sentences", "Third"),
+      // intra-token period is NOT a boundary (3.14 stays whole)
+      "Pi is 3.14 about. Next." -> Seq("Pi is 3.14 about", "Next"),
+      // runs of terminal punctuation collapse to one boundary
+      "Wait!! Really?!" -> Seq("Wait", "Really"),
+      // trailing newline after final period (the Java-$ vs RE2-$ trap)
+      "Ends with newline.\n" -> Seq("Ends with newline"),
+      // no terminal punctuation: the whole text is one sentence
+      "no punctuation at all" -> Seq("no punctuation at all"),
+      "" -> Seq())
+    val got = cases.map(_._1).toDF("t")
+      .select(TextAnalysis.sentences(col("t")))
+      .as[Seq[String]].collect().toSeq
+    assert(got == cases.map(_._2), got)
+    val wc = Seq("One two. Three four five!").toDF("t")
+      .select(TextAnalysis.sentenceWordCounts(
+        TextAnalysis.sentences(col("t"))))
+      .as[Seq[Int]].first()
+    assert(wc == Seq(2, 3), wc)
+  }
+
   test("extractHtmlText: blocks drop, tags strip, entities decode in order") {
     val cases = Seq(
       // script content with stray < survives non-greedy block removal
