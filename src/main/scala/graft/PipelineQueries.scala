@@ -2523,6 +2523,70 @@ object PipelineQueries {
       |  id, cosine_sim
       |FROM sc WHERE (SELECT complete FROM ok)""".stripMargin
 
+  /** S19: scalar (int8-range) quantization two-stage search
+    * ([[Similarity.sqTopK]]) — the serving tier between brute force and
+    * PQ: per-dim corpus bounds → integer codes 0..255 → exact integer L2
+    * prunes to 30 candidates per query over the THIN code frame → exact
+    * cosine rerank of the bounded candidate set. Every stage is
+    * deterministic IEEE/integer arithmetic, so the oracle replays the
+    * whole pipeline — bounds, the `floor(((x-lo)*255)/(hi-lo))` code
+    * chain, code-space ranking with id tie-breaks, and the rerank — and
+    * any drift (wrong bounds, mis-clamped code, dropped candidate,
+    * unstable ties) turns the row red.
+    */
+  val s19SqTopK: Q = (s, d) =>
+    Similarity.sqTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        queryVecs(s, d), k = 10, candK = 30)
+      .withColumn("rank", col("rank").cast("bigint"))
+  val s19Oracle: String =
+    """WITH p AS (
+      |  SELECT pos, MIN(CAST(x AS DOUBLE)) AS minv,
+      |         MAX(CAST(x AS DOUBLE)) AS maxv
+      |  FROM (SELECT UNNEST(range(1, len(embedding) + 1)) AS pos,
+      |               UNNEST(embedding) AS x FROM embeddings) z
+      |  GROUP BY pos),
+      |pa AS (SELECT list(minv ORDER BY pos) AS mins,
+      |              list(maxv ORDER BY pos) AS maxs FROM p),
+      |c AS (
+      |  SELECT vec_id,
+      |    list_transform(range(1, len(embedding) + 1), i ->
+      |      CASE WHEN maxs[i] - mins[i] = 0 THEN 0
+      |           ELSE CAST(LEAST(GREATEST(FLOOR(
+      |             ((CAST(embedding[i] AS DOUBLE) - mins[i]) * 255.0)
+      |               / (maxs[i] - mins[i])), 0), 255) AS INT) END) AS codes
+      |  FROM embeddings, pa),
+      |q AS (SELECT vec_id AS query_id, codes AS qcodes FROM c
+      |      WHERE vec_id < 5),
+      |sc AS (
+      |  SELECT q.query_id, c.vec_id AS id,
+      |    CAST(list_sum(list_transform(range(1, len(c.codes) + 1), i ->
+      |      CAST(c.codes[i] - q.qcodes[i] AS BIGINT)
+      |        * CAST(c.codes[i] - q.qcodes[i] AS BIGINT))) AS BIGINT)
+      |      AS code_l2
+      |  FROM c CROSS JOIN q),
+      |cand AS (SELECT query_id, id, code_l2 FROM (
+      |    SELECT sc.*, ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY code_l2, id) AS crank FROM sc) z
+      |  WHERE crank <= 30),
+      |e AS (
+      |  SELECT vec_id, embedding,
+      |    SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+      |          FROM (SELECT UNNEST(embedding) AS x) ux)) AS nrm
+      |  FROM embeddings),
+      |fin AS (
+      |  SELECT cand.query_id, cand.id, cand.code_l2,
+      |    ROUND(CASE WHEN e.nrm * qe.nrm = 0 THEN 0.0 ELSE
+      |      (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+      |       FROM (SELECT UNNEST(e.embedding) AS x,
+      |                    UNNEST(qe.embedding) AS y) u)
+      |      / (e.nrm * qe.nrm) END, 6) AS cosine_sim
+      |  FROM cand JOIN e ON e.vec_id = cand.id
+      |            JOIN e qe ON qe.vec_id = cand.query_id)
+      |SELECT query_id, rank, id, code_l2, cosine_sim FROM (
+      |  SELECT fin.*, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY cosine_sim DESC, id) AS rank FROM fin) z
+      |WHERE rank <= 10""".stripMargin
+
   /** S8/S9/S10: product quantization — the compressed-index pairing of
     * IVF for 100 TB ANN ([[Similarity.pqIndex]]/[[Similarity.pqTopK]]).
     * Three artifacts, each driver-checked:
@@ -2998,6 +3062,7 @@ object PipelineQueries {
     "q_s5_cosine_neardup" -> s5CosineNearDup,
     "q_s6_ivf_indexed" -> s6IvfIndexed,
     "q_s18_ivf_append" -> s18IvfAppend,
+    "q_s19_sq_topk" -> s19SqTopK,
     "q_s7_embed_dedup_manifest" -> s7EmbedDedupManifest,
     "q_s8_pq_codebook" -> s8PqCodebook,
     "q_s9_pq_codes" -> s9PqCodes,
@@ -3076,6 +3141,7 @@ object PipelineQueries {
     "q_s5_cosine_neardup" -> s5Oracle,
     "q_s6_ivf_indexed" -> s6Oracle,
     "q_s18_ivf_append" -> s18Oracle,
+    "q_s19_sq_topk" -> s19Oracle,
     "q_s7_embed_dedup_manifest" -> s7Oracle,
     "q_s8_pq_codebook" -> s8Oracle,
     "q_s9_pq_codes" -> s9Oracle,

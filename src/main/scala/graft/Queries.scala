@@ -655,6 +655,92 @@ object Queries {
       |FROM ax LEFT JOIN a ON a.dim = ax.dim AND a.bucket = ax.bucket"""
       .stripMargin
 
+  /** A17: dataset profile ([[operators.Profiler.profile]]) — the
+    * data-card pass: per-column null/distinct counts, numeric bounds and
+    * exact decimal-space means, string bounds and average lengths,
+    * timestamp bounds as epoch seconds, all from ONE aggregation (the
+    * multi-distinct battery plans as a single Expand shuffle). Every
+    * cell is deterministic scalar arithmetic, so DuckDB replays the
+    * whole card column by column and the driver hash-compares it.
+    */
+  val a17Profile: Q = (s, d) =>
+    operators.Profiler.profile(t(s, d, "orders"))
+  private def profileArm(name: String, dtype: String, numBlock: String,
+      strBlock: String): String =
+    s"""SELECT '$name' AS col_name, '$dtype' AS dtype,
+       |  COUNT(*) AS n_rows,
+       |  COUNT(*) - COUNT($name) AS n_nulls,
+       |  CAST(COUNT(DISTINCT $name) AS BIGINT) AS n_distinct,
+       |  $numBlock, $strBlock
+       |FROM orders""".stripMargin
+  private def numArm(name: String, expr: String, withMean: Boolean): String = {
+    val mean = if (withMean)
+      s"""CASE WHEN COUNT($name) > 0 THEN
+         |    CAST(SUM(CAST($name AS DECIMAL(38,6))) AS DOUBLE)
+         |      / CAST(COUNT($name) AS DOUBLE) END""".stripMargin
+    else "CAST(NULL AS DOUBLE)"
+    s"""MIN($expr) AS min_num, MAX($expr) AS max_num,
+       |  $mean AS mean_num""".stripMargin
+  }
+  private val nullNum =
+    "CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, " +
+      "CAST(NULL AS DOUBLE) AS mean_num"
+  private def strArm(name: String): String =
+    s"""MIN($name) AS min_str, MAX($name) AS max_str,
+       |  CASE WHEN COUNT($name) > 0 THEN
+       |    CAST(SUM(CAST(LENGTH($name) AS BIGINT)) AS DOUBLE)
+       |      / CAST(COUNT($name) AS DOUBLE) END AS avg_len""".stripMargin
+  private val nullStr =
+    "CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str, " +
+      "CAST(NULL AS DOUBLE) AS avg_len"
+  val a17Oracle: String = Seq(
+    profileArm("o_orderkey", "bigint",
+      numArm("o_orderkey", "CAST(o_orderkey AS DOUBLE)", withMean = true),
+      nullStr),
+    profileArm("o_custkey", "bigint",
+      numArm("o_custkey", "CAST(o_custkey AS DOUBLE)", withMean = true),
+      nullStr),
+    profileArm("o_orderstatus", "string", nullNum, strArm("o_orderstatus")),
+    profileArm("o_totalprice", "double",
+      numArm("o_totalprice", "CAST(o_totalprice AS DOUBLE)",
+        withMean = true),
+      nullStr),
+    profileArm("o_orderdate", "timestamp",
+      "MIN(CAST(epoch(o_orderdate) AS DOUBLE)) AS min_num, " +
+        "MAX(CAST(epoch(o_orderdate) AS DOUBLE)) AS max_num, " +
+        "CAST(NULL AS DOUBLE) AS mean_num",
+      nullStr),
+    profileArm("o_orderpriority", "string", nullNum,
+      strArm("o_orderpriority"))
+  ).mkString("\nUNION ALL\n")
+
+  /** A18: sketch-distinct profile ([[operators.Profiler.approxProfile]])
+    * — the 100 TB twin of A17's exact distinct battery: HLL++ per column,
+    * no Expand, mergeable partials. Emitted-row oracle (the q_a15
+    * pattern): every profiled column must be present exactly once and
+    * each estimate must sit within 5% of the exact distinct count —
+    * 5× the configured rsd of 0.01.
+    */
+  val a18ProfileApprox: Q = (s, d) =>
+    operators.Profiler.approxProfile(t(s, d, "orders"), rsd = 0.01)
+  val a18Oracle: String = {
+    val exact = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+      .map(c => s"SELECT '$c' AS col_name, " +
+        s"CAST(COUNT(DISTINCT $c) AS BIGINT) AS nd FROM orders")
+      .mkString("\nUNION ALL\n")
+    s"""WITH sp AS (SELECT col_name, n_distinct_approx
+       |  FROM '__SPARK_OUT__/q_a18_profile_approx/*.parquet'),
+       |ex AS ($exact)
+       |SELECT sp.col_name, sp.n_distinct_approx
+       |FROM sp JOIN ex USING (col_name)
+       |WHERE (SELECT COUNT(*) FROM sp) = (SELECT COUNT(*) FROM ex)
+       |  AND (SELECT COUNT(DISTINCT col_name) FROM sp) =
+       |      (SELECT COUNT(*) FROM ex)
+       |  AND ABS(CAST(sp.n_distinct_approx AS DOUBLE) - ex.nd)
+       |        <= 0.05 * ex.nd""".stripMargin
+  }
+
   /** L1: Z-order (Morton) layout clustering ([[operators.Layout]]) — the
     * OPTIMIZE ZORDER BY primitive that makes two-dimensional scan pruning
     * work at 100 TB. The query audits the z-value arithmetic end to end:
@@ -2548,6 +2634,8 @@ object Queries {
     "q_a5_time_bucket" -> a5TimeBucket,
     "q_a6_impact_trend" -> a6ImpactTrend,
     "q_a16_gapfill" -> a16GapFill,
+    "q_a17_profile" -> a17Profile,
+    "q_a18_profile_approx" -> a18ProfileApprox,
     "q_l1_zorder" -> l1Zorder,
     "q_l2_data_skipping" -> l2DataSkipping,
     "q_l3_zorder_skipping" -> l3ZorderSkipping,
@@ -2631,6 +2719,8 @@ object Queries {
     "q_a5_time_bucket" -> a5Oracle,
     "q_a6_impact_trend" -> a6Oracle,
     "q_a16_gapfill" -> a16Oracle,
+    "q_a17_profile" -> a17Oracle,
+    "q_a18_profile_approx" -> a18Oracle,
     "q_l1_zorder" -> l1Oracle,
     "q_l2_data_skipping" -> l2Oracle,
     "q_l3_zorder_skipping" -> l3Oracle,

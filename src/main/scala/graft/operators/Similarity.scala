@@ -961,4 +961,89 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "id")
   }
+
+  // ===== scalar quantization ===========================================
+
+  /** Per-dimension quantization bounds for scalar (int8-range)
+    * quantization: one row per dimension `(pos, minv, maxv)` over the
+    * whole corpus. One `posexplode` scan with map-side partial min/max —
+    * the shuffle output is `dim` rows regardless of corpus size.
+    */
+  def sqParams(vectors: DataFrame, vecCol: String): DataFrame =
+    vectors.select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(min(col("x").cast("double")).as("minv"),
+        max(col("x").cast("double")).as("maxv"))
+
+  /** Integer codes 0..`levels` for a float vector under per-dim bounds
+    * carried as literal arrays. The arithmetic is the IEEE-double chain
+    * `floor(((x - lo) * levels) / (hi - lo))` clamped to [0, levels] —
+    * byte-replayable by any engine that evaluates the same chain, which
+    * is what the driver oracle does. A constant dimension (hi = lo)
+    * codes to 0.
+    */
+  private def sqCodes(vec: Column, minA: Column, maxA: Column,
+      levels: Int): Column =
+    transform(vec, (x, i) => {
+      val lo = element_at(minA, i + lit(1))
+      val hi = element_at(maxA, i + lit(1))
+      when(hi - lo === 0d, lit(0)).otherwise(
+        least(greatest(floor(((x.cast("double") - lo) * lit(levels.toDouble))
+          / (hi - lo)), lit(0L)), lit(levels.toLong)))
+        .cast("int")
+    })
+
+  /** Two-stage scalar-quantized ANN search (the serving pattern between
+    * brute force and PQ: SQ keeps one code per dimension, so recall is
+    * near-exact at 4× compression vs float32 — 32× when codes are
+    * byte-packed on disk, which is the production layout this int-array
+    * form stands in for).
+    *
+    * Stage 1 scores the THIN `(id, codes)` frame against the broadcast
+    * quantized queries with an exact integer L2 in code space and keeps
+    * `candK` candidates per query — the corpus' float vectors never
+    * enter the candidate shuffle, only `(query_id, id, code_l2)` rows
+    * do. Stage 2 joins the bounded candidate set (queries × candK rows,
+    * broadcast) back to the raw vectors and reranks by exact cosine.
+    * Both stages are deterministic (ties break on id), so the driver
+    * oracle replays quantization, code-space ranking, and the rerank
+    * end-to-end. Compose with [[ivfTopKIndexed]] cell pruning when even
+    * the code scan is too wide.
+    */
+  def sqTopK(vectors: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, k: Int, candK: Int = 30,
+      levels: Int = 255): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    init(vectors.sparkSession)
+    val params = sqParams(vectors, vecCol).orderBy("pos").collect()
+    val minA = typedlit(params.map(_.getDouble(1)).toSeq)
+    val maxA = typedlit(params.map(_.getDouble(2)).toSeq)
+    val base = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      norm(col(vecCol)).as("nrm"))
+    val coded = base.select(col("id"),
+      sqCodes(col("vec"), minA, maxA, levels).as("codes"))
+    val qcoded = queries.select(col("query_id"),
+      sqCodes(col("qvec"), minA, maxA, levels).as("qcodes"))
+    val codeL2 = aggregate(
+      zip_with(col("codes"), col("qcodes"),
+        (a, b) => ((a - b).cast("long") * (a - b).cast("long"))),
+      lit(0L), (acc, x) => acc + x)
+    val wc = Window.partitionBy("query_id")
+      .orderBy(col("code_l2").asc, col("id").asc)
+    val cands = coded.crossJoin(broadcast(qcoded))
+      .withColumn("code_l2", codeL2)
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= candK)
+      .select("query_id", "id", "code_l2")
+    val wr = Window.partitionBy("query_id")
+      .orderBy(col("cosine_sim").desc, col("id").asc)
+    base.join(broadcast(cands), "id")
+      .join(broadcast(queries.select(col("query_id"), col("qvec"),
+        norm(col("qvec")).as("qnrm"))), "query_id")
+      .withColumn("cosine_sim", round(cosineWithNorms(
+        dot(col("vec"), col("qvec")), col("nrm"), col("qnrm")), 6))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "id", "code_l2", "cosine_sim")
+  }
 }

@@ -263,4 +263,52 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("SortMergeJoin")) <= 4,
       "only the wedge and closure joins may shuffle-join\n" + p)
   }
+
+  test("A17 profile: one scan, multi-distinct via Expand, no join") {
+    val p = plan("q_a17_profile")
+    // ONE pass: a single parquet scan feeding Expand (formatted output
+    // prints the node twice — tree + details)
+    assert(p.linesIterator.count(_.contains("Scan parquet")) <= 2,
+      "profile must read the table exactly once\n" + p)
+    assert(p.contains("Expand"),
+      "exact multi-column distinct must plan via Expand\n" + p)
+    assert(!p.contains("Join"), "profile must not join\n" + p)
+  }
+
+  test("A18 approx profile: sketch pass with no Expand and no shuffle blowup") {
+    val p = plan("q_a18_profile_approx")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) <= 2, p)
+    assert(!p.contains("Expand"),
+      "HLL profile must not pay the Expand blowup\n" + p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("S19 scalar quantization: thin code frame ranks, vectors join back broadcast") {
+    val p = plan("q_s19_sq_topk")
+    assert(!p.contains("CartesianProduct"), p)
+    // the scoring product is corpus × BROADCAST queries — the only
+    // nested-loop join allowed is that Cross BuildRight shape
+    p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .filter(_.contains("Join type")).foreach(l =>
+        assert(l.contains("Cross"), l))
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin Cross BuildRight")) == 1,
+      "exactly one broadcast-queries scoring product expected\n" + p)
+    // stage-1 candidate window sees (query_id, id, code_l2) — the float
+    // vectors must not ride the corpus×queries frame through the window.
+    // Check every Window DETAIL block's Input line: the candidate window
+    // (the one whose input carries code_l2) must not also carry vectors.
+    val lines = p.linesIterator.toVector
+    val winDetails = lines.zipWithIndex.filter(_._1.matches("""\(\d+\) Window.*"""))
+    assert(winDetails.nonEmpty, p)
+    val candInputs = winDetails.map { case (_, i) =>
+      lines.slice(i, math.min(i + 6, lines.size))
+        .find(_.trim.startsWith("Input")).getOrElse("")
+    }.filter(_.contains("code_l2"))
+    assert(candInputs.nonEmpty, "candidate window not found\n" + p)
+    candInputs.foreach(in =>
+      assert(!in.contains("vec#") && !in.contains("qvec"),
+        "candidate window must rank the thin code frame, not vectors\n" + in))
+    // the rerank joins the bounded candidate set back by broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }

@@ -384,4 +384,41 @@ class SimilaritySpec extends SparkSpec {
         s"$id witnessed by $w from another cell"))
     }
   }
+
+  test("scalar quantization: self-query ranks first, recall near-exact") {
+    val top = Similarity.sqTopK(emb, "vec_id", "embedding", queries,
+      k = 10, candK = 50)
+    val r1 = top.filter(col("rank") === 1)
+      .select("query_id", "id", "cosine_sim").collect()
+    assert(r1.length == 3)
+    r1.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1) && r.getDouble(2) == 1.0)
+    }
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, 10)
+      .select("query_id", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq = top.select("query_id", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect sq).size.toDouble / exact.size
+    assert(recall >= 0.8, s"SQ recall $recall below 0.8")
+  }
+
+  test("scalar quantization params and codes stay in range") {
+    val params = Similarity.sqParams(emb, "embedding").collect()
+    assert(params.length == 64)
+    params.foreach(r => assert(r.getDouble(1) <= r.getDouble(2)))
+    // A constant dimension must code to 0, extremes clamp to [0, 255].
+    val df = Seq((1L, Array(0f, -5f, 10f)), (2L, Array(0f, 5f, -10f)))
+      .toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") === 1)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val out = Similarity.sqTopK(df, "vec_id", "embedding", q, k = 2)
+      .orderBy("rank").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(2) == 1L) // self first
+    // codes: dim0 constant -> 0 for both, dims 1/2 at the two extremes
+    // -> codes 0 and 255; integer L2 = 2 * 255^2
+    assert(out(1).getLong(3) == 2L * 255 * 255)
+  }
 }
