@@ -1834,6 +1834,41 @@ object PipelineQueries {
       |  COALESCE(sents[1], '') AS first_sentence
       |FROM w""".stripMargin
 
+  /** T33: PMI collocation mining ([[TextAnalysis.pmiCollocations]]) —
+    * top bigram associations ranked by the exact lift ratio (PMI =
+    * log(lift), monotonic, so no log leaves the frame). Counts are
+    * exact integers, the lift is a pinned-order IEEE chain, ties break
+    * on the bigram — full hash compare.
+    */
+  val t33Pmi: Q = (s, d) =>
+    TextAnalysis.pmiCollocations(t(s, d, "documents"), "text",
+      minCount = 5, topN = 40)
+  val t33Oracle: String =
+    s"""WITH t AS (SELECT list_filter(string_split($normSql, ' '),
+       |    x -> length(x) > 0) AS toks FROM documents),
+       |u AS (SELECT unnest(toks) AS w FROM t),
+       |uc AS (SELECT w, COUNT(*) AS c FROM u GROUP BY w),
+       |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens FROM uc),
+       |b AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+       |      FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1))
+       |              AS i FROM t) z),
+       |bc AS (SELECT w1, w2, COUNT(*) AS c_xy FROM b GROUP BY w1, w2),
+       |m AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS m_bigrams FROM bc),
+       |j AS (SELECT bc.w1, bc.w2, bc.c_xy, x.c AS c_x, y.c AS c_y,
+       |        n.n_tokens, m.m_bigrams
+       |      FROM bc JOIN uc x ON x.w = bc.w1
+       |              JOIN uc y ON y.w = bc.w2, n, m
+       |      WHERE bc.c_xy >= 5),
+       |s AS (SELECT *,
+       |    ((CAST(c_xy AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+       |       * CAST(n_tokens AS DOUBLE))
+       |      / ((CAST(m_bigrams AS DOUBLE) * CAST(c_x AS DOUBLE))
+       |       * CAST(c_y AS DOUBLE)) AS lift FROM j)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY lift DESC, w1, w2)
+       |    AS BIGINT) AS rank,
+       |  w1, w2, c_xy, c_x, c_y, n_tokens, m_bigrams, lift
+       |FROM s ORDER BY lift DESC, w1, w2 LIMIT 40""".stripMargin
+
   val t29Oracle: String = {
     val chain = (Seq("script", "style", "nav", "footer", "header", "aside")
       .map(tag => s"(?is)<$tag[^>]*>.*?</$tag>" -> " ") ++
@@ -3029,6 +3064,7 @@ object PipelineQueries {
     "q_s14_kmeans" -> s14Kmeans,
     "q_t29_html_extract" -> t29HtmlExtract,
     "q_t32_sentences" -> t32Sentences,
+    "q_t33_pmi" -> t33Pmi,
     "q_r2_mmr" -> r2Mmr,
     "q_d13_dedup_keepbest" -> d13KeepBest,
     "q_s15_hard_negatives" -> s15HardNegatives,
@@ -3105,6 +3141,7 @@ object PipelineQueries {
     "q_s14_kmeans" -> s14Oracle,
     "q_t29_html_extract" -> t29Oracle,
     "q_t32_sentences" -> t32Oracle,
+    "q_t33_pmi" -> t33Oracle,
     "q_r2_mmr" -> r2Oracle,
     "q_d13_dedup_keepbest" -> d13KeepBestOracle,
     "q_s15_hard_negatives" -> s15Oracle,

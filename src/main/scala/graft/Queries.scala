@@ -741,6 +741,33 @@ object Queries {
        |        <= 0.05 * ex.nd""".stripMargin
   }
 
+  /** A19: key-skew diagnostic ([[operators.Analytics.keySkew]]) — the
+    * pre-flight a 100 TB join gets before choosing a salting factor or
+    * an AQE skew threshold (SURVEY §2.12's skew-join pairing, q_j4):
+    * heaviest keys with counts and shares plus the global max/mean skew
+    * factor, all from one partial-aggregated count pass + a TakeOrdered
+    * head. Exact integers and pinned-order IEEE divisions — full hash
+    * compare.
+    */
+  val a19KeySkew: Q = (s, d) =>
+    Analytics.keySkew(t(s, d, "events"), "user_id", topN = 20)
+  val a19Oracle =
+    """WITH c AS (
+      |  SELECT CAST(user_id AS STRING) AS key, COUNT(*) AS n
+      |  FROM events GROUP BY 1),
+      |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |  CAST(SUM(n) AS BIGINT) AS n_rows,
+      |  CAST(MAX(n) AS BIGINT) AS max_n FROM c)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, key) AS BIGINT)
+      |    AS rank,
+      |  key, n,
+      |  CAST(n AS DOUBLE) / CAST(n_rows AS DOUBLE) AS share,
+      |  n_keys, n_rows,
+      |  CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE) AS mean_n,
+      |  CAST(max_n AS DOUBLE)
+      |    / (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)) AS skew
+      |FROM c, s ORDER BY n DESC, key LIMIT 20""".stripMargin
+
   /** L1: Z-order (Morton) layout clustering ([[operators.Layout]]) — the
     * OPTIMIZE ZORDER BY primitive that makes two-dimensional scan pruning
     * work at 100 TB. The query audits the z-value arithmetic end to end:
@@ -2636,6 +2663,7 @@ object Queries {
     "q_a16_gapfill" -> a16GapFill,
     "q_a17_profile" -> a17Profile,
     "q_a18_profile_approx" -> a18ProfileApprox,
+    "q_a19_key_skew" -> a19KeySkew,
     "q_l1_zorder" -> l1Zorder,
     "q_l2_data_skipping" -> l2DataSkipping,
     "q_l3_zorder_skipping" -> l3ZorderSkipping,
@@ -2721,6 +2749,7 @@ object Queries {
     "q_a16_gapfill" -> a16Oracle,
     "q_a17_profile" -> a17Oracle,
     "q_a18_profile_approx" -> a18Oracle,
+    "q_a19_key_skew" -> a19Oracle,
     "q_l1_zorder" -> l1Oracle,
     "q_l2_data_skipping" -> l2Oracle,
     "q_l3_zorder_skipping" -> l3Oracle,

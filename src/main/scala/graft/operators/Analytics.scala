@@ -189,4 +189,32 @@ object Analytics {
       .when(score > 75, "stable").otherwise("declining")
     (score, trend)
   }
+
+  /** Key-skew diagnostic — the pre-flight for [[SkewJoin]] salting and
+    * AQE skew thresholds: the heaviest `topN` keys with their counts
+    * plus the global shape (key count, row count, mean, max/mean skew
+    * factor). One partial-aggregated groupBy(key) produces the count
+    * frame; the summary is a scalar aggregate broadcast back; the top-N
+    * is orderBy+limit (TakeOrdered); the rank window runs over those
+    * `topN` rows only. Divisions are single IEEE ops in a pinned order,
+    * so every cell is engine-replayable.
+    */
+  def keySkew(df: DataFrame, keyCol: String, topN: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("n"))
+    val summary = counts.agg(count(lit(1)).as("n_keys"),
+      sum("n").as("n_rows"), max("n").as("max_n"))
+    val ord = Seq(col("n").desc, col("key").asc)
+    counts.orderBy(ord: _*).limit(topN)
+      .crossJoin(broadcast(summary))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(ord: _*)).cast("bigint"))
+      .withColumn("mean_n",
+        col("n_rows").cast("double") / col("n_keys").cast("double"))
+      .withColumn("skew", col("max_n").cast("double") / col("mean_n"))
+      .withColumn("share", col("n").cast("double") / col("n_rows").cast("double"))
+      .select("rank", "key", "n", "share", "n_keys", "n_rows", "mean_n",
+        "skew")
+  }
 }

@@ -821,4 +821,50 @@ object TextAnalysis {
       .filter(col("rank") <= k)
       .select("query_id", "id", "rank", "score", "n_terms")
   }
+
+  /** PMI-style collocation mining: the corpus' strongest two-word
+    * associations (phrase/term extraction for vocab curation and quality
+    * probes). Ranks bigrams by the exact lift ratio
+    * `(c_xy * N * N) / (M * c_x * c_y)` — PMI is `log(lift)` and log is
+    * monotonic, so the ranking is identical while every emitted value
+    * stays in the bit-contracted integer/÷ subset (COVERAGE.md: `log()`
+    * never leaves an oracle-checked frame).
+    *
+    * Shape at scale: two token-explode scans feed partial-aggregated
+    * unigram and bigram counts; the `minCount` filter trims the bigram
+    * frame BEFORE its two vocabulary joins; scalar totals broadcast; the
+    * final top-N is orderBy+limit (TakeOrdered, no global sort) and the
+    * rank window runs over those `topN` rows only.
+    */
+  def pmiCollocations(df: DataFrame, textCol: String,
+      minCount: Long = 5, topN: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks =
+      filter(split(normalize(col(textCol)), " "), t => length(t) > 0)
+    val base = df.select(toks.as("toks"))
+    val uni = base.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val totals = uni.agg(sum("c").as("n_tokens"))
+    val bi = base.select(explode(lmPairs(col("toks"))).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c_xy"))
+    val mTotal = bi.agg(sum("c_xy").as("m_bigrams"))
+    val joined = bi.filter(col("c_xy") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("c").as("c_x")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_y")), "w2")
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(mTotal))
+    val lift = ((col("c_xy").cast("double") * col("n_tokens").cast("double"))
+        * col("n_tokens").cast("double")) /
+      ((col("m_bigrams").cast("double") * col("c_x").cast("double"))
+        * col("c_y").cast("double"))
+    val ord = Seq(col("lift").desc, col("w1").asc, col("w2").asc)
+    joined.withColumn("lift", lift)
+      .orderBy(ord: _*)
+      .limit(topN)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(ord: _*)).cast("bigint"))
+      .select(col("rank"), col("w1"), col("w2"), col("c_xy"), col("c_x"),
+        col("c_y"), col("n_tokens"), col("m_bigrams"), col("lift"))
+  }
 }

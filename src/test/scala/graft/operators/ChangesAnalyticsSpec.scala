@@ -144,4 +144,24 @@ class ChangesAnalyticsSpec extends SparkSpec {
     val b = out.filter(_._1 == "b")
     assert(b.length == 1 && b.head._3 == 1L && b.head._4 == Some("2.0"))
   }
+
+  test("keySkew: heavy key ranks first with exact share and skew factor") {
+    import spark.implicits._
+    // key 7 carries 10 of 16 rows; keys 1..6 carry one each
+    val df = (Seq.fill(10)(7) ++ (1 to 6)).map(k => (k, "x"))
+      .toDF("k", "payload")
+    val out = Analytics.keySkew(df, "k", topN = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5), r.getDouble(6),
+        r.getDouble(7)))
+    assert(out.length == 3)
+    val top = out.head
+    assert(top._1 == 1L && top._2 == "7" && top._3 == 10L)
+    assert(math.abs(top._4 - 10.0 / 16) < 1e-12)
+    assert(top._5 == 7L && top._6 == 16L)
+    assert(math.abs(top._7 - 16.0 / 7) < 1e-12)
+    assert(math.abs(top._8 - 10.0 / (16.0 / 7)) < 1e-12)
+    // ties among the singleton keys break lexicographically
+    assert(out(1)._2 == "1" && out(2)._2 == "2")
+  }
 }
