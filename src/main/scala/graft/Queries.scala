@@ -950,6 +950,36 @@ object Queries {
       |  MAX(l_orderkey) AS max_k, TRUE AS metadata_only
       |FROM lineitem""".stripMargin
 
+  /** L5: Hilbert-curve layout clustering ([[operators.Layout
+    * .hilbertValue2]]) — the locality-superior sibling of the L1 Morton
+    * audit. Same end-to-end discipline: per 16384-code Hilbert bucket it
+    * emits count, sum, min, and max of the curve index over lineitem's
+    * (partkey, suppkey) pair mapped into a 4096×4096 grid, and the
+    * oracle replays the level-by-level rotate/reflect transform as a
+    * chained CTE generated by the SAME [[operators.Layout
+    * .hilbertSqlChain]] code — one wrong rotation at any level shifts a
+    * bucket's sum and fails the hash compare. (The tighter-than-Z
+    * partition locality property is pinned quantitatively in
+    * LayoutSpec.)
+    */
+  val l5Hilbert: Q = (s, d) =>
+    operators.Layout.hilbertValue2(
+      t(s, d, "lineitem").select(
+        pmod(col("l_partkey"), lit(4096)).as("gx"),
+        pmod(col("l_suppkey"), lit(4096)).as("gy")),
+      col("gx"), col("gy"), bits = 12, out = "hval")
+      .groupBy(shiftright(col("hval"), 14).as("hbucket"))
+      .agg(count(lit(1)).as("n"), sum("hval").as("sum_hval"),
+        min("hval").as("min_hval"), max("hval").as("max_hval"))
+  val l5Oracle =
+    "WITH " + operators.Layout.hilbertSqlChain(12,
+      "l_partkey % 4096", "l_suppkey % 4096", "lineitem", "hval") +
+      """
+        |SELECT hval >> 14 AS hbucket, COUNT(*) AS n,
+        |  CAST(SUM(hval) AS BIGINT) AS sum_hval,
+        |  MIN(hval) AS min_hval, MAX(hval) AS max_hval
+        |FROM hf GROUP BY 1""".stripMargin
+
   /** A7: top-N most-changed resources (change_analytics.go:452-494). */
   val a7TopResources: Q = (s, d) =>
     Analytics.topResources(t(s, d, "events"), "user_id", "ts", "value", 10)
@@ -2668,6 +2698,7 @@ object Queries {
     "q_l2_data_skipping" -> l2DataSkipping,
     "q_l3_zorder_skipping" -> l3ZorderSkipping,
     "q_l4_metadata_aggs" -> l4MetadataAggs,
+    "q_l5_hilbert" -> l5Hilbert,
     "q_a7_top_resources" -> a7TopResources,
     "q_e16_anomalies" -> e16Anomalies,
     "q_e18_impact" -> e18Impact,
@@ -2754,6 +2785,7 @@ object Queries {
     "q_l2_data_skipping" -> l2Oracle,
     "q_l3_zorder_skipping" -> l3Oracle,
     "q_l4_metadata_aggs" -> l4Oracle,
+    "q_l5_hilbert" -> l5Oracle,
     "q_a7_top_resources" -> a7Oracle,
     "q_e16_anomalies" -> e16Oracle,
     "q_g2_reach" -> g2Oracle,
