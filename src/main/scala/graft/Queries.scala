@@ -950,6 +950,55 @@ object Queries {
       |  MAX(l_orderkey) AS max_k, TRUE AS metadata_only
       |FROM lineitem""".stripMargin
 
+  // Build-once store for L6: documents HASH-partitioned on doc_id into 8
+  // files — the layout that makes every file span the full id domain, so
+  // min/max stats prune NOTHING for a mid-domain needle and the Bloom
+  // sidecar is the only thing standing between an id lookup and a full
+  // listing. Both sidecar kinds are maintained from the same build.
+  private def bloomStoreDir(s: SparkSession, d: String): String =
+    FixtureCache.resolve("graft-bloom-store", d, "documents.parquet")(
+      dir => new catalog.SnapshotTableStore(dir.toString)
+        .currentVersion("documents_hash").nonEmpty) { dir =>
+      val docs = t(s, d, "documents").repartition(8, col("doc_id"))
+      new catalog.SnapshotTableStore(dir.toString).overwrite(docs, "documents_hash")
+    } { dir =>
+      val store = new catalog.SnapshotTableStore(dir.toString)
+      catalog.DataSkipping.ensureStats(s, store, "documents_hash", Seq("doc_id"))
+      catalog.DataSkipping.ensureBloom(s, store, "documents_hash", Seq("doc_id"))
+    }
+
+  /** L6: Bloom-filter file skipping ([[catalog.DataSkipping.readNeedle]])
+    * — the needle-query half that L2's min/max stats cannot serve: the
+    * store holds documents HASH-partitioned on doc_id (every file spans
+    * the full id domain), and a mid-domain id lookup goes through the
+    * per-file Bloom sidecars. Two observed facts ride with the
+    * hash-checked row: `pruned` (the Bloom read touched fewer files than
+    * exist) and `tighter_than_stats` (it also touched fewer than the
+    * range read for the same id against the SAME store's min/max
+    * sidecars — i.e. the Bloom index did work the stats could not).
+    * False positives only ever add a file; the residual equality
+    * predicate keeps the row set exact, which the md5/value columns
+    * hash-check.
+    */
+  val l6BloomSkipping: Q = (s, d) => {
+    val store = new catalog.SnapshotTableStore(bloomStoreDir(s, d))
+    val needle = t(s, d, "documents").agg(max("doc_id")).head.getLong(0) / 2
+    val bloom = catalog.DataSkipping.readNeedle(s, store, "documents_hash",
+      "doc_id", needle.toString)
+    val range = catalog.DataSkipping.readRange(s, store, "documents_hash",
+      "doc_id", needle.toString, needle.toString)
+    bloom.df.select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars"), md5(col("text")).as("text_md5"))
+      .withColumn("pruned", lit(bloom.filesRead < bloom.filesTotal))
+      .withColumn("tighter_than_stats",
+        lit(bloom.filesRead < range.filesRead))
+  }
+  val l6Oracle =
+    """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5,
+      |  TRUE AS pruned, TRUE AS tighter_than_stats
+      |FROM documents
+      |WHERE doc_id = (SELECT MAX(doc_id) // 2 FROM documents)""".stripMargin
+
   /** L5: Hilbert-curve layout clustering ([[operators.Layout
     * .hilbertValue2]]) — the locality-superior sibling of the L1 Morton
     * audit. Same end-to-end discipline: per 16384-code Hilbert bucket it
@@ -2699,6 +2748,7 @@ object Queries {
     "q_l3_zorder_skipping" -> l3ZorderSkipping,
     "q_l4_metadata_aggs" -> l4MetadataAggs,
     "q_l5_hilbert" -> l5Hilbert,
+    "q_l6_bloom_skipping" -> l6BloomSkipping,
     "q_a7_top_resources" -> a7TopResources,
     "q_e16_anomalies" -> e16Anomalies,
     "q_e18_impact" -> e18Impact,
@@ -2786,6 +2836,7 @@ object Queries {
     "q_l3_zorder_skipping" -> l3Oracle,
     "q_l4_metadata_aggs" -> l4Oracle,
     "q_l5_hilbert" -> l5Oracle,
+    "q_l6_bloom_skipping" -> l6Oracle,
     "q_a7_top_resources" -> a7Oracle,
     "q_e16_anomalies" -> e16Oracle,
     "q_g2_reach" -> g2Oracle,

@@ -6,7 +6,7 @@ import java.util.Base64
 import scala.jdk.CollectionConverters._
 import scala.util.Using
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -241,6 +241,204 @@ object DataSkipping {
     * driver-checkable fact rather than an asserted one.
     */
   final case class PrunedScan(df: DataFrame, filesRead: Int, filesTotal: Int)
+
+  // ---------------------------------------------------------------------
+  // Bloom-filter file skipping — the needle-query half min/max stats
+  // cannot serve. Range stats prune when the layout clusters the column;
+  // a high-cardinality column that the layout scatters (hash-distributed
+  // ids, join keys under a different sort) spans the full domain in every
+  // file, so [min,max] never excludes anything. Delta's answer is a
+  // per-file Bloom index; same here: each data directory carries a
+  // `_graftbloom.tsv` sidecar with one fixed-width bitset per (file,
+  // column), built by ONE distributed pass whose shuffle is bounded by
+  // files × bits (never by rows), and [[readNeedle]] prunes to the
+  // files whose filter might contain the probe. Same correctness
+  // contract as min/max stats: Bloom negatives are definite under the
+  // shared canonical value text, missing/stale sidecars keep the file,
+  // and the residual equality predicate is always applied — a false
+  // positive costs one extra file read, never a wrong row.
+  // ---------------------------------------------------------------------
+
+  /** Bloom sidecar name inside a data directory. */
+  val BloomFile = "_graftbloom.tsv"
+
+  /** Format marker; mismatch = treated as missing (see [[StatsHeader]]). */
+  val BloomHeader = "#graftbloom\tv1"
+
+  /** A Bloom sidecar exists AND is the current format. */
+  def hasCurrentBloom(dir: Path): Boolean = {
+    val p = dir.resolve(BloomFile)
+    Files.exists(p) && {
+      val txt = new String(Files.readAllBytes(p), UTF_8)
+      txt.startsWith(BloomHeader + "\n") || txt.trim == BloomHeader
+    }
+  }
+
+  /** The k bit positions of one canonical value — THE shared hash
+    * schedule: build and probe both go through this expression, so the
+    * filter is consistent by construction. xxhash64 is a fixed published
+    * algorithm (stable across Spark versions and sessions); salting with
+    * the slot index yields k independent streams.
+    */
+  private def bloomPositions(v: Column, bits: Int, k: Int): Seq[Column] =
+    (0 until k).map(i => pmod(xxhash64(lit(i), v), lit(bits.toLong)))
+
+  /** Build per-file Bloom filters for `cols` over the parquet files of
+    * `dir` and write the sidecar. One job per column: rows project to
+    * (file, bit position), and the DISTINCT collapses the shuffle to at
+    * most `bits` rows per file BEFORE the driver sees anything — the
+    * collect is bounded by files × bits regardless of row count or
+    * column cardinality, which is what lets this run against a 100 TB
+    * directory. NULLs set no bits (an equality needle excludes NULLs).
+    */
+  def collectBloom(spark: SparkSession, dir: String, cols: Seq[String],
+      bits: Int = 8192, hashes: Int = 5): Unit = {
+    require(cols.nonEmpty, "collectBloom needs at least one column")
+    require(bits >= 64 && (bits & (bits - 1)) == 0, s"bits must be a power of two: $bits")
+    require(hashes >= 1 && hashes <= 16, s"hashes out of range: $hashes")
+    val df = spark.read.parquet(dir)
+    val b64 = Base64.getEncoder
+    def enc(s: String): String = b64.encodeToString(s.getBytes(UTF_8))
+    val lines = cols.flatMap { c =>
+      val perFile = df
+        .select(input_file_name().as("_file"), col(c).cast("string").as("_v"))
+        .where(col("_v").isNotNull)
+        .select(col("_file"),
+          explode(array(bloomPositions(col("_v"), bits, hashes): _*)).as("_p"))
+        .distinct()
+        .groupBy("_file").agg(collect_set("_p").as("_ps"))
+        .collect() // one row per file, each <= bits positions: bounded
+      val byFile = perFile.map { r =>
+        val file = Paths.get(new java.net.URI(r.getAs[String]("_file")).getPath)
+          .getFileName.toString
+        val bs = new java.util.BitSet(bits)
+        r.getSeq[Long](1).foreach(p => bs.set(p.toInt))
+        file -> b64.encodeToString(bs.toByteArray)
+      }.toMap
+      // files whose column is all-NULL produce no row above but still
+      // need an entry (empty filter = definite negative for any needle)
+      allParquets(Paths.get(dir)).map(_.getFileName.toString).map { f =>
+        val payload = byFile.getOrElse(f, "")
+        s"$f\t${enc(c)}\t$bits\t$hashes\t$payload"
+      }
+    }
+    val target = Paths.get(dir, BloomFile)
+    val tmp = Paths.get(dir,
+      s".${BloomFile}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp, (BloomHeader +: lines).mkString("\n").getBytes(UTF_8))
+    Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Idempotent Bloom maintenance over the current version of `table` —
+    * the [[ensureStats]] twin: (re)collects any directory whose sidecar
+    * is missing, stale-format, or lacks a requested column, extending
+    * (never shrinking) existing coverage. Returns directories processed.
+    */
+  def ensureBloom(spark: SparkSession, store: SnapshotTableStore,
+      table: String, cols: Seq[String], bits: Int = 8192,
+      hashes: Int = 5): Int = {
+    val v = store.currentVersion(table).getOrElse(
+      throw new IllegalArgumentException(s"snapshot table $table does not exist"))
+    val missing = store.versionDataDirs(table, v).map(Paths.get(_))
+      .filterNot(d => hasCurrentBloom(d) &&
+        parseBloom(d).values.forall(m => cols.forall(m.contains)))
+    missing.foreach { d =>
+      val existing =
+        if (hasCurrentBloom(d))
+          parseBloom(d).values.flatMap(_.keySet).toSeq.distinct
+        else Nil
+      collectBloom(spark, d.toString, (existing ++ cols).distinct, bits, hashes)
+    }
+    missing.size
+  }
+
+  /** One file's Bloom entry for one column. */
+  private final case class BloomEntry(bits: Int, hashes: Int,
+      set: java.util.BitSet)
+
+  private def parseBloom(dir: Path): Map[String, Map[String, BloomEntry]] = {
+    val b64 = Base64.getDecoder
+    def dec(s: String): String = new String(b64.decode(s), UTF_8)
+    val txt = new String(Files.readAllBytes(dir.resolve(BloomFile)), UTF_8)
+    txt.split("\n").filter(l => l.nonEmpty && !l.startsWith("#")).toSeq.map { ln =>
+      val Array(f, c, bits, k, payload) = ln.split("\t", -1)
+      val bs =
+        if (payload.isEmpty) new java.util.BitSet()
+        else java.util.BitSet.valueOf(b64.decode(payload))
+      (f, dec(c), BloomEntry(bits.toInt, k.toInt, bs))
+    }.groupBy(_._1).map { case (f, es) =>
+      f -> es.map(e => e._2 -> e._3).toMap
+    }
+  }
+
+  /** Read `table@version` with `column = value`, pruning files whose
+    * Bloom filter proves the value absent — the needle-query scan path:
+    * at 100 TB an id lookup touches the one file (plus the rare false
+    * positive) instead of listing millions. The probe value goes through
+    * the SAME engine cast that built the filter (canonical string text),
+    * and the probe's bit positions come from the SAME expression — a
+    * value the column type cannot parse matches nothing, with pruning
+    * disabled for honest accounting. The residual equality predicate is
+    * always applied, so the result equals the unpruned filtered read.
+    */
+  def readNeedle(spark: SparkSession, store: SnapshotTableStore, table: String,
+      column: String, value: String,
+      version: Option[Int] = None): PrunedScan = {
+    val v = version.orElse(store.currentVersion(table)).getOrElse(
+      throw new IllegalArgumentException(s"snapshot table $table does not exist"))
+    val dirs = store.versionDataDirs(table, v)
+    val schema = spark.read.parquet(dirs: _*).schema
+    val dt = schema(column).dataType
+    val canon = spark.range(1)
+      .select(lit(value).try_cast(dt).cast("string").as("v")).head
+    val perDir: Seq[(Seq[Path], Int)] = Option(canon.getString(0)) match {
+      case Some(canonV) =>
+        // probe positions per (bits, hashes) config actually present in
+        // the sidecars, computed by the shared expression in ONE tiny job
+        val configs = dirs.flatMap { d =>
+          val p = Paths.get(d)
+          if (hasCurrentBloom(p))
+            parseBloom(p).values.flatMap(_.get(column))
+              .map(e => (e.bits, e.hashes))
+          else Nil
+        }.distinct
+        val probes: Map[(Int, Int), Seq[Int]] = configs.map { case (b, k) =>
+          val row = spark.range(1).select(
+            bloomPositions(lit(canonV), b, k).zipWithIndex
+              .map { case (c, i) => c.as(s"p$i") }: _*).head
+          (b, k) -> (0 until k).map(i => row.getLong(i).toInt)
+        }.toMap
+        dirs.map { d =>
+          val p = Paths.get(d)
+          val parquets = allParquets(p)
+          if (!hasCurrentBloom(p)) (parquets, parquets.size)
+          else {
+            val entries = parseBloom(p)
+            val kept = parquets.filter { f =>
+              entries.get(f.getFileName.toString).flatMap(_.get(column)) match {
+                case None => true // no filter for this file/column: read it
+                case Some(e) =>
+                  probes((e.bits, e.hashes)).forall(e.set.get)
+              }
+            }
+            (kept, parquets.size)
+          }
+        }
+      case None => // unparseable probe: no pruning, residual decides
+        dirs.map { d =>
+          val all = allParquets(Paths.get(d)); (all, all.size)
+        }
+    }
+    val files = perDir.flatMap(_._1)
+    val total = perDir.map(_._2).sum
+    val pred = col(column) === lit(value).try_cast(dt)
+    val df =
+      if (files.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(files.map(_.toString): _*).where(pred)
+    PrunedScan(df, files.size, total)
+  }
 
   /** Read `table@version` (current version when `version` is empty) with
     * `lo <= column <= hi` (inclusive, column-typed via cast from the

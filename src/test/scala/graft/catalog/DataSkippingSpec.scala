@@ -239,4 +239,123 @@ class DataSkippingSpec extends SparkSpec {
     assert(sy.filesRead < sy.filesTotal, "no y-skipping under z-order")
     assert(sx.df.count() == 4096 / 8 && sy.df.count() == 4096 / 8)
   }
+
+  /** 0..999 HASH-partitioned on k into 8 files: every file spans the full
+    * key domain, so min/max stats cannot prune a mid-domain needle — the
+    * layout the Bloom sidecar exists for.
+    */
+  private def hashedTable(store: SnapshotTableStore, table: String): Unit = {
+    val df = spark.range(0, 1000).toDF("k")
+      .withColumn("v", col("k") * 7)
+      .repartition(8, col("k"))
+    store.overwrite(df, table)
+  }
+
+  test("readNeedle prunes under a hash layout where range stats cannot") {
+    val (_, store) = freshStore()
+    hashedTable(store, "h")
+    DataSkipping.ensureStats(spark, store, "h", Seq("k"))
+    assert(DataSkipping.ensureBloom(spark, store, "h", Seq("k")) == 1)
+    val bloom = DataSkipping.readNeedle(spark, store, "h", "k", "500")
+    val range = DataSkipping.readRange(spark, store, "h", "k", "500", "500")
+    assert(range.filesRead == range.filesTotal,
+      "control: min/max should NOT prune a mid-domain needle under hash layout")
+    assert(bloom.filesRead < bloom.filesTotal,
+      s"bloom did not prune: ${bloom.filesRead}/${bloom.filesTotal}")
+    assert(bloom.df.as[(Long, Long)].collect().toSeq == Seq((500L, 3500L)))
+  }
+
+  test("bloom has no false negatives: every present key is found") {
+    val (_, store) = freshStore()
+    hashedTable(store, "h")
+    DataSkipping.ensureBloom(spark, store, "h", Seq("k"))
+    // deterministic sample across the domain; each hit must survive pruning
+    for (k <- 0 until 1000 by 67) {
+      val scan = DataSkipping.readNeedle(spark, store, "h", "k", k.toString)
+      assert(scan.df.count() == 1, s"lost key $k (read ${scan.filesRead} files)")
+    }
+  }
+
+  test("an absent needle prunes every file (modulo rare false positives)") {
+    val (_, store) = freshStore()
+    hashedTable(store, "h")
+    DataSkipping.ensureBloom(spark, store, "h", Seq("k"))
+    val scan = DataSkipping.readNeedle(spark, store, "h", "k", "123456")
+    // 8 filters at 8192 bits / ~125 keys each: P(any FP) is negligible,
+    // and the residual predicate keeps the answer exact regardless
+    assert(scan.filesRead <= 1, s"absent key read ${scan.filesRead} files")
+    assert(scan.df.count() == 0)
+  }
+
+  test("a directory without a bloom sidecar is fully kept") {
+    val (_, store) = freshStore()
+    hashedTable(store, "h")
+    val scan = DataSkipping.readNeedle(spark, store, "h", "k", "500")
+    assert(scan.filesRead == scan.filesTotal)
+    assert(scan.df.count() == 1)
+  }
+
+  test("appended bloom-less dir is read in full; ensureBloom re-covers it") {
+    val (_, store) = freshStore()
+    hashedTable(store, "h")
+    DataSkipping.ensureBloom(spark, store, "h", Seq("k"))
+    store.append(Seq((500L, -1L)).toDF("k", "v").coalesce(1), "h")
+    val scan = DataSkipping.readNeedle(spark, store, "h", "k", "500")
+    assert(scan.df.as[(Long, Long)].collect().toSet ==
+      Set(500L -> 3500L, 500L -> -1L))
+    assert(DataSkipping.ensureBloom(spark, store, "h", Seq("k")) == 1)
+    val scan2 = DataSkipping.readNeedle(spark, store, "h", "k", "0")
+    // the appended file holds only k=500: its filter must exclude k=0
+    assert(scan2.filesRead < scan.filesRead + 1)
+    assert(scan2.df.count() == 1)
+  }
+
+  test("an unparseable probe value disables pruning and matches nothing") {
+    val (_, store) = freshStore()
+    hashedTable(store, "h")
+    DataSkipping.ensureBloom(spark, store, "h", Seq("k"))
+    val scan = DataSkipping.readNeedle(spark, store, "h", "k", "not-a-long")
+    assert(scan.filesRead == scan.filesTotal)
+    assert(scan.df.count() == 0)
+  }
+
+  test("a stale-format bloom sidecar acts exactly like a missing one") {
+    val (dir, store) = freshStore()
+    hashedTable(store, "h")
+    DataSkipping.ensureBloom(spark, store, "h", Seq("k"))
+    val v = store.currentVersion("h").get
+    val dataDir = Paths.get(store.versionDataDirs("h", v).head)
+    val sidecar = dataDir.resolve(DataSkipping.BloomFile)
+    Files.write(sidecar, "#graftbloom\tv0\ngarbage".getBytes)
+    val scan = DataSkipping.readNeedle(spark, store, "h", "k", "500")
+    assert(scan.filesRead == scan.filesTotal) // stale = keep everything
+    assert(scan.df.count() == 1)
+    assert(DataSkipping.ensureBloom(spark, store, "h", Seq("k")) == 1)
+    assert(DataSkipping.readNeedle(spark, store, "h", "k", "500")
+      .filesRead < scan.filesTotal)
+    assert(dir.nonEmpty)
+  }
+
+  test("all-NULL column files carry an empty filter — definite negative") {
+    val (_, store) = freshStore()
+    val df = Seq((Option.empty[java.lang.Long], 1L),
+      (Option.empty[java.lang.Long], 2L)).toDF("k", "v").coalesce(1)
+    store.overwrite(df, "n")
+    DataSkipping.ensureBloom(spark, store, "n", Seq("k"))
+    val scan = DataSkipping.readNeedle(spark, store, "n", "k", "5")
+    assert(scan.filesRead == 0 && scan.filesTotal == 1)
+    assert(scan.df.count() == 0)
+  }
+
+  test("string columns probe through the same canonical cast") {
+    val (_, store) = freshStore()
+    val df = spark.range(0, 200).toDF("i")
+      .select(concat(lit("id-"), col("i")).as("s"), col("i").as("v"))
+      .repartition(4, col("s"))
+    store.overwrite(df, "s")
+    DataSkipping.ensureBloom(spark, store, "s", Seq("s"))
+    val scan = DataSkipping.readNeedle(spark, store, "s", "s", "id-137")
+    assert(scan.filesRead < scan.filesTotal)
+    assert(scan.df.select("v").as[Long].collect().toSeq == Seq(137L))
+  }
 }
