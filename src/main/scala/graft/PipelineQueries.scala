@@ -1869,6 +1869,69 @@ object PipelineQueries {
        |  w1, w2, c_xy, c_x, c_y, n_tokens, m_bigrams, lift
        |FROM s ORDER BY lift DESC, w1, w2 LIMIT 40""".stripMargin
 
+  /** T34: C4-style line-level cleaning ([[TextAnalysis.c4LineClean]]) —
+    * the paper's line filters (banned phrase / word floor / terminal
+    * punctuation) plus the page-level kept-line floor. The corpus text
+    * carries no newlines, so each document is wrapped in a deterministic
+    * 8-line page INSIDE the query (one line per filter class: a
+    * javascript notice, a nav bar, a doc header, a too-short line, the
+    * text body, a curly-brace payload, a lorem-ipsum stuffer, a
+    * copyright line); DuckDB rebuilds the identical page and replays the
+    * identical lambda chain — full hash compare over every row,
+    * including the reassembled `cleaned` text.
+    */
+  private val C4Boiler: Seq[(String, String)] = Seq(
+    // (line planted before the text body, line planted after)
+    ("Please enable JavaScript to continue", "{ \"layout\": 1 }"),
+    ("Home | About | Contact", "Lorem ipsum dolor sit amet."),
+    ("Ok.", "(c) 2026 corpus"))
+
+  val t34C4Clean: Q = (s, d) => {
+    val Seq((b1, a1), (b2, a2), (b3, a3)) = C4Boiler
+    val page = concat_ws("\n",
+      lit(b1), lit(b2),
+      concat(lit("Document "), col("doc_id").cast("string"),
+        lit(" starts below.")),
+      lit(b3),
+      concat(trim(col("text")), lit(".")),
+      lit(a1), lit(a2), lit(a3))
+    TextAnalysis.c4LineClean(
+      t(s, d, "documents").withColumn("page", page), "doc_id", "page")
+  }
+  val t34Oracle: String = {
+    val Seq((b1, a1), (b2, a2), (b3, a3)) = C4Boiler
+    def q(x: String) = x.replace("'", "''")
+    val pageSql = Seq(s"'${q(b1)}'", s"'${q(b2)}'",
+      s"'Document ' || CAST(doc_id AS STRING) || ' starts below.'",
+      s"'${q(b3)}'", "trim(text) || '.'",
+      s"'${q(a1)}'", s"'${q(a2)}'", s"'${q(a3)}'")
+      .mkString(" || chr(10) || ")
+    val banned = "(contains(lower(x), 'javascript') OR " +
+      "contains(lower(x), 'lorem ipsum') OR contains(lower(x), '{'))"
+    val words = "len(list_filter(regexp_split_to_array(x, '\\s+'), " +
+      "w -> length(w) > 0))"
+    val punct = "regexp_matches(x, '[.!?]$')"
+    val keep = s"(NOT $banned AND $words >= 3 AND $punct)"
+    s"""WITH p AS (SELECT doc_id, $pageSql AS page FROM documents),
+       |l AS (SELECT doc_id, list_filter(list_transform(
+       |    string_split(page, chr(10)), x -> trim(x)),
+       |    x -> length(x) > 0) AS lines FROM p)
+       |SELECT doc_id,
+       |  CAST(len(lines) AS BIGINT) AS n_lines,
+       |  CAST(len(list_filter(lines, x -> $keep)) AS BIGINT) AS n_kept,
+       |  CAST(len(list_filter(lines, x -> $banned)) AS BIGINT)
+       |    AS n_dropped_banned,
+       |  CAST(len(list_filter(lines, x -> NOT $banned AND $words < 3))
+       |    AS BIGINT) AS n_dropped_short,
+       |  CAST(len(list_filter(lines,
+       |    x -> NOT $banned AND $words >= 3 AND NOT $punct)) AS BIGINT)
+       |    AS n_dropped_punct,
+       |  array_to_string(list_filter(lines, x -> $keep), chr(10))
+       |    AS cleaned,
+       |  len(list_filter(lines, x -> $keep)) >= 2 AS page_kept
+       |FROM l""".stripMargin
+  }
+
   val t29Oracle: String = {
     val chain = (Seq("script", "style", "nav", "footer", "header", "aside")
       .map(tag => s"(?is)<$tag[^>]*>.*?</$tag>" -> " ") ++
@@ -3065,6 +3128,7 @@ object PipelineQueries {
     "q_t29_html_extract" -> t29HtmlExtract,
     "q_t32_sentences" -> t32Sentences,
     "q_t33_pmi" -> t33Pmi,
+    "q_t34_c4_clean" -> t34C4Clean,
     "q_r2_mmr" -> r2Mmr,
     "q_d13_dedup_keepbest" -> d13KeepBest,
     "q_s15_hard_negatives" -> s15HardNegatives,
@@ -3142,6 +3206,7 @@ object PipelineQueries {
     "q_t29_html_extract" -> t29Oracle,
     "q_t32_sentences" -> t32Oracle,
     "q_t33_pmi" -> t33Oracle,
+    "q_t34_c4_clean" -> t34Oracle,
     "q_r2_mmr" -> r2Oracle,
     "q_d13_dedup_keepbest" -> d13KeepBestOracle,
     "q_s15_hard_negatives" -> s15Oracle,

@@ -867,4 +867,50 @@ object TextAnalysis {
       .select(col("rank"), col("w1"), col("w2"), col("c_xy"), col("c_x"),
         col("c_y"), col("n_tokens"), col("m_bigrams"), col("lift"))
   }
+
+  /** C4-style line-level page cleaning (Raffel et al. 2020, the "C4"
+    * pipeline): split a page on newlines, trim, and keep only lines that
+    * (a) contain no banned phrase (case-insensitive substring — the
+    * paper's "javascript"/"lorem ipsum"/curly-brace rules), (b) have at
+    * least `minWords` words, and (c) end in terminal punctuation
+    * (`.`/`!`/`?`). Drop counters follow that precedence (banned >
+    * short > punctuation) so each dropped line is counted exactly once.
+    * The page survives only if at least `minKeptLines` lines remain —
+    * the paper's page-level sentence floor.
+    *
+    * Everything is higher-order array functions over one narrow codegen
+    * scan: no shuffle, no UDF, no explode — per-row work is linear in
+    * page bytes, so the operator is a pure map at 100 TB.
+    */
+  def c4LineClean(df: DataFrame, idCol: String, pageCol: String,
+      minWords: Int = 3, minKeptLines: Int = 2,
+      banned: Seq[String] = Seq("javascript", "lorem ipsum", "{"))
+      : DataFrame = {
+    require(banned.nonEmpty, "c4LineClean wants at least one banned phrase")
+    val lines = filter(
+      transform(split(col(pageCol), "\n"), l => trim(l)),
+      l => length(l) > 0)
+    def isBanned(l: Column): Column =
+      banned.map(p => lower(l).contains(lit(p))).reduce(_ || _)
+    def nWords(l: Column): Column =
+      size(filter(split(l, "\\s+"), w => length(w) > 0))
+    def endsPunct(l: Column): Column = l.rlike("[.!?]$")
+    val keepPred = (l: Column) =>
+      !isBanned(l) && nWords(l) >= minWords && endsPunct(l)
+    df.select(col(idCol), lines.as("lines"))
+      .select(
+        col(idCol),
+        size(col("lines")).cast("bigint").as("n_lines"),
+        size(filter(col("lines"), keepPred)).cast("bigint").as("n_kept"),
+        size(filter(col("lines"), l => isBanned(l))).cast("bigint")
+          .as("n_dropped_banned"),
+        size(filter(col("lines"),
+          l => !isBanned(l) && nWords(l) < minWords)).cast("bigint")
+          .as("n_dropped_short"),
+        size(filter(col("lines"),
+          l => !isBanned(l) && nWords(l) >= minWords && !endsPunct(l)))
+          .cast("bigint").as("n_dropped_punct"),
+        array_join(filter(col("lines"), keepPred), "\n").as("cleaned"))
+      .withColumn("page_kept", col("n_kept") >= minKeptLines)
+  }
 }

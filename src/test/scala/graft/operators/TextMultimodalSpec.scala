@@ -368,4 +368,36 @@ class TextMultimodalSpec extends SparkSpec {
     val expected = ((8.0 * n) * n) / ((m.toDouble * 8) * 8)
     assert(math.abs(zq._5 - expected) < 1e-9, s"${zq._5} vs $expected")
   }
+
+  test("c4LineClean: drop precedence, word floor, punct rule, page floor") {
+    val page = Seq(
+      "Please enable JavaScript to continue", // banned (case-insensitive)
+      "Home | About | Contact",               // 5 words, no terminal punct
+      "This line stays here.",                // kept
+      "Ok.",                                  // < 3 words (punct ok)
+      "Lorem ipsum dolor sit amet.",          // banned phrase
+      "{ \"layout\": 1 }",                    // banned curly brace
+      "Another keeper sentence!",             // kept
+      "",                                     // empty: vanishes pre-count
+      "  trailing spaces kept too?  "         // kept (trimmed first)
+    ).mkString("\n")
+    val out = TextAnalysis.c4LineClean(
+      Seq((1L, page)).toDF("doc_id", "page"), "doc_id", "page")
+      .collect()(0)
+    assert(out.getLong(1) == 8, "empty line must not count") // n_lines
+    assert(out.getLong(2) == 3) // n_kept
+    assert(out.getLong(3) == 3) // banned
+    assert(out.getLong(4) == 1) // short (Ok.) — banned lines not re-counted
+    assert(out.getLong(5) == 1) // punct (nav bar)
+    assert(out.getString(6) ==
+      "This line stays here.\nAnother keeper sentence!\n" +
+        "trailing spaces kept too?")
+    assert(out.getBoolean(7)) // 3 kept >= 2 floor
+    // page floor: a one-keeper page is dropped
+    val thin = TextAnalysis.c4LineClean(
+      Seq((2L, "Only one real sentence here.\nnope"))
+        .toDF("doc_id", "page"), "doc_id", "page")
+      .collect()(0)
+    assert(thin.getLong(2) == 1 && !thin.getBoolean(7))
+  }
 }
