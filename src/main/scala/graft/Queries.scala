@@ -1367,6 +1367,51 @@ object Queries {
   }
   val g11Oracle: String = g2Oracle
 
+  /** G12: weighted single-source-set shortest paths ([[Graph.sssp]]) —
+    * the cost-aware sibling of q_g2's hop-count reach. Graph: the
+    * procurement chain order→part→supplier→nation→region with integer
+    * weights (distinct o→p / p→s edges carry the MIN line-number /
+    * quantity seen for the pair; s→n and n→r carry key-derived
+    * constants), so suppliers and nations are reachable via MANY parts
+    * and the min-cost choice is exercised at every level. Both dialects
+    * run the identical shared edge SQL; the oracle replays the same
+    * bounded-walk semantics as a recursive CTE. Full hash compare.
+    */
+  val weightedEdgesSql: String =
+    """SELECT 'o' || CAST(l_orderkey AS STRING) AS from_id,
+      |       'p' || CAST(l_partkey AS STRING) AS to_id,
+      |       CAST(MIN(l_linenumber) AS BIGINT) AS w
+      |FROM lineitem GROUP BY l_orderkey, l_partkey
+      |UNION ALL
+      |SELECT 'p' || CAST(l_partkey AS STRING),
+      |       's' || CAST(l_suppkey AS STRING),
+      |       CAST(MIN(l_quantity) AS BIGINT)
+      |FROM lineitem GROUP BY l_partkey, l_suppkey
+      |UNION ALL
+      |SELECT 's' || CAST(s_suppkey AS STRING),
+      |       'n' || CAST(s_nationkey AS STRING),
+      |       CAST((s_suppkey % 5) + 1 AS BIGINT) FROM supplier
+      |UNION ALL
+      |SELECT 'n' || CAST(n_nationkey AS STRING),
+      |       'r' || CAST(n_regionkey AS STRING),
+      |       CAST((n_nationkey % 3) + 1 AS BIGINT) FROM nation""".stripMargin
+
+  val g12Sssp: Q = (s, d) => {
+    import s.implicits._
+    Graph.sssp(Tables.sql(s, d, weightedEdgesSql),
+      Seq("o1", "o2", "o3").toDF("id"), 6)
+  }
+  val g12Oracle =
+    s"""WITH RECURSIVE edges AS ($weightedEdgesSql),
+       |walk AS (
+       |  SELECT id, CAST(0 AS BIGINT) AS dist, 0 AS hops
+       |    FROM (VALUES ('o1'), ('o2'), ('o3')) AS v(id)
+       |  UNION ALL
+       |  SELECT e.to_id, w.dist + e.w, w.hops + 1 FROM walk w
+       |  JOIN edges e ON e.from_id = w.id WHERE w.hops < 6)
+       |SELECT id, CAST(MIN(dist) AS BIGINT) AS dist
+       |FROM walk GROUP BY id""".stripMargin
+
   /** G4: 1-hop dependents — inbound edges joined to vertices
     * (graph_loader.go:339-351).
     */
@@ -2769,6 +2814,7 @@ object Queries {
     "q_g9_triangles" -> g9Triangles,
     "q_g10_graph_table" -> g10GraphTable,
     "q_g11_graph_ddl" -> g11GraphDdl,
+    "q_g12_sssp" -> g12Sssp,
     "q_c1_compliance_pack" -> c1PackQuery,
     "q_c5_macro_canonical" -> c5MacroCanonical,
     "q_v1_typed_s3_view" -> v1TypedS3,
@@ -2859,6 +2905,7 @@ object Queries {
     "q_g9_triangles" -> g9Oracle,
     "q_g10_graph_table" -> g10Oracle,
     "q_g11_graph_ddl" -> g11Oracle,
+    "q_g12_sssp" -> g12Oracle,
     "q_x3_asof_join" -> x3Oracle,
     "q_x4_range_join" -> x4Oracle,
     "q_a11_pivot" -> a11Oracle,

@@ -190,6 +190,38 @@ object Graph {
     pr
   }
 
+  /** Weighted single-source-set shortest paths: min total edge weight
+    * over all directed walks of at most `maxIter` edges from any source
+    * (sources at 0). Bellman-Ford relaxation rounds — with nonnegative
+    * weights and `maxIter` ≥ graph diameter this is exact SSSP; the
+    * bounded-walk semantics are what the recursive-CTE oracle replays,
+    * so the two sides agree by construction even below the diameter.
+    * Weights are summed in bigint, so results are partition- and
+    * order-independent (the pageRank exactness contract).
+    *
+    * Scale shape: the static edge table is pre-partitioned on the
+    * per-round join key once; each round is one join + one min
+    * partial-agg — Pregel message/combine halves, state one bigint per
+    * reached vertex. Lineage truncated every third round.
+    */
+  def sssp(edges: DataFrame, sources: DataFrame, maxIter: Int): DataFrame = {
+    require(maxIter >= 1 && maxIter <= 50, s"sssp: iters out of [1,50]: $maxIter")
+    val e = edges.select(col("from_id").cast("string").as("from_id"),
+        col("to_id").cast("string").as("to_id"), col("w").cast("long").as("w"))
+      .repartition(col("from_id")).localCheckpoint(true)
+    var dist = sources.select(col("id").cast("string").as("id"),
+      lit(0L).as("dist"))
+    var it = 0
+    while (it < maxIter) {
+      val relax = e.join(dist, e("from_id") === dist("id"))
+        .select(col("to_id").as("id"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionByName(relax).groupBy("id").agg(min("dist").as("dist"))
+      it += 1
+      if (it % 3 == 0 && it < maxIter) dist = dist.localCheckpoint(true)
+    }
+    dist.select(col("id"), col("dist").cast("bigint").as("dist"))
+  }
+
   /** Minimum-distance reachability from `sources` within `maxHops`.
     * Returns (id, distance) with distance = fewest hops (sources at 0).
     * Matches the recursive-CTE semantics: cycle-safe (visited nodes are

@@ -134,4 +134,27 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(out == Map("1" -> 1L, "2" -> 1L, "3" -> 1L), out)
   }
+
+  test("sssp: min-cost path beats fewer-hop path, cycle-safe, multi-source") {
+    // s→t direct costs 10; s→a→b→t costs 1+1+1=3. Cycle a→b→a must
+    // terminate. Second source z reaches t cheaper still (z→t = 2).
+    val we = Seq(
+      ("s", "t", 10L), ("s", "a", 1L), ("a", "b", 1L), ("b", "t", 1L),
+      ("b", "a", 1L), ("z", "t", 2L))
+      .toDF("from_id", "to_id", "w")
+    val got = Graph.sssp(we, Seq("s").toDF("id"), 6)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("s" -> 0L, "a" -> 1L, "b" -> 2L, "t" -> 3L), got)
+    val multi = Graph.sssp(we, Seq("s", "z").toDF("id"), 6)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(multi("t") == 2L && multi("z") == 0L && multi("a") == 1L, multi)
+    // bounded-walk semantics: with 1 round only direct edges relax
+    val one = Graph.sssp(we, Seq("s").toDF("id"), 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(one == Map("s" -> 0L, "t" -> 10L, "a" -> 1L), one)
+    // partition-stable: bigint sums carry no order sensitivity
+    val rep = Graph.sssp(we.repartition(5), Seq("s").toDF("id"), 6)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep == got)
+  }
 }
