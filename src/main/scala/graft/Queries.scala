@@ -2293,6 +2293,42 @@ object Queries {
     * timed work IS the operator under test (two transactional commits +
     * two snapshot reads).
     */
+  /** IO1: JSONL corpus round-trip ([[sources.JsonlCorpus]]) — the
+    * training-data interchange seam. The documents table is written as
+    * hash-sharded JSON Lines, a sidecar shard is planted containing one
+    * well-formed record and one truncated line, and the read side
+    * (explicit schema, PERMISSIVE quarantine) must return every
+    * original row byte-identically, surface the planted record, and
+    * quarantine the malformed line as a NULL-row with `corrupt = true`
+    * instead of failing. The oracle reads the original parquet — any
+    * loss, mangling, or duplication in the JSON encode/decode path
+    * turns the driver red.
+    */
+  val io1JsonlRoundtrip: Q = (s, d) => {
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft-jsonl-qio1", math.abs(d.hashCode).toString)
+    if (java.nio.file.Files.exists(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+    val docs = t(s, d, "documents")
+    sources.JsonlCorpus.write(docs, root.toString, "doc_id", shards = 4)
+    java.nio.file.Files.writeString(root.resolve("part-extra.json"),
+      """{"doc_id":-1,"text":"planted ok","lang":"xx","source":"extra","n_chars":10}""" +
+        "\n" + """{"doc_id":-2,"text":"truncated""" + "\n")
+    sources.JsonlCorpus.read(s, root.toString, docs.schema, "bad")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"), col("bad").isNotNull.as("corrupt"))
+  }
+  val io1Oracle: String =
+    """SELECT doc_id, text, lang, source, n_chars, FALSE AS corrupt
+      |FROM documents
+      |UNION ALL SELECT CAST(-1 AS BIGINT), 'planted ok', 'xx', 'extra',
+      |  CAST(10 AS BIGINT), FALSE
+      |UNION ALL SELECT NULL, NULL, NULL, NULL, NULL, TRUE""".stripMargin
+
   val v3SnapshotTimeTravel: Q = (s, d) => {
     val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       "graft-snap-qv3", math.abs(d.hashCode).toString)
@@ -2819,6 +2855,7 @@ object Queries {
     "q_c5_macro_canonical" -> c5MacroCanonical,
     "q_v1_typed_s3_view" -> v1TypedS3,
     "q_v2_iam_analysis" -> v2IamAnalysis,
+    "q_io1_jsonl_roundtrip" -> io1JsonlRoundtrip,
     "q_v3_snapshot_timetravel" -> v3SnapshotTimeTravel,
     "q_v4_change_feed" -> v4ChangeFeed,
     "q_v5_incremental_rollup" -> v5IncrementalRollup,
@@ -2918,6 +2955,7 @@ object Queries {
     "q_c5_macro_canonical" -> c5Oracle,
     "q_v1_typed_s3_view" -> v1Oracle,
     "q_v2_iam_analysis" -> v2Oracle,
+    "q_io1_jsonl_roundtrip" -> io1Oracle,
     "q_v3_snapshot_timetravel" -> v3Oracle,
     "q_v4_change_feed" -> v4Oracle,
     "q_v5_incremental_rollup" -> v5Oracle,
