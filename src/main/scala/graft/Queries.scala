@@ -2329,6 +2329,68 @@ object Queries {
       |  CAST(10 AS BIGINT), FALSE
       |UNION ALL SELECT NULL, NULL, NULL, NULL, NULL, TRUE""".stripMargin
 
+  /** V7: manifest-logged schema evolution
+    * ([[catalog.SnapshotTableStore]]) — the Delta/Iceberg contract that
+    * the commit LOG, not parquet footers, is the source of schema
+    * truth. Version 1 commits three columns; version 2 appends a batch
+    * carrying a NEW `user_id` column (additive evolution; same-name
+    * type changes are rejected). Time travel must show version 1 with
+    * exactly its original 3-column schema (`n_cols` emits the observed
+    * width as data) while version 2 reads old files with NULLs in the
+    * added column — no footer-merge scan anywhere. The oracle rebuilds
+    * both logical states relationally; any leaked column, lost row, or
+    * wrong NULL-fill fails the hash compare.
+    */
+  val v7SchemaEvolution: Q = (s, d) => {
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft-snap-qv7", math.abs(d.hashCode).toString)
+    if (java.nio.file.Files.exists(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+    val store = new graft.catalog.SnapshotTableStore(root.toString)
+    val ev = t(s, d, "events")
+    val b1 = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+      .select("event_id", "event_type", "value")
+    val b2 = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+      .select("event_id", "event_type", "value", "user_id")
+    store.overwrite(b1.coalesce(4), "events_evo")
+    store.append(b2.coalesce(4), "events_evo")
+    Seq(1, 2).map { v =>
+      val df = store.readVersion(s, "events_evo", v)
+      val uid = if (df.columns.contains("user_id")) col("user_id")
+                else lit(null).cast("string")
+      df.withColumn("uid", uid)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          exactSum(col("value")).as("sum_value"),
+          count(col("uid")).as("n_user_rows"))
+        .withColumn("version", lit(v))
+        .withColumn("n_cols", lit(df.columns.length.toLong))
+    }.reduce(_ unionByName _)
+      .select("version", "event_type", "n_events", "sum_value",
+        "n_user_rows", "n_cols")
+  }
+  val v7Oracle: String =
+    """WITH b1 AS (SELECT event_id, event_type, value FROM events
+      |            WHERE event_id % 2 = 0),
+      |b2 AS (SELECT event_id, event_type, value, user_id FROM events
+      |       WHERE event_id % 2 = 1),
+      |v2 AS (SELECT event_type, value, NULL AS user_id FROM b1
+      |       UNION ALL SELECT event_type, value, user_id FROM b2)
+      |SELECT 1 AS version, event_type, COUNT(*) AS n_events,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+      |    AS sum_value,
+      |  CAST(0 AS BIGINT) AS n_user_rows, CAST(3 AS BIGINT) AS n_cols
+      |FROM b1 GROUP BY event_type
+      |UNION ALL
+      |SELECT 2, event_type, COUNT(*),
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE),
+      |  COUNT(user_id), CAST(4 AS BIGINT)
+      |FROM v2 GROUP BY event_type""".stripMargin
+
   val v3SnapshotTimeTravel: Q = (s, d) => {
     val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       "graft-snap-qv3", math.abs(d.hashCode).toString)
@@ -2857,6 +2919,7 @@ object Queries {
     "q_v2_iam_analysis" -> v2IamAnalysis,
     "q_io1_jsonl_roundtrip" -> io1JsonlRoundtrip,
     "q_v3_snapshot_timetravel" -> v3SnapshotTimeTravel,
+    "q_v7_schema_evolution" -> v7SchemaEvolution,
     "q_v4_change_feed" -> v4ChangeFeed,
     "q_v5_incremental_rollup" -> v5IncrementalRollup,
     "q_v6_snapshot_sql" -> v6SnapshotSql,
@@ -2957,6 +3020,7 @@ object Queries {
     "q_v2_iam_analysis" -> v2Oracle,
     "q_io1_jsonl_roundtrip" -> io1Oracle,
     "q_v3_snapshot_timetravel" -> v3Oracle,
+    "q_v7_schema_evolution" -> v7Oracle,
     "q_v4_change_feed" -> v4Oracle,
     "q_v5_incremental_rollup" -> v5Oracle,
     "q_v6_snapshot_sql" -> v6Oracle,

@@ -5,7 +5,7 @@ import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCo
 import scala.jdk.CollectionConverters._
 import scala.util.Using
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession, types}
 
 /** Versioned snapshot store for the S6/S7 catalog load path.
   *
@@ -101,11 +101,61 @@ final class SnapshotTableStore(root: String) extends TableStore {
       }
   }
 
-  private def manifestDirs(table: String, v: Int): Seq[String] = {
+  private def manifestLines(table: String, v: Int): Seq[String] = {
     val p = manifestPath(table, v)
     require(Files.exists(p), s"snapshot $table@v$v does not exist")
     new String(Files.readAllBytes(p), UTF_8).split("\n").map(_.trim)
       .filter(_.nonEmpty).toSeq
+  }
+
+  private def manifestDirs(table: String, v: Int): Seq[String] =
+    manifestLines(table, v).filterNot(_.startsWith("#"))
+
+  /** The version's logged schema, if the manifest carries one (versions
+    * committed before schema logging don't — readers fall back to
+    * parquet footer inference for those).
+    */
+  def manifestSchema(table: String, v: Int): Option[types.StructType] =
+    manifestLines(table, v).find(_.startsWith(SchemaPrefix))
+      .map(l => types.DataType.fromJson(l.stripPrefix(SchemaPrefix))
+        .asInstanceOf[types.StructType])
+
+  private val SchemaPrefix = "#schema="
+
+  private def nullableAll(s: types.StructType): types.StructType =
+    types.StructType(s.fields.map(_.copy(nullable = true)))
+
+  /** Delta-style additive schema evolution: columns keep their logged
+    * order, appended frames may ADD columns (they read as NULL in older
+    * files), and a same-name column must keep its exact type — silent
+    * widening would flip the bytes under existing readers.
+    */
+  private def evolveSchema(prior: types.StructType,
+      next: types.StructType): types.StructType = {
+    val priorByName = prior.fields.map(f => f.name -> f).toMap
+    next.fields.foreach { f =>
+      priorByName.get(f.name).foreach { p =>
+        require(p.dataType == f.dataType,
+          s"schema evolution: column '${f.name}' type mismatch: " +
+            s"${p.dataType.simpleString} (logged) vs " +
+            s"${f.dataType.simpleString} (incoming)")
+      }
+    }
+    nullableAll(types.StructType(
+      prior.fields ++ next.fields.filter(f => !priorByName.contains(f.name))))
+  }
+
+  /** Schema to log for the NEXT version when `df` lands on top of
+    * current version `cur` with carry-forward semantics.
+    */
+  private def evolvedFor(df: DataFrame, table: String,
+      cur: Option[Int]): types.StructType = cur match {
+    case None => nullableAll(df.schema)
+    case Some(v) =>
+      val prior = manifestSchema(table, v).getOrElse(
+        nullableAll(df.sparkSession.read
+          .parquet(versionDataDirs(table, v): _*).schema))
+      evolveSchema(prior, df.schema)
   }
 
   /** Absolute data-directory paths backing committed version `v` — the
@@ -118,9 +168,19 @@ final class SnapshotTableStore(root: String) extends TableStore {
     manifestDirs(table, v).map(d => dataDir(table, d).toString)
   }
 
-  /** Time-travel read of a specific committed version. */
-  def readVersion(spark: SparkSession, table: String, v: Int): DataFrame =
-    spark.read.parquet(versionDataDirs(table, v): _*)
+  /** Time-travel read of a specific committed version. When the
+    * manifest logs a schema, the read applies it explicitly: older
+    * files missing later-added columns yield NULLs (by-name parquet
+    * resolution), and no footer-merge scan is ever needed — the log is
+    * the source of schema truth, the Delta/Iceberg contract.
+    */
+  def readVersion(spark: SparkSession, table: String, v: Int): DataFrame = {
+    val dirs = versionDataDirs(table, v)
+    manifestSchema(table, v) match {
+      case Some(st) => spark.read.schema(st).parquet(dirs: _*)
+      case None => spark.read.parquet(dirs: _*)
+    }
+  }
 
   def read(spark: SparkSession, table: String): DataFrame = {
     val v = currentVersion(table).getOrElse(
@@ -146,12 +206,16 @@ final class SnapshotTableStore(root: String) extends TableStore {
     * a partial manifest, and a crash before the link leaves only an
     * unreferenced temp file.
     */
-  private def tryClaim(table: String, v: Int, dirs: Seq[String]): Boolean = {
+  private def tryClaim(table: String, v: Int, dirs: Seq[String],
+      schema: Option[types.StructType] = None): Boolean = {
     val mp = manifestPath(table, v)
     Files.createDirectories(mp.getParent)
     val tmp = mp.getParent.resolve(
       s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    Files.write(tmp, dirs.mkString("\n").getBytes(UTF_8))
+    // schema header rides IN the manifest so it publishes atomically
+    // with the dir list (StructType json is single-line by contract)
+    val header = schema.map(SchemaPrefix + _.json).toSeq
+    Files.write(tmp, (header ++ dirs).mkString("\n").getBytes(UTF_8))
     try { Files.createLink(mp, tmp); true }
     catch { case _: FileAlreadyExistsException => false }
     finally Files.deleteIfExists(tmp)
@@ -182,7 +246,9 @@ final class SnapshotTableStore(root: String) extends TableStore {
       val next = cur.getOrElse(0) + 1
       val prior = if (carryForward) cur.map(manifestDirs(table, _)).getOrElse(Nil)
                   else Nil
-      if (tryClaim(table, next, prior :+ dname)) {
+      val schema = if (carryForward) evolvedFor(df, table, cur)
+                   else nullableAll(df.schema)
+      if (tryClaim(table, next, prior :+ dname, Some(schema))) {
         advancePointer(table, next)
         return next
       }
@@ -228,7 +294,8 @@ final class SnapshotTableStore(root: String) extends TableStore {
       val cur = currentVersion(table)
       val prior = cur.map(manifestDirs(table, _)).getOrElse(Nil)
       if (committed()) return false // racing retry won
-      if (tryClaim(table, cur.getOrElse(0) + 1, prior :+ dname)) {
+      if (tryClaim(table, cur.getOrElse(0) + 1, prior :+ dname,
+          Some(evolvedFor(df, table, cur)))) {
         advancePointer(table, cur.getOrElse(0) + 1)
         return true
       }
@@ -271,7 +338,9 @@ final class SnapshotTableStore(root: String) extends TableStore {
       }
       val next = cur.getOrElse(0) + 1
       val dname = writeData(merged, table, next)
-      if (tryClaim(table, next, Seq(dname))) {
+      // the merge rewrites full content, so the version's schema IS the
+      // merged frame's schema
+      if (tryClaim(table, next, Seq(dname), Some(nullableAll(merged.schema)))) {
         advancePointer(table, next)
         return next
       }
@@ -315,7 +384,10 @@ final class SnapshotTableStore(root: String) extends TableStore {
       (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
     val compacted = readVersion(spark, table, cur).repartition(nFiles)
     val dname = writeData(compacted, table, cur + 1)
-    if (tryClaim(table, cur + 1, Seq(dname))) {
+    // logical content is identical, so the schema carries over verbatim
+    val schema = manifestSchema(table, cur)
+      .getOrElse(nullableAll(compacted.schema))
+    if (tryClaim(table, cur + 1, Seq(dname), Some(schema))) {
       advancePointer(table, cur + 1)
       Some(cur + 1)
     } else None

@@ -31,7 +31,7 @@ class SnapshotStoreSpec extends SparkSpec {
   private def manifest(dir: String, table: String, v: Int): Seq[String] =
     new String(Files.readAllBytes(
       Paths.get(dir, table, "_versions", f"v$v%05d.manifest"))).trim
-      .split("\n").toSeq
+      .split("\n").toSeq.filterNot(_.startsWith("#")) // data dirs only
 
   test("append writes only the new rows — prior data dirs are untouched") {
     val (dir, store) = freshStore()
@@ -274,5 +274,50 @@ class SnapshotStoreSpec extends SparkSpec {
     val finalRows = store.read(spark, "t").select("id").as[Long].collect().toSet
     assert((0L to 4L).toSet.subsetOf(finalRows),
       s"lost rows: ${(0L to 4L).toSet -- finalRows}; compact outcomes $outcomes")
+  }
+
+  test("schema evolution: appended column reads as NULL in old files") {
+    val (_, store) = freshStore()
+    store.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "t")
+    store.append(Seq((3L, "c", 9L)).toDF("id", "v", "extra"), "t")
+    // v1 keeps its original width via its own logged schema
+    assert(store.readVersion(spark, "t", 1).columns.toSeq == Seq("id", "v"))
+    assert(store.manifestSchema("t", 1).get.fieldNames.toSeq == Seq("id", "v"))
+    // v2: evolved log schema, old rows NULL-filled in the new column
+    val v2 = store.readVersion(spark, "t", 2)
+    assert(v2.columns.toSeq == Seq("id", "v", "extra"))
+    val got = v2.select("id", "extra").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(got == Map(1L -> None, 2L -> None, 3L -> Some(9L)), got)
+  }
+
+  test("schema evolution: same-name type change is rejected loudly") {
+    val (_, store) = freshStore()
+    store.overwrite(Seq((1L, 5L)).toDF("id", "v"), "t")
+    val ex = intercept[IllegalArgumentException] {
+      store.append(Seq((2L, "str")).toDF("id", "v"), "t")
+    }
+    assert(ex.getMessage.contains("type mismatch"), ex.getMessage)
+  }
+
+  test("schema evolution: compact and upsertLoad carry the log schema") {
+    val (_, store) = freshStore()
+    store.overwrite(Seq((1L, "a")).toDF("id", "v"), "t")
+    store.append(Seq((2L, "b", 7L)).toDF("id", "v", "extra"), "t")
+    store.compact(spark, "t", targetFileBytes = 1L << 30)
+    val v3 = store.readVersion(spark, "t", 3)
+    assert(v3.columns.toSeq == Seq("id", "v", "extra"))
+    assert(v3.select("id", "extra").as[(Long, Option[Long])].collect().toMap
+      == Map(1L -> None, 2L -> Some(7L)))
+    // upsertLoad logs the merged frame's schema (upsert semantics need
+    // the resource-shape scanned_at ordering column)
+    val (_, us) = freshStore()
+    us.overwrite(Seq((1L, "a", ts("2026-01-01 00:00:00")))
+      .toDF("id", "v", "scanned_at"), "r")
+    us.upsertLoad(spark, "r",
+      Seq((9L, "z", ts("2026-01-02 00:00:00")))
+        .toDF("id", "v", "scanned_at"))
+    assert(us.manifestSchema("r", 2).get.fieldNames.toSeq ==
+      Seq("id", "v", "scanned_at"))
   }
 }
