@@ -168,6 +168,50 @@ object PipelineQueries {
        |  AND sp.hamming <= 3 AND sp.id_a < sp.id_b
        |  AND (SELECT complete FROM ok)""".stripMargin
 
+  /** D14: exact global set-similarity join via df-ordered prefix
+    * filtering ([[Dedup.ppjoinPairs]]) — no blocking key, no LSH
+    * probability: prefix filtering is provably COMPLETE, so the oracle
+    * is a FULL REPLAY of the chain (shingle → df rank → Jaccard prefix
+    * → length-filtered candidate join → exact verify) over the planted
+    * corpus, not an emitted-row echo. The Spark side orders prefixes by
+    * (df, shingle-hash) and DuckDB by (df, shingle-string) — different
+    * total orders, same final pairs, BECAUSE completeness holds under
+    * any global order and the ≥ t verify is exact on both sides; a
+    * lost pair, fabricated pair, or wrong similarity is a row/hash
+    * mismatch. Planted identical clones guarantee non-empty output.
+    */
+  val d14PpjoinPairs: Q = (s, d) =>
+    Dedup.ppjoinPairs(withPlantedClones(t(s, d, "documents")),
+      "doc_id", "text", w = 3, threshold = 0.5)
+  val d14Oracle =
+    s"""WITH plant AS ($plantSql),
+       |corpus AS ($plantedCorpusSql),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_sort(list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+       |  FROM (SELECT doc_id, $wordsSql AS w FROM corpus) z),
+       |ex AS (SELECT doc_id, unnest(sh) AS tok FROM sh),
+       |dfreq AS (SELECT tok, COUNT(*) AS df FROM ex GROUP BY tok),
+       |pref AS (
+       |  SELECT r.tok, r.doc_id, r.n FROM (
+       |    SELECT e.doc_id, e.tok, len(s.sh) AS n,
+       |      ROW_NUMBER() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.tok) AS rn
+       |    FROM ex e JOIN dfreq d USING (tok) JOIN sh s USING (doc_id)) r
+       |  WHERE r.rn <= r.n - CAST(CEIL(0.5 * r.n) AS INT) + 1),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |    AND a.n * 0.5 <= b.n AND b.n * 0.5 <= a.n),
+       |p AS (
+       |  SELECT id_a, id_b,
+       |    ROUND(CASE WHEN len(list_distinct(list_concat(x.sh, y.sh))) = 0 THEN 0.0
+       |      ELSE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+       |           len(list_distinct(list_concat(x.sh, y.sh))) END, 6) AS jaccard
+       |  FROM cand JOIN sh x ON x.doc_id = cand.id_a
+       |             JOIN sh y ON y.doc_id = cand.id_b)
+       |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5""".stripMargin
+
   /** D6: the full near-dedup pipeline as a MANIFEST — MinHash pairs →
     * connected-component clusters → one row per INPUT doc with its
     * keep/drop decision and evidence ([[Dedup.dedupNearManifest]]).
@@ -3097,6 +3141,7 @@ object PipelineQueries {
     "q_d3_jaccard_pairs" -> d3JaccardPairs,
     "q_d4_minhash_neardup" -> d4MinhashNearDup,
     "q_d5_simhash_neardup" -> d5SimhashNearDup,
+    "q_d14_ppjoin" -> d14PpjoinPairs,
     "q_d6_dedup_near" -> d6DedupNear,
     "q_d7_editdist" -> d7EditDist,
     "q_d8_winnow" -> d8Winnow,
@@ -3237,6 +3282,7 @@ object PipelineQueries {
     "q_s2_cosine_pairs" -> s2Oracle,
     "q_d4_minhash_neardup" -> d4Oracle,
     "q_d5_simhash_neardup" -> d5Oracle,
+    "q_d14_ppjoin" -> d14Oracle,
     "q_d6_dedup_near" -> d6Oracle,
     "q_s3_lsh_topk" -> s3Oracle,
     "q_s4_ivf_topk" -> s4Oracle,

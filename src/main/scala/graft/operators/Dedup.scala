@@ -278,6 +278,65 @@ object Dedup {
       .select(col("blk"), col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Exact global set-similarity self-join via prefix filtering — the
+    * PPJoin/SSJoin family (Chaudhuri et al. ICDE'06; Xiao et al. WWW'08)
+    * in the distributed formulation of Vernica et al. (SIGMOD'10,
+    * "Efficient parallel set-similarity joins using MapReduce"). Unlike
+    * [[ngramJaccardPairs]] (all pairs inside a caller-chosen block) this
+    * needs NO blocking key and is still provably COMPLETE: under any
+    * global total order over tokens, two sets with Jaccard ≥ t must
+    * share at least one token among each side's first
+    * `n − ceil(t·n) + 1` tokens (the Jaccard prefix), so joining on
+    * prefix tokens only cannot lose a qualifying pair. Tokens are
+    * ordered by ascending document frequency (rarest first — the
+    * published candidate-minimizing order), with the token value as the
+    * tie-break; the df order also bounds skew, since a token's join
+    * fan-out is its prefix df, and frequent tokens land DEEP in every
+    * prefix (usually past it).
+    *
+    * 100 TB shape: one explode+groupBy for df, one per-doc ranking
+    * window (partition = one document's shingle set, O(doc) state), a
+    * prefix-token equi-join whose shuffle carries only (token, id, n) —
+    * never the shingle arrays — a distinct on candidate pairs, then two
+    * id-keyed joins fetch the sorted signature arrays for the exact
+    * codegen'd Jaccard verify ([[jaccardFast]]). The length filter
+    * (t·max(n_a,n_b) ≤ min(n_a,n_b), a Jaccard necessity) prunes
+    * candidates before the distinct. Reference semantics:
+    * near-duplicate detection per `dedup.rs` analogs in the reference's
+    * pipeline surface; algorithm entirely from the public literature.
+    */
+  def ppjoinPairs(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 3, threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0,1], got $threshold")
+    val sh = shingleFrame(df, idCol, textCol, w) // (id, sh: sorted longs)
+    val sizes = sh.select(col("id"), size(col("sh")).as("n"))
+    val ex = sh.select(col("id"), explode(col("sh")).as("tok"))
+    val dfreq = ex.groupBy("tok").agg(count(lit(1)).as("df"))
+    val pref = ex.join(dfreq, "tok")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("df"), col("tok"))))
+      .join(sizes, "id")
+      // Jaccard prefix length: n − ceil(t·n) + 1 (Xiao et al., Table 1)
+      .filter(col("rn") <=
+        col("n") - ceil(col("n") * lit(threshold)).cast("int") + 1)
+      .select(col("tok"), col("id"), col("n"))
+    val cand = pref.select(col("tok"), col("id").as("id_a"), col("n").as("n_a"))
+      .join(pref.select(col("tok"), col("id").as("id_b"), col("n").as("n_b")),
+        "tok")
+      .filter(col("id_a") < col("id_b")
+        && col("n_a") * lit(threshold) <= col("n_b")
+        && col("n_b") * lit(threshold) <= col("n_a"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", round(jaccardFast(col("sh_a"), col("sh_b")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** 64-bit SimHash over tokens: per-bit majority vote of token-hash bits
     * — a codegen'd one-pass loop (graft.functions.SimHash64Expr;
     * bit-compatible with the aggregate/zip_with HOF formulation it

@@ -93,6 +93,28 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("D14 ppjoin: candidate join carries (tok, id, n), never the arrays") {
+    // Prefix filtering's whole point is that the pair-generating join
+    // moves thin prefix-token rows; the shingle arrays must only reach
+    // the final id-keyed verify joins. Assert on the optimized LOGICAL
+    // plan (robust to broadcast-vs-shuffle physical choices at tiny SF):
+    // the tok-keyed join's inputs must expose no array-typed attribute.
+    val df: DataFrame = SparkEntry.queries("q_d14_ppjoin")(spark, sf)
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val tokJoins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.exists(_.references.exists(_.name == "tok")) => j
+    }
+    assert(tokJoins.nonEmpty, df.queryExecution.optimizedPlan.treeString)
+    tokJoins.foreach { j =>
+      val arrays = j.children.flatMap(_.output)
+        .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      assert(arrays.isEmpty,
+        s"array columns ride the tok join: $arrays\n${j.treeString}")
+    }
+  }
+
   test("A14 histogram aggregates partially before the single shuffle") {
     val p = plan("q_a14_histogram")
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)

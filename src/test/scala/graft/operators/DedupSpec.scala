@@ -79,6 +79,56 @@ class DedupSpec extends SparkSpec {
     assert(rows((1L, 3L)) > 0.5 && rows((1L, 3L)) < 1.0)
   }
 
+  test("ppjoinPairs: global prefix-filter join finds the known pairs") {
+    val rows = Dedup.ppjoinPairs(docs, "doc_id", "text", w = 3,
+        threshold = 0.5)
+      .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        r.getAs[Double]("jaccard"))).toMap
+    assert(rows((1L, 2L)) == 1.0)
+    assert(rows.contains((1L, 3L)))
+    assert(rows((1L, 3L)) > 0.5 && rows((1L, 3L)) < 1.0)
+    // doc 2 is doc 1's normalized clone, so (2,3) mirrors (1,3); nothing
+    // else clears 0.5 — exactly these three pairs
+    assert(rows((2L, 3L)) == rows((1L, 3L)))
+    assert(rows.size == 3, rows)
+  }
+
+  test("ppjoinPairs equals brute-force all-pairs (completeness, exactness)") {
+    // seeded corpus: shared phrase stock + clones + edits + a sub-3-token
+    // doc (empty shingle set) + an empty doc
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "omega", "spark",
+      "query", "scale", "data", "join", "graph", "text", "token", "near",
+      "dup", "set")
+    val stock = Vector.fill(6)(
+      Vector.fill(8 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    val corpus = (0 until 60).map { i =>
+      val s = stock(rnd.nextInt(stock.size))
+      val text = rnd.nextInt(4) match {
+        case 0 => s // clone of a stock phrase
+        case 1 => s + " " + vocab(rnd.nextInt(vocab.size)) // small append
+        case 2 => s.split(" ").drop(1).mkString(" ") // small head cut
+        case _ => Vector.fill(6 + rnd.nextInt(12))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      (i.toLong, text, "x")
+    } :+ ((60L, "two words", "x")) :+ ((61L, "", "x"))
+    val cdf = corpus.toDF("doc_id", "text", "source")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    val pp = pairSet(Dedup.ppjoinPairs(cdf, "doc_id", "text", w = 3,
+      threshold = 0.5))
+    // ground truth: all-pairs inside a single block = exhaustive
+    val brute = pairSet(Dedup.ngramJaccardPairs(cdf, "doc_id", "text",
+        "source", w = 3, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard"))
+    assert(pp == brute,
+      s"missing=${brute -- pp} extra=${pp -- brute}")
+    assert(pp.nonEmpty) // the fixture must actually exercise the join
+  }
+
   test("dupClusters groups transitive near-dup pairs; dedupNear keeps canonicals") {
     // pairs (1,2),(2,3) → one cluster {1,2,3} rooted at 1
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
