@@ -1765,6 +1765,50 @@ object Queries {
       |  AND p.user_id = c.user_id
       |  AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts""".stripMargin
 
+  /** ST9: stream-static enrichment ([[graft.streaming.StreamJoin
+    * .staticEnrich]]) — the stateless broadcast LEFT join of the event
+    * stream against the customer dimension, composed in front of the
+    * stateful tumbling aggregation (segment-level revenue windows). The
+    * enrichment itself adds no state store and no exchange; the
+    * downstream window agg carries the watermark contract, so the
+    * replay emits exactly the windows the oracle's HAVING clause
+    * finalizes. COALESCE('UNKNOWN') pins the LEFT semantics: if the
+    * join silently turned inner, unmatched events would vanish and the
+    * window counts would mismatch.
+    */
+  val st9StreamEnrich: Q = (s, d) => {
+    val sch = s.read.parquet(s"$d/events.parquet").schema
+    // single-FILE source: glob the last char and pin basePath (see ST2)
+    val stream = s.readStream.schema(sch).option("basePath", d)
+      .parquet(s"$d/events.parque*")
+    val ev = Tables.normalizeTimestamps(stream, nanosLongCols = Set("ts"))
+    val dim = t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment"))
+    val enriched = graft.streaming.StreamJoin
+      .staticEnrich(ev, dim, "user_id", "c_custkey")
+      .withColumn("segment", coalesce(col("c_mktsegment"), lit("UNKNOWN")))
+    val agg = graft.streaming.WindowedAgg.tumbling(
+      enriched, "ts", "segment", "value", "1 hour", "30 minutes")
+    graft.streaming.Replay.availableNow(agg)
+      .withColumn("sum_value", round(col("sum_value"), 2).cast("double"))
+  }
+  val st9Oracle: String =
+    """WITH mx AS (
+      |  SELECT make_timestamp((MAX(epoch_us(ts)) // 1000) * 1000
+      |                        - 1800000000) AS wm FROM events),
+      |e AS (
+      |  SELECT ev.ts, ev.value,
+      |    COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment
+      |  FROM events ev LEFT JOIN customer c ON ev.user_id = c.c_custkey),
+      |b AS (SELECT date_trunc('hour', ts) AS window_start, segment, value
+      |      FROM e)
+      |SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+      |  segment, COUNT(*) AS n_events,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+      |    AS sum_value
+      |FROM b GROUP BY 1, 3
+      |HAVING window_start + INTERVAL 1 HOUR <= (SELECT wm FROM mx)"""
+      .stripMargin
+
   /** X3: as-of join (beyond the reference) — each event enriched with the
     * user's most recent purchase at that moment. Spark side is the
     * union+window composition (operators.AsofJoin, one shuffle); oracle is
@@ -2941,6 +2985,7 @@ object Queries {
     "q_st1_sessionize" -> st1Sessionize,
     "q_st4_windowed_agg" -> st4WindowedAgg,
     "q_st5_stream_join" -> st5StreamJoin,
+    "q_st9_stream_enrich" -> st9StreamEnrich,
     "q_st6_exactly_once" -> st6ExactlyOnce,
     "q_st7_hopping_agg" -> st7HoppingAgg,
     "q_st8_session_agg" -> st8SessionAgg)
@@ -2998,6 +3043,7 @@ object Queries {
     "q_st1_sessionize" -> st1Oracle,
     "q_st4_windowed_agg" -> st4Oracle,
     "q_st5_stream_join" -> st5Oracle,
+    "q_st9_stream_enrich" -> st9Oracle,
     "q_st6_exactly_once" -> st6Oracle,
     "q_st7_hopping_agg" -> st7Oracle,
     "q_st8_session_agg" -> st8Oracle,

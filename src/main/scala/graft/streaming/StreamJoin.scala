@@ -35,6 +35,27 @@ object StreamJoin {
     * Works identically on batch frames (watermarks are ignored in batch
     * plans — the intended batch twin).
     */
+  /** Stream-static enrichment LEFT join — the other canonical streaming
+    * join class: a high-volume event stream joined to a bounded
+    * dimension table. STATELESS by construction (no state store at
+    * all): the static side is re-planned inside every micro-batch, and
+    * the explicit broadcast keeps the stream side exchange-free — at
+    * production stream rates the enrichment adds zero shuffles and zero
+    * state, so it composes freely in front of the stateful windowed
+    * aggregations ([[WindowedAgg]]). LEFT (not inner) so an event whose
+    * dimension row is missing survives with NULLs — dropping events on
+    * dim gaps is the classic silent-loss bug in enrichment pipelines.
+    * Batch-identical semantics: the same call on two batch frames is
+    * the plain broadcast left join, which is what the oracle replays.
+    *
+    * Reference model: corkscrew enriches scanned resources against
+    * typed service views at query time (pkg/query/engine.go join
+    * surface); here the same enrichment runs incrementally.
+    */
+  def staticEnrich(stream: DataFrame, dim: DataFrame, streamKey: String,
+      dimKey: String): DataFrame =
+    stream.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
+
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, lookback: String, watermarkDelay: String): DataFrame = {
     val l = left.withWatermark(tsCol, watermarkDelay)
