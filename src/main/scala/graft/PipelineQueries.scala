@@ -1924,6 +1924,50 @@ object PipelineQueries {
     * identical lambda chain — full hash compare over every row,
     * including the reassembled `cleaned` text.
     */
+  /** T35: token-budget epoch planner ([[Sampling.epochPlan]]) — the
+    * mixture-to-repeats calculation a data-constrained training run
+    * performs before sampling: per-source available tokens vs the
+    * weight-allocated share of a 10M-token budget, with full-epoch and
+    * partial-epoch consumption. Weights in basis points keep the whole
+    * allocation integer (DIV/%); the only double is the repeat factor,
+    * a raw IEEE division. Sources outside the mixture are excluded, so
+    * the oracle's VALUES join is also the unlisted-source filter check.
+    */
+  val t35EpochPlan: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+      .withColumn("n_tokens",
+        TextAnalysis.tokenCount(col("text")).cast("bigint"))
+    Sampling.epochPlan(docs, "source", "n_tokens",
+      Map("src0" -> 4000L, "src1" -> 2500L, "src2" -> 1500L,
+        "src3" -> 1000L, "src4" -> 1000L),
+      budgetTokens = 10000000L)
+  }
+  val t35Oracle: String =
+    """WITH tok AS (
+      |  SELECT source,
+      |    len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS n
+      |  FROM documents),
+      |a AS (SELECT source, CAST(SUM(n) AS BIGINT) AS available_tokens
+      |      FROM tok GROUP BY source),
+      |w(source, weight_bp) AS (VALUES
+      |  ('src0', 4000), ('src1', 2500), ('src2', 1500),
+      |  ('src3', 1000), ('src4', 1000)),
+      |p AS (
+      |  SELECT a.source, a.available_tokens,
+      |    CAST(w.weight_bp AS BIGINT) AS weight_bp,
+      |    CAST((CAST(10000000 AS BIGINT) * w.weight_bp) // 10000 AS BIGINT)
+      |      AS target_tokens
+      |  FROM a JOIN w USING (source))
+      |SELECT source, available_tokens, weight_bp, target_tokens,
+      |  CAST(CASE WHEN target_tokens = 0 THEN 0
+      |       ELSE (target_tokens - 1) // available_tokens + 1 END AS BIGINT)
+      |    AS epochs,
+      |  CAST(target_tokens % available_tokens AS BIGINT)
+      |    AS partial_epoch_tokens,
+      |  CAST(target_tokens AS DOUBLE) / CAST(available_tokens AS DOUBLE)
+      |    AS repeat_factor
+      |FROM p""".stripMargin
+
   private val C4Boiler: Seq[(String, String)] = Seq(
     // (line planted before the text body, line planted after)
     ("Please enable JavaScript to continue", "{ \"layout\": 1 }"),
@@ -3174,6 +3218,7 @@ object PipelineQueries {
     "q_t32_sentences" -> t32Sentences,
     "q_t33_pmi" -> t33Pmi,
     "q_t34_c4_clean" -> t34C4Clean,
+    "q_t35_epoch_plan" -> t35EpochPlan,
     "q_r2_mmr" -> r2Mmr,
     "q_d13_dedup_keepbest" -> d13KeepBest,
     "q_s15_hard_negatives" -> s15HardNegatives,
@@ -3252,6 +3297,7 @@ object PipelineQueries {
     "q_t32_sentences" -> t32Oracle,
     "q_t33_pmi" -> t33Oracle,
     "q_t34_c4_clean" -> t34Oracle,
+    "q_t35_epoch_plan" -> t35Oracle,
     "q_r2_mmr" -> r2Oracle,
     "q_d13_dedup_keepbest" -> d13KeepBestOracle,
     "q_s15_hard_negatives" -> s15Oracle,

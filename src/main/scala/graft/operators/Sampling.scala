@@ -263,4 +263,46 @@ object Sampling {
       .withColumn("pos", row_number().over(w).cast("bigint"))
       .drop("_ord")
   }
+
+  /** Token-budget epoch planner — the curation step that turns a target
+    * mixture into per-source repeat plans ("how many epochs of source X
+    * does a B-token run consume at weight w?", the data-constrained
+    * scaling question of Muennighoff et al. 2023). Weights are given in
+    * BASIS POINTS (parts per 10 000) so target allocation is pure
+    * integer arithmetic — `budget·bp div 10000` — reproducible in any
+    * engine with no float rounding. Returns one row per source:
+    * available tokens, target tokens, full epochs consumed (ceil),
+    * tokens drawn from the final partial epoch, and the repeat factor
+    * (the only IEEE value, a raw division both engines compute
+    * identically). One partial-agg shuffle on the source key; the plan
+    * is corpus-scan-shaped at any SF.
+    */
+  def epochPlan(df: DataFrame, sourceCol: String, tokensCol: String,
+      weightsBp: Map[String, Long], budgetTokens: Long): DataFrame = {
+    require(weightsBp.values.forall(_ >= 0), "weights must be >= 0")
+    require(weightsBp.values.sum == 10000L,
+      s"weights must sum to 10000 bp, got ${weightsBp.values.sum}")
+    require(budgetTokens >= 0, "budget must be >= 0")
+    val bp = weightsBp.foldLeft(lit(null).cast("bigint")) {
+      case (acc, (src, b)) => // post-agg alias: the grouped key is `source`
+        when(col("source") === src, lit(b)).otherwise(acc)
+    }
+    df.groupBy(col(sourceCol).as("source"))
+      .agg(sum(col(tokensCol)).cast("bigint").as("available_tokens"))
+      .withColumn("weight_bp", bp.cast("bigint"))
+      .filter(col("weight_bp").isNotNull) // unlisted sources get no budget
+      .withColumn("target_tokens", // integer DIV — `/` would go double
+        expr(s"CAST(${budgetTokens}L * weight_bp DIV 10000 AS BIGINT)"))
+      .withColumn("epochs", // integer ceil-div: no IEEE in the count
+        expr("CASE WHEN target_tokens = 0 THEN 0 " +
+          "ELSE (target_tokens - 1) DIV available_tokens + 1 END")
+          .cast("bigint"))
+      .withColumn("partial_epoch_tokens",
+        (col("target_tokens") % col("available_tokens")).cast("bigint"))
+      .withColumn("repeat_factor",
+        col("target_tokens").cast("double")
+          / col("available_tokens").cast("double"))
+      .select("source", "available_tokens", "weight_bp", "target_tokens",
+        "epochs", "partial_epoch_tokens", "repeat_factor")
+  }
 }

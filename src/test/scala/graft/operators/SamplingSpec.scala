@@ -240,4 +240,27 @@ class SamplingSpec extends SparkSpec {
     }.toMap
     assert(out == expect)
   }
+
+  test("epochPlan: integer allocation, ceil-div epochs, unlisted dropped") {
+    val df = Seq(
+      ("a", 100L), ("a", 150L), // a: 250 tokens
+      ("b", 1000L),             // b: 1000 tokens
+      ("c", 50L))               // c: unlisted — must not appear
+      .toDF("src", "n")
+    val plan = Sampling.epochPlan(df, "src", "n",
+        Map("a" -> 7500L, "b" -> 2500L), budgetTokens = 1000L)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("available_tokens"), r.getAs[Long]("target_tokens"),
+         r.getAs[Long]("epochs"), r.getAs[Long]("partial_epoch_tokens"),
+         r.getAs[Double]("repeat_factor"))).toMap
+    // a: target 750 of 250 available → 3 full epochs exactly, partial 0
+    assert(plan("a") == ((250L, 750L, 3L, 0L, 3.0)))
+    // b: target 250 of 1000 → 1 epoch started, partial 250, repeat 0.25
+    assert(plan("b") == ((1000L, 250L, 1L, 250L, 0.25)))
+    assert(!plan.contains("c"))
+    // weights must sum to 10000 bp
+    intercept[IllegalArgumentException] {
+      Sampling.epochPlan(df, "src", "n", Map("a" -> 1L), 10L)
+    }
+  }
 }
