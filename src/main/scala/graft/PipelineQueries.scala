@@ -212,6 +212,90 @@ object PipelineQueries {
        |             JOIN sh y ON y.doc_id = cand.id_b)
        |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5""".stripMargin
 
+  /** D15: incremental near-dup against a PERSISTED MinHash signature
+    * index ([[Dedup.incrementalNearDups]]) — the nightly-ingest shape
+    * for NEAR duplicates, complementing q_d11's exact cross-batch
+    * Bloom: the history corpus is reduced once to a
+    * [[Dedup.signatureFrame]] committed in the transactional snapshot
+    * store, and the incoming batch band-joins against that index
+    * without rescanning any history text. Verification is exact
+    * (persisted shingle hashes), so the emitted contract matches q_d4:
+    * every emitted pair's Jaccard is recomputed from raw text by the
+    * oracle, membership joins pin the orientation (id_new ∈ incoming,
+    * id_hist ∈ history), and planted history clones in the incoming
+    * batch MUST all be found (identical text ⇒ identical signatures ⇒
+    * candidate certain ⇒ exact 1.0).
+    */
+  val d15IncrementalNearDup: Q = (s, d) => {
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft-snap-qd15", math.abs(d.hashCode).toString)
+    if (java.nio.file.Files.exists(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+    val store = new graft.catalog.SnapshotTableStore(root.toString)
+    val docs = t(s, d, "documents")
+    val histThr = Sampling.hexThreshold(0.8)
+    val hist = docs.filter(
+      Sampling.hashBucket(col("doc_id"), "incr") < lit(histThr))
+    val incNew = docs.filter(
+      Sampling.hashBucket(col("doc_id"), "incr") >= lit(histThr))
+    val plants = hist.filter(
+        Sampling.hashBucket(col("doc_id"), "plant2")
+          < lit(Sampling.hexThreshold(0.05))
+        && size(split(TextAnalysis.normalize(col("text")), " ")) >= 3)
+      .withColumn("doc_id", col("doc_id") + lit(PlantOffset))
+    val incoming = incNew.unionByName(plants)
+    store.overwrite(Dedup.signatureFrame(hist, "doc_id", "text")
+      .coalesce(4), "minhash_index")
+    val index = store.read(s, "minhash_index")
+    Dedup.incrementalNearDups(incoming, "doc_id", "text", index,
+      threshold = 0.5)
+  }
+  val d15Oracle: String = {
+    val histThr = Sampling.hexThreshold(0.8)
+    val plantThr = Sampling.hexThreshold(0.05)
+    s"""WITH sp AS (
+       |  SELECT id_new, id_hist, jaccard
+       |  FROM '__SPARK_OUT__/q_d15_incremental_neardup/*.parquet'),
+       |hist AS (SELECT doc_id, text FROM documents
+       |  WHERE substr(md5('incr:' || CAST(doc_id AS STRING)), 1, 8) < '$histThr'),
+       |incnew AS (SELECT doc_id, text FROM documents
+       |  WHERE substr(md5('incr:' || CAST(doc_id AS STRING)), 1, 8) >= '$histThr'),
+       |plant AS (SELECT doc_id, text FROM hist
+       |  WHERE substr(md5('plant2:' || CAST(doc_id AS STRING)), 1, 8) < '$plantThr'
+       |    AND len($wordsSql) >= 3),
+       |incoming AS (
+       |  SELECT doc_id + $PlantOffset AS doc_id, text FROM plant
+       |  UNION ALL SELECT doc_id, text FROM incnew),
+       |corpus AS (SELECT doc_id, text FROM hist
+       |  UNION ALL SELECT doc_id, text FROM incoming),
+       |t AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+       |  FROM (SELECT doc_id, $wordsSql AS w FROM corpus) z
+       |  WHERE doc_id IN (SELECT id_new FROM sp UNION SELECT id_hist FROM sp)),
+       |p AS (
+       |  SELECT sp.id_new, sp.id_hist,
+       |    ROUND(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+       |      ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |           len(list_distinct(list_concat(a.sh, b.sh))) END, 6) AS jaccard
+       |  FROM sp
+       |  JOIN t a ON a.doc_id = sp.id_new
+       |  JOIN t b ON b.doc_id = sp.id_hist
+       |  JOIN incoming i ON i.doc_id = sp.id_new
+       |  JOIN hist h ON h.doc_id = sp.id_hist),
+       |ok AS (
+       |  SELECT NOT EXISTS (SELECT 1 FROM plant pl WHERE NOT EXISTS (
+       |    SELECT 1 FROM sp WHERE sp.id_new = pl.doc_id + $PlantOffset
+       |      AND sp.id_hist = pl.doc_id)) AS complete)
+       |SELECT id_new, id_hist, jaccard FROM p
+       |WHERE jaccard >= 0.5 AND (SELECT complete FROM ok)""".stripMargin
+  }
+
   /** D6: the full near-dedup pipeline as a MANIFEST — MinHash pairs →
     * connected-component clusters → one row per INPUT doc with its
     * keep/drop decision and evidence ([[Dedup.dedupNearManifest]]).
@@ -3186,6 +3270,7 @@ object PipelineQueries {
     "q_d4_minhash_neardup" -> d4MinhashNearDup,
     "q_d5_simhash_neardup" -> d5SimhashNearDup,
     "q_d14_ppjoin" -> d14PpjoinPairs,
+    "q_d15_incremental_neardup" -> d15IncrementalNearDup,
     "q_d6_dedup_near" -> d6DedupNear,
     "q_d7_editdist" -> d7EditDist,
     "q_d8_winnow" -> d8Winnow,
@@ -3329,6 +3414,7 @@ object PipelineQueries {
     "q_d4_minhash_neardup" -> d4Oracle,
     "q_d5_simhash_neardup" -> d5Oracle,
     "q_d14_ppjoin" -> d14Oracle,
+    "q_d15_incremental_neardup" -> d15Oracle,
     "q_d6_dedup_near" -> d6Oracle,
     "q_s3_lsh_topk" -> s3Oracle,
     "q_s4_ivf_topk" -> s4Oracle,

@@ -651,4 +651,56 @@ object Dedup {
       .select(col(idCol), col("fp"),
         coalesce(col("_hit"), lit(false)).as("is_dup"))
   }
+
+  /** The persistable signature frame `(id, sh, sig)`: sorted hashed
+    * shingles plus the k-wide MinHash signature. This is what an
+    * incremental pipeline stores per document instead of re-reading
+    * text — shingle hashes (8 bytes each) carry EXACT Jaccard
+    * verification, the signature carries LSH candidate generation, and
+    * both are computed exactly once per document ever.
+    */
+  def signatureFrame(df: DataFrame, idCol: String, textCol: String,
+      shingleW: Int = 3, k: Int = 64): DataFrame =
+    shingleFrame(df, idCol, textCol, shingleW)
+      .select(col("id"), col("sh"), minhashSignature(col("sh"), k).as("sig"))
+
+  /** Incremental NEAR-dup against a persisted signature index — the
+    * MinHash sibling of [[crossBatchDedup]] (which is exact-only): an
+    * incoming batch is checked for near-duplicates of an arbitrarily
+    * large history WITHOUT rescanning any history text. `index` is a
+    * [[signatureFrame]] table (e.g. a
+    * [[graft.catalog.SnapshotTableStore]] version, appended batch by
+    * batch). Candidates come from the banded (band, bucket) equi-join of
+    * the two sides' exploded signatures — the shuffle carries only
+    * (band, bucket, id) rows on BOTH sides, never arrays; verification
+    * joins the persisted shingle arrays id-keyed and keeps pairs whose
+    * EXACT Jaccard clears the threshold, so the emitted contract is
+    * identical to [[minhashNearDups]] (hash-specific recall, exact
+    * emitted values).
+    *
+    * 100 TB shape: the history index shuffles once per batch on its
+    * banded keys (or is pre-bucketed by (band, bucket) in the store and
+    * doesn't shuffle at all); incoming is the small side. The quadratic
+    * blow-up is confined to same-bucket groups exactly as in the
+    * self-join variant.
+    */
+  def incrementalNearDups(incoming: DataFrame, idCol: String,
+      textCol: String, index: DataFrame, threshold: Double = 0.8,
+      k: Int = 64, bands: Int = 16, shingleW: Int = 3): DataFrame = {
+    val inc = signatureFrame(incoming, idCol, textCol, shingleW, k)
+      .localCheckpoint(true)
+    def banded(sigF: DataFrame, as: String) = sigF
+      .select(col("id").as(as), explode(lshBands(col("sig"), k, bands)).as("bb"))
+      .select(col(as), col("bb.band"), col("bb.bucket"))
+    val cand = banded(inc, "id_new")
+      .join(banded(index, "id_hist"), Seq("band", "bucket"))
+      .select("id_new", "id_hist").distinct()
+    cand
+      .join(inc.select(col("id").as("id_new"), col("sh").as("sh_new")), "id_new")
+      .join(index.select(col("id").as("id_hist"), col("sh").as("sh_hist")),
+        "id_hist")
+      .withColumn("jaccard", round(jaccardFast(col("sh_new"), col("sh_hist")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_new"), col("id_hist"), col("jaccard"))
+  }
 }

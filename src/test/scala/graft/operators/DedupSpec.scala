@@ -129,6 +129,31 @@ class DedupSpec extends SparkSpec {
     assert(pp.nonEmpty) // the fixture must actually exercise the join
   }
 
+  test("incrementalNearDups: cross-batch hits only, exact values, clone certain") {
+    // history = docs 1..3; incoming = a clone of 1, a near-dup of 1
+    // (tonight→today), an internal incoming dup pair (20/21), and noise
+    val hist = docs.filter(col("doc_id") <= 3)
+    val incoming = Seq(
+      (10L, base, "s9"),                               // exact clone of 1
+      (11L, base.replace("tonight", "today"), "s9"),   // near-dup of 1
+      (20L, "incoming only text about nothing shared one", "s9"),
+      (21L, "incoming only text about nothing shared one", "s9"), // dup of 20
+      (30L, "completely unrelated noise row", "s9"))
+      .toDF("doc_id", "text", "source")
+    val index = Dedup.signatureFrame(hist, "doc_id", "text")
+    val rows = Dedup.incrementalNearDups(incoming, "doc_id", "text", index,
+        threshold = 0.5)
+      .collect().map(r => ((r.getAs[Long]("id_new"), r.getAs[Long]("id_hist")),
+        r.getAs[Double]("jaccard"))).toMap
+    // the identical clone is certain; orientation is (incoming, history)
+    assert(rows((10L, 1L)) == 1.0)
+    assert(rows((10L, 2L)) == 1.0) // doc 2 is doc 1's normalized twin
+    // within-incoming dup (20,21) must NOT appear — index side only
+    assert(!rows.keys.exists { case (n, h) => n >= 20L || h >= 10L }, rows)
+    // every emitted value is exact Jaccard ≥ threshold (spot: near-dup)
+    rows.get((11L, 1L)).foreach(j => assert(j > 0.5 && j < 1.0))
+  }
+
   test("dupClusters groups transitive near-dup pairs; dedupNear keeps canonicals") {
     // pairs (1,2),(2,3) → one cluster {1,2,3} rooted at 1
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
