@@ -627,6 +627,55 @@ object PipelineQueries {
       |  COUNT(*) AS n
       |FROM u GROUP BY 1, 2""".stripMargin
 
+  /** T36: domain reputation + blocklist derivation
+    * ([[TextAnalysis.hostReputation]]) — per-host aggregation of the T1
+    * quality score (as the integer milli proxy, keeping the host sum a
+    * BIGINT), rank-ordered with the bottom 5 hosts flagged blocked; the
+    * anti-join a web pipeline then applies is the `blocked` column. The
+    * oracle replays quality → proxy → host rollup → ranking in SQL, so
+    * a drifted score, a float-sum reassociation, or a rank tie-break
+    * change all go red.
+    */
+  val t36DomainBlocklist: Q = (s, d) => {
+    val scored = TextAnalysis.qualityMetrics(t(s, d, "documents"))
+      .withColumn("host", concat(col("source"), lit(".example.com")))
+      .withColumn("qmilli",
+        floor(col("quality_score") * 1000).cast("bigint"))
+    TextAnalysis.hostReputation(scored, "host", "qmilli", bottomK = 5)
+  }
+  val t36Oracle: String =
+    s"""WITH m AS (
+       |  SELECT source,
+       |    len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS n_tokens,
+       |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) /
+       |      length(text) AS punct_ratio,
+       |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) /
+       |      length(text) AS alpha_ratio,
+       |    CAST(len(list_filter(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
+       |        w -> list_contains(['the','a','of','to','and','in','is','it','that','for'], lower(w))))
+       |      AS DOUBLE) /
+       |      len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS stopword_ratio
+       |  FROM documents),
+       |q AS (
+       |  SELECT source || '.example.com' AS host,
+       |    CAST(FLOOR(LEAST(1.0, GREATEST(0.0,
+       |      0.30 * LEAST(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) +
+       |      0.25 * alpha_ratio +
+       |      0.25 * LEAST(stopword_ratio * 5.0, 1.0) +
+       |      0.20 * (1.0 - LEAST(punct_ratio * 5.0, 1.0)))) * 1000)
+       |      AS BIGINT) AS qmilli
+       |  FROM m),
+       |h AS (
+       |  SELECT host, COUNT(*) AS n_docs,
+       |    CAST(SUM(qmilli) AS BIGINT) AS sum_qmilli,
+       |    CAST(SUM(qmilli) AS DOUBLE) / COUNT(*) AS avg_qmilli
+       |  FROM q GROUP BY host)
+       |SELECT host, n_docs, sum_qmilli, avg_qmilli,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY avg_qmilli, host) AS BIGINT)
+       |    AS reputation_rank,
+       |  ROW_NUMBER() OVER (ORDER BY avg_qmilli, host) <= 5 AS blocked
+       |FROM h""".stripMargin
+
   // ===== multimodal ====================================================
 
   /** M1: binary payload plumbing — metadata extraction over an opaque
@@ -3304,6 +3353,7 @@ object PipelineQueries {
     "q_t33_pmi" -> t33Pmi,
     "q_t34_c4_clean" -> t34C4Clean,
     "q_t35_epoch_plan" -> t35EpochPlan,
+    "q_t36_domain_blocklist" -> t36DomainBlocklist,
     "q_r2_mmr" -> r2Mmr,
     "q_d13_dedup_keepbest" -> d13KeepBest,
     "q_s15_hard_negatives" -> s15HardNegatives,
@@ -3383,6 +3433,7 @@ object PipelineQueries {
     "q_t33_pmi" -> t33Oracle,
     "q_t34_c4_clean" -> t34Oracle,
     "q_t35_epoch_plan" -> t35Oracle,
+    "q_t36_domain_blocklist" -> t36Oracle,
     "q_r2_mmr" -> r2Oracle,
     "q_d13_dedup_keepbest" -> d13KeepBestOracle,
     "q_s15_hard_negatives" -> s15Oracle,

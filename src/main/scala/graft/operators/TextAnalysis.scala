@@ -913,4 +913,32 @@ object TextAnalysis {
         array_join(filter(col("lines"), keepPred), "\n").as("cleaned"))
       .withColumn("page_kept", col("n_kept") >= minKeptLines)
   }
+
+  /** Per-host reputation and blocklist derivation — the domain-level
+    * curation pass of C4/RefinedWeb-style web pipelines: aggregate a
+    * per-document quality signal by host, rank hosts, and flag the
+    * bottom `bottomK` as blocked (the derived blocklist an anti-join
+    * then applies to the corpus). The quality signal must arrive as an
+    * INTEGER proxy (`qmilliCol`, e.g. `floor(quality_score * 1000)`) so
+    * the per-host aggregation is an order-independent BIGINT sum — a
+    * double sum would be reassociation-sensitive across engines. The
+    * only double is the final one-division average. The ranking window
+    * runs over the HOST frame, bounded by host cardinality (domain
+    * counts are many orders below document counts), not the corpus.
+    */
+  def hostReputation(df: DataFrame, hostCol: String, qmilliCol: String,
+      bottomK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bottomK >= 0, s"bottomK must be >= 0, got $bottomK")
+    val byHost = df.groupBy(col(hostCol).as("host"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(qmilliCol)).cast("bigint").as("sum_qmilli"))
+      .withColumn("avg_qmilli",
+        col("sum_qmilli").cast("double") / col("n_docs").cast("double"))
+    // bounded frame: one row per host; the global window is deliberate
+    val w = Window.orderBy(col("avg_qmilli"), col("host"))
+    byHost
+      .withColumn("reputation_rank", row_number().over(w).cast("bigint"))
+      .withColumn("blocked", col("reputation_rank") <= bottomK)
+  }
 }

@@ -400,4 +400,22 @@ class TextMultimodalSpec extends SparkSpec {
       .collect()(0)
     assert(thin.getLong(2) == 1 && !thin.getBoolean(7))
   }
+
+  test("hostReputation: integer rollup, rank order, bottom-K blocked") {
+    val df = Seq(
+      ("good.com", 900L), ("good.com", 800L),   // avg 850
+      ("mid.com", 500L), ("mid.com", 700L),     // avg 600
+      ("bad.com", 100L), ("bad.com", 200L),     // avg 150
+      ("tie.com", 150L))                        // avg 150 — host tiebreak
+      .toDF("host", "qmilli")
+    val rep = TextAnalysis.hostReputation(df, "host", "qmilli", bottomK = 2)
+      .collect().map(r => r.getAs[String]("host") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_qmilli"),
+         r.getAs[Long]("reputation_rank"), r.getAs[Boolean]("blocked")))
+      .toMap
+    assert(rep("bad.com") == ((2L, 300L, 1L, true)))  // 'bad' < 'tie'
+    assert(rep("tie.com") == ((1L, 150L, 2L, true)))
+    assert(rep("mid.com") == ((2L, 1200L, 3L, false)))
+    assert(rep("good.com") == ((2L, 1700L, 4L, false)))
+  }
 }
