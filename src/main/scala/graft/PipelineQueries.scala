@@ -2581,6 +2581,63 @@ object PipelineQueries {
       |      ORDER BY cosine_sim DESC, id) AS rank
       |  FROM sc) z WHERE rank <= 10""".stripMargin
 
+  /** S20: two-stage truncated-prefix retrieval
+    * ([[Similarity.truncatedRerank]]) — coarse cosine over the first 16
+    * of 64 dims (the Matryoshka serving pattern: the coarse scan reads a
+    * quarter of the bytes), top-50 pool, exact full-dim re-rank to
+    * top-10. Both stage scores ride in the output; the oracle replays
+    * BOTH rankings (truncated slice, 6dp round, id tie-break, pool cut,
+    * full re-rank), so a wrong pool, a leaked full-dim shortcut, or a
+    * stage-score drift all go red.
+    */
+  val s20TruncatedRerank: Q = (s, d) =>
+    Similarity.truncatedRerank(t(s, d, "embeddings"), "vec_id", "embedding",
+      queryVecs(s, d), prefixDims = 16, m = 50, k = 10)
+  val s20Oracle: String =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, embedding AS qvec FROM e
+      |      WHERE vec_id < 5),
+      |tv AS (SELECT vec_id, embedding[1:16] AS tvec FROM e),
+      |tq AS (SELECT query_id, qvec[1:16] AS tqvec FROM q),
+      |tn AS (SELECT vec_id, tvec,
+      |  SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+      |        FROM (SELECT UNNEST(tvec) AS x) ux)) AS tnrm FROM tv),
+      |tqn AS (SELECT query_id, tqvec,
+      |  SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+      |        FROM (SELECT UNNEST(tqvec) AS x) ux)) AS tqnrm FROM tq),
+      |coarse AS (
+      |  SELECT tqn.query_id, tn.vec_id AS id,
+      |    ROUND(CASE WHEN tn.tnrm * tqn.tqnrm = 0 THEN 0.0 ELSE
+      |      (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+      |       FROM (SELECT UNNEST(tn.tvec) AS x, UNNEST(tqn.tqvec) AS y) u)
+      |      / (tn.tnrm * tqn.tqnrm) END, 6) AS t_sim
+      |  FROM tn CROSS JOIN tqn),
+      |pool AS (
+      |  SELECT query_id, id, t_sim FROM (
+      |    SELECT query_id, id, t_sim,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id
+      |        ORDER BY t_sim DESC, id) AS crank
+      |    FROM coarse) z WHERE crank <= 50),
+      |en AS (SELECT vec_id, embedding,
+      |  SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+      |        FROM (SELECT UNNEST(embedding) AS x) ux)) AS nrm FROM e),
+      |qn AS (SELECT query_id, qvec,
+      |  SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+      |        FROM (SELECT UNNEST(qvec) AS x) ux)) AS qnrm FROM q),
+      |fr AS (
+      |  SELECT p.query_id, p.id, p.t_sim,
+      |    ROUND(CASE WHEN en.nrm * qn.qnrm = 0 THEN 0.0 ELSE
+      |      (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+      |       FROM (SELECT UNNEST(en.embedding) AS x, UNNEST(qn.qvec) AS y) u)
+      |      / (en.nrm * qn.qnrm) END, 6) AS cosine_sim
+      |  FROM pool p JOIN en ON en.vec_id = p.id
+      |              JOIN qn ON qn.query_id = p.query_id)
+      |SELECT query_id, rank, id, cosine_sim, t_sim FROM (
+      |  SELECT query_id, id, cosine_sim, t_sim,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY cosine_sim DESC, id) AS BIGINT) AS rank
+      |  FROM fr) z WHERE rank <= 10""".stripMargin
+
   /** S2: exact cosine near-dup pairs (brute force over all pairs). */
   val s2CosinePairs: Q = (s, d) =>
     Similarity.bruteForcePairs(t(s, d, "embeddings"), "vec_id", "embedding",
@@ -3381,6 +3438,7 @@ object PipelineQueries {
     "q_m4_audio_decode" -> m4AudioDecode,
     "q_m5_video_frames" -> m5VideoFrames,
     "q_s1_topk_bruteforce" -> s1TopKBruteForce,
+    "q_s20_truncated_rerank" -> s20TruncatedRerank,
     "q_s2_cosine_pairs" -> s2CosinePairs,
     "q_s3_lsh_topk" -> s3LshTopK,
     "q_s4_ivf_topk" -> s4IvfTopK,
@@ -3461,6 +3519,7 @@ object PipelineQueries {
     "q_m4_audio_decode" -> m4Oracle,
     "q_m5_video_frames" -> m5Oracle,
     "q_s1_topk_bruteforce" -> s1Oracle,
+    "q_s20_truncated_rerank" -> s20Oracle,
     "q_s2_cosine_pairs" -> s2Oracle,
     "q_d4_minhash_neardup" -> d4Oracle,
     "q_d5_simhash_neardup" -> d5Oracle,

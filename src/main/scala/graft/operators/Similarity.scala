@@ -122,6 +122,53 @@ object Similarity {
       .select("query_id", "rank", "id", "cosine_sim")
   }
 
+  /** Two-stage truncated-prefix retrieval — Matryoshka-style serving
+    * (Kusupati et al. 2022): a COARSE pass scores cosine over only the
+    * first `prefixDims` components (prefix sub-embeddings preserve
+    * ranking quality by construction in MRL-trained models), keeps the
+    * top `m` per query, and an exact full-dimension re-rank of those m
+    * yields the final top `k`. At corpus scale the prefix would be a
+    * materialized sibling column, so the coarse scan reads
+    * prefixDims/dim of the bytes; here it's sliced inline. Plan shape:
+    * the coarse window shuffles only (query_id, id, t_sim) — full
+    * vectors never ride the ranking exchange; the re-rank joins the m·Q
+    * candidate ids back to the corpus id-keyed (broadcastable small
+    * side). Both stage scores are rounded to 6dp with id tie-breaks, so
+    * an external engine replays both rankings exactly.
+    */
+  def truncatedRerank(vectors: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, prefixDims: Int, m: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    init(vectors.sparkSession)
+    require(prefixDims >= 1, s"prefixDims must be >= 1, got $prefixDims")
+    require(m >= k, s"rerank pool m=$m must be >= k=$k")
+    val tv = vectors.select(col(idCol).as("id"),
+      slice(col(vecCol), 1, prefixDims).as("tvec"))
+    val tq = queries.select(col("query_id"),
+      slice(col("qvec"), 1, prefixDims).as("tqvec"))
+      .withColumn("tqnrm", norm(col("tqvec")))
+    val coarse = tv.withColumn("tnrm", norm(col("tvec")))
+      .crossJoin(broadcast(tq))
+      .withColumn("t_sim", round(cosineWithNorms(
+        dot(col("tvec"), col("tqvec")), col("tnrm"), col("tqnrm")), 6))
+      .select("query_id", "id", "t_sim") // thin ranking exchange
+    val wc = Window.partitionBy("query_id")
+      .orderBy(col("t_sim").desc, col("id").asc)
+    val cand = coarse.withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= m).drop("crank")
+    val full = cand
+      .join(vectors.select(col(idCol).as("id"), col(vecCol).as("vec")), "id")
+      .join(broadcast(queries.select(col("query_id"), col("qvec")
+        ).withColumn("qnrm", norm(col("qvec")))), "query_id")
+      .withColumn("cosine_sim", round(cosineWithNorms(
+        dot(col("vec"), col("qvec")), norm(col("vec")), col("qnrm")), 6))
+    val wf = Window.partitionBy("query_id")
+      .orderBy(col("cosine_sim").desc, col("id").asc)
+    full.withColumn("rank", row_number().over(wf).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "id", "cosine_sim", "t_sim")
+  }
+
   /** Random-hyperplane sign bits: `nBits` deterministic pseudo-hyperplanes
     * with components derived from xxhash64(b, dim) — reproducible without
     * storing planes (see [[planeComponent]]; same values as the original

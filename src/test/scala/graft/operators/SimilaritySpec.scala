@@ -31,6 +31,34 @@ class SimilaritySpec extends SparkSpec {
     assert(top.count() == 15)
   }
 
+  test("truncatedRerank: full-width pool equals brute force; coarse cuts") {
+    val n = emb.count().toInt
+    // m = corpus size: the pool is everything, so the exact full-dim
+    // re-rank must reproduce brute-force top-k row for row
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, 5)
+      .select("query_id", "rank", "id", "cosine_sim")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val rerank = Similarity.truncatedRerank(emb, "vec_id", "embedding",
+        queries, prefixDims = 16, m = n, k = 5)
+      .select("query_id", "rank", "id", "cosine_sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(rerank == exact,
+      s"missing=${exact -- rerank} extra=${rerank -- exact}")
+    // tight pool: the query itself survives coarse (t_sim 1.0) → rank 1
+    val tight = Similarity.truncatedRerank(emb, "vec_id", "embedding",
+        queries, prefixDims = 16, m = 8, k = 5)
+    val r1 = tight.filter(col("rank") === 1)
+      .select("query_id", "id", "t_sim", "cosine_sim").collect()
+    assert(r1.length == 3)
+    r1.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1))
+      assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 1.0)
+    }
+  }
+
   test("LSH top-k achieves reasonable recall vs brute force") {
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, 10)
       .select("query_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
