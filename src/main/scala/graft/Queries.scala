@@ -2373,6 +2373,37 @@ object Queries {
       |  CAST(10 AS BIGINT), FALSE
       |UNION ALL SELECT NULL, NULL, NULL, NULL, NULL, TRUE""".stripMargin
 
+  /** IO2: size-capped training-shard export ([[sources.ShardExport]]) —
+    * the corpus leaves as `event_type=<v>/part-*.parquet` shards with at
+    * most 512 rows per file (one writer task per partition value makes
+    * the file count the deterministic `ceil(n/512)`), and the emitted
+    * frame is the MEASURED read-back manifest: per-value row count,
+    * observed file count, id range, and the files_ok fact. The oracle
+    * computes the expected counts straight from the raw table with
+    * `files_ok = TRUE`, so a violated size cap, a lost row, or
+    * parallelism-dependent file counts all go red.
+    */
+  val io2ShardExport: Q = (s, d) => {
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft-shards-qio2", math.abs(d.hashCode).toString)
+    if (java.nio.file.Files.exists(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+    val ev = t(s, d, "events").select("event_id", "event_type", "value")
+    val out = root.resolve("shards").toString
+    sources.ShardExport.write(ev, out, "event_type", maxRecordsPerFile = 512)
+    sources.ShardExport.manifest(s, out, "event_type", "event_id", 512)
+  }
+  val io2Oracle: String =
+    """SELECT event_type, COUNT(*) AS n_rows,
+      |  CAST((COUNT(*) + 511) // 512 AS BIGINT) AS n_files,
+      |  MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+      |  TRUE AS files_ok
+      |FROM events GROUP BY event_type""".stripMargin
+
   /** V7: manifest-logged schema evolution
     * ([[catalog.SnapshotTableStore]]) — the Delta/Iceberg contract that
     * the commit LOG, not parquet footers, is the source of schema
@@ -2962,6 +2993,7 @@ object Queries {
     "q_v1_typed_s3_view" -> v1TypedS3,
     "q_v2_iam_analysis" -> v2IamAnalysis,
     "q_io1_jsonl_roundtrip" -> io1JsonlRoundtrip,
+    "q_io2_shard_export" -> io2ShardExport,
     "q_v3_snapshot_timetravel" -> v3SnapshotTimeTravel,
     "q_v7_schema_evolution" -> v7SchemaEvolution,
     "q_v4_change_feed" -> v4ChangeFeed,
@@ -3065,6 +3097,7 @@ object Queries {
     "q_v1_typed_s3_view" -> v1Oracle,
     "q_v2_iam_analysis" -> v2Oracle,
     "q_io1_jsonl_roundtrip" -> io1Oracle,
+    "q_io2_shard_export" -> io2Oracle,
     "q_v3_snapshot_timetravel" -> v3Oracle,
     "q_v7_schema_evolution" -> v7Oracle,
     "q_v4_change_feed" -> v4Oracle,

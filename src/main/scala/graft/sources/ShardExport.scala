@@ -1,0 +1,62 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Size-capped training-shard export — the output side of a data
+  * pipeline: write a corpus as `partitionCol=<value>/part-*.parquet`
+  * shards where no file exceeds `maxRecordsPerFile` rows, so a training
+  * loader can map shards to workers with bounded memory and the file
+  * count per partition is a deterministic function of the data
+  * (`ceil(n / max)`), not of cluster parallelism.
+  *
+  * Determinism argument: `repartition(partitionCol)` routes every row of
+  * a partition value to exactly ONE task (hash of the value), and within
+  * a task Spark's dynamic-partition writer rolls a new file in that
+  * value's directory exactly every `maxRecordsPerFile` rows — so each
+  * value yields `ceil(n_value / max)` files regardless of executor
+  * count. At 100 TB the single-task-per-value shuffle is the standard
+  * dynamic-partition-write pattern; values hot enough to overwhelm one
+  * task get a salt column appended to `partitionBy` (not needed at
+  * fixture scale and orthogonal to the file-size contract).
+  *
+  * Reference model: corkscrew dumps query results to files
+  * (`--save`, cmd/corkscrew/main.go); this is the bulk-corpus sibling.
+  */
+object ShardExport {
+
+  /** Write `df` under `outDir` partitioned by `partitionCol` with at
+    * most `maxRecordsPerFile` rows per file.
+    */
+  def write(df: DataFrame, outDir: String, partitionCol: String,
+      maxRecordsPerFile: Int): Unit = {
+    require(maxRecordsPerFile >= 1,
+      s"maxRecordsPerFile must be >= 1, got $maxRecordsPerFile")
+    df.repartition(col(partitionCol))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .partitionBy(partitionCol)
+      .parquet(outDir)
+  }
+
+  /** Read-back manifest of an exported shard tree: per partition value,
+    * the MEASURED row count, file count, and id range, plus the
+    * `files_ok` fact (measured file count == ceil(n/max)) — emitted as
+    * data so a violated size cap is a visible red, not an assumption.
+    */
+  def manifest(spark: SparkSession, outDir: String, partitionCol: String,
+      idCol: String, maxRecordsPerFile: Int): DataFrame = {
+    val back = spark.read.parquet(outDir)
+    back
+      .select(col(partitionCol), input_file_name().as("_f"), col(idCol))
+      .groupBy(partitionCol)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("_f")).as("n_files"),
+        min(col(idCol)).as("min_id"),
+        max(col(idCol)).as("max_id"))
+      .withColumn("files_ok",
+        col("n_files") === expr(
+          s"CAST((n_rows + ${maxRecordsPerFile - 1}) " +
+            s"DIV $maxRecordsPerFile AS BIGINT)"))
+  }
+}
