@@ -158,6 +158,63 @@ object Queries {
       |  COUNT(*) AS n
       |FROM events GROUP BY ROLLUP (event_type, user_id)""".stripMargin
 
+  /** A20: CUBE with grouping_id — the full multi-dimensional subtotal
+    * lattice (all four (event_type, hour) grouping combinations in one
+    * pass), with the bitmask distinguishing a subtotal NULL from a data
+    * NULL. Spark's grouping_id() and DuckDB's GROUPING(a, b) emit the
+    * same bitmask (left key = high bit). Decimal-exact sums leave as
+    * DOUBLE per the harness typing rule.
+    */
+  val a20Cube: Q = (s, d) =>
+    t(s, d, "events")
+      .withColumn("hour_of_day", hour(col("ts")).cast("bigint"))
+      .cube("event_type", "hour_of_day")
+      .agg(count(lit(1)).as("n"),
+        exactSum(col("value")).as("sum_value"),
+        grouping_id().cast("bigint").as("gid"))
+      .select(
+        coalesce(col("event_type"), lit("<all>")).as("event_type"),
+        coalesce(col("hour_of_day").cast("string"), lit("<all>"))
+          .as("hour_of_day"),
+        col("gid"), col("n"), col("sum_value"))
+  val a20Oracle =
+    """SELECT COALESCE(event_type, '<all>') AS event_type,
+      |  COALESCE(CAST(hour(ts) AS STRING), '<all>') AS hour_of_day,
+      |  CAST(GROUPING(event_type, hour(ts)) AS BIGINT) AS gid,
+      |  COUNT(*) AS n,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+      |    AS sum_value
+      |FROM events GROUP BY CUBE (event_type, hour(ts))""".stripMargin
+
+  /** W7: time-range window frame — the trailing-interval running
+    * aggregate ("this user's spend in the 60 minutes up to each
+    * event"), a RANGE frame over event-time seconds rather than a ROWS
+    * frame, so peers at the same timestamp aggregate identically no
+    * matter their physical order. Sum in exact decimal (set-defined
+    * frame ⇒ order-independent), rounded and cast per the typing rule.
+    */
+  val w7RangeFrame: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(s, d, "events")
+      .withColumn("ts_sec", col("ts").cast("long"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts_sec"))
+      .rangeBetween(-3600L, 0L)
+    ev.select(col("event_id"), col("user_id"), col("ts_sec"),
+        count(lit(1)).over(w).as("n_60m"),
+        sum(col("value").cast("decimal(18,4)")).over(w).as("sum_60m"))
+      .withColumn("sum_60m", round(col("sum_60m"), 2).cast("double"))
+  }
+  val w7Oracle =
+    """SELECT event_id, user_id,
+      |  CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts_sec,
+      |  COUNT(*) OVER w AS n_60m,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))) OVER w, 2) AS DOUBLE)
+      |    AS sum_60m
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id
+      |  ORDER BY CAST(epoch_us(ts) // 1000000 AS BIGINT)
+      |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin
+
   /** A13: exact continuous percentiles (beyond the reference — SURVEY
     * notes corkscrew has none). Spark `percentile` and DuckDB
     * `quantile_cont` both linear-interpolate over the sorted values and
@@ -3008,6 +3065,8 @@ object Queries {
     "q_a10_passfail" -> a10PassFail,
     "q_a11_pivot" -> a11Pivot,
     "q_a12_rollup" -> a12Rollup,
+    "q_a20_cube" -> a20Cube,
+    "q_w7_range_frame" -> w7RangeFrame,
     "q_a13_percentiles" -> a13Percentiles,
     "q_a15_approx_percentiles" -> a15ApproxPercentiles,
     "q_x1_scalar_battery" -> x1ScalarBattery,
@@ -3088,6 +3147,8 @@ object Queries {
     "q_x4_range_join" -> x4Oracle,
     "q_a11_pivot" -> a11Oracle,
     "q_a12_rollup" -> a12Oracle,
+    "q_a20_cube" -> a20Oracle,
+    "q_w7_range_frame" -> w7Oracle,
     "q_a13_percentiles" -> a13Oracle,
     "q_a14_histogram" -> a14Oracle,
     "q_a15_approx_percentiles" -> a15Oracle,
