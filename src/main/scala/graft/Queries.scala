@@ -215,6 +215,40 @@ object Queries {
       |  ORDER BY CAST(epoch_us(ts) // 1000000 AS BIGINT)
       |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** A21: step-wise funnel ([[operators.Analytics.funnel]]) — the
+    * view → click → purchase conversion path per user: greedy earliest
+    * step times (every choice a MIN ⇒ deterministic), NULL where the
+    * funnel stalls, converted iff the last step lands within 2 hours of
+    * the first. One filtered partial-agg + one user-keyed join per
+    * step. Oracle replays the same stepwise-min chain.
+    */
+  val a21Funnel: Q = (s, d) =>
+    operators.Analytics.funnel(t(s, d, "events"), "user_id", "ts",
+      "event_type", Seq("view", "click", "purchase"),
+      horizonSeconds = 7200L)
+  val a21Oracle =
+    """WITH e AS (
+      |  SELECT user_id, event_type AS t,
+      |    CAST(epoch_us(ts) // 1000000 AS BIGINT) AS s
+      |  FROM events),
+      |s1 AS (SELECT user_id, MIN(s) AS ts_1 FROM e
+      |       WHERE t = 'view' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, MIN(e.s) AS ts_2 FROM e
+      |       JOIN s1 ON e.user_id = s1.user_id AND e.s >= s1.ts_1
+      |       WHERE e.t = 'click' GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, MIN(e.s) AS ts_3 FROM e
+      |       JOIN s2 ON e.user_id = s2.user_id AND e.s >= s2.ts_2
+      |       WHERE e.t = 'purchase' GROUP BY e.user_id)
+      |SELECT s1.user_id, ts_1, ts_2, ts_3,
+      |  CAST(CASE WHEN ts_1 IS NULL THEN 0 ELSE 1 END
+      |     + CASE WHEN ts_2 IS NULL THEN 0 ELSE 1 END
+      |     + CASE WHEN ts_3 IS NULL THEN 0 ELSE 1 END AS BIGINT)
+      |    AS steps_completed,
+      |  (ts_3 IS NOT NULL AND ts_3 - ts_1 <= 7200) AS converted
+      |FROM s1
+      |LEFT JOIN s2 ON s1.user_id = s2.user_id
+      |LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin
+
   /** A13: exact continuous percentiles (beyond the reference — SURVEY
     * notes corkscrew has none). Spark `percentile` and DuckDB
     * `quantile_cont` both linear-interpolate over the sorted values and
@@ -3066,6 +3100,7 @@ object Queries {
     "q_a11_pivot" -> a11Pivot,
     "q_a12_rollup" -> a12Rollup,
     "q_a20_cube" -> a20Cube,
+    "q_a21_funnel" -> a21Funnel,
     "q_w7_range_frame" -> w7RangeFrame,
     "q_a13_percentiles" -> a13Percentiles,
     "q_a15_approx_percentiles" -> a15ApproxPercentiles,
@@ -3148,6 +3183,7 @@ object Queries {
     "q_a11_pivot" -> a11Oracle,
     "q_a12_rollup" -> a12Oracle,
     "q_a20_cube" -> a20Oracle,
+    "q_a21_funnel" -> a21Oracle,
     "q_w7_range_frame" -> w7Oracle,
     "q_a13_percentiles" -> a13Oracle,
     "q_a14_histogram" -> a14Oracle,

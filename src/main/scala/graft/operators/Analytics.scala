@@ -217,4 +217,48 @@ object Analytics {
       .select("rank", "key", "n", "share", "n_keys", "n_rows", "mean_n",
         "skew")
   }
+
+  /** Step-wise funnel analysis — per entity, the greedy earliest path
+    * through an ordered step sequence: step 1's first occurrence, then
+    * each next step's first occurrence AT OR AFTER the previous chosen
+    * time (the standard strict-order funnel; deterministic because every
+    * choice is a MIN). Emits one row per entity that reached step 1,
+    * with each step's epoch-second timestamp (NULL where the funnel
+    * stalls), the completed-step count, and a converted flag (all steps
+    * within `horizonSeconds` of step 1).
+    *
+    * Plan shape: one filtered partial-aggregation plus one entity-keyed
+    * equi-join per step — k−1 bounded shuffles for a k-step funnel,
+    * never a per-entity event sort or a session window over the raw
+    * stream. Reference model: corkscrew's change analytics correlate
+    * event sequences client-side after range queries
+    * (internal/analytics/changes.go); here the sequencing is relational.
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String], horizonSeconds: Long): DataFrame = {
+    require(steps.size >= 2, s"funnel wants >= 2 steps, got ${steps.size}")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    val base = events.select(col(userCol).as("user_id"),
+      col(typeCol).as("_t"), col(tsCol).cast("long").as("_s"))
+    var acc = base.filter(col("_t") === steps.head)
+      .groupBy("user_id").agg(min("_s").as("ts_1"))
+    steps.zipWithIndex.tail.foreach { case (s, i) =>
+      val prev = s"ts_$i"
+      val cur = s"ts_${i + 1}"
+      val next = base.filter(col("_t") === s)
+        .join(acc.select(col("user_id"), col(prev)), Seq("user_id"))
+        .filter(col("_s") >= col(prev))
+        .groupBy("user_id").agg(min("_s").as(cur))
+      acc = acc.join(next, Seq("user_id"), "left")
+    }
+    val stepCols = (1 to steps.size).map(i => col(s"ts_$i"))
+    acc
+      .withColumn("steps_completed",
+        stepCols.map(c => when(c.isNotNull, 1).otherwise(0))
+          .reduce(_ + _).cast("bigint"))
+      // false-AND-null = false: a stalled funnel is converted = false,
+      // never NULL
+      .withColumn("converted", stepCols.last.isNotNull &&
+        (stepCols.last - stepCols.head) <= horizonSeconds)
+  }
 }

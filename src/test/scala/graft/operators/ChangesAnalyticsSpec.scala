@@ -164,4 +164,33 @@ class ChangesAnalyticsSpec extends SparkSpec {
     // ties among the singleton keys break lexicographically
     assert(out(1)._2 == "1" && out(2)._2 == "2")
   }
+
+  test("funnel: greedy earliest path, stalls NULL, horizon gates converted") {
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val ev = Seq(
+      // user 1: clean conversion inside the horizon
+      (1L, "view", ts(0)), (1L, "click", ts(100)), (1L, "purchase", ts(500)),
+      // user 2: purchase happens BEFORE the chosen click -> stalls at 2
+      (2L, "view", ts(0)), (2L, "purchase", ts(50)), (2L, "click", ts(100)),
+      // user 3: never views -> excluded from the funnel frame
+      (3L, "click", ts(10)),
+      // user 4: view only -> 1 step
+      (4L, "view", ts(0)),
+      // user 5: completes but outside the horizon
+      (5L, "view", ts(0)), (5L, "click", ts(10)), (5L, "purchase", ts(5000)))
+      .toDF("user_id", "event_type", "ts")
+    val out = Analytics.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), horizonSeconds = 1000L)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (Option(r.getAs[java.lang.Long]("ts_2")).map(_.toLong),
+         Option(r.getAs[java.lang.Long]("ts_3")).map(_.toLong),
+         r.getAs[Long]("steps_completed"), r.getAs[Boolean]("converted")))
+      .toMap
+    assert(out(1L) == ((Some(100L), Some(500L), 3L, true)))
+    assert(out(2L) == ((Some(100L), None, 2L, false)))
+    assert(!out.contains(3L))
+    assert(out(4L) == ((None, None, 1L, false)))
+    assert(out(5L) == ((Some(10L), Some(5000L), 3L, false)))
+  }
 }
