@@ -249,6 +249,50 @@ object Queries {
       |LEFT JOIN s2 ON s1.user_id = s2.user_id
       |LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin
 
+  /** A22: first-order event-transition matrix
+    * ([[operators.Analytics.transitionMatrix]]) — the empirical Markov
+    * chain of user behavior: consecutive same-user event pairs in
+    * (ts, event_id) order, counted corpus-wide with per-from-type row
+    * shares. The lag window partitions per user; the tie-break on
+    * event_id makes equal-timestamp neighbors deterministic.
+    */
+  val a22Transitions: Q = (s, d) =>
+    operators.Analytics.transitionMatrix(t(s, d, "events"),
+      "user_id", "ts", "event_type", "event_id")
+  val a22Oracle =
+    """WITH o AS (
+      |  SELECT user_id, event_type,
+      |    LEAD(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS next_type
+      |  FROM events),
+      |p AS (
+      |  SELECT event_type AS from_type, next_type AS to_type,
+      |    COUNT(*) AS n
+      |  FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  CAST(n AS DOUBLE) /
+      |    CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS row_share
+      |FROM p""".stripMargin
+
+  /** A23: weekly cohort retention
+    * ([[operators.Analytics.cohortRetention]]) — users bucketed by
+    * first-activity epoch-week, distinct-counted per (cohort,
+    * weeks-since) cell: the retention triangle. Integer week arithmetic
+    * on both sides.
+    */
+  val a23Cohorts: Q = (s, d) =>
+    operators.Analytics.cohortRetention(t(s, d, "events"), "user_id", "ts")
+  val a23Oracle =
+    """WITH w AS (
+      |  SELECT user_id,
+      |    CAST(epoch_us(ts) // 1000000 // 604800 AS BIGINT) AS week
+      |  FROM events),
+      |f AS (SELECT user_id, MIN(week) AS cohort_week FROM w GROUP BY 1)
+      |SELECT f.cohort_week, w.week - f.cohort_week AS weeks_since,
+      |  COUNT(DISTINCT w.user_id) AS n_users
+      |FROM w JOIN f ON w.user_id = f.user_id
+      |GROUP BY 1, 2""".stripMargin
+
   /** A13: exact continuous percentiles (beyond the reference — SURVEY
     * notes corkscrew has none). Spark `percentile` and DuckDB
     * `quantile_cont` both linear-interpolate over the sorted values and
@@ -3101,6 +3145,8 @@ object Queries {
     "q_a12_rollup" -> a12Rollup,
     "q_a20_cube" -> a20Cube,
     "q_a21_funnel" -> a21Funnel,
+    "q_a22_transitions" -> a22Transitions,
+    "q_a23_cohorts" -> a23Cohorts,
     "q_w7_range_frame" -> w7RangeFrame,
     "q_a13_percentiles" -> a13Percentiles,
     "q_a15_approx_percentiles" -> a15ApproxPercentiles,
@@ -3184,6 +3230,8 @@ object Queries {
     "q_a12_rollup" -> a12Oracle,
     "q_a20_cube" -> a20Oracle,
     "q_a21_funnel" -> a21Oracle,
+    "q_a22_transitions" -> a22Oracle,
+    "q_a23_cohorts" -> a23Oracle,
     "q_w7_range_frame" -> w7Oracle,
     "q_a13_percentiles" -> a13Oracle,
     "q_a14_histogram" -> a14Oracle,

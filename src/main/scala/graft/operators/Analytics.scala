@@ -218,6 +218,47 @@ object Analytics {
         "skew")
   }
 
+  /** First-order event-transition matrix — per entity, consecutive
+    * event-type pairs in event-time order, counted corpus-wide (the
+    * empirical Markov chain of user behavior). The lag window partitions
+    * by entity — O(events-per-entity) state, the same volume any
+    * per-entity analysis touches — and ties at equal timestamps break on
+    * the id column, so the matrix is deterministic. Emits
+    * (from_type, to_type, n, row_share): share = n / Σ n over from_type,
+    * a raw IEEE division of exact longs.
+    */
+  def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .withColumn("_next", lead(col(typeCol), 1).over(w))
+      .filter(col("_next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("_next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = Window.partitionBy("from_type")
+    pairs.withColumn("row_share",
+      col("n").cast("double") / sum("n").over(totals).cast("double"))
+  }
+
+  /** Weekly cohort retention — users grouped by first-activity week,
+    * counted distinct per (cohort week, weeks-since-cohort) cell: the
+    * standard retention triangle. Two aggregations (first-seen per user,
+    * then the cell counts) and one user-keyed join; week arithmetic is
+    * pure integer epoch-day division so any engine replays it.
+    */
+  def cohortRetention(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val weeks = events.select(col(userCol).as("user_id"),
+      floor(col(tsCol).cast("long") / lit(604800L)).cast("bigint").as("week"))
+    val first = weeks.groupBy("user_id").agg(min("week").as("cohort_week"))
+    weeks.join(first, "user_id")
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("weeks_since"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** Step-wise funnel analysis — per entity, the greedy earliest path
     * through an ordered step sequence: step 1's first occurrence, then
     * each next step's first occurrence AT OR AFTER the previous chosen

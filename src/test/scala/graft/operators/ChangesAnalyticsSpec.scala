@@ -193,4 +193,43 @@ class ChangesAnalyticsSpec extends SparkSpec {
     assert(out(4L) == ((None, None, 1L, false)))
     assert(out(5L) == ((Some(10L), Some(5000L), 3L, false)))
   }
+
+  test("transitionMatrix: ordered pairs, tie-break, row shares sum to 1") {
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val ev = Seq(
+      (1L, 10L, "a", ts(0)), (2L, 10L, "b", ts(1)), (3L, 10L, "a", ts(2)),
+      // user 20: equal timestamps -> order by event_id (4 then 5)
+      (4L, 20L, "b", ts(7)), (5L, 20L, "c", ts(7)),
+      (6L, 30L, "a", ts(0))) // singleton user -> no pair
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val m = Analytics.transitionMatrix(ev, "user_id", "ts", "event_type",
+        "event_id")
+      .collect().map(r => (r.getAs[String]("from_type"),
+        r.getAs[String]("to_type")) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("row_share"))).toMap
+    assert(m(("a", "b")) == ((1L, 1.0)))
+    assert(m(("b", "a")) == ((1L, 0.5)))
+    assert(m(("b", "c")) == ((1L, 0.5)))
+    assert(m.size == 3)
+  }
+
+  test("cohortRetention: first-week cohorts, distinct users per cell") {
+    import java.sql.Timestamp
+    val wk = 604800L
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val ev = Seq(
+      (10L, ts(0)), (10L, ts(1)), (10L, ts(wk + 5)),   // cohort 0: wk 0, 1
+      (20L, ts(10)), (20L, ts(2 * wk)),                 // cohort 0: wk 0, 2
+      (30L, ts(wk)), (30L, ts(wk + 100)))               // cohort 1: wk 0 only
+      .toDF("user_id", "ts")
+    val cells = Analytics.cohortRetention(ev, "user_id", "ts")
+      .collect().map(r => (r.getAs[Long]("cohort_week"),
+        r.getAs[Long]("weeks_since")) -> r.getAs[Long]("n_users")).toMap
+    assert(cells((0L, 0L)) == 2L)
+    assert(cells((0L, 1L)) == 1L)
+    assert(cells((0L, 2L)) == 1L)
+    assert(cells((1L, 0L)) == 1L)
+    assert(cells.size == 4)
+  }
 }
