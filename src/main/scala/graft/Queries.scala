@@ -468,6 +468,60 @@ object Queries {
       |SELECT 'supplier', s_suppkey, s_name, s_acctbal
       |FROM supplier WHERE s_acctbal > 9000""".stripMargin
 
+  /** U2: INTERSECT / EXCEPT — the remaining native set operations
+    * (SURVEY §2.6 lists them alongside q_u1's UNION). Nation keys that
+    * have customers AND suppliers, and those with customers but NO
+    * suppliers, labeled and stacked; both engines use set (distinct)
+    * semantics.
+    */
+  val u2IntersectExcept: Q = (s, d) => {
+    val c = t(s, d, "customer").select(col("c_nationkey").as("nk"))
+    val su = t(s, d, "supplier").select(col("s_nationkey").as("nk"))
+    c.intersect(su).withColumn("kind", lit("both"))
+      .unionByName(c.except(su).withColumn("kind", lit("customer_only")))
+      .select("kind", "nk")
+  }
+  val u2Oracle =
+    """SELECT 'both' AS kind, nk FROM (
+      |  SELECT c_nationkey AS nk FROM customer
+      |  INTERSECT SELECT s_nationkey FROM supplier) a
+      |UNION ALL
+      |SELECT 'customer_only', nk FROM (
+      |  SELECT c_nationkey AS nk FROM customer
+      |  EXCEPT SELECT s_nationkey FROM supplier) b""".stripMargin
+
+  /** X7: correlated subqueries through the SQL surface — a correlated
+    * scalar subquery (each customer's orders above THAT customer's own
+    * average spend) plus a correlated NOT EXISTS (customers with no
+    * orders at all). Catalyst decorrelates both into joins; DuckDB runs
+    * the identical text, so this pins the subquery dialect end to end.
+    */
+  val x7CorrelatedSubquery: Q = (s, d) => {
+    Tables.register(s, d)
+    s.sql(
+      """SELECT o.o_custkey AS custkey, o.o_orderkey AS orderkey,
+        |  o.o_totalprice AS totalprice
+        |FROM orders o
+        |WHERE o.o_totalprice > (SELECT AVG(CAST(o2.o_totalprice AS DECIMAL(18,4))) FROM orders o2
+        |                        WHERE o2.o_custkey = o.o_custkey)
+        |UNION ALL
+        |SELECT c.c_custkey, CAST(-1 AS BIGINT), CAST(0.0 AS DOUBLE)
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o3
+        |                  WHERE o3.o_custkey = c.c_custkey)""".stripMargin)
+  }
+  val x7Oracle =
+    """SELECT o.o_custkey AS custkey, o.o_orderkey AS orderkey,
+      |  o.o_totalprice AS totalprice
+      |FROM orders o
+      |WHERE o.o_totalprice > (SELECT AVG(CAST(o2.o_totalprice AS DECIMAL(18,4))) FROM orders o2
+      |                        WHERE o2.o_custkey = o.o_custkey)
+      |UNION ALL
+      |SELECT c.c_custkey, CAST(-1 AS BIGINT), CAST(0.0 AS DOUBLE)
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o3
+      |                  WHERE o3.o_custkey = c.c_custkey)""".stripMargin
+
   // ===== §2.5 sort / limit / windows ===================================
 
   /** W1/W3: top-k via sort+limit (Catalyst plans TakeOrderedAndProject). */
@@ -3077,6 +3131,8 @@ object Queries {
     "q_j3_multiway_revenue" -> j3MultiwayRevenue,
     "q_j4_skew_salted" -> j4SkewSalted,
     "q_u1_union" -> u1Union,
+    "q_u2_intersect_except" -> u2IntersectExcept,
+    "q_x7_correlated_subquery" -> x7CorrelatedSubquery,
     "q_w1_topk" -> w1TopK,
     "q_w4_pagination" -> w4Pagination,
     "q_w5_topn_per_group" -> w5TopNPerGroup,
@@ -3175,6 +3231,8 @@ object Queries {
     "q_j3_multiway_revenue" -> j3Oracle,
     "q_j4_skew_salted" -> j4Oracle,
     "q_u1_union" -> u1Oracle,
+    "q_u2_intersect_except" -> u2Oracle,
+    "q_x7_correlated_subquery" -> x7Oracle,
     "q_w1_topk" -> w1Oracle,
     "q_w4_pagination" -> w4Oracle,
     "q_w5_topn_per_group" -> w5Oracle,
