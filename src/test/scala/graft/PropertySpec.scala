@@ -309,4 +309,79 @@ class PropertySpec extends SparkSpec {
       got == expected
     }, minSuccessful = 4)
   }
+
+  test("epochPlan conserves the budget: sum of targets <= budget, exact shares") {
+    val rowsGen = Gen.listOfN(60, for {
+      src <- Gen.oneOf("a", "b", "c", "d")
+      n <- Gen.choose(1L, 5000L)
+    } yield (src, n))
+    val budgetGen = Gen.choose(0L, 10000000L)
+    check(Prop.forAllNoShrink(rowsGen, budgetGen) { (rows, budget) =>
+      val df = rows.toDF("src", "n")
+      val weights = Map("a" -> 4000L, "b" -> 3000L, "c" -> 3000L) // d unlisted
+      val plan = Sampling.epochPlan(df, "src", "n", weights, budget)
+        .collect().map(r => r.getAs[String]("source") ->
+          (r.getAs[Long]("available_tokens"), r.getAs[Long]("target_tokens"),
+           r.getAs[Long]("epochs"))).toMap
+      val avail = rows.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+      plan.keySet.subsetOf(weights.keySet) &&
+        plan.values.map(_._2).sum <= budget &&
+        plan.forall { case (src, (a, t, e)) =>
+          a == avail(src) && t == budget * weights(src) / 10000 &&
+            e == (if (t == 0) 0L else (t - 1) / a + 1)
+        }
+    }, minSuccessful = 8)
+  }
+
+  test("ppjoinPairs threshold monotonicity: higher cut is a subset") {
+    val docsGen = Gen.listOfN(30, Gen.listOfN(8, words).map(_.mkString(" ")))
+    check(Prop.forAllNoShrink(docsGen) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      def pairs(thr: Double) =
+        operators.Dedup.ppjoinPairs(df, "id", "text", w = 2, threshold = thr)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      pairs(0.8).subsetOf(pairs(0.4))
+    }, minSuccessful = 4)
+  }
+
+  test("transitionMatrix: pair count conservation and row shares sum to 1") {
+    val evGen = Gen.listOfN(120, for {
+      u <- Gen.choose(1L, 8L)
+      t <- Gen.oneOf("a", "b", "c")
+      s <- Gen.choose(0L, 1000L)
+    } yield (u, t, s))
+    check(Prop.forAllNoShrink(evGen) { evs =>
+      val df = evs.zipWithIndex.map { case ((u, t, s), i) =>
+        (i.toLong, u, t, new java.sql.Timestamp(s * 1000L)) }
+        .toDF("event_id", "user_id", "event_type", "ts")
+      val m = operators.Analytics.transitionMatrix(df, "user_id", "ts",
+          "event_type", "event_id")
+        .collect().map(r => (r.getAs[String]("from_type"),
+          r.getAs[Long]("n"), r.getAs[Double]("row_share")))
+      val perUser = evs.groupBy(_._1).values.map(_.size - 1).sum.toLong
+      val shares = m.groupBy(_._1).values.forall(g =>
+        math.abs(g.map(_._3).sum - 1.0) < 1e-9)
+      m.map(_._2).sum == perUser && shares
+    }, minSuccessful = 6)
+  }
+
+  test("cohortRetention: week-0 cells cover every user exactly once") {
+    val evGen = Gen.listOfN(80, for {
+      u <- Gen.choose(1L, 20L)
+      s <- Gen.choose(0L, 4L * 604800L)
+    } yield (u, s))
+    check(Prop.forAllNoShrink(evGen) { evs =>
+      val df = evs.map { case (u, s) =>
+        (u, new java.sql.Timestamp(s * 1000L)) }.toDF("user_id", "ts")
+      val cells = operators.Analytics.cohortRetention(df, "user_id", "ts")
+        .collect().map(r => (r.getAs[Long]("cohort_week"),
+          r.getAs[Long]("weeks_since"), r.getAs[Long]("n_users")))
+      val nUsers = evs.map(_._1).distinct.size.toLong
+      // every user appears in their cohort's weeks_since=0 cell (their
+      // first event is in that week), and never with negative offset
+      cells.filter(_._2 == 0L).map(_._3).sum == nUsers &&
+        cells.forall(_._2 >= 0L)
+    }, minSuccessful = 6)
+  }
 }
