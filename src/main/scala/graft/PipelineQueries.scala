@@ -296,6 +296,43 @@ object PipelineQueries {
        |WHERE jaccard >= 0.5 AND (SELECT complete FROM ok)""".stripMargin
   }
 
+  /** ST10: cross-micro-batch EXACT streaming dedup
+    * ([[graft.streaming.StreamingDedup.exact]], Spark's keyed
+    * dropDuplicates state) — the canonical ingest-time dedup: the
+    * corpus is staged as one file plus a clone file (a deterministic 5%
+    * re-delivered with new ids), the stream processes ONE FILE PER
+    * MICRO-BATCH (maxFilesPerTrigger=1), so suppressing the clones
+    * requires fingerprint state to survive across batches. The emitted
+    * frame is the kept rows' fingerprint set — identical no matter
+    * which twin the state keeps — and the oracle is the corpus's
+    * distinct normalized-text hash set: a broken or batch-local dedup
+    * emits extra rows and goes red on row count.
+    */
+  val st10StreamDedup: Q = (s, d) => {
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft-stream-qst10", math.abs(d.hashCode).toString)
+    if (java.nio.file.Files.exists(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+    val dir = root.resolve("in").toString
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    docs.coalesce(1).write.mode("overwrite").parquet(dir)
+    docs.filter(Sampling.hashBucket(col("doc_id"), "replant")
+        < lit(Sampling.hexThreshold(0.05)))
+      .withColumn("doc_id", col("doc_id") + lit(PlantOffset))
+      .coalesce(1).write.mode("append").parquet(dir)
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val kept = graft.streaming.StreamingDedup.exact(stream, "text")
+    graft.streaming.Replay.availableNow(
+      kept.select(TextAnalysis.fingerprint(col("text")).as("fp")))
+  }
+  val st10Oracle: String =
+    s"""SELECT DISTINCT md5($normSql) AS fp FROM documents""".stripMargin
+
   /** D6: the full near-dedup pipeline as a MANIFEST — MinHash pairs →
     * connected-component clusters → one row per INPUT doc with its
     * keep/drop decision and evidence ([[Dedup.dedupNearManifest]]).
@@ -3377,6 +3414,7 @@ object PipelineQueries {
     "q_d5_simhash_neardup" -> d5SimhashNearDup,
     "q_d14_ppjoin" -> d14PpjoinPairs,
     "q_d15_incremental_neardup" -> d15IncrementalNearDup,
+    "q_st10_stream_dedup" -> st10StreamDedup,
     "q_d6_dedup_near" -> d6DedupNear,
     "q_d7_editdist" -> d7EditDist,
     "q_d8_winnow" -> d8Winnow,
@@ -3525,6 +3563,7 @@ object PipelineQueries {
     "q_d5_simhash_neardup" -> d5Oracle,
     "q_d14_ppjoin" -> d14Oracle,
     "q_d15_incremental_neardup" -> d15Oracle,
+    "q_st10_stream_dedup" -> st10Oracle,
     "q_d6_dedup_near" -> d6Oracle,
     "q_s3_lsh_topk" -> s3Oracle,
     "q_s4_ivf_topk" -> s4Oracle,
