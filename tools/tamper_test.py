@@ -50,6 +50,10 @@ TARGETS = {
         "id_b - id_a = 1000000000 AND hamming = 0 AND id_a = "
         "(SELECT MIN(id_a) FROM src "
         " WHERE id_b - id_a = 1000000000 AND hamming = 0)",
+    # cross-batch planted-clone guard: remove ONE (clone, original) pair
+    "q_d15_incremental_neardup":
+        "id_new - id_hist = 1000000000 AND id_hist = "
+        "(SELECT MIN(id_hist) FROM src WHERE id_new - id_hist = 1000000000)",
     # planted identical-vector pair guard: remove ONE planted clone pair
     "q_s5_cosine_neardup":
         "id_b - id_a = 1000000000 AND id_a = "
