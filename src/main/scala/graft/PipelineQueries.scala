@@ -2392,6 +2392,87 @@ object PipelineQueries {
        |FROM w LEFT JOIN oov USING (doc_id)
        |LEFT JOIN hits USING (doc_id)""".stripMargin
 
+  /** T37: CCNet-style bucket routing — the head/middle/tail corpus
+    * split by LM fit, then per-bucket keep rates (keep all of head,
+    * half of middle, a tenth of tail), emitting routed per
+    * (bucket, source) stats. The bucket signal is the integer
+    * bigram-coverage proxy from the T20 LM (`floor(1000·hits/bigrams)`
+    * — exact small-int arithmetic, unlike libm perplexity which is not
+    * bit-contracted cross-engine); sampling is the salted md5-threshold
+    * scan every mixture op here uses. The oracle replays the ENTIRE
+    * chain: LM training CTEs, coverage proxy, bucket CASE, keep
+    * thresholds, rollup.
+    */
+  val t37CcnetBuckets: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val lm = TextAnalysis.bigramLm(docs, "text", vocabSize = 20,
+      maxBigrams = 200)
+    val scored = TextAnalysis.lmScore(docs, "doc_id", "text", lm)
+      .select("doc_id", "n_tokens", "n_bigrams", "n_bigram_hits")
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .withColumn("cov_milli",
+        floor(lit(1000) * col("n_bigram_hits")
+          / greatest(col("n_bigrams"), lit(1))).cast("bigint"))
+      .withColumn("bucket",
+        when(col("cov_milli") >= 667, "head")
+          .when(col("cov_milli") >= 333, "middle").otherwise("tail"))
+    val keepThr = Map(
+      "head" -> Sampling.hexThreshold(1.0),
+      "middle" -> Sampling.hexThreshold(0.5),
+      "tail" -> Sampling.hexThreshold(0.1))
+    val kept = scored.withColumn("_b",
+        Sampling.hashBucket(col("doc_id"), "ccnet"))
+      .withColumn("kept", col("_b") <
+        when(col("bucket") === "head", lit(keepThr("head")))
+          .when(col("bucket") === "middle", lit(keepThr("middle")))
+          .otherwise(lit(keepThr("tail"))))
+    kept.groupBy("bucket", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).cast("bigint").as("n_kept"),
+        sum(when(col("kept"), col("n_tokens")).otherwise(0L)).cast("bigint")
+          .as("n_tokens_kept"))
+  }
+  val t37Oracle: String = {
+    val thrH = Sampling.hexThreshold(1.0)
+    val thrM = Sampling.hexThreshold(0.5)
+    val thrT = Sampling.hexThreshold(0.1)
+    s"""WITH w AS (
+       |  SELECT doc_id, list_filter($wordsSql, x -> length(x) > 0) AS w
+       |  FROM documents),
+       |tok AS (SELECT unnest(w) AS tok FROM w),
+       |uni AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok
+       |        ORDER BY cnt DESC, tok ASC LIMIT 20),
+       |pr AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+       |       FROM (SELECT doc_id, w,
+       |             unnest(generate_series(1, len(w) - 1)) AS i FROM w) z),
+       |big AS (SELECT w1, w2, COUNT(*) AS cnt FROM pr
+       |        JOIN uni u1 ON pr.w1 = u1.tok JOIN uni u2 ON pr.w2 = u2.tok
+       |        GROUP BY w1, w2 ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT 200),
+       |hits AS (SELECT doc_id, COUNT(*) AS n_hits FROM pr
+       |         JOIN big ON pr.w1 = big.w1 AND pr.w2 = big.w2
+       |         GROUP BY doc_id),
+       |sc AS (
+       |  SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_tokens,
+       |    CAST(FLOOR(1000.0 * COALESCE(hits.n_hits, 0) /
+       |      GREATEST(len(w.w) - 1, 1)) AS BIGINT) AS cov_milli
+       |  FROM w LEFT JOIN hits USING (doc_id)),
+       |b AS (
+       |  SELECT sc.doc_id, sc.n_tokens, d.source,
+       |    CASE WHEN cov_milli >= 667 THEN 'head'
+       |         WHEN cov_milli >= 333 THEN 'middle' ELSE 'tail' END AS bucket,
+       |    substr(md5('ccnet:' || CAST(sc.doc_id AS STRING)), 1, 8) AS hb
+       |  FROM sc JOIN documents d ON d.doc_id = sc.doc_id),
+       |k AS (
+       |  SELECT *, hb < CASE bucket WHEN 'head' THEN '$thrH'
+       |    WHEN 'middle' THEN '$thrM' ELSE '$thrT' END AS kept
+       |  FROM b)
+       |SELECT bucket, source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT)
+       |    AS n_tokens_kept
+       |FROM k GROUP BY 1, 2""".stripMargin
+  }
+
   /** D8: winnowing fingerprints (rolling k-gram hash + sliding-window
     * min, MOSS-style) — shared substrings of ≥ k+win-1 tokens guarantee a
     * shared fingerprint. md5-string hashes so DuckDB derives identical
@@ -3415,6 +3496,7 @@ object PipelineQueries {
     "q_d14_ppjoin" -> d14PpjoinPairs,
     "q_d15_incremental_neardup" -> d15IncrementalNearDup,
     "q_st10_stream_dedup" -> st10StreamDedup,
+    "q_t37_ccnet_buckets" -> t37CcnetBuckets,
     "q_d6_dedup_near" -> d6DedupNear,
     "q_d7_editdist" -> d7EditDist,
     "q_d8_winnow" -> d8Winnow,
@@ -3564,6 +3646,7 @@ object PipelineQueries {
     "q_d14_ppjoin" -> d14Oracle,
     "q_d15_incremental_neardup" -> d15Oracle,
     "q_st10_stream_dedup" -> st10Oracle,
+    "q_t37_ccnet_buckets" -> t37Oracle,
     "q_d6_dedup_near" -> d6Oracle,
     "q_s3_lsh_topk" -> s3Oracle,
     "q_s4_ivf_topk" -> s4Oracle,
