@@ -2593,6 +2593,83 @@ object Queries {
       |  TRUE AS files_ok
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** IO3: CSV corpus interchange ([[sources.JsonlCorpus.writeCsv]] /
+    * `readCsv`) — the tabular twin of IO1 with the same
+    * explicit-schema + quarantine-on-malformed contract: the corpus
+    * round-trips through headered CSV shards, a planted sidecar carries
+    * one good row and one type-corrupt line (`notanum` in the BIGINT
+    * key), and the read must surface the bad line in the corrupt
+    * column with schema columns NULL — never a crash, never row loss.
+    */
+  val io3CsvRoundtrip: Q = (s, d) => {
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft-csv-qio3", math.abs(d.hashCode).toString)
+    if (java.nio.file.Files.exists(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+    val docs = t(s, d, "documents")
+    sources.JsonlCorpus.writeCsv(docs, root.toString, "doc_id", shards = 4)
+    java.nio.file.Files.writeString(root.resolve("part-extra.csv"),
+      "doc_id,text,lang,source,n_chars\n" +
+        "-1,planted ok,xx,extra,10\n" +
+        "notanum,broken row,yy,bad,zz\n")
+    sources.JsonlCorpus.readCsv(s, root.toString, docs.schema, "bad")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"), col("bad").isNotNull.as("corrupt"))
+  }
+  val io3Oracle: String =
+    """SELECT doc_id, text, lang, source, n_chars, FALSE AS corrupt
+      |FROM documents
+      |UNION ALL SELECT CAST(-1 AS BIGINT), 'planted ok', 'xx', 'extra',
+      |  CAST(10 AS BIGINT), FALSE
+      |UNION ALL SELECT NULL, 'broken row', 'yy', 'bad', NULL, TRUE""".stripMargin
+
+  /** V8: schema-drift report between snapshot versions — the governance
+    * view over [[catalog.SnapshotTableStore.manifestSchema]]: commit a
+    * 3-column version, evolve with a 4th column, and emit the
+    * column-level diff of the two LOGGED schemas (added / kept, with
+    * the logged type names). The oracle is the expected diff as VALUES
+    * — a wrong evolved schema, a lost column, or a type drift all
+    * mismatch.
+    */
+  val v8SchemaDiff: Q = (s, d) => {
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft-snap-qv8", math.abs(d.hashCode).toString)
+    if (java.nio.file.Files.exists(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+    val store = new graft.catalog.SnapshotTableStore(root.toString)
+    val ev = t(s, d, "events")
+    store.overwrite(ev.select("event_id", "event_type", "value").coalesce(2),
+      "ev_drift")
+    store.append(ev.limit(100)
+      .select("event_id", "event_type", "value", "user_id").coalesce(1),
+      "ev_drift")
+    val s1 = store.manifestSchema("ev_drift", 1).get
+    val s2 = store.manifestSchema("ev_drift", 2).get
+    val rows = s2.fields.map { f =>
+      val status =
+        if (s1.fieldNames.contains(f.name)) "kept" else "added"
+      (f.name, f.dataType.simpleString, status)
+    } ++ s1.fields.filterNot(f => s2.fieldNames.contains(f.name))
+      .map(f => (f.name, f.dataType.simpleString, "removed"))
+    import s.implicits._
+    rows.toSeq.toDF("col_name", "dtype", "status")
+  }
+  val v8Oracle: String =
+    """SELECT * FROM (VALUES
+      |  ('event_id', 'bigint', 'kept'),
+      |  ('event_type', 'string', 'kept'),
+      |  ('value', 'double', 'kept'),
+      |  ('user_id', 'bigint', 'added'))
+      |  AS t(col_name, dtype, status)""".stripMargin
+
   /** V7: manifest-logged schema evolution
     * ([[catalog.SnapshotTableStore]]) — the Delta/Iceberg contract that
     * the commit LOG, not parquet footers, is the source of schema
@@ -3185,6 +3262,8 @@ object Queries {
     "q_v2_iam_analysis" -> v2IamAnalysis,
     "q_io1_jsonl_roundtrip" -> io1JsonlRoundtrip,
     "q_io2_shard_export" -> io2ShardExport,
+    "q_io3_csv_roundtrip" -> io3CsvRoundtrip,
+    "q_v8_schema_diff" -> v8SchemaDiff,
     "q_v3_snapshot_timetravel" -> v3SnapshotTimeTravel,
     "q_v7_schema_evolution" -> v7SchemaEvolution,
     "q_v4_change_feed" -> v4ChangeFeed,
@@ -3301,6 +3380,8 @@ object Queries {
     "q_v2_iam_analysis" -> v2Oracle,
     "q_io1_jsonl_roundtrip" -> io1Oracle,
     "q_io2_shard_export" -> io2Oracle,
+    "q_io3_csv_roundtrip" -> io3Oracle,
+    "q_v8_schema_diff" -> v8Oracle,
     "q_v3_snapshot_timetravel" -> v3Oracle,
     "q_v7_schema_evolution" -> v7Oracle,
     "q_v4_change_feed" -> v4Oracle,

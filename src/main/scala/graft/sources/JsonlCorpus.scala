@@ -49,4 +49,31 @@ object JsonlCorpus {
       .option("columnNameOfCorruptRecord", corruptCol)
       .json(path)
   }
+
+  /** CSV twin of the JSONL pair — same explicit-schema + quarantine
+    * contract (tabular exports and many public datasets ship CSV/TSV).
+    * Header on, standard quoting; a row whose parse fails lands in the
+    * corrupt column with all schema columns NULL.
+    */
+  def writeCsv(df: DataFrame, path: String, shardBy: String,
+      shards: Int): Unit = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    df.repartition(shards, col(shardBy))
+      .sortWithinPartitions(shardBy)
+      .write.mode("overwrite").option("header", "true").csv(path)
+  }
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+      corruptCol: String = "_corrupt_record"): DataFrame = {
+    require(!schema.fieldNames.contains(corruptCol),
+      s"schema already has a '$corruptCol' column")
+    val withCorrupt = StructType(
+      schema.fields :+ StructField(corruptCol, StringType, nullable = true))
+    spark.read
+      .schema(withCorrupt)
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .csv(path)
+  }
 }
