@@ -2941,6 +2941,55 @@ object PipelineQueries {
       .withColumn("rank", col("rank").cast("bigint"))
   val s6Oracle = topKEchoOracle("q_s6_ivf_indexed")
 
+  /** S21: FILTERED vector search over the persisted IVF index
+    * ([[Similarity.ivfTopKIndexedFiltered]]) — metadata-predicate
+    * serving with PRE-FILTER semantics: top-10 among label ∈ {2,3,4}
+    * rows only, probed at nProbe=8 so every query's qualifying pool
+    * comfortably exceeds k. Oracle: the S4/S6 echo shape (exact cosine
+    * recompute, rank re-derivation, per-query k-count) PLUS the filter
+    * guarantee — any emitted id outside the predicate empties the
+    * result and turns the driver red.
+    */
+  val s21FilteredSearch: Q = (s, d) => {
+    val qualifying = t(s, d, "embeddings")
+      .filter(col("label").isin(2, 3, 4))
+      .select(col("vec_id").as("id"))
+    Similarity.ivfTopKIndexedFiltered(s, ivfIndexDir(s, d), queryVecs(s, d),
+        qualifying, k = 10, nProbe = 8)
+      .withColumn("rank", col("rank").cast("bigint"))
+  }
+  val s21Oracle: String =
+    s"""WITH sp AS (
+       |  SELECT query_id, id FROM '__SPARK_OUT__/q_s21_filtered_search/*.parquet'),
+       |ok AS (SELECT
+       |    (SELECT COUNT(DISTINCT query_id) FROM sp) =
+       |      (SELECT COUNT(*) FROM embeddings WHERE vec_id < 5)
+       |    AND NOT EXISTS (SELECT 1 FROM sp GROUP BY query_id
+       |                    HAVING COUNT(*) <> 10)
+       |    AND NOT EXISTS (SELECT 1 FROM sp JOIN embeddings e2
+       |                    ON e2.vec_id = sp.id
+       |                    WHERE e2.label NOT IN (2, 3, 4)) AS complete),
+       |e AS (
+       |  SELECT vec_id, embedding,
+       |    SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+       |          FROM (SELECT UNNEST(embedding) AS x) ux)) AS nrm
+       |  FROM embeddings
+       |  WHERE vec_id < 5 OR vec_id IN (SELECT id FROM sp)),
+       |q AS (SELECT vec_id AS query_id, embedding AS qvec, nrm AS qnrm
+       |      FROM e WHERE vec_id < 5),
+       |sc AS (
+       |  SELECT sp.query_id, sp.id,
+       |    ROUND(CASE WHEN e.nrm * q.qnrm = 0 THEN 0.0 ELSE
+       |      (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+       |       FROM (SELECT UNNEST(e.embedding) AS x, UNNEST(q.qvec) AS y) u)
+       |      / (e.nrm * q.qnrm) END, 6) AS cosine_sim
+       |  FROM sp JOIN e ON e.vec_id = sp.id JOIN q ON q.query_id = sp.query_id)
+       |SELECT query_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine_sim DESC, id) AS BIGINT) AS rank,
+       |  id, cosine_sim
+       |FROM sc WHERE (SELECT complete FROM ok)""".stripMargin
+
   // Build-once appended-index fixture for S18: index trained and built
   // from the ¾ "original" corpus (vec_id % 4 != 0), then the remaining ¼
   // APPENDED via the incremental path — so the append code runs at
@@ -3497,6 +3546,7 @@ object PipelineQueries {
     "q_d15_incremental_neardup" -> d15IncrementalNearDup,
     "q_st10_stream_dedup" -> st10StreamDedup,
     "q_t37_ccnet_buckets" -> t37CcnetBuckets,
+    "q_s21_filtered_search" -> s21FilteredSearch,
     "q_d6_dedup_near" -> d6DedupNear,
     "q_d7_editdist" -> d7EditDist,
     "q_d8_winnow" -> d8Winnow,
@@ -3647,6 +3697,7 @@ object PipelineQueries {
     "q_d15_incremental_neardup" -> d15Oracle,
     "q_st10_stream_dedup" -> st10Oracle,
     "q_t37_ccnet_buckets" -> t37Oracle,
+    "q_s21_filtered_search" -> s21Oracle,
     "q_d6_dedup_near" -> d6Oracle,
     "q_s3_lsh_topk" -> s3Oracle,
     "q_s4_ivf_topk" -> s4Oracle,

@@ -629,6 +629,33 @@ object Similarity {
     scoreCells(assigned, probes, k)
   }
 
+  /** FILTERED vector search over the persisted IVF index — the
+    * metadata-predicate serving feature (every production vector store
+    * exposes it): top-k among rows satisfying a predicate, with
+    * PRE-FILTER semantics — the qualifying set is restricted BEFORE
+    * ranking, so the result is the true top-k of the qualifying rows in
+    * the probed cells, never a post-filtered (and possibly short)
+    * top-k. `qualifying` is any frame exposing the qualifying `id`s
+    * (e.g. a metadata sidecar filtered by the predicate); the probe
+    * plan composes partition pruning (only nProbe cell directories are
+    * read) with a semi join against the qualifying ids (broadcast when
+    * bounded), then exact cosine ranks the survivors.
+    */
+  def ivfTopKIndexedFiltered(spark: SparkSession, path: String,
+      queries: DataFrame, qualifying: DataFrame, k: Int,
+      nProbe: Int = 4): DataFrame = {
+    init(spark)
+    require(qualifying.columns.contains("id"),
+      "qualifying frame must expose an 'id' column")
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val probes = probeCells(centroids, queries, nProbe)
+    val cells = probes.select("cell").distinct().collect().map(_.get(0))
+    val assigned = spark.read.parquet(s"$path/assigned")
+      .filter(col("cell").isin(cells.toIndexedSeq: _*))
+      .join(broadcast(qualifying.select("id")), Seq("id"), "left_semi")
+    scoreCells(assigned, probes, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs via multi-table LSH blocking:
     * pairs sharing a bucket in ANY of `tables` independent hash tables
     * are candidates (standard OR-amplification — single-table recall is

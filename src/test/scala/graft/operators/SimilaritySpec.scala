@@ -121,6 +121,32 @@ class SimilaritySpec extends SparkSpec {
     assert(r2 >= 0.2 && r2 <= r8, s"recall@2=$r2 recall@8=$r8")
   }
 
+  test("filtered IVF search: pre-filter semantics, exact at full probe") {
+    val (centroids, assigned) = Similarity.ivfIndex(emb, "vec_id",
+      "embedding", nCells = 8)
+    val dir = tempDir("graft-ivf-filtered").toString
+    Similarity.ivfWriteIndex(centroids, assigned, dir)
+    val qualifying = emb.filter(col("label").isin(2, 3, 4))
+      .select(col("vec_id").as("id"))
+    val qualIds = qualifying.as[Long].collect().toSet
+    // full probe (nProbe = nCells): must equal brute force over the
+    // FILTERED corpus — i.e. true pre-filter top-k
+    val got = Similarity.ivfTopKIndexedFiltered(spark, dir, queries,
+        qualifying, k = 5, nProbe = 8)
+      .select("query_id", "rank", "id", "cosine_sim")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val expect = Similarity.bruteForceTopK(
+        emb.filter(col("label").isin(2, 3, 4)), "vec_id", "embedding",
+        queries, 5)
+      .select("query_id", "rank", "id", "cosine_sim")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got == expect, s"missing=${expect -- got} extra=${got -- expect}")
+    // the filter guarantee: every returned id qualifies
+    assert(got.forall(r => qualIds.contains(r._3)))
+  }
+
   test("persisted IVF index partitioned by cell prunes probe reads") {
     // The 100 TB path as a first-class API: ivfWriteIndex lays the
     // assigned frame out partitioned by cell; ivfTopKIndexed probes it
