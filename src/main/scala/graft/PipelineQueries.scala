@@ -808,6 +808,59 @@ object PipelineQueries {
       |  CAST(MAX(ABS(x)) AS INTEGER) AS peak
       |FROM v GROUP BY doc_id""".stripMargin
 
+  /** M7: frame-energy audio fingerprint dedup
+    * ([[Multimodal.wavFingerprint]]) — the audio sibling of q_m6's
+    * image dHash: every doc's synthetic WAV is REALLY decoded
+    * (javax.sound), cut into 25 frames by the exact integer assignment
+    * `(i·25) div n`, per-frame Σx² energies compared pairwise into a
+    * 24-bit energy-contour fingerprint, and re-delivered clones (5% of
+    * docs re-encoded under a new id from the SAME source id) must land
+    * in the same (fingerprint, n_samples) bucket. The oracle replays
+    * the whole chain arithmetically — a fake decoder cannot reproduce
+    * the energies from the WAV bytes.
+    */
+  val m7AudioFingerprint: Q = (s, d) => {
+    val docs = t(s, d, "documents").select("doc_id")
+    val base = docs.withColumn("payload",
+      Multimodal.synthWavPayload(col("doc_id")))
+    val clones = docs
+      .filter(Sampling.hashBucket(col("doc_id"), "wavdup")
+        < lit(Sampling.hexThreshold(0.05)))
+      .select((col("doc_id") + lit(PlantOffset)).as("doc_id"),
+        Multimodal.synthWavPayload(col("doc_id")).as("payload"))
+    import org.apache.spark.sql.expressions.Window
+    base.unionByName(clones)
+      .withColumn("wfp", Multimodal.wavFingerprintCol(col("payload"), 25))
+      .select(col("doc_id"),
+        col("wfp._1").as("n_samples"), col("wfp._2").as("fp"))
+      .withColumn("group_size",
+        count(lit(1)).over(Window.partitionBy("fp", "n_samples"))
+          .cast("bigint"))
+  }
+  val m7Oracle: String = {
+    val thr = Sampling.hexThreshold(0.05)
+    s"""WITH ids AS (
+       |  SELECT doc_id, doc_id AS sid FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $PlantOffset, doc_id FROM documents
+       |  WHERE substr(md5('wavdup:' || CAST(doc_id AS STRING)), 1, 8) < '$thr'),
+       |z AS (SELECT doc_id, sid, sid % 200 + 50 AS n FROM ids),
+       |smp AS (SELECT doc_id, sid, n,
+       |        unnest(generate_series(0, n - 1)) AS i FROM z),
+       |v AS (SELECT doc_id, n, CAST((i * 25) // n AS INT) AS f,
+       |        (sid * 31 + i * 17) % 2001 - 1000 AS x FROM smp),
+       |e AS (SELECT doc_id, n, f, SUM(x * x) AS en FROM v GROUP BY 1, 2, 3),
+       |b AS (SELECT doc_id, n, f, en,
+       |        LEAD(en) OVER (PARTITION BY doc_id ORDER BY f) AS en2 FROM e),
+       |fp AS (SELECT doc_id, MAX(n) AS n_samples,
+       |        CAST(SUM(CASE WHEN en > en2 THEN CAST(1 AS BIGINT) << f
+       |                      ELSE 0 END) AS BIGINT) AS fp
+       |        FROM b WHERE en2 IS NOT NULL GROUP BY doc_id)
+       |SELECT doc_id, CAST(n_samples AS BIGINT) AS n_samples, fp,
+       |  COUNT(*) OVER (PARTITION BY fp, n_samples) AS group_size
+       |FROM fp""".stripMargin
+  }
+
   /** M5: REAL multi-frame decode + stride sampling — the video completion
     * of the M1/M4 pattern: every doc gets a deterministic animated-GIF
     * fixture ([[Multimodal.syntheticGif]] — frame count, dimensions, and
@@ -3547,6 +3600,7 @@ object PipelineQueries {
     "q_st10_stream_dedup" -> st10StreamDedup,
     "q_t37_ccnet_buckets" -> t37CcnetBuckets,
     "q_s21_filtered_search" -> s21FilteredSearch,
+    "q_m7_audio_fingerprint" -> m7AudioFingerprint,
     "q_d6_dedup_near" -> d6DedupNear,
     "q_d7_editdist" -> d7EditDist,
     "q_d8_winnow" -> d8Winnow,
@@ -3698,6 +3752,7 @@ object PipelineQueries {
     "q_st10_stream_dedup" -> st10Oracle,
     "q_t37_ccnet_buckets" -> t37Oracle,
     "q_s21_filtered_search" -> s21Oracle,
+    "q_m7_audio_fingerprint" -> m7Oracle,
     "q_d6_dedup_near" -> d6Oracle,
     "q_s3_lsh_topk" -> s3Oracle,
     "q_s4_ivf_topk" -> s4Oracle,

@@ -267,6 +267,78 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Frame-energy audio fingerprint over a REAL WAV decode — the audio
+    * sibling of [[dHash64]]: the decoded sample stream is cut into
+    * `frames` contiguous frames (sample i → frame `(i·frames) div n`,
+    * the exact integer assignment an external engine replays), each
+    * frame's energy is its exact Σx² (integer), and the fingerprint
+    * packs the `frames−1` consecutive-frame comparisons
+    * (energy[f] > energy[f+1] → bit f) into a long — the
+    * energy-contour shape, invariant to what a bit-exact copy can't
+    * change. Returns (n_samples, fingerprint); None for non-decodable
+    * or sub-`frames` payloads.
+    */
+  def wavFingerprint(bytes: Array[Byte], frames: Int): Option[(Long, Long)] = {
+    if (frames < 2 || frames > 63) return None
+    decodeWavSamples(bytes).flatMap { samples =>
+      val n = samples.length
+      if (n < frames) None
+      else {
+        val energy = new Array[Long](frames)
+        var i = 0
+        while (i < n) {
+          val f = ((i.toLong * frames) / n).toInt
+          energy(f) += samples(i).toLong * samples(i)
+          i += 1
+        }
+        var fp = 0L
+        var f = 0
+        while (f < frames - 1) {
+          if (energy(f) > energy(f + 1)) fp |= (1L << f)
+          f += 1
+        }
+        Some((n.toLong, fp))
+      }
+    }
+  }
+
+  /** The decoded 16-bit PCM sample array (endianness-correct), or None —
+    * the sample-level core [[decodeWav]] aggregates over.
+    */
+  private def decodeWavSamples(bytes: Array[Byte]): Option[Array[Int]] = {
+    if (bytes == null) return None
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getEncoding !=
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16) None
+        else {
+          val data = in.readAllBytes()
+          val be = fmt.isBigEndian
+          val out = new Array[Int](data.length / 2)
+          var i = 0; var j = 0
+          while (i + 1 < data.length) {
+            out(j) =
+              if (be) ((data(i) << 8) | (data(i + 1) & 0xff)).toShort.toInt
+              else ((data(i + 1) << 8) | (data(i) & 0xff)).toShort.toInt
+            i += 2; j += 1
+          }
+          Some(out)
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+  }
+
+  private val wavFpUdf = udf((b: Array[Byte], frames: Int) =>
+    wavFingerprint(b, frames))
+
+  /** Column form of [[wavFingerprint]]: struct(n_samples, fp) or NULL. */
+  def wavFingerprintCol(payload: Column, frames: Int): Column =
+    wavFpUdf(payload, lit(frames))
+
   private val decodeWavUdf = udf((b: Array[Byte]) => decodeWav(b))
   private val synthWavUdf = udf((id: Long) => syntheticWav(id))
 

@@ -234,4 +234,28 @@ class MediaProbeSpec extends SparkSpec {
     assert(Multimodal.dHash64("junk".getBytes).isEmpty)
     assert(Multimodal.dHash64(null).isEmpty)
   }
+
+  test("wavFingerprint: exact arithmetic replay, clone-stable, edge-safe") {
+    // replay the synthetic arithmetic independently for one id
+    val id = 7L
+    val n = (id % 200 + 50).toInt
+    val xs = Array.tabulate(n)(i =>
+      (math.floorMod(id * 31 + i.toLong * 17, 2001) - 1000).toInt)
+    val frames = 25
+    val energy = new Array[Long](frames)
+    xs.zipWithIndex.foreach { case (x, i) =>
+      energy(((i.toLong * frames) / n).toInt) += x.toLong * x }
+    var expectFp = 0L
+    (0 until frames - 1).foreach { f =>
+      if (energy(f) > energy(f + 1)) expectFp |= (1L << f) }
+    val got = Multimodal.wavFingerprint(Multimodal.syntheticWav(id), frames)
+    assert(got.contains((n.toLong, expectFp)))
+    // identical bytes => identical fingerprint (the dedup invariant)
+    assert(Multimodal.wavFingerprint(Multimodal.syntheticWav(id), frames)
+      == got)
+    // non-decodable and too-short payloads are None, never a throw
+    assert(Multimodal.wavFingerprint(Array[Byte](1, 2, 3), frames).isEmpty)
+    assert(Multimodal.wavFingerprint(null, frames).isEmpty)
+    assert(Multimodal.wavFingerprint(Multimodal.syntheticWav(id), 64).isEmpty)
+  }
 }
