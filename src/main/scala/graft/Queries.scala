@@ -522,6 +522,45 @@ object Queries {
       |WHERE NOT EXISTS (SELECT 1 FROM orders o3
       |                  WHERE o3.o_custkey = c.c_custkey)""".stripMargin
 
+  /** X8: array higher-order-function battery — transform / filter /
+    * exists / forall / aggregate (fold) / zip_with / flatten /
+    * sort_array over a per-row generated integer array, each re-derived
+    * in DuckDB's list dialect (list_transform / list_filter /
+    * list_sum / list_reverse_sort / index arithmetic). All-integer
+    * outputs; completes the §2.7 scalar surface on the collection side.
+    */
+  val x8HofBattery: Q = (s, d) =>
+    t(s, d, "orders").filter(col("o_orderkey") < 500)
+      .select(col("o_orderkey").as("okey"))
+      .withColumn("arr", sequence(lit(1L), pmod(col("okey"), lit(8)) + lit(2)))
+      .select(col("okey"),
+        aggregate(transform(col("arr"), x => x * 2), lit(0L),
+          (acc, x) => acc + x).as("sum_doubled"),
+        size(filter(col("arr"), x => x % 2 === 0)).cast("bigint").as("n_even"),
+        exists(col("arr"), x => x > 5).as("has_gt5"),
+        forall(col("arr"), x => x > 0).as("all_pos"),
+        element_at(sort_array(col("arr"), asc = false), 1).as("max_via_sort"),
+        aggregate(zip_with(col("arr"), reverse(col("arr")), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("dot_rev"),
+        size(flatten(array(col("arr"), col("arr")))).cast("bigint")
+          .as("flat_len"))
+  val x8Oracle =
+    """WITH o AS (
+      |  SELECT o_orderkey AS okey,
+      |    generate_series(1, o_orderkey % 8 + 2) AS arr
+      |  FROM orders WHERE o_orderkey < 500)
+      |SELECT okey,
+      |  CAST(list_sum(list_transform(arr, x -> x * 2)) AS BIGINT)
+      |    AS sum_doubled,
+      |  CAST(len(list_filter(arr, x -> x % 2 = 0)) AS BIGINT) AS n_even,
+      |  len(list_filter(arr, x -> x > 5)) > 0 AS has_gt5,
+      |  len(list_filter(arr, x -> x <= 0)) = 0 AS all_pos,
+      |  CAST(list_reverse_sort(arr)[1] AS BIGINT) AS max_via_sort,
+      |  CAST(list_sum(list_transform(generate_series(1, len(arr)),
+      |    i -> arr[i] * arr[len(arr) - i + 1])) AS BIGINT) AS dot_rev,
+      |  CAST(len(list_concat(arr, arr)) AS BIGINT) AS flat_len
+      |FROM o""".stripMargin
+
   // ===== §2.5 sort / limit / windows ===================================
 
   /** W1/W3: top-k via sort+limit (Catalyst plans TakeOrderedAndProject). */
@@ -3210,6 +3249,7 @@ object Queries {
     "q_u1_union" -> u1Union,
     "q_u2_intersect_except" -> u2IntersectExcept,
     "q_x7_correlated_subquery" -> x7CorrelatedSubquery,
+    "q_x8_hof_battery" -> x8HofBattery,
     "q_w1_topk" -> w1TopK,
     "q_w4_pagination" -> w4Pagination,
     "q_w5_topn_per_group" -> w5TopNPerGroup,
@@ -3312,6 +3352,7 @@ object Queries {
     "q_u1_union" -> u1Oracle,
     "q_u2_intersect_except" -> u2Oracle,
     "q_x7_correlated_subquery" -> x7Oracle,
+    "q_x8_hof_battery" -> x8Oracle,
     "q_w1_topk" -> w1Oracle,
     "q_w4_pagination" -> w4Oracle,
     "q_w5_topn_per_group" -> w5Oracle,
