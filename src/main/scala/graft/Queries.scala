@@ -293,6 +293,36 @@ object Queries {
       |FROM w JOIN f ON w.user_id = f.user_id
       |GROUP BY 1, 2""".stripMargin
 
+  /** A24: top journey prefixes — each user's first three event types in
+    * (ts, event_id) order joined into a path string, counted
+    * corpus-wide: the "how do users start" product-analytics view. The
+    * per-user ordered head is a rank-filtered window (never a full
+    * per-user sort materialized), then one path-keyed count.
+    */
+  val a24JourneyPrefixes: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t(s, d, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .groupBy("user_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("rn"), col("event_type")))),
+        s => s.getField("event_type")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_users"))
+  }
+  val a24Oracle =
+    """WITH o AS (
+      |  SELECT user_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |p AS (
+      |  SELECT user_id,
+      |    string_agg(event_type, '>' ORDER BY rn) AS path
+      |  FROM o WHERE rn <= 3 GROUP BY user_id)
+      |SELECT path, COUNT(*) AS n_users FROM p GROUP BY path""".stripMargin
+
   /** A13: exact continuous percentiles (beyond the reference — SURVEY
     * notes corkscrew has none). Spark `percentile` and DuckDB
     * `quantile_cont` both linear-interpolate over the sorted values and
@@ -1732,6 +1762,42 @@ object Queries {
        |p0 AS (SELECT id, (SELECT init FROM params) AS pr FROM nodes),
        |$iterCtes
        |SELECT id, CAST(pr AS BIGINT) AS pr FROM p10""".stripMargin
+  }
+
+  /** G13: deterministic synchronous label propagation
+    * ([[Graph.labelPropagation]]) — community detection over the
+    * resource graph: 3 rounds of most-frequent-neighbor-label adoption
+    * (min-label tie-break) over the deduped undirected view. The oracle
+    * unrolls all three rounds as CTEs (the q_g8 pattern) — frequency
+    * counts, per-vertex argmax with the identical tie order, carry-
+    * forward for isolated vertices — so any update-order or tie drift
+    * is a per-vertex mismatch.
+    */
+  val g13LabelProp: Q = (s, d) =>
+    Graph.labelPropagation(Tables.sql(s, d, edgesSql), rounds = 3)
+  val g13Oracle: String = {
+    val roundCtes = (1 to 3).map { i =>
+      s"""f$i AS (
+         |  SELECT u.a, l.label, COUNT(*) AS cnt
+         |  FROM und u JOIN l${i - 1} l ON l.id = u.b GROUP BY 1, 2),
+         |b$i AS (
+         |  SELECT a, label FROM (
+         |    SELECT a, label, ROW_NUMBER() OVER (PARTITION BY a
+         |      ORDER BY cnt DESC, label ASC) AS rn FROM f$i) z
+         |  WHERE rn = 1),
+         |l$i AS (
+         |  SELECT p.id, COALESCE(b.label, p.label) AS label
+         |  FROM l${i - 1} p LEFT JOIN b$i b ON b.a = p.id)"""
+    }.mkString(",\n")
+    s"""WITH e AS ($edgesSql),
+       |und AS (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT from_id AS a, to_id AS b FROM e
+       |    UNION ALL SELECT to_id, from_id FROM e) z),
+       |nodes AS (SELECT DISTINCT a AS id FROM und),
+       |l0 AS (SELECT id, id AS label FROM nodes),
+       |$roundCtes
+       |SELECT id, label AS community FROM l3""".stripMargin
   }
 
   /** G5: relationship inference from raw JSON by field-name rules
@@ -3291,6 +3357,7 @@ object Queries {
     "q_g5_edge_derivation" -> g5EdgeDerivation,
     "q_g7_path_arrays" -> g7PathArrays,
     "q_g8_pagerank" -> g8PageRank,
+    "q_g13_label_prop" -> g13LabelProp,
     "q_g6_components" -> g6Components,
     "q_g9_triangles" -> g9Triangles,
     "q_g10_graph_table" -> g10GraphTable,
@@ -3322,6 +3389,7 @@ object Queries {
     "q_a21_funnel" -> a21Funnel,
     "q_a22_transitions" -> a22Transitions,
     "q_a23_cohorts" -> a23Cohorts,
+    "q_a24_journey_prefixes" -> a24JourneyPrefixes,
     "q_w7_range_frame" -> w7RangeFrame,
     "q_a13_percentiles" -> a13Percentiles,
     "q_a15_approx_percentiles" -> a15ApproxPercentiles,
@@ -3386,6 +3454,7 @@ object Queries {
     "q_g5_edge_derivation" -> g5Oracle,
     "q_g7_path_arrays" -> g7Oracle,
     "q_g8_pagerank" -> g8Oracle,
+    "q_g13_label_prop" -> g13Oracle,
     "q_a8_dimensional" -> a8Oracle,
     "q_a10_passfail" -> a10Oracle,
     "q_x1_scalar_battery" -> x1Oracle,
@@ -3410,6 +3479,7 @@ object Queries {
     "q_a21_funnel" -> a21Oracle,
     "q_a22_transitions" -> a22Oracle,
     "q_a23_cohorts" -> a23Oracle,
+    "q_a24_journey_prefixes" -> a24Oracle,
     "q_w7_range_frame" -> w7Oracle,
     "q_a13_percentiles" -> a13Oracle,
     "q_a14_histogram" -> a14Oracle,

@@ -190,6 +190,49 @@ object Graph {
     pr
   }
 
+  /** Synchronous label-propagation community detection (Raghavan et al.
+    * 2007) made DETERMINISTIC: labels start as vertex ids; each round
+    * every vertex adopts the most frequent label among its neighbors'
+    * PREVIOUS labels over the deduped undirected view, ties broken to
+    * the smallest label; a vertex with no neighbors keeps its label.
+    * Classic LPA randomizes update order — the synchronous min-tie
+    * variant trades a little convergence speed for exact replayability
+    * (every round is one join + one count aggregation + one per-vertex
+    * argmax window, the Pregel shape, unrollable as SQL CTEs).
+    *
+    * 100 TB shape: per round, the neighbor join shuffles on the vertex
+    * key and the frequency argmax windows over one vertex's neighbor
+    * labels (O(deg) state). The undirected edge view is pre-partitioned
+    * once and reused across rounds, mirroring [[pageRank]].
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rounds >= 1 && rounds <= 20,
+      s"labelPropagation: rounds out of [1,20]: $rounds")
+    val e = edges.select(col("from_id").cast("string").as("a"),
+      col("to_id").cast("string").as("b"))
+    val und = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .repartition(col("b")).localCheckpoint(true)
+    val nodes = und.select(col("a").as("id")).distinct().localCheckpoint(true)
+    var labels = nodes.withColumn("label", col("id"))
+    var r = 0
+    while (r < rounds) {
+      val freq = und.join(labels.withColumnRenamed("id", "b"), "b")
+        .groupBy(col("a"), col("label")).agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("a")
+        .orderBy(col("cnt").desc, col("label").asc)
+      val best = freq.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("a").as("id"), col("label").as("nl"))
+      labels = labels.join(best, Seq("id"), "left")
+        .select(col("id"), coalesce(col("nl"), col("label")).as("label"))
+      r += 1
+      if (r % 3 == 0 && r < rounds) labels = labels.localCheckpoint(true)
+    }
+    labels.select(col("id"), col("label").as("community"))
+  }
+
   /** Weighted single-source-set shortest paths: min total edge weight
     * over all directed walks of at most `maxIter` edges from any source
     * (sources at 0). Bellman-Ford relaxation rounds — with nonnegative

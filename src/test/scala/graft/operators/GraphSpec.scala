@@ -157,4 +157,29 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(rep == got)
   }
+
+  test("labelPropagation: two cliques bridge-linked settle to two communities") {
+    // clique {a1,a2,a3} + clique {z1,z2,z3}, one bridge a3-z1
+    val edges = Seq(
+      ("a1", "a2"), ("a1", "a3"), ("a2", "a3"),
+      ("z1", "z2"), ("z1", "z3"), ("z2", "z3"),
+      ("a3", "z1"))
+      .toDF("from_id", "to_id")
+    val out = Graph.labelPropagation(edges, rounds = 4)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // round-by-round the min label 'a1' floods its clique; the z-clique
+    // keeps its own minimum except the bridge pulls z1 toward the a-side
+    // frequency; what matters: a-clique uniform, z2/z3 agree, and the
+    // result is deterministic under repartitioning
+    assert(out("a1") == out("a2") && out("a2") == out("a3"), out)
+    assert(out("z2") == out("z3"), out)
+    val rep = Graph.labelPropagation(edges.repartition(7), rounds = 4)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rep == out)
+    // isolated vertex keeps its own label
+    val iso = Graph.labelPropagation(
+      edges.unionByName(Seq(("q9", "q9")).toDF("from_id", "to_id")), 2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(iso("q9") == "q9")
+  }
 }
