@@ -2732,6 +2732,68 @@ object Queries {
       |  CAST(10 AS BIGINT), FALSE
       |UNION ALL SELECT NULL, 'broken row', 'yy', 'bad', NULL, TRUE""".stripMargin
 
+  /** L7: dynamic partition pruning — the runtime twin of L2's static
+    * skipping: the events fact table is laid out partitioned by
+    * event_type, the dimension side selects ONE type at runtime through
+    * a join (no literal predicate on the fact table anywhere), and
+    * Spark's DPP turns the dim filter into a runtime IN-subquery on the
+    * fact's partition column, so only that type's directory is read.
+    * The emitted frame carries the MEASURED files_read vs files_total
+    * alongside the aggregate — pruning is driver-visible data, and the
+    * plan carries `dynamicpruning` (pinned in PlanQualitySpec).
+    */
+  val l7DynamicPruning: Q = (s, d) => {
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft-dpp-ql7", math.abs(d.hashCode).toString)
+    val fact = root.resolve("fact").toString
+    if (!java.nio.file.Files.exists(root.resolve("_READY"))) {
+      if (java.nio.file.Files.exists(root)) {
+        val walk = java.nio.file.Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+      t(s, d, "events").select("event_id", "event_type", "value", "user_id")
+        .repartition(col("event_type"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(fact)
+      java.nio.file.Files.createDirectories(root)
+      java.nio.file.Files.writeString(root.resolve("_READY"), "ok")
+    }
+    val facts = s.read.parquet(fact)
+    // dim row derived at runtime: the lexicographically-first event type
+    // that has a purchase-priced twin — NOT a literal the planner could
+    // constant-fold onto the fact scan
+    val dim = t(s, d, "events").select(col("event_type").as("et")).distinct()
+      .filter(substring(col("et"), 1, 1) === "p") // 'purchase'
+    val joined = facts.join(dim, facts("event_type") === dim("et"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
+    val total = s.read.parquet(fact)
+      .select(input_file_name()).distinct().count()
+    val factFiles = facts.withColumn("_f", input_file_name())
+    val read = factFiles.join(dim, factFiles("event_type") === dim("et"))
+      .select("_f").distinct().count()
+    // the PRUNING fact is a plan property, not a row property (the join
+    // filters rows either way): the fact scan must carry a runtime
+    // dynamicpruning partition filter
+    val dpp = joined.queryExecution.executedPlan.toString
+      .toLowerCase.contains("dynamicpruning")
+    joined
+      .withColumn("files_total", lit(total))
+      .withColumn("files_read", lit(read))
+      .withColumn("pruned", lit(dpp))
+  }
+  val l7Oracle: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+      |    AS sum_value,
+      |  (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) FROM events)
+      |    AS files_total,
+      |  CAST(1 AS BIGINT) AS files_read,
+      |  TRUE AS pruned
+      |FROM events WHERE event_type = 'purchase'
+      |GROUP BY event_type""".stripMargin
+
   /** V8: schema-drift report between snapshot versions — the governance
     * view over [[catalog.SnapshotTableStore.manifestSchema]]: commit a
     * 3-column version, evolve with a 4th column, and emit the
@@ -3340,6 +3402,7 @@ object Queries {
     "q_l3_zorder_skipping" -> l3ZorderSkipping,
     "q_l4_metadata_aggs" -> l4MetadataAggs,
     "q_l5_hilbert" -> l5Hilbert,
+    "q_l7_dynamic_pruning" -> l7DynamicPruning,
     "q_l6_bloom_skipping" -> l6BloomSkipping,
     "q_a7_top_resources" -> a7TopResources,
     "q_e16_anomalies" -> e16Anomalies,
@@ -3446,6 +3509,7 @@ object Queries {
     "q_l4_metadata_aggs" -> l4Oracle,
     "q_l5_hilbert" -> l5Oracle,
     "q_l6_bloom_skipping" -> l6Oracle,
+    "q_l7_dynamic_pruning" -> l7Oracle,
     "q_a7_top_resources" -> a7Oracle,
     "q_e16_anomalies" -> e16Oracle,
     "q_g2_reach" -> g2Oracle,

@@ -115,6 +115,18 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("L7 fact scan carries a runtime dynamicpruning partition filter") {
+    // The dim filter must reach the fact scan as a DPP subquery — a
+    // refactor that loses it (e.g. materializing the dim first) reads
+    // every partition at 100 TB.
+    val df: DataFrame = SparkEntry.queries("q_l7_dynamic_pruning")(spark, sf)
+    // the emitted `pruned` column IS the plan fact; assert it directly
+    val row = df.collect()(0)
+    assert(row.getAs[Boolean]("pruned"),
+      "fact scan lost its dynamicpruning filter")
+    assert(row.getAs[Long]("files_read") < row.getAs[Long]("files_total"))
+  }
+
   test("A14 histogram aggregates partially before the single shuffle") {
     val p = plan("q_a14_histogram")
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
