@@ -591,6 +591,39 @@ object Queries {
       |  CAST(len(list_concat(arr, arr)) AS BIGINT) AS flat_len
       |FROM o""".stripMargin
 
+  /** X9: map-typed column battery — map_from_arrays construction,
+    * element_at (NULL on a missing key, never a throw), map_keys /
+    * map_values, and a fold over the values; the oracle replays every
+    * output from the generating arithmetic without needing DuckDB's MAP
+    * dialect at all (single-digit keys keep lexicographic = numeric
+    * order).
+    */
+  val x9MapBattery: Q = (s, d) =>
+    t(s, d, "orders").filter(col("o_orderkey") < 500)
+      .select(col("o_orderkey").as("okey"))
+      .withColumn("arr", sequence(lit(1L), pmod(col("okey"), lit(6)) + lit(2)))
+      .withColumn("m", map_from_arrays(
+        transform(col("arr"), x => concat(lit("k"), x)),
+        transform(col("arr"), x => x * 10)))
+      .select(col("okey"),
+        size(col("m")).cast("bigint").as("n_keys"),
+        element_at(col("m"), "k3").as("v_k3"),
+        array_join(array_sort(map_keys(col("m"))), ",").as("keys_sorted"),
+        aggregate(map_values(col("m")), lit(0L), (a, x) => a + x)
+          .as("sum_vals"))
+  val x9Oracle =
+    """WITH o AS (
+      |  SELECT o_orderkey AS okey,
+      |    generate_series(1, o_orderkey % 6 + 2) AS arr
+      |  FROM orders WHERE o_orderkey < 500)
+      |SELECT okey, CAST(len(arr) AS BIGINT) AS n_keys,
+      |  CASE WHEN list_contains(arr, 3) THEN CAST(30 AS BIGINT) END AS v_k3,
+      |  array_to_string(list_sort(list_transform(arr, x -> 'k' || x)), ',')
+      |    AS keys_sorted,
+      |  CAST(list_sum(list_transform(arr, x -> x * 10)) AS BIGINT)
+      |    AS sum_vals
+      |FROM o""".stripMargin
+
   // ===== §2.5 sort / limit / windows ===================================
 
   /** W1/W3: top-k via sort+limit (Catalyst plans TakeOrderedAndProject). */
@@ -3378,6 +3411,7 @@ object Queries {
     "q_u2_intersect_except" -> u2IntersectExcept,
     "q_x7_correlated_subquery" -> x7CorrelatedSubquery,
     "q_x8_hof_battery" -> x8HofBattery,
+    "q_x9_map_battery" -> x9MapBattery,
     "q_w1_topk" -> w1TopK,
     "q_w4_pagination" -> w4Pagination,
     "q_w5_topn_per_group" -> w5TopNPerGroup,
@@ -3484,6 +3518,7 @@ object Queries {
     "q_u2_intersect_except" -> u2Oracle,
     "q_x7_correlated_subquery" -> x7Oracle,
     "q_x8_hof_battery" -> x8Oracle,
+    "q_x9_map_battery" -> x9Oracle,
     "q_w1_topk" -> w1Oracle,
     "q_w4_pagination" -> w4Oracle,
     "q_w5_topn_per_group" -> w5Oracle,
