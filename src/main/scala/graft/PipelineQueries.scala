@@ -3587,9 +3587,117 @@ object PipelineQueries {
        |  AND sp.hamming <= 3 AND sp.id_a < sp.id_b
        |  AND (SELECT complete FROM ok)""".stripMargin
 
+  // ===== entity resolution =============================================
+
+  /** Shared dirty-records fixture for entity resolution: the customer
+    * table plus deterministic single-edit variants — a deletion typo
+    * (rid = key*10+1, every 5th customer) and a character smudge
+    * (rid = key*10+2, every 7th) at key-derived digit positions, each
+    * carrying a near-miss account balance. Pure integer/substr
+    * arithmetic, identical text in both dialects.
+    */
+  private val erRecsSql =
+    """SELECT c_custkey * 10 AS rid, c_name AS name,
+      |       c_nationkey AS nation, c_acctbal AS acctbal,
+      |       c_mktsegment AS segment
+      |FROM customer
+      |UNION ALL
+      |SELECT c_custkey * 10 + 1,
+      |       substr(c_name, 1, 9 + (c_custkey % 8)) ||
+      |         substr(c_name, 11 + (c_custkey % 8), length(c_name)),
+      |       c_nationkey, c_acctbal - 1.0, c_mktsegment
+      |FROM customer WHERE c_custkey % 5 = 0
+      |UNION ALL
+      |SELECT c_custkey * 10 + 2,
+      |       substr(c_name, 1, 9 + (c_custkey % 9)) || 'x' ||
+      |         substr(c_name, 11 + (c_custkey % 9), length(c_name)),
+      |       c_nationkey, c_acctbal + 2.0, c_mktsegment
+      |FROM customer WHERE c_custkey % 7 = 0""".stripMargin
+
+  private def erResolved(s: SparkSession, d: String) =
+    EntityResolution.resolve(Tables.sql(s, d, erRecsSql),
+      "rid", "name", Seq("nation"), delFrom = 10, delTo = 18,
+      maxDist = 1,
+      extraVerify = col("l.segment") === col("r.segment") &&
+        abs(col("l.acctbal") - col("r.acctbal")) <= 2.5)
+
+  /** ER1: full record-linkage resolution ([[EntityResolution.resolve]])
+    * — SymSpell deletion-neighborhood blocking (exact recall at edit
+    * distance 1 by construction), levenshtein + multi-attribute verify,
+    * min-label clustering. Oracle replays blocking, verification, and a
+    * recursive-CTE component walk independently; every (record →
+    * cluster) assignment is hash-matched.
+    */
+  val er1Resolve: Q = (s, d) =>
+    erResolved(s, d).select(col("rid"), col("name"),
+      col("nation").cast("bigint").as("nation"), col("cluster_id"))
+
+  /** Shared DuckDB replay of the full ER chain, ending in `resolved`. */
+  private val erOracleChain =
+    s"""WITH RECURSIVE recs AS ($erRecsSql),
+       |keys AS (
+       |  SELECT rid, nation, CASE WHEN p = 9 THEN name
+       |    ELSE substr(name, 1, p - 1) || substr(name, p + 1, length(name))
+       |    END AS k
+       |  FROM recs CROSS JOIN (
+       |    SELECT unnest(generate_series(9, 18)) AS p) ps),
+       |cand AS (
+       |  SELECT DISTINCT a.rid AS ra, b.rid AS rb
+       |  FROM keys a JOIN keys b
+       |    ON a.nation = b.nation AND a.k = b.k AND a.rid < b.rid),
+       |edges AS (
+       |  SELECT ra, rb FROM cand
+       |  JOIN recs x ON x.rid = cand.ra
+       |  JOIN recs y ON y.rid = cand.rb
+       |  WHERE levenshtein(x.name, y.name) <= 1
+       |    AND x.segment = y.segment
+       |    AND abs(x.acctbal - y.acctbal) <= 2.5),
+       |sym AS (SELECT ra AS a, rb AS b FROM edges
+       |        UNION SELECT rb, ra FROM edges),
+       |walk AS (
+       |  SELECT a AS id, a AS reach FROM (SELECT DISTINCT a FROM sym) n
+       |  UNION
+       |  SELECT w.id, sy.b FROM walk w JOIN sym sy ON sy.a = w.reach),
+       |comp AS (SELECT id, MIN(reach) AS comp FROM walk GROUP BY id),
+       |resolved AS (
+       |  SELECT r.rid, r.name, r.nation, r.acctbal, r.segment,
+       |    COALESCE(c.comp, r.rid) AS cluster_id
+       |  FROM recs r LEFT JOIN comp c ON c.id = r.rid)""".stripMargin
+
+  val er1Oracle: String =
+    s"""$erOracleChain
+       |SELECT rid, name, CAST(nation AS BIGINT) AS nation, cluster_id
+       |FROM resolved""".stripMargin
+
+  /** ER2: survivorship — one golden record per resolved cluster
+    * ([[EntityResolution.goldenRecords]]): canonical id = min member,
+    * canonical name = longest (min-id tiebreak), member count, max
+    * balance. The oracle rebuilds the survivor via a window over the
+    * replayed resolution.
+    */
+  val er2Golden: Q = (s, d) =>
+    EntityResolution.goldenRecords(erResolved(s, d), "rid", "name",
+      valueAggs = Seq(max(col("acctbal")).as("acctbal")))
+  val er2Oracle: String =
+    s"""$erOracleChain
+       |SELECT cluster_id, CAST(crid AS BIGINT) AS canonical_rid,
+       |  name AS canonical_name, CAST(nm AS BIGINT) AS n_members,
+       |  bal AS acctbal
+       |FROM (
+       |  SELECT cluster_id, rid, name,
+       |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+       |      ORDER BY length(name) DESC, rid) AS rnk,
+       |    COUNT(*) OVER (PARTITION BY cluster_id) AS nm,
+       |    MIN(rid) OVER (PARTITION BY cluster_id) AS crid,
+       |    MAX(acctbal) OVER (PARTITION BY cluster_id) AS bal
+       |  FROM resolved) z
+       |WHERE rnk = 1""".stripMargin
+
   // ===== registry ======================================================
 
   val all: Map[String, Q] = Map(
+    "q_er1_entity_resolution" -> er1Resolve,
+    "q_er2_golden_records" -> er2Golden,
     "q_d1_fingerprint" -> d1Fingerprint,
     "q_d2_dedup_exact" -> d2DedupExact,
     "q_d3_jaccard_pairs" -> d3JaccardPairs,
@@ -3689,6 +3797,8 @@ object PipelineQueries {
     "q_t4_chunking" -> t4Oracle,
     "q_t5_tfidf" -> t5Oracle,
     "q_t6_split" -> t6Oracle,
+    "q_er1_entity_resolution" -> er1Oracle,
+    "q_er2_golden_records" -> er2Oracle,
     "q_t7_sample" -> t7Oracle,
     "q_t14_mixture" -> t14Oracle,
     "q_t15_interleave" -> t15Oracle,
