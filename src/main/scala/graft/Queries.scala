@@ -2827,6 +2827,60 @@ object Queries {
       |FROM events WHERE event_type = 'purchase'
       |GROUP BY event_type""".stripMargin
 
+  /** L8: bucketed co-located join — the write-time layout that deletes
+    * the shuffle from a 100 TB fact⋈fact join (the Spark answer to the
+    * reference's B-tree join indexes, unified_schema.go:129-143, and the
+    * layout pairing to L1/L7's read-side pruning): both sides are
+    * written `CLUSTERED BY (custkey) SORTED BY (custkey) INTO 8 BUCKETS`,
+    * so the sort-merge join consumes each bucket pair co-located —
+    * zero Exchange, zero Sort in the join subtree. Like L7, the layout
+    * property is emitted as PLAN-fact columns (`no_exchange`,
+    * `merge_join`) the oracle pins to TRUE, alongside a hash-checked
+    * aggregate of the join itself; a regression that reintroduces the
+    * shuffle (bucketing disabled, mismatched bucket counts, a lost sort
+    * order) turns the row red. The merge hint only rules out broadcast
+    * (legitimate at fixture SF, not at fact×fact scale); it does NOT
+    * suppress exchanges — bucketing alone does that.
+    */
+  val l8BucketedJoin: Q = (s, d) => {
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft-bkt-ql8", math.abs(d.hashCode).toString)
+    java.nio.file.Files.createDirectories(root)
+    def buildBucketed(src: DataFrame, name: String, key: String): Unit = {
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      src.write.mode("overwrite").format("parquet")
+        .option("path", root.resolve(name).toString)
+        .bucketBy(8, key).sortBy(key).saveAsTable(name)
+    }
+    buildBucketed(t(s, d, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice"),
+      "ql8_orders", "o_custkey")
+    buildBucketed(t(s, d, "customer")
+      .select("c_custkey", "c_mktsegment"),
+      "ql8_customer", "c_custkey")
+    val o = s.table("ql8_orders")
+    val c = s.table("ql8_customer").hint("merge")
+    val joined = o.join(c, o("o_custkey") === c("c_custkey"))
+    // plan facts measured on the JOIN subtree (the groupBy below adds
+    // its own legitimate exchange): bucketed scans satisfy the SMJ's
+    // distribution + ordering, so no Exchange and no Sort appear
+    val plan = joined.queryExecution.executedPlan.toString
+    val noExchange = !plan.contains("Exchange")
+    val smj = plan.contains("SortMergeJoin")
+    joined.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        exactSum(col("o_totalprice")).as("sum_price"))
+      .withColumn("no_exchange", lit(noExchange))
+      .withColumn("merge_join", lit(smj))
+  }
+  val l8Oracle: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+      |    AS sum_price,
+      |  TRUE AS no_exchange, TRUE AS merge_join
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
   /** V8: schema-drift report between snapshot versions — the governance
     * view over [[catalog.SnapshotTableStore.manifestSchema]]: commit a
     * 3-column version, evolve with a 4th column, and emit the
@@ -3437,6 +3491,7 @@ object Queries {
     "q_l4_metadata_aggs" -> l4MetadataAggs,
     "q_l5_hilbert" -> l5Hilbert,
     "q_l7_dynamic_pruning" -> l7DynamicPruning,
+    "q_l8_bucketed_join" -> l8BucketedJoin,
     "q_l6_bloom_skipping" -> l6BloomSkipping,
     "q_a7_top_resources" -> a7TopResources,
     "q_e16_anomalies" -> e16Anomalies,
@@ -3545,6 +3600,7 @@ object Queries {
     "q_l5_hilbert" -> l5Oracle,
     "q_l6_bloom_skipping" -> l6Oracle,
     "q_l7_dynamic_pruning" -> l7Oracle,
+    "q_l8_bucketed_join" -> l8Oracle,
     "q_a7_top_resources" -> a7Oracle,
     "q_e16_anomalies" -> e16Oracle,
     "q_g2_reach" -> g2Oracle,
