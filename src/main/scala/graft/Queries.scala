@@ -2889,6 +2889,67 @@ object Queries {
     * — a wrong evolved schema, a lost column, or a type drift all
     * mismatch.
     */
+  /** V9: merge-on-read DELETE via deletion vectors
+    * ([[catalog.SnapshotTableStore.deleteWhere]]) — the lakehouse
+    * primitive that makes row-level deletes affordable at 100 TB: the
+    * delete commits ONLY (file, row_index) tombstones, never rewriting
+    * content files. The query walks the full lifecycle and emits every
+    * contract as a plan/layout fact next to a hash-checked aggregate of
+    * the live view: `no_rewrite` (v2's content dirs are byte-identical
+    * to v1's), `time_travel_intact` (v1 still reads the pre-delete
+    * rows), `dv_carried` (an append rides on top WITHOUT resurrecting
+    * deleted rows — the vectors carry forward), `materialized_equal` +
+    * `dv_retired` (compaction folds the deletes into rewritten files
+    * and drops the vectors, logically identical).
+    */
+  val v9DeletionVectors: Q = (s, d) => {
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft-snap-qv9", math.abs(d.hashCode).toString)
+    if (java.nio.file.Files.exists(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+    val store = new graft.catalog.SnapshotTableStore(root.toString)
+    val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+    store.overwrite(docs.repartition(4, col("doc_id")), "docs") // v1
+    store.deleteWhere(s, "docs", pmod(col("doc_id"), lit(7)) === 0) // v2
+    val noRewrite = store.versionDataDirs("docs", 2).toSet ==
+      store.versionDataDirs("docs", 1).toSet
+    // append on top of the vectors: new rows land, deletes stay deleted
+    store.append(docs.filter(col("doc_id") < 50)
+      .select((-col("doc_id") - 1).as("doc_id"), col("lang"),
+        col("n_chars")).coalesce(1), "docs") // v3
+    val dvCarried = store.deletionVectors("docs", 3) == 1
+    val ttIntact =
+      store.readVersion(s, "docs", 1).count() == docs.count()
+    val live = store.read(s, "docs") // v3 view: DVs applied + append
+    val mat = store.compact(s, "docs") // v4 materializes the deletes
+    val matView = store.readVersion(s, "docs", mat.get)
+    val matEqual = matView.exceptAll(live).isEmpty &&
+      live.exceptAll(matView).isEmpty
+    val dvRetired = store.deletionVectors("docs", mat.get) == 0
+    live.groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum("n_chars").cast("bigint").as("sum_chars"))
+      .withColumn("no_rewrite", lit(noRewrite))
+      .withColumn("time_travel_intact", lit(ttIntact))
+      .withColumn("dv_carried", lit(dvCarried))
+      .withColumn("materialized_equal", lit(matEqual))
+      .withColumn("dv_retired", lit(dvRetired))
+  }
+  val v9Oracle: String =
+    """WITH live AS (
+      |  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT -doc_id - 1, lang, n_chars FROM documents WHERE doc_id < 50)
+      |SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  TRUE AS no_rewrite, TRUE AS time_travel_intact,
+      |  TRUE AS dv_carried, TRUE AS materialized_equal,
+      |  TRUE AS dv_retired
+      |FROM live GROUP BY lang""".stripMargin
+
   val v8SchemaDiff: Q = (s, d) => {
     val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       "graft-snap-qv8", math.abs(d.hashCode).toString)
@@ -3492,6 +3553,7 @@ object Queries {
     "q_l5_hilbert" -> l5Hilbert,
     "q_l7_dynamic_pruning" -> l7DynamicPruning,
     "q_l8_bucketed_join" -> l8BucketedJoin,
+    "q_v9_deletion_vectors" -> v9DeletionVectors,
     "q_l6_bloom_skipping" -> l6BloomSkipping,
     "q_a7_top_resources" -> a7TopResources,
     "q_e16_anomalies" -> e16Anomalies,
@@ -3601,6 +3663,7 @@ object Queries {
     "q_l6_bloom_skipping" -> l6Oracle,
     "q_l7_dynamic_pruning" -> l7Oracle,
     "q_l8_bucketed_join" -> l8Oracle,
+    "q_v9_deletion_vectors" -> v9Oracle,
     "q_a7_top_resources" -> a7Oracle,
     "q_e16_anomalies" -> e16Oracle,
     "q_g2_reach" -> g2Oracle,

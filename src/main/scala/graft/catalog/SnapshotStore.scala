@@ -111,6 +111,40 @@ final class SnapshotTableStore(root: String) extends TableStore {
   private def manifestDirs(table: String, v: Int): Seq[String] =
     manifestLines(table, v).filterNot(_.startsWith("#"))
 
+  /** Deletion-vector header lines of version `v` (possibly empty) —
+    * each references a data dir holding (file_path, row_index) tombstone
+    * positions that [[readVersion]] anti-joins away. Prefixed lines are
+    * invisible to [[manifestDirs]], so pre-DV readers of the same layout
+    * degrade to seeing undeleted rows rather than failing.
+    */
+  private def dvHeaderLines(table: String, v: Int): Seq[String] =
+    manifestLines(table, v).filter(_.startsWith(DvPrefix))
+
+  private def dvDirs(table: String, v: Int): Seq[String] =
+    dvHeaderLines(table, v).map(_.stripPrefix(DvPrefix))
+
+  private val DvPrefix = "#dv="
+
+  /** Number of deletion vectors version `v` carries — 0 means the
+    * version's files ARE its logical content (audit/observability hook;
+    * compaction retires vectors, so a persistently high count is the
+    * signal to OPTIMIZE).
+    */
+  def deletionVectors(table: String, v: Int): Int = dvDirs(table, v).size
+
+  /** Every data dir version `v` references — content dirs AND deletion
+    * vectors. GC must treat both as live.
+    */
+  private def referencedDirs(table: String, v: Int): Seq[String] =
+    manifestDirs(table, v) ++ dvDirs(table, v)
+
+  /** Version `v`'s carry-forward manifest lines: content dirs plus DV
+    * header lines (schema header excluded — the next commit logs its
+    * own evolved schema).
+    */
+  private def referencedLines(table: String, v: Int): Seq[String] =
+    manifestDirs(table, v) ++ dvHeaderLines(table, v)
+
   /** The version's logged schema, if the manifest carries one (versions
     * committed before schema logging don't — readers fall back to
     * parquet footer inference for those).
@@ -176,9 +210,26 @@ final class SnapshotTableStore(root: String) extends TableStore {
     */
   def readVersion(spark: SparkSession, table: String, v: Int): DataFrame = {
     val dirs = versionDataDirs(table, v)
-    manifestSchema(table, v) match {
+    val base = manifestSchema(table, v) match {
       case Some(st) => spark.read.schema(st).parquet(dirs: _*)
       case None => spark.read.parquet(dirs: _*)
+    }
+    val dvs = dvDirs(table, v)
+    if (dvs.isEmpty) base
+    else {
+      // Merge-on-read: drop tombstoned (file, position) pairs. The DV
+      // set is tiny relative to the corpus by construction (deletes are
+      // the exception path), so AQE broadcasts it under the anti-join —
+      // the 100 TB read pays no extra shuffle for carrying deletes.
+      import org.apache.spark.sql.functions.col
+      val dv = spark.read.parquet(dvs.map(d => dataDir(table, d).toString): _*)
+      val outCols = base.columns.toSeq
+      base
+        .withColumn("_dv_file", col("_metadata.file_path"))
+        .withColumn("_dv_pos", col("_metadata.row_index"))
+        .join(dv, col("_dv_file") === dv("file_path") &&
+          col("_dv_pos") === dv("row_index"), "left_anti")
+        .select(outCols.map(col): _*)
     }
   }
 
@@ -244,7 +295,9 @@ final class SnapshotTableStore(root: String) extends TableStore {
     while (true) {
       val cur = currentVersion(table)
       val next = cur.getOrElse(0) + 1
-      val prior = if (carryForward) cur.map(manifestDirs(table, _)).getOrElse(Nil)
+      // carry-forward keeps BOTH the prior content dirs and the prior
+      // deletion vectors — an append must not resurrect deleted rows
+      val prior = if (carryForward) cur.map(referencedLines(table, _)).getOrElse(Nil)
                   else Nil
       val schema = if (carryForward) evolvedFor(df, table, cur)
                    else nullableAll(df.schema)
@@ -292,7 +345,7 @@ final class SnapshotTableStore(root: String) extends TableStore {
     df.write.mode("errorifexists").parquet(dataDir(table, dname).toString)
     while (true) {
       val cur = currentVersion(table)
-      val prior = cur.map(manifestDirs(table, _)).getOrElse(Nil)
+      val prior = cur.map(referencedLines(table, _)).getOrElse(Nil)
       if (committed()) return false // racing retry won
       if (tryClaim(table, cur.getOrElse(0) + 1, prior :+ dname,
           Some(evolvedFor(df, table, cur)))) {
@@ -308,6 +361,54 @@ final class SnapshotTableStore(root: String) extends TableStore {
 
   /** New snapshot = prior snapshot + `df`; writes only the new rows. */
   def append(df: DataFrame, table: String): Unit = commit(df, table, carryForward = true)
+
+  /** Merge-on-read DELETE via deletion vectors (the Delta DV shape,
+    * position-based): rows of the current version matching `predicate`
+    * are recorded as (file_path, row_index) tombstones — via the parquet
+    * source's `_metadata` columns — in a fresh data dir referenced by a
+    * `#dv=` manifest line. NO content file is rewritten or moved: at
+    * 100 TB a delete touching 0.1% of rows costs one pruned scan plus a
+    * tombstone write measured in MB, not a table rewrite measured in
+    * hours. Readers apply the vectors ([[readVersion]]'s anti-join);
+    * prior versions still time-travel to the undeleted state; appends
+    * carry the vectors forward; [[compact]] (or any overwrite) commits a
+    * data-only manifest, materializing the deletes and retiring the
+    * vectors. Positions are computed against the raw files, so deleting
+    * an already-deleted row is a harmless no-op under anti-join
+    * semantics. Returns the committed version.
+    */
+  def deleteWhere(spark: SparkSession, table: String,
+      predicate: org.apache.spark.sql.Column): Int = {
+    import org.apache.spark.sql.functions.col
+    val cur = currentVersion(table).getOrElse(
+      throw new IllegalArgumentException(s"snapshot table $table does not exist"))
+    val dirs = versionDataDirs(table, cur)
+    val base = manifestSchema(table, cur) match {
+      case Some(st) => spark.read.schema(st).parquet(dirs: _*)
+      case None => spark.read.parquet(dirs: _*)
+    }
+    val tok = java.util.UUID.randomUUID().toString.take(8)
+    val dname = f"dv${cur + 1}%05d-$tok"
+    base.filter(predicate)
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("row_index"))
+      .write.mode("errorifexists").parquet(dataDir(table, dname).toString)
+    while (true) {
+      val c = currentVersion(table).get
+      val lines = referencedLines(table, c) :+ (DvPrefix + dname)
+      if (tryClaim(table, c + 1, lines, manifestSchema(table, c))) {
+        advancePointer(table, c + 1)
+        return c + 1
+      }
+      // lost the claim race: re-aim against the advanced version. The
+      // tombstones address immutable (file, position) pairs, so they
+      // stay valid as long as the raced commit carried the files
+      // forward; an overwrite/compact landing in between retires the
+      // files AND the vectors together, and the anti-join of a stale
+      // vector against absent files is a no-op, never corruption.
+    }
+    -1 // unreachable
+  }
 
   /** Committed version of an overwrite — exposed for callers that want the
     * version number (e.g. to record in scan metadata, S7).
@@ -399,9 +500,9 @@ final class SnapshotTableStore(root: String) extends TableStore {
     */
   def vacuum(table: String, keepFrom: Int): Unit = {
     val keep = versions(table).filter(_ >= keepFrom)
-      .flatMap(manifestDirs(table, _)).toSet
+      .flatMap(referencedDirs(table, _)).toSet
     val dropVs = versions(table).filter(_ < keepFrom)
-    val drop = dropVs.flatMap(manifestDirs(table, _)).toSet -- keep
+    val drop = dropVs.flatMap(referencedDirs(table, _)).toSet -- keep
     drop.foreach(d => deleteRecursively(dataDir(table, d)))
     dropVs.foreach(v => Files.deleteIfExists(manifestPath(table, v)))
   }
@@ -416,7 +517,7 @@ final class SnapshotTableStore(root: String) extends TableStore {
   def vacuumOrphans(table: String, olderThanMillis: Long): Unit = {
     val dd = tableDir(table).resolve("data")
     if (!Files.isDirectory(dd)) return
-    val referenced = versions(table).flatMap(manifestDirs(table, _)).toSet
+    val referenced = versions(table).flatMap(referencedDirs(table, _)).toSet
     val cutoff = System.currentTimeMillis() - olderThanMillis
     val orphans = Using.resource(Files.list(dd)) { ls =>
       ls.iterator().asScala

@@ -320,4 +320,53 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(us.manifestSchema("r", 2).get.fieldNames.toSeq ==
       Seq("id", "v", "scanned_at"))
   }
+
+  test("deleteWhere tombstones rows without rewriting any content file") {
+    import org.apache.spark.sql.functions.col
+    val (_, store) = freshStore()
+    store.overwrite((1L to 20L).map(i => (i, s"v$i"))
+      .toDF("id", "v").repartition(3), "t")
+    val v2 = store.deleteWhere(spark, "t", col("id") % 5 === 0)
+    assert(v2 == 2 && store.deletionVectors("t", 2) == 1)
+    // merge-on-read: content dirs are byte-identical to v1's
+    assert(store.versionDataDirs("t", 2) == store.versionDataDirs("t", 1))
+    assert(store.read(spark, "t").select("id").as[Long].collect().toSet ==
+      (1L to 20L).filter(_ % 5 != 0).toSet)
+    // time travel to v1 still sees the deleted rows
+    assert(store.readVersion(spark, "t", 1).count() == 20)
+  }
+
+  test("appends carry deletion vectors forward; deleted rows stay deleted") {
+    import org.apache.spark.sql.functions.col
+    val (_, store) = freshStore()
+    store.overwrite((1L to 10L).map(i => (i, "x")).toDF("id", "v"), "t")
+    store.deleteWhere(spark, "t", col("id") <= 3)
+    store.append(Seq((100L, "new")).toDF("id", "v"), "t")
+    assert(store.deletionVectors("t", 3) == 1)
+    assert(store.read(spark, "t").select("id").as[Long].collect().toSet ==
+      ((4L to 10L).toSet + 100L))
+    // idempotent tagged append keeps them too
+    store.appendIdempotent(Seq((200L, "tag")).toDF("id", "v"), "t", "b1")
+    assert(store.deletionVectors("t", 4) == 1)
+    assert(!store.read(spark, "t").select("id").as[Long]
+      .collect().toSet.contains(1L))
+  }
+
+  test("stacked deletes compose; compact materializes and retires vectors") {
+    import org.apache.spark.sql.functions.col
+    val (_, store) = freshStore()
+    store.overwrite((1L to 12L).map(i => (i, "x")).toDF("id", "v"), "t")
+    store.deleteWhere(spark, "t", col("id") % 2 === 0)
+    store.deleteWhere(spark, "t", col("id") % 3 === 0) // overlaps id=6,12: no-op twice
+    assert(store.deletionVectors("t", 3) == 2)
+    val live = Set(1L, 5L, 7L, 11L)
+    assert(store.read(spark, "t").select("id").as[Long].collect().toSet == live)
+    val v4 = store.compact(spark, "t").get
+    assert(store.deletionVectors("t", v4) == 0)
+    assert(store.readVersion(spark, "t", v4).select("id").as[Long]
+      .collect().toSet == live)
+    // vacuum keeps DV dirs of retained versions, drops the retired chain
+    store.vacuum("t", keepFrom = v4)
+    assert(store.readVersion(spark, "t", v4).count() == 4)
+  }
 }
