@@ -1766,6 +1766,26 @@ object PipelineQueries {
       |SELECT doc_id, n_chars, cum, step FROM c, s
       |WHERE cum // step > (cum - n_chars) // step""".stripMargin
 
+  /** T38: contiguous global example index ([[Sampling.globalIndex]]) —
+    * 0..N-1 ids in total (lang, doc_id) order with a lang shard (order-
+    * consistent by construction), assigned via the hierarchical
+    * shard-cumsum instead of the unpartitioned window that would
+    * collapse 100 TB onto one task. The oracle IS that single global
+    * window — per-shard positions + shard offsets must reproduce it
+    * exactly, row for row.
+    */
+  val t38GlobalIndex: Q = (s, d) =>
+    Sampling.globalIndex(
+      t(s, d, "documents").select("doc_id", "lang", "n_chars"),
+      shardCol = col("lang"),
+      orderCols = Seq(col("lang"), col("doc_id")))
+      .select(col("doc_id"), col("lang"), col("idx"))
+  val t38Oracle =
+    """SELECT doc_id, lang,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY lang, doc_id) - 1 AS BIGINT)
+      |    AS idx
+      |FROM documents""".stripMargin
+
   /** M6: perceptual-hash image dedup ([[Multimodal.dHash64]]) — the
     * multimodal×dedup bridge: byte-distinct gradient PNGs that differ
     * only in exposure (`id div 64` brightness offsets on the same
@@ -3748,6 +3768,7 @@ object PipelineQueries {
     "q_s15_hard_negatives" -> s15HardNegatives,
     "q_t30_luhn_pii" -> t30LuhnPii,
     "q_t31_weighted_sample" -> t31WeightedSample,
+    "q_t38_global_index" -> t38GlobalIndex,
     "q_m6_phash_dedup" -> m6PhashDedup,
     "q_r3_phrase_search" -> r3PhraseSearch,
     "q_r4_retrieval_pipeline" -> r4RetrievalPipeline,
@@ -3831,6 +3852,7 @@ object PipelineQueries {
     "q_s15_hard_negatives" -> s15Oracle,
     "q_t30_luhn_pii" -> t30Oracle,
     "q_t31_weighted_sample" -> t31Oracle,
+    "q_t38_global_index" -> t38Oracle,
     "q_m6_phash_dedup" -> m6Oracle,
     "q_r3_phrase_search" -> r3Oracle,
     "q_r4_retrieval_pipeline" -> r4Oracle,

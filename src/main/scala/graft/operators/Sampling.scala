@@ -250,6 +250,40 @@ object Sampling {
       .drop("_h", "_shard", "_w", "_off")
   }
 
+  /** Contiguous global row index 0..N-1 in total (`shardCol`,
+    * `orderCols`) order — the sample-index assignment a training
+    * pipeline needs (shard manifests, resumable loaders, deterministic
+    * example ids) — WITHOUT the classic scale killer: `row_number()`
+    * over an unpartitioned window collapses 100 TB onto one task. Same
+    * hierarchical two-pass shape as [[weightedSystematic]]: per-shard
+    * counts (one partial-agg shuffle to a bounded shard frame), shard
+    * offsets via a window over THAT frame, broadcast back, per-shard
+    * `row_number`. `shardCol` must be order-consistent with the total
+    * order (every row of a lesser shard sorts before every row of a
+    * greater one — an id range bucket, a date, a source prefix); per-
+    * shard positions + lexicographic shard offsets then equal the one
+    * global order, which is exactly what a single-window oracle
+    * replays.
+    */
+  def globalIndex(df: DataFrame, shardCol: Column,
+      orderCols: Seq[Column], outCol: String = "idx"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(orderCols.nonEmpty, "globalIndex needs at least one order column")
+    requireFreshColumns(df, Seq(outCol, "_shard", "_n", "_off", "_ln"))
+    val h = df.withColumn("_shard", shardCol)
+    val totals = h.groupBy("_shard").agg(count(lit(1)).as("_n"))
+    val wOff = Window.orderBy("_shard")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    // bounded shard frame: the offset window is driver-scale
+    val offsets = totals.withColumn("_off",
+      coalesce(sum("_n").over(wOff), lit(0L)))
+    val wLocal = Window.partitionBy("_shard").orderBy(orderCols: _*)
+    h.join(broadcast(offsets.select(col("_shard"), col("_off"))), "_shard")
+      .withColumn("_ln", row_number().over(wLocal).cast("bigint"))
+      .withColumn(outCol, col("_off") + col("_ln") - 1)
+      .drop("_shard", "_n", "_off", "_ln")
+  }
+
   def interleave(df: DataFrame, keyCol: String, seed: String,
       prefixChars: Int = 2): DataFrame = {
     require(prefixChars >= 1 && prefixChars <= 8,

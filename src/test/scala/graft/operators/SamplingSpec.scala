@@ -263,4 +263,36 @@ class SamplingSpec extends SparkSpec {
       Sampling.epochPlan(df, "src", "n", Map("a" -> 1L), 10L)
     }
   }
+
+  test("globalIndex: contiguous 0..N-1 in total order, skewed shards") {
+    import org.apache.spark.sql.expressions.Window
+    // skewed shard sizes (1, 7, 2) and shuffled input order
+    val rows = Seq(("c", 30L), ("a", 5L), ("b", 12L), ("b", 11L),
+      ("b", 16L), ("b", 13L), ("b", 14L), ("b", 15L), ("b", 10L),
+      ("c", 31L))
+    val df = rows.toDF("grp", "id").repartition(4)
+    val out = Sampling.globalIndex(df, col("grp"),
+      Seq(col("grp"), col("id")))
+    val got = out.select("grp", "id", "idx")
+      .as[(String, Long, Long)].collect().sortBy(_._3)
+    val expected = rows.sortBy(r => (r._1, r._2)).zipWithIndex
+      .map { case ((g, i), ix) => (g, i, ix.toLong) }
+    assert(got.toSeq == expected)
+    // agrees with the single-window reference on a larger frame
+    val big = (1L to 500L).map(i => (s"s${i % 7}", i)).toDF("grp", "id")
+    val ref = big.withColumn("ridx",
+      row_number().over(Window.orderBy(col("grp"), col("id"))).cast("long") - 1)
+    val mismatch = Sampling.globalIndex(big, col("grp"),
+        Seq(col("grp"), col("id")))
+      .join(ref, Seq("grp", "id"))
+      .filter(col("idx") =!= col("ridx")).count()
+    assert(mismatch == 0)
+  }
+
+  test("globalIndex: output column collision fails loudly") {
+    val df = Seq((1L, 2L)).toDF("idx", "id")
+    intercept[IllegalArgumentException] {
+      Sampling.globalIndex(df, col("id"), Seq(col("id")))
+    }
+  }
 }
