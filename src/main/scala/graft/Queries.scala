@@ -2765,6 +2765,41 @@ object Queries {
       |  CAST(10 AS BIGINT), FALSE
       |UNION ALL SELECT NULL, 'broken row', 'yy', 'bad', NULL, TRUE""".stripMargin
 
+  /** IO4: ORC corpus interchange ([[sources.JsonlCorpus.writeOrc]] /
+    * `readOrc`) — the columnar twin of IO1/IO3. ORC is self-describing,
+    * so the quarantine contract doesn't apply; the 100 TB property to
+    * pin instead is scan economics: the round-tripped read must push the
+    * `n_chars` predicate into the ORC scan (stripe/row-group index
+    * skipping) and prune to the 2 projected-plus-filter columns. Both
+    * are emitted as plan facts (`pushed`, `pruned_schema`) the oracle
+    * pins TRUE next to the hash-checked filtered rows.
+    */
+  val io4OrcRoundtrip: Q = (s, d) => {
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft-orc-qio4", math.abs(d.hashCode).toString)
+    if (java.nio.file.Files.exists(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+    val docs = t(s, d, "documents")
+    sources.JsonlCorpus.writeOrc(docs, root.toString, "doc_id", shards = 4)
+    val back = sources.JsonlCorpus.readOrc(s, root.toString, docs.schema)
+      .filter(col("n_chars") > 400)
+      .select("doc_id", "lang", "n_chars")
+    val plan = back.queryExecution.executedPlan.toString
+    val pushed = plan.contains("PushedFilters: [IsNotNull(n_chars), " +
+      "GreaterThan(n_chars,400)]")
+    val pruned = plan.contains("ReadSchema: " +
+      "struct<doc_id:bigint,lang:string,n_chars:bigint>")
+    back.withColumn("pushed", lit(pushed))
+      .withColumn("pruned_schema", lit(pruned))
+  }
+  val io4Oracle: String =
+    """SELECT doc_id, lang, n_chars, TRUE AS pushed, TRUE AS pruned_schema
+      |FROM documents WHERE n_chars > 400""".stripMargin
+
   /** L7: dynamic partition pruning — the runtime twin of L2's static
     * skipping: the events fact table is laid out partitioned by
     * event_type, the dimension side selects ONE type at runtime through
@@ -3554,6 +3589,7 @@ object Queries {
     "q_l7_dynamic_pruning" -> l7DynamicPruning,
     "q_l8_bucketed_join" -> l8BucketedJoin,
     "q_v9_deletion_vectors" -> v9DeletionVectors,
+    "q_io4_orc_roundtrip" -> io4OrcRoundtrip,
     "q_l6_bloom_skipping" -> l6BloomSkipping,
     "q_a7_top_resources" -> a7TopResources,
     "q_e16_anomalies" -> e16Anomalies,
@@ -3664,6 +3700,7 @@ object Queries {
     "q_l7_dynamic_pruning" -> l7Oracle,
     "q_l8_bucketed_join" -> l8Oracle,
     "q_v9_deletion_vectors" -> v9Oracle,
+    "q_io4_orc_roundtrip" -> io4Oracle,
     "q_a7_top_resources" -> a7Oracle,
     "q_e16_anomalies" -> e16Oracle,
     "q_g2_reach" -> g2Oracle,

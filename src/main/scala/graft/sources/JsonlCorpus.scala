@@ -76,4 +76,23 @@ object JsonlCorpus {
       .option("columnNameOfCorruptRecord", corruptCol)
       .csv(path)
   }
+
+  /** ORC twin — the columnar interchange beside parquet (Hive-lineage
+    * warehouses ship ORC). Self-describing binary, so the quarantine
+    * contract of the text formats doesn't apply; what matters at 100 TB
+    * is that ORC keeps the SAME scan economics as parquet — column
+    * pruning and predicate pushdown into stripe/row-group indexes —
+    * which the IO4 driver query pins as a plan fact.
+    */
+  def writeOrc(df: DataFrame, path: String, shardBy: String,
+      shards: Int): Unit = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    df.repartition(shards, col(shardBy))
+      .sortWithinPartitions(shardBy)
+      .write.mode("overwrite").orc(path)
+  }
+
+  def readOrc(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
 }
