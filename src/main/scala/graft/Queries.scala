@@ -2092,6 +2092,101 @@ object Queries {
       |  AND p.user_id = c.user_id
       |  AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts""".stripMargin
 
+  /** ST11: stream-stream LEFT OUTER interval join — ST5's attribution
+    * with the OUTER streaming contract: a purchase with no click in its
+    * 30-minute lookback emits once, null-padded, only when the
+    * watermark CLOSES its state. Near the end of a bounded replay that
+    * boundary is hostage to the join's conservative state-watermark
+    * solver (lefts hold for an extra lookback past provable
+    * unmatchability — measured, batch-cadence-dependent), so the query
+    * uses the production pattern that makes the tail deterministic
+    * instead of pinning solver internals: a WATERMARK SENTINEL. A
+    * far-future (+2 h) purchase+click pair for an out-of-domain user
+    * rides in a sidecar file; it drives the final watermark past every
+    * real purchase's eviction bound, so ALL real unmatched lefts flush
+    * null-padded, the sentinel pair matches itself (never a null row),
+    * and the filtered result equals the plain batch LEFT interval join
+    * — exactly what the oracle replays. A join that silently turned
+    * inner loses every null row; one that ignored the watermark gate
+    * could not have emitted them at all.
+    */
+  val st11OuterJoin: Q = (s, d) => {
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft-st11", math.abs(d.hashCode).toString)
+    val raw = s.read.parquet(s"$d/events.parquet")
+    if (!java.nio.file.Files.exists(root.resolve("_READY"))) {
+      if (java.nio.file.Files.exists(root)) {
+        val walk = java.nio.file.Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+      java.nio.file.Files.createDirectories(root.resolve("stream"))
+      java.nio.file.Files.createSymbolicLink(
+        root.resolve("stream/events.parquet"),
+        java.nio.file.Paths.get(d, "events.parquet").toAbsolutePath)
+      // sentinel pair: same RAW schema (ts may be nanos-long or
+      // timestamp depending on the fixture generation — shift in-type),
+      // out-of-domain user, one purchase + one click 2 h past max ts
+      val twoHours = expr("INTERVAL 2 HOURS")
+      val shift = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          (c: org.apache.spark.sql.Column) => c + lit(7200L * 1000000000L)
+        case _ => (c: org.apache.spark.sql.Column) => c + twoHours
+      }
+      val maxRow = raw.orderBy(col("ts").desc, col("event_id").desc).limit(1)
+      val sentinel = Seq("purchase", "click").map(et =>
+        maxRow.withColumn("ts", shift(col("ts")))
+          .withColumn("event_type", lit(et))
+          .withColumn("user_id", lit(-1L))
+          .withColumn("event_id", lit(if (et == "purchase") -1L else -2L)))
+        .reduce(_ unionByName _)
+      val tmpOut = root.resolve("tmp-sentinel")
+      sentinel.coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
+      val part = {
+        val ls = java.nio.file.Files.list(tmpOut)
+        try ls.filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        finally ls.close()
+      }
+      java.nio.file.Files.move(part, root.resolve("stream/sentinel.parquet"))
+      val walk2 = java.nio.file.Files.walk(tmpOut)
+      try walk2.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk2.close()
+      java.nio.file.Files.writeString(root.resolve("_READY"), "ok")
+    }
+    val stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(root.resolve("stream").toString)
+    val ev = Tables.normalizeTimestamps(stream, nanosLongCols = Set("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val joined = graft.streaming.StreamJoin.intervalJoin(
+      purchases, clicks, "user_id", "ts",
+      lookback = "30 minutes", watermarkDelay = "10 minutes",
+      joinType = "leftOuter")
+    graft.streaming.Replay.availableNow(joined)
+      .filter(col("l_user_id") =!= -1L) // drop the sentinel self-match
+      .select(col("l_event_id").as("purchase_id"),
+        col("r_event_id").as("click_id"),
+        col("l_user_id").as("user_id"),
+        (col("l_ts").cast("long") - col("r_ts").cast("long"))
+          .as("gap_seconds"))
+  }
+  val st11Oracle =
+    """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+      |  p.user_id,
+      |  CAST(epoch_us(p.ts) // 1000000 - epoch_us(c.ts) // 1000000
+      |       AS BIGINT) AS gap_seconds
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      |  AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts"""
+      .stripMargin
+
   /** ST9: stream-static enrichment ([[graft.streaming.StreamJoin
     * .staticEnrich]]) — the stateless broadcast LEFT join of the event
     * stream against the customer dimension, composed in front of the
@@ -3650,6 +3745,7 @@ object Queries {
     "q_st1_sessionize" -> st1Sessionize,
     "q_st4_windowed_agg" -> st4WindowedAgg,
     "q_st5_stream_join" -> st5StreamJoin,
+    "q_st11_outer_join" -> st11OuterJoin,
     "q_st9_stream_enrich" -> st9StreamEnrich,
     "q_st6_exactly_once" -> st6ExactlyOnce,
     "q_st7_hopping_agg" -> st7HoppingAgg,
@@ -3717,6 +3813,7 @@ object Queries {
     "q_st1_sessionize" -> st1Oracle,
     "q_st4_windowed_agg" -> st4Oracle,
     "q_st5_stream_join" -> st5Oracle,
+    "q_st11_outer_join" -> st11Oracle,
     "q_st9_stream_enrich" -> st9Oracle,
     "q_st6_exactly_once" -> st6Oracle,
     "q_st7_hopping_agg" -> st7Oracle,

@@ -56,8 +56,20 @@ object StreamJoin {
       dimKey: String): DataFrame =
     stream.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
 
+  /** `joinType = "leftOuter"` adds the OUTER streaming contract: a left
+    * row with no match emits ONCE, null-padded, when the watermark
+    * proves no future right row can still join it (here: once
+    * `wm > l.ts`, since admissible partners satisfy `r.ts <= l.ts` and
+    * rights at or below the watermark are closed). Inner matches still
+    * emit in the batch they form; only the null emission waits on the
+    * watermark — which is why the AvailableNow replay of a bounded
+    * fixture emits exactly (batch inner join) ∪ (unmatched lefts with
+    * ts ≤ final watermark), and lefts above the final watermark are
+    * still open state, emitted by neither engine.
+    */
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
-      tsCol: String, lookback: String, watermarkDelay: String): DataFrame = {
+      tsCol: String, lookback: String, watermarkDelay: String,
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(tsCol, watermarkDelay)
       .select(left.columns.map(c => col(c).as(s"l_$c")).toIndexedSeq: _*)
     val r = right.withWatermark(tsCol, watermarkDelay)
@@ -65,6 +77,7 @@ object StreamJoin {
     l.join(r,
       col(s"l_$keyCol") === col(s"r_$keyCol") &&
         col(s"r_$tsCol") >= col(s"l_$tsCol") - expr(s"INTERVAL $lookback") &&
-        col(s"r_$tsCol") <= col(s"l_$tsCol"))
+        col(s"r_$tsCol") <= col(s"l_$tsCol"),
+      joinType)
   }
 }
