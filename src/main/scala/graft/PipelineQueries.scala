@@ -2772,6 +2772,33 @@ object PipelineQueries {
       |      ORDER BY cosine_sim DESC, id) AS rank
       |  FROM sc) z WHERE rank <= 10""".stripMargin
 
+  /** S22: Johnson–Lindenstrauss random projection
+    * ([[Similarity.randomProjection]]) — 64 → 8 dims via the Achlioptas
+    * ±1 construction, the distance-preserving shrink that cuts vector
+    * shuffle bytes 8× in front of exact re-ranking. The sign matrix is
+    * derived from md5("jl:j:d") hex parity, so the oracle REGENERATES
+    * the matrix from the same formula and replays every projected
+    * component (6dp, matching the s2 cosine discipline) — a wrong sign,
+    * a dropped dimension, or a scale slip shifts values and fails the
+    * hash compare.
+    */
+  val s22RandomProjection: Q = (s, d) =>
+    Similarity.randomProjection(
+      t(s, d, "embeddings").select("vec_id", "embedding"),
+      "embedding", k = 8, dim = 64, seed = "jl")
+      .select(col("vec_id"), posexplode(col("rp")).as(Seq("j", "v")))
+      .select(col("vec_id"), col("j").cast("bigint").as("j"),
+        round(col("v"), 6).as("value"))
+  val s22Oracle: String =
+    """SELECT vec_id, CAST(js.j AS BIGINT) AS j,
+      |  ROUND(list_sum(list_transform(range(1, 65), d ->
+      |    CAST(embedding[d] AS DOUBLE) *
+      |    (CASE WHEN strpos('01234567',
+      |            substr(md5('jl:' || js.j || ':' || (d - 1)), 1, 1)) > 0
+      |          THEN 1.0 ELSE -1.0 END))) / sqrt(8.0), 6) AS value
+      |FROM embeddings
+      |CROSS JOIN (SELECT unnest(range(0, 8)) AS j) js""".stripMargin
+
   /** S20: two-stage truncated-prefix retrieval
     * ([[Similarity.truncatedRerank]]) — coarse cosine over the first 16
     * of 64 dims (the Matryoshka serving pattern: the coarse scan reads a
@@ -3792,6 +3819,7 @@ object PipelineQueries {
     "q_m5_video_frames" -> m5VideoFrames,
     "q_s1_topk_bruteforce" -> s1TopKBruteForce,
     "q_s20_truncated_rerank" -> s20TruncatedRerank,
+    "q_s22_random_projection" -> s22RandomProjection,
     "q_s2_cosine_pairs" -> s2CosinePairs,
     "q_s3_lsh_topk" -> s3LshTopK,
     "q_s4_ivf_topk" -> s4IvfTopK,
@@ -3876,6 +3904,7 @@ object PipelineQueries {
     "q_m5_video_frames" -> m5Oracle,
     "q_s1_topk_bruteforce" -> s1Oracle,
     "q_s20_truncated_rerank" -> s20Oracle,
+    "q_s22_random_projection" -> s22Oracle,
     "q_s2_cosine_pairs" -> s2Oracle,
     "q_d4_minhash_neardup" -> d4Oracle,
     "q_d5_simhash_neardup" -> d5Oracle,

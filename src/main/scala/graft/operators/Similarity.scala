@@ -105,6 +105,46 @@ object Similarity {
     * is a window per query_id (k small ⇒ TakeOrdered semantics).
     * Deterministic tie-break on id.
     */
+  /** Deterministic ±1 sign matrix for [[randomProjection]]: sign(j,d) =
+    * +1 iff the first hex digit of md5("seed:j:d") is 0–7 (the digit's
+    * high bit). md5 of a short ASCII string is engine-portable, so a
+    * DuckDB oracle regenerates the SAME matrix from the same formula —
+    * no shipped state, no RNG.
+    */
+  def jlSigns(k: Int, dim: Int, seed: String): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(k, dim) { (j, d) =>
+      val h = md.digest(s"$seed:$j:$d".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0x8) == 0) 1.0 else -1.0
+    }
+  }
+
+  /** Johnson–Lindenstrauss random projection of `vecCol`
+    * (`array<float>`, `dim` wide) down to `k` dimensions using the
+    * Achlioptas ±1 sign construction, scaled 1/√k: pairwise distances
+    * are preserved within (1±ε) for k = O(log n / ε²), which makes the
+    * projected column the cheap pre-filter in front of exact-distance
+    * re-ranking ([[truncatedRerank]]'s data-free twin) and shrinks
+    * shuffle bytes by dim/k everywhere a pipeline moves vectors. The
+    * sign matrix rides as a codegen LITERAL (k·dim doubles — driver
+    * bytes, never a join side), each output is one `zip_with` +
+    * left-fold `aggregate`, and the scan stays exchange-free: 100 TB of
+    * embeddings project in a single narrow pass.
+    */
+  def randomProjection(vectors: DataFrame, vecCol: String, k: Int,
+      dim: Int, seed: String, outCol: String = "rp"): DataFrame = {
+    require(k >= 1 && dim >= 1, s"bad shape k=$k dim=$dim")
+    val signs = jlSigns(k, dim, seed)
+    val scale = math.sqrt(k.toDouble)
+    val comps = (0 until k).map { j =>
+      aggregate(
+        zip_with(col(vecCol), lit(signs(j)),
+          (x, s) => x.cast("double") * s),
+        lit(0.0), (acc, x) => acc + x) / scale
+    }
+    vectors.withColumn(outCol, array(comps: _*))
+  }
+
   def bruteForceTopK(vectors: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

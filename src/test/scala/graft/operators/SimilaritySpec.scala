@@ -475,4 +475,39 @@ class SimilaritySpec extends SparkSpec {
     // -> codes 0 and 255; integer L2 = 2 * 255^2
     assert(out(1).getLong(3) == 2L * 255 * 255)
   }
+
+  test("randomProjection preserves pairwise distances within JL tolerance") {
+    val dim = 64; val k = 16
+    // deterministic pseudo-random unit-ish vectors
+    def vec(i: Int): Array[Float] = Array.tabulate(dim)(d =>
+      (math.sin(i * 131 + d * 17).toFloat * 0.3f))
+    val df = (0 until 40).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    val proj = Similarity.randomProjection(df, "embedding", k, dim, "jl")
+      .select($"vec_id", $"rp").as[(Long, Array[Double])].collect().toMap
+    val orig = (0 until 40).map(i => i.toLong -> vec(i)).toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ratios = for (i <- 0L until 40L; j <- (i + 1) until 40L) yield {
+      val od = d2(orig(i).map(_.toDouble), orig(j).map(_.toDouble))
+      d2(proj(i), proj(j)) / od
+    }
+    // E[ratio] = 1 under the ±1/sqrt(k) construction; individual pairs
+    // fluctuate, the mean concentrates
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.7 && mean < 1.3, s"JL mean distance ratio $mean")
+    assert(ratios.forall(r => r > 0.15 && r < 3.5),
+      s"JL tail out of range: ${ratios.min} .. ${ratios.max}")
+  }
+
+  test("jlSigns is deterministic and balanced") {
+    val a = Similarity.jlSigns(8, 64, "jl")
+    val b = Similarity.jlSigns(8, 64, "jl")
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    val plus = a.flatten.count(_ > 0)
+    assert(plus > 180 && plus < 330, s"sign balance off: +$plus of 512")
+    // different seed -> different matrix
+    assert(Similarity.jlSigns(8, 64, "other").map(_.toSeq).toSeq !=
+      a.map(_.toSeq).toSeq)
+  }
 }
