@@ -3634,6 +3634,82 @@ object PipelineQueries {
        |  AND sp.hamming <= 3 AND sp.id_a < sp.id_b
        |  AND (SELECT complete FROM ok)""".stripMargin
 
+  /** Q1: declarative data-quality expectations
+    * ([[Expectations]]) — the EXPECT/quarantine surface in front of a
+    * 100 TB ingest: three named rules (NULL = failure), per-rule
+    * pass/fail metrics from ONE partial-aggregated scan, the
+    * valid/quarantined split from the same annotated scan, and the
+    * violated-rule-combination breakdown from the quarantine's
+    * `_failed` array. All four frames ride in one emitted result
+    * (rule-typed rows); the oracle replays every row class — a flipped
+    * NULL verdict, a lost quarantine row, or a wrong combo label all
+    * fail the hash compare.
+    */
+  val q1Expectations: Q = (s, d) => {
+    import Expectations.Rule
+    val docs = t(s, d, "documents")
+    val rules = Seq(
+      Rule("western_lang", col("lang").isin("en", "de", "fr", "es")),
+      Rule("short_text", col("n_chars") <= 300),
+      Rule("text_nonempty", length(col("text")) > 0))
+    val m = Expectations.metrics(docs, rules)
+    val (valid, quar) = Expectations.split(docs, rules)
+    val totals = valid.agg(count(lit(1)).as("n_pass"))
+      .crossJoin(quar.agg(count(lit(1)).as("n_fail")))
+      .select(lit("_total").as("rule"), col("n_pass"), col("n_fail"),
+        (col("n_fail").cast("double") /
+          (col("n_pass") + col("n_fail")).cast("double")).as("fail_rate"))
+    val combos = quar
+      .groupBy(array_join(col("_failed"), "+").as("combo"))
+      .agg(count(lit(1)).as("n_fail"))
+      .select(concat(lit("combo:"), col("combo")).as("rule"),
+        lit(0L).as("n_pass"), col("n_fail"),
+        lit(null).cast("double").as("fail_rate"))
+    m.unionByName(totals).unionByName(combos)
+  }
+  val q1Oracle: String =
+    """WITH f AS (
+      |  SELECT COALESCE(lang IN ('en','de','fr','es'), FALSE) AS okw,
+      |         COALESCE(n_chars <= 300, FALSE) AS oks,
+      |         COALESCE(length(text) > 0, FALSE) AS okt
+      |  FROM documents),
+      |rules AS (
+      |  SELECT 'western_lang' AS rule,
+      |    CAST(SUM(CASE WHEN okw THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+      |    CAST(SUM(CASE WHEN okw THEN 0 ELSE 1 END) AS BIGINT) AS n_fail
+      |  FROM f
+      |  UNION ALL SELECT 'short_text',
+      |    CAST(SUM(CASE WHEN oks THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(SUM(CASE WHEN oks THEN 0 ELSE 1 END) AS BIGINT) FROM f
+      |  UNION ALL SELECT 'text_nonempty',
+      |    CAST(SUM(CASE WHEN okt THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(SUM(CASE WHEN okt THEN 0 ELSE 1 END) AS BIGINT) FROM f),
+      |tot AS (
+      |  SELECT '_total' AS rule,
+      |    CAST(SUM(CASE WHEN okw AND oks AND okt THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_pass,
+      |    CAST(SUM(CASE WHEN okw AND oks AND okt THEN 0 ELSE 1 END)
+      |      AS BIGINT) AS n_fail
+      |  FROM f),
+      |combos AS (
+      |  SELECT 'combo:' || array_to_string(list_filter([
+      |      CASE WHEN NOT okw THEN 'western_lang' END,
+      |      CASE WHEN NOT oks THEN 'short_text' END,
+      |      CASE WHEN NOT okt THEN 'text_nonempty' END],
+      |      x -> x IS NOT NULL), '+') AS rule,
+      |    CAST(0 AS BIGINT) AS n_pass,
+      |    CAST(COUNT(*) AS BIGINT) AS n_fail
+      |  FROM f WHERE NOT (okw AND oks AND okt) GROUP BY 1)
+      |SELECT rule, n_pass, n_fail,
+      |  CAST(n_fail AS DOUBLE) / CAST(n_pass + n_fail AS DOUBLE)
+      |    AS fail_rate
+      |FROM rules
+      |UNION ALL SELECT rule, n_pass, n_fail,
+      |  CAST(n_fail AS DOUBLE) / CAST(n_pass + n_fail AS DOUBLE)
+      |FROM tot
+      |UNION ALL SELECT rule, n_pass, n_fail, CAST(NULL AS DOUBLE)
+      |FROM combos""".stripMargin
+
   // ===== entity resolution =============================================
 
   /** Shared dirty-records fixture for entity resolution: the customer
@@ -3745,6 +3821,7 @@ object PipelineQueries {
   val all: Map[String, Q] = Map(
     "q_er1_entity_resolution" -> er1Resolve,
     "q_er2_golden_records" -> er2Golden,
+    "q_q1_expectations" -> q1Expectations,
     "q_d1_fingerprint" -> d1Fingerprint,
     "q_d2_dedup_exact" -> d2DedupExact,
     "q_d3_jaccard_pairs" -> d3JaccardPairs,
@@ -3848,6 +3925,7 @@ object PipelineQueries {
     "q_t6_split" -> t6Oracle,
     "q_er1_entity_resolution" -> er1Oracle,
     "q_er2_golden_records" -> er2Oracle,
+    "q_q1_expectations" -> q1Oracle,
     "q_t7_sample" -> t7Oracle,
     "q_t14_mixture" -> t14Oracle,
     "q_t15_interleave" -> t15Oracle,
