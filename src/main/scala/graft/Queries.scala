@@ -3011,6 +3011,55 @@ object Queries {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment""".stripMargin
 
+  /** V10: three-clause MERGE INTO ([[catalog.SnapshotTableStore
+    * .mergeInto]]) — one statement carrying UPDATE (every doc_id % 10 = 0
+    * gains 1000 chars), DELETE (`deleteWhen` = doc_id % 10 = 5), and
+    * INSERT (fresh negative ids) against the committed v1, as a single
+    * full-outer id-keyed classification committed transactionally. The
+    * oracle rebuilds the merged logical state relationally; the
+    * `time_travel_intact` fact pins that v1 still reads pre-merge.
+    */
+  val v10MergeInto: Q = (s, d) => {
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft-snap-qv10", math.abs(d.hashCode).toString)
+    if (java.nio.file.Files.exists(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+    val store = new graft.catalog.SnapshotTableStore(root.toString)
+    val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+    store.overwrite(docs, "docs") // v1
+    val updates = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("n_chars", col("n_chars") + 1000)
+    val deletes = docs.filter(col("doc_id") % 10 === 5)
+    val inserts = docs.filter(col("doc_id") < 40)
+      .select((-col("doc_id") - 1).as("doc_id"), col("lang"),
+        (col("n_chars") + 7).as("n_chars"))
+    val source = updates.unionByName(deletes).unionByName(inserts)
+    store.mergeInto(s, "docs", source, "doc_id",
+      deleteWhen = Some(col("doc_id") % 10 === 5))
+    val ttIntact = store.readVersion(s, "docs", 1).count() == docs.count()
+    store.read(s, "docs").groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum("n_chars").cast("bigint").as("sum_chars"))
+      .withColumn("time_travel_intact", lit(ttIntact))
+  }
+  val v10Oracle: String =
+    """WITH merged AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000 ELSE n_chars END
+      |      AS n_chars
+      |  FROM documents WHERE doc_id % 10 <> 5
+      |  UNION ALL
+      |  SELECT -doc_id - 1, lang, n_chars + 7 FROM documents
+      |  WHERE doc_id < 40)
+      |SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT)
+      |    AS sum_chars,
+      |  TRUE AS time_travel_intact
+      |FROM merged GROUP BY lang""".stripMargin
+
   /** V8: schema-drift report between snapshot versions — the governance
     * view over [[catalog.SnapshotTableStore.manifestSchema]]: commit a
     * 3-column version, evolve with a 4th column, and emit the
@@ -3684,6 +3733,7 @@ object Queries {
     "q_l7_dynamic_pruning" -> l7DynamicPruning,
     "q_l8_bucketed_join" -> l8BucketedJoin,
     "q_v9_deletion_vectors" -> v9DeletionVectors,
+    "q_v10_merge_into" -> v10MergeInto,
     "q_io4_orc_roundtrip" -> io4OrcRoundtrip,
     "q_l6_bloom_skipping" -> l6BloomSkipping,
     "q_a7_top_resources" -> a7TopResources,
@@ -3796,6 +3846,7 @@ object Queries {
     "q_l7_dynamic_pruning" -> l7Oracle,
     "q_l8_bucketed_join" -> l8Oracle,
     "q_v9_deletion_vectors" -> v9Oracle,
+    "q_v10_merge_into" -> v10Oracle,
     "q_io4_orc_roundtrip" -> io4Oracle,
     "q_a7_top_resources" -> a7Oracle,
     "q_e16_anomalies" -> e16Oracle,

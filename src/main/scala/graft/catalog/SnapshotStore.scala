@@ -415,6 +415,54 @@ final class SnapshotTableStore(root: String) extends TableStore {
     */
   def commitOverwrite(df: DataFrame, table: String): Int = commit(df, table, carryForward = false)
 
+  /** Three-clause MERGE INTO (the Delta/Iceberg upsert verb):
+    *
+    * {{{
+    *   MERGE INTO <table> USING source ON table.key = source.key
+    *   WHEN MATCHED AND deleteWhen THEN DELETE
+    *   WHEN MATCHED THEN UPDATE SET * (source row wins)
+    *   WHEN NOT MATCHED THEN INSERT *
+    * }}}
+    *
+    * `deleteWhen` is evaluated against the SOURCE row's columns.
+    * Implementation is one full-outer id-keyed join classifying every
+    * row (insert / update / delete / carry), committed as a new version
+    * — the read-modify-write is race-safe for the same reason as
+    * [[upsertLoad]] (reads version n's immutable files, writes a fresh
+    * dir). This is the full-rewrite merge; at 100 TB pair it with
+    * partition-scoped sources (merge one day's partition, not the
+    * table) or use [[deleteWhere]]'s vectors for pure deletes. Requires
+    * `source` to carry exactly the target's columns. Returns the
+    * committed version.
+    */
+  def mergeInto(spark: SparkSession, table: String, source: DataFrame,
+      keyCol: String,
+      deleteWhen: Option[org.apache.spark.sql.Column] = None): Int = {
+    import org.apache.spark.sql.functions.{col, lit, coalesce, when}
+    val target = read(spark, table)
+    require(source.columns.sorted.sameElements(target.columns.sorted),
+      s"mergeInto: source columns ${source.columns.mkString(",")} != " +
+        s"target columns ${target.columns.mkString(",")}")
+    val cols = target.columns.toSeq
+    val s = source
+      .withColumn("_del", deleteWhen.getOrElse(lit(false)))
+      .select((col(keyCol).as("_sk") +: col("_del") +:
+        cols.map(c => col(c).as(s"_s_$c"))): _*)
+    val joined = target.join(s, col(keyCol) === col("_sk"), "full_outer")
+    val merged = joined
+      // WHEN MATCHED AND deleteWhen THEN DELETE (also drops a
+      // source-only row flagged for delete — deleting a non-existent
+      // key is a no-op, the MERGE contract)
+      .filter(!coalesce(col("_del"), lit(false)))
+      // source row wins whole (UPDATE SET * / INSERT *) — keyed on the
+      // source's presence, NOT value-coalesce, so a legitimately NULL
+      // source value updates to NULL instead of resurrecting the old one
+      .select(cols.map(c =>
+        when(col("_sk").isNotNull, col(s"_s_$c")).otherwise(col(c))
+          .as(c)): _*)
+    commitOverwrite(merged, table)
+  }
+
   /** S6 transactional upsert load: merge `incoming` into the current
     * snapshot with first-write-wins semantics
     * ([[ResourceCatalog.upsertResources]], graph_loader.go:189-216) and

@@ -369,4 +369,33 @@ class SnapshotStoreSpec extends SparkSpec {
     store.vacuum("t", keepFrom = v4)
     assert(store.readVersion(spark, "t", v4).count() == 4)
   }
+
+  test("mergeInto: update + delete + insert in one statement") {
+    import org.apache.spark.sql.functions.col
+    val (_, store) = freshStore()
+    store.overwrite(Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("id", "v", "n"), "t")
+    val source = Seq(
+      (2L, "b2", 200L),              // matched -> update (source wins)
+      (3L, "c", 30L),                // matched + deleteWhen -> delete
+      (9L, "new", 90L)               // not matched -> insert
+    ).toDF("id", "v", "n")
+    val v2 = store.mergeInto(spark, "t", source, "id",
+      deleteWhen = Some(col("id") === 3L))
+    assert(v2 == 2)
+    assert(store.read(spark, "t").as[(Long, String, Long)].collect().toSet ==
+      Set((1L, "a", 10L), (2L, "b2", 200L), (9L, "new", 90L)))
+    // v1 still time-travels
+    assert(store.readVersion(spark, "t", 1).count() == 3)
+    // a NULL source value UPDATES to NULL (no value-coalesce resurrection)
+    val s2 = Seq((1L, null.asInstanceOf[String], 11L)).toDF("id", "v", "n")
+    store.mergeInto(spark, "t", s2, "id")
+    val row1 = store.read(spark, "t").filter(col("id") === 1L)
+      .select("v", "n").collect().head
+    assert(row1.isNullAt(0) && row1.getLong(1) == 11L)
+    // schema mismatch fails loudly
+    intercept[IllegalArgumentException] {
+      store.mergeInto(spark, "t", Seq((1L, "x")).toDF("id", "v"), "id")
+    }
+  }
 }
