@@ -624,6 +624,67 @@ object Queries {
       |    AS sum_vals
       |FROM o""".stripMargin
 
+  /** X10: regexp battery in the Java∩RE2 subset (both engines must
+    * agree byte-for-byte: no lookarounds, no backrefs) — extract-first,
+    * extract-all count, global replace, and match-test over text
+    * salted with the doc id so every function sees both hit and miss
+    * rows.
+    */
+  val x10RegexpBattery: Q = (s, d) =>
+    t(s, d, "documents")
+      .withColumn("txt", concat(col("text"), lit(" id="), col("doc_id")))
+      .select(col("doc_id"),
+        regexp_extract(col("txt"), "[A-Za-z]{6,}", 0).as("first_long"),
+        size(regexp_extract_all(col("txt"), lit("[0-9]+"), lit(0)))
+          .cast("bigint").as("n_digit_runs"),
+        length(regexp_replace(col("txt"), "[aeiou]", "*"))
+          .cast("bigint").as("len_replaced"),
+        col("txt").rlike("[0-9]{3,}").as("has_big_num"))
+  val x10Oracle =
+    """WITH t AS (
+      |  SELECT doc_id, text || ' id=' || doc_id AS txt FROM documents)
+      |SELECT doc_id,
+      |  COALESCE(regexp_extract(txt, '[A-Za-z]{6,}', 0), '') AS first_long,
+      |  CAST(len(regexp_extract_all(txt, '[0-9]+')) AS BIGINT)
+      |    AS n_digit_runs,
+      |  CAST(length(regexp_replace(txt, '[aeiou]', '*', 'g')) AS BIGINT)
+      |    AS len_replaced,
+      |  regexp_matches(txt, '[0-9]{3,}') AS has_big_num
+      |FROM t""".stripMargin
+
+  /** J5: null-safe equality join (`<=>` / IS NOT DISTINCT FROM) — the
+    * §2.3 family member where NULL keys MATCH each other instead of
+    * silently dropping (the dimension-with-unknown-bucket join). Both
+    * sides salt a deterministic subset of keys to NULL; the
+    * `k_is_null` output column pins that the null-bucket cross
+    * product actually materialized.
+    */
+  val j5NullsafeJoin: Q = (s, d) => {
+    val a = t(s, d, "orders").filter(col("o_orderkey") < 3000)
+      .select(when(col("o_orderkey") % 13 === 0, lit(null))
+        .otherwise(col("o_custkey")).as("k"), col("o_totalprice"))
+    val b = t(s, d, "customer").filter(col("c_custkey") < 120)
+      .select(when(col("c_custkey") % 11 === 0, lit(null))
+        .otherwise(col("c_custkey")).as("kb"), col("c_mktsegment"))
+    a.join(b, col("k") <=> col("kb"))
+      .groupBy(col("c_mktsegment"), col("k").isNull.as("k_is_null"))
+      .agg(count(lit(1)).as("n"), exactSum(col("o_totalprice")).as("sum_price"))
+  }
+  val j5Oracle =
+    """WITH a AS (
+      |  SELECT CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_custkey END
+      |      AS k, o_totalprice
+      |  FROM orders WHERE o_orderkey < 3000),
+      |b AS (
+      |  SELECT CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_custkey END
+      |      AS kb, c_mktsegment
+      |  FROM customer WHERE c_custkey < 120)
+      |SELECT c_mktsegment, (k IS NULL) AS k_is_null, COUNT(*) AS n,
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+      |    AS sum_price
+      |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.kb
+      |GROUP BY 1, 2""".stripMargin
+
   // ===== §2.5 sort / limit / windows ===================================
 
   /** W1/W3: top-k via sort+limit (Catalyst plans TakeOrderedAndProject). */
@@ -3706,6 +3767,8 @@ object Queries {
     "q_x7_correlated_subquery" -> x7CorrelatedSubquery,
     "q_x8_hof_battery" -> x8HofBattery,
     "q_x9_map_battery" -> x9MapBattery,
+    "q_x10_regexp_battery" -> x10RegexpBattery,
+    "q_j5_nullsafe_join" -> j5NullsafeJoin,
     "q_w1_topk" -> w1TopK,
     "q_w4_pagination" -> w4Pagination,
     "q_w5_topn_per_group" -> w5TopNPerGroup,
@@ -3818,6 +3881,8 @@ object Queries {
     "q_x7_correlated_subquery" -> x7Oracle,
     "q_x8_hof_battery" -> x8Oracle,
     "q_x9_map_battery" -> x9Oracle,
+    "q_x10_regexp_battery" -> x10Oracle,
+    "q_j5_nullsafe_join" -> j5Oracle,
     "q_w1_topk" -> w1Oracle,
     "q_w4_pagination" -> w4Oracle,
     "q_w5_topn_per_group" -> w5Oracle,
