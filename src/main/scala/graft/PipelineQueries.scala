@@ -3710,6 +3710,43 @@ object PipelineQueries {
       |UNION ALL SELECT rule, n_pass, n_fail, CAST(NULL AS DOUBLE)
       |FROM combos""".stripMargin
 
+  /** T39: k-anonymity audit + suppression ([[Privacy]]) — the
+    * metadata-shape privacy floor over (lang, source, 100-char length
+    * bucket) quasi-identifiers: the per-class audit, then the released
+    * view under suppression re-aggregated per class so BOTH verbs are
+    * hash-checked (a class leaking through suppression, a wrong bucket
+    * width, or a flipped at-risk flag all go red). `phase` distinguishes
+    * the audit rows from the released rows in one frame.
+    */
+  val t39KAnonymity: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+      .withColumn("chars_bucket", Privacy.widthBucket(col("n_chars"), 100L))
+    val quasi = Seq("lang", "source", "chars_bucket")
+    val report = Privacy.kAnonymityReport(docs, quasi, k = 3L)
+      .select(lit("audit").as("phase"), col("lang"), col("source"),
+        col("chars_bucket"), col("group_size").as("n"), col("at_risk"))
+    val released = Privacy.suppress(docs, quasi, k = 3L)
+      .groupBy("lang", "source", "chars_bucket")
+      .agg(count(lit(1)).as("n"))
+      .select(lit("released").as("phase"), col("lang"), col("source"),
+        col("chars_bucket"), col("n"), lit(false).as("at_risk"))
+    report.unionByName(released)
+  }
+  val t39Oracle: String =
+    """WITH q AS (
+      |  SELECT lang, source,
+      |    CAST(FLOOR(n_chars / 100) * 100 AS BIGINT) AS chars_bucket
+      |  FROM documents),
+      |g AS (
+      |  SELECT lang, source, chars_bucket, COUNT(*) AS n
+      |  FROM q GROUP BY 1, 2, 3)
+      |SELECT 'audit' AS phase, lang, source, chars_bucket, n,
+      |  (n < 3) AS at_risk
+      |FROM g
+      |UNION ALL
+      |SELECT 'released', lang, source, chars_bucket, n, FALSE
+      |FROM g WHERE n >= 3""".stripMargin
+
   // ===== entity resolution =============================================
 
   /** Shared dirty-records fixture for entity resolution: the customer
@@ -3822,6 +3859,7 @@ object PipelineQueries {
     "q_er1_entity_resolution" -> er1Resolve,
     "q_er2_golden_records" -> er2Golden,
     "q_q1_expectations" -> q1Expectations,
+    "q_t39_k_anonymity" -> t39KAnonymity,
     "q_d1_fingerprint" -> d1Fingerprint,
     "q_d2_dedup_exact" -> d2DedupExact,
     "q_d3_jaccard_pairs" -> d3JaccardPairs,
@@ -3926,6 +3964,7 @@ object PipelineQueries {
     "q_er1_entity_resolution" -> er1Oracle,
     "q_er2_golden_records" -> er2Oracle,
     "q_q1_expectations" -> q1Oracle,
+    "q_t39_k_anonymity" -> t39Oracle,
     "q_t7_sample" -> t7Oracle,
     "q_t14_mixture" -> t14Oracle,
     "q_t15_interleave" -> t15Oracle,
