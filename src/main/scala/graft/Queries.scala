@@ -186,6 +186,60 @@ object Queries {
       |    AS sum_value
       |FROM events GROUP BY CUBE (event_type, hour(ts))""".stripMargin
 
+  /** A25: explicit GROUPING SETS — the general subtotal lattice beside
+    * A12's ROLLUP and A20's CUBE: an asymmetric set list ((lang,source),
+    * (lang), ()) that neither ROLLUP nor CUBE produces, with
+    * grouping_id disambiguating subtotal NULLs. Runs through the SQL
+    * surface (GROUPING SETS has no DataFrame verb).
+    */
+  val a25GroupingSets: Q = (s, d) => {
+    Tables.register(s, d)
+    // dialect split: Spark's multi-column form is GROUPING_ID(cols…),
+    // DuckDB's is GROUPING(cols…) — same bitmask
+    s.sql("""SELECT COALESCE(lang, '<all>') AS lang,
+      |  COALESCE(source, '<all>') AS source,
+      |  CAST(GROUPING_ID(lang, source) AS BIGINT) AS gid,
+      |  COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |GROUP BY GROUPING SETS ((lang, source), (lang), ())""".stripMargin)
+  }
+  val a25Oracle =
+    """SELECT COALESCE(lang, '<all>') AS lang,
+      |  COALESCE(source, '<all>') AS source,
+      |  CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+      |  COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |GROUP BY GROUPING SETS ((lang, source), (lang), ())""".stripMargin
+
+  /** A26: unpivot/melt — wide metric columns to long (metric, value)
+    * rows via the native `unpivot` verb (codegen Expand, one scan, no
+    * union of re-reads), re-aggregated per metric so the frame stays
+    * bounded. The oracle is the UNION ALL the Expand replaces.
+    */
+  val a26Unpivot: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .select(col("l_orderkey"),
+        col("l_quantity").cast("double").as("quantity"),
+        col("l_extendedprice").cast("double").as("extendedprice"),
+        col("l_discount").cast("double").as("discount"))
+      .unpivot(Array(col("l_orderkey")),
+        Array(col("quantity"), col("extendedprice"), col("discount")),
+        "metric", "value")
+      .groupBy("metric")
+      .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
+  val a26Oracle =
+    """WITH u AS (
+      |  SELECT 'quantity' AS metric, CAST(l_quantity AS DOUBLE) AS value
+      |  FROM lineitem
+      |  UNION ALL SELECT 'extendedprice', CAST(l_extendedprice AS DOUBLE)
+      |  FROM lineitem
+      |  UNION ALL SELECT 'discount', CAST(l_discount AS DOUBLE)
+      |  FROM lineitem)
+      |SELECT metric, COUNT(*) AS n,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+      |    AS sum_value
+      |FROM u GROUP BY metric""".stripMargin
+
   /** W7: time-range window frame — the trailing-interval running
     * aggregate ("this user's spend in the 60 minutes up to each
     * event"), a RANGE frame over event-time seconds rather than a ROWS
@@ -3844,6 +3898,8 @@ object Queries {
     "q_a11_pivot" -> a11Pivot,
     "q_a12_rollup" -> a12Rollup,
     "q_a20_cube" -> a20Cube,
+    "q_a25_grouping_sets" -> a25GroupingSets,
+    "q_a26_unpivot" -> a26Unpivot,
     "q_a21_funnel" -> a21Funnel,
     "q_a22_transitions" -> a22Transitions,
     "q_a23_cohorts" -> a23Cohorts,
@@ -3944,6 +4000,8 @@ object Queries {
     "q_a11_pivot" -> a11Oracle,
     "q_a12_rollup" -> a12Oracle,
     "q_a20_cube" -> a20Oracle,
+    "q_a25_grouping_sets" -> a25Oracle,
+    "q_a26_unpivot" -> a26Oracle,
     "q_a21_funnel" -> a21Oracle,
     "q_a22_transitions" -> a22Oracle,
     "q_a23_cohorts" -> a23Oracle,
