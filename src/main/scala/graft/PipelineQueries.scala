@@ -3774,12 +3774,17 @@ object PipelineQueries {
       |       c_nationkey, c_acctbal + 2.0, c_mktsegment
       |FROM customer WHERE c_custkey % 7 = 0""".stripMargin
 
-  private def erResolved(s: SparkSession, d: String) =
-    EntityResolution.resolve(Tables.sql(s, d, erRecsSql),
+  private def erResolved(s: SparkSession, d: String) = {
+    // cached: resolve reads the records THREE times (deletion keys +
+    // both verify legs) and the golden-record pass re-reads the output;
+    // without it the 3-way synthetic-variant UNION recomputes per leg
+    val recs = Tables.sql(s, d, erRecsSql).cache()
+    EntityResolution.resolve(recs,
       "rid", "name", Seq("nation"), delFrom = 10, delTo = 18,
       maxDist = 1,
       extraVerify = col("l.segment") === col("r.segment") &&
         abs(col("l.acctbal") - col("r.acctbal")) <= 2.5)
+  }
 
   /** ER1: full record-linkage resolution ([[EntityResolution.resolve]])
     * — SymSpell deletion-neighborhood blocking (exact recall at edit
