@@ -2772,6 +2772,64 @@ object PipelineQueries {
       |      ORDER BY cosine_sim DESC, id) AS rank
       |  FROM sc) z WHERE rank <= 10""".stripMargin
 
+  /** S23: binary (1-bit) embedding quantization + Hamming search
+    * ([[Similarity.binaryQuantize]] / `binaryHammingTopK`) — the 32×
+    * compression serving path: sign-bit-pack 64 floats into two 32-bit
+    * words, coarse-rank by XOR+popcount (ascending, id ties), exact
+    * full-precision cosine re-rank of the m-pool. Every stage is
+    * integer-or-rounded-deterministic, so the oracle replays the ENTIRE
+    * pipeline — the packed words, the Hamming cut, and the re-rank —
+    * and one flipped sign bit anywhere shifts a Hamming distance and
+    * fails the hash compare.
+    */
+  val s23BinaryQuant: Q = (s, d) =>
+    Similarity.binaryHammingTopK(
+      t(s, d, "embeddings").select("vec_id", "embedding"),
+      "vec_id", "embedding", queryVecs(s, d), "query_id", "qvec",
+      dim = 64, m = 50, k = 10)
+  val s23Oracle: String =
+    """WITH codes AS (
+      |  SELECT vec_id, embedding,
+      |    CAST(list_sum(list_transform(range(1, 33), d ->
+      |      CASE WHEN CAST(embedding[d] AS DOUBLE) > 0
+      |           THEN CAST(1 AS BIGINT) << (d - 1) ELSE 0 END))
+      |      AS BIGINT) AS c0,
+      |    CAST(list_sum(list_transform(range(33, 65), d ->
+      |      CASE WHEN CAST(embedding[d] AS DOUBLE) > 0
+      |           THEN CAST(1 AS BIGINT) << (d - 33) ELSE 0 END))
+      |      AS BIGINT) AS c1
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, embedding AS qvec, c0 AS q0,
+      |             c1 AS q1
+      |      FROM codes WHERE vec_id < 5),
+      |h AS (
+      |  SELECT q.query_id, c.vec_id, c.embedding, q.qvec,
+      |    CAST(bit_count(xor(c.c0, q.q0)) + bit_count(xor(c.c1, q.q1))
+      |         AS BIGINT) AS hamming
+      |  FROM codes c CROSS JOIN q),
+      |pool AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY hamming, vec_id) AS cr
+      |  FROM h),
+      |fine AS (
+      |  SELECT query_id, vec_id, hamming,
+      |    ROUND(
+      |      (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+      |       FROM (SELECT UNNEST(embedding) AS x, UNNEST(qvec) AS y) u)
+      |      / (SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+      |               FROM (SELECT UNNEST(embedding) AS x) ux))
+      |       * SQRT((SELECT SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+      |               FROM (SELECT UNNEST(qvec) AS y) uy))), 6)
+      |      AS cosine_sim
+      |  FROM pool WHERE cr <= 50)
+      |SELECT query_id, vec_id, hamming, cosine_sim,
+      |  CAST(rnk AS BIGINT) AS rank
+      |FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY cosine_sim DESC, vec_id) AS rnk
+      |  FROM fine) z
+      |WHERE rnk <= 10""".stripMargin
+
   /** S22: Johnson–Lindenstrauss random projection
     * ([[Similarity.randomProjection]]) — 64 → 8 dims via the Achlioptas
     * ±1 construction, the distance-preserving shrink that cuts vector
@@ -3940,6 +3998,7 @@ object PipelineQueries {
     "q_s1_topk_bruteforce" -> s1TopKBruteForce,
     "q_s20_truncated_rerank" -> s20TruncatedRerank,
     "q_s22_random_projection" -> s22RandomProjection,
+    "q_s23_binary_quant" -> s23BinaryQuant,
     "q_s2_cosine_pairs" -> s2CosinePairs,
     "q_s3_lsh_topk" -> s3LshTopK,
     "q_s4_ivf_topk" -> s4IvfTopK,
@@ -4027,6 +4086,7 @@ object PipelineQueries {
     "q_s1_topk_bruteforce" -> s1Oracle,
     "q_s20_truncated_rerank" -> s20Oracle,
     "q_s22_random_projection" -> s22Oracle,
+    "q_s23_binary_quant" -> s23Oracle,
     "q_s2_cosine_pairs" -> s2Oracle,
     "q_d4_minhash_neardup" -> d4Oracle,
     "q_d5_simhash_neardup" -> d5Oracle,

@@ -145,6 +145,70 @@ object Similarity {
     vectors.withColumn(outCol, array(comps: _*))
   }
 
+  /** Binary (1-bit) quantization: sign-bit-pack a `dim`-wide
+    * `array<float>` into ⌈dim/32⌉ BIGINT words (bit d of word d/32 set
+    * iff v[d] > 0) — 32-bit words so no engine's shift arithmetic
+    * touches the sign bit. 64 dims collapse from 256 B to 8 B (32×),
+    * and candidate scoring becomes XOR + popcount over two longs: the
+    * cheapest serving representation there is. Codes are appended as
+    * `code_0..code_{w-1}` columns; scoring pairs with
+    * [[binaryHammingTopK]]'s exact-cosine re-rank.
+    */
+  def binaryQuantize(vectors: DataFrame, vecCol: String,
+      dim: Int): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val words = (dim + 31) / 32
+    (0 until words).foldLeft(vectors) { (df, w) =>
+      val lo = w * 32
+      val hi = math.min(lo + 32, dim)
+      df.withColumn(s"code_$w", expr(
+        s"aggregate(zip_with(slice($vecCol, ${lo + 1}, ${hi - lo}), " +
+          s"sequence(0, ${hi - lo - 1}), " +
+          "(x, d) -> IF(CAST(x AS DOUBLE) > 0D, shiftleft(1L, d), 0L)), " +
+          "0L, (a, b) -> a + b)"))
+    }
+  }
+
+  /** Hamming top-k over binary codes with an exact full-precision
+    * re-rank: coarse rank = Σ_w popcount(code_w XOR qcode_w) (ascending,
+    * id tie-break) cuts the corpus to an m-pool per query; the pool —
+    * m·|queries| rows, never the corpus — re-ranks by exact cosine to
+    * top-k. Same two-stage contract as the int8 SQ and truncated-prefix
+    * paths: the approximate representation proposes, exact arithmetic
+    * decides. Queries broadcast; the corpus scan stays exchange-free
+    * until the thin (query, id, hamming) ranking frame.
+    */
+  def binaryHammingTopK(vectors: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      dim: Int, m: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    init(vectors.sparkSession)
+    val words = (dim + 31) / 32
+    val coded = binaryQuantize(vectors, vecCol, dim)
+    val q = binaryQuantize(
+      queries.select(col(queryIdCol).as("query_id"),
+        col(queryVecCol).as("_qvec")), "_qvec", dim)
+      .select(col("query_id") +: col("_qvec") +:
+        (0 until words).map(w => col(s"code_$w").as(s"qcode_$w")): _*)
+    val hamming = (0 until words)
+      .map(w => bit_count(col(s"code_$w").bitwiseXOR(col(s"qcode_$w"))))
+      .reduce(_ + _)
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("hamming").asc, col(idCol).asc)
+    val pool = coded.crossJoin(broadcast(q))
+      .withColumn("hamming", hamming.cast("bigint"))
+      .withColumn("_r", row_number().over(wRank))
+      .where(col("_r") <= m)
+    val wFine = Window.partitionBy("query_id")
+      .orderBy(col("cosine_sim").desc, col(idCol).asc)
+    pool
+      .withColumn("cosine_sim", round(cosine(col(vecCol), col("_qvec")), 6))
+      .withColumn("rank", row_number().over(wFine).cast("bigint"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("hamming"),
+        col("cosine_sim"), col("rank"))
+  }
+
   def bruteForceTopK(vectors: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -500,6 +500,32 @@ class SimilaritySpec extends SparkSpec {
       s"JL tail out of range: ${ratios.min} .. ${ratios.max}")
   }
 
+  test("binaryQuantize packs sign bits into 32-bit words exactly") {
+    // dims 0,2,33 positive -> word0 = 1 + 4, word1 = bit 1
+    val v = Array.fill(64)(-1.0f)
+    v(0) = 0.5f; v(2) = 0.1f; v(33) = 2.0f; v(40) = 0.0f // 0 is NOT set
+    val out = Similarity.binaryQuantize(
+      Seq((1L, v)).toDF("id", "vec"), "vec", 64)
+      .select("code_0", "code_1").as[(Long, Long)].collect().head
+    assert(out == ((5L, 2L)))
+  }
+
+  test("binary Hamming top-k: self is rank 1, pool cut respected") {
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(64)(d => math.sin(i * 37 + d * 11).toFloat)
+    val corpus = (0 until 30).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((0L, vec(0)), (7L, vec(7)))
+      .toDF("query_id", "qvec")
+    val out = Similarity.binaryHammingTopK(corpus, "vec_id", "embedding",
+      queries, "query_id", "qvec", dim = 64, m = 10, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(4)) -> r.getLong(1)).toMap
+    // identical vector: hamming 0, cosine 1 -> rank 1 for itself
+    assert(out((0L, 1L)) == 0L)
+    assert(out((7L, 1L)) == 7L)
+    assert(out.size == 6) // k per query
+  }
+
   test("jlSigns is deterministic and balanced") {
     val a = Similarity.jlSigns(8, 64, "jl")
     val b = Similarity.jlSigns(8, 64, "jl")
