@@ -1912,6 +1912,53 @@ object Queries {
        |SELECT id, CAST(pr AS BIGINT) AS pr FROM p10""".stripMargin
   }
 
+  /** G14: bipartite co-occurrence projection — the user×event-type
+    * bipartite graph projected onto event types: types co-engaged by
+    * the same user become weighted edges, plus the lift ratio
+    * (n_co·n_users / (n_a·n_b)) that separates "popular everywhere"
+    * from "genuinely associated" (the item-item projection behind
+    * co-purchase recommenders and co-access resource clustering). Scale
+    * shape: the projection self-joins the DISTINCT (user, type) frame —
+    * thin by construction, ≤ types² rows per user, never the raw event
+    * log — and every aggregate is an exact integer; lift is one IEEE
+    * division both engines compute identically.
+    */
+  val g14Cooccurrence: Q = (s, d) => {
+    val ut = t(s, d, "events").select(col("user_id"), col("event_type"))
+      .distinct().cache()
+    val perType = ut.groupBy("event_type").agg(count(lit(1)).as("n_t"))
+    val nUsers = ut.select("user_id").distinct().count()
+    val a = ut.select(col("user_id"), col("event_type").as("type_a"))
+    val b = ut.select(col("user_id"), col("event_type").as("type_b"))
+    a.join(b, "user_id").where(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_co"))
+      .join(perType.select(col("event_type").as("type_a"),
+        col("n_t").as("n_a")), "type_a")
+      .join(perType.select(col("event_type").as("type_b"),
+        col("n_t").as("n_b")), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_co"), col("n_a"),
+        col("n_b"),
+        ((col("n_co") * lit(nUsers)).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+  }
+  val g14Oracle: String =
+    """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+      |pt AS (SELECT event_type, COUNT(*) AS n_t FROM ut GROUP BY 1),
+      |nu AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM ut),
+      |co AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    COUNT(*) AS n_co
+      |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+      |    AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, n_co, pa.n_t AS n_a, pb.n_t AS n_b,
+      |  CAST(n_co * n_users AS DOUBLE) / CAST(pa.n_t * pb.n_t AS DOUBLE)
+      |    AS lift
+      |FROM co
+      |JOIN pt pa ON pa.event_type = co.type_a
+      |JOIN pt pb ON pb.event_type = co.type_b
+      |CROSS JOIN nu""".stripMargin
+
   /** G13: deterministic synchronous label propagation
     * ([[Graph.labelPropagation]]) — community detection over the
     * resource graph: 3 rounds of most-frequent-neighbor-label adoption
@@ -3870,6 +3917,7 @@ object Queries {
     "q_g7_path_arrays" -> g7PathArrays,
     "q_g8_pagerank" -> g8PageRank,
     "q_g13_label_prop" -> g13LabelProp,
+    "q_g14_cooccurrence" -> g14Cooccurrence,
     "q_g6_components" -> g6Components,
     "q_g9_triangles" -> g9Triangles,
     "q_g10_graph_table" -> g10GraphTable,
@@ -3978,6 +4026,7 @@ object Queries {
     "q_g7_path_arrays" -> g7Oracle,
     "q_g8_pagerank" -> g8Oracle,
     "q_g13_label_prop" -> g13Oracle,
+    "q_g14_cooccurrence" -> g14Oracle,
     "q_a8_dimensional" -> a8Oracle,
     "q_a10_passfail" -> a10Oracle,
     "q_x1_scalar_battery" -> x1Oracle,
