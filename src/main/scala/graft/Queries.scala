@@ -1061,6 +1061,60 @@ object Queries {
       |FROM ax LEFT JOIN a ON a.dim = ax.dim AND a.bucket = ax.bucket"""
       .stripMargin
 
+  /** A27: linear-interpolation gap fill
+    * ([[operators.Analytics.gapFillInterpolate]]) — A16's LOCF twin
+    * with straight-line blends: empty buckets between observations take
+    * `v_prev + (v_next − v_prev)·Δt-fraction`, leading/trailing gaps
+    * stay NULL (no extrapolation). Anchors ride paired ignoreNulls
+    * forward/backward windows over ONE dim-keyed shuffle; epochs are
+    * integers and values exact-decimal-rounded doubles with a pinned
+    * blend order, so the oracle's window replay matches bit-for-bit.
+    */
+  val a27Interpolate: Q = (s, d) =>
+    Analytics.gapFillInterpolate(t(s, d, "events"), "ts", "event_type",
+      "value", "hour")
+  val a27Oracle =
+    """WITH a AS (
+      |  SELECT date_trunc('hour', ts) AS bucket, event_type AS dim,
+      |    COUNT(*) AS n,
+      |    CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE)
+      |      AS bucket_sum
+      |  FROM events GROUP BY 1, 2),
+      |s AS (
+      |  SELECT event_type AS dim, date_trunc('hour', MIN(ts)) AS lo,
+      |    date_trunc('hour', MAX(ts)) AS hi
+      |  FROM events GROUP BY 1),
+      |ax AS (
+      |  SELECT dim, unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+      |    AS bucket FROM s),
+      |j AS (
+      |  SELECT ax.dim, CAST(ax.bucket AS TIMESTAMP) AS bucket,
+      |    a.n, a.bucket_sum, epoch(ax.bucket) AS t
+      |  FROM ax LEFT JOIN a ON a.dim = ax.dim AND a.bucket = ax.bucket),
+      |w AS (
+      |  SELECT *,
+      |    LAST_VALUE(bucket_sum IGNORE NULLS) OVER (
+      |      PARTITION BY dim ORDER BY bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+      |    LAST_VALUE(CASE WHEN bucket_sum IS NOT NULL THEN t END
+      |      IGNORE NULLS) OVER (
+      |      PARTITION BY dim ORDER BY bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+      |    FIRST_VALUE(bucket_sum IGNORE NULLS) OVER (
+      |      PARTITION BY dim ORDER BY bucket
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+      |    FIRST_VALUE(CASE WHEN bucket_sum IS NOT NULL THEN t END
+      |      IGNORE NULLS) OVER (
+      |      PARTITION BY dim ORDER BY bucket
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      |  FROM j)
+      |SELECT dim, bucket, COALESCE(n, 0) AS n,
+      |  CASE WHEN bucket_sum IS NOT NULL THEN bucket_sum
+      |       ELSE pv + (nv - pv) *
+      |         (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)) END
+      |    AS interp_sum
+      |FROM w""".stripMargin
+
   /** A17: dataset profile ([[operators.Profiler.profile]]) — the
     * data-card pass: per-column null/distinct counts, numeric bounds and
     * exact decimal-space means, string bounds and average lengths,
@@ -3886,6 +3940,7 @@ object Queries {
     "q_a5_time_bucket" -> a5TimeBucket,
     "q_a6_impact_trend" -> a6ImpactTrend,
     "q_a16_gapfill" -> a16GapFill,
+    "q_a27_interpolate" -> a27Interpolate,
     "q_a17_profile" -> a17Profile,
     "q_a18_profile_approx" -> a18ProfileApprox,
     "q_a19_key_skew" -> a19KeySkew,
@@ -4003,6 +4058,7 @@ object Queries {
     "q_a5_time_bucket" -> a5Oracle,
     "q_a6_impact_trend" -> a6Oracle,
     "q_a16_gapfill" -> a16Oracle,
+    "q_a27_interpolate" -> a27Oracle,
     "q_a17_profile" -> a17Oracle,
     "q_a18_profile_approx" -> a18Oracle,
     "q_a19_key_skew" -> a19Oracle,

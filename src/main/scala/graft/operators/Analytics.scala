@@ -96,6 +96,55 @@ object Analytics {
           .as("carried_sum"))
   }
 
+  /** Linear-interpolation gap fill — [[gapFill]]'s other standard mode:
+    * an empty bucket between two observed buckets takes the straight-
+    * line blend `v_prev + (v_next − v_prev)·(t − t_prev)/(t_next −
+    * t_prev)` instead of repeating the last observation (the metric-
+    * dashboard "connect the dots" line; LOCF is the "hold the level"
+    * line). Same densified-axis shape; the prev/next anchors come from
+    * paired ignoreNulls running windows (forward + backward) over the
+    * SAME dim-keyed shuffle, so interpolation adds a window pass but no
+    * exchange. Leading/trailing gaps (no anchor on one side) stay NULL
+    * — extrapolation is a policy, not an interpolation. All blend
+    * arithmetic is integer epochs and exact-decimal-rounded doubles in
+    * a pinned operation order, so both engines agree bit-for-bit.
+    */
+  def gapFillInterpolate(events: DataFrame, tsCol: String, dimCol: String,
+      valueCol: String, granularity: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val actual = events
+      .groupBy(date_trunc(granularity, col(tsCol)).as("bucket"),
+        col(dimCol).as("dim"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col(valueCol).cast("decimal(18,4)")), 4).cast("double")
+          .as("bucket_sum"))
+    val span = events.groupBy(col(dimCol).as("dim"))
+      .agg(date_trunc(granularity, min(col(tsCol))).as("lo"),
+        date_trunc(granularity, max(col(tsCol))).as("hi"))
+    val axis = span.select(col("dim"),
+      explode(sequence(col("lo"), col("hi"),
+        expr(s"INTERVAL 1 $granularity"))).as("bucket"))
+    val fwd = Window.partitionBy("dim").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bwd = Window.partitionBy("dim").orderBy("bucket")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val t = col("bucket").cast("long")
+    val obsT = when(col("bucket_sum").isNotNull, t)
+    axis.join(actual, Seq("dim", "bucket"), "left")
+      .withColumn("_pv", last(col("bucket_sum"), ignoreNulls = true).over(fwd))
+      .withColumn("_pt", last(obsT, ignoreNulls = true).over(fwd))
+      .withColumn("_nv", first(col("bucket_sum"), ignoreNulls = true).over(bwd))
+      .withColumn("_nt", first(obsT, ignoreNulls = true).over(bwd))
+      .select(col("dim"), col("bucket"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        when(col("bucket_sum").isNotNull, col("bucket_sum"))
+          .otherwise(
+            col("_pv") + (col("_nv") - col("_pv")) *
+              ((t - col("_pt")).cast("double") /
+                (col("_nt") - col("_pt")).cast("double")))
+          .as("interp_sum"))
+  }
+
   /** Top-N most-changed resources (A7, change_analytics.go:452-494):
     * per-key counts, latest change, avg impact; deterministic order.
     */
