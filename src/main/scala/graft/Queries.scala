@@ -1115,6 +1115,42 @@ object Queries {
       |    AS interp_sum
       |FROM w""".stripMargin
 
+  /** A28: winsorized robust aggregates — the outlier-resistant mean a
+    * metrics pipeline reports next to the raw one: per group, clamp
+    * values into the [p05, p95] band and compare means. Bounds come
+    * from `percentile_disc` (OBSERVED values, not interpolations — so
+    * the clamped column keeps the generator's clean decimals and the
+    * decimal-space sums stay exact in both engines); identical ANSI
+    * `WITHIN GROUP` text runs on both sides. One aggregation for the
+    * bounds (they broadcast), one scan for the clamped rollup.
+    */
+  val a28Winsorize: Q = (s, d) => {
+    Tables.register(s, d)
+    s.sql(a28Sql)
+  }
+  private val a28Sql =
+    """WITH b AS (
+      |  SELECT event_type,
+      |    percentile_disc(0.05) WITHIN GROUP (ORDER BY value) AS lo,
+      |    percentile_disc(0.95) WITHIN GROUP (ORDER BY value) AS hi
+      |  FROM events GROUP BY event_type),
+      |c AS (
+      |  SELECT e.event_type, e.value, b.lo, b.hi,
+      |    CASE WHEN e.value < b.lo THEN b.lo
+      |         WHEN e.value > b.hi THEN b.hi ELSE e.value END AS w
+      |  FROM events e JOIN b ON e.event_type = b.event_type)
+      |SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clamped_lo,
+      |  CAST(SUM(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clamped_hi,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS mean_raw,
+      |  CAST(SUM(CAST(w AS DECIMAL(18,4))) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS mean_winsorized
+      |FROM c GROUP BY event_type""".stripMargin
+  val a28Oracle: String = a28Sql
+
   /** A17: dataset profile ([[operators.Profiler.profile]]) — the
     * data-card pass: per-column null/distinct counts, numeric bounds and
     * exact decimal-space means, string bounds and average lengths,
@@ -3941,6 +3977,7 @@ object Queries {
     "q_a6_impact_trend" -> a6ImpactTrend,
     "q_a16_gapfill" -> a16GapFill,
     "q_a27_interpolate" -> a27Interpolate,
+    "q_a28_winsorize" -> a28Winsorize,
     "q_a17_profile" -> a17Profile,
     "q_a18_profile_approx" -> a18ProfileApprox,
     "q_a19_key_skew" -> a19KeySkew,
@@ -4059,6 +4096,7 @@ object Queries {
     "q_a6_impact_trend" -> a6Oracle,
     "q_a16_gapfill" -> a16Oracle,
     "q_a27_interpolate" -> a27Oracle,
+    "q_a28_winsorize" -> a28Oracle,
     "q_a17_profile" -> a17Oracle,
     "q_a18_profile_approx" -> a18Oracle,
     "q_a19_key_skew" -> a19Oracle,
