@@ -3320,6 +3320,55 @@ object Queries {
     * — a wrong evolved schema, a lost column, or a type drift all
     * mismatch.
     */
+  /** L9: runtime Bloom-filter join pushdown — the third member of the
+    * scan-reduction family (L7 prunes partitions at runtime, L2/L5 prune
+    * files statically; this prunes ROWS): Catalyst's InjectRuntimeFilter
+    * builds a Bloom filter from the filtered dim side and plants
+    * `might_contain` on the fact side BELOW its shuffle, so at 100 TB
+    * the fact rows that can't join never leave the scan stage. Forced
+    * onto the shuffle-join path (broadcast off — a broadcast join
+    * already prunes by hashing) with the fixture-size thresholds
+    * lowered; the `runtime_filtered` plan fact pins the injection, the
+    * aggregate hash-checks the values. Session confs are saved and
+    * restored around the plan.
+    */
+  val l9RuntimeFilter: Q = (s, d) => {
+    val tuned = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = tuned.map { case (k, _) => k -> s.conf.getOption(k) }
+    tuned.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val li = t(s, d, "lineitem").select("l_partkey", "l_quantity")
+      val p = t(s, d, "part").filter(col("p_size") === 1)
+        .select("p_partkey", "p_type")
+      val j = li.join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_type")
+        .agg(count(lit(1)).as("n"), exactSum(col("l_quantity")).as("sum_qty"))
+      val bloom = j.queryExecution.optimizedPlan.toString
+        .contains("might_contain")
+      // materialize UNDER the tuned confs — the restored session must
+      // not re-plan this frame without the runtime filter
+      val rows = j.withColumn("runtime_filtered", lit(bloom)).collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*),
+        j.schema.add("runtime_filtered",
+          org.apache.spark.sql.types.BooleanType, nullable = false))
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+  val l9Oracle: String =
+    """SELECT p_type, COUNT(*) AS n,
+      |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+      |    AS sum_qty,
+      |  TRUE AS runtime_filtered
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_size = 1
+      |GROUP BY p_type""".stripMargin
+
   /** V9: merge-on-read DELETE via deletion vectors
     * ([[catalog.SnapshotTableStore.deleteWhere]]) — the lakehouse
     * primitive that makes row-level deletes affordable at 100 TB: the
@@ -3988,6 +4037,7 @@ object Queries {
     "q_l5_hilbert" -> l5Hilbert,
     "q_l7_dynamic_pruning" -> l7DynamicPruning,
     "q_l8_bucketed_join" -> l8BucketedJoin,
+    "q_l9_runtime_filter" -> l9RuntimeFilter,
     "q_v9_deletion_vectors" -> v9DeletionVectors,
     "q_v10_merge_into" -> v10MergeInto,
     "q_io4_orc_roundtrip" -> io4OrcRoundtrip,
@@ -4108,6 +4158,7 @@ object Queries {
     "q_l6_bloom_skipping" -> l6Oracle,
     "q_l7_dynamic_pruning" -> l7Oracle,
     "q_l8_bucketed_join" -> l8Oracle,
+    "q_l9_runtime_filter" -> l9Oracle,
     "q_v9_deletion_vectors" -> v9Oracle,
     "q_v10_merge_into" -> v10Oracle,
     "q_io4_orc_roundtrip" -> io4Oracle,
