@@ -3312,6 +3312,75 @@ object Queries {
       |  TRUE AS time_travel_intact
       |FROM merged GROUP BY lang""".stripMargin
 
+  /** V11: SCD Type-2 dimension history ([[catalog.Scd2.history]]) —
+    * the commit chain turned into each key's attribute timeline: three
+    * committed versions carry a bucket update (v2), a deletion (v2,
+    * closing that key's run at valid_to = 2), and a lang update (v3);
+    * the history emits one row per (key, state-run) with
+    * valid_from/valid_to version stamps and is_current. The oracle
+    * rebuilds all three versions relationally and replays the same
+    * change-point segmentation windows — a wrong run boundary, a
+    * missed deletion closure, or a leaked current flag all mismatch.
+    */
+  val v11Scd2: Q = (s, d) => {
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft-snap-qv11", math.abs(d.hashCode).toString)
+    if (java.nio.file.Files.exists(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+    val store = new graft.catalog.SnapshotTableStore(root.toString)
+    val v1 = t(s, d, "documents").select(col("doc_id"), col("lang"),
+      floor(col("n_chars") / 100).cast("bigint").as("bucket"))
+    val v2 = v1.filter(col("doc_id") % 7 =!= 3)
+      .withColumn("bucket", col("bucket") +
+        when(col("doc_id") % 10 === 0, 1L).otherwise(0L))
+    val v3 = v2.withColumn("lang",
+      when(col("doc_id") % 15 === 0, lit("xx")).otherwise(col("lang")))
+    store.overwrite(v1, "dim"); store.overwrite(v2, "dim")
+    store.overwrite(v3, "dim")
+    graft.catalog.Scd2.history(s, store, "dim", "doc_id",
+      Seq("lang", "bucket"))
+  }
+  val v11Oracle: String =
+    """WITH v1 AS (
+      |  SELECT doc_id, lang, CAST(FLOOR(n_chars / 100) AS BIGINT)
+      |    AS bucket, 1 AS v
+      |  FROM documents),
+      |v2 AS (
+      |  SELECT doc_id, lang,
+      |    bucket + CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END AS bucket,
+      |    2 AS v
+      |  FROM v1 WHERE doc_id % 7 <> 3),
+      |v3 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 15 = 0 THEN 'xx' ELSE lang END AS lang,
+      |    bucket, 3 AS v
+      |  FROM v2),
+      |u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2
+      |      UNION ALL SELECT * FROM v3),
+      |f AS (
+      |  SELECT *,
+      |    CASE WHEN LAG(v) OVER w IS NULL
+      |           OR LAG(lang) OVER w <> lang
+      |           OR LAG(bucket) OVER w <> bucket
+      |           OR LAG(v) OVER w <> v - 1
+      |         THEN 1 ELSE 0 END AS chg
+      |  FROM u WINDOW w AS (PARTITION BY doc_id ORDER BY v)),
+      |g AS (
+      |  SELECT *, SUM(chg) OVER (PARTITION BY doc_id ORDER BY v
+      |    ROWS UNBOUNDED PRECEDING) AS seg
+      |  FROM f)
+      |SELECT doc_id, MIN(lang) AS lang, MIN(bucket) AS bucket,
+      |  CAST(MIN(v) AS BIGINT) AS valid_from,
+      |  CAST(CASE WHEN MAX(v) = 3 THEN NULL ELSE MAX(v) + 1 END
+      |    AS BIGINT) AS valid_to,
+      |  (CASE WHEN MAX(v) = 3 THEN NULL ELSE MAX(v) + 1 END) IS NULL
+      |    AS is_current
+      |FROM g GROUP BY doc_id, seg""".stripMargin
+
   /** V8: schema-drift report between snapshot versions — the governance
     * view over [[catalog.SnapshotTableStore.manifestSchema]]: commit a
     * 3-column version, evolve with a 4th column, and emit the
@@ -4040,6 +4109,7 @@ object Queries {
     "q_l9_runtime_filter" -> l9RuntimeFilter,
     "q_v9_deletion_vectors" -> v9DeletionVectors,
     "q_v10_merge_into" -> v10MergeInto,
+    "q_v11_scd2" -> v11Scd2,
     "q_io4_orc_roundtrip" -> io4OrcRoundtrip,
     "q_l6_bloom_skipping" -> l6BloomSkipping,
     "q_a7_top_resources" -> a7TopResources,
@@ -4161,6 +4231,7 @@ object Queries {
     "q_l9_runtime_filter" -> l9Oracle,
     "q_v9_deletion_vectors" -> v9Oracle,
     "q_v10_merge_into" -> v10Oracle,
+    "q_v11_scd2" -> v11Oracle,
     "q_io4_orc_roundtrip" -> io4Oracle,
     "q_a7_top_resources" -> a7Oracle,
     "q_e16_anomalies" -> e16Oracle,

@@ -370,6 +370,24 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(store.readVersion(spark, "t", v4).count() == 4)
   }
 
+  test("Scd2.history: runs, deletion closure, reinsert gap, current flag") {
+    val (_, store) = freshStore()
+    // v1: a=x, b=y, c=z ; v2: a=x2, b deleted, c=z ; v3: a=x2, b=y2 (re-
+    // inserted), c=z
+    store.overwrite(Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "attr"), "t")
+    store.overwrite(Seq((1L, "x2"), (3L, "z")).toDF("id", "attr"), "t")
+    store.overwrite(Seq((1L, "x2"), (2L, "y2"), (3L, "z")).toDF("id", "attr"), "t")
+    val h = Scd2.history(spark, store, "t", "id", Seq("attr"))
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSet
+    assert(h == Set(
+      (1L, "x", 1L, Some(2L), false),
+      (1L, "x2", 2L, None, true),
+      (2L, "y", 1L, Some(2L), false),   // deletion closes the run
+      (2L, "y2", 3L, None, true),       // gap reinsert opens a new run
+      (3L, "z", 1L, None, true)         // unchanged: one open run
+    ))
+  }
+
   test("mergeInto: update + delete + insert in one statement") {
     import org.apache.spark.sql.functions.col
     val (_, store) = freshStore()
