@@ -3805,6 +3805,49 @@ object PipelineQueries {
       |SELECT 'released', lang, source, chars_bucket, n, FALSE
       |FROM g WHERE n >= 3""".stripMargin
 
+  /** T40: deterministic keyed pseudonymization
+    * ([[Privacy.pseudonymize]]) — identities are masked with salted
+    * sha2 token prefixes in BOTH tables, then the tables are joined ON
+    * THE TOKENS: the aggregate matching the clear-key join is the proof
+    * that masking preserves join/group semantics (the property that
+    * makes pseudonymized corpora analyzable). Pure codegen scans, no
+    * lookup table; the oracle recomputes every token with DuckDB's
+    * sha256 from the same salt formula.
+    */
+  val t40Pseudonymize: Q = (s, d) => {
+    val cust = t(s, d, "customer").select(
+      Privacy.pseudonymize(col("c_custkey"), "k1").as("cust_token"),
+      Privacy.pseudonymize(col("c_name"), "k1").as("name_token"),
+      col("c_mktsegment"))
+    val ords = t(s, d, "orders").select(
+      Privacy.pseudonymize(col("o_custkey"), "k1").as("cust_token"),
+      col("o_totalprice"))
+    ords.join(cust, "cust_token")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
+          .cast("double").as("sum_price"),
+        countDistinct(col("name_token")).as("n_names"))
+  }
+  val t40Oracle: String =
+    """WITH c AS (
+      |  SELECT substr(sha256('k1:' || CAST(c_custkey AS VARCHAR)), 1, 16)
+      |      AS cust_token,
+      |    substr(sha256('k1:' || c_name), 1, 16) AS name_token,
+      |    c_mktsegment
+      |  FROM customer),
+      |o AS (
+      |  SELECT substr(sha256('k1:' || CAST(o_custkey AS VARCHAR)), 1, 16)
+      |      AS cust_token,
+      |    o_totalprice
+      |  FROM orders)
+      |SELECT c_mktsegment, COUNT(*) AS n,
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+      |    AS sum_price,
+      |  CAST(COUNT(DISTINCT name_token) AS BIGINT) AS n_names
+      |FROM o JOIN c USING (cust_token)
+      |GROUP BY c_mktsegment""".stripMargin
+
   // ===== entity resolution =============================================
 
   /** Shared dirty-records fixture for entity resolution: the customer
@@ -3923,6 +3966,7 @@ object PipelineQueries {
     "q_er2_golden_records" -> er2Golden,
     "q_q1_expectations" -> q1Expectations,
     "q_t39_k_anonymity" -> t39KAnonymity,
+    "q_t40_pseudonymize" -> t40Pseudonymize,
     "q_d1_fingerprint" -> d1Fingerprint,
     "q_d2_dedup_exact" -> d2DedupExact,
     "q_d3_jaccard_pairs" -> d3JaccardPairs,
@@ -4029,6 +4073,7 @@ object PipelineQueries {
     "q_er2_golden_records" -> er2Oracle,
     "q_q1_expectations" -> q1Oracle,
     "q_t39_k_anonymity" -> t39Oracle,
+    "q_t40_pseudonymize" -> t40Oracle,
     "q_t7_sample" -> t7Oracle,
     "q_t14_mixture" -> t14Oracle,
     "q_t15_interleave" -> t15Oracle,

@@ -51,4 +51,21 @@ object Privacy {
     require(width >= 1, s"bucket width must be >= 1, got $width")
     (floor(c / width) * width).cast("bigint")
   }
+
+  /** Deterministic keyed pseudonymization: value → `sha2(salt ‖ value)`
+    * token prefix. The same (salt, value) maps to the same token in
+    * every table and every run — joins, group-bys, and frequency
+    * analyses still work on the masked corpus — while reversing a token
+    * requires the salt (keep it in a secret store, never in data).
+    * Pure codegen scan, no lookup table to build, ship, or leak; a
+    * 16-hex-char prefix (64 bits) keeps collisions negligible below
+    * ~2^32 distinct values. NULL stays NULL (absence is not an
+    * identity).
+    */
+  def pseudonymize(c: Column, salt: String, hexChars: Int = 16): Column = {
+    require(hexChars >= 8 && hexChars <= 64,
+      s"hexChars out of [8,64]: $hexChars")
+    substring(sha2(concat(lit(salt), lit(":"), c.cast("string")), 256),
+      1, hexChars)
+  }
 }
