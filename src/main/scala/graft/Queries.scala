@@ -3147,6 +3147,60 @@ object Queries {
     """SELECT doc_id, lang, n_chars, TRUE AS pushed, TRUE AS pruned_schema
       |FROM documents WHERE n_chars > 400""".stripMargin
 
+  /** IO5: federated multi-format read — one logical corpus spread
+    * across four physical zones (parquet fixture, JSONL, CSV, ORC —
+    * the real shape of a lake that grew by accretion), each zone read
+    * through its explicit-schema source ([[sources.JsonlCorpus]]) and
+    * unioned by name into one aggregate. The per-(lang, format) counts
+    * hash-check that no format leg lost, duplicated, or type-mangled a
+    * row — the property that makes a heterogeneous lake queryable as
+    * one table.
+    */
+  val io5Federated: Q = (s, d) => {
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft-fed-qio5", math.abs(d.hashCode).toString)
+    val docs = t(s, d, "documents")
+    if (!java.nio.file.Files.exists(root.resolve("_READY"))) {
+      if (java.nio.file.Files.exists(root)) {
+        val walk = java.nio.file.Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+      java.nio.file.Files.createDirectories(root)
+      sources.JsonlCorpus.write(docs.filter(col("doc_id") % 4 === 1),
+        root.resolve("jsonl").toString, "doc_id", shards = 2)
+      sources.JsonlCorpus.writeCsv(docs.filter(col("doc_id") % 4 === 2),
+        root.resolve("csv").toString, "doc_id", shards = 2)
+      sources.JsonlCorpus.writeOrc(docs.filter(col("doc_id") % 4 === 3),
+        root.resolve("orc").toString, "doc_id", shards = 2)
+      java.nio.file.Files.writeString(root.resolve("_READY"), "ok")
+    }
+    val sch = docs.schema
+    val cols = sch.fieldNames.map(col).toSeq
+    val zones = Seq(
+      docs.filter(col("doc_id") % 4 === 0)
+        .withColumn("fmt", lit("parquet")),
+      sources.JsonlCorpus.read(s, root.resolve("jsonl").toString, sch)
+        .select(cols: _*).withColumn("fmt", lit("jsonl")),
+      sources.JsonlCorpus.readCsv(s, root.resolve("csv").toString, sch)
+        .select(cols: _*).withColumn("fmt", lit("csv")),
+      sources.JsonlCorpus.readOrc(s, root.resolve("orc").toString, sch)
+        .withColumn("fmt", lit("orc")))
+    zones.reduce(_ unionByName _)
+      .groupBy("lang", "fmt")
+      .agg(count(lit(1)).as("n"),
+        sum("n_chars").cast("bigint").as("sum_chars"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+  }
+  val io5Oracle: String =
+    """SELECT lang,
+      |  CASE doc_id % 4 WHEN 0 THEN 'parquet' WHEN 1 THEN 'jsonl'
+      |    WHEN 2 THEN 'csv' ELSE 'orc' END AS fmt,
+      |  COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      |FROM documents GROUP BY 1, 2""".stripMargin
+
   /** L7: dynamic partition pruning — the runtime twin of L2's static
     * skipping: the events fact table is laid out partitioned by
     * event_type, the dimension side selects ONE type at runtime through
@@ -4111,6 +4165,7 @@ object Queries {
     "q_v10_merge_into" -> v10MergeInto,
     "q_v11_scd2" -> v11Scd2,
     "q_io4_orc_roundtrip" -> io4OrcRoundtrip,
+    "q_io5_federated" -> io5Federated,
     "q_l6_bloom_skipping" -> l6BloomSkipping,
     "q_a7_top_resources" -> a7TopResources,
     "q_e16_anomalies" -> e16Anomalies,
@@ -4233,6 +4288,7 @@ object Queries {
     "q_v10_merge_into" -> v10Oracle,
     "q_v11_scd2" -> v11Oracle,
     "q_io4_orc_roundtrip" -> io4Oracle,
+    "q_io5_federated" -> io5Oracle,
     "q_a7_top_resources" -> a7Oracle,
     "q_e16_anomalies" -> e16Oracle,
     "q_g2_reach" -> g2Oracle,
