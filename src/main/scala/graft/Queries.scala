@@ -2439,6 +2439,50 @@ object Queries {
       |  AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts"""
       .stripMargin
 
+  /** ST12: bounded-state streaming dedup
+    * (`dropDuplicatesWithinWatermark`) — the production form of ST10's
+    * cross-batch exact dedup: the dedup state is EVICTABLE once the
+    * watermark passes a key's event time, so an indefinitely running
+    * stream holds one delay-horizon of keys instead of growing forever
+    * (plain dropDuplicates state is unbounded — that's the 100 TB
+    * failure mode this API exists to fix). The fixture is delivered
+    * TWICE (two source files aliasing the same parquet), so every
+    * event_id arrives duplicated within the horizon; the deduped
+    * emission must equal the fixture exactly once — which is what the
+    * oracle states.
+    */
+  val st12DedupWatermark: Q = (s, d) => {
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft-st12", math.abs(d.hashCode).toString)
+    if (!java.nio.file.Files.exists(root.resolve("_READY"))) {
+      if (java.nio.file.Files.exists(root)) {
+        val walk = java.nio.file.Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+      java.nio.file.Files.createDirectories(root.resolve("stream"))
+      val src = java.nio.file.Paths.get(d, "events.parquet").toAbsolutePath
+      java.nio.file.Files.createSymbolicLink(
+        root.resolve("stream/a.parquet"), src)
+      java.nio.file.Files.createSymbolicLink(
+        root.resolve("stream/b.parquet"), src)
+      java.nio.file.Files.writeString(root.resolve("_READY"), "ok")
+    }
+    val sch = s.read.parquet(s"$d/events.parquet").schema
+    val stream = s.readStream.schema(sch)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(root.resolve("stream").toString)
+    val ev = Tables.normalizeTimestamps(stream, nanosLongCols = Set("ts"))
+      .select(col("event_id"), col("event_type"), col("value"), col("ts"))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    graft.streaming.Replay.availableNow(ev)
+      .select(col("event_id"), col("event_type"), col("value"))
+  }
+  val st12Oracle: String =
+    """SELECT event_id, event_type, value FROM events""".stripMargin
+
   /** ST9: stream-static enrichment ([[graft.streaming.StreamJoin
     * .staticEnrich]]) — the stateless broadcast LEFT join of the event
     * stream against the customer dimension, composed in front of the
@@ -3435,6 +3479,69 @@ object Queries {
       |    AS is_current
       |FROM g GROUP BY doc_id, seg""".stripMargin
 
+  /** V12: point-in-time join against the SCD2 history — the
+    * consumption pattern V11 exists for: each fact row carries an
+    * `as_of` version and joins the dimension's history on
+    * `valid_from <= as_of < coalesce(valid_to, ∞)`, reconstructing the
+    * attribute state the fact actually saw. The Spark side runs the
+    * range join over the RUN-compressed history (few rows per key); the
+    * oracle reconstructs each as-of state directly from the rebuilt
+    * version frames — equality proves the run intervals tile every
+    * version exactly (no gap, no overlap), the invariant PIT joins
+    * depend on.
+    */
+  val v12PitJoin: Q = (s, d) => {
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft-snap-qv12", math.abs(d.hashCode).toString)
+    if (java.nio.file.Files.exists(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+    val store = new graft.catalog.SnapshotTableStore(root.toString)
+    val v1 = t(s, d, "documents").select(col("doc_id"), col("lang"),
+      floor(col("n_chars") / 100).cast("bigint").as("bucket"))
+    val v2 = v1.filter(col("doc_id") % 7 =!= 3)
+      .withColumn("bucket", col("bucket") +
+        when(col("doc_id") % 10 === 0, 1L).otherwise(0L))
+    val v3 = v2.withColumn("lang",
+      when(col("doc_id") % 15 === 0, lit("xx")).otherwise(col("lang")))
+    store.overwrite(v1, "dim"); store.overwrite(v2, "dim")
+    store.overwrite(v3, "dim")
+    val hist = graft.catalog.Scd2.history(s, store, "dim", "doc_id",
+      Seq("lang", "bucket"))
+    val facts = t(s, d, "documents")
+      .select(col("doc_id"), (col("doc_id") % 3 + 1).as("as_of"))
+    facts.join(hist,
+        facts("doc_id") === hist("doc_id") &&
+          col("valid_from") <= col("as_of") &&
+          (col("valid_to").isNull || col("as_of") < col("valid_to")))
+      .select(facts("doc_id"), col("as_of"), col("lang"), col("bucket"))
+  }
+  val v12Oracle: String =
+    """WITH v1 AS (
+      |  SELECT doc_id, lang, CAST(FLOOR(n_chars / 100) AS BIGINT)
+      |    AS bucket, 1 AS v
+      |  FROM documents),
+      |v2 AS (
+      |  SELECT doc_id, lang,
+      |    bucket + CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END AS bucket,
+      |    2 AS v
+      |  FROM v1 WHERE doc_id % 7 <> 3),
+      |v3 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 15 = 0 THEN 'xx' ELSE lang END AS lang,
+      |    bucket, 3 AS v
+      |  FROM v2),
+      |u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2
+      |      UNION ALL SELECT * FROM v3),
+      |f AS (SELECT doc_id, CAST(doc_id % 3 + 1 AS BIGINT) AS as_of
+      |      FROM documents)
+      |SELECT f.doc_id, f.as_of, u.lang, u.bucket
+      |FROM f JOIN u ON u.doc_id = f.doc_id AND u.v = f.as_of"""
+      .stripMargin
+
   /** V8: schema-drift report between snapshot versions — the governance
     * view over [[catalog.SnapshotTableStore.manifestSchema]]: commit a
     * 3-column version, evolve with a 4th column, and emit the
@@ -4164,6 +4271,7 @@ object Queries {
     "q_v9_deletion_vectors" -> v9DeletionVectors,
     "q_v10_merge_into" -> v10MergeInto,
     "q_v11_scd2" -> v11Scd2,
+    "q_v12_pit_join" -> v12PitJoin,
     "q_io4_orc_roundtrip" -> io4OrcRoundtrip,
     "q_io5_federated" -> io5Federated,
     "q_l6_bloom_skipping" -> l6BloomSkipping,
@@ -4230,6 +4338,7 @@ object Queries {
     "q_st4_windowed_agg" -> st4WindowedAgg,
     "q_st5_stream_join" -> st5StreamJoin,
     "q_st11_outer_join" -> st11OuterJoin,
+    "q_st12_dedup_watermark" -> st12DedupWatermark,
     "q_st9_stream_enrich" -> st9StreamEnrich,
     "q_st6_exactly_once" -> st6ExactlyOnce,
     "q_st7_hopping_agg" -> st7HoppingAgg,
@@ -4287,6 +4396,7 @@ object Queries {
     "q_v9_deletion_vectors" -> v9Oracle,
     "q_v10_merge_into" -> v10Oracle,
     "q_v11_scd2" -> v11Oracle,
+    "q_v12_pit_join" -> v12Oracle,
     "q_io4_orc_roundtrip" -> io4Oracle,
     "q_io5_federated" -> io5Oracle,
     "q_a7_top_resources" -> a7Oracle,
@@ -4307,6 +4417,7 @@ object Queries {
     "q_st4_windowed_agg" -> st4Oracle,
     "q_st5_stream_join" -> st5Oracle,
     "q_st11_outer_join" -> st11Oracle,
+    "q_st12_dedup_watermark" -> st12Oracle,
     "q_st9_stream_enrich" -> st9Oracle,
     "q_st6_exactly_once" -> st6Oracle,
     "q_st7_hopping_agg" -> st7Oracle,
