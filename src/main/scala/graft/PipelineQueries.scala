@@ -537,6 +537,24 @@ object PipelineQueries {
     """SELECT doc_id, lang, source FROM documents
       |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'""".stripMargin
 
+  /** T41: exact-quota stratified sample ([[Sampling.stratifiedQuota]])
+    * — exactly 20 docs per language in md5-hash order (the balanced
+    * eval-set construction where a proportional threshold sample won't
+    * do). The oracle replays the identical hash-ordered window rank.
+    */
+  val t41StratifiedQuota: Q = (s, d) =>
+    Sampling.stratifiedQuota(t(s, d, "documents"), Seq("lang"), "doc_id",
+        quota = 20)
+      .select("doc_id", "lang", "source")
+  val t41Oracle: String =
+    """SELECT doc_id, lang, source FROM (
+      |  SELECT doc_id, lang, source,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY md5('strata:' || CAST(doc_id AS VARCHAR)), doc_id)
+      |      AS rk
+      |  FROM documents) z
+      |WHERE rk <= 20""".stripMargin
+
   /** T14: deterministic source-mixture sampling — per-source keep rates
     * (the training-data mixture step: upweight some domains, downsample
     * others) applied as one no-shuffle CASE + md5-threshold scan. The 20
@@ -3967,6 +3985,7 @@ object PipelineQueries {
     "q_q1_expectations" -> q1Expectations,
     "q_t39_k_anonymity" -> t39KAnonymity,
     "q_t40_pseudonymize" -> t40Pseudonymize,
+    "q_t41_stratified_quota" -> t41StratifiedQuota,
     "q_d1_fingerprint" -> d1Fingerprint,
     "q_d2_dedup_exact" -> d2DedupExact,
     "q_d3_jaccard_pairs" -> d3JaccardPairs,
@@ -4074,6 +4093,7 @@ object PipelineQueries {
     "q_q1_expectations" -> q1Oracle,
     "q_t39_k_anonymity" -> t39Oracle,
     "q_t40_pseudonymize" -> t40Oracle,
+    "q_t41_stratified_quota" -> t41Oracle,
     "q_t7_sample" -> t7Oracle,
     "q_t14_mixture" -> t14Oracle,
     "q_t15_interleave" -> t15Oracle,

@@ -3599,6 +3599,41 @@ object Queries {
       |WHERE p_size = 1
       |GROUP BY p_type""".stripMargin
 
+  /** L10: AQE shuffle-partition coalescing — the runtime-adaptivity
+    * family's third member (L7 prunes partitions, L9 prunes rows; this
+    * right-sizes the shuffle): the session plans the aggregation at the
+    * static shuffle-partition count, AQE measures the actual map output
+    * and fuses the near-empty reducers into a handful sized to the
+    * advisory target. At 100 TB the SAME mechanism prevents the
+    * opposite disease — a static count leaving thousand-way parallelism
+    * on two monster partitions. `coalesced` (the AQEShuffleRead plan
+    * fact, read AFTER execution when AQE has finalized) and the
+    * measured post-coalesce partition count ride next to the
+    * hash-checked aggregate.
+    */
+  val l10AqeCoalesce: Q = (s, d) => {
+    val agg = t(s, d, "orders")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        exactSum(col("o_totalprice")).as("sum_price"))
+    val rows = agg.collect() // finalize AQE before reading the plan
+    val plan = agg.queryExecution.executedPlan.toString
+    val coalesced = plan.contains("AQEShuffleRead coalesced")
+    val parts = agg.rdd.getNumPartitions.toLong
+    val shufflePartsConf =
+      s.conf.get("spark.sql.shuffle.partitions").toLong
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(rows.toSeq.asJava, agg.schema)
+      .withColumn("coalesced", lit(coalesced))
+      .withColumn("fewer_partitions", lit(parts < shufflePartsConf))
+  }
+  val l10Oracle: String =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+      |    AS sum_price,
+      |  TRUE AS coalesced, TRUE AS fewer_partitions
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
   /** V9: merge-on-read DELETE via deletion vectors
     * ([[catalog.SnapshotTableStore.deleteWhere]]) — the lakehouse
     * primitive that makes row-level deletes affordable at 100 TB: the
@@ -4268,6 +4303,7 @@ object Queries {
     "q_l7_dynamic_pruning" -> l7DynamicPruning,
     "q_l8_bucketed_join" -> l8BucketedJoin,
     "q_l9_runtime_filter" -> l9RuntimeFilter,
+    "q_l10_aqe_coalesce" -> l10AqeCoalesce,
     "q_v9_deletion_vectors" -> v9DeletionVectors,
     "q_v10_merge_into" -> v10MergeInto,
     "q_v11_scd2" -> v11Scd2,
@@ -4393,6 +4429,7 @@ object Queries {
     "q_l7_dynamic_pruning" -> l7Oracle,
     "q_l8_bucketed_join" -> l8Oracle,
     "q_l9_runtime_filter" -> l9Oracle,
+    "q_l10_aqe_coalesce" -> l10Oracle,
     "q_v9_deletion_vectors" -> v9Oracle,
     "q_v10_merge_into" -> v10Oracle,
     "q_v11_scd2" -> v11Oracle,

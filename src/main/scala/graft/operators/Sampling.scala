@@ -284,6 +284,28 @@ object Sampling {
       .drop("_shard", "_n", "_off", "_ln")
   }
 
+  /** Exact-quota stratified sample: exactly min(quota, |stratum|) rows
+    * per stratum, chosen by md5-hash order with a key tie-break — the
+    * eval/dev-set construction verb where "about 2%" (md5-threshold
+    * sampling) isn't acceptable and the quota must be EXACT per class.
+    * Deterministic across runs and engines (no rand()); one window
+    * shuffle keyed by the strata, each partition bounded by its stratum.
+    */
+  def stratifiedQuota(df: DataFrame, strataCols: Seq[String],
+      keyCol: String, quota: Int, seed: String = "strata"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(strataCols.nonEmpty, "need at least one stratum column")
+    require(quota >= 1, s"quota must be >= 1, got $quota")
+    requireFreshColumns(df, Seq("_h", "_rk"))
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(col("_h"), col(keyCol))
+    df.withColumn("_h",
+        md5(concat(lit(seed + ":"), col(keyCol).cast("string"))))
+      .withColumn("_rk", row_number().over(w))
+      .where(col("_rk") <= quota)
+      .drop("_h", "_rk")
+  }
+
   def interleave(df: DataFrame, keyCol: String, seed: String,
       prefixChars: Int = 2): DataFrame = {
     require(prefixChars >= 1 && prefixChars <= 8,
