@@ -1151,6 +1151,75 @@ object Queries {
       |FROM c GROUP BY event_type""".stripMargin
   val a28Oracle: String = a28Sql
 
+  /** A29: exact-moment correlation/covariance — Pearson r and sample
+    * covariance computed from DECIMAL-EXACT raw moments (n, Σx, Σy,
+    * Σxy, Σx², Σy²) instead of the built-in `corr`/`covar_samp`
+    * streaming co-moment updates, whose partial-merge order varies
+    * with partitioning and costs the last ULPs run-to-run. Exact sums
+    * are order-independent, so the final IEEE formula evaluation is
+    * the ONLY float step and both engines hit it with identical
+    * operands — reproducible statistics at any partition count, the
+    * same discipline as every decimal sum in this file. One
+    * partial-agg scan; x is the value, y the hour-of-day.
+    */
+  val a29ExactCorr: Q = (s, d) => {
+    // 18+18+1 = 37 ≤ 38: decimal products stay EXACT in both engines
+    val dec: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      _.cast("decimal(18,6)")
+    val x = col("value")
+    val y = hour(col("ts")).cast("double")
+    val m = t(s, d, "events").groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(dec(x)).as("sx"), sum(dec(y)).as("sy"),
+      sum(dec(x) * dec(y)).cast("decimal(38,12)").as("sxy"),
+      sum(dec(x) * dec(x)).cast("decimal(38,12)").as("sxx"),
+      sum(dec(y) * dec(y)).cast("decimal(38,12)").as("syy"))
+    val nD = col("n").cast("double")
+    val cov = (col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double") / nD) /
+      (nD - 1.0)
+    val varx = col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double") / nD
+    val vary = col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double") / nD
+    // the one remaining engine difference is the last-ULP rounding of
+    // the DECIMAL(38,12)->double conversion feeding the formula (Java
+    // BigDecimal rounds correctly; DuckDB converts via int128/10^s in
+    // float math), so the emitted statistics are pinned at 6dp — the
+    // s2 cosine discipline
+    m.select(col("event_type"), col("n"),
+      round(cov, 6).as("covar_samp"),
+      round(((col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double") / nD)) /
+        sqrt(varx * vary), 6).as("pearson_r"))
+  }
+  val a29Oracle: String =
+    """WITH m AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    SUM(CAST(value AS DECIMAL(18,6))) AS sx,
+      |    SUM(CAST(CAST(hour(ts) AS DOUBLE) AS DECIMAL(18,6))) AS sy,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6)) *
+      |      CAST(CAST(hour(ts) AS DOUBLE) AS DECIMAL(18,6)))
+      |      AS DECIMAL(38,12)) AS sxy,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6)) *
+      |      CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS sxx,
+      |    CAST(SUM(CAST(CAST(hour(ts) AS DOUBLE) AS DECIMAL(18,6)) *
+      |      CAST(CAST(hour(ts) AS DOUBLE) AS DECIMAL(18,6)))
+      |      AS DECIMAL(38,12)) AS syy
+      |  FROM events GROUP BY event_type)
+      |SELECT event_type, n,
+      |  ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+      |     / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0), 6)
+      |    AS covar_samp,
+      |  ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+      |     / CAST(n AS DOUBLE))
+      |  / SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+      |      * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+      |    * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+      |      * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+      |    AS pearson_r
+      |FROM m""".stripMargin
+
   /** A17: dataset profile ([[operators.Profiler.profile]]) — the
     * data-card pass: per-column null/distinct counts, numeric bounds and
     * exact decimal-space means, string bounds and average lengths,
@@ -4292,6 +4361,7 @@ object Queries {
     "q_a16_gapfill" -> a16GapFill,
     "q_a27_interpolate" -> a27Interpolate,
     "q_a28_winsorize" -> a28Winsorize,
+    "q_a29_exact_corr" -> a29ExactCorr,
     "q_a17_profile" -> a17Profile,
     "q_a18_profile_approx" -> a18ProfileApprox,
     "q_a19_key_skew" -> a19KeySkew,
@@ -4417,6 +4487,7 @@ object Queries {
     "q_a16_gapfill" -> a16Oracle,
     "q_a27_interpolate" -> a27Oracle,
     "q_a28_winsorize" -> a28Oracle,
+    "q_a29_exact_corr" -> a29Oracle,
     "q_a17_profile" -> a17Oracle,
     "q_a18_profile_approx" -> a18Oracle,
     "q_a19_key_skew" -> a19Oracle,
