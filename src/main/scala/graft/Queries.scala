@@ -706,6 +706,41 @@ object Queries {
       |  regexp_matches(txt, '[0-9]{3,}') AS has_big_num
       |FROM t""".stripMargin
 
+  /** X11: datetime battery — the calendar arithmetic a time-partitioned
+    * lake leans on daily: day-of-week (dialect split: Spark is
+    * 1=Sunday, DuckDB 0=Sunday), ISO week, quarter, day-of-year,
+    * last-day-of-month, month truncation, day offsets, and day diffs —
+    * all byte-replayed on the event timestamps.
+    */
+  val x11DatetimeBattery: Q = (s, d) =>
+    t(s, d, "events").filter(col("event_id") % 3 === 0)
+      .select(col("event_id"),
+        dayofweek(col("ts")).cast("bigint").as("dow"),
+        weekofyear(col("ts")).cast("bigint").as("iso_week"),
+        quarter(col("ts")).cast("bigint").as("qtr"),
+        dayofyear(col("ts")).cast("bigint").as("doy"),
+        // dates go out as STRINGS: the harness's pandas read renders
+        // Spark parquet DATE as date objects but DuckDB DATE as
+        // datetime64 ('… 00:00:00') — strings render identically
+        last_day(col("ts")).cast("string").as("month_end"),
+        trunc(col("ts"), "month").cast("string").as("month_start"),
+        date_add(col("ts").cast("date"), 30).cast("string").as("plus_30d"),
+        datediff(lit(java.sql.Date.valueOf("2024-06-01")),
+          col("ts").cast("date")).cast("bigint").as("days_to_june"))
+  val x11Oracle =
+    """SELECT event_id,
+      |  CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+      |  CAST(weekofyear(ts) AS BIGINT) AS iso_week,
+      |  CAST(quarter(ts) AS BIGINT) AS qtr,
+      |  CAST(dayofyear(ts) AS BIGINT) AS doy,
+      |  CAST(last_day(CAST(ts AS DATE)) AS VARCHAR) AS month_end,
+      |  CAST(CAST(date_trunc('month', ts) AS DATE) AS VARCHAR)
+      |    AS month_start,
+      |  CAST(CAST(ts AS DATE) + 30 AS VARCHAR) AS plus_30d,
+      |  CAST(date_diff('day', CAST(ts AS DATE), DATE '2024-06-01')
+      |    AS BIGINT) AS days_to_june
+      |FROM events WHERE event_id % 3 = 0""".stripMargin
+
   /** J5: null-safe equality join (`<=>` / IS NOT DISTINCT FROM) — the
     * §2.3 family member where NULL keys MATCH each other instead of
     * silently dropping (the dimension-with-unknown-bucket join). Both
@@ -4342,6 +4377,7 @@ object Queries {
     "q_x8_hof_battery" -> x8HofBattery,
     "q_x9_map_battery" -> x9MapBattery,
     "q_x10_regexp_battery" -> x10RegexpBattery,
+    "q_x11_datetime_battery" -> x11DatetimeBattery,
     "q_j5_nullsafe_join" -> j5NullsafeJoin,
     "q_w1_topk" -> w1TopK,
     "q_w4_pagination" -> w4Pagination,
@@ -4468,6 +4504,7 @@ object Queries {
     "q_x8_hof_battery" -> x8Oracle,
     "q_x9_map_battery" -> x9Oracle,
     "q_x10_regexp_battery" -> x10Oracle,
+    "q_x11_datetime_battery" -> x11Oracle,
     "q_j5_nullsafe_join" -> j5Oracle,
     "q_w1_topk" -> w1Oracle,
     "q_w4_pagination" -> w4Oracle,

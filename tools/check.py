@@ -156,10 +156,14 @@ if time_oracles:
     Path(f"{OUT}/oracle_times.json").write_text(json.dumps(times, indent=1))
     print(f"wrote {OUT}/oracle_times.json ({len(times)} oracles timed)")
 
+failed_names = {n for n, _ in fails}
 for n, c in passes:
-    print(f"PASS {n} ({c} rows)")
+    if n not in failed_names:  # a driver-compat fail demotes an exact pass
+        print(f"PASS {n} ({c} rows)")
 for n, m in fails:
     print(f"FAIL {n}: {m}")
 nq = len([n for n in oracle if not only or n in only])
-print(f"\n{len(passes)}/{nq} oracle queries pass")
+ok = len([1 for n, _ in passes if n not in failed_names])
+print(f"\n{ok}/{nq} oracle queries pass" +
+      (f" — {len(failed_names)} FAILED" if failed_names else ""))
 sys.exit(1 if fails else 0)
