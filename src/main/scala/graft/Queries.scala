@@ -1255,6 +1255,46 @@ object Queries {
       |    AS pearson_r
       |FROM m""".stripMargin
 
+  /** A30: MAD-based robust outlier detection — the median/MAD twin of
+    * A28's winsorization (mean/stddev outlier rules break when the
+    * outliers themselves inflate the stddev; median absolute deviation
+    * doesn't). Both the median and the MAD come from `percentile_disc`
+    * (observed values — deterministic, no interpolation), the deviation
+    * comparison is integer-scaled decimal arithmetic, and the emitted
+    * per-group outlier counts + extreme values are exact. Two
+    * aggregation passes (median, then MAD over |x−med|) + one flag
+    * scan — each partial-aggregated, corpus never sorted globally.
+    */
+  val a30MadOutliers: Q = (s, d) => {
+    Tables.register(s, d)
+    s.sql(a30Sql)
+  }
+  private val a30Sql =
+    """WITH med AS (
+      |  SELECT event_type,
+      |    percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS med
+      |  FROM events GROUP BY event_type),
+      |dev AS (
+      |  SELECT e.event_type, e.value, m.med,
+      |    ABS(CAST(e.value AS DECIMAL(18,4)) -
+      |        CAST(m.med AS DECIMAL(18,4))) AS adev
+      |  FROM events e JOIN med m ON e.event_type = m.event_type),
+      |mad AS (
+      |  SELECT event_type,
+      |    percentile_disc(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+      |  FROM dev GROUP BY event_type)
+      |SELECT d.event_type, COUNT(*) AS n,
+      |  CAST(MIN(d.med) AS DOUBLE) AS median,
+      |  CAST(MIN(m.mad) AS DOUBLE) AS mad,
+      |  CAST(SUM(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_outliers,
+      |  CAST(MAX(CASE WHEN d.adev > 3 * m.mad
+      |    THEN CAST(d.value AS DECIMAL(18,4)) END) AS DOUBLE)
+      |    AS max_outlier
+      |FROM dev d JOIN mad m ON d.event_type = m.event_type
+      |GROUP BY d.event_type""".stripMargin
+  val a30Oracle: String = a30Sql
+
   /** A17: dataset profile ([[operators.Profiler.profile]]) — the
     * data-card pass: per-column null/distinct counts, numeric bounds and
     * exact decimal-space means, string bounds and average lengths,
@@ -3646,6 +3686,50 @@ object Queries {
       |FROM f JOIN u ON u.doc_id = f.doc_id AND u.v = f.as_of"""
       .stripMargin
 
+  /** V13: orphan-file audit + GC ([[catalog.SnapshotTableStore
+    * .orphans]] / `vacuumOrphans`) — the ops loop around the commit
+    * protocol's failure mode: a writer that crashes after writing its
+    * data dir but before claiming a manifest leaves an unreferenced
+    * dir (garbage, never corruption). The query simulates the crash
+    * (a fully written, never-claimed dir), audits it, sweeps it, and
+    * emits the before/after orphan counts next to the hash-checked
+    * table content — which must be byte-identical through the whole
+    * episode, the actual correctness claim of the protocol.
+    */
+  val v13OrphanAudit: Q = (s, d) => {
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft-snap-qv13", math.abs(d.hashCode).toString)
+    if (java.nio.file.Files.exists(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+    val store = new graft.catalog.SnapshotTableStore(root.toString)
+    val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+    store.overwrite(docs.filter(col("doc_id") % 2 === 0), "docs")
+    store.append(docs.filter(col("doc_id") % 2 === 1), "docs")
+    // crashed writer: data written, manifest never claimed
+    docs.limit(10).write.parquet(
+      root.resolve("docs/data/d00003-crashed").toString)
+    val before = store.orphans("docs").size.toLong
+    // negative horizon = sweep regardless of age (the just-written dir
+    // shares the current millisecond; production uses hours)
+    store.vacuumOrphans("docs", olderThanMillis = -1000L)
+    val after = store.orphans("docs").size.toLong
+    store.read(s, "docs").groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum("n_chars").cast("bigint").as("sum_chars"))
+      .withColumn("orphans_before", lit(before))
+      .withColumn("orphans_after", lit(after))
+  }
+  val v13Oracle: String =
+    """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT)
+      |    AS sum_chars,
+      |  CAST(1 AS BIGINT) AS orphans_before,
+      |  CAST(0 AS BIGINT) AS orphans_after
+      |FROM documents GROUP BY lang""".stripMargin
+
   /** V8: schema-drift report between snapshot versions — the governance
     * view over [[catalog.SnapshotTableStore.manifestSchema]]: commit a
     * 3-column version, evolve with a 4th column, and emit the
@@ -4398,6 +4482,7 @@ object Queries {
     "q_a27_interpolate" -> a27Interpolate,
     "q_a28_winsorize" -> a28Winsorize,
     "q_a29_exact_corr" -> a29ExactCorr,
+    "q_a30_mad_outliers" -> a30MadOutliers,
     "q_a17_profile" -> a17Profile,
     "q_a18_profile_approx" -> a18ProfileApprox,
     "q_a19_key_skew" -> a19KeySkew,
@@ -4414,6 +4499,7 @@ object Queries {
     "q_v10_merge_into" -> v10MergeInto,
     "q_v11_scd2" -> v11Scd2,
     "q_v12_pit_join" -> v12PitJoin,
+    "q_v13_orphan_audit" -> v13OrphanAudit,
     "q_io4_orc_roundtrip" -> io4OrcRoundtrip,
     "q_io5_federated" -> io5Federated,
     "q_l6_bloom_skipping" -> l6BloomSkipping,
@@ -4525,6 +4611,7 @@ object Queries {
     "q_a27_interpolate" -> a27Oracle,
     "q_a28_winsorize" -> a28Oracle,
     "q_a29_exact_corr" -> a29Oracle,
+    "q_a30_mad_outliers" -> a30Oracle,
     "q_a17_profile" -> a17Oracle,
     "q_a18_profile_approx" -> a18Oracle,
     "q_a19_key_skew" -> a19Oracle,
@@ -4542,6 +4629,7 @@ object Queries {
     "q_v10_merge_into" -> v10Oracle,
     "q_v11_scd2" -> v11Oracle,
     "q_v12_pit_join" -> v12Oracle,
+    "q_v13_orphan_audit" -> v13Oracle,
     "q_io4_orc_roundtrip" -> io4Oracle,
     "q_io5_federated" -> io5Oracle,
     "q_a7_top_resources" -> a7Oracle,

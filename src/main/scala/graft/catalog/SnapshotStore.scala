@@ -562,6 +562,22 @@ final class SnapshotTableStore(root: String) extends TableStore {
     * swept; pick a horizon comfortably above the longest plausible
     * write-to-claim gap (e.g. hours).
     */
+  /** Data dirs under `table` that NO retained manifest references —
+    * crashed pre-claim writers and lost-race retries. The audit half of
+    * [[vacuumOrphans]] (same discovery, no deletion, no age filter):
+    * a monitoring job alerts on growth, the GC sweeps with the age
+    * guard.
+    */
+  def orphans(table: String): Seq[String] = {
+    val dd = tableDir(table).resolve("data")
+    if (!Files.isDirectory(dd)) return Seq.empty
+    val referenced = versions(table).flatMap(referencedDirs(table, _)).toSet
+    Using.resource(Files.list(dd)) { ls =>
+      ls.iterator().asScala.map(_.getFileName.toString)
+        .filter(!referenced.contains(_)).toList.sorted
+    }
+  }
+
   def vacuumOrphans(table: String, olderThanMillis: Long): Unit = {
     val dd = tableDir(table).resolve("data")
     if (!Files.isDirectory(dd)) return
