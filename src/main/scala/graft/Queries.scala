@@ -2193,6 +2193,39 @@ object Queries {
       |JOIN pt pb ON pb.event_type = co.type_b
       |CROSS JOIN nu""".stripMargin
 
+  /** G15: k-core peeling ([[Graph.kCore]]) — the dense-backbone
+    * extraction over the resource graph widened with order→supplier
+    * lineitem edges (the base graph is a forest, whose 2-core is
+    * empty; the lineitem edges close customer–nation–supplier–order
+    * cycles). Four fixed peel rounds at k = 2, every round one degree
+    * aggregation + two semi joins; the oracle unrolls the identical
+    * rounds as CTEs (the q_g13 pattern) and hash-checks every
+    * survivor's subgraph degree.
+    */
+  val g15KCore: Q = (s, d) =>
+    Graph.kCore(Tables.sql(s, d, kcoreEdgesSql), k = 2, rounds = 4)
+  private val kcoreEdgesSql: String =
+    s"""$edgesSql
+       |UNION ALL SELECT DISTINCT 'o' || CAST(l_orderkey AS STRING),
+       |       's' || CAST(l_suppkey AS STRING) FROM lineitem""".stripMargin
+  val g15Oracle: String = {
+    val rounds = (1 to 4).map { i =>
+      s"""k$i AS (SELECT a AS id FROM u${i - 1} GROUP BY a
+         |  HAVING COUNT(*) >= 2),
+         |u$i AS (SELECT u.a, u.b FROM u${i - 1} u
+         |  JOIN k$i x ON x.id = u.a JOIN k$i y ON y.id = u.b),""".stripMargin
+    }.mkString("\n")
+    s"""WITH e AS ($kcoreEdgesSql),
+       |u0 AS (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT from_id AS a, to_id AS b FROM e
+       |    UNION ALL SELECT to_id, from_id FROM e) z),
+       |$rounds
+       |fin AS (SELECT a AS id, COUNT(*) AS deg FROM u4 GROUP BY a
+       |        HAVING COUNT(*) >= 2)
+       |SELECT id, deg FROM fin""".stripMargin
+  }
+
   /** G13: deterministic synchronous label propagation
     * ([[Graph.labelPropagation]]) — community detection over the
     * resource graph: 3 rounds of most-frequent-neighbor-label adoption
@@ -4521,6 +4554,7 @@ object Queries {
     "q_g8_pagerank" -> g8PageRank,
     "q_g13_label_prop" -> g13LabelProp,
     "q_g14_cooccurrence" -> g14Cooccurrence,
+    "q_g15_kcore" -> g15KCore,
     "q_g6_components" -> g6Components,
     "q_g9_triangles" -> g9Triangles,
     "q_g10_graph_table" -> g10GraphTable,
@@ -4642,6 +4676,7 @@ object Queries {
     "q_g8_pagerank" -> g8Oracle,
     "q_g13_label_prop" -> g13Oracle,
     "q_g14_cooccurrence" -> g14Oracle,
+    "q_g15_kcore" -> g15Oracle,
     "q_a8_dimensional" -> a8Oracle,
     "q_a10_passfail" -> a10Oracle,
     "q_x1_scalar_battery" -> x1Oracle,

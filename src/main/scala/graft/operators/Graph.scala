@@ -233,6 +233,39 @@ object Graph {
     labels.select(col("id"), col("label").as("community"))
   }
 
+  /** k-core peeling: iteratively remove vertices with degree < k from
+    * the undirected deduped view; after enough rounds the survivors are
+    * the k-core (the densely-knit backbone community detection and
+    * graph sparsification both start from). `rounds` is FIXED, not
+    * run-to-convergence — each round is one degree aggregation + two
+    * semi joins, so the plan is round-bounded and an engine replay can
+    * unroll the identical rounds (the q_g13 oracle pattern); callers
+    * size rounds to the fixture's peel depth. Returns survivors with
+    * their degree in the peeled subgraph.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1 && rounds <= 20,
+      s"kCore: bad k=$k or rounds=$rounds")
+    val e = edges.select(col("from_id").cast("string").as("a"),
+      col("to_id").cast("string").as("b"))
+    var und = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint(true)
+    var r = 0
+    while (r < rounds) {
+      val keep = und.groupBy(col("a").as("id"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select("id")
+      und = und
+        .join(keep.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
+      r += 1
+      if (r % 2 == 0 && r < rounds) und = und.localCheckpoint(true)
+    }
+    und.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k)
+  }
+
   /** Weighted single-source-set shortest paths: min total edge weight
     * over all directed walks of at most `maxIter` edges from any source
     * (sources at 0). Bellman-Ford relaxation rounds — with nonnegative
