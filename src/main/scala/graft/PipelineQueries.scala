@@ -555,6 +555,47 @@ object PipelineQueries {
       |  FROM documents) z
       |WHERE rk <= 20""".stripMargin
 
+  /** T43: lexical-diversity profile — distinct-trigram and type-token
+    * ratios per source, the curation signal that separates template
+    * farms (thousands of pages, hundreds of distinct trigrams) from
+    * organic text. One multi-distinct aggregation (a single Expand
+    * shuffle); ratios are IEEE divisions of exact counts; the oracle
+    * replays the shared normalize + trigram windows byte-for-byte.
+    */
+  val t43Diversity: Q = (s, d) => {
+    val toks = t(s, d, "documents")
+      .select(col("source"), col("doc_id"),
+        split(TextAnalysis.normalize(col("text")), " ").as("w"))
+    // guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty —
+    // a 2-token doc would emit bogus partial grams without the CASE
+    val tri = toks.select(col("source"), col("doc_id"),
+      explode(expr(
+        "CASE WHEN size(w) >= 3 THEN transform(sequence(1, size(w) - 2), " +
+          "i -> concat_ws(' ', w[i-1], w[i], w[i+1])) " +
+          "ELSE CAST(array() AS ARRAY<STRING>) END")).as("g"))
+    tri.groupBy("source")
+      .agg(count(lit(1)).as("n_trigrams"),
+        countDistinct(col("g")).as("n_distinct"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .withColumn("diversity",
+        col("n_distinct").cast("double") / col("n_trigrams").cast("double"))
+  }
+  val t43Oracle: String =
+    s"""WITH w AS (
+      |  SELECT source, doc_id, $wordsSql AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT source, doc_id,
+      |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+      |  FROM w, (SELECT unnest(generate_series(1, 10000)) AS i) ii
+      |  WHERE i <= len(toks) - 2)
+      |SELECT source, COUNT(*) AS n_trigrams,
+      |  CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct,
+      |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(DISTINCT g) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+      |    AS diversity
+      |FROM g GROUP BY source""".stripMargin
+
   /** T14: deterministic source-mixture sampling — per-source keep rates
     * (the training-data mixture step: upweight some domains, downsample
     * others) applied as one no-shuffle CASE + md5-threshold scan. The 20
@@ -3986,6 +4027,7 @@ object PipelineQueries {
     "q_t39_k_anonymity" -> t39KAnonymity,
     "q_t40_pseudonymize" -> t40Pseudonymize,
     "q_t41_stratified_quota" -> t41StratifiedQuota,
+    "q_t43_diversity" -> t43Diversity,
     "q_d1_fingerprint" -> d1Fingerprint,
     "q_d2_dedup_exact" -> d2DedupExact,
     "q_d3_jaccard_pairs" -> d3JaccardPairs,
@@ -4094,6 +4136,7 @@ object PipelineQueries {
     "q_t39_k_anonymity" -> t39Oracle,
     "q_t40_pseudonymize" -> t40Oracle,
     "q_t41_stratified_quota" -> t41Oracle,
+    "q_t43_diversity" -> t43Oracle,
     "q_t7_sample" -> t7Oracle,
     "q_t14_mixture" -> t14Oracle,
     "q_t15_interleave" -> t15Oracle,
