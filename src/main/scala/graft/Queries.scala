@@ -3422,6 +3422,52 @@ object Queries {
       |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
       |FROM documents GROUP BY 1, 2""".stripMargin
 
+  /** IO6: snapshot-store clone ([[catalog.SnapshotTableStore.cloneTo]])
+    * — the migration/DR verb: a two-version table (plus a planted
+    * orphan dir) clones into a fresh store with manifests copied LAST,
+    * so every version lands whole. The emitted facts pin the protocol:
+    * identical current content (hash-checked), v1 still time-travels on
+    * the CLONE, both versions present, and the orphan stayed behind
+    * (garbage doesn't migrate).
+    */
+  val io6StoreClone: Q = (s, d) => {
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft-clone-qio6", math.abs(d.hashCode).toString)
+    if (java.nio.file.Files.exists(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+    val src = new graft.catalog.SnapshotTableStore(
+      root.resolve("src").toString)
+    val dst = new graft.catalog.SnapshotTableStore(
+      root.resolve("dst").toString)
+    val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+    src.overwrite(docs.filter(col("doc_id") % 2 === 0), "docs")
+    src.append(docs.filter(col("doc_id") % 2 === 1), "docs")
+    docs.limit(5).write.parquet(
+      root.resolve("src/docs/data/d00009-orphan").toString)
+    val v = src.cloneTo(dst, "docs")
+    val vsOk = dst.versions("docs") == Seq(1, 2) && v == 2
+    val ttOk = dst.readVersion(s, "docs", 1).count() ==
+      docs.filter(col("doc_id") % 2 === 0).count()
+    val orphanStays = dst.orphans("docs").isEmpty &&
+      src.orphans("docs").size == 1
+    dst.read(s, "docs").groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum("n_chars").cast("bigint").as("sum_chars"))
+      .withColumn("versions_ok", lit(vsOk))
+      .withColumn("time_travel_ok", lit(ttOk))
+      .withColumn("orphan_stayed", lit(orphanStays))
+  }
+  val io6Oracle: String =
+    """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT)
+      |    AS sum_chars,
+      |  TRUE AS versions_ok, TRUE AS time_travel_ok,
+      |  TRUE AS orphan_stayed
+      |FROM documents GROUP BY lang""".stripMargin
+
   /** L7: dynamic partition pruning — the runtime twin of L2's static
     * skipping: the events fact table is laid out partitioned by
     * event_type, the dimension side selects ONE type at runtime through
@@ -4535,6 +4581,7 @@ object Queries {
     "q_v13_orphan_audit" -> v13OrphanAudit,
     "q_io4_orc_roundtrip" -> io4OrcRoundtrip,
     "q_io5_federated" -> io5Federated,
+    "q_io6_store_clone" -> io6StoreClone,
     "q_l6_bloom_skipping" -> l6BloomSkipping,
     "q_a7_top_resources" -> a7TopResources,
     "q_e16_anomalies" -> e16Anomalies,
@@ -4666,6 +4713,7 @@ object Queries {
     "q_v13_orphan_audit" -> v13Oracle,
     "q_io4_orc_roundtrip" -> io4Oracle,
     "q_io5_federated" -> io5Oracle,
+    "q_io6_store_clone" -> io6Oracle,
     "q_a7_top_resources" -> a7Oracle,
     "q_e16_anomalies" -> e16Oracle,
     "q_g2_reach" -> g2Oracle,

@@ -562,6 +562,43 @@ final class SnapshotTableStore(root: String) extends TableStore {
     * swept; pick a horizon comfortably above the longest plausible
     * write-to-claim gap (e.g. hours).
     */
+  /** Clone `table` — full version history — into `target`: every
+    * REFERENCED data dir (content + deletion vectors; orphans are
+    * garbage and stay behind), every manifest, and the pointer. Because
+    * dirs are immutable and the manifest is the commit point, a clone
+    * is pure file copy with the manifests copied LAST — a reader of the
+    * half-copied target sees only whole versions. This is the
+    * migration/DR verb (at 100 TB the dir copy is a distcp-style bulk
+    * transfer; the protocol is the same). Returns the cloned current
+    * version.
+    */
+  def cloneTo(target: SnapshotTableStore, table: String): Int = {
+    val cur = currentVersion(table).getOrElse(
+      throw new IllegalArgumentException(s"snapshot table $table does not exist"))
+    val vs = versions(table)
+    val dirs = vs.flatMap(referencedDirs(table, _)).distinct
+    def copyTree(from: Path, to: Path): Unit = {
+      Files.createDirectories(to.getParent)
+      Using.resource(Files.walk(from)) { walk =>
+        walk.forEach { p =>
+          val dest = to.resolve(from.relativize(p))
+          if (Files.isDirectory(p)) Files.createDirectories(dest)
+          else Files.copy(p, dest, StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+    }
+    dirs.foreach(dn =>
+      copyTree(dataDir(table, dn), target.dataDir(table, dn)))
+    // manifests last: each version becomes visible only complete
+    vs.foreach { v =>
+      Files.createDirectories(target.manifestPath(table, v).getParent)
+      Files.copy(manifestPath(table, v), target.manifestPath(table, v),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    target.advancePointer(table, cur)
+    cur
+  }
+
   /** Data dirs under `table` that NO retained manifest references —
     * crashed pre-claim writers and lost-race retries. The audit half of
     * [[vacuumOrphans]] (same discovery, no deletion, no age filter):
