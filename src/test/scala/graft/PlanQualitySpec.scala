@@ -345,4 +345,26 @@ class PlanQualitySpec extends SparkSpec {
     // the rerank joins the bounded candidate set back by broadcast
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("S22 random projection: one exchange-free narrow scan") {
+    val p = plan("q_s22_random_projection")
+    assert(!p.contains("Exchange"),
+      "JL projection must not shuffle — the sign matrix is a literal\n" + p)
+  }
+
+  test("T39 k-anonymity suppression: at-risk list broadcast, corpus " +
+    "semi-joined") {
+    val p = plan("q_t39_k_anonymity")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+  }
+
+  test("Q1 expectations metrics: one aggregate pass, no pre-agg explode") {
+    val p = plan("q_q1_expectations")
+    // the metrics leg's unpivot Generate must sit DIRECTLY on top of the
+    // aggregate (explode the 1-row agg result, never the corpus): in the
+    // plan tree the Generate's immediate child is the HashAggregate
+    val direct = """Generate \(\d+\)\s*\n[^\n]*HashAggregate""".r
+    assert(direct.findFirstIn(p).nonEmpty,
+      "metrics Generate must consume the aggregate, not the scan\n" + p)
+  }
 }
