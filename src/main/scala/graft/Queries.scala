@@ -2660,6 +2660,76 @@ object Queries {
   val st12Oracle: String =
     """SELECT event_id, event_type, value FROM events""".stripMargin
 
+  /** ST13: UPDATE-mode streaming aggregation — the third output mode
+    * beside the st-family's append (windowed finalize) and st6's
+    * idempotent sink: a running per-type revenue total re-emits a key's
+    * row EVERY micro-batch that changes it, which is what an upsert
+    * sink (foreachBatch MERGE) consumes for live dashboards. The
+    * fixture splits into two mtime-ordered files with
+    * maxFilesPerTrigger=1 ⇒ exactly two deterministic micro-batches, so
+    * the update STREAM is the even-half aggregate (batch 0) followed by
+    * the full aggregate (batch 1) — both replayed relationally by the
+    * oracle. State is keyed by the bounded type dimension; unbounded-
+    * key running totals pair with watermarked windows instead (st4).
+    */
+  val st13UpdateMode: Q = (s, d) => {
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft-st13", math.abs(d.hashCode).toString)
+    val raw = s.read.parquet(s"$d/events.parquet")
+    if (!java.nio.file.Files.exists(root.resolve("_READY"))) {
+      if (java.nio.file.Files.exists(root)) {
+        val walk = java.nio.file.Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+      java.nio.file.Files.createDirectories(root.resolve("stream"))
+      def half(pred: org.apache.spark.sql.Column, name: String,
+          ageMs: Long): Unit = {
+        val tmp = root.resolve(s"tmp-$name")
+        raw.filter(pred).coalesce(1).write.parquet(tmp.toString)
+        val part = {
+          val ls = java.nio.file.Files.list(tmp)
+          try ls.filter(_.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          finally ls.close()
+        }
+        val dest = root.resolve(s"stream/$name.parquet")
+        java.nio.file.Files.move(part, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageMs))
+        val walk = java.nio.file.Files.walk(tmp)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+      half(col("event_id") % 2 === 0, "batch0", 600000L) // older → first
+      half(col("event_id") % 2 === 1, "batch1", 300000L)
+      java.nio.file.Files.writeString(root.resolve("_READY"), "ok")
+    }
+    val stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(root.resolve("stream").toString)
+    val agg = Tables.normalizeTimestamps(stream, nanosLongCols = Set("ts"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).as("sum_d"))
+    graft.streaming.Replay.availableNowUpdate(agg)
+      .select(col("event_type"), col("n"),
+        round(col("sum_d"), 2).cast("double").as("sum_value"))
+  }
+  val st13Oracle: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+      |    AS sum_value
+      |FROM events WHERE event_id % 2 = 0 GROUP BY event_type
+      |UNION ALL
+      |SELECT event_type, COUNT(*),
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+      |FROM events GROUP BY event_type""".stripMargin
+
   /** ST9: stream-static enrichment ([[graft.streaming.StreamJoin
     * .staticEnrich]]) — the stateless broadcast LEFT join of the event
     * stream against the customer dimension, composed in front of the
@@ -4648,6 +4718,7 @@ object Queries {
     "q_st5_stream_join" -> st5StreamJoin,
     "q_st11_outer_join" -> st11OuterJoin,
     "q_st12_dedup_watermark" -> st12DedupWatermark,
+    "q_st13_update_mode" -> st13UpdateMode,
     "q_st9_stream_enrich" -> st9StreamEnrich,
     "q_st6_exactly_once" -> st6ExactlyOnce,
     "q_st7_hopping_agg" -> st7HoppingAgg,
@@ -4734,6 +4805,7 @@ object Queries {
     "q_st5_stream_join" -> st5Oracle,
     "q_st11_outer_join" -> st11Oracle,
     "q_st12_dedup_watermark" -> st12Oracle,
+    "q_st13_update_mode" -> st13Oracle,
     "q_st9_stream_enrich" -> st9Oracle,
     "q_st6_exactly_once" -> st6Oracle,
     "q_st7_hopping_agg" -> st7Oracle,

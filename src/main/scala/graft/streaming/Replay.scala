@@ -34,7 +34,19 @@ object Replay {
     */
   private val ReplayPartitions = "4"
 
-  def availableNow(emitted: DataFrame): DataFrame = {
+  /** Update-mode twin of [[availableNow]]: the memory sink RECORDS every
+    * per-batch update row (it does not overwrite), so the returned frame
+    * is the update STREAM — one row per (key, batch-with-a-change) —
+    * which is exactly what an upsert sink (foreachBatch MERGE) would
+    * consume. Callers verifying against a batch oracle replay the
+    * per-batch prefix aggregations.
+    */
+  def availableNowUpdate(emitted: DataFrame): DataFrame =
+    run(emitted, "update")
+
+  def availableNow(emitted: DataFrame): DataFrame = run(emitted, "append")
+
+  private def run(emitted: DataFrame, mode: String): DataFrame = {
     val spark = emitted.sparkSession
     val qn = s"graft_replay_${java.util.UUID.randomUUID().toString.take(8)}"
     val ck = scratchRoot.resolve(s"$qn-ck")
@@ -43,7 +55,7 @@ object Replay {
     spark.conf.set(partKey, ReplayPartitions)
     try {
       val sq = emitted.writeStream.format("memory").queryName(qn)
-        .outputMode("append")
+        .outputMode(mode)
         .option("checkpointLocation", ck.toString)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
