@@ -741,6 +741,32 @@ object Queries {
       |    AS BIGINT) AS days_to_june
       |FROM events WHERE event_id % 3 = 0""".stripMargin
 
+  /** X12: conditional/argmax aggregate battery — max_by/min_by (DuckDB
+    * arg_max/arg_min), count_if, bool_and/bool_or, any_value pinned via
+    * a unique extremum (deterministic because o_orderkey is unique and
+    * o_totalprice ties break nowhere on the fixture's continuous
+    * prices; the BY keys are the unique o_orderkey for ties-impossible
+    * argmax semantics).
+    */
+  val x12AggBattery: Q = (s, d) =>
+    t(s, d, "orders").groupBy("o_orderpriority")
+      .agg(
+        max_by(col("o_orderkey"), col("o_totalprice")).as("key_of_max"),
+        min_by(col("o_orderkey"), col("o_totalprice")).as("key_of_min"),
+        count_if(col("o_totalprice") > 200000.0).as("n_big"),
+        bool_and(col("o_totalprice") > 1000.0).as("all_over_1k"),
+        bool_or(col("o_totalprice") > 400000.0).as("any_over_400k"),
+        max(col("o_totalprice")).as("max_price"))
+  val x12Oracle =
+    """SELECT o_orderpriority,
+      |  arg_max(o_orderkey, o_totalprice) AS key_of_max,
+      |  arg_min(o_orderkey, o_totalprice) AS key_of_min,
+      |  CAST(count_if(o_totalprice > 200000.0) AS BIGINT) AS n_big,
+      |  bool_and(o_totalprice > 1000.0) AS all_over_1k,
+      |  bool_or(o_totalprice > 400000.0) AS any_over_400k,
+      |  MAX(o_totalprice) AS max_price
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
   /** J5: null-safe equality join (`<=>` / IS NOT DISTINCT FROM) — the
     * §2.3 family member where NULL keys MATCH each other instead of
     * silently dropping (the dimension-with-unknown-bucket join). Both
@@ -4611,6 +4637,7 @@ object Queries {
     "q_x9_map_battery" -> x9MapBattery,
     "q_x10_regexp_battery" -> x10RegexpBattery,
     "q_x11_datetime_battery" -> x11DatetimeBattery,
+    "q_x12_agg_battery" -> x12AggBattery,
     "q_j5_nullsafe_join" -> j5NullsafeJoin,
     "q_w1_topk" -> w1TopK,
     "q_w4_pagination" -> w4Pagination,
@@ -4743,6 +4770,7 @@ object Queries {
     "q_x9_map_battery" -> x9Oracle,
     "q_x10_regexp_battery" -> x10Oracle,
     "q_x11_datetime_battery" -> x11Oracle,
+    "q_x12_agg_battery" -> x12Oracle,
     "q_j5_nullsafe_join" -> j5Oracle,
     "q_w1_topk" -> w1Oracle,
     "q_w4_pagination" -> w4Oracle,
