@@ -1321,6 +1321,65 @@ object Queries {
       |GROUP BY d.event_type""".stripMargin
   val a30Oracle: String = a30Sql
 
+  /** A31: session-metrics rollup — per-user 30-minute-gap sessions
+    * (the batch twin of ST1/ST8's sessionization) folded to the product
+    * metrics a funnel team reads daily: sessions, bounce share
+    * (single-event sessions), and duration/event averages — grouped by
+    * session length bucket so distributions, not just totals, are
+    * hash-checked. Gap segmentation = one lag + running-sum window per
+    * user (one user-keyed shuffle); averages are exact integer sums
+    * with one IEEE division.
+    */
+  val a31SessionMetrics: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val wU = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = t(s, d, "events")
+      .withColumn("_gap",
+        when(col("ts").cast("long") -
+          lag(col("ts"), 1).over(wU).cast("long") > 1800L, 1L)
+          .otherwise(lit(0L)))
+      .withColumn("_sid", sum(col("_gap")).over(wRun))
+      .groupBy("user_id", "_sid")
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("ts").cast("long")) - min(col("ts").cast("long")))
+          .as("dur_s"))
+    sess.groupBy(least(col("n_events"), lit(5L)).as("len_bucket"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum("dur_s").cast("bigint").as("sum_dur_s"),
+        (sum("dur_s").cast("double") / count(lit(1)).cast("double"))
+          .as("avg_dur_s"),
+        (count(when(col("n_events") === 1, 1)).cast("double") /
+          count(lit(1)).cast("double")).as("bounce_share"))
+  }
+  val a31Oracle: String =
+    """WITH o AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN epoch_us(ts) // 1000000 -
+      |           LAG(epoch_us(ts) // 1000000) OVER w > 1800
+      |         THEN 1 ELSE 0 END AS gap
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |g AS (
+      |  SELECT user_id, ts,
+      |    SUM(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM o),
+      |sess AS (
+      |  SELECT user_id, sid, COUNT(*) AS n_events,
+      |    MAX(epoch_us(ts) // 1000000) - MIN(epoch_us(ts) // 1000000)
+      |      AS dur_s
+      |  FROM g GROUP BY user_id, sid)
+      |SELECT LEAST(n_events, 5) AS len_bucket,
+      |  COUNT(*) AS n_sessions,
+      |  CAST(SUM(dur_s) AS BIGINT) AS sum_dur_s,
+      |  CAST(SUM(dur_s) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+      |    AS avg_dur_s,
+      |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS bounce_share
+      |FROM sess GROUP BY 1""".stripMargin
+
   /** A17: dataset profile ([[operators.Profiler.profile]]) — the
     * data-card pass: per-column null/distinct counts, numeric bounds and
     * exact decimal-space means, string bounds and average lengths,
@@ -4659,6 +4718,7 @@ object Queries {
     "q_a28_winsorize" -> a28Winsorize,
     "q_a29_exact_corr" -> a29ExactCorr,
     "q_a30_mad_outliers" -> a30MadOutliers,
+    "q_a31_session_metrics" -> a31SessionMetrics,
     "q_a17_profile" -> a17Profile,
     "q_a18_profile_approx" -> a18ProfileApprox,
     "q_a19_key_skew" -> a19KeySkew,
@@ -4792,6 +4852,7 @@ object Queries {
     "q_a28_winsorize" -> a28Oracle,
     "q_a29_exact_corr" -> a29Oracle,
     "q_a30_mad_outliers" -> a30Oracle,
+    "q_a31_session_metrics" -> a31Oracle,
     "q_a17_profile" -> a17Oracle,
     "q_a18_profile_approx" -> a18Oracle,
     "q_a19_key_skew" -> a19Oracle,
