@@ -69,6 +69,55 @@ object PipelineQueries {
        |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id)
        |SELECT source, id_a, id_b, jaccard FROM p WHERE jaccard >= 0.2""".stripMargin
 
+  /** Shared fixture for D16: a bounded corpus slice plus COMPOSITE
+    * quote docs — every 20th doc's text concatenated with its
+    * successor's — so each composite fully CONTAINS two originals
+    * (containment 1.0) while its Jaccard to either is only ~0.5.
+    * Identical SQL text runs in both engines.
+    */
+  private val d16RecsSql =
+    """SELECT doc_id, text FROM documents WHERE doc_id < 200
+      |UNION ALL
+      |SELECT a.doc_id + 1000000, a.text || ' ' || b.text
+      |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      |WHERE a.doc_id % 20 = 0 AND a.doc_id < 200""".stripMargin
+
+  /** D16: asymmetric containment near-dup ([[Dedup.containmentPairs]])
+    * — the quote/subset detector: composites built from two originals
+    * must surface with containment 1.0 against each (Jaccard ≈ 0.5
+    * would slip any symmetric threshold — that's the operator's reason
+    * to exist). Full SQL replay of shingles, the sorted-merge
+    * intersect, and both containment directions.
+    */
+  val d16Containment: Q = (s, d) =>
+    Dedup.containmentPairs(
+      Tables.sql(s, d, d16RecsSql).select(col("doc_id"), col("text"),
+        lit("x").as("blk")),
+      "doc_id", "text", "blk", w = 3, threshold = 0.9)
+      .select("id_a", "id_b", "cont_ab", "cont_ba")
+  val d16Oracle: String =
+    s"""WITH recs AS ($d16RecsSql),
+       |t AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(
+       |      generate_series(1, greatest(len(w) - 2, 0)),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+       |  FROM (SELECT doc_id, $wordsSql AS w FROM recs) z),
+       |p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+       |    len(a.sh) AS na, len(b.sh) AS nb
+       |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
+       |SELECT id_a, id_b,
+       |  ROUND(CASE WHEN na = 0 THEN 0.0 ELSE inter / na END, 6)
+       |    AS cont_ab,
+       |  ROUND(CASE WHEN nb = 0 THEN 0.0 ELSE inter / nb END, 6)
+       |    AS cont_ba
+       |FROM p
+       |WHERE GREATEST(CASE WHEN na = 0 THEN 0.0 ELSE inter / na END,
+       |               CASE WHEN nb = 0 THEN 0.0 ELSE inter / nb END)
+       |      >= 0.9""".stripMargin
+
   /** Planted-duplicate fixture for the near-dup completeness oracles: an
     * identical-text clone (`doc_id + PlantOffset`) of a deterministic ~2%
     * of documents. Identical text makes detection CERTAIN, not
@@ -4031,6 +4080,7 @@ object PipelineQueries {
     "q_d1_fingerprint" -> d1Fingerprint,
     "q_d2_dedup_exact" -> d2DedupExact,
     "q_d3_jaccard_pairs" -> d3JaccardPairs,
+    "q_d16_containment" -> d16Containment,
     "q_d4_minhash_neardup" -> d4MinhashNearDup,
     "q_d5_simhash_neardup" -> d5SimhashNearDup,
     "q_d14_ppjoin" -> d14PpjoinPairs,
@@ -4124,6 +4174,7 @@ object PipelineQueries {
     "q_d1_fingerprint" -> d1Oracle,
     "q_d2_dedup_exact" -> d2Oracle,
     "q_d3_jaccard_pairs" -> d3Oracle,
+    "q_d16_containment" -> d16Oracle,
     "q_t1_quality" -> t1Oracle,
     "q_t2_langid" -> t2Oracle,
     "q_t3_top_tokens" -> t3Oracle,

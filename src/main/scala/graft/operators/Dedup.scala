@@ -278,6 +278,44 @@ object Dedup {
       .select(col("blk"), col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Asymmetric containment pairs — the quote/subset detector Jaccard
+    * structurally misses: a document fully quoted inside a 2× larger one
+    * has containment 1.0 but Jaccard ≈ 0.5, so symmetric near-dup at any
+    * sane threshold keeps both copies. Same blocked shingle self-join
+    * shape as [[ngramJaccardPairs]] (one codegen sorted-merge intersect
+    * per candidate pair); emits BOTH directions (`cont_ab` = |A∩B|/|A|,
+    * how much of A lives inside B; `cont_ba` likewise) and keeps pairs
+    * where either crosses the threshold.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, w: Int = 3, threshold: Double = 0.9): DataFrame = {
+    graft.functions.VecExprs.register(df.sparkSession)
+    val toks = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(blockCol).as("blk"), col(idCol).as("id"),
+        split(TextAnalysis.normalize(col(textCol)), " ").as("toks"))
+      .localCheckpoint(true)
+    val sh = toks
+      .select(col("blk"), col("id"),
+        hashedShinglesFromTokens(col("toks"), w).as("sh"))
+      .localCheckpoint(true)
+    toks.unpersist(blocking = false)
+    val a = sh.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val inter = call_function("arr_inter", col("sh_a"), col("sh_b"))
+      .cast("double")
+    def cont(denom: Column) =
+      round(when(size(denom) === 0, 0.0)
+        .otherwise(inter / size(denom).cast("double")), 6)
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cont_ab", cont(col("sh_a")))
+      .withColumn("cont_ba", cont(col("sh_b")))
+      .filter(greatest(col("cont_ab"), col("cont_ba")) >= threshold)
+      .select(col("blk"), col("id_a"), col("id_b"),
+        col("cont_ab"), col("cont_ba"))
+  }
+
   /** Exact global set-similarity self-join via prefix filtering — the
     * PPJoin/SSJoin family (Chaudhuri et al. ICDE'06; Xiao et al. WWW'08)
     * in the distributed formulation of Vernica et al. (SIGMOD'10,
