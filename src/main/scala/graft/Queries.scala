@@ -878,6 +878,27 @@ object Queries {
       |WINDOW w AS (PARTITION BY o_orderpriority
       |  ORDER BY o_totalprice ASC, o_orderkey ASC)""".stripMargin
 
+  /** W8: value-window battery — FIRST_VALUE / LAST_VALUE over the full
+    * partition frame and NTH_VALUE(3), completing the analytic-window
+    * family beside W6's rank/offset functions; one unique total order
+    * per partition keeps every cell deterministic.
+    */
+  val w8ValueWindows: Q = (s, d) => {
+    Tables.register(s, d)
+    s.sql(w8Sql)
+  }
+  private val w8Sql =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |  FIRST_VALUE(o_orderkey) OVER w AS cheapest_key,
+      |  LAST_VALUE(o_orderkey) OVER w AS priciest_key,
+      |  NTH_VALUE(o_orderkey, 3) OVER w AS third_key
+      |FROM orders WHERE o_orderkey % 23 = 0
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |  ORDER BY o_totalprice ASC, o_orderkey ASC
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""
+      .stripMargin
+  val w8Oracle: String = w8Sql
+
   // ===== §2.8 the five macros ==========================================
 
   /** Shared scrambled-JSON input: synthesizes NULL / invalid / empty JSON
@@ -4782,6 +4803,7 @@ object Queries {
     "q_c4_pack_protection" -> c4PackProtection,
     "q_a14_histogram" -> a14Histogram,
     "q_w6_window_battery" -> w6WindowBattery,
+    "q_w8_value_windows" -> w8ValueWindows,
     "q_a8_dimensional" -> a8Dimensional,
     "q_a10_passfail" -> a10PassFail,
     "q_a11_pivot" -> a11Pivot,
@@ -4920,6 +4942,7 @@ object Queries {
     "q_a14_histogram" -> a14Oracle,
     "q_a15_approx_percentiles" -> a15Oracle,
     "q_w6_window_battery" -> w6Oracle,
+    "q_w8_value_windows" -> w8Oracle,
     "q_c1_compliance_pack" -> c1Oracle,
     "q_c5_macro_canonical" -> c5Oracle,
     "q_v1_typed_s3_view" -> v1Oracle,
