@@ -380,4 +380,24 @@ class DedupSpec extends SparkSpec {
     val ps = (1 to 9).map(i => Dedup.lshCollisionProb(i / 10.0, b, r))
     assert(ps == ps.sorted)
   }
+
+  test("containmentPairs: full quote scores 1.0 where Jaccard would miss") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " lambda mu nu xi omicron pi rho sigma tau upsilon"),
+      (3L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text").withColumn("blk", lit("x"))
+    val pairs = Dedup.containmentPairs(docs, "doc_id", "text", "blk",
+      w = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(1), r.getLong(2)) ->
+        ((r.getDouble(3), r.getDouble(4)))).toMap
+    // doc 1 fully contained in doc 2: cont_ab = 1.0, reverse < 0.5
+    assert(pairs.keySet == Set((1L, 2L)))
+    val (ab, ba) = pairs((1L, 2L))
+    assert(ab == 1.0 && ba < 0.5, s"ab=$ab ba=$ba")
+    // the same pair is invisible to symmetric Jaccard at 0.9
+    assert(Dedup.ngramJaccardPairs(docs, "doc_id", "text", "blk",
+      w = 3, threshold = 0.9).count() == 0)
+  }
 }

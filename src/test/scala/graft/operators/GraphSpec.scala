@@ -182,4 +182,19 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(iso("q9") == "q9")
   }
+
+  test("kCore peels below-floor vertices; fixed rounds match manual peel") {
+    // triangle a-b-c (2-core) with pendant chain c-d-e (peels away)
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
+      ("d", "e")).toDF("from_id", "to_id")
+    val core = Graph.kCore(edges, k = 2, rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(core == Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+    // k=3 on the triangle: everything peels
+    assert(Graph.kCore(edges, k = 3, rounds = 3).count() == 0)
+    // one round only: e (deg 1) drops, d survives round 1 at deg 2
+    val one = Graph.kCore(edges, k = 2, rounds = 1)
+      .collect().map(_.getString(0)).toSet
+    assert(one == Set("a", "b", "c"))
+  }
 }
