@@ -1401,6 +1401,42 @@ object Queries {
       |    / CAST(COUNT(*) AS DOUBLE) AS bounce_share
       |FROM sess GROUP BY 1""".stripMargin
 
+  /** A32: Benford leading-digit audit — the classic synthetic-data /
+    * fraud screen: natural multi-scale amounts follow
+    * P(d) = log10(1 + 1/d); a generator or a doctored column shows up
+    * as a divergent digit profile. The leading digit comes from the
+    * STRING of the floored BIGINT (log10-free — cross-engine float log
+    * is not bit-pinned), shares are IEEE divisions of exact counts, and
+    * the expected profile rides as literal constants. One
+    * partial-aggregated scan; the emitted deviation is data, not a
+    * verdict — thresholds are policy.
+    */
+  val a32Benford: Q = (s, d) => {
+    Tables.register(s, d)
+    s.sql(a32Sql)
+  }
+  private val a32Sql = {
+    // e-notation forces DOUBLE literal parsing in BOTH dialects —
+    // DuckDB reads a bare decimal literal as DECIMAL, and its later
+    // decimal→double conversion can drift a ULP from Spark's direct
+    // double literal
+    val expected = (1 to 9).map(dd =>
+      s"WHEN $dd THEN ${math.log10(1.0 + 1.0 / dd)}e0").mkString(" ")
+    s"""WITH digits AS (
+       |  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+       |      AS STRING), 1, 1) AS BIGINT) AS digit
+       |  FROM orders WHERE o_totalprice >= 1.0),
+       |c AS (SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit),
+       |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+       |SELECT digit, n,
+       |  CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+       |  CASE digit $expected END AS benford_share,
+       |  ABS(CAST(n AS DOUBLE) / CAST(total AS DOUBLE) -
+       |      CASE digit $expected END) AS abs_dev
+       |FROM c, t""".stripMargin
+  }
+  val a32Oracle: String = a32Sql
+
   /** A17: dataset profile ([[operators.Profiler.profile]]) — the
     * data-card pass: per-column null/distinct counts, numeric bounds and
     * exact decimal-space means, string bounds and average lengths,
@@ -4740,6 +4776,7 @@ object Queries {
     "q_a29_exact_corr" -> a29ExactCorr,
     "q_a30_mad_outliers" -> a30MadOutliers,
     "q_a31_session_metrics" -> a31SessionMetrics,
+    "q_a32_benford" -> a32Benford,
     "q_a17_profile" -> a17Profile,
     "q_a18_profile_approx" -> a18ProfileApprox,
     "q_a19_key_skew" -> a19KeySkew,
@@ -4875,6 +4912,7 @@ object Queries {
     "q_a29_exact_corr" -> a29Oracle,
     "q_a30_mad_outliers" -> a30Oracle,
     "q_a31_session_metrics" -> a31Oracle,
+    "q_a32_benford" -> a32Oracle,
     "q_a17_profile" -> a17Oracle,
     "q_a18_profile_approx" -> a18Oracle,
     "q_a19_key_skew" -> a19Oracle,
