@@ -767,6 +767,26 @@ object Queries {
       |  MAX(o_totalprice) AS max_price
       |FROM orders GROUP BY o_orderpriority""".stripMargin
 
+  /** X13: NULL-handling conditional battery — NULLIF / IFNULL and
+    * GREATEST/LEAST under planted NULLs (both dialects IGNORE NULLs
+    * unless all arguments are null — the Postgres rule), the branch
+    * logic every cleansing layer leans on; identical text both engines.
+    */
+  val x13NullBattery: Q = (s, d) => {
+    Tables.register(s, d)
+    s.sql(x13Sql)
+  }
+  private val x13Sql =
+    """SELECT o_orderkey,
+      |  NULLIF(o_orderpriority, '1-URGENT') AS demoted,
+      |  IFNULL(NULLIF(o_orderpriority, '1-URGENT'), '<urgent>') AS refilled,
+      |  CASE WHEN NULLIF(o_orderpriority, '1-URGENT') IS NOT NULL
+      |       THEN 'kept' ELSE 'was_urgent' END AS branch,
+      |  GREATEST(NULLIF(o_custkey % 7, 0), CAST(-1 AS BIGINT)) AS g,
+      |  LEAST(NULLIF(o_custkey % 7, 0), CAST(NULL AS BIGINT)) AS l
+      |FROM orders WHERE o_orderkey % 11 = 0""".stripMargin
+  val x13Oracle: String = x13Sql
+
   /** J5: null-safe equality join (`<=>` / IS NOT DISTINCT FROM) — the
     * §2.3 family member where NULL keys MATCH each other instead of
     * silently dropping (the dimension-with-unknown-bucket join). Both
@@ -4021,6 +4041,45 @@ object Queries {
       |  CAST(0 AS BIGINT) AS orphans_after
       |FROM documents GROUP BY lang""".stripMargin
 
+  /** V14: version-history report — the `DESCRIBE HISTORY` view over a
+    * snapshot chain: per committed version, row count and the delta vs
+    * the prior version (positive = growth, negative = delete/compact
+    * shrink), from time-travel reads alone. The oracle rebuilds each
+    * version's logical state relationally; a broken carry-forward or a
+    * lost commit shifts a count.
+    */
+  val v14HistoryReport: Q = (s, d) => {
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft-snap-qv14", math.abs(d.hashCode).toString)
+    if (java.nio.file.Files.exists(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+    val store = new graft.catalog.SnapshotTableStore(root.toString)
+    val docs = t(s, d, "documents").select("doc_id", "lang")
+    store.overwrite(docs.filter(col("doc_id") % 2 === 0), "docs") // v1
+    store.append(docs.filter(col("doc_id") % 2 === 1), "docs")    // v2
+    store.deleteWhere(s, "docs", col("doc_id") % 5 === 0)         // v3
+    import s.implicits._
+    val rows = store.versions("docs").map(v =>
+      (v.toLong, store.readVersion(s, "docs", v).count()))
+    rows.zip(0L +: rows.map(_._2)).map { case ((v, n), prev) =>
+      (v, n, n - prev)
+    }.toDF("version", "n_rows", "delta")
+  }
+  val v14Oracle: String =
+    """WITH n1 AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id % 2 = 0),
+      |n2 AS (SELECT COUNT(*) AS n FROM documents),
+      |n3 AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id % 5 <> 0)
+      |SELECT CAST(1 AS BIGINT) AS version, CAST(n1.n AS BIGINT) AS n_rows,
+      |  CAST(n1.n AS BIGINT) AS delta FROM n1
+      |UNION ALL SELECT 2, CAST(n2.n AS BIGINT),
+      |  CAST(n2.n - n1.n AS BIGINT) FROM n1, n2
+      |UNION ALL SELECT 3, CAST(n3.n AS BIGINT),
+      |  CAST(n3.n - n2.n AS BIGINT) FROM n2, n3""".stripMargin
+
   /** V8: schema-drift report between snapshot versions — the governance
     * view over [[catalog.SnapshotTableStore.manifestSchema]]: commit a
     * 3-column version, evolve with a 4th column, and emit the
@@ -4754,6 +4813,8 @@ object Queries {
     "q_x10_regexp_battery" -> x10RegexpBattery,
     "q_x11_datetime_battery" -> x11DatetimeBattery,
     "q_x12_agg_battery" -> x12AggBattery,
+    "q_x13_null_battery" -> x13NullBattery,
+    "q_v14_history_report" -> v14HistoryReport,
     "q_j5_nullsafe_join" -> j5NullsafeJoin,
     "q_w1_topk" -> w1TopK,
     "q_w4_pagination" -> w4Pagination,
@@ -4890,6 +4951,8 @@ object Queries {
     "q_x10_regexp_battery" -> x10Oracle,
     "q_x11_datetime_battery" -> x11Oracle,
     "q_x12_agg_battery" -> x12Oracle,
+    "q_x13_null_battery" -> x13Oracle,
+    "q_v14_history_report" -> v14Oracle,
     "q_j5_nullsafe_join" -> j5Oracle,
     "q_w1_topk" -> w1Oracle,
     "q_w4_pagination" -> w4Oracle,
