@@ -221,17 +221,39 @@ final class SnapshotTableStore(root: String) extends TableStore {
       // set is tiny relative to the corpus by construction (deletes are
       // the exception path), so AQE broadcasts it under the anti-join —
       // the 100 TB read pays no extra shuffle for carrying deletes.
-      import org.apache.spark.sql.functions.col
+      //
+      // Tombstones address files RELATIVE to the table root (the dir
+      // name under data/ plus the parquet file name) so that a cloned
+      // or relocated table root keeps its deletes — an absolute-URI
+      // vector would match nothing after [[cloneTo]] and silently
+      // resurrect deleted rows. Pre-relative vectors (column
+      // `file_path`, absolute URIs) are still honored for tables
+      // written by older commits of this store.
+      import org.apache.spark.sql.functions.{col, regexp_extract}
       val dv = spark.read.parquet(dvs.map(d => dataDir(table, d).toString): _*)
       val outCols = base.columns.toSeq
-      base
-        .withColumn("_dv_file", col("_metadata.file_path"))
-        .withColumn("_dv_pos", col("_metadata.row_index"))
-        .join(dv, col("_dv_file") === dv("file_path") &&
-          col("_dv_pos") === dv("row_index"), "left_anti")
-        .select(outCols.map(col): _*)
+      val withPos = base.withColumn("_dv_pos", col("_metadata.row_index"))
+      val joined =
+        if (dv.columns.contains("rel_path"))
+          withPos
+            .withColumn("_dv_rel",
+              regexp_extract(col("_metadata.file_path"), RelPathRegex, 1))
+            .join(dv, col("_dv_rel") === dv("rel_path") &&
+              col("_dv_pos") === dv("row_index"), "left_anti")
+        else
+          withPos
+            .withColumn("_dv_file", col("_metadata.file_path"))
+            .join(dv, col("_dv_file") === dv("file_path") &&
+              col("_dv_pos") === dv("row_index"), "left_anti")
+      joined.select(outCols.map(col): _*)
     }
   }
+
+  /** Greedy prefix match → captures everything after the LAST `/data/`
+    * segment: `<dir-name>/<parquet-file>`, the table-root-relative file
+    * address deletion vectors are keyed on.
+    */
+  private val RelPathRegex = ".*/data/(.*)$"
 
   def read(spark: SparkSession, table: String): DataFrame = {
     val v = currentVersion(table).getOrElse(
@@ -378,34 +400,53 @@ final class SnapshotTableStore(root: String) extends TableStore {
     * semantics. Returns the committed version.
     */
   def deleteWhere(spark: SparkSession, table: String,
-      predicate: org.apache.spark.sql.Column): Int = {
-    import org.apache.spark.sql.functions.col
-    val cur = currentVersion(table).getOrElse(
-      throw new IllegalArgumentException(s"snapshot table $table does not exist"))
-    val dirs = versionDataDirs(table, cur)
-    val base = manifestSchema(table, cur) match {
-      case Some(st) => spark.read.schema(st).parquet(dirs: _*)
-      case None => spark.read.parquet(dirs: _*)
-    }
-    val tok = java.util.UUID.randomUUID().toString.take(8)
-    val dname = f"dv${cur + 1}%05d-$tok"
-    base.filter(predicate)
-      .select(col("_metadata.file_path").as("file_path"),
-        col("_metadata.row_index").as("row_index"))
-      .write.mode("errorifexists").parquet(dataDir(table, dname).toString)
+      predicate: org.apache.spark.sql.Column, maxRetries: Int = 5): Int = {
+    import org.apache.spark.sql.functions.{col, regexp_extract}
+    var attempt = 0
     while (true) {
-      val c = currentVersion(table).get
-      val lines = referencedLines(table, c) :+ (DvPrefix + dname)
-      if (tryClaim(table, c + 1, lines, manifestSchema(table, c))) {
-        advancePointer(table, c + 1)
-        return c + 1
+      val cur = currentVersion(table).getOrElse(
+        throw new IllegalArgumentException(s"snapshot table $table does not exist"))
+      val scannedDirs = manifestDirs(table, cur)
+      val dirs = versionDataDirs(table, cur)
+      val base = manifestSchema(table, cur) match {
+        case Some(st) => spark.read.schema(st).parquet(dirs: _*)
+        case None => spark.read.parquet(dirs: _*)
       }
-      // lost the claim race: re-aim against the advanced version. The
-      // tombstones address immutable (file, position) pairs, so they
-      // stay valid as long as the raced commit carried the files
-      // forward; an overwrite/compact landing in between retires the
-      // files AND the vectors together, and the anti-join of a stale
-      // vector against absent files is a no-op, never corruption.
+      val tok = java.util.UUID.randomUUID().toString.take(8)
+      val dname = f"dv${cur + 1}%05d-$tok"
+      base.filter(predicate)
+        .select(
+          regexp_extract(col("_metadata.file_path"), RelPathRegex, 1)
+            .as("rel_path"),
+          col("_metadata.row_index").as("row_index"))
+        .write.mode("errorifexists").parquet(dataDir(table, dname).toString)
+      var recompute = false
+      while (!recompute) {
+        val c = currentVersion(table).get
+        if (c != cur && !scannedDirs.forall(manifestDirs(table, c).contains)) {
+          // The racing commit was an overwrite/compact: it retired file
+          // dirs our tombstones address, so re-aiming the manifest would
+          // silently LOSE the delete (stale vectors match nothing).
+          // Recompute against the new version — the recompute-on-race
+          // discipline [[upsertLoad]] documents. The abandoned vector
+          // dir is an orphan, never corruption.
+          recompute = true
+        } else {
+          // append/delete raced in: every scanned file is still carried
+          // forward, so the (file, position) tombstones stay valid —
+          // re-aim the manifest at the advanced version.
+          val lines = referencedLines(table, c) :+ (DvPrefix + dname)
+          if (tryClaim(table, c + 1, lines, manifestSchema(table, c))) {
+            advancePointer(table, c + 1)
+            return c + 1
+          }
+        }
+      }
+      attempt += 1
+      if (attempt > maxRetries)
+        throw new IllegalStateException(
+          s"deleteWhere($table): lost the commit race $attempt times " +
+            "against content-rewriting commits; giving up")
     }
     -1 // unreachable
   }
@@ -443,6 +484,17 @@ final class SnapshotTableStore(root: String) extends TableStore {
     require(source.columns.sorted.sameElements(target.columns.sorted),
       s"mergeInto: source columns ${source.columns.mkString(",")} != " +
         s"target columns ${target.columns.mkString(",")}")
+    // The Delta/Iceberg MERGE contract errors when multiple source rows
+    // match one target row; without this check the full-outer join would
+    // silently fan the target row out into duplicates. One partial-agg
+    // job over the (small) source side, short-circuited at the first
+    // offender.
+    val dup = source.groupBy(col(keyCol)).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"mergeInto: source has ${dup.head.getLong(1)} rows for key " +
+        s"$keyCol=${dup.head.get(0)}; MERGE requires at most one source " +
+        "match per target row — deduplicate the source first")
     val cols = target.columns.toSeq
     val s = source
       .withColumn("_del", deleteWhen.getOrElse(lit(false)))

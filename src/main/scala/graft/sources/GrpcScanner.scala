@@ -138,32 +138,48 @@ object GrpcScannerClient {
     finally { ch.shutdownNow(); () }
   }
 
+  /** The server converts provider faults into an `{"error":…}` payload on
+    * unary responses too (not just stream frames) — surface those as
+    * failures with the real message instead of returning them as data,
+    * mirroring [[streamScan]]'s handling (otherwise e.g. the CLI describe
+    * path would print an error JSON and exit 0).
+    */
+  private def checkUnary(op: String, resp: String): String = {
+    if (resp.startsWith("{\"error\""))
+      throw new IllegalStateException(s"$op failed: $resp")
+    resp
+  }
+
   def providerInfo(host: String, port: Int): String =
     withChannel(host, port) { ch =>
-      new String(ClientCalls.blockingUnaryCall(ch, ProviderInfoMethod,
-        CallOptions.DEFAULT, "{}".getBytes(UTF_8)), UTF_8)
+      checkUnary("GetProviderInfo",
+        new String(ClientCalls.blockingUnaryCall(ch, ProviderInfoMethod,
+          CallOptions.DEFAULT, "{}".getBytes(UTF_8)), UTF_8))
     }
 
   def discoverServices(host: String, port: Int): String =
     withChannel(host, port) { ch =>
-      new String(ClientCalls.blockingUnaryCall(ch, DiscoverServicesMethod,
-        CallOptions.DEFAULT, "{}".getBytes(UTF_8)), UTF_8)
+      checkUnary("DiscoverServices",
+        new String(ClientCalls.blockingUnaryCall(ch, DiscoverServicesMethod,
+          CallOptions.DEFAULT, "{}".getBytes(UTF_8)), UTF_8))
     }
 
   def listResources(host: String, port: Int, service: String,
       region: String): String =
     withChannel(host, port) { ch =>
-      new String(ClientCalls.blockingUnaryCall(ch, ListResourcesMethod,
-        CallOptions.DEFAULT,
-        s"""{"service":${ScannerWire.jstr(service)},"region":${
-          ScannerWire.jstr(region)}}""".getBytes(UTF_8)), UTF_8)
+      checkUnary(s"ListResources($service, $region)",
+        new String(ClientCalls.blockingUnaryCall(ch, ListResourcesMethod,
+          CallOptions.DEFAULT,
+          s"""{"service":${ScannerWire.jstr(service)},"region":${
+            ScannerWire.jstr(region)}}""".getBytes(UTF_8)), UTF_8))
     }
 
   def describeResource(host: String, port: Int, ref: ResourceRef): String =
     withChannel(host, port) { ch =>
-      new String(ClientCalls.blockingUnaryCall(ch, DescribeResourceMethod,
-        CallOptions.DEFAULT, ScannerWire.renderRef(ref).getBytes(UTF_8)),
-        UTF_8)
+      checkUnary(s"DescribeResource(${ref.id})",
+        new String(ClientCalls.blockingUnaryCall(ch, DescribeResourceMethod,
+          CallOptions.DEFAULT, ScannerWire.renderRef(ref).getBytes(UTF_8)),
+          UTF_8))
     }
 
   /** One StreamScan call → the `Resource` JSON messages, materialized.

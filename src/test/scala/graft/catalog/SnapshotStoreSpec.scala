@@ -370,6 +370,72 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(store.readVersion(spark, "t", v4).count() == 4)
   }
 
+  test("cloneTo preserves live deletion vectors (relative tombstone paths)") {
+    import org.apache.spark.sql.functions.col
+    val (_, store) = freshStore()
+    store.overwrite((1L to 20L).map(i => (i, "x"))
+      .toDF("id", "v").repartition(3), "t")
+    store.deleteWhere(spark, "t", col("id") % 5 === 0)
+    val (_, target) = freshStore()
+    val v = store.cloneTo(target, "t")
+    assert(v == 2 && target.deletionVectors("t", 2) == 1)
+    // the table root moved — tombstones must still match their files
+    assert(target.read(spark, "t").select("id").as[Long].collect().toSet ==
+      (1L to 20L).filterNot(_ % 5 == 0).toSet,
+      "deleted rows resurrected in the clone")
+    // time travel in the clone still sees the pre-delete content
+    assert(target.readVersion(spark, "t", 1).count() == 20)
+  }
+
+  test("legacy absolute-path deletion vectors are still honored") {
+    import org.apache.spark.sql.functions.col
+    val (dir, store) = freshStore()
+    store.overwrite((1L to 10L).map(i => (i, "x")).toDF("id", "v"), "t")
+    val d1 = manifest(dir, "t", 1)
+    // hand-write a vector in the pre-relative format (absolute URIs in a
+    // `file_path` column) and reference it from a v2 manifest
+    spark.read.parquet(Paths.get(dir, "t", "data", d1.head).toString)
+      .filter(col("id") <= 3)
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("row_index"))
+      .write.parquet(Paths.get(dir, "t", "data", "dv00002-legacy").toString)
+    Files.write(Paths.get(dir, "t", "_versions", "v00002.manifest"),
+      (d1 :+ "#dv=dv00002-legacy").mkString("\n").getBytes)
+    assert(store.read(spark, "t").select("id").as[Long].collect().toSet ==
+      (4L to 10L).toSet)
+  }
+
+  test("deleteWhere racing compact: the delete is never lost") {
+    import org.apache.spark.sql.functions.col
+    val (dir, store) = freshStore()
+    store.overwrite((1L to 40L).map(i => (i, "x"))
+      .toDF("id", "v").repartition(4), "t")
+    val racer = new SnapshotTableStore(dir)
+    val compactor = new Thread(() =>
+      (1 to 3).foreach { _ => racer.compact(spark, "t", 1L << 30); () })
+    compactor.start()
+    // if a compact claims first, the scanned files were RETIRED — the
+    // stale vector would match nothing, so deleteWhere must recompute
+    // against the rewritten version rather than re-aim the manifest
+    store.deleteWhere(spark, "t", col("id") % 4 === 0)
+    compactor.join()
+    assert(store.read(spark, "t").select("id").as[Long].collect().toSet ==
+      (1L to 40L).filterNot(_ % 4 == 0).toSet,
+      "a racing compact silently swallowed the delete")
+  }
+
+  test("mergeInto rejects duplicate source keys loudly") {
+    val (_, store) = freshStore()
+    store.overwrite(Seq((1L, "a")).toDF("id", "v"), "t")
+    val ex = intercept[IllegalArgumentException] {
+      store.mergeInto(spark, "t",
+        Seq((1L, "x"), (1L, "y")).toDF("id", "v"), "id")
+    }
+    assert(ex.getMessage.contains("at most one source match"), ex.getMessage)
+    // target untouched by the failed merge
+    assert(store.currentVersion("t").contains(1))
+  }
+
   test("Scd2.history: runs, deletion closure, reinsert gap, current flag") {
     val (_, store) = freshStore()
     // v1: a=x, b=y, c=z ; v2: a=x2, b deleted, c=z ; v3: a=x2, b=y2 (re-

@@ -44,9 +44,13 @@ class ScannerPluginSpec extends SparkSpec {
 
   test("unknown service is a protocol error, not a silent empty") {
     withServer { (h, p) =>
-      val resp = GrpcScannerClient.listResources(h, p, "nope", "us-east-1")
-      assert(resp.contains("\"error\"") && resp.contains("unknown service"),
-        resp)
+      // unary error frames throw like stream ones do — an error payload
+      // returned as a successful response would exit 0 from the CLI
+      val e = intercept[IllegalStateException] {
+        GrpcScannerClient.listResources(h, p, "nope", "us-east-1")
+      }
+      assert(e.getMessage.contains("\"error\"") &&
+        e.getMessage.contains("unknown service"), e.getMessage)
     }
   }
 
