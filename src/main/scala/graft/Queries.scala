@@ -2169,6 +2169,70 @@ object Queries {
   }
   val g11Oracle: String = g2Oracle
 
+  /** G16: QUANTIFIED path MATCH through the PGQ registration — duckpgq's
+    * `(a)-[e]->{1,3}(b)` quantifier form (corkscrew.yaml:57-58 pins a
+    * duckpgq-enabled DuckDB precisely for this surface;
+    * graph_loader.go:402-433 is its path consumer). The DDL-parsed
+    * registration routes the TEXT pattern — parser and all — onto
+    * [[Graph.pairReach]], the pairwise min-distance BFS that keeps the
+    * (a, b) endpoint binding `reachFrom` would merge away. Oracle: the
+    * pairwise recursive-CTE walk with MIN(distance) filtered to the
+    * quantifier's band.
+    */
+  val g16QuantifiedMatch: Q = (s, d) => {
+    Tables.sql(s, d, verticesSql).createOrReplaceTempView("graph_vertices")
+    Tables.sql(s, d, edgesSql).createOrReplaceTempView("graph_edges")
+    val g = PropertyGraph.registerDdl(s,
+      """CREATE OR REPLACE PROPERTY GRAPH star_quantified
+        |VERTEX TABLES (graph_vertices KEY (id))
+        |EDGE TABLES (
+        |  graph_edges
+        |  SOURCE KEY (from_id) REFERENCES graph_vertices (id)
+        |  DESTINATION KEY (to_id) REFERENCES graph_vertices (id)
+        |)""".stripMargin)
+    g.matchPattern("(a)-[e:graph_edges]->{1,3}(b)", Seq("o1", "o2", "o3"))
+  }
+  val g16Oracle: String =
+    s"""WITH RECURSIVE edges AS ($edgesSql),
+       |walk AS (
+       |  SELECT id AS src, id, 0 AS distance
+       |  FROM (VALUES ('o1'), ('o2'), ('o3')) AS v(id)
+       |  UNION ALL
+       |  SELECT w.src, e.to_id, w.distance + 1 FROM walk w
+       |  JOIN edges e ON e.from_id = w.id WHERE w.distance < 3)
+       |SELECT src AS a, id AS b, CAST(MIN(distance) AS INTEGER) AS path_len
+       |FROM walk GROUP BY src, id HAVING MIN(distance) >= 1""".stripMargin
+
+  /** G18: `ANY SHORTEST (a)-[e]->*(b)` through the same registration —
+    * one shortest path length per (a, b) pair including the zero-length
+    * self binding, duckpgq's other quantifier spelling. Same pairwise
+    * CTE oracle without the lower-bound filter.
+    */
+  val g18AnyShortest: Q = (s, d) => {
+    Tables.sql(s, d, verticesSql).createOrReplaceTempView("graph_vertices")
+    Tables.sql(s, d, edgesSql).createOrReplaceTempView("graph_edges")
+    val g = PropertyGraph.registerDdl(s,
+      """CREATE OR REPLACE PROPERTY GRAPH star_shortest
+        |VERTEX TABLES (graph_vertices KEY (id))
+        |EDGE TABLES (
+        |  graph_edges
+        |  SOURCE KEY (from_id) REFERENCES graph_vertices (id)
+        |  DESTINATION KEY (to_id) REFERENCES graph_vertices (id)
+        |)""".stripMargin)
+    g.matchPattern("ANY SHORTEST (a)-[e]->*(b)", Seq("c1", "c2", "s1"),
+      maxHops = 10)
+  }
+  val g18Oracle: String =
+    s"""WITH RECURSIVE edges AS ($edgesSql),
+       |walk AS (
+       |  SELECT id AS src, id, 0 AS distance
+       |  FROM (VALUES ('c1'), ('c2'), ('s1')) AS v(id)
+       |  UNION ALL
+       |  SELECT w.src, e.to_id, w.distance + 1 FROM walk w
+       |  JOIN edges e ON e.from_id = w.id WHERE w.distance < 10)
+       |SELECT src AS a, id AS b, CAST(MIN(distance) AS INTEGER) AS path_len
+       |FROM walk GROUP BY src, id""".stripMargin
+
   /** G12: weighted single-source-set shortest paths ([[Graph.sssp]]) —
     * the cost-aware sibling of q_g2's hop-count reach. Graph: the
     * procurement chain order→part→supplier→nation→region with integer
@@ -4882,6 +4946,8 @@ object Queries {
     "q_g9_triangles" -> g9Triangles,
     "q_g10_graph_table" -> g10GraphTable,
     "q_g11_graph_ddl" -> g11GraphDdl,
+    "q_g16_quantified_match" -> g16QuantifiedMatch,
+    "q_g18_any_shortest" -> g18AnyShortest,
     "q_g12_sssp" -> g12Sssp,
     "q_c1_compliance_pack" -> c1PackQuery,
     "q_c5_macro_canonical" -> c5MacroCanonical,
@@ -5027,6 +5093,8 @@ object Queries {
     "q_g10_graph_table" -> g10Oracle,
     "q_g11_graph_ddl" -> g11Oracle,
     "q_g12_sssp" -> g12Oracle,
+    "q_g16_quantified_match" -> g16Oracle,
+    "q_g18_any_shortest" -> g18Oracle,
     "q_x3_asof_join" -> x3Oracle,
     "q_x4_range_join" -> x4Oracle,
     "q_a11_pivot" -> a11Oracle,

@@ -447,6 +447,116 @@ object Graph {
     visited
   }
 
+  /** Pairwise min-distance reachability: like [[reachFrom]] but each
+    * result row keeps WHICH seed reached the node — the engine half of a
+    * quantified path MATCH `(a)-[e]->{m,n}(b)`, where the (a, b) binding
+    * must survive the BFS (reachFrom merges the seed set and loses it).
+    * Returns (src, id, distance), distance = fewest hops from `src`
+    * (each seed pairs with itself at 0).
+    *
+    * Scale shape: BFS state is keyed on (src, id), so the frontier is
+    * the union of per-source frontiers — each hop is one equi-join of
+    * the frontier against the adjacency plus a compound-key anti-join,
+    * broadcast while the frontier fits, exactly [[reachFrom]]'s
+    * discipline. State is O(seeds × reachable) rows: bind the source set
+    * (the MATCH WHERE clause) before calling, don't pass every vertex.
+    * The driver endgame reuses the [[GraphIndexCache]] adjacency when
+    * the edge set fits, walking one BFS per seed in memory.
+    */
+  def pairReach(edges: DataFrame, sources: DataFrame, maxHops: Int,
+      undirected: Boolean = false,
+      localEdgeLimit: Long = LocalEdgeLimit): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    require(maxHops >= 1 && maxHops <= 50, s"pairReach hops out of [1,50]: $maxHops")
+    val fwd = edges.select(col("from_id").cast("string"), col("to_id").cast("string"))
+    val adjBase = if (undirected) {
+      fwd.unionByName(fwd.select(col("to_id").as("from_id"), col("from_id").as("to_id")))
+    } else fwd
+    val canon = fwd.queryExecution.analyzed.canonicalized
+    val localAdj: Option[GraphIndexCache.Adj] =
+      (if (localEdgeLimit > 0) GraphIndexCache.get(spark, canon, undirected)
+       else None).orElse {
+        if (fitsDriver(fwd, localEdgeLimit)) {
+          val edgeRows = fwd.collect()
+          if (edgeRows.length < localEdgeLimit) {
+            val adj = localAdjacency(edgeRows, undirected)
+            GraphIndexCache.put(spark, canon, undirected, adj,
+              edgeRows.length.toLong * (if (undirected) 2 else 1))
+            Some(adj)
+          } else None
+        } else None
+      }
+    if (localAdj.isDefined) {
+      val adjMap = localAdj.get
+      val srcs = sources.select(col("id").cast("string")).collect()
+        .map(r => if (r.isNullAt(0)) null else r.getString(0)).distinct
+      val out = new scala.collection.mutable.ArrayBuffer[(String, String, Int)]()
+      srcs.foreach { s0 =>
+        val dist = new java.util.HashMap[String, Integer]()
+        dist.put(s0, 0); out += ((s0, s0, 0))
+        var frontier = scala.collection.mutable.ArrayBuffer(s0)
+        var hop = 0
+        while (hop < maxHops && frontier.nonEmpty) {
+          hop += 1
+          val next = new scala.collection.mutable.ArrayBuffer[String]()
+          frontier.foreach { n =>
+            val ts = adjMap.get(n)
+            if (ts != null) {
+              val it = ts.iterator()
+              while (it.hasNext) {
+                val t = it.next()
+                if (!dist.containsKey(t)) {
+                  dist.put(t, Integer.valueOf(hop))
+                  out += ((s0, t, hop)); next += t
+                }
+              }
+            }
+          }
+          frontier = next
+        }
+      }
+      return out.toSeq.toDF("src", "id", "distance")
+    }
+    var adj = adjBase.persist(StorageLevel.MEMORY_AND_DISK)
+    var adjPartitioned = false
+    val bcLimit = 5L * 1000 * 1000
+    var visited = sources.select(col("id").cast("string").as("src"))
+      .distinct()
+      .select(col("src"), col("src").as("id"), lit(0).as("distance"))
+      .localCheckpoint(eager = false)
+    var visitedCount = visited.count()
+    def bc(df: DataFrame, n: Long): DataFrame =
+      if (n < bcLimit) df.hint("broadcast") else df
+    var frontier = visited
+    var frontierCount = visitedCount
+    var hop = 0
+    while (hop < maxHops && frontierCount > 0) {
+      hop += 1
+      if (!adjPartitioned && frontierCount >= bcLimit) {
+        val p = adjBase.repartition(col("from_id")).persist(StorageLevel.MEMORY_AND_DISK)
+        adj.unpersist(blocking = false)
+        adj = p
+        adjPartitioned = true
+      }
+      val fr = bc(frontier, frontierCount)
+      val next = fr.join(adj, fr("id") === adj("from_id"))
+        .select(col("src"), adj("to_id").as("id"))
+        .distinct()
+        .join(bc(visited.select(col("src").as("vsrc"), col("id").as("vid")),
+            visitedCount),
+          col("src") === col("vsrc") && col("id") === col("vid"), "left_anti")
+        .withColumn("distance", lit(hop))
+        .localCheckpoint(eager = false)
+      frontierCount = next.count()
+      visitedCount += frontierCount
+      visited = visited.unionByName(next)
+      frontier = next
+    }
+    adj.unpersist(blocking = false)
+    visited
+  }
+
   /** BFS variant that carries the reference's path-array semantics
     * (the recursive CTE's `path || to_id` + `NOT to_id = ANY(path)`
     * idiom): returns (id, path, distance) where `path` is the

@@ -125,6 +125,92 @@ object PropertyGraph {
       acc
     }
 
+    /** Quantified path MATCH — PGQ's `(a)-[:label]->{minHops,maxHops}(b)`
+      * (the duckpgq quantifier surface corkscrew's pinned DuckDB ships,
+      * corkscrew.yaml:57-58; graph_loader.go:402-433 is its consumer):
+      * pairs (a, b) whose MINIMUM walk length from a lies in
+      * [minHops, maxHops] — BFS min-distance semantics, the
+      * recursive-CTE contract every routed traversal here shares.
+      * `sources` binds the pattern's left endpoint (the MATCH WHERE
+      * clause); an unbound quantified pattern would be an all-pairs
+      * reachability and is deliberately not offered. Routed onto
+      * [[Graph.pairReach]]; a `Some(label)` prunes to that single edge
+      * table BEFORE the traversal.
+      */
+    def matchQuantified(sources: Seq[String], minHops: Int, maxHops: Int,
+        label: Option[String] = None,
+        undirected: Boolean = false): DataFrame = {
+      require(minHops >= 0 && maxHops >= math.max(minHops, 1) && maxHops <= 20,
+        s"matchQuantified wants 0 <= min <= max <= 20, got {$minHops,$maxHops}")
+      require(sources.nonEmpty, "matchQuantified needs a bound source set")
+      label.foreach(l => require(edges.contains(l),
+        s"no edge table '$l' in graph '$name' " +
+          s"(has: ${edges.keys.toSeq.sorted.mkString(", ")})"))
+      val ev = label.map { l =>
+        val et = edges(l)
+        et.df.select(col(et.sourceKey).cast("string").as("from_id"),
+          col(et.destinationKey).cast("string").as("to_id"))
+      }.getOrElse(e)
+      val spark = ev.sparkSession
+      import spark.implicits._
+      Graph.pairReach(ev, sources.toDF("id"), maxHops, undirected)
+        .filter(col("distance") >= minHops)
+        .select(col("src").as("a"), col("id").as("b"),
+          col("distance").as("path_len"))
+    }
+
+    /** `ANY SHORTEST (a)-[:label]->*(b)` — one shortest path length per
+      * (a, b) pair from each seed, including the zero-length (a, a)
+      * binding, depth-capped at `maxHops`.
+      */
+    def anyShortest(sources: Seq[String], label: Option[String] = None,
+        maxHops: Int = 10): DataFrame =
+      matchQuantified(sources, 0, maxHops, label)
+
+    private val AnyShortestRe = """(?is)^\s*ANY\s+SHORTEST\s+(.*)$""".r
+    private val QuantPatternRe =
+      ("""(?is)^\s*\(\s*\w*\s*\)\s*-\s*\[\s*\w*\s*(?::\s*(\w+))?\s*\]\s*->""" +
+        """\s*(?:(\*)|(\+)|\{\s*(\d+)\s*,\s*(\d+)\s*\})\s*\(\s*\w*\s*\)\s*$""").r
+    private val StepRe = """-\s*\[\s*\w*\s*(?::\s*(\w+))?\s*\]\s*->""".r
+
+    /** Text-form MATCH router — the GRAPH_TABLE-lite pattern dialect:
+      *
+      *  - `(a)-[:l]->{m,n}(b)`, `(a)-[e]->+(b)`, `(a)-[]->*(b)` →
+      *    [[matchQuantified]] (`+` = {1,maxHops}, `*` = {0,maxHops});
+      *    `sources` must bind the left endpoint.
+      *  - `ANY SHORTEST (a)-[:l]->*(b)` → [[anyShortest]].
+      *  - `(v0)-[:l1]->(v1)-[:l2]->(v2)` (no quantifier) →
+      *    [[matchSteps]]; `sources` is ignored (the fixed chain binds
+      *    every variable to a column).
+      *
+      * Unparseable patterns fail eagerly with the pattern text, not as
+      * an empty result.
+      */
+    def matchPattern(pattern: String, sources: Seq[String] = Nil,
+        maxHops: Int = 10): DataFrame = {
+      val (isShortest, body) = pattern match {
+        case AnyShortestRe(rest) => (true, rest)
+        case _ => (false, pattern)
+      }
+      body match {
+        case QuantPatternRe(label, star, plus, lo, hi) =>
+          val (mn, mx) =
+            if (star != null) (0, maxHops)
+            else if (plus != null) (1, maxHops)
+            else (lo.toInt, hi.toInt)
+          matchQuantified(sources, mn, mx, Option(label))
+        case _ if !isShortest &&
+            !body.contains("{") && !body.contains("*") && !body.contains("+") =>
+          val steps = StepRe.findAllMatchIn(body).map(m => Option(m.group(1))).toSeq
+          require(steps.nonEmpty, s"unparseable MATCH pattern: '$pattern'")
+          matchSteps(steps)
+        case _ => throw new IllegalArgumentException(
+          s"unparseable MATCH pattern: '$pattern' (quantifiers support a " +
+            "single segment: (a)-[:label]->{m,n}(b), ->+, ->*, " +
+            "optionally ANY SHORTEST)")
+      }
+    }
+
     /** Undirected connected components over the edge view. */
     def components(): DataFrame = Graph.connectedComponents(e)
 

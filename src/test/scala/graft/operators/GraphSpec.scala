@@ -65,6 +65,27 @@ class GraphSpec extends SparkSpec {
     assert(dist == local)
   }
 
+  test("pairReach keeps the (src, dst) binding on both execution paths") {
+    // a→b→c→d→a cycle: from a and c simultaneously, each source's
+    // distances must stay separate (reachFrom would merge them)
+    def run(lim: Long): Set[(String, String, Int)] =
+      Graph.pairReach(edges, Seq("a", "c").toDF("id"), 10,
+        localEdgeLimit = lim)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+        .toSet
+    val local = run(Long.MaxValue)
+    val expected = Set(
+      ("a", "a", 0), ("a", "b", 1), ("a", "c", 2), ("a", "d", 3), ("a", "e", 3),
+      ("c", "c", 0), ("c", "d", 1), ("c", "e", 1), ("c", "a", 2), ("c", "b", 3))
+    assert(local == expected)
+    assert(run(0L) == local, "distributed pairReach disagrees with endgame")
+    // depth bound truncates per source
+    assert(Graph.pairReach(edges, Seq("a").toDF("id"), 1).count() == 2)
+    // duplicate seeds collapse (one BFS per distinct source)
+    assert(Graph.pairReach(edges, Seq("a", "a").toDF("id"), 2)
+      .filter(col("src") === "a" && col("id") === "a").count() == 1)
+  }
+
   test("reachPaths: lexicographic-min tie-break agrees across both paths") {
     // two equal-length routes into d (a→b→d, a→c→d): min path is via b;
     // cycle edge d→a must not re-enter; e only via the longer chain

@@ -98,6 +98,59 @@ class PropertyGraphSpec extends SparkSpec {
     PropertyGraph.drop("pg_reach")
   }
 
+  test("matchQuantified: pairwise min-distance band, label pruning") {
+    val (v, _) = fixture()
+    // a->b->c->d plus shortcut a->c: from a, c is at 1 (shortcut), d at 2
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"))
+      .toDF("src", "dst")
+    val g = PropertyGraph.register("pg_quant",
+      Map("res" -> PropertyGraph.VertexTable(v, "id")),
+      Map("dep" -> PropertyGraph.EdgeTable(e, "src", "dst", "res", "res")))
+    val got = g.matchQuantified(Seq("a", "b"), 1, 2)
+      .as[(String, String, Int)].collect().toSet
+    assert(got == Set(
+      ("a", "b", 1), ("a", "c", 1), ("a", "d", 2),
+      ("b", "c", 1), ("b", "d", 2)))
+    // lower bound prunes: {2,2} keeps only the distance-2 pairs
+    assert(g.matchQuantified(Seq("a", "b"), 2, 2)
+      .as[(String, String, Int)].collect().toSet ==
+      Set(("a", "d", 2), ("b", "d", 2)))
+    // bad label fails eagerly
+    val bad = intercept[IllegalArgumentException] {
+      g.matchQuantified(Seq("a"), 1, 2, Some("ghost"))
+    }
+    assert(bad.getMessage.contains("no edge table 'ghost'"))
+    PropertyGraph.drop("pg_quant")
+  }
+
+  test("matchPattern routes quantified, ANY SHORTEST, and fixed forms") {
+    val (v, e) = fixture()
+    val g = PropertyGraph.register("pg_pat",
+      Map("res" -> PropertyGraph.VertexTable(v, "id")),
+      Map("dep" -> PropertyGraph.EdgeTable(e, "src", "dst", "res", "res")))
+    // {1,2} band
+    assert(g.matchPattern("(a)-[e:dep]->{1,2}(b)", Seq("a"))
+      .as[(String, String, Int)].collect().toSet ==
+      Set(("a", "b", 1), ("a", "c", 1), ("a", "d", 2)))
+    // + = {1,maxHops}; * = {0,maxHops} (self binding at 0)
+    assert(g.matchPattern("(a)-[]->+(b)", Seq("b")).count() == 2) // c@1, d@2
+    assert(g.matchPattern("(a)-[]->*(b)", Seq("b"))
+      .filter(col("path_len") === 0).count() == 1)
+    // ANY SHORTEST keeps one min-length row per pair incl. (a,a,0)
+    val sp = g.matchPattern("ANY SHORTEST (a)-[e]->*(b)", Seq("a"))
+      .as[(String, String, Int)].collect().toSet
+    assert(sp == Set(("a", "a", 0), ("a", "b", 1), ("a", "c", 1), ("a", "d", 2)))
+    // fixed chain still routes to matchSteps
+    assert(g.matchPattern("(x)-[]->(y)-[]->(z)").columns.toSeq ==
+      Seq("v0", "v1", "v2"))
+    // unparseable fails with the pattern text
+    val bad = intercept[IllegalArgumentException] {
+      g.matchPattern("(a)-[e]->{1,2}(b)-[]->(c)", Seq("a"))
+    }
+    assert(bad.getMessage.contains("unparseable MATCH pattern"))
+    PropertyGraph.drop("pg_pat")
+  }
+
   test("registerDdl parses the reference's simplified DDL") {
     val (v, e) = fixture()
     v.createOrReplaceTempView("pg_spec_vertices")
