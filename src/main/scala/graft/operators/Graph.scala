@@ -157,10 +157,64 @@ object Graph {
     * per vertex. Lineage is truncated with a periodic localCheckpoint so
     * the plan stays iteration-bounded.
     */
-  def pageRank(edges: DataFrame, iters: Int = 10): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int = 10,
+      localEdgeLimit: Long = LocalEdgeLimit): DataFrame = {
     require(iters >= 1 && iters <= 50, s"pageRank: iters out of [1,50]: $iters")
     val e = edges.select(col("from_id").cast("string").as("from_id"),
       col("to_id").cast("string").as("to_id"))
+    // Driver-contracted endgame (the [[reachFrom]] pattern): the exact
+    // fixed-point arithmetic is integer-only and order-independent, so
+    // replaying the identical iterations over a collected edge array is
+    // bit-for-bit the distributed result — at fixture SF it trades
+    // ~3 driver-sequential jobs per iteration for one collect. The same
+    // gate + fallback keeps cluster-scale graphs fully distributed.
+    if (fitsDriver(e, localEdgeLimit)) {
+      val rows = e.collect()
+      if (rows.length < localEdgeLimit) {
+        val spark = edges.sparkSession
+        import spark.implicits._
+        val Scale = 1000000000000L
+        val outdeg = new java.util.HashMap[String, Long]()
+        val nodeSet = new java.util.LinkedHashSet[String]()
+        rows.foreach { r =>
+          val f = if (r.isNullAt(0)) null else r.getString(0)
+          val t = if (r.isNullAt(1)) null else r.getString(1)
+          nodeSet.add(f); nodeSet.add(t)
+          outdeg.merge(f, 1L, (a, b) => a + b)
+        }
+        val n = nodeSet.size.toLong
+        require(n > 0, "pageRank: empty graph")
+        val init = Scale / n
+        val base = (15L * init) / 100L
+        var pr = new java.util.HashMap[String, Long]()
+        nodeSet.forEach(v => pr.put(v, init))
+        var it = 0
+        while (it < iters) {
+          val inflow = new java.util.HashMap[String, Long]()
+          rows.foreach { r =>
+            val f = if (r.isNullAt(0)) null else r.getString(0)
+            val t = if (r.isNullAt(1)) null else r.getString(1)
+            // null endpoints mirror the distributed equi-joins: a null
+            // from_id matches no pr row (contributes nothing), a null
+            // to_id's inflow never joins back to a node
+            if (f != null) {
+              val c = pr.get(f) / outdeg.get(f)
+              if (t != null) inflow.merge(t, c, (a, b) => a + b)
+            }
+          }
+          val next = new java.util.HashMap[String, Long]()
+          nodeSet.forEach { v =>
+            val in = if (v == null) 0L else inflow.getOrDefault(v, 0L)
+            next.put(v, base + (85L * in) / 100L)
+          }
+          pr = next
+          it += 1
+        }
+        val out = new scala.collection.mutable.ArrayBuffer[(String, Long)](nodeSet.size)
+        nodeSet.forEach(v => out += ((v, pr.get(v))))
+        return out.toSeq.toDF("id", "pr")
+      }
+    }
     val nodes = e.select(col("from_id").as("id"))
       .unionByName(e.select(col("to_id").as("id")))
       .distinct().localCheckpoint(true)
@@ -198,19 +252,79 @@ object Graph {
     * Classic LPA randomizes update order — the synchronous min-tie
     * variant trades a little convergence speed for exact replayability
     * (every round is one join + one count aggregation + one per-vertex
-    * argmax window, the Pregel shape, unrollable as SQL CTEs).
+    * argmax aggregation, the Pregel shape, unrollable as SQL CTEs).
     *
     * 100 TB shape: per round, the neighbor join shuffles on the vertex
-    * key and the frequency argmax windows over one vertex's neighbor
-    * labels (O(deg) state). The undirected edge view is pre-partitioned
-    * once and reused across rounds, mirroring [[pageRank]].
+    * key and both aggregations combine map-side (the argmax is a
+    * min-over-struct, not a window — no per-vertex sort, and only one
+    * candidate row per map partition crosses the wire). The undirected
+    * edge view is pre-partitioned once and reused across rounds,
+    * mirroring [[pageRank]].
     */
-  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  def labelPropagation(edges: DataFrame, rounds: Int,
+      localEdgeLimit: Long = LocalEdgeLimit): DataFrame = {
     require(rounds >= 1 && rounds <= 20,
       s"labelPropagation: rounds out of [1,20]: $rounds")
     val e = edges.select(col("from_id").cast("string").as("a"),
       col("to_id").cast("string").as("b"))
+    // Driver-contracted endgame ([[reachFrom]] pattern): the synchronous
+    // min-tie update is deterministic, so replaying the identical rounds
+    // over a collected deduped adjacency equals the distributed result;
+    // at fixture SF it replaces ~3 sequential jobs per round with one
+    // collect. Distributed loop below is the cluster-scale path.
+    if (fitsDriver(e, localEdgeLimit)) {
+      val rows = e.collect()
+      if (rows.length < localEdgeLimit) {
+        val spark = edges.sparkSession
+        import spark.implicits._
+        // deduped undirected neighbor sets (the distributed view's
+        // union+distinct); null neighbors drop like the equi-join does
+        val adj = new java.util.HashMap[String, java.util.HashSet[String]]()
+        def add(f: String, t: String): Unit = {
+          var s = adj.get(f)
+          if (s == null) { s = new java.util.HashSet[String](); adj.put(f, s) }
+          if (t != null) s.add(t)
+        }
+        rows.foreach { r =>
+          val f = if (r.isNullAt(0)) null else r.getString(0)
+          val t = if (r.isNullAt(1)) null else r.getString(1)
+          add(f, t); add(t, f)
+        }
+        var labels = new java.util.HashMap[String, String]()
+        adj.keySet().forEach(v => labels.put(v, v))
+        var r = 0
+        while (r < rounds) {
+          val next = new java.util.HashMap[String, String]()
+          adj.forEach { (v, nbs) =>
+            var bestLabel: String = null
+            var bestCnt = 0L
+            if (!nbs.isEmpty) {
+              val cnt = new java.util.HashMap[String, Long]()
+              nbs.forEach { nb =>
+                val l = labels.get(nb)
+                cnt.merge(l, 1L, (a, b) => a + b)
+              }
+              cnt.forEach { (l, c) =>
+                // ties to the smallest label in UTF8 binary order — the
+                // ordering Spark's min-over-struct applies distributed
+                if (c > bestCnt || (c == bestCnt && (bestLabel == null ||
+                    org.apache.spark.unsafe.types.UTF8String.fromString(l)
+                      .compareTo(org.apache.spark.unsafe.types.UTF8String
+                        .fromString(bestLabel)) < 0))) {
+                  bestCnt = c; bestLabel = l
+                }
+              }
+            }
+            next.put(v, if (bestLabel == null) labels.get(v) else bestLabel)
+          }
+          labels = next
+          r += 1
+        }
+        val out = new scala.collection.mutable.ArrayBuffer[(String, String)](labels.size())
+        labels.forEach((k, v) => out += ((k, v)))
+        return out.toSeq.toDF("id", "community")
+      }
+    }
     val und = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .repartition(col("b")).localCheckpoint(true)
@@ -220,11 +334,17 @@ object Graph {
     while (r < rounds) {
       val freq = und.join(labels.withColumnRenamed("id", "b"), "b")
         .groupBy(col("a"), col("label")).agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy("a")
-        .orderBy(col("cnt").desc, col("label").asc)
-      val best = freq.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("a").as("id"), col("label").as("nl"))
+      // per-vertex argmax as a partial-aggregable min over
+      // struct(-cnt, label): most-frequent first (smallest -cnt), ties to
+      // the smallest label — identical to ROW_NUMBER() OVER (ORDER BY cnt
+      // DESC, label ASC) = 1, but planned as a HashAggregate whose
+      // map-side combine leaves one row per (partition, vertex) before
+      // the exchange, where the window form exchanged every (vertex,
+      // label) row and then sorted each vertex's group.
+      val best = freq
+        .groupBy(col("a"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l"))).as("m"))
+        .select(col("a").as("id"), col("m").getField("l").as("nl"))
       labels = labels.join(best, Seq("id"), "left")
         .select(col("id"), coalesce(col("nl"), col("label")).as("label"))
       r += 1
@@ -243,13 +363,98 @@ object Graph {
     * size rounds to the fixture's peel depth. Returns survivors with
     * their degree in the peeled subgraph.
     */
-  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def kCore(edges: DataFrame, k: Int, rounds: Int,
+      localEdgeLimit: Long = LocalEdgeLimit): DataFrame = {
     require(k >= 1 && rounds >= 1 && rounds <= 20,
       s"kCore: bad k=$k or rounds=$rounds")
     val e = edges.select(col("from_id").cast("string").as("a"),
       col("to_id").cast("string").as("b"))
+    // Driver-contracted endgame ([[reachFrom]] pattern): fixed-round
+    // peeling over a collected deduped pair set replays the distributed
+    // rounds exactly (degree = surviving-row count per `a`, semi-join
+    // survival = both endpoints non-null and kept).
+    if (fitsDriver(e, localEdgeLimit)) {
+      val rows = e.collect()
+      if (rows.length < localEdgeLimit) {
+        val spark = edges.sparkSession
+        import spark.implicits._
+        // interned int-indexed vertices + packed-long pair dedup: the
+        // peel is then pure primitive-array scans (a boxed HashMap peel
+        // measured slower than the distributed rounds it replaced)
+        val idx = new java.util.HashMap[String, Integer]()
+        val names = new scala.collection.mutable.ArrayBuffer[String]()
+        var nullId = -1
+        def intern(s: String): Int = {
+          val got = idx.get(s)
+          if (got != null) got.intValue
+          else {
+            val i = names.size
+            idx.put(s, Integer.valueOf(i)); names += s
+            if (s == null) nullId = i
+            i
+          }
+        }
+        val seen = new java.util.HashSet[java.lang.Long]()
+        val srcB = new scala.collection.mutable.ArrayBuffer[Int]()
+        val dstB = new scala.collection.mutable.ArrayBuffer[Int]()
+        rows.foreach { r =>
+          val fi = intern(if (r.isNullAt(0)) null else r.getString(0))
+          val ti = intern(if (r.isNullAt(1)) null else r.getString(1))
+          if (seen.add((fi.toLong << 32) | (ti & 0xffffffffL))) {
+            srcB += fi; dstB += ti
+          }
+          if (seen.add((ti.toLong << 32) | (fi & 0xffffffffL))) {
+            srcB += ti; dstB += fi
+          }
+        }
+        val src = srcB.toArray
+        val dst = dstB.toArray
+        val nv = names.size
+        val live = Array.fill(src.length)(true)
+        val kept = new Array[Boolean](nv)
+        def liveDegrees(): Array[Int] = {
+          val deg = new Array[Int](nv)
+          var i = 0
+          while (i < src.length) { if (live(i)) deg(src(i)) += 1; i += 1 }
+          deg
+        }
+        var r = 0
+        while (r < rounds) {
+          val deg = liveDegrees()
+          var i = 0
+          while (i < nv) { kept(i) = deg(i) >= k; i += 1 }
+          // a row survives iff BOTH endpoints are non-null (the semi
+          // joins are equi-joins) and kept (degree >= k this round)
+          i = 0
+          while (i < src.length) {
+            if (live(i)) {
+              val a = src(i); val b = dst(i)
+              if (a == nullId || b == nullId || !kept(a) || !kept(b))
+                live(i) = false
+            }
+            i += 1
+          }
+          r += 1
+        }
+        val deg = liveDegrees()
+        val out = new scala.collection.mutable.ArrayBuffer[(String, Long)]()
+        var i = 0
+        while (i < nv) {
+          if (deg(i) >= k) out += ((names(i), deg(i).toLong))
+          i += 1
+        }
+        return out.toSeq.toDF("id", "deg")
+      }
+    }
+    // hash-partition the deduped view on `a` up front: every round's
+    // degree aggregation groups on `a` (partitioning satisfied — no
+    // exchange), and while AQE broadcasts the (|V|-sized, shrinking)
+    // keep set the surviving edges KEEP that partitioning across all
+    // rounds — one exchange of the edge set total, not one per round.
+    // (No broadcast hint: when |V| outgrows the broadcast threshold the
+    // semi joins must fall back to shuffle, not OOM the driver.)
     var und = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
-      .distinct().localCheckpoint(true)
+      .distinct().repartition(col("a")).localCheckpoint(true)
     var r = 0
     while (r < rounds) {
       val keep = und.groupBy(col("a").as("id"))
@@ -280,11 +485,47 @@ object Graph {
     * partial-agg — Pregel message/combine halves, state one bigint per
     * reached vertex. Lineage truncated every third round.
     */
-  def sssp(edges: DataFrame, sources: DataFrame, maxIter: Int): DataFrame = {
+  def sssp(edges: DataFrame, sources: DataFrame, maxIter: Int,
+      localEdgeLimit: Long = LocalEdgeLimit): DataFrame = {
     require(maxIter >= 1 && maxIter <= 50, s"sssp: iters out of [1,50]: $maxIter")
-    val e = edges.select(col("from_id").cast("string").as("from_id"),
-        col("to_id").cast("string").as("to_id"), col("w").cast("long").as("w"))
-      .repartition(col("from_id")).localCheckpoint(true)
+    val eProj = edges.select(col("from_id").cast("string").as("from_id"),
+      col("to_id").cast("string").as("to_id"), col("w").cast("long").as("w"))
+    // Driver-contracted endgame ([[reachFrom]] pattern): synchronous
+    // Bellman-Ford rounds over a collected weighted edge array — bigint
+    // arithmetic, so bit-identical to the distributed relaxation.
+    if (fitsDriver(eProj, localEdgeLimit)) {
+      val rows = eProj.filter(col("w").isNotNull).collect()
+      if (rows.length < localEdgeLimit) {
+        val spark = edges.sparkSession
+        import spark.implicits._
+        val earr = rows.map(r => (
+          if (r.isNullAt(0)) null else r.getString(0),
+          if (r.isNullAt(1)) null else r.getString(1),
+          r.getLong(2)))
+        var dist = new java.util.HashMap[String, Long]()
+        sources.select(col("id").cast("string")).collect().foreach { r =>
+          val s0 = if (r.isNullAt(0)) null else r.getString(0)
+          dist.merge(s0, 0L, (a, b) => math.min(a, b))
+        }
+        var it = 0
+        while (it < maxIter) {
+          val next = new java.util.HashMap[String, Long](dist)
+          earr.foreach { case (f, t, w) =>
+            // null from_id matches no dist row in the distributed join
+            if (f != null && dist.containsKey(f)) {
+              val cand = dist.get(f) + w
+              next.merge(t, cand, (a, b) => math.min(a, b))
+            }
+          }
+          dist = next
+          it += 1
+        }
+        val out = new scala.collection.mutable.ArrayBuffer[(String, Long)](dist.size())
+        dist.forEach((k, v) => out += ((k, v)))
+        return out.toSeq.toDF("id", "dist")
+      }
+    }
+    val e = eProj.repartition(col("from_id")).localCheckpoint(true)
     var dist = sources.select(col("id").cast("string").as("id"),
       lit(0L).as("dist"))
     var it = 0

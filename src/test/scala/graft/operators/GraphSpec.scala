@@ -131,6 +131,10 @@ class GraphSpec extends SparkSpec {
     val pr2 = Graph.pageRank(star.repartition(7), iters = 10)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(pr2 == pr)
+    // driver endgame == distributed loop, bit for bit
+    val dist = Graph.pageRank(star, iters = 10, localEdgeLimit = 0)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dist == pr)
   }
 
   test("triangles: per-vertex counts via degree orientation") {
@@ -177,6 +181,11 @@ class GraphSpec extends SparkSpec {
     val rep = Graph.sssp(we.repartition(5), Seq("s").toDF("id"), 6)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(rep == got)
+    // driver endgame == distributed loop (including the 1-round bound)
+    assert(Graph.sssp(we, Seq("s").toDF("id"), 6, localEdgeLimit = 0)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap == got)
+    assert(Graph.sssp(we, Seq("s").toDF("id"), 1, localEdgeLimit = 0)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap == one)
   }
 
   test("labelPropagation: two cliques bridge-linked settle to two communities") {
@@ -202,6 +211,10 @@ class GraphSpec extends SparkSpec {
       edges.unionByName(Seq(("q9", "q9")).toDF("from_id", "to_id")), 2)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(iso("q9") == "q9")
+    // driver endgame == distributed loop (same rounds, same ties)
+    val dist = Graph.labelPropagation(edges, rounds = 4, localEdgeLimit = 0)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(dist == out)
   }
 
   test("kCore peels below-floor vertices; fixed rounds match manual peel") {
@@ -217,5 +230,13 @@ class GraphSpec extends SparkSpec {
     val one = Graph.kCore(edges, k = 2, rounds = 1)
       .collect().map(_.getString(0)).toSet
     assert(one == Set("a", "b", "c"))
+    // driver endgame == distributed loop (duplicate/reversed edges dedup
+    // identically on both paths)
+    val dup = edges.unionByName(Seq(("b", "a")).toDF("from_id", "to_id"))
+    val local = Graph.kCore(dup, k = 2, rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dist = Graph.kCore(dup, k = 2, rounds = 3, localEdgeLimit = 0)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(local == dist && local == Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
   }
 }
