@@ -1817,7 +1817,16 @@ object PipelineQueries {
   private val R3AndTerms = Seq("vector", "stream", "window")
 
   val r3PhraseSearch: Q = (s, d) => {
+    // prune to the union of queried terms ONCE and materialize: the
+    // per-term filters inside phrase()/conjunctive() push below the
+    // postings aggregation, so three query legs would otherwise each
+    // re-run the corpus scan + normalize + explode (no exchange reuse
+    // across differing pushed filters). The materialized frame is the
+    // queried terms' postings only — tiny at any corpus scale.
+    val terms = (R3Phrase ++ R3AndTerms).distinct
     val post = Postings.build(t(s, d, "documents"), "doc_id", "text")
+      .filter(col("term").isin(terms: _*))
+      .localCheckpoint(true)
     val ph = Postings.phrase(post, R3Phrase)
       .select(lit("phrase").as("mode"), col("doc_id"),
         col("n_matches").as("metric"))

@@ -1520,11 +1520,17 @@ object Queries {
     * — the 100 TB twin of A17's exact distinct battery: HLL++ per column,
     * no Expand, mergeable partials. Emitted-row oracle (the q_a15
     * pattern): every profiled column must be present exactly once and
-    * each estimate must sit within 5% of the exact distinct count —
-    * 5× the configured rsd of 0.01.
+    * each estimate must sit within 5% of the exact distinct count.
+    *
+    * rsd 0.02 (≈2¹⁶ registers/column) is the bound/rsd coupling: the
+    * oracle's fixed 5% tolerance leaves 2.5σ headroom, and HLL++ is
+    * deterministic per dataset, so a pass at a given SF is a pass
+    * forever — while a 0.01 sketch (2¹⁸ registers, 4× the update and
+    * merge cost) made the "cheap" twin slower than the exact Expand
+    * battery it exists to undercut at 100 TB.
     */
   val a18ProfileApprox: Q = (s, d) =>
-    operators.Profiler.approxProfile(t(s, d, "orders"), rsd = 0.01)
+    operators.Profiler.approxProfile(t(s, d, "orders"), rsd = 0.02)
   val a18Oracle: String = {
     val exact = Seq("o_orderkey", "o_custkey", "o_orderstatus",
       "o_totalprice", "o_orderdate", "o_orderpriority")
@@ -2202,6 +2208,46 @@ object Queries {
        |  JOIN edges e ON e.from_id = w.id WHERE w.distance < 3)
        |SELECT src AS a, id AS b, CAST(MIN(distance) AS INTEGER) AS path_len
        |FROM walk GROUP BY src, id HAVING MIN(distance) >= 1""".stripMargin
+
+  /** G17: the diagram ENGINE half as a driver query — G6's neighborhood
+    * subgraph selection ([[operators.Diagram.neighborhoodGraph]],
+    * diagrams/pkg/graph/converter.go:42-77): the undirected 2-hop
+    * neighborhood of n5 with hop distances and vertex names, plus the
+    * INDUCED edge set (both endpoints inside the neighborhood), emitted
+    * long-form as one scalar frame. The renderers (Mermaid/DOT,
+    * DiagramSpec) draw exactly these lists, so hash-checking them pins
+    * the subgraph the diagram would show. Oracle: full replay — the
+    * q_g3 recursive-CTE walk plus the induced-edge joins.
+    */
+  val g17Diagram: Q = (s, d) => {
+    val vertices = Tables.sql(s, d, verticesSql)
+    val edges = Tables.sql(s, d, edgesSql)
+    val (nodes, induced) = Diagram.neighborhoodGraph(vertices, edges, "n5", 2)
+    nodes.select(lit("node").as("kind"), col("id").as("a"),
+        col("name").as("b"), col("distance").as("dist"))
+      .unionByName(induced.select(lit("edge").as("kind"),
+        col("from_id").as("a"), col("to_id").as("b"),
+        lit(null).cast("int").as("dist")))
+  }
+  val g17Oracle: String =
+    s"""WITH RECURSIVE edges AS ($edgesSql),
+       |sym AS (SELECT from_id AS a, to_id AS b FROM edges
+       |        UNION SELECT to_id, from_id FROM edges),
+       |walk AS (
+       |  SELECT 'n5' AS id, 0 AS distance
+       |  UNION ALL
+       |  SELECT sy.b, w.distance + 1 FROM walk w
+       |  JOIN sym sy ON sy.a = w.id WHERE w.distance < 2),
+       |nb AS (SELECT id, CAST(MIN(distance) AS INTEGER) AS dist
+       |       FROM walk GROUP BY id),
+       |v AS ($verticesSql)
+       |SELECT 'node' AS kind, nb.id AS a, v.name AS b, nb.dist AS dist
+       |FROM nb LEFT JOIN v ON v.id = nb.id
+       |UNION ALL
+       |SELECT 'edge' AS kind, e.from_id AS a, e.to_id AS b,
+       |  CAST(NULL AS INTEGER) AS dist
+       |FROM edges e JOIN nb x ON x.id = e.from_id
+       |JOIN nb y ON y.id = e.to_id""".stripMargin
 
   /** G18: `ANY SHORTEST (a)-[e]->*(b)` through the same registration —
     * one shortest path length per (a, b) pair including the zero-length
@@ -4947,6 +4993,7 @@ object Queries {
     "q_g10_graph_table" -> g10GraphTable,
     "q_g11_graph_ddl" -> g11GraphDdl,
     "q_g16_quantified_match" -> g16QuantifiedMatch,
+    "q_g17_diagram" -> g17Diagram,
     "q_g18_any_shortest" -> g18AnyShortest,
     "q_g12_sssp" -> g12Sssp,
     "q_c1_compliance_pack" -> c1PackQuery,
@@ -5094,6 +5141,7 @@ object Queries {
     "q_g11_graph_ddl" -> g11Oracle,
     "q_g12_sssp" -> g12Oracle,
     "q_g16_quantified_match" -> g16Oracle,
+    "q_g17_diagram" -> g17Oracle,
     "q_g18_any_shortest" -> g18Oracle,
     "q_x3_asof_join" -> x3Oracle,
     "q_x4_range_join" -> x4Oracle,

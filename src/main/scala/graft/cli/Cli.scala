@@ -101,6 +101,7 @@ object Cli {
       |  describe --service s --region r --id id [--plugin host:port]
       |  schemas  --table t [--json-col raw_data] [--sample N]
       |  serve    [--grpc] [--port N]             remote query API
+      |  repl     interactive shell: one SQL per line; exit/quit leaves
       |  version
       |""".stripMargin
 
@@ -309,13 +310,54 @@ object Cli {
     }
   }
 
+  /** Interactive read-eval loop over the query path — the shell wrapper
+    * of the reference's main-loop mode: one SQL statement per line
+    * (trailing `;` optional), results formatted like the one-shot path,
+    * errors answered with the E21 hint text ([[run]]'s describeError)
+    * without ending the session; `exit`/`quit`/`\q` leaves, `help`/`\?`
+    * prints usage. Each evaluated line's output is also printed
+    * immediately so a terminal session is actually interactive; the
+    * returned transcript serves the (String, Int) CLI contract and the
+    * spec harness.
+    */
+  def repl(spark: SparkSession, sfDir: String,
+      in: java.io.BufferedReader, echo: Boolean = false): (String, Int) = {
+    val sb = new StringBuilder
+    def emit(s: String): Unit = {
+      sb.append(s).append('\n')
+      if (echo) { Console.out.println(s); Console.out.flush() }
+    }
+    var done = false
+    var line: String = null
+    while (!done && { line = in.readLine(); line != null }) {
+      val q = line.trim.stripSuffix(";").trim
+      q.toLowerCase match {
+        case "" => ()
+        case "exit" | "quit" | "\\q" => done = true
+        case "help" | "\\?" => emit(usage)
+        case _ =>
+          val (txt, _) = run(spark, CliArgs(sfDir = sfDir, query = Some(q)))
+          emit(txt)
+      }
+    }
+    (sb.result(), 0)
+  }
+
   /** Full argv entry: routes subcommands, else the query path. */
   def runArgv(spark: SparkSession, argv: Seq[String],
       blockServe: Boolean = true,
       readStdin: () => String = () =>
         new String(System.in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8)): (String, Int) = {
+          java.nio.charset.StandardCharsets.UTF_8),
+      replIn: () => java.io.BufferedReader = () =>
+        new java.io.BufferedReader(
+          new java.io.InputStreamReader(System.in))): (String, Int) = {
     if (argv.isEmpty) return (usage, 2)
+    if (argv.size >= 2 && argv(1) == "repl")
+      return try repl(spark, argv.head, replIn(), echo = blockServe)
+      catch { case scala.util.control.NonFatal(e) =>
+        (s"Error: ${Option(e.getMessage).getOrElse(e.toString)}", 1)
+      }
     if (argv.size >= 2 && SubCommands.contains(argv(1))) {
       Tables.register(spark, argv.head)
       try runSub(spark, argv(1), argv.drop(2).toList, blockServe)

@@ -122,10 +122,15 @@ object Profiler {
     * n_distinct_approx)` per column via HLL++ with relative standard
     * deviation `rsd` — no Expand, one narrow pass, mergeable partial
     * state. The driver oracle bounds each estimate against the exact
-    * distinct count instead of hash-comparing it.
+    * distinct count instead of hash-comparing it. The 0.02 default
+    * (~2¹⁶ registers/column) is the 100 TB operating point: register
+    * count — and with it sketch update, merge, and shuffle cost —
+    * grows 1/rsd², so a 0.01 sketch costs 4× for precision a profiling
+    * pass doesn't need (callers with a tighter tolerance pass their
+    * own rsd and budget accordingly).
     */
   def approxProfile(df: DataFrame, columns: Seq[String] = Nil,
-      rsd: Double = 0.01): DataFrame = {
+      rsd: Double = 0.02): DataFrame = {
     val names =
       if (columns.nonEmpty) columns else df.schema.fieldNames.toSeq
     val aggs = names.map(n =>

@@ -77,6 +77,26 @@ class CliSpec extends SparkSpec {
     assert(code == 1 && out.contains("Error:"), out)
   }
 
+  test("repl: two queries and a bad-table hint through one session") {
+    val session =
+      """SELECT COUNT(*) AS n FROM region;
+        |
+        |SELECT * FROM regoin
+        |SELECT r_name FROM region WHERE r_regionkey = 2
+        |exit
+        |SELECT 'never reached' AS x
+        |""".stripMargin
+    val in = new java.io.BufferedReader(new java.io.StringReader(session))
+    val (out, code) = Cli.runArgv(spark, Seq(sf, "repl"),
+      blockServe = false, replIn = () => in)
+    assert(code == 0, out)
+    assert(out.contains("5"), out)                       // first query ran
+    // mid-session error answers with the E21 hint and keeps going
+    assert(out.contains("Did you mean 'region'?"), out)
+    assert(out.contains("ASIA"), out)                    // session continued
+    assert(!out.contains("never reached"), out)          // exit stops the loop
+  }
+
   test("pack dry-run validates every enabled query") {
     // the resource table a real run would find in the table dir
     graft.fixtures.CorkscrewFixtures.register(spark)
