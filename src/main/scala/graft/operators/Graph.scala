@@ -43,9 +43,15 @@ object Graph {
   /** Plan-estimate ceiling for the gating collect (pre-collect check). */
   private val LocalBytesLimit = BigInt(512L * 1024 * 1024)
 
-  /** True when the optimizer's size estimate says `df` is collectable. */
+  /** True when the optimizer's size estimate says `df` is collectable.
+    * `GRAFT_GRAPH_DISTRIBUTED` in the environment disables every driver
+    * endgame — the switch the shuffle-linearity measurements
+    * (SCALE.md, [[graft.tools.ProfileShuffle]]) use to profile the
+    * cluster-scale path at fixture SFs where the gate would otherwise
+    * engage.
+    */
   private def fitsDriver(df: DataFrame, localEdgeLimit: Long): Boolean =
-    localEdgeLimit > 0 &&
+    localEdgeLimit > 0 && !sys.env.contains("GRAFT_GRAPH_DISTRIBUTED") &&
       df.queryExecution.optimizedPlan.stats.sizeInBytes <= LocalBytesLimit
 
   /** Adjacency list of a collected `(from_id, to_id)` edge array. NULL
@@ -586,7 +592,7 @@ object Graph {
     // traversals over the same edge frame skip the collect entirely.
     val canon = fwd.queryExecution.analyzed.canonicalized
     val localAdj: Option[GraphIndexCache.Adj] =
-      (if (localEdgeLimit > 0) GraphIndexCache.get(spark, canon, undirected)
+      (if (localEdgeLimit > 0 && !sys.env.contains("GRAFT_GRAPH_DISTRIBUTED")) GraphIndexCache.get(spark, canon, undirected)
        else None).orElse {
         if (fitsDriver(fwd, localEdgeLimit)) {
           val edgeRows = fwd.collect()
@@ -716,7 +722,7 @@ object Graph {
     } else fwd
     val canon = fwd.queryExecution.analyzed.canonicalized
     val localAdj: Option[GraphIndexCache.Adj] =
-      (if (localEdgeLimit > 0) GraphIndexCache.get(spark, canon, undirected)
+      (if (localEdgeLimit > 0 && !sys.env.contains("GRAFT_GRAPH_DISTRIBUTED")) GraphIndexCache.get(spark, canon, undirected)
        else None).orElse {
         if (fitsDriver(fwd, localEdgeLimit)) {
           val edgeRows = fwd.collect()
@@ -827,7 +833,7 @@ object Graph {
     // array<string> does.
     val canon = eBase.queryExecution.analyzed.canonicalized
     val localAdj: Option[GraphIndexCache.Adj] =
-      (if (localEdgeLimit > 0) GraphIndexCache.get(spark, canon, undirected = false)
+      (if (localEdgeLimit > 0 && !sys.env.contains("GRAFT_GRAPH_DISTRIBUTED")) GraphIndexCache.get(spark, canon, undirected = false)
        else None).orElse {
         if (fitsDriver(eBase, localEdgeLimit)) {
           val rows = eBase.collect()
