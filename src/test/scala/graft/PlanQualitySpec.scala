@@ -284,6 +284,32 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("G13 LPA distributed round: argmax is an aggregation, never a window") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // one distributed round (endgame disabled): the per-vertex argmax
+    // must plan as HashAggregate (map-side combinable min-over-struct) —
+    // a regression to row_number re-adds the per-vertex sort and ships
+    // every (vertex, label) row through the exchange
+    val e = Seq(("a", "b"), ("b", "c")).toDF("from_id", "to_id")
+    val p = graft.operators.Graph
+      .labelPropagation(e, rounds = 1, localEdgeLimit = 0)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Window"), "LPA argmax regressed to a window\n" + p)
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+  }
+
+  test("G16 quantified MATCH (pairReach distributed): equi-joins, no cartesian") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val e = Seq(("a", "b"), ("b", "c")).toDF("from_id", "to_id")
+    val p = graft.operators.Graph
+      .pairReach(e, Seq("a").toDF("id"), 3, localEdgeLimit = 0)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("G9 triangles: equi-joins only, no cartesian, no broadcast of edges") {
     val p = plan("q_g9_triangles")
     assert(!p.contains("CartesianProduct"), p)
