@@ -118,6 +118,75 @@ object PipelineQueries {
        |               CASE WHEN nb = 0 THEN 0.0 ELSE inter / nb END)
        |      >= 0.9""".stripMargin
 
+  /** Shared DuckDB fragment: distinct word 5-grams of the token list `w`
+    * — the corpus-overlap / novelty shingle universe ([[Dedup.shingles]]
+    * at w = 5; same inclusive generate_series convention as the d3
+    * 3-gram fragment).
+    */
+  // NOTE single line: a continuation line starting with `||` would lose
+  // one pipe to the EMBEDDING oracle's stripMargin and turn into bitwise-or.
+  private val gram5Sql =
+    "list_distinct(list_transform(generate_series(1, greatest(len(w) - 4, 0)), " +
+      "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))"
+
+  /** D17: corpus-granularity overlap report ([[Dedup.corpusOverlap]]) —
+    * exact 5-gram Jaccard between SOURCES rather than documents: the
+    * train/test-split leakage check at corpus granularity (PaLM/GPT-3
+    * style contamination audits report exactly this pair matrix). Full
+    * relational replay: both engines build the distinct (corpus, gram)
+    * set, intersect by equi-join, and derive union by
+    * inclusion-exclusion.
+    */
+  val d17CorpusOverlap: Q = (s, d) =>
+    Dedup.corpusOverlap(t(s, d, "documents"), "source", "text", w = 5)
+  val d17Oracle: String =
+    s"""WITH docg AS (
+       |  SELECT source, $gram5Sql AS sh
+       |  FROM (SELECT source, $wordsSql AS w FROM documents) z),
+       |g AS (SELECT DISTINCT source AS corpus, gram
+       |      FROM docg, UNNEST(sh) AS u(gram)),
+       |per AS (SELECT corpus, CAST(COUNT(*) AS BIGINT) AS n
+       |        FROM g GROUP BY 1),
+       |i AS (SELECT x.corpus AS corpus_a, y.corpus AS corpus_b,
+       |        CAST(COUNT(*) AS BIGINT) AS inter
+       |      FROM g x JOIN g y ON x.gram = y.gram AND x.corpus < y.corpus
+       |      GROUP BY 1, 2)
+       |SELECT i.corpus_a, i.corpus_b, i.inter,
+       |  CAST(a.n + b.n - i.inter AS BIGINT) AS union_n,
+       |  ROUND(i.inter / (a.n + b.n - i.inter), 6) AS jaccard
+       |FROM i
+       |JOIN per a ON a.corpus = i.corpus_a
+       |JOIN per b ON b.corpus = i.corpus_b""".stripMargin
+
+  /** T44: n-gram novelty / memorization-risk report
+    * ([[TextAnalysis.noveltyReport]]) — per source, the share of its
+    * documents' distinct 5-grams that are corpus-common (document
+    * frequency >= 2): the boilerplate/templating signal that predicts
+    * verbatim memorization. Integer-exact by construction (long counts,
+    * one final double division), fully replayed relationally.
+    */
+  val t44Novelty: Q = (s, d) =>
+    TextAnalysis.noveltyReport(t(s, d, "documents"), "doc_id", "source",
+      "text", w = 5)
+  val t44Oracle: String =
+    s"""WITH docg AS (
+       |  SELECT doc_id, source, $gram5Sql AS sh
+       |  FROM (SELECT doc_id, source, $wordsSql AS w FROM documents) z),
+       |dg AS (SELECT doc_id, source, gram FROM docg, UNNEST(sh) AS u(gram)),
+       |gdf AS (SELECT gram, COUNT(*) AS gdf FROM dg GROUP BY 1),
+       |per AS (
+       |  SELECT d.doc_id, d.source, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |    CAST(SUM(CASE WHEN g.gdf >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_common
+       |  FROM dg d JOIN gdf g USING (gram) GROUP BY 1, 2)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_grams) AS BIGINT) AS sum_grams,
+       |  CAST(SUM(n_common) AS BIGINT) AS sum_common,
+       |  ROUND(SUM(n_common) / SUM(n_grams), 6) AS common_share,
+       |  CAST(SUM(CASE WHEN 2 * (n_grams - n_common) >= n_grams
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_high_novelty
+       |FROM per GROUP BY source""".stripMargin
+
   /** Planted-duplicate fixture for the near-dup completeness oracles: an
     * identical-text clone (`doc_id + PlantOffset`) of a deterministic ~2%
     * of documents. Identical text makes detection CERTAIN, not
@@ -4086,10 +4155,12 @@ object PipelineQueries {
     "q_t40_pseudonymize" -> t40Pseudonymize,
     "q_t41_stratified_quota" -> t41StratifiedQuota,
     "q_t43_diversity" -> t43Diversity,
+    "q_t44_novelty" -> t44Novelty,
     "q_d1_fingerprint" -> d1Fingerprint,
     "q_d2_dedup_exact" -> d2DedupExact,
     "q_d3_jaccard_pairs" -> d3JaccardPairs,
     "q_d16_containment" -> d16Containment,
+    "q_d17_corpus_overlap" -> d17CorpusOverlap,
     "q_d4_minhash_neardup" -> d4MinhashNearDup,
     "q_d5_simhash_neardup" -> d5SimhashNearDup,
     "q_d14_ppjoin" -> d14PpjoinPairs,
@@ -4184,6 +4255,7 @@ object PipelineQueries {
     "q_d2_dedup_exact" -> d2Oracle,
     "q_d3_jaccard_pairs" -> d3Oracle,
     "q_d16_containment" -> d16Oracle,
+    "q_d17_corpus_overlap" -> d17Oracle,
     "q_t1_quality" -> t1Oracle,
     "q_t2_langid" -> t2Oracle,
     "q_t3_top_tokens" -> t3Oracle,
@@ -4197,6 +4269,7 @@ object PipelineQueries {
     "q_t40_pseudonymize" -> t40Oracle,
     "q_t41_stratified_quota" -> t41Oracle,
     "q_t43_diversity" -> t43Oracle,
+    "q_t44_novelty" -> t44Oracle,
     "q_t7_sample" -> t7Oracle,
     "q_t14_mixture" -> t14Oracle,
     "q_t15_interleave" -> t15Oracle,

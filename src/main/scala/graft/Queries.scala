@@ -4190,6 +4190,58 @@ object Queries {
       |UNION ALL SELECT 3, CAST(n3.n AS BIGINT),
       |  CAST(n3.n - n2.n AS BIGINT) FROM n2, n3""".stripMargin
 
+  /** V15: compaction + retention vacuum — the OPTIMIZE/VACUUM lifecycle
+    * over [[catalog.SnapshotTableStore.compact]] / `vacuum`: six
+    * single-file appends fragment the table (the streaming-ingest
+    * failure mode compaction exists for), bin-packing compaction
+    * rewrites the current content at the 128 MB target (one file at
+    * fixture scale), and the retention vacuum drops every
+    * pre-compaction version's files and manifests. The emitted frame is
+    * the hash-checked table content read AFTER the whole episode —
+    * byte-identical content is the lifecycle's correctness claim — next
+    * to the OBSERVED file/version counts pinned as oracle literals: a
+    * compaction that drops or duplicates rows flips the content hash, a
+    * vacuum that deletes a live file breaks the read, one that deletes
+    * nothing leaves files_after at 7 and versions_after at 7.
+    */
+  val v15CompactVacuum: Q = (s, d) => {
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft-snap-qv15", math.abs(d.hashCode).toString)
+    if (java.nio.file.Files.exists(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+    val store = new graft.catalog.SnapshotTableStore(root.toString)
+    val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+    store.overwrite(docs.filter(col("doc_id") % 6 === 0).coalesce(1), "docs")
+    (1 to 5).foreach(i =>
+      store.append(docs.filter(col("doc_id") % 6 === i).coalesce(1), "docs"))
+    def parquetFiles(): Long = {
+      val walk = java.nio.file.Files.walk(root.resolve("docs").resolve("data"))
+      try walk.filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet")).count()
+      finally walk.close()
+    }
+    val filesBefore = parquetFiles() // 6: one per coalesce(1) commit
+    val vc = store.compact(s, "docs").getOrElse(throw new IllegalStateException(
+      "compaction lost a claim race on a private single-writer root"))
+    store.vacuum("docs", keepFrom = vc)
+    val filesAfter = parquetFiles() // 1: the bin-packed rewrite
+    val versionsAfter = store.versions("docs").size.toLong // 1: post-GC
+    store.read(s, "docs").groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("n_chars").cast("bigint").as("sum_chars"))
+      .withColumn("files_before", lit(filesBefore))
+      .withColumn("files_after", lit(filesAfter))
+      .withColumn("versions_after", lit(versionsAfter))
+  }
+  val v15Oracle: String =
+    """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(6 AS BIGINT) AS files_before, CAST(1 AS BIGINT) AS files_after,
+      |  CAST(1 AS BIGINT) AS versions_after
+      |FROM documents GROUP BY lang""".stripMargin
+
   /** V8: schema-drift report between snapshot versions — the governance
     * view over [[catalog.SnapshotTableStore.manifestSchema]]: commit a
     * 3-column version, evolve with a 4th column, and emit the
@@ -4925,6 +4977,7 @@ object Queries {
     "q_x12_agg_battery" -> x12AggBattery,
     "q_x13_null_battery" -> x13NullBattery,
     "q_v14_history_report" -> v14HistoryReport,
+    "q_v15_compact_vacuum" -> v15CompactVacuum,
     "q_j5_nullsafe_join" -> j5NullsafeJoin,
     "q_w1_topk" -> w1TopK,
     "q_w4_pagination" -> w4Pagination,
@@ -5066,6 +5119,7 @@ object Queries {
     "q_x12_agg_battery" -> x12Oracle,
     "q_x13_null_battery" -> x13Oracle,
     "q_v14_history_report" -> v14Oracle,
+    "q_v15_compact_vacuum" -> v15Oracle,
     "q_j5_nullsafe_join" -> j5Oracle,
     "q_w1_topk" -> w1Oracle,
     "q_w4_pagination" -> w4Oracle,

@@ -741,4 +741,41 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_new"), col("id_hist"), col("jaccard"))
   }
+
+  /** Corpus-pair shingle overlap: exact n-gram Jaccard between whole
+    * corpora (sources, snapshots, train/test splits) rather than between
+    * documents — the corpus-granularity leakage/contamination report
+    * (did split B's text leak into split A?). Reference scope: the same
+    * shingle universe [[shingles]] feeds per-document; corkscrew has no
+    * corpus-level twin, this is the beyond-ref aggregate.
+    *
+    * 100 TB shape: ONE distinct shuffle builds the (corpus, gram) set;
+    * the intersection is a self-equi-join on `gram` whose fan-out per
+    * gram is bounded by the CORPUS cardinality (a dimension, not the
+    * data) — never all-pairs over rows; per-corpus totals are a small
+    * broadcast. Emits one row per overlapping pair: exact intersection,
+    * union and Jaccard.
+    */
+  def corpusOverlap(df: DataFrame, corpusCol: String, textCol: String,
+      w: Int = 5): DataFrame = {
+    val grams = df
+      .select(col(corpusCol).as("corpus"),
+        explode(shingles(col(textCol), w)).as("gram"))
+      .distinct()
+    val perCorpus = grams.groupBy("corpus").agg(count(lit(1)).as("n"))
+    val inter = grams.as("x")
+      .join(grams.as("y"), Seq("gram"))
+      .where(col("x.corpus") < col("y.corpus"))
+      .groupBy(col("x.corpus").as("corpus_a"), col("y.corpus").as("corpus_b"))
+      .agg(count(lit(1)).as("inter"))
+    val unionN = col("na") + col("nb") - col("inter")
+    inter
+      .join(broadcast(perCorpus.select(col("corpus").as("corpus_a"),
+        col("n").as("na"))), "corpus_a")
+      .join(broadcast(perCorpus.select(col("corpus").as("corpus_b"),
+        col("n").as("nb"))), "corpus_b")
+      .select(col("corpus_a"), col("corpus_b"), col("inter"),
+        unionN.as("union_n"),
+        round(col("inter") / unionN, 6).as("jaccard"))
+  }
 }

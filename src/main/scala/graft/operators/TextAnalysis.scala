@@ -941,4 +941,38 @@ object TextAnalysis {
       .withColumn("reputation_rank", row_number().over(w).cast("bigint"))
       .withColumn("blocked", col("reputation_rank") <= bottomK)
   }
+
+  /** N-gram novelty / memorization-risk report: per group (source,
+    * domain, split), how much of its documents' distinct w-gram mass is
+    * CORPUS-COMMON (appears in >= 2 documents anywhere) vs novel. High
+    * common-share groups are boilerplate/template farms that inflate
+    * memorization; `n_high_novelty` counts documents whose novel share
+    * is >= 0.5. Deliberately integer-exact: per-document gram counts are
+    * summed as longs and the single ratio is one double division, so the
+    * cross-engine replay is bit-stable (no float accumulation order).
+    *
+    * 100 TB shape: the (doc, gram) frame shuffles once on `gram` for the
+    * document-frequency aggregate, joins back on the SAME key (no second
+    * gram shuffle under AQE-reused exchange), then reduces per doc and
+    * per group — the (token, id, df) join shape PPJoin already proves
+    * out. Documents too short to carry a w-gram drop out on both
+    * engines (explode of an empty array).
+    */
+  def noveltyReport(df: DataFrame, idCol: String, groupCol: String,
+      textCol: String, w: Int = 5): DataFrame = {
+    val dg = df.select(col(idCol).as("id"), col(groupCol).as("grp"),
+      explode(Dedup.shingles(col(textCol), w)).as("gram"))
+    val gramDf = dg.groupBy("gram").agg(count(lit(1)).as("gdf"))
+    val perDoc = dg.join(gramDf, "gram")
+      .groupBy("id", "grp")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("gdf") >= 2, 1L).otherwise(0L)).as("n_common"))
+    perDoc.groupBy(col("grp").as(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_grams").as("sum_grams"),
+        sum("n_common").as("sum_common"),
+        round(sum("n_common") / sum("n_grams"), 6).as("common_share"),
+        sum(when(lit(2) * (col("n_grams") - col("n_common")) >= col("n_grams"),
+          1L).otherwise(0L)).as("n_high_novelty"))
+  }
 }

@@ -400,4 +400,26 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.ngramJaccardPairs(docs, "doc_id", "text", "blk",
       w = 3, threshold = 0.9).count() == 0)
   }
+
+  test("corpusOverlap: exact pair Jaccard over corpus-level shingle sets") {
+    val docs = Seq(
+      ("s1", "a b c"), ("s1", "b c d"), // s1 grams: {a b, b c, c d}
+      ("s2", "b c e"),                  // s2 grams: {b c, c e}
+      ("s3", "x y")                     // disjoint from both
+    ).toDF("source", "text")
+    val rows = Dedup.corpusOverlap(docs, "source", "text", w = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // only the overlapping pair is emitted; inter={b c}, union=4
+    assert(rows.keySet == Set(("s1", "s2")))
+    assert(rows(("s1", "s2")) == ((1L, 4L, 0.25)))
+  }
+
+  test("corpusOverlap counts the corpus-distinct gram once per corpus") {
+    // the repeated doc must not inflate s1's set size
+    val docs = Seq(("s1", "a b c"), ("s1", "a b c"), ("s2", "a b z"))
+      .toDF("source", "text")
+    val r = Dedup.corpusOverlap(docs, "source", "text", w = 2).collect()(0)
+    assert((r.getLong(2), r.getLong(3)) == ((1L, 3L))) // {a b}; {a b,b c,b z}
+  }
 }

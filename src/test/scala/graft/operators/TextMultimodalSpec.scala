@@ -418,4 +418,25 @@ class TextMultimodalSpec extends SparkSpec {
     assert(rep("mid.com") == ((2L, 1200L, 3L, false)))
     assert(rep("good.com") == ((2L, 1700L, 4L, false)))
   }
+
+  test("noveltyReport: corpus-wide df, integer-exact group rollup") {
+    val docs = Seq(
+      (1L, "g1", "a b c"), // grams {a b, b c}: bc common (df 3)
+      (2L, "g1", "b c d"), // {b c, c d}
+      (3L, "g1", "x y"),   // {x y}: fully novel
+      (4L, "g2", "b c"),   // {b c}: df counts ACROSS groups -> common
+      (5L, "g1", "z"))     // no 2-gram: excluded from n_docs
+      .toDF("doc_id", "source", "text")
+    val rep = TextAnalysis.noveltyReport(docs, "doc_id", "source", "text",
+        w = 2)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("sum_grams"),
+          r.getAs[Long]("sum_common"), r.getAs[Double]("common_share"),
+          r.getAs[Long]("n_high_novelty")))).toMap
+    // g1: docs 1/2/3 (doc 5 has no gram); common grams: one bc in each
+    // of 1/2; novelty per doc 0.5/0.5/1.0 -> all three >= 0.5
+    assert(rep("g1") == ((3L, 5L, 2L, 0.4, 3L)))
+    // g2: its single gram is corpus-common -> novelty 0, not high
+    assert(rep("g2") == ((1L, 1L, 1L, 1.0, 0L)))
+  }
 }
