@@ -1875,6 +1875,94 @@ object PipelineQueries {
        |cand AS (SELECT query_id, id, rank FROM fz WHERE rank <= 10),
        |${mmrTailSql(10, 5)}""".stripMargin
 
+  /** R5: ANN recall evaluation ([[Retrieval.rankEval]]) — the quality
+    * report every approximate index needs before it replaces the exact
+    * scan: the binary-quantized Hamming pipeline (q_s23's system,
+    * integer-exact) is scored against the brute-force cosine truth
+    * (q_s1's baseline) per query — hits@10 (the recall numerator), the
+    * system rank of the first relevant id (the MRR denominator), and
+    * the emitted-row count as the completeness guard. Both rankers are
+    * deterministic, so the oracle replays BOTH pipelines end-to-end and
+    * the eval join on top; integer-only outputs keep the compare
+    * bit-stable.
+    */
+  val r5RankEval: Q = (s, d) => {
+    val emb = t(s, d, "embeddings").select("vec_id", "embedding")
+    val truth = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queryVecs(s, d), k = 10)
+    val sys = Similarity.binaryHammingTopK(emb, "vec_id", "embedding",
+      queryVecs(s, d), "query_id", "qvec", dim = 64, m = 50, k = 10)
+    Retrieval.rankEval(truth, "id", sys, "vec_id", "rank")
+  }
+  val r5Oracle: String =
+    """WITH codes AS (
+      |  SELECT vec_id, embedding,
+      |    CAST(list_sum(list_transform(range(1, 33), d ->
+      |      CASE WHEN CAST(embedding[d] AS DOUBLE) > 0
+      |           THEN CAST(1 AS BIGINT) << (d - 1) ELSE 0 END))
+      |      AS BIGINT) AS c0,
+      |    CAST(list_sum(list_transform(range(33, 65), d ->
+      |      CASE WHEN CAST(embedding[d] AS DOUBLE) > 0
+      |           THEN CAST(1 AS BIGINT) << (d - 33) ELSE 0 END))
+      |      AS BIGINT) AS c1
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, embedding AS qvec, c0 AS q0,
+      |             c1 AS q1
+      |      FROM codes WHERE vec_id < 5),
+      |h AS (
+      |  SELECT q.query_id, c.vec_id, c.embedding, q.qvec,
+      |    CAST(bit_count(xor(c.c0, q.q0)) + bit_count(xor(c.c1, q.q1))
+      |         AS BIGINT) AS hamming
+      |  FROM codes c CROSS JOIN q),
+      |pool AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY hamming, vec_id) AS cr
+      |  FROM h),
+      |fine AS (
+      |  SELECT query_id, vec_id,
+      |    ROUND(
+      |      (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+      |       FROM (SELECT UNNEST(embedding) AS x, UNNEST(qvec) AS y) u)
+      |      / (SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+      |               FROM (SELECT UNNEST(embedding) AS x) ux))
+      |       * SQRT((SELECT SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+      |               FROM (SELECT UNNEST(qvec) AS y) uy))), 6)
+      |      AS cosine_sim
+      |  FROM pool WHERE cr <= 50),
+      |sysr AS (
+      |  SELECT query_id, vec_id AS sid, CAST(rnk AS BIGINT) AS srank
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |          ORDER BY cosine_sim DESC, vec_id) AS rnk FROM fine) z
+      |  WHERE rnk <= 10),
+      |te AS (
+      |  SELECT vec_id, embedding,
+      |    SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+      |          FROM (SELECT UNNEST(embedding) AS x) ux)) AS nrm
+      |  FROM embeddings),
+      |tq AS (SELECT vec_id AS query_id, embedding AS qvec, nrm AS qnrm
+      |       FROM te WHERE vec_id < 5),
+      |tsc AS (
+      |  SELECT tq.query_id, te.vec_id AS id,
+      |    ROUND(CASE WHEN te.nrm * tq.qnrm = 0 THEN 0.0 ELSE
+      |      (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+      |       FROM (SELECT UNNEST(te.embedding) AS x,
+      |                    UNNEST(tq.qvec) AS y) u)
+      |      / (te.nrm * tq.qnrm) END, 6) AS cosine_sim
+      |  FROM te CROSS JOIN tq),
+      |truth AS (
+      |  SELECT query_id, id FROM (
+      |    SELECT query_id, id, ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY cosine_sim DESC, id) AS rank FROM tsc) z
+      |  WHERE rank <= 10)
+      |SELECT s.query_id,
+      |  CAST(SUM(CASE WHEN t.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS hits_at_k,
+      |  MIN(CASE WHEN t.id IS NOT NULL THEN s.srank END) AS first_hit_rank,
+      |  CAST(COUNT(*) AS BIGINT) AS n_system
+      |FROM sysr s LEFT JOIN truth t
+      |  ON t.query_id = s.query_id AND t.id = s.sid
+      |GROUP BY s.query_id""".stripMargin
+
   /** R3: positional inverted index + boolean/phrase retrieval
     * ([[Postings]]) — conjunctive AND over three terms and an exact
     * two-word phrase, both answered from the same positional postings.
@@ -4212,6 +4300,7 @@ object PipelineQueries {
     "q_m6_phash_dedup" -> m6PhashDedup,
     "q_r3_phrase_search" -> r3PhraseSearch,
     "q_r4_retrieval_pipeline" -> r4RetrievalPipeline,
+    "q_r5_rank_eval" -> r5RankEval,
     "q_s16_label_prototypes" -> s16LabelPrototypes,
     "q_s17_label_outliers" -> s17LabelOutliers,
     "q_x6_url_dedup" -> x6UrlDedup,
@@ -4306,6 +4395,7 @@ object PipelineQueries {
     "q_m6_phash_dedup" -> m6Oracle,
     "q_r3_phrase_search" -> r3Oracle,
     "q_r4_retrieval_pipeline" -> r4Oracle,
+    "q_r5_rank_eval" -> r5Oracle,
     "q_s16_label_prototypes" -> s16Oracle,
     "q_s17_label_outliers" -> s17Oracle,
     "q_x6_url_dedup" -> x6Oracle,

@@ -195,4 +195,34 @@ object Retrieval {
       .select(col("query_id"), col("rank").cast("bigint").as("rank"),
         col("id"), col("rrf_score"), col("n_sources"))
   }
+
+  /** Rank-list evaluation — the ANN/retrieval quality report: per query,
+    * how many of the SYSTEM ranking's ids appear in the exact TRUTH set
+    * (`hits_at_k`, the recall@k numerator), the system rank of the first
+    * relevant id (`first_hit_rank`, the MRR denominator; NULL when the
+    * system missed everything), and the emitted system-row count
+    * (`n_system`, the completeness guard). Deliberately integer-only —
+    * recall/MRR averages divide these exact longs downstream, so the
+    * report itself never carries an accumulation-order-dependent float.
+    *
+    * 100 TB shape: both inputs are top-k frames (k × query-count rows,
+    * already reduced by their rankers) — truth broadcasts, the join
+    * never shuffles the corpus.
+    */
+  def rankEval(truth: DataFrame, truthIdCol: String, system: DataFrame,
+      sysIdCol: String, sysRankCol: String,
+      queryCol: String = "query_id"): DataFrame = {
+    val t = truth.select(col(queryCol).as("tquery"),
+      col(truthIdCol).as("tid"))
+    val sys = system.select(col(queryCol).as("query_id"),
+      col(sysIdCol).as("sid"), col(sysRankCol).cast("bigint").as("srank"))
+    sys
+      .join(broadcast(t),
+        col("query_id") === col("tquery") && col("sid") === col("tid"),
+        "left")
+      .groupBy("query_id")
+      .agg(sum(when(col("tid").isNotNull, 1L).otherwise(0L)).as("hits_at_k"),
+        min(when(col("tid").isNotNull, col("srank"))).as("first_hit_rank"),
+        count(lit(1)).as("n_system"))
+  }
 }

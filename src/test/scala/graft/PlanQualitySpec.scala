@@ -393,4 +393,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(direct.findFirstIn(p).nonEmpty,
       "metrics Generate must consume the aggregate, not the scan\n" + p)
   }
+
+  test("D17 corpus overlap: totals broadcast, gram join equi, no cartesian") {
+    val p = plan("q_d17_corpus_overlap")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the per-corpus totals are explicit broadcasts — a regression to a
+    // shuffle join would add two corpus-keyed exchanges per run
+    assert(p.contains("BroadcastHashJoin"),
+      "per-corpus totals must broadcast\n" + p)
+  }
+
+  test("T44 novelty: df-annotation joins, never a gram-partitioned window") {
+    val p = plan("q_t44_novelty")
+    assert(!p.contains("Window"),
+      "document frequency must come from an aggregate + join, not a " +
+        "per-gram window (window partitions spill on hot grams)\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

@@ -117,4 +117,19 @@ class RetrievalSpec extends SparkSpec {
       .select("mmr_score").as[Double].first()
     assert(s === 0.7 * (4.0 / 4)) // rank 1 of nCand 4
   }
+
+  test("rankEval: hits, first-relevant rank, and the row-count guard") {
+    val truth = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 1L))
+      .toDF("query_id", "id")
+    val system = Seq(
+      (0L, 5L, 1L), (0L, 2L, 2L), (0L, 3L, 3L), // first relevant at rank 2
+      (1L, 9L, 1L), (1L, 8L, 2L))               // total miss
+      .toDF("query_id", "vec_id", "rank")
+    val out = Retrieval.rankEval(truth, "id", system, "vec_id", "rank")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
+          r.getLong(3)))).toMap
+    assert(out(0L) == ((2L, Some(2L), 3L)))
+    assert(out(1L) == ((0L, None, 2L)))
+  }
 }
