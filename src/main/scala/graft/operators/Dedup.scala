@@ -71,17 +71,41 @@ object Dedup {
   }
 
   /** Word w-shingles of the normalized text (distinct, the MinHash input
-    * universe).
+    * universe). HOT-PATH WARNING: HOF lambdas re-evaluate referenced
+    * subtrees per element, so used directly on a raw text column this
+    * re-runs normalize+split once PER SHINGLE (O(len²) per doc — the
+    * measured 64× class from [[shingleFrame]]'s scaladoc). Operators
+    * that scan a corpus must tokenize behind a materialization barrier
+    * first ([[tokenFrame]]) and call [[shinglesFromTokens]].
     */
-  def shingles(text: Column, w: Int = 3): Column = {
-    val toks = split(TextAnalysis.normalize(text), " ")
+  def shingles(text: Column, w: Int = 3): Column =
+    shinglesFromTokens(split(TextAnalysis.normalize(text), " "), w)
+
+  /** String w-shingles from an already-materialized token array
+    * attribute (the string twin of [[hashedShinglesFromTokens]] — kept
+    * as strings where a DuckDB oracle must replay the gram text).
+    */
+  def shinglesFromTokens(toks: Column, w: Int): Column =
     array_distinct(
       filter(
         transform(sequence(lit(0), greatest(size(toks) - w, lit(0))),
           i => when(i + w <= size(toks),
             concat_ws(" ", slice(toks, i + 1, lit(w))))),
         s => s.isNotNull))
-  }
+
+  /** Materialized (carried cols, toks) token frame — the barrier that
+    * keeps shingle HOF lambdas from re-running normalize+split per
+    * element (CollapseProject would inline the split subtree straight
+    * back into the lambda; the localCheckpoint truncates the lineage so
+    * the lambda sees an in-memory array attribute). Spread across all
+    * cores first for the same reason as [[shingleFrame]].
+    */
+  private[operators] def tokenFrame(df: DataFrame, carry: Seq[(String, String)],
+      textCol: String): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(carry.map { case (c, as) => col(c).as(as) } :+
+        split(TextAnalysis.normalize(col(textCol)), " ").as("toks"): _*)
+      .localCheckpoint(true)
 
   /** Hashed shingles: sorted distinct xxhash64 of each w-shingle. Longs
     * are far cheaper than strings in the pairwise loops, and sorting lets
@@ -758,9 +782,9 @@ object Dedup {
     */
   def corpusOverlap(df: DataFrame, corpusCol: String, textCol: String,
       w: Int = 5): DataFrame = {
-    val grams = df
-      .select(col(corpusCol).as("corpus"),
-        explode(shingles(col(textCol), w)).as("gram"))
+    val grams = tokenFrame(df, Seq(corpusCol -> "corpus"), textCol)
+      .select(col("corpus"),
+        explode(shinglesFromTokens(col("toks"), w)).as("gram"))
       .distinct()
     val perCorpus = grams.groupBy("corpus").agg(count(lit(1)).as("n"))
     val inter = grams.as("x")

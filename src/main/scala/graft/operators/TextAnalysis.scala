@@ -960,8 +960,10 @@ object TextAnalysis {
     */
   def noveltyReport(df: DataFrame, idCol: String, groupCol: String,
       textCol: String, w: Int = 5): DataFrame = {
-    val dg = df.select(col(idCol).as("id"), col(groupCol).as("grp"),
-      explode(Dedup.shingles(col(textCol), w)).as("gram"))
+    val dg = Dedup.tokenFrame(df, Seq(idCol -> "id", groupCol -> "grp"),
+        textCol)
+      .select(col("id"), col("grp"),
+        explode(Dedup.shinglesFromTokens(col("toks"), w)).as("gram"))
     val gramDf = dg.groupBy("gram").agg(count(lit(1)).as("gdf"))
     val perDoc = dg.join(gramDf, "gram")
       .groupBy("id", "grp")
