@@ -3104,6 +3104,28 @@ object PipelineQueries {
       |  FROM fine) z
       |WHERE rnk <= 10""".stripMargin
 
+  /** S24: per-dimension embedding diagnostics
+    * ([[Similarity.dimensionDiagnostics]]) — the anisotropy/dead-dim/
+    * clipping report over the embedding corpus: exact integer moments
+    * of the floor-scaled components per dimension, one map-side-combined
+    * aggregation to 64 rows. Fully replayed relationally (floor-scaling
+    * makes every value an exact long on both engines).
+    */
+  val s24EmbeddingDiagnostics: Q = (s, d) =>
+    Similarity.dimensionDiagnostics(
+      t(s, d, "embeddings").select("embedding"), "embedding")
+  val s24Oracle: String =
+    """WITH x AS (
+      |  SELECT g.d - 1 AS dim,
+      |    CAST(FLOOR(CAST(embedding[g.d] AS DOUBLE) * 1000000) AS BIGINT)
+      |      AS q
+      |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(d))
+      |SELECT CAST(dim AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(q) AS BIGINT) AS sum_q, CAST(SUM(q*q) AS BIGINT)
+      |    AS sumsq_q,
+      |  MIN(q) AS min_q, MAX(q) AS max_q
+      |FROM x GROUP BY dim""".stripMargin
+
   /** S22: Johnson–Lindenstrauss random projection
     * ([[Similarity.randomProjection]]) — 64 → 8 dims via the Achlioptas
     * ±1 construction, the distance-preserving shrink that cuts vector
@@ -4323,6 +4345,7 @@ object PipelineQueries {
     "q_s20_truncated_rerank" -> s20TruncatedRerank,
     "q_s22_random_projection" -> s22RandomProjection,
     "q_s23_binary_quant" -> s23BinaryQuant,
+    "q_s24_embedding_diagnostics" -> s24EmbeddingDiagnostics,
     "q_s2_cosine_pairs" -> s2CosinePairs,
     "q_s3_lsh_topk" -> s3LshTopK,
     "q_s4_ivf_topk" -> s4IvfTopK,
@@ -4418,6 +4441,7 @@ object PipelineQueries {
     "q_s20_truncated_rerank" -> s20Oracle,
     "q_s22_random_projection" -> s22Oracle,
     "q_s23_binary_quant" -> s23Oracle,
+    "q_s24_embedding_diagnostics" -> s24Oracle,
     "q_s2_cosine_pairs" -> s2Oracle,
     "q_d4_minhash_neardup" -> d4Oracle,
     "q_d5_simhash_neardup" -> d5Oracle,

@@ -1224,4 +1224,32 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "id", "code_l2", "cosine_sim")
   }
+
+  /** Per-dimension embedding diagnostics — the anisotropy / dead-dim /
+    * clipping report an embedding corpus needs before its cosine space
+    * is trusted: per dimension, count and the exact integer moments of
+    * the FLOOR-scaled components (mean/variance derive downstream as
+    * sum_q/n, sumsq_q/n − mean²; min/max catch clipped or runaway
+    * dims). A rogue high-variance dimension dominates every cosine; a
+    * zero-variance one is dead weight in the ANN index. Scaling with
+    * floor(v·scale) keeps both engines bit-identical (IEEE multiply →
+    * floor — no half-even vs half-up rounding divergence) and makes all
+    * aggregates exact longs.
+    *
+    * 100 TB shape: ONE map-side-combining aggregation to `dim`
+    * cardinality rows — the posexplode never survives the partial agg,
+    * nothing else shuffles. At extreme row counts sumsq_q approaches
+    * Long range (q ≤ scale·|v|; budget rows < 2^63 / (scale·max|v|)² —
+    * ~10^5 billion rows at unit-normalized scale 10^6); shrink `scale`
+    * or move the two sums to decimal when beyond.
+    */
+  def dimensionDiagnostics(df: DataFrame, vecCol: String,
+      scale: Long = 1000000L): DataFrame =
+    df.select(posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .select(col("dim").cast("bigint").as("dim"),
+        floor(col("v").cast("double") * scale).cast("bigint").as("q"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum("q").as("sum_q"),
+        sum(col("q") * col("q")).as("sumsq_q"),
+        min("q").as("min_q"), max("q").as("max_q"))
 }

@@ -536,4 +536,16 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.jlSigns(8, 64, "other").map(_.toSeq).toSeq !=
       a.map(_.toSeq).toSeq)
   }
+
+  test("dimensionDiagnostics: exact floor-scaled integer moments per dim") {
+    import spark.implicits._
+    val df = Seq(Array(0.5f, -0.25f), Array(1.5f, 0.75f)).toDF("embedding")
+    val out = Similarity.dimensionDiagnostics(df, "embedding", scale = 100L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    // dim0: q = 50, 150; dim1: q = -25, 75 (floor, not half-up round)
+    assert(out(0L) == ((2L, 200L, 25000L, 50L, 150L)))
+    assert(out(1L) == ((2L, 50L, 6250L, -25L, 75L)))
+  }
 }
