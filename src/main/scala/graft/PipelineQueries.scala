@@ -168,6 +168,37 @@ object PipelineQueries {
   val t44Novelty: Q = (s, d) =>
     TextAnalysis.noveltyReport(t(s, d, "documents"), "doc_id", "source",
       "text", w = 5)
+
+  /** T45: conversation / turn-structure QA ([[Analytics.conversationQa]])
+    * — chat-transcript ingest validation for instruction-tuning data:
+    * per conversation (user stream), role-alternation breaks, stale
+    * gaps (> 1 h), empty content, and the derived clean flag. Fully
+    * replayed relationally with the a31 epoch idiom (Spark
+    * `ts.cast(long)` ≡ DuckDB `epoch_us // 1000000`).
+    */
+  val t45ConversationQa: Q = (s, d) =>
+    Analytics.conversationQa(t(s, d, "events"), "user_id", "ts",
+      "event_id", "event_type", "props", staleGapSec = 3600L)
+  val t45Oracle: String =
+    """WITH o AS (
+      |  SELECT user_id, event_type, props,
+      |    LAG(event_type) OVER w AS prev_role,
+      |    epoch_us(ts) // 1000000 -
+      |      LAG(epoch_us(ts) // 1000000) OVER w AS gap_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+      |  CAST(SUM(CASE WHEN event_type = prev_role THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_role_repeats,
+      |  CAST(SUM(CASE WHEN gap_s > 3600 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_stale_gaps,
+      |  CAST(SUM(CASE WHEN props IS NULL OR props = '' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_empty,
+      |  (SUM(CASE WHEN event_type = prev_role THEN 1 ELSE 0 END) = 0
+      |   AND SUM(CASE WHEN gap_s > 3600 THEN 1 ELSE 0 END) = 0
+      |   AND SUM(CASE WHEN props IS NULL OR props = '' THEN 1 ELSE 0 END)
+      |       = 0) AS clean
+      |FROM o GROUP BY user_id""".stripMargin
   val t44Oracle: String =
     s"""WITH docg AS (
        |  SELECT doc_id, source, $gram5Sql AS sh
@@ -4266,6 +4297,7 @@ object PipelineQueries {
     "q_t41_stratified_quota" -> t41StratifiedQuota,
     "q_t43_diversity" -> t43Diversity,
     "q_t44_novelty" -> t44Novelty,
+    "q_t45_conversation_qa" -> t45ConversationQa,
     "q_d1_fingerprint" -> d1Fingerprint,
     "q_d2_dedup_exact" -> d2DedupExact,
     "q_d3_jaccard_pairs" -> d3JaccardPairs,
@@ -4382,6 +4414,7 @@ object PipelineQueries {
     "q_t41_stratified_quota" -> t41Oracle,
     "q_t43_diversity" -> t43Oracle,
     "q_t44_novelty" -> t44Oracle,
+    "q_t45_conversation_qa" -> t45Oracle,
     "q_t7_sample" -> t7Oracle,
     "q_t14_mixture" -> t14Oracle,
     "q_t15_interleave" -> t15Oracle,

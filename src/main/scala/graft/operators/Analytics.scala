@@ -351,4 +351,41 @@ object Analytics {
       .withColumn("converted", stepCols.last.isNotNull &&
         (stepCols.last - stepCols.head) <= horizonSeconds)
   }
+
+  /** Conversation / turn-structure QA — the ingest validation an
+    * instruction-tuning corpus of chat transcripts needs before
+    * packing: per conversation key, the turn count and the three
+    * structural violation counts — consecutive same-role turns
+    * (role-alternation break), stale gaps (> `staleGapSec` between
+    * turns — two conversations glued under one key), and empty
+    * content — plus the derived `clean` flag the downstream filter
+    * keys on. All integer counts; the first turn's NULL lag compares
+    * to nothing and counts no violation on either engine.
+    *
+    * 100 TB shape: one exchange on the conversation key serves both
+    * the lag window and the rollup (same partitioning); per-key window
+    * frames are conversation-sized, never corpus-sized.
+    */
+  def conversationQa(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, roleCol: String, contentCol: String,
+      staleGapSec: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("key").orderBy(col("ts"), col("tie"))
+    df.select(col(keyCol).as("key"), col(tsCol).as("ts"),
+        col(tieCol).as("tie"), col(roleCol).as("role"),
+        col(contentCol).as("content"))
+      .withColumn("prev_role", lag(col("role"), 1).over(w))
+      .withColumn("gap_s",
+        col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long"))
+      .groupBy(col("key").as(keyCol))
+      .agg(count(lit(1)).as("n_turns"),
+        sum(when(col("role") === col("prev_role"), 1L).otherwise(0L))
+          .as("n_role_repeats"),
+        sum(when(col("gap_s") > staleGapSec, 1L).otherwise(0L))
+          .as("n_stale_gaps"),
+        sum(when(col("content").isNull || col("content") === "", 1L)
+          .otherwise(0L)).as("n_empty"))
+      .withColumn("clean", col("n_role_repeats") === 0 &&
+        col("n_stale_gaps") === 0 && col("n_empty") === 0)
+  }
 }

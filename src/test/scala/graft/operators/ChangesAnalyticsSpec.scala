@@ -232,4 +232,25 @@ class ChangesAnalyticsSpec extends SparkSpec {
     assert(cells((1L, 0L)) == 1L)
     assert(cells.size == 4)
   }
+
+  test("conversationQa: role repeats, stale gaps, empty content, clean") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val df = Seq(
+      // conv 1: user,user (repeat), then a 2h stale gap, one empty turn
+      (1L, ts("2024-01-01 10:00:00"), 1L, "user", "hi"),
+      (1L, ts("2024-01-01 10:00:10"), 2L, "user", "still me"),
+      (1L, ts("2024-01-01 12:30:00"), 3L, "assistant", ""),
+      // conv 2: clean alternation, tight timing, non-empty
+      (2L, ts("2024-01-01 09:00:00"), 4L, "user", "q"),
+      (2L, ts("2024-01-01 09:00:05"), 5L, "assistant", "a"))
+      .toDF("conv_id", "ts", "turn_id", "role", "content")
+    val out = Analytics.conversationQa(df, "conv_id", "ts", "turn_id",
+        "role", "content", staleGapSec = 3600L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5)))).toMap
+    assert(out(1L) == ((3L, 1L, 1L, 1L, false)))
+    assert(out(2L) == ((2L, 0L, 0L, 0L, true)))
+  }
 }
