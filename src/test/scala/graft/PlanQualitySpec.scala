@@ -404,6 +404,23 @@ class PlanQualitySpec extends SparkSpec {
       "per-corpus totals must broadcast\n" + p)
   }
 
+  test("S24 embedding diagnostics: one agg pass, no join, no window") {
+    val p = plan("q_s24_embedding_diagnostics")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) <= 2,
+      "diagnostics must read the table exactly once\n" + p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("T45 conversation QA: ONE key exchange serves window and rollup") {
+    val p = plan("q_t45_conversation_qa")
+    // the lag window and the per-key aggregate share the user_id
+    // partitioning — a second Exchange means the rollup re-shuffled
+    assert(p.linesIterator.count(_.trim.startsWith("Exchange")) <= 1,
+      "window and rollup must share one exchange\n" + p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("T44 novelty: df-annotation joins, never a gram-partitioned window") {
     val p = plan("q_t44_novelty")
     assert(!p.contains("Window"),
