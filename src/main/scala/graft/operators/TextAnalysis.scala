@@ -538,6 +538,21 @@ object TextAnalysis {
   private def lmToks(textCol: String): Column =
     filter(split(normalize(col(textCol)), " "), t => length(t) > 0)
 
+  /** Materialized (carry, toks) LM-token frame — the same HOF barrier as
+    * [[Dedup.tokenFrame]]: CollapseProject inlines the
+    * normalize+split+filter subtree into every downstream explode and
+    * into [[lmPairs]]'s slice/size references (~5 evaluations inside the
+    * pair build alone), so without the barrier one LM pass re-tokenizes
+    * the corpus ~7×. The localCheckpoint truncates lineage so consumers
+    * see an in-memory array attribute; the repartition spreads the
+    * CPU-bound tokenize across all cores first.
+    */
+  private def lmTokenFrame(df: DataFrame, carry: Seq[String],
+      textCol: String): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(carry.map(col) :+ lmToks(textCol).as("toks"): _*)
+      .localCheckpoint(true)
+
   /** Adjacent (w1, w2) pairs of a token array; empty for < 2 tokens. */
   private def lmPairs(toks: Column): Column = {
     val n = greatest(size(toks) - 1, lit(0))
@@ -547,14 +562,15 @@ object TextAnalysis {
 
   def bigramLm(docs: DataFrame, textCol: String = "text",
       vocabSize: Int = 1000, maxBigrams: Int = 5000): BigramLm = {
-    val tokens = docs.select(explode(lmToks(textCol)).as("tok"))
+    val base = lmTokenFrame(docs, Nil, textCol)
+    val tokens = base.select(explode(col("toks")).as("tok"))
     val unigrams = tokens.groupBy("tok")
       .agg(count(lit(1)).as("uni_cnt"))
       .orderBy(col("uni_cnt").desc, col("tok").asc)
       .limit(vocabSize)
     val inVocab = unigrams.select("tok")
-    val bigrams = docs
-      .select(explode(lmPairs(lmToks(textCol))).as("p"))
+    val bigrams = base
+      .select(explode(lmPairs(col("toks"))).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .join(broadcast(inVocab.withColumnRenamed("tok", "w1")), "w1")
       .join(broadcast(inVocab.withColumnRenamed("tok", "w2")), "w2")
@@ -584,7 +600,7 @@ object TextAnalysis {
     */
   def lmScore(docs: DataFrame, idCol: String, textCol: String,
       lm: BigramLm): DataFrame = {
-    val base = docs.select(col(idCol), lmToks(textCol).as("toks"))
+    val base = lmTokenFrame(docs, Seq(idCol), textCol)
     val uniB = broadcast(lm.unigrams)
     val oov = base.select(col(idCol), explode(col("toks")).as("tok"))
       .join(uniB, Seq("tok"), "left")
@@ -839,9 +855,7 @@ object TextAnalysis {
   def pmiCollocations(df: DataFrame, textCol: String,
       minCount: Long = 5, topN: Int = 40): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks =
-      filter(split(normalize(col(textCol)), " "), t => length(t) > 0)
-    val base = df.select(toks.as("toks"))
+    val base = lmTokenFrame(df, Nil, textCol)
     val uni = base.select(explode(col("toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
     val totals = uni.agg(sum("c").as("n_tokens"))
