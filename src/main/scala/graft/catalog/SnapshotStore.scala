@@ -229,23 +229,33 @@ final class SnapshotTableStore(root: String) extends TableStore {
       // resurrect deleted rows. Pre-relative vectors (column
       // `file_path`, absolute URIs) are still honored for tables
       // written by older commits of this store.
+      //
+      // Each DV dir is read and normalized SEPARATELY before the union:
+      // a table upgraded mid-life carries both formats at once, and a
+      // single multi-dir parquet read would resolve the schema from one
+      // footer — the other format's key column would read NULL and its
+      // tombstones would silently stop matching. Per-dir normalization
+      // (legacy file_path → rel_path via the same root-relative
+      // extraction the writer uses) makes the union homogeneous, so one
+      // anti-join on rel_path honors every vector regardless of vintage.
       import org.apache.spark.sql.functions.{col, regexp_extract}
-      val dv = spark.read.parquet(dvs.map(d => dataDir(table, d).toString): _*)
-      val outCols = base.columns.toSeq
-      val withPos = base.withColumn("_dv_pos", col("_metadata.row_index"))
-      val joined =
-        if (dv.columns.contains("rel_path"))
-          withPos
-            .withColumn("_dv_rel",
-              regexp_extract(col("_metadata.file_path"), RelPathRegex, 1))
-            .join(dv, col("_dv_rel") === dv("rel_path") &&
-              col("_dv_pos") === dv("row_index"), "left_anti")
+      val dv = dvs.map { d =>
+        val one = spark.read.parquet(dataDir(table, d).toString)
+        if (one.columns.contains("rel_path"))
+          one.select(col("rel_path"), col("row_index"))
         else
-          withPos
-            .withColumn("_dv_file", col("_metadata.file_path"))
-            .join(dv, col("_dv_file") === dv("file_path") &&
-              col("_dv_pos") === dv("row_index"), "left_anti")
-      joined.select(outCols.map(col): _*)
+          one.select(
+            regexp_extract(col("file_path"), RelPathRegex, 1).as("rel_path"),
+            col("row_index"))
+      }.reduce(_ unionAll _)
+      val outCols = base.columns.toSeq
+      base
+        .withColumn("_dv_pos", col("_metadata.row_index"))
+        .withColumn("_dv_rel",
+          regexp_extract(col("_metadata.file_path"), RelPathRegex, 1))
+        .join(dv, col("_dv_rel") === dv("rel_path") &&
+          col("_dv_pos") === dv("row_index"), "left_anti")
+        .select(outCols.map(col): _*)
     }
   }
 

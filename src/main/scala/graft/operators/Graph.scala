@@ -304,7 +304,11 @@ object Graph {
           adj.forEach { (v, nbs) =>
             var bestLabel: String = null
             var bestCnt = 0L
-            if (!nbs.isEmpty) {
+            // A NULL vertex never receives neighbor labels on the
+            // distributed path (the freq join on id is non-null-safe),
+            // so its label is frozen there — mirror that here instead
+            // of computing one, or the two execution paths diverge.
+            if (v != null && !nbs.isEmpty) {
               val cnt = new java.util.HashMap[String, Long]()
               nbs.forEach { nb =>
                 val l = labels.get(nb)
@@ -531,7 +535,12 @@ object Graph {
         return out.toSeq.toDF("id", "dist")
       }
     }
-    val e = eProj.repartition(col("from_id")).localCheckpoint(true)
+    // NULL-weight edges relax to NULL distances; the endgame drops them
+    // before collecting, so drop them here too — otherwise a vertex
+    // reachable ONLY via a null-weight edge would emit an (id, NULL)
+    // row on this path and nothing on the other.
+    val e = eProj.filter(col("w").isNotNull)
+      .repartition(col("from_id")).localCheckpoint(true)
     var dist = sources.select(col("id").cast("string").as("id"),
       lit(0L).as("dist"))
     var it = 0

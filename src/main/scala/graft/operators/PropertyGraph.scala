@@ -131,6 +131,14 @@ object PropertyGraph {
       * pairs (a, b) whose MINIMUM walk length from a lies in
       * [minHops, maxHops] — BFS min-distance semantics, the
       * recursive-CTE contract every routed traversal here shares.
+      *
+      * SEMANTIC DEVIATION from standard SQL/PGQ quantifiers (which ask
+      * "does ANY walk of length in [m,n] exist?"): when `minHops > 1`, a
+      * pair whose shortest path is below `minHops` but which also has a
+      * longer walk inside the band is EXCLUDED here, because only the
+      * minimum distance is tracked. The two semantics coincide for
+      * `minHops <= 1` (every reachable pair has a walk at its min
+      * distance) — the common `*`/`+`/`{1,n}` forms are unaffected.
       * `sources` binds the pattern's left endpoint (the MATCH WHERE
       * clause); an unbound quantified pattern would be an all-pairs
       * reachability and is deliberately not offered. Routed onto
@@ -185,6 +193,10 @@ object PropertyGraph {
       *
       * Unparseable patterns fail eagerly with the pattern text, not as
       * an empty result.
+      *
+      * Note: `{m,n}` with `m > 1` carries [[matchQuantified]]'s
+      * min-distance-in-band semantics, not PGQ's exists-a-walk — see
+      * the deviation note there before relying on a lower bound.
       */
     def matchPattern(pattern: String, sources: Seq[String] = Nil,
         maxHops: Int = 10): DataFrame = {

@@ -405,6 +405,30 @@ class SnapshotStoreSpec extends SparkSpec {
       (4L to 10L).toSet)
   }
 
+  test("mixed legacy + relative deletion vectors apply together") {
+    import org.apache.spark.sql.functions.col
+    val (dir, store) = freshStore()
+    store.overwrite((1L to 10L).map(i => (i, "x")).toDF("id", "v"), "t")
+    val d1 = manifest(dir, "t", 1)
+    // a legacy-format vector (absolute file_path) from an older commit...
+    spark.read.parquet(Paths.get(dir, "t", "data", d1.head).toString)
+      .filter(col("id") <= 3)
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("row_index"))
+      .write.parquet(Paths.get(dir, "t", "data", "dv00002-legacy").toString)
+    Files.write(Paths.get(dir, "t", "_versions", "v00002.manifest"),
+      (d1 :+ "#dv=dv00002-legacy").mkString("\n").getBytes)
+    // ...then a NEW deleteWhere writes a rel_path vector on top: the
+    // version now references both formats at once, the state every
+    // upgraded table enters. A single multi-dir read would resolve one
+    // footer's schema and NULL out the other's key column — both delete
+    // sets must stay live.
+    store.deleteWhere(spark, "t", col("id") >= 9)
+    assert(store.read(spark, "t").select("id").as[Long].collect().toSet ==
+      (4L to 8L).toSet,
+      "one deletion-vector format's tombstones were silently dropped")
+  }
+
   test("deleteWhere racing compact: the delete is never lost") {
     import org.apache.spark.sql.functions.col
     val (dir, store) = freshStore()

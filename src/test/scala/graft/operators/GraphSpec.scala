@@ -217,6 +217,39 @@ class GraphSpec extends SparkSpec {
     assert(dist == out)
   }
 
+  test("labelPropagation: NULL endpoint — endgame and distributed agree") {
+    // a NULL vertex never equi-joins its neighbors' labels distributed,
+    // so its label must stay frozen on BOTH paths
+    val edges = Seq(
+      (Option("a"), Option("b")), (Option("b"), Option("c")),
+      (Option.empty[String], Option("a")), (Option("c"), Option.empty[String]))
+      .toDF("from_id", "to_id")
+    def toMapN(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (if (r.isNullAt(0)) null else r.getString(0)) ->
+          (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    val end = toMapN(Graph.labelPropagation(edges, rounds = 3))
+    val dist = toMapN(Graph.labelPropagation(edges, rounds = 3, localEdgeLimit = 0))
+    assert(end == dist, s"endgame $end != distributed $dist")
+    assert(end.get(null).contains(null), end)
+  }
+
+  test("sssp: NULL-weight edges relax on neither path") {
+    // x is reachable ONLY via a null-weight edge: both paths must omit
+    // it rather than one emitting (x, NULL)
+    val we = Seq(
+      ("s", "a", Option(2L)), ("a", "x", Option.empty[Long]),
+      ("s", "b", Option(5L)))
+      .toDF("from_id", "to_id", "w")
+    def toMapN(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    val end = toMapN(Graph.sssp(we, Seq("s").toDF("id"), 4))
+    val dist = toMapN(Graph.sssp(we, Seq("s").toDF("id"), 4, localEdgeLimit = 0))
+    assert(end == dist, s"endgame $end != distributed $dist")
+    assert(!end.contains("x"), end)
+  }
+
   test("kCore peels below-floor vertices; fixed rounds match manual peel") {
     // triangle a-b-c (2-core) with pendant chain c-d-e (peels away)
     val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
