@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.storage.StorageLevel
+
+/** Materialization-barrier policy. The iterative operators (Dedup,
+  * Similarity, Graph) cut lineage at hot frames so Catalyst never
+  * re-inlines an expensive subtree (HOF lambdas re-running normalize+split
+  * per element) and per-round plans stay O(1). The CUT is a semantic
+  * necessity; HOW the cut frame is stored is an operational policy:
+  *
+  *  - `graft.barrier=local` (default): eager `localCheckpoint` —
+  *    unreplicated executor-local blocks, zero write amplification, the
+  *    right call for single-host and short-lived jobs. But lineage is
+  *    truncated, so a lost block (executor death, external memory
+  *    pressure evicting a block) FAILS the job instead of recomputing —
+  *    SCALE.md records a real sf1eq in-sweep failure of exactly this
+  *    shape.
+  *  - `graft.barrier=reliable`: cluster-safe. With a checkpoint dir
+  *    configured (`sparkContext.setCheckpointDir`, HDFS/S3 in
+  *    production), frames `checkpoint()` to replicated storage — lineage
+  *    truncation is then safe because the storage survives executor
+  *    loss. Without a checkpoint dir, frames fall back to DISK_ONLY
+  *    persist, which KEEPS lineage: a lost block recomputes from source
+  *    instead of killing a multi-hour run.
+  *
+  * Set the policy per session: `spark.conf.set("graft.barrier",
+  * "reliable")`. Every operator site routes through [[BarrierOps.barrier]],
+  * so one config flips the whole engine.
+  */
+object Barrier {
+
+  val ConfKey = "graft.barrier"
+
+  def policy(ds: Dataset[_]): String =
+    ds.sparkSession.conf.get(ConfKey, "local")
+
+  /** Cut lineage (or durably pin) `ds` according to the session policy.
+    * `eager` mirrors `localCheckpoint(eager)`: materialize now vs at
+    * first action.
+    */
+  def cut[T](ds: Dataset[T], eager: Boolean): Dataset[T] = policy(ds) match {
+    case "reliable" =>
+      val sc = ds.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isDefined) ds.checkpoint(eager)
+      else {
+        // No durable dir: DISK_ONLY persist keeps lineage, so block loss
+        // recomputes. MEMORY variants would be faster but re-introduce
+        // the eviction-under-pressure window the policy exists to close.
+        val p = ds.persist(StorageLevel.DISK_ONLY)
+        if (eager) { p.count(); () }
+        p
+      }
+    case _ => ds.localCheckpoint(eager)
+  }
+
+  implicit class BarrierOps[T](private val ds: Dataset[T]) extends AnyVal {
+    /** Policy-routed materialization barrier — see [[Barrier]]. */
+    def barrier(eager: Boolean = true): Dataset[T] = Barrier.cut(ds, eager)
+  }
+}

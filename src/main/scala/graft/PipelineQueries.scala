@@ -1,5 +1,7 @@
 package graft
 
+import graft.Barrier.BarrierOps
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators._
@@ -2014,7 +2016,7 @@ object PipelineQueries {
     val terms = (R3Phrase ++ R3AndTerms).distinct
     val post = Postings.build(t(s, d, "documents"), "doc_id", "text")
       .filter(col("term").isin(terms: _*))
-      .localCheckpoint(true)
+      .barrier(true)
     val ph = Postings.phrase(post, R3Phrase)
       .select(lit("phrase").as("mode"), col("doc_id"),
         col("n_matches").as("metric"))

@@ -1989,6 +1989,245 @@ object Queries {
       |       THEN 'stable' ELSE 'declining' END AS trend
       |FROM c""".stripMargin
 
+  /** Multi-provider resource inventory fixture for the correlation
+    * engine: every built-in rule's type slices synthesized from the star
+    * schema with metadata JSON shaped exactly like the reference's
+    * models.Resource payloads (correlation_engine.go matchers). Shared
+    * Spark/DuckDB dialect — the oracle replays the rule table over the
+    * SAME inventory.
+    */
+  private val correlationFixtureSql: String =
+    """SELECT 'vpc-' || CAST(n_nationkey AS STRING) AS id, 'aws' AS provider,
+      |  'aws:vpc:vpc' AS resource_type, n_name AS name,
+      |  '{"vpc_id":"v' || CAST(n_nationkey AS STRING) || '"}' AS metadata
+      |FROM nation
+      |UNION ALL
+      |SELECT 'subnet-' || CAST(c_custkey AS STRING), 'aws', 'aws:vpc:subnet',
+      |  c_name, '{"vpc_id":"v' || CAST(c_nationkey AS STRING) || '"}'
+      |FROM customer
+      |UNION ALL
+      |SELECT 'i-' || CAST(s_suppkey AS STRING), 'aws', 'aws:ec2:instance',
+      |  s_name, '{"instance_id":"inst' || CAST(s_suppkey AS STRING) || '"}'
+      |FROM supplier
+      |UNION ALL
+      |SELECT 'vol-' || CAST(s_suppkey AS STRING), 'aws', 'aws:ebs:volume',
+      |  'vol-' || s_name,
+      |  '{"attachments":[{"instance_id":"inst' || CAST(s_suppkey AS STRING) ||
+      |    '"},{"instance_id":"ghost"}]}'
+      |FROM supplier
+      |UNION ALL
+      |SELECT 'lb-' || CAST(n_nationkey AS STRING), 'aws',
+      |  'aws:elbv2:loadbalancer', 'lb-' || n_name,
+      |  '{"targets":[{"id":"i-' || CAST(n_nationkey AS STRING) ||
+      |    '"},{"id":"i-' || CAST(n_nationkey + 1 AS STRING) ||
+      |    '"}],"dns_name":"lb.' || lower(n_name) || '.example.com"}'
+      |FROM nation
+      |UNION ALL
+      |SELECT 'svc-' || CAST(r_regionkey AS STRING), 'k8s', 'k8s:core:service',
+      |  r_name, '{"selectors":{"app":"r' || CAST(r_regionkey AS STRING) ||
+      |    '","tier":"web"}}'
+      |FROM region
+      |UNION ALL
+      |SELECT 'pod-' || CAST(c_custkey AS STRING), 'k8s', 'k8s:core:pod',
+      |  'pod-' || c_name,
+      |  '{"labels":{"app":"r' || CAST(c_nationkey % 5 AS STRING) || '"}}'
+      |FROM customer
+      |UNION ALL
+      |SELECT 'avm-' || CAST(s_suppkey AS STRING), 'azure',
+      |  'azure:compute:virtualmachine', s_name,
+      |  '{"vm_id":"az' || CAST(s_suppkey AS STRING) || '"}'
+      |FROM supplier
+      |UNION ALL
+      |SELECT 'adisk-' || CAST(s_suppkey AS STRING), 'azure',
+      |  'azure:storage:disk', 'disk-' || s_name,
+      |  '{"attached_vm":"az' || CAST(s_suppkey AS STRING) || '"}'
+      |FROM supplier WHERE s_suppkey % 2 = 0
+      |UNION ALL
+      |SELECT 'gi-' || CAST(s_suppkey AS STRING), 'gcp', 'gcp:compute:instance',
+      |  'g' || CAST(s_suppkey AS STRING),
+      |  '{"name":"g' || CAST(s_suppkey AS STRING) || '"}'
+      |FROM supplier
+      |UNION ALL
+      |SELECT 'gd-' || CAST(s_suppkey AS STRING), 'gcp', 'gcp:storage:disk',
+      |  'gdisk-' || CAST(s_suppkey AS STRING),
+      |  '{"users":["projects/p1/zones/z1/instances/g' ||
+      |    CAST(s_suppkey AS STRING) || '"]}'
+      |FROM supplier WHERE s_suppkey % 3 = 0
+      |UNION ALL
+      |SELECT 'rds-' || CAST(n_nationkey AS STRING), 'aws', 'aws:rds:instance',
+      |  'db-' || lower(n_name),
+      |  '{"name":"db-' || lower(n_name) ||
+      |    '","engine":"postgres","instance_class":"db.m5.large"}'
+      |FROM nation
+      |UNION ALL
+      |SELECT 'sqldb-' || CAST(n_nationkey AS STRING), 'azure',
+      |  'azure:sql:database', 'db-' || lower(n_name),
+      |  '{"name":"db-' || lower(n_name) || '","engine":"' ||
+      |    CASE WHEN n_nationkey % 3 = 0 THEN 'Postgres' ELSE 'mysql' END ||
+      |    '","sku":"' ||
+      |    CASE WHEN n_nationkey % 2 = 0 THEN 'GP_Gen5_large' ELSE 'HS_Gen4' END ||
+      |    '"}'
+      |FROM nation
+      |UNION ALL
+      |SELECT 'bkt-' || CAST(c_custkey AS STRING), 'aws', 'aws:s3:bucket',
+      |  'bkt-' || CAST(c_custkey AS STRING),
+      |  '{"name":"bkt-' || CAST(c_custkey AS STRING) || '"}'
+      |FROM customer
+      |UNION ALL
+      |SELECT 'gbkt-' || CAST(c_custkey AS STRING), 'gcp', 'gcp:storage:bucket',
+      |  'bkt-' || CAST(c_custkey AS STRING),
+      |  '{"name":"bkt-' || CAST(c_custkey AS STRING) || '"}'
+      |FROM customer WHERE c_custkey % 7 = 0
+      |UNION ALL
+      |SELECT 'azlb-' || CAST(n_nationkey AS STRING), 'azure',
+      |  'azure:network:loadbalancer', 'azlb-' || n_name,
+      |  CASE WHEN n_nationkey % 2 = 1
+      |    THEN '{"dns_name":"' || lower(n_name) || '.example.com"}'
+      |    ELSE '{}' END
+      |FROM nation""".stripMargin
+
+  /** E20: the idmsdiscovery correlation engine (correlation_engine.go:
+    * 138-160) — all six same-provider rules as key-extractor equi-joins
+    * plus all three cross-provider similarity rules, over a synthesized
+    * multi-cloud inventory. The oracle replays the FULL rule table in
+    * DuckDB (its own JSON extraction, joins, tiered-similarity and
+    * config-gate arithmetic), so any drift in a matcher, a threshold's
+    * strictness, a confidence constant, or the per-pair dedup contract
+    * is a hash mismatch.
+    */
+  val e20Correlation: Q = (s, d) =>
+    Correlation.correlate(Tables.sql(s, d, correlationFixtureSql))
+  val e20Oracle: String = {
+    val sim = (a: String, b: String) =>
+      s"""CASE WHEN $a IS NULL OR $b IS NULL THEN 0.0
+         |  WHEN $a = $b THEN 1.0
+         |  WHEN contains($a, $b) OR contains($b, $a) THEN 0.8
+         |  WHEN length($a) > 3 AND length($b) > 3
+         |    AND substr($a, 1, 3) = substr($b, 1, 3) THEN 0.6
+         |  ELSE 0.0 END""".stripMargin
+    val sizeWord = (x: String) =>
+      s"""CASE WHEN contains(lower($x), 'small') THEN 'small'
+         |  WHEN contains(lower($x), 'medium') THEN 'medium'
+         |  WHEN contains(lower($x), 'large') THEN 'large' END""".stripMargin
+    s"""WITH resources AS ($correlationFixtureSql),
+       |ec2 AS (
+       |  SELECT id, json_extract_string(metadata, '$$.instance_id') AS ckey
+       |  FROM resources WHERE resource_type = 'aws:ec2:instance'),
+       |ebs AS (
+       |  SELECT id, unnest(json_extract_string(metadata,
+       |    '$$.attachments[*].instance_id')) AS ckey
+       |  FROM resources WHERE resource_type = 'aws:ebs:volume'),
+       |lbt AS (
+       |  SELECT id, unnest(json_extract_string(metadata, '$$.targets[*].id')) AS ckey
+       |  FROM resources WHERE resource_type = 'aws:elbv2:loadbalancer'),
+       |vpc AS (
+       |  SELECT id, json_extract_string(metadata, '$$.vpc_id') AS ckey
+       |  FROM resources WHERE resource_type = 'aws:vpc:vpc'),
+       |subnet AS (
+       |  SELECT id, json_extract_string(metadata, '$$.vpc_id') AS ckey
+       |  FROM resources WHERE resource_type = 'aws:vpc:subnet'),
+       |svc AS (
+       |  SELECT id, k || '=' || json_extract_string(metadata, '$$.selectors.' || k) AS ckey
+       |  FROM (SELECT id, metadata, unnest(json_keys(metadata, '$$.selectors')) AS k
+       |        FROM resources WHERE resource_type = 'k8s:core:service') z),
+       |pod AS (
+       |  SELECT id, k || '=' || json_extract_string(metadata, '$$.labels.' || k) AS ckey
+       |  FROM (SELECT id, metadata, unnest(json_keys(metadata, '$$.labels')) AS k
+       |        FROM resources WHERE resource_type = 'k8s:core:pod') z),
+       |avm AS (
+       |  SELECT id, json_extract_string(metadata, '$$.vm_id') AS ckey
+       |  FROM resources WHERE resource_type = 'azure:compute:virtualmachine'),
+       |adisk AS (
+       |  SELECT id, json_extract_string(metadata, '$$.attached_vm') AS ckey
+       |  FROM resources WHERE resource_type = 'azure:storage:disk'),
+       |gi AS (
+       |  SELECT id, json_extract_string(metadata, '$$.name') AS ckey
+       |  FROM resources WHERE resource_type = 'gcp:compute:instance'),
+       |gdisk AS (
+       |  SELECT id, string_split(u, '/')[-1] AS ckey
+       |  FROM (SELECT id, unnest(json_extract_string(metadata, '$$.users[*]')) AS u
+       |        FROM resources WHERE resource_type = 'gcp:storage:disk') z),
+       |dba AS (
+       |  SELECT id, lower(coalesce(json_extract_string(metadata, '$$.name'), name)) AS nm,
+       |    json_extract_string(metadata, '$$.engine') AS eng,
+       |    json_extract_string(metadata, '$$.instance_class') AS siz
+       |  FROM resources WHERE provider = 'aws' AND resource_type = 'aws:rds:instance'),
+       |dbb AS (
+       |  SELECT id, lower(coalesce(json_extract_string(metadata, '$$.name'), name)) AS nm,
+       |    json_extract_string(metadata, '$$.engine') AS eng,
+       |    json_extract_string(metadata, '$$.sku') AS siz
+       |  FROM resources WHERE provider = 'azure' AND resource_type = 'azure:sql:database'),
+       |sta AS (
+       |  SELECT id, lower(coalesce(json_extract_string(metadata, '$$.name'), name)) AS nm
+       |  FROM resources WHERE provider = 'aws' AND resource_type = 'aws:s3:bucket'),
+       |stb AS (
+       |  SELECT id, lower(coalesce(json_extract_string(metadata, '$$.name'), name)) AS nm
+       |  FROM resources WHERE provider = 'gcp' AND resource_type = 'gcp:storage:bucket'),
+       |hla AS (
+       |  SELECT id, lower(json_extract_string(metadata, '$$.dns_name')) AS nm
+       |  FROM resources WHERE provider = 'aws' AND resource_type = 'aws:elbv2:loadbalancer'),
+       |hlb AS (
+       |  SELECT id, lower(json_extract_string(metadata, '$$.dns_name')) AS nm
+       |  FROM resources WHERE provider = 'azure' AND resource_type = 'azure:network:loadbalancer')
+       |SELECT DISTINCT s.id AS source_id, t.id AS target_id,
+       |  'EC2-EBS-Attachment' AS rule,
+       |  'EC2 instances attached to EBS volumes' AS description,
+       |  CAST(0.95 AS DOUBLE) AS confidence, FALSE AS cross_provider
+       |FROM ec2 s JOIN ebs t USING (ckey) WHERE ckey IS NOT NULL
+       |UNION ALL
+       |SELECT DISTINCT s.id, t.id, 'LoadBalancer-Target',
+       |  'Load balancers and their target instances',
+       |  CAST(0.9 AS DOUBLE), FALSE
+       |FROM lbt s JOIN (SELECT id, id AS ckey FROM resources
+       |  WHERE resource_type = 'aws:ec2:instance') t USING (ckey)
+       |WHERE ckey IS NOT NULL
+       |UNION ALL
+       |SELECT DISTINCT s.id, t.id, 'VPC-Subnet-Relationship',
+       |  'VPC to subnet relationships', CAST(0.98 AS DOUBLE), FALSE
+       |FROM vpc s JOIN subnet t USING (ckey) WHERE ckey IS NOT NULL
+       |UNION ALL
+       |SELECT DISTINCT s.id, t.id, 'K8s-Pod-Service',
+       |  'Kubernetes pods and services relationship', CAST(0.92 AS DOUBLE), FALSE
+       |FROM svc s JOIN pod t USING (ckey) WHERE ckey IS NOT NULL
+       |UNION ALL
+       |SELECT DISTINCT s.id, t.id, 'Azure-VM-Disk',
+       |  'Azure VMs and their attached disks', CAST(0.95 AS DOUBLE), FALSE
+       |FROM avm s JOIN adisk t USING (ckey) WHERE ckey IS NOT NULL
+       |UNION ALL
+       |SELECT DISTINCT s.id, t.id, 'GCP-Instance-Disk',
+       |  'GCP instances and persistent disks', CAST(0.95 AS DOUBLE), FALSE
+       |FROM gi s JOIN gdisk t USING (ckey) WHERE ckey IS NOT NULL
+       |UNION ALL
+       |SELECT a.id, b.id, 'Multi-Cloud-Database',
+       |  'Databases across cloud providers with similar configurations',
+       |  CAST(0.75 AS DOUBLE), TRUE
+       |FROM dba a, dbb b
+       |WHERE (${sim("a.nm", "b.nm")}) > 0.7
+       |  AND (CASE WHEN (CASE WHEN a.eng IS NOT NULL AND b.eng IS NOT NULL
+       |                  THEN 1 ELSE 0 END)
+       |            + (CASE WHEN a.siz IS NOT NULL AND b.siz IS NOT NULL
+       |                  THEN 1 ELSE 0 END) = 0 THEN 0.0
+       |       ELSE ((CASE WHEN a.eng IS NOT NULL AND b.eng IS NOT NULL
+       |                AND lower(a.eng) = lower(b.eng) THEN 1.0 ELSE 0.0 END)
+       |           + (CASE WHEN a.siz IS NOT NULL AND b.siz IS NOT NULL
+       |                AND (${sizeWord("a.siz")}) IS NOT NULL
+       |                AND (${sizeWord("a.siz")}) = (${sizeWord("b.siz")})
+       |                THEN 0.8 ELSE 0.0 END))
+       |         / ((CASE WHEN a.eng IS NOT NULL AND b.eng IS NOT NULL
+       |                THEN 1 ELSE 0 END)
+       |           + (CASE WHEN a.siz IS NOT NULL AND b.siz IS NOT NULL
+       |                THEN 1 ELSE 0 END)) END) > 0.6
+       |UNION ALL
+       |SELECT a.id, b.id, 'Cross-Cloud-Storage',
+       |  'Storage buckets/containers across providers', CAST(0.7 AS DOUBLE), TRUE
+       |FROM sta a, stb b WHERE (${sim("a.nm", "b.nm")}) > 0.8
+       |UNION ALL
+       |SELECT a.id, b.id, 'Hybrid-Load-Balancing',
+       |  'Load balancers that might be part of hybrid architecture',
+       |  CAST(0.6 AS DOUBLE), TRUE
+       |FROM hla a, hlb b WHERE (${sim("a.nm", "b.nm")}) > 0.6""".stripMargin
+  }
+
   /** K1: a composed KQL pipeline (S4/J6 surface — resource_graph.go's
     * `| where | extend extract_all | mv-expand | summarize count() by
     * | order by | take`) through the Kql operator module, hash-checked
@@ -5026,6 +5265,7 @@ object Queries {
     "q_e16_anomalies" -> e16Anomalies,
     "q_e18_impact" -> e18Impact,
     "q_e19_score" -> e19Score,
+    "q_e20_correlation" -> e20Correlation,
     "q_k1_kql_pipeline" -> k1KqlPipeline,
     "q_k2_kql_leftouter" -> k2KqlLeftouter,
     "q_k3_plugin_scan" -> k3PluginScan,
@@ -5232,6 +5472,7 @@ object Queries {
     "q_c4_pack_protection" -> c4Oracle,
     "q_e18_impact" -> e18Oracle,
     "q_e19_score" -> e19Oracle,
+    "q_e20_correlation" -> e20Oracle,
     "q_k1_kql_pipeline" -> k1Oracle,
     "q_k2_kql_leftouter" -> k2Oracle,
     "q_k3_plugin_scan" -> k3Oracle,

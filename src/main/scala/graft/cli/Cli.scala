@@ -1,5 +1,7 @@
 package graft.cli
 
+import graft.Barrier.BarrierOps
+
 import java.nio.file.{Files, Paths}
 
 import scala.util.control.NonFatal
@@ -163,13 +165,13 @@ object Cli {
         val scanned = (endpoint match {
           case Some((h, p)) =>
             ScannerSource.scanDistributed(spark, h, p, work)
-              .localCheckpoint(true)
+              .barrier(true)
           case None if graft.engine.GrpcTransport.available =>
             val srv = new GrpcScannerServer(fake)
             srv.start()
             try ScannerSource
               .scanDistributed(spark, "127.0.0.1", srv.boundPort, work)
-              .localCheckpoint(true) // materialize before the server stops
+              .barrier(true) // materialize before the server stops
             finally srv.stop()
           case None => ScannerSource.scanLocal(spark, fake, work)
         }).withColumn("scanned_at",

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Barrier.BarrierOps
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -75,7 +77,7 @@ object Decontaminate {
     val bsh = Dedup.shingleFrame(bench, benchId, benchText, shingleW)
     def banded(sh: DataFrame, idAs: String, sigAs: String): DataFrame =
       sh.select(col("id"), Dedup.minhashSignature(col("sh"), k).as("sig"))
-        .localCheckpoint(true)
+        .barrier(true)
         .select(col("id"), col("sig"),
           explode(Dedup.lshBands(col("sig"), k, bands)).as("bb"))
         .select(col("id").as(idAs), col("sig").as(sigAs),

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Barrier.BarrierOps
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -105,7 +107,7 @@ object Dedup {
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(carry.map { case (c, as) => col(c).as(as) } :+
         split(TextAnalysis.normalize(col(textCol)), " ").as("toks"): _*)
-      .localCheckpoint(true)
+      .barrier(true)
 
   /** Hashed shingles: sorted distinct xxhash64 of each w-shingle. Longs
     * are far cheaper than strings in the pairwise loops, and sorting lets
@@ -133,10 +135,10 @@ object Dedup {
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"),
         split(TextAnalysis.normalize(col(textCol)), " ").as("toks"))
-      .localCheckpoint(true)
+      .barrier(true)
     val sh = toks
       .select(col("id"), hashedShinglesFromTokens(col("toks"), w).as("sh"))
-      .localCheckpoint(true)
+      .barrier(true)
     // sh is materialized with its own blocks — the token barrier is dead.
     toks.unpersist(blocking = false)
     sh
@@ -233,7 +235,7 @@ object Dedup {
       bands: Int): DataFrame = {
     // Barrier again: the signature must not be re-inlined per band.
     val sig = sh.select(col("id"), minhashSignature(col("sh"), k).as("sig"))
-      .localCheckpoint(true)
+      .barrier(true)
     val banded = sig.select(col("id"), col("sig"),
         explode(lshBands(col("sig"), k, bands)).as("bb"))
       .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
@@ -287,11 +289,11 @@ object Dedup {
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(blockCol).as("blk"), col(idCol).as("id"),
         split(TextAnalysis.normalize(col(textCol)), " ").as("toks"))
-      .localCheckpoint(true)
+      .barrier(true)
     val sh = toks
       .select(col("blk"), col("id"),
         hashedShinglesFromTokens(col("toks"), w).as("sh"))
-      .localCheckpoint(true) // compute shingles once, not per join side
+      .barrier(true) // compute shingles once, not per join side
     toks.unpersist(blocking = false) // shingles materialized; tokens dead
     val a = sh.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
@@ -318,11 +320,11 @@ object Dedup {
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(blockCol).as("blk"), col(idCol).as("id"),
         split(TextAnalysis.normalize(col(textCol)), " ").as("toks"))
-      .localCheckpoint(true)
+      .barrier(true)
     val sh = toks
       .select(col("blk"), col("id"),
         hashedShinglesFromTokens(col("toks"), w).as("sh"))
-      .localCheckpoint(true)
+      .barrier(true)
     toks.unpersist(blocking = false)
     val a = sh.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
@@ -480,7 +482,7 @@ object Dedup {
     // shingle/minhash/verify pass. Thresholded pairs are tiny vs the
     // corpus, so the checkpoint is cheap and stays distributed.
     val pairs = minhashNearDups(df, idCol, textCol, threshold)
-      .localCheckpoint(true)
+      .barrier(true)
     val clusters = dupClusters(pairs)
     // Smallest direct partner rides as a struct min (lexicographic on
     // (w, jaccard); w is unique per id so the pick is deterministic).
@@ -515,7 +517,7 @@ object Dedup {
     val hashed = df
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
-      .localCheckpoint(true) // barrier: simhash64 is a wide HOF expression
+      .barrier(true) // barrier: simhash64 is a wide HOF expression
     val blocked = hashed.select(col("id"), col("sh"),
         explode(transform(sequence(lit(0), lit(3)),
           q => struct(q.as("q"),
@@ -750,7 +752,7 @@ object Dedup {
       textCol: String, index: DataFrame, threshold: Double = 0.8,
       k: Int = 64, bands: Int = 16, shingleW: Int = 3): DataFrame = {
     val inc = signatureFrame(incoming, idCol, textCol, shingleW, k)
-      .localCheckpoint(true)
+      .barrier(true)
     def banded(sigF: DataFrame, as: String) = sigF
       .select(col("id").as(as), explode(lshBands(col("sig"), k, bands)).as("bb"))
       .select(col(as), col("bb.band"), col("bb.bucket"))

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Barrier.BarrierOps
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -46,7 +48,7 @@ object Dsir {
     val base = docs.select(col(idCol), isTargetCol.as("is_target"),
         call_function("bigrams",
           split(TextAnalysis.normalize(col(textCol)), " ")).as("bg"))
-      .localCheckpoint(true)
+      .barrier(true)
     // fixed-dim models: one partial-agg aggregation, ≤ 2·Dims rows out
     val counts = base
       .select(col("is_target"), explode(col("bg")).as("b"))

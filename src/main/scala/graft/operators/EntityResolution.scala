@@ -96,11 +96,20 @@ object EntityResolution {
       delFrom, delTo)
     val l = records.as("l")
     val r = records.as("r")
+    // Verify = cheap-to-expensive conjunction, all inside one codegen
+    // predicate: the length-difference guard (|len(a)−len(b)| > maxDist
+    // ⇒ distance must exceed maxDist — pure integer arithmetic) prunes
+    // before any DP runs, and the surviving pairs use the THRESHOLDED
+    // levenshtein, whose banded O(n·maxDist) DP early-exits at the bound
+    // (returns -1 above it) instead of filling the full O(n·m) matrix.
     val edges = cand
       .join(l, col("ra") === col(s"l.$idCol"))
       .join(r, col("rb") === col(s"r.$idCol"))
-      .where(levenshtein(col(s"l.$nameCol"), col(s"r.$nameCol"))
-        <= lit(maxDist) && extraVerify)
+      .where(
+        abs(length(col(s"l.$nameCol")) - length(col(s"r.$nameCol")))
+          <= lit(maxDist) &&
+        levenshtein(col(s"l.$nameCol"), col(s"r.$nameCol"), maxDist) >= 0 &&
+        extraVerify)
       .select(col("ra").as("from_id"), col("rb").as("to_id"))
     val cc = Graph.connectedComponents(edges)
       .select(col("id").as("_ccid"), col("comp"))

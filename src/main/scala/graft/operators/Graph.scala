@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Barrier.BarrierOps
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -223,7 +225,7 @@ object Graph {
     }
     val nodes = e.select(col("from_id").as("id"))
       .unionByName(e.select(col("to_id").as("id")))
-      .distinct().localCheckpoint(true)
+      .distinct().barrier(true)
     val n = nodes.count()
     require(n > 0, "pageRank: empty graph")
     val Scale = 1000000000000L // 10^-12 rank units
@@ -233,7 +235,7 @@ object Graph {
     // join key so the ten pr-joins reuse one layout instead of
     // re-exchanging the edge table every round
     val eo = e.join(outdeg, "from_id")
-      .repartition(col("from_id")).localCheckpoint(true)
+      .repartition(col("from_id")).barrier(true)
     var pr = nodes.withColumn("pr", lit(init))
     var it = 0
     while (it < iters) {
@@ -245,7 +247,7 @@ object Graph {
           expr(s"${(15L * init) / 100L} + (85 * coalesce(inflow, 0)) div 100")
             .as("pr"))
       it += 1
-      if (it % 3 == 0 && it < iters) pr = pr.localCheckpoint(true)
+      if (it % 3 == 0 && it < iters) pr = pr.barrier(true)
     }
     pr
   }
@@ -337,8 +339,8 @@ object Graph {
     }
     val und = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
       .distinct()
-      .repartition(col("b")).localCheckpoint(true)
-    val nodes = und.select(col("a").as("id")).distinct().localCheckpoint(true)
+      .repartition(col("b")).barrier(true)
+    val nodes = und.select(col("a").as("id")).distinct().barrier(true)
     var labels = nodes.withColumn("label", col("id"))
     var r = 0
     while (r < rounds) {
@@ -358,7 +360,7 @@ object Graph {
       labels = labels.join(best, Seq("id"), "left")
         .select(col("id"), coalesce(col("nl"), col("label")).as("label"))
       r += 1
-      if (r % 3 == 0 && r < rounds) labels = labels.localCheckpoint(true)
+      if (r % 3 == 0 && r < rounds) labels = labels.barrier(true)
     }
     labels.select(col("id"), col("label").as("community"))
   }
@@ -464,7 +466,7 @@ object Graph {
     // (No broadcast hint: when |V| outgrows the broadcast threshold the
     // semi joins must fall back to shuffle, not OOM the driver.)
     var und = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
-      .distinct().repartition(col("a")).localCheckpoint(true)
+      .distinct().repartition(col("a")).barrier(true)
     var r = 0
     while (r < rounds) {
       val keep = und.groupBy(col("a").as("id"))
@@ -475,7 +477,7 @@ object Graph {
         .join(keep.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
       r += 1
-      if (r % 2 == 0 && r < rounds) und = und.localCheckpoint(true)
+      if (r % 2 == 0 && r < rounds) und = und.barrier(true)
     }
     und.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
       .filter(col("deg") >= k)
@@ -540,7 +542,7 @@ object Graph {
     // reachable ONLY via a null-weight edge would emit an (id, NULL)
     // row on this path and nothing on the other.
     val e = eProj.filter(col("w").isNotNull)
-      .repartition(col("from_id")).localCheckpoint(true)
+      .repartition(col("from_id")).barrier(true)
     var dist = sources.select(col("id").cast("string").as("id"),
       lit(0L).as("dist"))
     var it = 0
@@ -549,7 +551,7 @@ object Graph {
         .select(col("to_id").as("id"), (col("dist") + col("w")).as("dist"))
       dist = dist.unionByName(relax).groupBy("id").agg(min("dist").as("dist"))
       it += 1
-      if (it % 3 == 0 && it < maxIter) dist = dist.localCheckpoint(true)
+      if (it % 3 == 0 && it < maxIter) dist = dist.barrier(true)
     }
     dist.select(col("id"), col("dist").cast("bigint").as("dist"))
   }
@@ -663,7 +665,7 @@ object Graph {
     // branches deep) — one fewer eager job per hop.
     var visited = sources.select(col("id").cast("string"))
       .distinct().withColumn("distance", lit(0))
-      .localCheckpoint(eager = false)
+      .barrier(eager = false)
     // Bounded-depth frontiers/visited sets are narrow (id[, distance]) and
     // usually tiny next to the edge table — broadcast them while they fit
     // so each hop's joins shuffle nothing but the frontier itself. The
@@ -692,7 +694,7 @@ object Graph {
         .join(bc(visited.select(col("id").as("vid")), visitedCount),
           col("id") === col("vid"), "left_anti")
         .withColumn("distance", lit(hop))
-        .localCheckpoint(eager = false)
+        .barrier(eager = false)
       frontierCount = next.count()
       mark(s"hop $hop (frontier=$frontierCount)")
       visitedCount += frontierCount
@@ -780,7 +782,7 @@ object Graph {
     var visited = sources.select(col("id").cast("string").as("src"))
       .distinct()
       .select(col("src"), col("src").as("id"), lit(0).as("distance"))
-      .localCheckpoint(eager = false)
+      .barrier(eager = false)
     var visitedCount = visited.count()
     def bc(df: DataFrame, n: Long): DataFrame =
       if (n < bcLimit) df.hint("broadcast") else df
@@ -803,7 +805,7 @@ object Graph {
             visitedCount),
           col("src") === col("vsrc") && col("id") === col("vid"), "left_anti")
         .withColumn("distance", lit(hop))
-        .localCheckpoint(eager = false)
+        .barrier(eager = false)
       frontierCount = next.count()
       visitedCount += frontierCount
       visited = visited.unionByName(next)
@@ -910,7 +912,7 @@ object Graph {
     var visited = sources.toDF("id")
       .withColumn("path", array(col("id")))
       .withColumn("distance", lit(0))
-      .localCheckpoint(eager = false)
+      .barrier(eager = false)
     var frontier = visited
     var n = frontier.count()
     var hop = 0
@@ -927,7 +929,7 @@ object Graph {
         // Spark and any list-ordering engine agree)
         .groupBy(col("nid").as("id")).agg(min("path").as("path"))
         .withColumn("distance", lit(hop))
-        .localCheckpoint(eager = false)
+        .barrier(eager = false)
       n = stepped.count()
       visited = visited.unionByName(stepped)
       frontier = stepped
@@ -1013,7 +1015,7 @@ object Graph {
     // Lazy checkpoint: the count below materializes it in the same job.
     var labels = symBase.groupBy(col("a").as("id")).agg(min("b").as("nb"))
       .select(col("id"), least(col("id"), col("nb")).as("comp"))
-      .localCheckpoint(eager = false)
+      .barrier(eager = false)
     // Label frames are narrow (id, comp) pairs — tiny relative to the edge
     // set. Below this row count we hint them broadcast so each round is a
     // single shuffle (the groupBy); above it the hint is withheld, the
@@ -1046,7 +1048,7 @@ object Graph {
       val stepped = labels.join(bc(nbrMin), Seq("id"), "left")
         .select(col("id"), col("comp"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("c1"))
-        .localCheckpoint(eager = false)
+        .barrier(eager = false)
       // Two pointer jumps WITHIN the round — label chains contract ~4×
       // per round, so convergence is ~log4(diameter) rounds. j1 is used
       // twice (as input and as pointer table) but recomputing it from
@@ -1055,7 +1057,7 @@ object Graph {
       // the convergence test against the pre-round labels) materializes
       // in the single count() action below.
       val j1 = jump(stepped, "c1", "c2")
-      val doubled = jump(j1, "c2", "new_comp").localCheckpoint(eager = false)
+      val doubled = jump(j1, "c2", "new_comp").barrier(eager = false)
       // Fixed point iff nothing moved across the whole round (the jumps
       // can only lower labels the neighbor-min pass already lowered).
       converged = doubled.filter(col("new_comp") =!= col("comp")).count() == 0

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Barrier.BarrierOps
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -310,9 +312,9 @@ object Similarity {
       .repartition(vectors.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"), col(vecCol).as("vec"),
         norm(col(vecCol)).as("nrm"))
-      .localCheckpoint(false)
+      .barrier(false)
     val vb = bucketed(base.select("id", "vec"), "vec", "bucket")
-      .select("id", "tbl", "bucket").localCheckpoint(false)
+      .select("id", "tbl", "bucket").barrier(false)
     val qb = bucketed(queries.select(col("query_id"), col("qvec")),
       "qvec", "qbucket")
     // Candidate ids: thin (query_id, id) pairs — the only rows that ever
@@ -503,7 +505,7 @@ object Similarity {
     import spark.implicits._
     val base = vectors.select(col(idCol).as("id"),
         col(vecCol).cast("array<float>").as("vec"))
-      .localCheckpoint(true)
+      .barrier(true)
     // Deterministic bounded sample (TakeOrdered by id — stable under
     // partitioning), Lloyd iterations on the driver: k x sample x dim
     // flops, microseconds-to-milliseconds of CPU vs an MLlib fit's
@@ -519,7 +521,7 @@ object Similarity {
       "built-in")
     val assigned =
       try base.withColumn("cell", call_function(fname, col("vec")))
-        .localCheckpoint(true) // eager: the temp function is dead after this
+        .barrier(true) // eager: the temp function is dead after this
       finally spark.sessionState.functionRegistry.dropFunction(
         org.apache.spark.sql.catalyst.FunctionIdentifier(fname))
     base.unpersist(blocking = false) // assignment materialized; barrier dead
@@ -843,7 +845,7 @@ object Similarity {
       // generic-id fallback: bucket self-join + expression scoring
       val vb = bucketed
         .withColumn("nrm", norm(col("vec")))
-        .localCheckpoint(true)
+        .barrier(true)
       val a = vb.select(col("tbl"), col("bucket"), col("id0").as("id_a"),
         col("vec").as("vec_a"), col("nrm").as("nrm_a"))
       val b = vb.select(col("tbl"), col("bucket"), col("id0").as("id_b"),
@@ -883,7 +885,7 @@ object Similarity {
     // it once and stays distributed — same barrier pattern as
     // [[Dedup.simhashNearDups]].
     val pairs = cosineNearDups(vectors, idCol, vecCol, threshold, nBits,
-      tables).localCheckpoint(true)
+      tables).barrier(true)
     keeperManifest(vectors.select(col(idCol).as("id")), pairs)
   }
 
@@ -953,7 +955,7 @@ object Similarity {
     val pairs = (if (idType == IntegerType)
         pairsL.select(col("id_a").cast("int"), col("id_b").cast("int"),
           col("cosine_sim"))
-      else pairsL).localCheckpoint(true)
+      else pairsL).barrier(true)
     keeperManifest(assigned.select("id"), pairs)
       .join(assigned.select(col("id"), col("cell")), Seq("id"))
       .select(col("id"), col("cell").cast("bigint").as("cell"),

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Barrier.BarrierOps
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -551,7 +553,7 @@ object TextAnalysis {
       textCol: String): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(carry.map(col) :+ lmToks(textCol).as("toks"): _*)
-      .localCheckpoint(true)
+      .barrier(true)
 
   /** Adjacent (w1, w2) pairs of a token array; empty for < 2 tokens. */
   private def lmPairs(toks: Column): Column = {

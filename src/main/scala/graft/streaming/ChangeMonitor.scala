@@ -34,13 +34,15 @@ object ChangeMonitor {
   def monitor(events: DataFrame, checkpoint: String,
       batchTimeout: String = "1 second")(
       callback: (DataFrame, Long) => Unit): StreamingQuery =
-    events.writeStream
-      .trigger(Trigger.ProcessingTime(batchTimeout))
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
-        callback(batch.toDF(), id)
-      }
-      .start()
+    StateStores.withProvider(events.sparkSession) {
+      events.writeStream
+        .trigger(Trigger.ProcessingTime(batchTimeout))
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
+          callback(batch.toDF(), id)
+        }
+        .start()
+    }
 
   /** Live frequency trend: tumbling window + watermark for late events —
     * the streaming twin of Analytics.frequencyTrend (A5).

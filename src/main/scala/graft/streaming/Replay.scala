@@ -53,7 +53,7 @@ object Replay {
     val partKey = "spark.sql.shuffle.partitions"
     val prevParts = spark.conf.get(partKey)
     spark.conf.set(partKey, ReplayPartitions)
-    try {
+    try StateStores.withProvider(spark) {
       val sq = emitted.writeStream.format("memory").queryName(qn)
         .outputMode(mode)
         .option("checkpointLocation", ck.toString)

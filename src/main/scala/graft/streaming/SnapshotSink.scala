@@ -28,11 +28,13 @@ object SnapshotSink {
   def appendStream(events: DataFrame, store: SnapshotTableStore,
       table: String, checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
-    events.writeStream
-      .trigger(trigger)
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
-        store.appendIdempotent(batch.toDF(), table, s"b$id"): Unit
-      }
-      .start()
+    StateStores.withProvider(events.sparkSession) {
+      events.writeStream
+        .trigger(trigger)
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
+          store.appendIdempotent(batch.toDF(), table, s"b$id"): Unit
+        }
+        .start()
+    }
 }

@@ -1,5 +1,7 @@
 package graft.tools
 
+import graft.Barrier.BarrierOps
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -34,7 +36,7 @@ object ProfileDedup {
 
     val sig = time("minhash signatures (64 seeds)") {
       sh.select(col("id"), Dedup.minhashSignature(col("sh"), 64).as("sig"))
-        .localCheckpoint(true)
+        .barrier(true)
     }
 
     time("band join candidates") {
@@ -48,10 +50,10 @@ object ProfileDedup {
     time("pair join + jaccardFast (blocked by source)") {
       val shs = docs.select(col("source").as("blk"), col("doc_id").as("id"),
           split(graft.operators.TextAnalysis.normalize(col("text")), " ").as("toks"))
-        .localCheckpoint(true)
+        .barrier(true)
         .select(col("blk"), col("id"),
           Dedup.hashedShinglesFromTokens(col("toks"), 3).as("sh"))
-        .localCheckpoint(true)
+        .barrier(true)
       val a = shs.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
       val b = shs.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
       a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
