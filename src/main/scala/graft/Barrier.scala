@@ -32,8 +32,14 @@ object Barrier {
 
   val ConfKey = "graft.barrier"
 
+  /** Session conf wins; `GRAFT_BARRIER` in the environment is the
+    * spark-submit-friendly fallback (a plain `graft.*` key doesn't ride
+    * through `-D` system properties the way `spark.*` keys do).
+    */
   def policy(ds: Dataset[_]): String =
-    ds.sparkSession.conf.get(ConfKey, "local")
+    ds.sparkSession.conf.getOption(ConfKey)
+      .orElse(sys.env.get("GRAFT_BARRIER"))
+      .getOrElse("local")
 
   /** Cut lineage (or durably pin) `ds` according to the session policy.
     * `eager` mirrors `localCheckpoint(eager)`: materialize now vs at
@@ -42,6 +48,8 @@ object Barrier {
   def cut[T](ds: Dataset[T], eager: Boolean): Dataset[T] = policy(ds) match {
     case "reliable" =>
       val sc = ds.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isEmpty)
+        sys.env.get("GRAFT_CHECKPOINT_DIR").foreach(sc.setCheckpointDir)
       if (sc.getCheckpointDir.isDefined) ds.checkpoint(eager)
       else {
         // No durable dir: DISK_ONLY persist keeps lineage, so block loss

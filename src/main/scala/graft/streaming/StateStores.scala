@@ -28,7 +28,13 @@ object StateStores {
   val RocksDbProvider =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
-  def policy(spark: SparkSession): String = spark.conf.get(ConfKey, "hdfs")
+  /** Session conf wins; `GRAFT_STATE_STORE` in the environment is the
+    * spark-submit-friendly fallback (mirrors [[graft.Barrier.policy]]).
+    */
+  def policy(spark: SparkSession): String =
+    spark.conf.getOption(ConfKey)
+      .orElse(sys.env.get("GRAFT_STATE_STORE"))
+      .getOrElse("hdfs")
 
   /** Run `body` (which starts and finishes a streaming query) under the
     * session's state-store policy, restoring the previous provider conf

@@ -429,4 +429,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("E20 correlation: same-provider rules equi-join (no cartesian); " +
+      "cross-provider similarity is broadcast, never a shuffled all-pairs") {
+    val p = plan("q_e20_correlation")
+    // the six key-extractor rules MUST plan as hash equi-joins — an
+    // all-pairs rule engine would melt at inventory scale
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    // the three fuzzy cross-provider rules are inherently pairwise;
+    // their nested loop must sit on a BROADCAST side (thin type slice),
+    // never a shuffled cartesian
+    val bnl = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnl >= 1 && bnl <= 6,
+      s"expected the cross-provider BNLs (broadcast-side), found $bnl\n" + p)
+  }
 }
