@@ -2072,12 +2072,12 @@ object Queries {
       |SELECT 'bkt-' || CAST(c_custkey AS STRING), 'aws', 'aws:s3:bucket',
       |  'bkt-' || CAST(c_custkey AS STRING),
       |  '{"name":"bkt-' || CAST(c_custkey AS STRING) || '"}'
-      |FROM customer
+      |FROM customer WHERE c_custkey % 5 = 0
       |UNION ALL
       |SELECT 'gbkt-' || CAST(c_custkey AS STRING), 'gcp', 'gcp:storage:bucket',
       |  'bkt-' || CAST(c_custkey AS STRING),
       |  '{"name":"bkt-' || CAST(c_custkey AS STRING) || '"}'
-      |FROM customer WHERE c_custkey % 7 = 0
+      |FROM customer WHERE c_custkey % 35 = 0
       |UNION ALL
       |SELECT 'azlb-' || CAST(n_nationkey AS STRING), 'azure',
       |  'azure:network:loadbalancer', 'azlb-' || n_name,

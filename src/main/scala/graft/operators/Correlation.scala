@@ -161,16 +161,20 @@ object Correlation {
     * (case-folded), 0.8 containment either way, 0.6 shared 3-prefix when
     * both names exceed 3 chars, else 0. Pure Catalyst — stays codegen.
     */
-  def nameSimilarity(a: Column, b: Column): Column = {
-    val la = lower(a)
-    val lb = lower(b)
+  def nameSimilarity(a: Column, b: Column): Column =
+    nameSimilarityLowered(lower(a), lower(b))
+
+  /** [[nameSimilarity]] over ALREADY case-folded inputs — the pairwise
+    * join form, where folding must happen in the per-row projection,
+    * never per candidate pair.
+    */
+  def nameSimilarityLowered(la: Column, lb: Column): Column =
     when(la.isNull || lb.isNull, lit(0.0))
       .when(la === lb, lit(1.0))
       .when(la.contains(lb) || lb.contains(la), lit(0.8))
       .when(length(la) > 3 && length(lb) > 3 &&
         substring(la, 1, 3) === substring(lb, 1, 3), lit(0.6))
       .otherwise(lit(0.0))
-  }
 
   /** Database config similarity (correlation_engine.go:403-431): engine
     * equality scores 1.0, size-word agreement of instance_class vs sku
@@ -234,18 +238,28 @@ object Correlation {
     }
 
     val cross = if (!enableCrossProvider) Nil else crossRules.map { r =>
+      // Names are case-folded IN THE PROJECTION, not in the join
+      // predicate: a predicate-side lower() re-runs ICU case folding for
+      // every candidate PAIR (measured dominating the whole rule at 10×),
+      // where a projected lower() runs once per ROW and the codegen'd
+      // pair loop compares bytes.
       def side(p: String, tpe: String, tag: String) = {
         val s = thin.filter(col("provider") === p && col("resource_type") === tpe)
         // getResourceName (:370-375): the name metadata field, else the id
         s.select(col("id").as(s"${tag}_id"),
-          r.simField.map(meta).getOrElse(
-            coalesce(meta("name"), col("name"))).as(s"${tag}_name"),
+          lower(r.simField.map(meta).getOrElse(
+            coalesce(meta("name"), col("name")))).as(s"${tag}_name"),
           meta("engine").as(s"${tag}_engine"),
           meta(if (tag == "a") "instance_class" else "sku").as(s"${tag}_size"))
       }
-      val a = side(r.providerA, r.resourceTypeA, "a")
+      // Broadcast-BNL parallelism equals the STREAM side's partition
+      // count — a thin pre-filtered slice often collapses to 1-2 input
+      // partitions, which would serialize the whole pairwise loop on one
+      // core. Spread the stream side first; the broadcast side stays put.
+      val para = resources.sparkSession.sparkContext.defaultParallelism
+      val a = side(r.providerA, r.resourceTypeA, "a").repartition(para)
       val b = broadcast(side(r.providerB, r.resourceTypeB, "b"))
-      val sim = nameSimilarity(col("a_name"), col("b_name"))
+      val sim = nameSimilarityLowered(col("a_name"), col("b_name"))
       val cfg = configSimilarity(col("a_engine"), col("b_engine"),
         col("a_size"), col("b_size"))
       val pred =
