@@ -742,25 +742,30 @@ object Queries {
       |FROM events WHERE event_id % 3 = 0""".stripMargin
 
   /** X12: conditional/argmax aggregate battery — max_by/min_by (DuckDB
-    * arg_max/arg_min), count_if, bool_and/bool_or, any_value pinned via
-    * a unique extremum (deterministic because o_orderkey is unique and
-    * o_totalprice ties break nowhere on the fixture's continuous
-    * prices; the BY keys are the unique o_orderkey for ties-impossible
-    * argmax semantics).
+    * arg_max/arg_min), count_if, bool_and/bool_or. The BY ordering is
+    * the COMPOSITE struct(price, key): argmax over a price alone is
+    * under-determined when two orders tie on price (both engines leave
+    * the tie unspecified — the 10× endurance derivative, which
+    * replicates every price 10 ways, made the two sides disagree), so
+    * the unique key closes the order totally: max price, tie → max key;
+    * min price, tie → min key. The oracle replays the same semantics as
+    * (max(struct_pack(...))).k, DuckDB's spelling of composite argmax.
     */
   val x12AggBattery: Q = (s, d) =>
     t(s, d, "orders").groupBy("o_orderpriority")
       .agg(
-        max_by(col("o_orderkey"), col("o_totalprice")).as("key_of_max"),
-        min_by(col("o_orderkey"), col("o_totalprice")).as("key_of_min"),
+        max_by(col("o_orderkey"),
+          struct(col("o_totalprice"), col("o_orderkey"))).as("key_of_max"),
+        min_by(col("o_orderkey"),
+          struct(col("o_totalprice"), col("o_orderkey"))).as("key_of_min"),
         count_if(col("o_totalprice") > 200000.0).as("n_big"),
         bool_and(col("o_totalprice") > 1000.0).as("all_over_1k"),
         bool_or(col("o_totalprice") > 400000.0).as("any_over_400k"),
         max(col("o_totalprice")).as("max_price"))
   val x12Oracle =
     """SELECT o_orderpriority,
-      |  arg_max(o_orderkey, o_totalprice) AS key_of_max,
-      |  arg_min(o_orderkey, o_totalprice) AS key_of_min,
+      |  (max(struct_pack(p := o_totalprice, k := o_orderkey))).k AS key_of_max,
+      |  (min(struct_pack(p := o_totalprice, k := o_orderkey))).k AS key_of_min,
       |  CAST(count_if(o_totalprice > 200000.0) AS BIGINT) AS n_big,
       |  bool_and(o_totalprice > 1000.0) AS all_over_1k,
       |  bool_or(o_totalprice > 400000.0) AS any_over_400k,
@@ -2956,6 +2961,16 @@ object Queries {
     * with the same append-mode finalization gate as the other windows.
     * Full cross-engine replay: session boundaries, aggregates, AND
     * watermark semantics.
+    *
+    * The replay's window ORDER BY carries the unique event_id: with
+    * only `ORDER BY ts`, duplicate timestamps inside one partition
+    * leave the tie order unspecified PER WINDOW PASS, and the LAG pass
+    * and the running-SUM pass can disagree on it — rows sorted before
+    * the brk=1 copy in the second pass silently join the previous
+    * session (the 10× endurance derivative, which replicates every
+    * timestamp 10 ways, surfaced exactly this). A total order makes
+    * both passes identical; Spark's session_window is set-based and
+    * never had the hazard.
     */
   val st8SessionAgg: Q = (s, d) => {
     val sch = s.read.parquet(s"$d/events.parquet").schema
@@ -2973,14 +2988,14 @@ object Queries {
       |  SELECT make_timestamp((MAX(epoch_us(ts)) // 1000) * 1000
       |                        - 600000000) AS wm FROM events),
       |o AS (
-      |  SELECT event_type, ts, value,
+      |  SELECT event_type, event_id, ts, value,
       |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
-      |           (PARTITION BY event_type ORDER BY ts) > 600000000
+      |           (PARTITION BY event_type ORDER BY ts, event_id) > 600000000
       |         THEN 1 ELSE 0 END AS brk
       |  FROM events),
       |g AS (
       |  SELECT event_type, ts, value,
-      |    SUM(brk) OVER (PARTITION BY event_type ORDER BY ts
+      |    SUM(brk) OVER (PARTITION BY event_type ORDER BY ts, event_id
       |                   ROWS UNBOUNDED PRECEDING) AS sess
       |  FROM o)
       |SELECT MIN(ts) AS session_start,

@@ -19,11 +19,18 @@ import org.apache.spark.sql.functions._
 object Sketches {
 
   /** One HLL sketch per group over `valueExpr`. The returned frame is
-    * (groupCols..., sk binary) — small (4 KB/group at lgConfigK=12),
+    * (groupCols..., sk binary) — small (16 KB/group at lgConfigK=14),
     * persistable, and unionable later.
+    *
+    * lgConfigK=14 (RSE ≈ 0.8%) rather than the library-default 12: the
+    * UNION of many sketches carries more error than any single sketch,
+    * and the 10× endurance pass measured a 20-way union at lgK=12
+    * landing 5.4% off exact — outside the 5% contract the oracle (and
+    * any downstream consumer of the estimates) holds. 14 keeps the
+    * union comfortably inside the band for 4 KB → 16 KB per group.
     */
   def distinctSketch(df: DataFrame, groupCols: Seq[String],
-      valueExpr: Column, lgConfigK: Int = 12): DataFrame =
+      valueExpr: Column, lgConfigK: Int = 14): DataFrame =
     df.groupBy(groupCols.map(col): _*)
       .agg(hll_sketch_agg(valueExpr, lit(lgConfigK)).as("sk"))
 
