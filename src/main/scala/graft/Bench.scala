@@ -39,15 +39,23 @@ object Bench {
       * granularity, not key imbalance.
       */
     def summary: (Int, Double, Double) = {
+      // Sub-MiB stages are granularity, not key imbalance: a stage whose
+      // median task reads a few hundred bytes (an iterative-graph frontier,
+      // a k-row centroid exchange) can show a four-digit max/median while
+      // moving 0.2 MB total. Rank the MATERIAL stages (max task >= 1 MiB)
+      // first; fall back to the all-stage worst only when nothing material
+      // shuffled — and the reported max-task-MB always shows which regime
+      // the number comes from.
       val stages = byStage.values.filter(_.size >= 8).toSeq
-      if (stages.isEmpty) (byStage.size, 1.0, 0.0)
+      def ratio(ts: Seq[Long]): Double = {
+        val s = ts.sorted; s.last.toDouble / math.max(s(s.size / 2), 1L)
+      }
+      val material = stages.filter(_.max >= 1048576L)
+      val pool = if (material.nonEmpty) material else stages
+      if (pool.isEmpty) (byStage.size, 1.0, 0.0)
       else {
-        val worst = stages.maxBy { ts =>
-          val s = ts.sorted; s.last.toDouble / math.max(s(s.size / 2), 1L)
-        }
-        val s = worst.sorted
-        (byStage.size, s.last.toDouble / math.max(s(s.size / 2), 1L),
-          s.last / 1048576.0)
+        val worst = pool.maxBy(ts => ratio(ts.toSeq))
+        (byStage.size, ratio(worst.toSeq), worst.max / 1048576.0)
       }
     }
   }

@@ -160,6 +160,105 @@ object PipelineQueries {
        |JOIN per a ON a.corpus = i.corpus_a
        |JOIN per b ON b.corpus = i.corpus_b""".stripMargin
 
+  /** D18 fixture: a deterministic 20% corpus slice (bounds the oracle's
+    * within-source quadratic truth join at the endurance SF — the full
+    * d3 replay is the one DuckDB chain that DNFs at 10×) carrying
+    * planted near-duplicates at two GRADED similarity tiers, because the
+    * natural corpus has almost no pairs at the τ = 0.5 operating point
+    * (q_d3 finds one): an identical clone (Jaccard 1.0 — every band
+    * collides, detection certain) and a prefix clone of the first
+    * 3n/5 + 1 tokens (a prefix's shingle set is a subset, so its
+    * Jaccard is exactly (k−2)/(n−2) ≈ 0.6 — mid s-curve for the
+    * 16-band/4-row scheme, where ~10% of pairs are EXPECTED to be
+    * missed and recall is a real measurement, not a tautology; a
+    * half-length prefix would land strictly BELOW τ and vanish from
+    * the truth set). Both plants are pure integer arithmetic on the
+    * normalized token list, so the DuckDB twin rebuilds the exact
+    * corpus.
+    */
+  private val D18Thr = Sampling.hexThreshold(0.2)
+  private val D18PlantThr = Sampling.hexThreshold(0.3)
+  private def d18Corpus(docs0: DataFrame): DataFrame = {
+    val toks = split(TextAnalysis.normalize(col("text")), " ")
+    val docs = docs0
+      .filter(Sampling.hashBucket(col("doc_id"), "d18") < lit(D18Thr))
+      .select("doc_id", "source", "text")
+    val eligible = docs.filter(size(toks) >= lit(8) &&
+      Sampling.hashBucket(col("doc_id"), "d18plant") < lit(D18PlantThr))
+    val full = eligible
+      .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+    val prefix = eligible
+      .withColumn("text", array_join(
+        slice(toks, lit(1),
+          floor((size(toks) * lit(3)) / lit(5)).cast("int") + lit(1)),
+        " "))
+      .withColumn("doc_id", col("doc_id") + lit(2000000000L))
+    docs.unionByName(full).unionByName(prefix)
+  }
+
+  /** D18: LSH recall audit — the dedup-QA report a pipeline runs before
+    * trusting MinHash+LSH as its only near-dup pass at 100 TB: the exact
+    * within-source Jaccard truth set at the LSH operating threshold
+    * (τ = 0.5), each truth pair flagged with whether the banded
+    * candidate generation ([[Dedup.minhashNearDups]], the q_d4 system)
+    * surfaced it. Truth is the [[Dedup.ngramJaccardPairs]] blocked
+    * shingle join (the q_d3 exact engine); recall is then a one-line
+    * aggregation over this frame. Oracle: FULL relational replay of the
+    * truth side (sampled + planted corpus, shingles, within-source
+    * pairs, exact Jaccard) with the hash-specific `lsh_found` flag read
+    * back from the emitted rows under a set-equality guard — a missing
+    * or invented truth pair, or a wrong Jaccard, empties the oracle and
+    * turns the driver red; the flag itself is deterministic (seeded
+    * minhash) and rides through the hash compare.
+    */
+  val d18LshRecall: Q = (s, d) => {
+    val corpus = d18Corpus(t(s, d, "documents"))
+    val truth = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", "source",
+        w = 3, threshold = 0.5)
+      .withColumnRenamed("blk", "source")
+    val found = Dedup.minhashNearDups(corpus, "doc_id", "text",
+        threshold = 0.5)
+      .select(col("id_a"), col("id_b"), lit(true).as("_hit"))
+    truth.join(found, Seq("id_a", "id_b"), "left")
+      .select(col("source"), col("id_a"), col("id_b"), col("jaccard"),
+        coalesce(col("_hit"), lit(false)).as("lsh_found"))
+  }
+  val d18Oracle: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, source, text, $wordsSql AS w FROM documents
+       |  WHERE substr(md5('d18:' || CAST(doc_id AS STRING)), 1, 8) < '$D18Thr'),
+       |el AS (
+       |  SELECT * FROM base WHERE len(w) >= 8
+       |    AND substr(md5('d18plant:' || CAST(doc_id AS STRING)), 1, 8)
+       |        < '$D18PlantThr'),
+       |corpus AS (
+       |  SELECT doc_id, source, text FROM base
+       |  UNION ALL SELECT doc_id + 1000000000, source, text FROM el
+       |  UNION ALL SELECT doc_id + 2000000000, source,
+       |    array_to_string(w[1:((len(w) * 3) // 5 + 1)], ' ') FROM el),
+       |t AS (
+       |  SELECT doc_id, source,
+       |    list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+       |  FROM (SELECT doc_id, source, $wordsSql AS w FROM corpus) z),
+       |tr AS (
+       |  SELECT source, id_a, id_b, jaccard FROM (
+       |    SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+       |      ROUND(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0
+       |        THEN 0.0
+       |        ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |             len(list_distinct(list_concat(a.sh, b.sh))) END, 6)
+       |        AS jaccard
+       |    FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id) p
+       |  WHERE jaccard >= 0.5),
+       |sp AS (SELECT id_a, id_b, lsh_found
+       |       FROM '__SPARK_OUT__/q_d18_lsh_recall/*.parquet'),
+       |ok AS (SELECT (SELECT COUNT(*) FROM sp) = (SELECT COUNT(*) FROM tr)
+       |         AS complete)
+       |SELECT tr.source, tr.id_a, tr.id_b, tr.jaccard, sp.lsh_found
+       |FROM tr JOIN sp USING (id_a, id_b)
+       |WHERE (SELECT complete FROM ok)""".stripMargin
+
   /** T44: n-gram novelty / memorization-risk report
     * ([[TextAnalysis.noveltyReport]]) — per source, the share of its
     * documents' distinct 5-grams that are corpus-common (document
@@ -3159,6 +3258,63 @@ object PipelineQueries {
       |  MIN(q) AS min_q, MAX(q) AS max_q
       |FROM x GROUP BY dim""".stripMargin
 
+  /** S25: IVF recall audit ([[Similarity.ivfIndex]] / [[Similarity.ivfTopK]]
+    * against the exact [[Similarity.bruteForceTopK]] truth) — the
+    * serving-side twin of q_d18: before shipping an nProbe setting,
+    * measure what the cell-pruned probe actually returns against the
+    * exact top-10. nProbe = 2 of 16 cells scans ~1/8 of the corpus, so
+    * misses are EXPECTED — that trade-off is the measurement (q_s4's
+    * nProbe = 4 is the serving default; this is the cheaper operating
+    * point a capacity planner evaluates). The truth ranking is fully
+    * replayed relationally (the S1 oracle chain); the hash-specific
+    * `ivf_found` flag (Lloyd centroids from a seeded, bounded driver
+    * fit) is read back from the emitted rows under a set-equality guard,
+    * so a wrong truth pair, rank, or cosine turns the driver red.
+    */
+  val s25IvfRecall: Q = (s, d) => {
+    val emb = t(s, d, "embeddings").select("vec_id", "embedding")
+    val truth = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queryVecs(s, d), k = 10)
+      .withColumn("rank", col("rank").cast("bigint"))
+    val (centroids, assigned) =
+      Similarity.ivfIndex(emb, "vec_id", "embedding", nCells = 16)
+    val ivf = Similarity.ivfTopK(assigned, centroids, queryVecs(s, d),
+        k = 10, nProbe = 2)
+      .select(col("query_id"), col("id"), lit(true).as("_hit"))
+    truth.join(ivf, Seq("query_id", "id"), "left")
+      .select(col("query_id"), col("rank"), col("id"), col("cosine_sim"),
+        coalesce(col("_hit"), lit(false)).as("ivf_found"))
+  }
+  val s25Oracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding,
+      |    SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+      |          FROM (SELECT UNNEST(embedding) AS x) ux)) AS nrm
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, embedding AS qvec, nrm AS qnrm
+      |      FROM e WHERE vec_id < 5),
+      |sc AS (
+      |  SELECT q.query_id, e.vec_id AS id,
+      |    ROUND(CASE WHEN e.nrm * q.qnrm = 0 THEN 0.0 ELSE
+      |      (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+      |       FROM (SELECT UNNEST(e.embedding) AS x, UNNEST(q.qvec) AS y) u)
+      |      / (e.nrm * q.qnrm) END, 6) AS cosine_sim
+      |  FROM e CROSS JOIN q),
+      |tr AS (
+      |  SELECT query_id, CAST(rank AS BIGINT) AS rank, id, cosine_sim
+      |  FROM (
+      |    SELECT query_id, id, cosine_sim,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id
+      |        ORDER BY cosine_sim DESC, id) AS rank
+      |    FROM sc) z WHERE rank <= 10),
+      |sp AS (SELECT query_id, id, ivf_found
+      |       FROM '__SPARK_OUT__/q_s25_ivf_recall/*.parquet'),
+      |ok AS (SELECT (SELECT COUNT(*) FROM sp) = (SELECT COUNT(*) FROM tr)
+      |         AS complete)
+      |SELECT tr.query_id, tr.rank, tr.id, tr.cosine_sim, sp.ivf_found
+      |FROM tr JOIN sp ON sp.query_id = tr.query_id AND sp.id = tr.id
+      |WHERE (SELECT complete FROM ok)""".stripMargin
+
   /** S22: Johnson–Lindenstrauss random projection
     * ([[Similarity.randomProjection]]) — 64 → 8 dims via the Achlioptas
     * ±1 construction, the distance-preserving shrink that cuts vector
@@ -4305,6 +4461,7 @@ object PipelineQueries {
     "q_d3_jaccard_pairs" -> d3JaccardPairs,
     "q_d16_containment" -> d16Containment,
     "q_d17_corpus_overlap" -> d17CorpusOverlap,
+    "q_d18_lsh_recall" -> d18LshRecall,
     "q_d4_minhash_neardup" -> d4MinhashNearDup,
     "q_d5_simhash_neardup" -> d5SimhashNearDup,
     "q_d14_ppjoin" -> d14PpjoinPairs,
@@ -4380,6 +4537,7 @@ object PipelineQueries {
     "q_s22_random_projection" -> s22RandomProjection,
     "q_s23_binary_quant" -> s23BinaryQuant,
     "q_s24_embedding_diagnostics" -> s24EmbeddingDiagnostics,
+    "q_s25_ivf_recall" -> s25IvfRecall,
     "q_s2_cosine_pairs" -> s2CosinePairs,
     "q_s3_lsh_topk" -> s3LshTopK,
     "q_s4_ivf_topk" -> s4IvfTopK,
@@ -4402,6 +4560,7 @@ object PipelineQueries {
     "q_d3_jaccard_pairs" -> d3Oracle,
     "q_d16_containment" -> d16Oracle,
     "q_d17_corpus_overlap" -> d17Oracle,
+    "q_d18_lsh_recall" -> d18Oracle,
     "q_t1_quality" -> t1Oracle,
     "q_t2_langid" -> t2Oracle,
     "q_t3_top_tokens" -> t3Oracle,
@@ -4477,6 +4636,7 @@ object PipelineQueries {
     "q_s22_random_projection" -> s22Oracle,
     "q_s23_binary_quant" -> s23Oracle,
     "q_s24_embedding_diagnostics" -> s24Oracle,
+    "q_s25_ivf_recall" -> s25Oracle,
     "q_s2_cosine_pairs" -> s2Oracle,
     "q_d4_minhash_neardup" -> d4Oracle,
     "q_d5_simhash_neardup" -> d5Oracle,

@@ -422,4 +422,32 @@ class DedupSpec extends SparkSpec {
     val r = Dedup.corpusOverlap(docs, "source", "text", w = 2).collect()(0)
     assert((r.getLong(2), r.getLong(3)) == ((1L, 3L))) // {a b}; {a b,b c,b z}
   }
+
+  test("LSH recall audit tiers: identical clone is certain; prefix clone " +
+    "jaccard is exactly (k-2)/(n-2)") {
+    // the q_d18 plant scheme: a clone (every band collides — recall 1 by
+    // pigeonhole, not probability) and a 3n/5+1-token prefix whose shingle
+    // set is a strict subset, so exact Jaccard is (k-2)/(n-2) ~ 0.6 —
+    // above the tau = 0.5 truth cut but mid s-curve for 16x4 banding.
+    val n = 20
+    val k = n * 3 / 5 + 1 // 13
+    val full = (1 to n).map(i => s"w$i").mkString(" ")
+    val prefix = (1 to k).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, full, "s"), (2L, full, "s"), (3L, prefix, "s"))
+      .toDF("doc_id", "text", "source")
+    val truth = Dedup.ngramJaccardPairs(d, "doc_id", "text", "source",
+        w = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    assert(truth((1L, 2L)) == 1.0)
+    val expect = BigDecimal((k - 2).toDouble / (n - 2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(truth((1L, 3L)) == expect) // 11/18 rounded to 6dp
+    assert(truth((2L, 3L)) == expect)
+    // the identical pair MUST surface as an LSH candidate (equal
+    // signatures collide in every band), regardless of seed
+    val found = Dedup.minhashNearDups(d, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(found.contains((1L, 2L)))
+  }
 }

@@ -27,9 +27,13 @@ from pathlib import Path
 
 import duckdb
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
-flags = [a for a in sys.argv[3:]]
+# Positionals (sfdir, outdir, names...) and --flags may interleave: a
+# `check.py <sf> --driver-compat` invocation must NOT mistake the flag
+# for the output directory (it would dump parquet into ./--driver-compat).
+_pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+SF = _pos[0] if len(_pos) > 0 else "/root/testdata/sf0.01"
+OUT = _pos[1] if len(_pos) > 1 else "/tmp/graft_verify"
+flags = [a for a in sys.argv[1:] if a.startswith("--")] + _pos[2:]
 skip_verify = "--skip-verify" in flags
 time_oracles = "--time-oracles" in flags
 driver_compat = "--driver-compat" in flags
