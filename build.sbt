@@ -36,3 +36,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // workload genuinely needs more.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Extra forked-JVM flags for experiments (e.g. -XX:+PrintCodeCache when
+// diagnosing JIT code-cache pressure across a 245-query codegen sweep);
+// empty in normal runs.
+javaOptions ++= sys.env.get("SPARK_GRAFT_JAVA_OPTS")
+  .map(_.trim.split("\\s+").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)

@@ -444,4 +444,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(bnl >= 1 && bnl <= 6,
       s"expected the cross-provider BNLs (broadcast-side), found $bnl\n" + p)
   }
+
+  test("D18 LSH recall audit: truth and candidate sides are key-joined — " +
+      "no cartesian, no nested loop anywhere in the audit") {
+    val p = plan("q_d18_lsh_recall")
+    // truth = block-keyed shingle self-join; candidates = (band, bucket)
+    // equi-join; the final flag join is (id_a, id_b) equi. None of the
+    // three may degrade to an all-pairs shape at corpus scale.
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("S25 IVF recall audit: corpus scanned, queries broadcast — the " +
+      "truth cross join carries the k-row query side, never the corpus") {
+    val p = plan("q_s25_ivf_recall")
+    // bruteForceTopK broadcasts the 5-query side; ivfTopK broadcasts the
+    // probed (query, cell) pairs; the found-flag join is equi on
+    // (query_id, id). A shuffled corpus-side cartesian would melt.
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
