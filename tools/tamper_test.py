@@ -94,6 +94,12 @@ TARGETS = {
     # structural `complete` gate and empties the echo
     "q_s8_pq_codebook": "subspace = 0 AND code = 0 AND dim = 0",
     "q_s11_ivf_centroids": "cell = 0 AND dim = 0",
+    # set-equality guards of the recall audits: ANY deleted truth row
+    # breaks COUNT(sp) = COUNT(truth) and empties the oracle
+    "q_d18_lsh_recall":
+        "id_b - id_a = 1000000000 AND id_a = "
+        "(SELECT MIN(id_a) FROM src WHERE id_b - id_a = 1000000000)",
+    "q_s25_ivf_recall": "query_id = 0 AND rank = 1",
 }
 
 if not (SRC / "oracle_sql.json").exists():
