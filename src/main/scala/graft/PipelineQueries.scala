@@ -583,6 +583,76 @@ object PipelineQueries {
   val st10Oracle: String =
     s"""SELECT DISTINCT md5($normSql) AS fp FROM documents""".stripMargin
 
+  /** ST14: streaming per-source token-budget admission on the Spark 4
+    * `transformWithState` arbitrary-state API
+    * ([[graft.streaming.StatefulQuota]]) — the ingest-quota gate of a
+    * streaming curation pipeline: each source may contribute at most
+    * `budget` tokens; a rejected document consumes nothing, so a later
+    * smaller one can still fit (greedy admission, NOT a prefix cut).
+    * State is one long per source (`ValueState`, RocksDB-backed — the
+    * only provider transformWithState supports), so state size is
+    * O(sources) regardless of stream length. The corpus streams in two
+    * deterministic micro-batches (hash-split files, one per trigger);
+    * decisions inside a batch fold in doc_id order. The oracle replays
+    * the ENTIRE admission sequence with a recursive CTE — the greedy
+    * fold is inherently sequential, which is exactly what the operator
+    * exists to compute incrementally — so a wrong order, a rejection
+    * that consumed budget, or state lost between batches all go red.
+    */
+  private val St14Budget = 800L
+  private val St14BatchThr = Sampling.hexThreshold(0.5)
+  val st14TokenQuota: Q = (s, d) => {
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft-stream-qst14", math.abs(d.hashCode).toString)
+    if (java.nio.file.Files.exists(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+    val dir = root.resolve("in").toString
+    val docs = t(s, d, "documents").select(col("doc_id"), col("source"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val batchKey = Sampling.hashBucket(col("doc_id"), "qb")
+    docs.filter(batchKey < lit(St14BatchThr))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    docs.filter(batchKey >= lit(St14BatchThr))
+      .coalesce(1).write.mode("append").parquet(dir)
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val decided = graft.streaming.StatefulQuota.admit(
+      stream, "doc_id", "source", "n_tokens", St14Budget)
+    graft.streaming.StatefulQuota.withRocksDb(s) {
+      graft.streaming.Replay.availableNow(decided)
+    }
+  }
+  val st14Oracle: String =
+    s"""WITH RECURSIVE inp AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
+       |      AS BIGINT) AS n_tokens,
+       |    CASE WHEN substr(md5('qb:' || CAST(doc_id AS STRING)), 1, 8)
+       |         < '$St14BatchThr' THEN 0 ELSE 1 END AS batch
+       |  FROM documents),
+       |ord AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+       |    ORDER BY batch, doc_id) AS rn FROM inp),
+       |fold AS (
+       |  SELECT source, rn, doc_id, n_tokens,
+       |    (n_tokens <= $St14Budget) AS admitted,
+       |    CASE WHEN n_tokens <= $St14Budget THEN n_tokens ELSE 0 END
+       |      AS admitted_total
+       |  FROM ord WHERE rn = 1
+       |  UNION ALL
+       |  SELECT o.source, o.rn, o.doc_id, o.n_tokens,
+       |    (f.admitted_total + o.n_tokens <= $St14Budget) AS admitted,
+       |    CASE WHEN f.admitted_total + o.n_tokens <= $St14Budget
+       |         THEN f.admitted_total + o.n_tokens
+       |         ELSE f.admitted_total END AS admitted_total
+       |  FROM fold f JOIN ord o ON o.source = f.source AND o.rn = f.rn + 1)
+       |SELECT doc_id, source, n_tokens, admitted, admitted_total
+       |FROM fold""".stripMargin
+
   /** D6: the full near-dedup pipeline as a MANIFEST — MinHash pairs →
     * connected-component clusters → one row per INPUT doc with its
     * keep/drop decision and evidence ([[Dedup.dedupNearManifest]]).
@@ -4467,6 +4537,7 @@ object PipelineQueries {
     "q_d14_ppjoin" -> d14PpjoinPairs,
     "q_d15_incremental_neardup" -> d15IncrementalNearDup,
     "q_st10_stream_dedup" -> st10StreamDedup,
+    "q_st14_token_quota" -> st14TokenQuota,
     "q_t37_ccnet_buckets" -> t37CcnetBuckets,
     "q_s21_filtered_search" -> s21FilteredSearch,
     "q_m7_audio_fingerprint" -> m7AudioFingerprint,
@@ -4643,6 +4714,7 @@ object PipelineQueries {
     "q_d14_ppjoin" -> d14Oracle,
     "q_d15_incremental_neardup" -> d15Oracle,
     "q_st10_stream_dedup" -> st10Oracle,
+    "q_st14_token_quota" -> st14Oracle,
     "q_t37_ccnet_buckets" -> t37Oracle,
     "q_s21_filtered_search" -> s21Oracle,
     "q_m7_audio_fingerprint" -> m7Oracle,
