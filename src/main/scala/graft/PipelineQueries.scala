@@ -627,14 +627,14 @@ object PipelineQueries {
     }
   }
   val st14Oracle: String =
-    s"""WITH RECURSIVE inp AS (
+    s"""WITH RECURSIVE inp AS MATERIALIZED (
        |  SELECT doc_id, source,
        |    CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
        |      AS BIGINT) AS n_tokens,
        |    CASE WHEN substr(md5('qb:' || CAST(doc_id AS STRING)), 1, 8)
        |         < '$St14BatchThr' THEN 0 ELSE 1 END AS batch
        |  FROM documents),
-       |ord AS (
+       |ord AS MATERIALIZED (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
        |    ORDER BY batch, doc_id) AS rn FROM inp),
        |fold AS (
