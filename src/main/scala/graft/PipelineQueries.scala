@@ -224,7 +224,7 @@ object PipelineQueries {
         coalesce(col("_hit"), lit(false)).as("lsh_found"))
   }
   val d18Oracle: String =
-    s"""WITH base AS (
+    s"""WITH base AS MATERIALIZED (
        |  SELECT doc_id, source, text, $wordsSql AS w FROM documents
        |  WHERE substr(md5('d18:' || CAST(doc_id AS STRING)), 1, 8) < '$D18Thr'),
        |el AS (
@@ -236,7 +236,7 @@ object PipelineQueries {
        |  UNION ALL SELECT doc_id + 1000000000, source, text FROM el
        |  UNION ALL SELECT doc_id + 2000000000, source,
        |    array_to_string(w[1:((len(w) * 3) // 5 + 1)], ' ') FROM el),
-       |t AS (
+       |t AS MATERIALIZED (
        |  SELECT doc_id, source,
        |    list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
