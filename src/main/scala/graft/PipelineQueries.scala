@@ -653,6 +653,62 @@ object PipelineQueries {
        |SELECT doc_id, source, n_tokens, admitted, admitted_total
        |FROM fold""".stripMargin
 
+  /** ST15: streaming per-key lag features on `ListState`
+    * ([[graft.streaming.StatefulLag]]) — the online feature-store
+    * primitive: for every arriving event, the user's previous ≤3 values
+    * (oldest-first), state hard-bounded at 3 longs per key regardless of
+    * stream length. Same two-deterministic-micro-batch staging as ST14;
+    * values ride as floor-milli longs so the carried string is exact
+    * cross-engine. Unlike ST14's inherently-sequential quota fold, the
+    * lag contract IS a window — so the oracle replays it relationally as
+    * `ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING` over `(batch, event_id)`
+    * order: a wrong fold order, a leaked cross-key value, or a buffer
+    * that forgot to trim all shift some row's `prev` string and fail the
+    * hash compare.
+    */
+  private val St15BatchThr = Sampling.hexThreshold(0.5)
+  val st15LagFeatures: Q = (s, d) => {
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft-stream-qst15", math.abs(d.hashCode).toString)
+    if (java.nio.file.Files.exists(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+    val dir = root.resolve("in").toString
+    val ev = t(s, d, "events").select(col("event_id"), col("user_id"),
+      floor(col("value") * lit(1000)).cast("long").as("vmilli"))
+    val batchKey = Sampling.hashBucket(col("event_id"), "lb")
+    ev.filter(batchKey < lit(St15BatchThr))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    ev.filter(batchKey >= lit(St15BatchThr))
+      .coalesce(1).write.mode("append").parquet(dir)
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val lagged = graft.streaming.StatefulLag.lastK(
+      stream, "event_id", "user_id", "vmilli", k = 3)
+    graft.streaming.StatefulQuota.withRocksDb(s) {
+      graft.streaming.Replay.availableNow(lagged)
+    }
+  }
+  val st15Oracle: String =
+    s"""WITH inp AS MATERIALIZED (
+       |  SELECT event_id, user_id,
+       |    CAST(FLOOR(value * 1000) AS BIGINT) AS vmilli,
+       |    CASE WHEN substr(md5('lb:' || CAST(event_id AS STRING)), 1, 8)
+       |         < '$St15BatchThr' THEN 0 ELSE 1 END AS batch
+       |  FROM events),
+       |w AS (
+       |  SELECT event_id, user_id, vmilli,
+       |    list(vmilli) OVER (PARTITION BY user_id ORDER BY batch, event_id
+       |      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS pl
+       |  FROM inp)
+       |SELECT event_id, user_id, vmilli,
+       |  CAST(COALESCE(len(pl), 0) AS BIGINT) AS n_prev,
+       |  COALESCE(array_to_string(pl, ','), '') AS prev
+       |FROM w""".stripMargin
+
   /** D6: the full near-dedup pipeline as a MANIFEST — MinHash pairs →
     * connected-component clusters → one row per INPUT doc with its
     * keep/drop decision and evidence ([[Dedup.dedupNearManifest]]).
@@ -4538,6 +4594,7 @@ object PipelineQueries {
     "q_d15_incremental_neardup" -> d15IncrementalNearDup,
     "q_st10_stream_dedup" -> st10StreamDedup,
     "q_st14_token_quota" -> st14TokenQuota,
+    "q_st15_lag_features" -> st15LagFeatures,
     "q_t37_ccnet_buckets" -> t37CcnetBuckets,
     "q_s21_filtered_search" -> s21FilteredSearch,
     "q_m7_audio_fingerprint" -> m7AudioFingerprint,
@@ -4715,6 +4772,7 @@ object PipelineQueries {
     "q_d15_incremental_neardup" -> d15Oracle,
     "q_st10_stream_dedup" -> st10Oracle,
     "q_st14_token_quota" -> st14Oracle,
+    "q_st15_lag_features" -> st15Oracle,
     "q_t37_ccnet_buckets" -> t37Oracle,
     "q_s21_filtered_search" -> s21Oracle,
     "q_m7_audio_fingerprint" -> m7Oracle,
