@@ -709,6 +709,56 @@ object PipelineQueries {
        |  COALESCE(array_to_string(pl, ','), '') AS prev
        |FROM w""".stripMargin
 
+  /** ST16: streaming per-(user, event_type) running counters on
+    * `MapState` ([[graft.streaming.StatefulCounts]]) — the third typed
+    * state handle of the transformWithState trio (ST14 = ValueState,
+    * ST15 = ListState): for each arriving event, how many prior events
+    * of the same (user, type) the stream has seen — the online
+    * visit-count / session-depth feature. State per user is one long
+    * per event type actually seen (bounded by type cardinality, never
+    * stream length). Same staging as ST14/ST15; the oracle replays the
+    * count relationally as an unbounded-preceding window over
+    * `(batch, event_id)` order.
+    */
+  private val St16BatchThr = Sampling.hexThreshold(0.5)
+  val st16RunningCounts: Q = (s, d) => {
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft-stream-qst16", math.abs(d.hashCode).toString)
+    if (java.nio.file.Files.exists(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+    val dir = root.resolve("in").toString
+    val ev = t(s, d, "events").select(col("event_id"), col("user_id"),
+      col("event_type"))
+    val batchKey = Sampling.hashBucket(col("event_id"), "cb")
+    ev.filter(batchKey < lit(St16BatchThr))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    ev.filter(batchKey >= lit(St16BatchThr))
+      .coalesce(1).write.mode("append").parquet(dir)
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val counted = graft.streaming.StatefulCounts.runningCounts(
+      stream, "event_id", "user_id", "event_type")
+    graft.streaming.StatefulQuota.withRocksDb(s) {
+      graft.streaming.Replay.availableNow(counted)
+    }
+  }
+  val st16Oracle: String =
+    s"""WITH inp AS MATERIALIZED (
+       |  SELECT event_id, user_id, event_type AS category,
+       |    CASE WHEN substr(md5('cb:' || CAST(event_id AS STRING)), 1, 8)
+       |         < '$St16BatchThr' THEN 0 ELSE 1 END AS batch
+       |  FROM events)
+       |SELECT event_id, user_id, category,
+       |  CAST(COUNT(*) OVER (PARTITION BY user_id, category
+       |    ORDER BY batch, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT)
+       |    AS seen_before
+       |FROM inp""".stripMargin
+
   /** D6: the full near-dedup pipeline as a MANIFEST — MinHash pairs →
     * connected-component clusters → one row per INPUT doc with its
     * keep/drop decision and evidence ([[Dedup.dedupNearManifest]]).
@@ -4595,6 +4645,7 @@ object PipelineQueries {
     "q_st10_stream_dedup" -> st10StreamDedup,
     "q_st14_token_quota" -> st14TokenQuota,
     "q_st15_lag_features" -> st15LagFeatures,
+    "q_st16_running_counts" -> st16RunningCounts,
     "q_t37_ccnet_buckets" -> t37CcnetBuckets,
     "q_s21_filtered_search" -> s21FilteredSearch,
     "q_m7_audio_fingerprint" -> m7AudioFingerprint,
@@ -4773,6 +4824,7 @@ object PipelineQueries {
     "q_st10_stream_dedup" -> st10Oracle,
     "q_st14_token_quota" -> st14Oracle,
     "q_st15_lag_features" -> st15Oracle,
+    "q_st16_running_counts" -> st16Oracle,
     "q_t37_ccnet_buckets" -> t37Oracle,
     "q_s21_filtered_search" -> s21Oracle,
     "q_m7_audio_fingerprint" -> m7Oracle,
