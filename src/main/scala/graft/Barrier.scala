@@ -9,7 +9,8 @@ import org.apache.spark.storage.StorageLevel
   * per element) and per-round plans stay O(1). The CUT is a semantic
   * necessity; HOW the cut frame is stored is an operational policy:
   *
-  *  - `graft.barrier=local` (default): eager `localCheckpoint` —
+  *  - `graft.barrier=local` (default on local[*] masters): eager
+  *    `localCheckpoint` —
   *    unreplicated executor-local blocks, zero write amplification, the
   *    right call for single-host and short-lived jobs. But lineage is
   *    truncated, so a lost block (executor death, external memory
@@ -27,6 +28,15 @@ import org.apache.spark.storage.StorageLevel
   * Set the policy per session: `spark.conf.set("graft.barrier",
   * "reliable")`. Every operator site routes through [[BarrierOps.barrier]],
   * so one config flips the whole engine.
+  *
+  * DEFAULT RESOLUTION (safe-by-default): when neither the session conf
+  * nor `GRAFT_BARRIER` sets a policy, the default is `local` on a
+  * local master (`sparkContext.isLocal` — single JVM, executor death
+  * kills the driver too, so localCheckpoint's failure mode adds no new
+  * risk and avoids write amplification) and `reliable` on a real
+  * cluster (executor loss is routine there; a 1000-executor job that
+  * loses one container must recompute, not die). An explicit conf or
+  * env value always wins over the master-based default.
   */
 object Barrier {
 
@@ -37,9 +47,17 @@ object Barrier {
     * through `-D` system properties the way `spark.*` keys do).
     */
   def policy(ds: Dataset[_]): String =
-    ds.sparkSession.conf.getOption(ConfKey)
-      .orElse(sys.env.get("GRAFT_BARRIER"))
-      .getOrElse("local")
+    resolve(
+      ds.sparkSession.conf.getOption(ConfKey),
+      sys.env.get("GRAFT_BARRIER"),
+      ds.sparkSession.sparkContext.isLocal)
+
+  /** Pure resolution matrix (pinned by BarrierSpec): explicit session
+    * conf > environment fallback > master-based default (`local` on a
+    * local master, `reliable` on a cluster).
+    */
+  def resolve(conf: Option[String], env: Option[String], isLocal: Boolean): String =
+    conf.orElse(env).getOrElse(if (isLocal) "local" else "reliable")
 
   /** Cut lineage (or durably pin) `ds` according to the session policy.
     * `eager` mirrors `localCheckpoint(eager)`: materialize now vs at

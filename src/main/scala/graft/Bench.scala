@@ -4,8 +4,9 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 
 /** Driver-run benchmark: every registered query on SPARK_GRAFT_SF_DIR,
   * one JSON line on stdout. Each query runs twice and reports the faster
-  * run (JIT/page-cache warm-up; BASELINE.md's methodology is
-  * median-of-5 — min-of-2 is the cheap approximation). Iterative
+  * run (JIT/page-cache warm-up; BASELINE.md's corrected methodology is
+  * min-of-N plus a CPU probe for contention normalization — min-of-2/3
+  * here is the cheap in-loop approximation of the same idea). Iterative
   * driver-loop queries (graph BFS/CC, SimHash, near-dedup) whose best
   * time still exceeds 1 s get a third run: their many short sequential
   * jobs make them the most scheduler-noise-sensitive family (BENCH_r03

@@ -26,6 +26,60 @@ object PipelineQueries {
     spark.table(name)
   }
 
+  /** Staging root for cross-engine replay fixtures, keyed on the md5 of
+    * the FULL dataset path — not `String.hashCode`, whose 32-bit space
+    * collides across paths (and `abs(Int.MinValue)` is negative), so two
+    * concurrent runs over different SFs could delete each other's
+    * in-flight input. Always wiped before reuse.
+    */
+  private def stagingRoot(tag: String, d: String): java.nio.file.Path = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), tag, key)
+    if (java.nio.file.Files.exists(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+    root
+  }
+
+  private def listParts(dir: java.nio.file.Path): Set[java.nio.file.Path] = {
+    val walk = java.nio.file.Files.walk(dir)
+    try {
+      val out = Set.newBuilder[java.nio.file.Path]
+      walk.filter(p => p.toString.endsWith(".parquet")
+          && java.nio.file.Files.isRegularFile(p))
+        .forEach(p => out += p)
+      out.result()
+    } finally walk.close()
+  }
+
+  /** Stage a deterministic two-micro-batch FileStreamSource input:
+    * batch0 as an overwrite write, batch1 as an append, then FORCE
+    * batch1's part files to strictly later mtimes than batch0's.
+    * FileStreamSource orders files by modification time; two
+    * sub-millisecond parquet writes can land on the same mtime, making
+    * the trigger order — and with it the oracle's `(batch, id)` replay —
+    * undefined (flaky red, not silent corruption). Returns the input dir.
+    */
+  private def stageTwoBatches(tag: String, d: String,
+      batch0: DataFrame, batch1: DataFrame): String = {
+    val dir = stagingRoot(tag, d).resolve("in")
+    batch0.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val firstParts = listParts(dir)
+    batch1.coalesce(1).write.mode("append").parquet(dir.toString)
+    val maxFirst = firstParts
+      .map(f => java.nio.file.Files.getLastModifiedTime(f).toMillis).max
+    (listParts(dir) -- firstParts).foreach { f =>
+      if (java.nio.file.Files.getLastModifiedTime(f).toMillis <= maxFirst)
+        java.nio.file.Files.setLastModifiedTime(f,
+          java.nio.file.attribute.FileTime.fromMillis(maxFirst + 2000L))
+    }
+    dir.toString
+  }
+
   /** Shared DuckDB fragments: normalized text and its word list. */
   private val normSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
@@ -253,7 +307,15 @@ object PipelineQueries {
        |  WHERE jaccard >= 0.5),
        |sp AS (SELECT id_a, id_b, lsh_found
        |       FROM '__SPARK_OUT__/q_d18_lsh_recall/*.parquet'),
+       |-- flag floor: identical-clone plants (id_b = id_a + 1e9, Jaccard
+       |-- 1.0) have identical minhash signatures, so the banded join MUST
+       |-- surface them regardless of seed — a flag-join regression that
+       |-- marks everything false cannot pass silently
        |ok AS (SELECT (SELECT COUNT(*) FROM sp) = (SELECT COUNT(*) FROM tr)
+       |         AND NOT EXISTS (SELECT 1 FROM sp
+       |                         WHERE id_a < 1000000000
+       |                           AND id_b = id_a + 1000000000
+       |                           AND NOT lsh_found)
        |         AS complete)
        |SELECT tr.source, tr.id_a, tr.id_b, tr.jaccard, sp.lsh_found
        |FROM tr JOIN sp USING (id_a, id_b)
@@ -477,14 +539,7 @@ object PipelineQueries {
     * candidate certain ⇒ exact 1.0).
     */
   val d15IncrementalNearDup: Q = (s, d) => {
-    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      "graft-snap-qd15", math.abs(d.hashCode).toString)
-    if (java.nio.file.Files.exists(root)) {
-      val walk = java.nio.file.Files.walk(root)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
-    }
+    val root = stagingRoot("graft-snap-qd15", d)
     val store = new graft.catalog.SnapshotTableStore(root.toString)
     val docs = t(s, d, "documents")
     val histThr = Sampling.hexThreshold(0.8)
@@ -559,21 +614,12 @@ object PipelineQueries {
     * emits extra rows and goes red on row count.
     */
   val st10StreamDedup: Q = (s, d) => {
-    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      "graft-stream-qst10", math.abs(d.hashCode).toString)
-    if (java.nio.file.Files.exists(root)) {
-      val walk = java.nio.file.Files.walk(root)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
-    }
-    val dir = root.resolve("in").toString
     val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-    docs.coalesce(1).write.mode("overwrite").parquet(dir)
-    docs.filter(Sampling.hashBucket(col("doc_id"), "replant")
-        < lit(Sampling.hexThreshold(0.05)))
-      .withColumn("doc_id", col("doc_id") + lit(PlantOffset))
-      .coalesce(1).write.mode("append").parquet(dir)
+    val dir = stageTwoBatches("graft-stream-qst10", d,
+      docs,
+      docs.filter(Sampling.hashBucket(col("doc_id"), "replant")
+          < lit(Sampling.hexThreshold(0.05)))
+        .withColumn("doc_id", col("doc_id") + lit(PlantOffset)))
     val stream = s.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", 1).parquet(dir)
     val kept = graft.streaming.StreamingDedup.exact(stream, "text")
@@ -602,22 +648,12 @@ object PipelineQueries {
   private val St14Budget = 800L
   private val St14BatchThr = Sampling.hexThreshold(0.5)
   val st14TokenQuota: Q = (s, d) => {
-    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      "graft-stream-qst14", math.abs(d.hashCode).toString)
-    if (java.nio.file.Files.exists(root)) {
-      val walk = java.nio.file.Files.walk(root)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
-    }
-    val dir = root.resolve("in").toString
     val docs = t(s, d, "documents").select(col("doc_id"), col("source"),
       TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
     val batchKey = Sampling.hashBucket(col("doc_id"), "qb")
-    docs.filter(batchKey < lit(St14BatchThr))
-      .coalesce(1).write.mode("overwrite").parquet(dir)
-    docs.filter(batchKey >= lit(St14BatchThr))
-      .coalesce(1).write.mode("append").parquet(dir)
+    val dir = stageTwoBatches("graft-stream-qst14", d,
+      docs.filter(batchKey < lit(St14BatchThr)),
+      docs.filter(batchKey >= lit(St14BatchThr)))
     val stream = s.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", 1).parquet(dir)
     val decided = graft.streaming.StatefulQuota.admit(
@@ -668,22 +704,12 @@ object PipelineQueries {
     */
   private val St15BatchThr = Sampling.hexThreshold(0.5)
   val st15LagFeatures: Q = (s, d) => {
-    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      "graft-stream-qst15", math.abs(d.hashCode).toString)
-    if (java.nio.file.Files.exists(root)) {
-      val walk = java.nio.file.Files.walk(root)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
-    }
-    val dir = root.resolve("in").toString
     val ev = t(s, d, "events").select(col("event_id"), col("user_id"),
       floor(col("value") * lit(1000)).cast("long").as("vmilli"))
     val batchKey = Sampling.hashBucket(col("event_id"), "lb")
-    ev.filter(batchKey < lit(St15BatchThr))
-      .coalesce(1).write.mode("overwrite").parquet(dir)
-    ev.filter(batchKey >= lit(St15BatchThr))
-      .coalesce(1).write.mode("append").parquet(dir)
+    val dir = stageTwoBatches("graft-stream-qst15", d,
+      ev.filter(batchKey < lit(St15BatchThr)),
+      ev.filter(batchKey >= lit(St15BatchThr)))
     val stream = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 1).parquet(dir)
     val lagged = graft.streaming.StatefulLag.lastK(
@@ -722,22 +748,12 @@ object PipelineQueries {
     */
   private val St16BatchThr = Sampling.hexThreshold(0.5)
   val st16RunningCounts: Q = (s, d) => {
-    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      "graft-stream-qst16", math.abs(d.hashCode).toString)
-    if (java.nio.file.Files.exists(root)) {
-      val walk = java.nio.file.Files.walk(root)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
-    }
-    val dir = root.resolve("in").toString
     val ev = t(s, d, "events").select(col("event_id"), col("user_id"),
       col("event_type"))
     val batchKey = Sampling.hashBucket(col("event_id"), "cb")
-    ev.filter(batchKey < lit(St16BatchThr))
-      .coalesce(1).write.mode("overwrite").parquet(dir)
-    ev.filter(batchKey >= lit(St16BatchThr))
-      .coalesce(1).write.mode("append").parquet(dir)
+    val dir = stageTwoBatches("graft-stream-qst16", d,
+      ev.filter(batchKey < lit(St16BatchThr)),
+      ev.filter(batchKey >= lit(St16BatchThr)))
     val stream = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 1).parquet(dir)
     val counted = graft.streaming.StatefulCounts.runningCounts(
@@ -3485,7 +3501,14 @@ object PipelineQueries {
       |    FROM sc) z WHERE rank <= 10),
       |sp AS (SELECT query_id, id, ivf_found
       |       FROM '__SPARK_OUT__/q_s25_ivf_recall/*.parquet'),
+      |-- flag floor: each query vector IS a corpus row (id = query_id,
+      |-- cosine 1.0, rank 1); its assigned cell is by definition the
+      |-- query's nearest centroid, i.e. the FIRST probed cell at any
+      |-- nProbe >= 1, so the probe must return it regardless of the
+      |-- Lloyd seed — an all-false flag join cannot pass silently
       |ok AS (SELECT (SELECT COUNT(*) FROM sp) = (SELECT COUNT(*) FROM tr)
+      |         AND NOT EXISTS (SELECT 1 FROM sp
+      |                         WHERE id = query_id AND NOT ivf_found)
       |         AS complete)
       |SELECT tr.query_id, tr.rank, tr.id, tr.cosine_sim, sp.ivf_found
       |FROM tr JOIN sp ON sp.query_id = tr.query_id AND sp.id = tr.id

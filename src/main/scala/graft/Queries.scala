@@ -5064,6 +5064,70 @@ object Queries {
       |  MAX(service || '-' || region || '-' || CAST(i AS STRING)) AS max_name
       |FROM res GROUP BY 1, 2""".stripMargin
 
+  // In-process AWS-JSON-protocol endpoint for q_k4, started lazily per
+  // JVM on an ephemeral port (the q_k3 PluginEndpoint pattern over HTTP).
+  private object AwsEndpoint {
+    lazy val port: Int = {
+      val srv = new graft.sources.FakeAwsEndpoint(
+        Seq("ec2", "s3"), Seq("us-east-1", "eu-west-1"), n = 120)
+      val p = srv.start()
+      Runtime.getRuntime.addShutdownHook(new Thread(() => srv.stop()))
+      p
+    }
+  }
+
+  /** K4: the AWS-shaped REST scan end to end
+    * ([[graft.sources.RestScanner.awsScan]]) — the reference's AWS
+    * discovery fan-out (pipeline.go:230-368 ScanServices per (service,
+    * region); scanner_registry.go:135-189 list-then-describe enrichment)
+    * over the real HTTP transport against a deterministic loopback
+    * endpoint: (service × region) tasks partition across executors, each
+    * paging its `NextToken`-chained List call and then describing every
+    * ref; the query aggregates the enriched payload facts per slice.
+    * With q_k1 (Azure Resource Graph) and q_k3 (gRPC plugin seam + GCP
+    * protocol) this makes the three clouds symmetric. The oracle replays
+    * the endpoint's closed-form synthesis relationally — a dropped page,
+    * a skipped describe, or a corrupted field shifts a count and turns
+    * the driver red. The cloud SDK credential is the ONLY fake part.
+    */
+  val k4AwsScan: Q = (s, _) => {
+    import graft.sources.RestScanner
+    val actions = Seq("ec2", "s3").map(svc => RestScanner.AwsAction(
+      service = svc,
+      listTarget = s"Graft$svc.List",
+      describeTarget = Some(s"Graft$svc.Describe"),
+      pageSize = 50))
+    val scanned = RestScanner.awsScan(s,
+      s"http://127.0.0.1:${AwsEndpoint.port}/{region}",
+      RestScanner.StaticToken("tok-aws"), actions,
+      Seq("us-east-1", "eu-west-1"))
+    scanned.groupBy("service", "region").agg(
+      count(lit(1)).as("n_resources"),
+      sum(when(col("State") === "running", 1L).otherwise(0L))
+        .as("n_running"),
+      sum(when(col("Encrypted"), 1L).otherwise(0L)).as("n_encrypted"),
+      sum(when(col("Tags.Environment") === "Production", 1L).otherwise(0L))
+        .as("n_production"),
+      sum(col("SizeGb")).as("sum_size_gb"),
+      min("Id").as("min_id"), max("Id").as("max_id"))
+  }
+  val k4Oracle =
+    """WITH svc(service) AS (VALUES ('ec2'), ('s3')),
+      |reg(region) AS (VALUES ('us-east-1'), ('eu-west-1')),
+      |idx AS (SELECT UNNEST(range(0, 120)) AS i),
+      |res AS (SELECT service, region, i FROM svc, reg, idx)
+      |SELECT service, region, COUNT(*) AS n_resources,
+      |  CAST(SUM(CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_running,
+      |  CAST(SUM(CASE WHEN i % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_encrypted,
+      |  CAST(SUM(CASE WHEN i % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_production,
+      |  CAST(SUM((i * 7) % 500) AS BIGINT) AS sum_size_gb,
+      |  MIN(service || '-' || region || '-' || CAST(i AS STRING)) AS min_id,
+      |  MAX(service || '-' || region || '-' || CAST(i AS STRING)) AS max_id
+      |FROM res GROUP BY 1, 2""".stripMargin
+
   /** E10+S6: scan aggregation over the unified cross-provider view
     * (multi_region_scanner.go:260-360 merge + unified_schema.go:432-480
     * `all_cloud_resources`/`resource_counts_by_provider`), fed by a REAL
@@ -5284,6 +5348,7 @@ object Queries {
     "q_k1_kql_pipeline" -> k1KqlPipeline,
     "q_k2_kql_leftouter" -> k2KqlLeftouter,
     "q_k3_plugin_scan" -> k3PluginScan,
+    "q_k4_aws_scan" -> k4AwsScan,
     "q_e10_scan_rollup" -> e10ScanRollup,
     "q_e14_retention" -> e14Retention,
     "q_st3_watch_upsert" -> st3WatchUpsert,
@@ -5491,6 +5556,7 @@ object Queries {
     "q_k1_kql_pipeline" -> k1Oracle,
     "q_k2_kql_leftouter" -> k2Oracle,
     "q_k3_plugin_scan" -> k3Oracle,
+    "q_k4_aws_scan" -> k4Oracle,
     "q_e10_scan_rollup" -> e10Oracle,
     "q_e14_retention" -> e14Oracle,
     "q_st3_watch_upsert" -> st3Oracle)

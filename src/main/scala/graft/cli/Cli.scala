@@ -101,6 +101,7 @@ object Cli {
       |  info     [--plugin host:port]            provider info
       |  list     --service s --region r [--plugin host:port]
       |  describe --service s --region r --id id [--plugin host:port]
+      |  explain  --name q_x | --sql SQL          formatted plan + plan facts
       |  schemas  --table t [--json-col raw_data] [--sample N]
       |  serve    [--grpc] [--port N]             remote query API
       |  repl     interactive shell: one SQL per line; exit/quit leaves
@@ -110,7 +111,7 @@ object Cli {
   val Version = "graft 1.0.0"
 
   private val SubCommands = Set("scan", "discover", "info", "list",
-    "describe", "schemas", "serve", "version", "list-packs")
+    "describe", "schemas", "serve", "version", "list-packs", "explain")
 
   /** Subcommand router (main.go:85-118's command switch). The scan-side
     * commands route through the [[graft.sources.ScannerProvider]] seam —
@@ -119,8 +120,8 @@ object Cli {
     * stand-in). `serve` starts the remote query API; `blockServe = false`
     * (spec mode) returns immediately after binding.
     */
-  private def runSub(spark: SparkSession, sub: String, rest: List[String],
-      blockServe: Boolean): (String, Int) = {
+  private def runSub(spark: SparkSession, sfDir: String, sub: String,
+      rest: List[String], blockServe: Boolean): (String, Int) = {
     def flag(name: String): Option[String] = {
       val i = rest.indexOf(s"--$name")
       if (i >= 0 && i + 1 < rest.size) Some(rest(i + 1)) else None
@@ -284,6 +285,28 @@ object Cli {
               fake.describeResource(r)), 0)
           }
         }
+      case "explain" =>
+        // E3's dry-run surfaced as a user command: the formatted physical
+        // plan PLUS the plan-fact summary PlanQualitySpec pins (pushdown /
+        // broadcast / cartesian / codegen), so a user can see the same
+        // scale guards the driver queries assert. `--name` explains a
+        // registered driver query (building its frame may run the
+        // driver-loop stages of iterative operators); `--sql` explains
+        // guarded ad-hoc SQL without executing it.
+        val df = flag("name") match {
+          case Some(n) => graft.SparkEntry.queries.get(n) match {
+            case Some(fn) => fn(spark, sfDir)
+            case None => return (s"Error: unknown driver query '$n' " +
+              s"(${graft.SparkEntry.queries.size} registered — " +
+              "see SparkEntry.queries)", 1)
+          }
+          case None => flag("sql") match {
+            case Some(q) => QueryEngine.frame(spark, q)
+            case None =>
+              return ("explain needs --name <driver query> or --sql SQL", 2)
+          }
+        }
+        (QueryEngine.explain(df) + "\n" + planFactsText(df), 0)
       case "schemas" =>
         val table = need("table")
         val jsonCol = flag("json-col").getOrElse("raw_data")
@@ -362,7 +385,7 @@ object Cli {
       }
     if (argv.size >= 2 && SubCommands.contains(argv(1))) {
       Tables.register(spark, argv.head)
-      try runSub(spark, argv(1), argv.drop(2).toList, blockServe)
+      try runSub(spark, argv.head, argv(1), argv.drop(2).toList, blockServe)
       catch { case scala.util.control.NonFatal(e) =>
         (s"Error: ${Option(e.getMessage).getOrElse(e.toString)}", 1)
       }
@@ -414,8 +437,23 @@ object Cli {
     }
   }
 
+  private def planFactsText(df: org.apache.spark.sql.DataFrame): String =
+    "== Plan Facts ==\n" + QueryEngine.planFacts(df)
+      .map { case (k, v) => s"$k = $v" }.mkString("\n")
+
+  private val ExplainRe = "(?is)^\\s*explain\\s+(.*)$".r
+
   private def runSql(spark: SparkSession, sql: String, args: CliArgs): String = {
     graft.functions.JsonMacros.register(spark)
+    sql match {
+      // EXPLAIN can't ride through the guarded executor (ExplainCommand
+      // is a Command, which the plan-class guard rejects) — strip the
+      // keyword, build the inner frame unexecuted, format plan + facts
+      case ExplainRe(inner) =>
+        val df = QueryEngine.frame(spark, inner, args.params)
+        return QueryEngine.explain(df) + "\n" + planFactsText(df)
+      case _ => ()
+    }
     val res = QueryEngine.executeParameterized(spark, sql, args.params)
     val cols = res.columns.map(_.name)
     val body = args.output match {

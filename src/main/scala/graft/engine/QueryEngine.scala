@@ -59,6 +59,71 @@ object QueryEngine {
     df.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
 
+  /** Build the validated, parameter-bound DataFrame WITHOUT executing it
+    * — the `EXPLAIN <sql>` path. Raw `EXPLAIN` can't ride through
+    * [[execute]]: the statement-class guard rejects `ExplainCommand`
+    * (it's a Command), so the CLI strips the keyword and formats the
+    * inner query's plan itself.
+    */
+  def frame(spark: SparkSession, sql: String,
+      params: Map[String, Any] = Map.empty): DataFrame = {
+    val needsTextual = params.values.exists {
+      case _: Seq[_] | _: Array[_] => true
+      case _ => false
+    }
+    if (params.isEmpty || needsTextual) {
+      val bound = if (params.isEmpty) sql
+        else bindParams(sql, params, escapedLiterals(spark))
+      validate(spark, bound) match {
+        case Left(err) => throw err
+        case Right(()) => spark.sql(bound)
+      }
+    } else validate(spark, sql) match {
+      case Left(err) => throw err
+      case Right(()) => spark.sql(sql, params)
+    }
+  }
+
+  /** The plan-level facts PlanQualitySpec pins — filter pushdown reaching
+    * the scan, join strategies, shuffle/broadcast exchanges, codegen —
+    * extracted from the formatted plan so the CLI's `explain` shows a
+    * user exactly what the engine's scale guards assert. Node counts
+    * come from the plan TREE (each operator appears once there; the
+    * details section would double-count); the pushed-filter count reads
+    * the details, where `PushedFilters:` lives.
+    */
+  def planFacts(df: DataFrame): Seq[(String, String)] = {
+    val p = explain(df)
+    val tree = p.linesIterator
+      .takeWhile(l => !l.trim.startsWith("(")).mkString("\n")
+    def occ(tok: String): Int = {
+      var i = 0; var c = 0
+      while ({ i = tree.indexOf(tok, i); i >= 0 }) { c += 1; i += tok.length }
+      c
+    }
+    val pushed = p.linesIterator.map(_.trim)
+      .filter(_.startsWith("PushedFilters:"))
+      .count(l => !l.replace(" ", "").contains("PushedFilters:[]"))
+    Seq(
+      "parquet_scans" -> occ("Scan parquet").toString,
+      "scans_with_pushed_filters" -> pushed.toString,
+      "broadcast_hash_joins" -> occ("BroadcastHashJoin").toString,
+      "sort_merge_joins" -> occ("SortMergeJoin").toString,
+      "shuffled_hash_joins" -> occ("ShuffledHashJoin").toString,
+      "broadcast_nested_loop_joins" ->
+        occ("BroadcastNestedLoopJoin").toString,
+      "cartesian_products" -> occ("CartesianProduct").toString,
+      "shuffle_exchanges" ->
+        (occ("Exchange") - occ("BroadcastExchange")
+          - occ("ReusedExchange")).toString,
+      "broadcast_exchanges" -> occ("BroadcastExchange").toString,
+      "take_ordered_and_project" -> occ("TakeOrderedAndProject").toString,
+      // FormattedMode marks operators inside a WholeStageCodegen span
+      // with a leading `*` in the tree
+      "codegen_operators" ->
+        tree.linesIterator.count(_.contains("* ")).toString)
+  }
+
   /** Named-parameter substitution `:name` → literal, with IN-list expansion
     * for Seq values (engine.go:441-456 + compliance/executor.go:397-436).
     * String literals are SQL-escaped; Seq[..] becomes `(a, b, c)`.

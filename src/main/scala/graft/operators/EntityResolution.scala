@@ -66,17 +66,44 @@ object EntityResolution {
     * one shuffle on the composite blocking key, then a pair-level
     * distinct. Requires a numeric id (the `<` ordering and downstream
     * min-label clustering rely on it).
+    *
+    * Fan-out control, cheap-to-expensive:
+    *
+    *  - (rid, key) rows are DEDUPED before the self-join. Deleting
+    *    different characters of a run (the zeros of `Customer#000000012`)
+    *    yields the same key, so a record can emit one key many times —
+    *    and k copies on both sides turn one logical pair into k² joined
+    *    rows that the pair-level distinct then collapses. The dedupe is
+    *    exactness-preserving (the pigeonhole guarantee needs each key
+    *    once) and shrinks the hot groups quadratically.
+    *  - `maxKeyGroup` (default unlimited) is the SymSpell hot-key
+    *    frequency cutoff: a blocking key shared by more than this many
+    *    records is dropped ENTIRELY before pairing. This is a RECALL
+    *    trade — a pair whose only shared key is dropped is lost — for a
+    *    hard cap on the per-key quadratic term; production corpora with
+    *    adversarial low-entropy names (empty strings, "test", …) need it,
+    *    exact-recall runs leave it off. The frequency count is one thin
+    *    partial-agg over (key) — no extra pass when unlimited.
     */
   def candidatePairs(df: DataFrame, idCol: String, nameCol: String,
-      blockCols: Seq[String], delFrom: Int, delTo: Int): DataFrame = {
+      blockCols: Seq[String], delFrom: Int, delTo: Int,
+      maxKeyGroup: Int = Int.MaxValue): DataFrame = {
     require(df.schema(idCol).dataType.isInstanceOf[
         org.apache.spark.sql.types.NumericType],
       s"$idCol must be numeric for ordered pairing")
-    val keyed = deletionKeys(df, idCol, nameCol, blockCols, delFrom, delTo)
+    require(maxKeyGroup >= 2, s"maxKeyGroup must be >= 2, got $maxKeyGroup")
+    val keyed0 = deletionKeys(df, idCol, nameCol, blockCols, delFrom, delTo)
       .withColumn("_bk",
         concat_ws("\u0001", (col("_k") +: blockCols.map(c =>
           col(c).cast("string"))): _*))
-      .select("_rid", "_bk")
+      .select("_rid", "_bk").distinct()
+    val keyed =
+      if (maxKeyGroup == Int.MaxValue) keyed0
+      else {
+        val hot = keyed0.groupBy("_bk").count()
+          .where(col("count") > maxKeyGroup).select("_bk")
+        keyed0.join(broadcast(hot), Seq("_bk"), "left_anti")
+      }
     val a = keyed.select(col("_rid").as("ra"), col("_bk"))
     val b = keyed.select(col("_rid").as("rb"), col("_bk"))
     a.join(b, "_bk").where(col("ra") < col("rb"))
@@ -91,9 +118,10 @@ object EntityResolution {
     */
   def resolve(records: DataFrame, idCol: String, nameCol: String,
       blockCols: Seq[String], delFrom: Int, delTo: Int,
-      maxDist: Int = 1, extraVerify: Column = lit(true)): DataFrame = {
+      maxDist: Int = 1, extraVerify: Column = lit(true),
+      maxKeyGroup: Int = Int.MaxValue): DataFrame = {
     val cand = candidatePairs(records, idCol, nameCol, blockCols,
-      delFrom, delTo)
+      delFrom, delTo, maxKeyGroup)
     val l = records.as("l")
     val r = records.as("r")
     // Verify = cheap-to-expensive conjunction, all inside one codegen

@@ -115,6 +115,128 @@ object RestScanner {
     spark.read.json(rows.toDS().barrier())
   }
 
+  /** One AWS JSON-protocol (target-header) `List*`/`Describe*` page
+    * chain — the third cloud's wire shape, making the connector trio
+    * symmetric (reference `plugins/aws-provider/runtime/pipeline.go:
+    * 230-368` ScanServices per (service, region);
+    * `generator/reflection_executor.go:356` names `NextToken` as the
+    * paginator token field): POST `{endpoint}` with header
+    * `X-Amz-Target: <Service>.<Action>` and body
+    * `{"MaxResults": n, "NextToken": tok}`; the response carries one
+    * resource array (`itemsField`) and `NextToken` — loop until the
+    * token disappears. Production AWS signs with SigV4; the
+    * [[BearerToken]] seam is where a signer plugs in, and is the only
+    * unexercised half in a zero-egress sandbox.
+    */
+  def awsListPages(endpoint: String, cred: BearerToken, target: String,
+      itemsField: String = "Resources", pageSize: Int = 100,
+      timeoutMs: Long = 30000L): Seq[String] = {
+    val mapper = new ObjectMapper()
+    val client = http(timeoutMs)
+    val out = Seq.newBuilder[String]
+    var nextToken: String = null
+    var more = true
+    while (more) {
+      val body = mapper.createObjectNode()
+      body.put("MaxResults", pageSize)
+      if (nextToken != null) body.put("NextToken", nextToken)
+      val req = HttpRequest.newBuilder(URI.create(endpoint))
+        .timeout(Duration.ofMillis(timeoutMs))
+        .header("Authorization", s"Bearer ${cred.token()}")
+        .header("Content-Type", "application/x-amz-json-1.1")
+        .header("X-Amz-Target", target)
+        .POST(HttpRequest.BodyPublishers.ofString(
+          mapper.writeValueAsString(body)))
+        .build()
+      val root = mapper.readTree(send(client, req))
+      val items = root.path(itemsField)
+      (0 until items.size()).foreach(i =>
+        out += mapper.writeValueAsString(items.get(i)))
+      val tok = root.path("NextToken")
+      if (tok.isTextual && tok.asText().nonEmpty) nextToken = tok.asText()
+      else more = false
+    }
+    out.result()
+  }
+
+  /** One AWS `Describe*` enrichment call: POST `{idField: id}` under the
+    * describe target, returning the detail object as JSON text
+    * (scanner_registry.go:135-189 — "scan and enrich in one pass").
+    */
+  def awsDescribe(endpoint: String, cred: BearerToken, target: String,
+      idField: String, id: String, timeoutMs: Long = 30000L): String = {
+    val mapper = new ObjectMapper()
+    val body = mapper.createObjectNode()
+    body.put(idField, id)
+    val req = HttpRequest.newBuilder(URI.create(endpoint))
+      .timeout(Duration.ofMillis(timeoutMs))
+      .header("Authorization", s"Bearer ${cred.token()}")
+      .header("Content-Type", "application/x-amz-json-1.1")
+      .header("X-Amz-Target", target)
+      .POST(HttpRequest.BodyPublishers.ofString(
+        mapper.writeValueAsString(body)))
+      .build()
+    send(http(timeoutMs), req)
+  }
+
+  /** One AWS service's scan recipe: the parameter-free list action
+    * (aws_resource_lister.go:280-304 filters exactly these), the
+    * optional per-ref describe enrichment, and the response field names.
+    */
+  final case class AwsAction(
+      service: String,
+      listTarget: String,
+      describeTarget: Option[String] = None,
+      itemsField: String = "Resources",
+      idField: String = "Id",
+      pageSize: Int = 100)
+
+  /** Distributed AWS-shaped scan: one task per (service, region) — the
+    * reference's ScanServices × region loop (pipeline.go:306-368)
+    * parallelized across executors. Each task pages its list call, then
+    * describes every ref sequentially (the SDK's own enrichment shape);
+    * a FAILED describe falls back to the listed ref instead of dropping
+    * the resource (scanner_registry.go:156-163 "create basic resource on
+    * enrichment failure"). `endpointTemplate` may carry `{region}` —
+    * real AWS scopes region into the host (`ec2.us-east-1.amazonaws
+    * .com`); a loopback fixture folds it into the path. The engine
+    * attaches `service`/`region` to every row (resource_converter.go's
+    * metadata attach) since AWS detail payloads don't carry them.
+    */
+  def awsScan(spark: SparkSession, endpointTemplate: String,
+      cred: BearerToken, actions: Seq[AwsAction], regions: Seq[String],
+      timeoutMs: Long = 30000L): DataFrame = {
+    import spark.implicits._
+    import graft.Barrier.BarrierOps
+    val work = for { a <- actions; r <- regions } yield (a, r)
+    val rows = spark.sparkContext
+      .parallelize(work, math.max(work.size, 1))
+      .flatMap { case (a, region) =>
+        val ep = endpointTemplate.replace("{region}", region)
+        val mapper = new ObjectMapper()
+        def attach(json: String): String = {
+          val node = mapper.readTree(json)
+            .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          node.put("service", a.service)
+          node.put("region", region)
+          mapper.writeValueAsString(node)
+        }
+        val refs = awsListPages(ep, cred, a.listTarget, a.itemsField,
+          a.pageSize, timeoutMs)
+        val enriched = a.describeTarget match {
+          case None => refs
+          case Some(dt) => refs.map { ref =>
+            val id = mapper.readTree(ref).path(a.idField).asText()
+            try awsDescribe(ep, cred, dt, a.idField, id, timeoutMs)
+            catch { case scala.util.control.NonFatal(_) => ref }
+          }
+        }
+        enriched.map(attach)
+      }
+    // one fetch pass total — see azureScan
+    spark.read.json(rows.toDS().barrier())
+  }
+
   /** One GCP Cloud Asset Inventory listing for one parent
     * (`projects/…`/`folders/…`/`organizations/…`), following
     * `nextPageToken`. Returns each `assets` element as JSON text.

@@ -80,10 +80,29 @@ class BarrierSpec extends SparkSpec {
     }
   }
 
-  test("policy default is local and barrier(eager = false) stays lazy") {
+  test("policy default is local (on a local master) and " +
+      "barrier(eager = false) stays lazy") {
+    assert(spark.sparkContext.isLocal)
     assert(Barrier.policy(spark.range(1).toDF("x")) == "local")
     // lazy form: no job runs at cut time — constructing it must be cheap
     val df = spark.range(0, 10).toDF("x").barrier(eager = false)
     assert(df.collect().length == 10)
+  }
+
+  test("resolution matrix: conf > env > master-based default " +
+      "(reliable off-localhost)") {
+    // master-based default: safe-by-default on a cluster
+    assert(Barrier.resolve(None, None, isLocal = true) == "local")
+    assert(Barrier.resolve(None, None, isLocal = false) == "reliable")
+    // env fallback beats the default on either master
+    assert(Barrier.resolve(None, Some("reliable"), isLocal = true) == "reliable")
+    assert(Barrier.resolve(None, Some("local"), isLocal = false) == "local")
+    // explicit session conf always wins
+    assert(Barrier.resolve(Some("local"), Some("reliable"), isLocal = false) == "local")
+    assert(Barrier.resolve(Some("reliable"), None, isLocal = true) == "reliable")
+    // and the live path honors an explicit conf on this local master
+    withPolicy("reliable") {
+      assert(Barrier.policy(spark.range(1).toDF("x")) == "reliable")
+    }
   }
 }

@@ -97,6 +97,49 @@ class CliSpec extends SparkSpec {
     assert(!out.contains("never reached"), out)          // exit stops the loop
   }
 
+  test("EXPLAIN <sql> renders the formatted plan + plan facts without " +
+      "executing") {
+    val (out, code) = run("--query",
+      "EXPLAIN SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'")
+    assert(code == 0, out)
+    assert(out.contains("== Physical Plan =="), out)
+    // the pushdown the engine guards is visible to the user
+    assert(out.contains("PushedFilters:") &&
+      out.contains("EqualTo(c_mktsegment,BUILDING)"), out)
+    assert(out.contains("== Plan Facts =="), out)
+    assert(out.contains("parquet_scans = 1"), out)
+    assert(out.contains("scans_with_pushed_filters = 1"), out)
+    assert(out.contains("cartesian_products = 0"), out)
+    // params bind into the explained frame too
+    val (p, cp) = run("--query",
+      "EXPLAIN SELECT n_regionkey FROM nation WHERE n_name = :nm",
+      "--param", "nm=FRANCE")
+    assert(cp == 0 && p.contains("EqualTo(n_name,FRANCE)"), p)
+  }
+
+  test("explain subcommand: --name shows a driver query's pinned plan " +
+      "shape; --sql guards; unknown name errors") {
+    val (out, code) = Cli.runArgv(spark,
+      Seq(sf, "explain", "--name", "q_j1_join_agg"))
+    assert(code == 0, out)
+    assert(out.contains("== Physical Plan ==") &&
+      out.contains("== Plan Facts =="), out)
+    // the broadcast pin PlanQualitySpec asserts, now user-visible
+    assert(out.contains("broadcast_hash_joins = 1") ||
+      out.contains("broadcast_exchanges = 1"), out)
+    val (sqlOut, c2) = Cli.runArgv(spark, Seq(sf, "explain", "--sql",
+      "SELECT r_name FROM region ORDER BY r_name LIMIT 2"))
+    assert(c2 == 0 && sqlOut.contains("take_ordered_and_project = 1"), sqlOut)
+    val (guard, c3) = Cli.runArgv(spark, Seq(sf, "explain", "--sql",
+      "DROP TABLE region"))
+    assert(c3 == 1 && guard.contains("dangerous operation rejected"), guard)
+    val (bad, c4) = Cli.runArgv(spark,
+      Seq(sf, "explain", "--name", "q_nonexistent"))
+    assert(c4 == 1 && bad.contains("unknown driver query"), bad)
+    val (noargs, c5) = Cli.runArgv(spark, Seq(sf, "explain"))
+    assert(c5 == 2, noargs)
+  }
+
   test("pack dry-run validates every enabled query") {
     // the resource table a real run would find in the table dir
     graft.fixtures.CorkscrewFixtures.register(spark)

@@ -68,6 +68,35 @@ class EntityResolutionSpec extends SparkSpec {
     assert(golden(40L)._3 == 1L)
   }
 
+  test("hot-key fan-out controls: duplicate-run keys dedupe exactly and " +
+      "maxKeyGroup drops oversized key groups") {
+    val runs = Seq(
+      // a zero-run: deleting ANY of the zeros yields the same key, so the
+      // (rid, key) dedupe collapses 7 emissions to a handful — and the
+      // single-edit pair (1,2) must still be found afterwards
+      (1L, "Cust#000000012", 1L),
+      (2L, "Cust#00000012", 1L),
+      (3L, "Cust#000000099", 1L),
+      // an adversarial low-entropy name: 4 records, one shared key
+      (4L, "zz", 1L), (5L, "zz", 1L), (6L, "zz", 1L), (7L, "zz", 1L)
+    ).toDF("rid", "name", "nation")
+    val cand = EntityResolution.candidatePairs(runs, "rid", "name",
+      Seq("nation"), 4, 12).as[(Long, Long)].collect().toSet
+    assert(cand.contains((1L, 2L)), cand)
+    assert(cand.count { case (a, _) => a >= 4L } == 6) // C(4,2) zz pairs
+    // frequency cutoff at 3: the zz key group (4 records) drops entirely,
+    // the small run-groups are untouched
+    val capped = EntityResolution.candidatePairs(runs, "rid", "name",
+      Seq("nation"), 4, 12, maxKeyGroup = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(capped.contains((1L, 2L)), capped)
+    assert(!capped.exists { case (a, _) => a >= 4L }, capped)
+    intercept[IllegalArgumentException] {
+      EntityResolution.candidatePairs(runs, "rid", "name",
+        Seq("nation"), 4, 12, maxKeyGroup = 1)
+    }
+  }
+
   test("non-numeric id fails loudly") {
     val strIds = recs.withColumn("rid", concat(lit("r"), col("rid")))
     intercept[IllegalArgumentException] {

@@ -94,6 +94,71 @@ class RestScannerSpec extends SparkSpec {
     }
   }
 
+  test("aws scan: NextToken paging, per-ref describe enrichment, " +
+      "service/region attach, single fetch pass") {
+    val ep = new FakeAwsEndpoint(Seq("ec2"),
+      Seq("us-east-1", "eu-west-1"), n = 7, pageSize = 3)
+    val port = ep.start()
+    try {
+      val df = RestScanner.awsScan(spark, s"http://127.0.0.1:$port/{region}",
+        StaticToken("tok-aws"),
+        Seq(AwsAction("ec2", "Graftec2.List",
+          describeTarget = Some("Graftec2.Describe"), pageSize = 3)),
+        Seq("us-east-1", "eu-west-1"))
+      val rows = df.collect()
+      assert(rows.length == 14) // 7 resources × 2 regions
+      val byId = rows.map(r => r.getAs[String]("Id") -> r).toMap
+      val r0 = byId("ec2-us-east-1-0")
+      assert(r0.getAs[String]("State") == "running") // i % 3 == 0
+      assert(!r0.getAs[Boolean]("Encrypted"))        // i % 5 == 0
+      assert(r0.getAs[String]("service") == "ec2")   // engine attach
+      assert(r0.getAs[String]("region") == "us-east-1")
+      val r1 = byId("ec2-eu-west-1-1")
+      assert(r1.getAs[String]("State") == "stopped")
+      assert(r1.getAs[Boolean]("Encrypted"))
+      assert(r1.getAs[Long]("SizeGb") == 7L)
+      // per region: ceil(7/3)=3 list pages + 7 describes, and the
+      // barrier keeps it to ONE pass despite json schema inference
+      assert(ep.hits.get() == 2L * (3 + 7),
+        s"paged fetches ran ${ep.hits.get()} times")
+    } finally ep.stop()
+  }
+
+  test("aws describe failure falls back to the listed ref instead of " +
+      "dropping the resource (scanner_registry.go:156-163)") {
+    val ep = new FakeAwsEndpoint(Seq("s3"), Seq("us-east-1"), n = 5,
+      pageSize = 10, failDescribeEvery = Some(2))
+    val port = ep.start()
+    try {
+      val df = RestScanner.awsScan(spark, s"http://127.0.0.1:$port/{region}",
+        StaticToken("t"),
+        Seq(AwsAction("s3", "Grafts3.List",
+          describeTarget = Some("Grafts3.Describe"))),
+        Seq("us-east-1"))
+      assert(df.count() == 5) // nothing dropped
+      // even ids (0,2,4) fell back to the bare ref: no State, but the
+      // engine-attached service/region still present
+      val basic = df.filter(df("State").isNull).collect()
+      assert(basic.map(_.getAs[String]("Id")).sorted.toSeq ==
+        Seq("s3-us-east-1-0", "s3-us-east-1-2", "s3-us-east-1-4"))
+      basic.foreach(r => assert(r.getAs[String]("region") == "us-east-1"))
+    } finally ep.stop()
+  }
+
+  test("aws list without a describe target returns the refs as-is") {
+    val ep = new FakeAwsEndpoint(Seq("ec2"), Seq("us-east-1"), n = 4,
+      pageSize = 2)
+    val port = ep.start()
+    try {
+      val refs = RestScanner.awsListPages(
+        s"http://127.0.0.1:$port/us-east-1", StaticToken("t"),
+        "Graftec2.List", pageSize = 2)
+      assert(refs.length == 4)
+      assert(refs.forall(_.contains("\"Arn\"")))
+      assert(ep.hits.get() == 2L) // two pages, one request each
+    } finally ep.stop()
+  }
+
   test("non-2xx surfaces as an error, not silent truncation") {
     withServer { (server, port) =>
       server.createContext("/v1/projects/p9/assets",

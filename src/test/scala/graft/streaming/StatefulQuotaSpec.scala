@@ -79,6 +79,72 @@ class StatefulQuotaSpec extends SparkSpec {
     assert(got(3L) == ((false, 9L)), "within-batch doc_id order: id 2 first")
   }
 
+  test("kill-and-resume endurance: a RocksDB-backed quota stream stopped " +
+      "mid-stream and restarted from its checkpoint yields exactly-once " +
+      "decisions equal to the one-shot run") {
+    val in = java.nio.file.Files.createTempDirectory("quota-kill-in")
+    val ck = java.nio.file.Files.createTempDirectory("quota-kill-ck")
+    val out = java.nio.file.Files.createTempDirectory("quota-kill-out")
+    // two batches before the kill, two after; budget 20 per key, and the
+    // post-kill decisions DEPEND on pre-kill totals (a: 8+9=17, b: 12+5=17)
+    val b12 = Seq(
+      Seq((1L, "a", 8L), (2L, "b", 12L)),
+      Seq((3L, "a", 9L), (4L, "b", 5L)))
+    val b34 = Seq(
+      Seq((5L, "a", 4L), (6L, "b", 2L)),
+      Seq((7L, "a", 3L), (8L, "b", 2L)))
+    val budget = 20L
+    val schema = b12.flatten.toDF("doc_id", "source", "n_tokens").schema
+    def writeBatches(bs: Seq[Seq[(Long, String, Long)]]): Unit =
+      bs.foreach { b =>
+        b.toDF("doc_id", "source", "n_tokens")
+          .coalesce(1).write.mode("append").parquet(in.toString)
+        Thread.sleep(5) // distinct mtimes: file-source order is by age
+      }
+    def start(trigger: org.apache.spark.sql.streaming.Trigger) = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in.toString)
+      StatefulQuota.admit(stream, "doc_id", "source", "n_tokens", budget)
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ck.toString)
+        .outputMode("append").trigger(trigger).start()
+    }
+    StatefulQuota.withRocksDb(spark) {
+      writeBatches(b12)
+      val q1 = start(org.apache.spark.sql.streaming.Trigger.ProcessingTime(25))
+      val deadline = System.currentTimeMillis() + 120000
+      def seen(): Long = q1.recentProgress.map(_.numInputRows).sum
+      while (seen() < 4 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(seen() == 4, "first run never committed its two micro-batches")
+      q1.stop(); q1.awaitTermination() // the kill — batches 3/4 never seen
+      writeBatches(b34)
+      // resume from the SAME checkpoint: the offset log must skip the
+      // already-committed files and the RocksDB ValueState must carry
+      val q2 = start(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q2.awaitTermination()
+    }
+    // the file sink's _spark_metadata commit log IS the exactly-once
+    // contract: this read lists only committed files
+    val got = spark.read.parquet(out.toString).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("admitted"), r.getAs[Long]("admitted_total"))))
+    assert(got.length == got.map(_._1).distinct.length,
+      "duplicate decisions across the restart: not exactly-once")
+    // resumed totals equal the reference fold over ALL batches — state
+    // loss at the kill would shift every batch-3/4 decision…
+    assert(got.toMap == reference(b12 ++ b34, budget))
+    // …and the whole run equals a one-shot (never-killed) execution
+    val oneIn = java.nio.file.Files.createTempDirectory("quota-oneshot")
+    assert(got.toMap == runQuota(oneIn, b12 ++ b34, budget))
+    // spot-pin the cross-kill state dependencies
+    val m = got.toMap
+    assert(m(5L) == ((false, 17L)), "batch-3 must see a's pre-kill total")
+    assert(m(7L) == ((true, 20L)))
+    assert(m(8L) == ((false, 19L)), "batch-4 must see b's pre-kill total")
+  }
+
   test("randomized parity with the reference fold") {
     val rnd = new scala.util.Random(7)
     val keys = Seq("a", "b", "c")
