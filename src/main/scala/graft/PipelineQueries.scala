@@ -3514,6 +3514,67 @@ object PipelineQueries {
       |FROM tr JOIN sp ON sp.query_id = tr.query_id AND sp.id = tr.id
       |WHERE (SELECT complete FROM ok)""".stripMargin
 
+  /** S26: navigable-graph ANN recall audit ([[Hnsw.index]]/[[Hnsw.topK]]
+    * against the exact [[Similarity.bruteForceTopK]] truth) — the third
+    * recall instrument next to q_d18 (LSH) and q_s25 (IVF), covering the
+    * graph-serving architecture (HNSW search shape over a bounded anchor
+    * graph, SPANN-style region split). ef = 8 of 256 anchors probes only
+    * the graph-reachable neighborhood, so misses are EXPECTED — the
+    * measurement is what an operator reads before shipping an ef. Truth
+    * is fully replayed relationally (the S1 oracle chain); the
+    * `hnsw_found` flag is read back under a set-equality guard PLUS a
+    * flag floor: a query that IS a corpus vector provably probes its own
+    * assignment region (assignment and search share the greedy-descent
+    * code path), so `id = query_id` rows must always be found.
+    */
+  val s26HnswRecall: Q = (s, d) => {
+    val emb = t(s, d, "embeddings").select("vec_id", "embedding")
+    val truth = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queryVecs(s, d), k = 10)
+      .withColumn("rank", col("rank").cast("bigint"))
+    val (graph, assigned) = Hnsw.index(emb, "vec_id", "embedding",
+      m = 8, sampleSize = 256)
+    val found = Hnsw.topK(graph, assigned, queryVecs(s, d), k = 10, ef = 8)
+      .select(col("query_id"), col("id"), lit(true).as("_hit"))
+    truth.join(found, Seq("query_id", "id"), "left")
+      .select(col("query_id"), col("rank"), col("id"), col("cosine_sim"),
+        coalesce(col("_hit"), lit(false)).as("hnsw_found"))
+  }
+  val s26Oracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding,
+      |    SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+      |          FROM (SELECT UNNEST(embedding) AS x) ux)) AS nrm
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, embedding AS qvec, nrm AS qnrm
+      |      FROM e WHERE vec_id < 5),
+      |sc AS (
+      |  SELECT q.query_id, e.vec_id AS id,
+      |    ROUND(CASE WHEN e.nrm * q.qnrm = 0 THEN 0.0 ELSE
+      |      (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+      |       FROM (SELECT UNNEST(e.embedding) AS x, UNNEST(q.qvec) AS y) u)
+      |      / (e.nrm * q.qnrm) END, 6) AS cosine_sim
+      |  FROM e CROSS JOIN q),
+      |tr AS (
+      |  SELECT query_id, CAST(rank AS BIGINT) AS rank, id, cosine_sim
+      |  FROM (
+      |    SELECT query_id, id, cosine_sim,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id
+      |        ORDER BY cosine_sim DESC, id) AS rank
+      |    FROM sc) z WHERE rank <= 10),
+      |sp AS (SELECT query_id, id, hnsw_found
+      |       FROM '__SPARK_OUT__/q_s26_hnsw_recall/*.parquet'),
+      |-- flag floor: each query IS a corpus row; its vector's assignment
+      |-- region comes from the SAME greedy descent the search always
+      |-- probes, so the self row must be found regardless of graph shape
+      |ok AS (SELECT (SELECT COUNT(*) FROM sp) = (SELECT COUNT(*) FROM tr)
+      |         AND NOT EXISTS (SELECT 1 FROM sp
+      |                         WHERE id = query_id AND NOT hnsw_found)
+      |         AS complete)
+      |SELECT tr.query_id, tr.rank, tr.id, tr.cosine_sim, sp.hnsw_found
+      |FROM tr JOIN sp ON sp.query_id = tr.query_id AND sp.id = tr.id
+      |WHERE (SELECT complete FROM ok)""".stripMargin
+
   /** S22: Johnson–Lindenstrauss random projection
     * ([[Similarity.randomProjection]]) — 64 → 8 dims via the Achlioptas
     * ±1 construction, the distance-preserving shrink that cuts vector
@@ -4740,6 +4801,7 @@ object PipelineQueries {
     "q_s23_binary_quant" -> s23BinaryQuant,
     "q_s24_embedding_diagnostics" -> s24EmbeddingDiagnostics,
     "q_s25_ivf_recall" -> s25IvfRecall,
+    "q_s26_hnsw_recall" -> s26HnswRecall,
     "q_s2_cosine_pairs" -> s2CosinePairs,
     "q_s3_lsh_topk" -> s3LshTopK,
     "q_s4_ivf_topk" -> s4IvfTopK,
@@ -4839,6 +4901,7 @@ object PipelineQueries {
     "q_s23_binary_quant" -> s23Oracle,
     "q_s24_embedding_diagnostics" -> s24Oracle,
     "q_s25_ivf_recall" -> s25Oracle,
+    "q_s26_hnsw_recall" -> s26Oracle,
     "q_s2_cosine_pairs" -> s2Oracle,
     "q_d4_minhash_neardup" -> d4Oracle,
     "q_d5_simhash_neardup" -> d5Oracle,

@@ -1,0 +1,294 @@
+package graft.operators
+
+import graft.Barrier.BarrierOps
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
+
+/** Navigable-graph ANN (the HNSW search shape over a bounded anchor
+  * graph, with the SPANN-style serving split: graph on the driver,
+  * corpus partitioned into anchor regions for distributed exact
+  * scoring). Completes the serving menu next to IVF/PQ/LSH/binary —
+  * the one production ANN architecture those families don't cover.
+  *
+  * Index = two halves:
+  *
+  *  1. A DETERMINISTIC layered small-world graph over ≤ `sampleSize`
+  *     anchor vectors (the corpus's lowest ids — the same bounded-
+  *     driver-sample discipline as [[Similarity.ivfIndex]]'s Lloyd fit).
+  *     Layer l contains the first `ceil(s / m^l)` anchors (nested
+  *     prefixes, so layer membership needs no RNG and the single
+  *     top-layer node is always anchor 0); within a layer every member
+  *     links to its `m` nearest co-members by exact cosine. Build cost
+  *     is Σ n_l² ≤ s²·m²/(m²−1) driver flops on a bounded s.
+  *  2. The corpus assigned to anchor REGIONS by the same greedy descent
+  *     a search runs (entry at the top, walk to any improving neighbor,
+  *     drop a layer; the bottom-layer local optimum is the region).
+  *     Assignment runs distributed as a broadcast-graph Catalyst
+  *     expression ([[HnswAnchorExpr]]) — one descent per row, no
+  *     shuffle, exactly the NearestCellExpr pattern.
+  *
+  * Search (`topK`): greedy-descend the upper layers, then a best-first
+  * expansion at the bottom layer keeps the `ef` most similar anchors
+  * (the classic SEARCH-LAYER loop, deterministic tie-breaks). The
+  * probed set ALWAYS includes the pure-greedy bottom optimum — so a
+  * query that IS a corpus vector provably probes the region that
+  * vector was assigned to (identical floats ⇒ identical descent), the
+  * pigeonhole guarantee q_s26's oracle flag floor pins. Scoring is
+  * [[Similarity]]'s exact-cosine region scan: thin broadcast of
+  * (query, region) probes, partition-local ranking — at 100 TB the
+  * regions are partition directories and a probe reads ef/s of the
+  * corpus, never the whole index.
+  */
+object Hnsw {
+
+  /** The driver/broadcast half of the index. `layerSizes` is ordered
+    * bottom-up (`layerSizes(0)` = anchor count); `neighbors(l)(i)` are
+    * the graph links of anchor i inside layer l (defined for
+    * i < layerSizes(l)).
+    */
+  final case class Graph(anchors: Array[Array[Float]],
+      layerSizes: Array[Int],
+      neighbors: Array[Array[Array[Int]]]) extends Serializable {
+    @transient lazy val anchorNorms: Array[Double] = anchors.map { a =>
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * a(i); i += 1 }
+      math.sqrt(acc)
+    }
+  }
+
+  private[operators] def dotSim(g: Graph, q: Array[Float], qn: Double,
+      i: Int): Double = {
+    val a = g.anchors(i)
+    val d = g.anchorNorms(i) * qn
+    if (d == 0.0) 0.0
+    else {
+      var acc = 0.0; var j = 0
+      val n = math.min(a.length, q.length)
+      while (j < n) { acc += a(j).toDouble * q(j); j += 1 }
+      acc / d
+    }
+  }
+
+  private def vecNorm(q: Array[Float]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < q.length) { acc += q(i).toDouble * q(i); i += 1 }
+    math.sqrt(acc)
+  }
+
+  /** Greedy walk inside layer `l` from `start`: move to the best
+    * improving neighbor until none improves (ties never improve, so the
+    * walk terminates; strict improvement makes the path deterministic).
+    */
+  private def greedyAtLayer(g: Graph, q: Array[Float], qn: Double,
+      l: Int, start: Int): Int = {
+    var cur = start
+    var curSim = dotSim(g, q, qn, cur)
+    var improved = true
+    while (improved) {
+      improved = false
+      val nbrs = g.neighbors(l)(cur)
+      var k = 0
+      var best = -1
+      var bestSim = curSim
+      while (k < nbrs.length) {
+        val s = dotSim(g, q, qn, nbrs(k))
+        if (s > bestSim || (s == bestSim && best >= 0 && nbrs(k) < best)) {
+          best = nbrs(k); bestSim = s
+        }
+        k += 1
+      }
+      if (best >= 0 && bestSim > curSim) {
+        cur = best; curSim = bestSim; improved = true
+      }
+    }
+    cur
+  }
+
+  /** Full greedy descent (ef = 1): top layer → bottom-layer local
+    * optimum. This is BOTH the corpus-assignment rule and the search's
+    * guaranteed probe — sharing the code path is what makes the
+    * query-is-a-corpus-vector guarantee exact.
+    */
+  def greedyDescend(g: Graph, q: Array[Float]): Int = {
+    val qn = vecNorm(q)
+    var cur = 0
+    var l = g.layerSizes.length - 1
+    while (l >= 0) {
+      cur = greedyAtLayer(g, q, qn, l, cur)
+      l -= 1
+    }
+    cur
+  }
+
+  /** The `ef` most-similar bottom-layer anchors reachable by best-first
+    * expansion from the greedy entry, UNIONed with the pure-greedy
+    * optimum (so the result has ≤ ef + 1 anchors and always contains
+    * [[greedyDescend]]'s answer). Deterministic: ties order by anchor
+    * index on both heaps.
+    */
+  def searchAnchors(g: Graph, q: Array[Float], ef: Int): Array[Int] = {
+    require(ef >= 1, s"ef must be >= 1, got $ef")
+    val qn = vecNorm(q)
+    var entry = 0
+    var l = g.layerSizes.length - 1
+    while (l >= 1) {
+      entry = greedyAtLayer(g, q, qn, l, entry)
+      l -= 1
+    }
+    val g0 = greedyAtLayer(g, q, qn, 0, entry)
+    // best-first SEARCH-LAYER at the bottom, seeded at the layer entry
+    val simOf = scala.collection.mutable.Map[Int, Double]()
+    def sim(i: Int): Double = simOf.getOrElseUpdate(i, dotSim(g, q, qn, i))
+    // max-heap of frontier candidates, min-heap of current best ef
+    val cand = scala.collection.mutable.PriorityQueue[(Double, Int)]()(
+      Ordering.Tuple2(Ordering.Double.TotalOrdering,
+        Ordering.Int.reverse))
+    val result = scala.collection.mutable.PriorityQueue[(Double, Int)]()(
+      Ordering.Tuple2(Ordering.Double.TotalOrdering,
+        Ordering.Int.reverse).reverse)
+    val visited = scala.collection.mutable.BitSet(entry)
+    cand.enqueue((sim(entry), entry))
+    result.enqueue((sim(entry), entry))
+    var done = false
+    while (!done && cand.nonEmpty) {
+      val (cs, c) = cand.dequeue()
+      if (result.size >= ef && cs < result.head._1) done = true
+      else {
+        val nbrs = g.neighbors(0)(c)
+        var k = 0
+        while (k < nbrs.length) {
+          val nb = nbrs(k)
+          if (!visited(nb)) {
+            visited += nb
+            val s = sim(nb)
+            if (result.size < ef || s > result.head._1) {
+              cand.enqueue((s, nb))
+              result.enqueue((s, nb))
+              if (result.size > ef) result.dequeue()
+            }
+          }
+          k += 1
+        }
+      }
+    }
+    (result.map(_._2).toSet + g0).toArray.sorted
+  }
+
+  private val fnCounter = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** Build the index: deterministic anchor graph + greedy-descent region
+    * assignment. Returns (graph, assigned) where `assigned` carries
+    * (id, vec, cell) — `cell` the anchor index, ready for
+    * `partitionBy("cell")` persistence exactly like the IVF index.
+    */
+  def index(vectors: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, sampleSize: Int = 1024): (Graph, DataFrame) = {
+    require(m >= 2, s"m must be >= 2, got $m")
+    Similarity.init(vectors.sparkSession)
+    val spark = vectors.sparkSession
+    val base = vectors.select(col(idCol).as("id"),
+        col(vecCol).cast("array<float>").as("vec"))
+      .barrier(true)
+    val anchors = base.sort("id").limit(sampleSize)
+      .select("vec").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val graph = buildGraph(anchors, m)
+    val fname = s"hnsw_anchor_${fnCounter.incrementAndGet()}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fname, exprs => HnswAnchorExpr(exprs(0), graph), "built-in")
+    val assigned =
+      try base.withColumn("cell", call_function(fname, col("vec")))
+        .barrier(true)
+      finally spark.sessionState.functionRegistry.dropFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(fname))
+    base.unpersist(blocking = false)
+    (graph, assigned)
+  }
+
+  /** The deterministic layered graph over the anchor array (driver-side;
+    * bounded by `sampleSize`). Exposed for spec-level property checks.
+    */
+  private[operators] def buildGraph(anchors: Array[Array[Float]],
+      m: Int): Graph = {
+    require(anchors.nonEmpty, "hnsw: empty anchor sample")
+    val sizes = Iterator.iterate(anchors.length)(n => (n + m - 1) / m)
+      .takeWhile(_ > 1).toArray :+ 1
+    val g0 = Graph(anchors, sizes, Array.empty)
+    val norms = g0.anchorNorms
+    def sim(a: Int, b: Int): Double = {
+      val d = norms(a) * norms(b)
+      if (d == 0.0) 0.0
+      else {
+        val x = anchors(a); val y = anchors(b)
+        var acc = 0.0; var i = 0
+        val n = math.min(x.length, y.length)
+        while (i < n) { acc += x(i).toDouble * y(i); i += 1 }
+        acc / d
+      }
+    }
+    val neighbors = sizes.map { n =>
+      Array.tabulate(n) { i =>
+        (0 until n).filter(_ != i)
+          .sortBy(j => (-sim(i, j), j))
+          .take(m).toArray
+      }
+    }
+    Graph(anchors, sizes, neighbors)
+  }
+
+  /** HNSW-probed top-k: per query, descend + expand to ≤ ef + 1 anchor
+    * regions, then exact-cosine rank the vectors assigned to them
+    * (partition-pruned scan; [[Similarity]]'s region scorer). The
+    * queries frame is serving-batch-sized by contract and is collected
+    * for the driver-side graph walk — the corpus never is.
+    */
+  def topK(graph: Graph, assigned: DataFrame, queries: DataFrame,
+      k: Int, ef: Int = 4): DataFrame = {
+    val spark = assigned.sparkSession
+    Similarity.init(spark)
+    import spark.implicits._
+    val qRows = queries.select(col("query_id").cast("long"),
+        col("qvec").cast("array<float>")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val probeRows = qRows.flatMap { case (qid, qv) =>
+      searchAnchors(graph, qv, ef).map(cell => (qid, qv.toSeq, cell))
+    }.toSeq
+    val probes = probeRows.toDF("query_id", "qvec", "cell")
+      .withColumn("qvec", col("qvec").cast("array<float>"))
+    Similarity.scoreCells(assigned, probes, k)
+  }
+}
+
+/** Per-row greedy graph descent under a broadcast [[Hnsw.Graph]] — the
+  * corpus-assignment expression (interpreted eval; the descent's data-
+  * dependent loop doesn't codegen, and assignment is one pass at build
+  * time, not a hot query path).
+  */
+case class HnswAnchorExpr(child: Expression, graph: Hnsw.Graph)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"hnsw_anchor expects array<float>, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val v = new Array[Float](arr.numElements())
+    var i = 0
+    while (i < v.length) { v(i) = arr.getFloat(i); i += 1 }
+    Hnsw.greedyDescend(graph, v)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

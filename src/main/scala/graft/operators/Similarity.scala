@@ -600,7 +600,7 @@ object Similarity {
   /** Exact-cosine scoring of probed cells: join the assigned vectors to
     * their probing queries on `cell`, rank per query, keep top k.
     */
-  private def scoreCells(assigned: DataFrame, probes: DataFrame,
+  private[operators] def scoreCells(assigned: DataFrame, probes: DataFrame,
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("query_id")

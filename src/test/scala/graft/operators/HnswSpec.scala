@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Hnsw]] — the navigable-graph ANN: deterministic nested-prefix
+  * layer construction, greedy-descent assignment/search consistency
+  * (the q_s26 oracle flag-floor guarantee), and measured recall against
+  * the exact brute-force ranking.
+  */
+class HnswSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic 8-dim fixture: three rough direction clusters plus
+    * per-vector jitter, no RNG.
+    */
+  private def vecs(n: Int): Seq[(Long, Seq[Float])] = (0L until n).map { i =>
+    val c = (i % 3).toInt
+    val v = Array.tabulate(8)(d =>
+      (if (d % 3 == c) 1.0f else 0.1f) +
+        ((i * 31 + d * 7) % 13).toFloat / 50f)
+    (i, v.toSeq)
+  }
+
+  private def frame(n: Int) = vecs(n).toDF("vec_id", "embedding")
+    .withColumn("embedding", col("embedding").cast("array<float>"))
+
+  test("nested-prefix layers: sizes shrink by m, single top node, every " +
+      "member links to <= m co-members") {
+    val anchors = vecs(40).map(_._2.toArray).toArray
+    val g = Hnsw.buildGraph(anchors, m = 4)
+    assert(g.layerSizes.head == 40 && g.layerSizes.last == 1)
+    g.layerSizes.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi == (lo + 3) / 4, g.layerSizes.mkString(","))
+    }
+    g.layerSizes.zipWithIndex.foreach { case (sz, l) =>
+      (0 until sz).foreach { i =>
+        val nb = g.neighbors(l)(i)
+        assert(nb.length <= 4 && !nb.contains(i) && nb.forall(_ < sz))
+      }
+    }
+    // deterministic: a rebuild is structurally identical
+    val g2 = Hnsw.buildGraph(anchors, m = 4)
+    assert(g.layerSizes.sameElements(g2.layerSizes))
+    assert(g.neighbors.zip(g2.neighbors).forall { case (a, b) =>
+      a.zip(b).forall { case (x, y) => x.sameElements(y) } })
+  }
+
+  test("distributed assignment equals driver greedyDescend for every " +
+      "vector, and the probe set always contains it") {
+    val df = frame(90)
+    val (g, assigned) = Hnsw.index(df, "vec_id", "embedding",
+      m = 4, sampleSize = 18)
+    val rows = assigned.collect().map(r => (r.getAs[Long]("id"),
+      r.getAs[Seq[Float]]("vec").toArray, r.getAs[Int]("cell")))
+    assert(rows.length == 90)
+    rows.foreach { case (id, v, cell) =>
+      assert(cell == Hnsw.greedyDescend(g, v), s"id $id")
+      assert(Hnsw.searchAnchors(g, v, ef = 2).contains(cell), s"id $id")
+    }
+  }
+
+  test("a query that IS a corpus vector is found at rank 1 with " +
+      "cosine 1.0 (the q_s26 flag-floor guarantee)") {
+    val df = frame(90)
+    val (g, assigned) = Hnsw.index(df, "vec_id", "embedding",
+      m = 4, sampleSize = 18)
+    val queries = frame(90).filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val top = Hnsw.topK(g, assigned, queries, k = 5, ef = 2).collect()
+    (0L until 4L).foreach { q =>
+      val self = top.find(r => r.getAs[Long]("query_id") == q &&
+        r.getAs[Long]("id") == q)
+      assert(self.isDefined, s"query $q did not find itself")
+      assert(self.get.getAs[Int]("rank") == 1, s"query $q self-rank")
+      assert(self.get.getAs[Double]("cosine_sim") == 1.0)
+    }
+  }
+
+  test("recall vs brute force rises with ef and is measured, not vacuous") {
+    val df = frame(150)
+    val queries = frame(150).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val truth = Similarity.bruteForceTopK(df, "vec_id", "embedding",
+        queries, k = 10)
+      .select("query_id", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (g, assigned) = Hnsw.index(df, "vec_id", "embedding",
+      m = 4, sampleSize = 30)
+    def recall(ef: Int): Double = {
+      val got = Hnsw.topK(g, assigned, queries, k = 10, ef = ef)
+        .select("query_id", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (truth intersect got).size.toDouble / truth.size
+    }
+    val rLow = recall(2)
+    val rHigh = recall(12)
+    assert(rHigh >= rLow, s"recall must not fall with ef: $rLow -> $rHigh")
+    assert(rHigh >= 0.6, s"ef=12 recall too low: $rHigh")
+    assert(rLow > 0.0, s"ef=2 recall vacuously zero")
+  }
+}
