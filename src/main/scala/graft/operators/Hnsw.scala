@@ -251,6 +251,15 @@ object Hnsw {
       k: Int, ef: Int = 4): DataFrame = {
     val spark = assigned.sparkSession
     Similarity.init(spark)
+    val (probes, _) = probeFrame(spark, graph, queries, ef)
+    Similarity.scoreCells(assigned, probes, k)
+  }
+
+  /** Driver graph walk for a serving batch of queries → the broadcast
+    * probe frame (query_id, qvec, cell) plus the distinct probed cells.
+    */
+  private def probeFrame(spark: SparkSession, graph: Graph,
+      queries: DataFrame, ef: Int): (DataFrame, Seq[Int]) = {
     import spark.implicits._
     val qRows = queries.select(col("query_id").cast("long"),
         col("qvec").cast("array<float>")).collect()
@@ -260,6 +269,62 @@ object Hnsw {
     }.toSeq
     val probes = probeRows.toDF("query_id", "qvec", "cell")
       .withColumn("qvec", col("qvec").cast("array<float>"))
+    (probes, probeRows.map(_._3).distinct)
+  }
+
+  /** Persist the index in the IVF on-disk layout: the assigned corpus
+    * `partitionBy("cell")` (each region its own partition directory —
+    * the partition-pruned serving path), plus the graph halves as two
+    * small parquet tables (`anchors`, `graph`) a fresh session can
+    * rebuild the driver [[Graph]] from.
+    */
+  def writeIndex(g: Graph, assigned: DataFrame, path: String): Unit = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/assigned")
+    g.anchors.zipWithIndex.toSeq
+      .map { case (v, i) => (i, v.toSeq) }
+      .toDF("anchor", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/anchors")
+    (for {
+      l <- g.layerSizes.indices
+      i <- 0 until g.layerSizes(l)
+    } yield (l, i, g.neighbors(l)(i).toSeq))
+      .toDF("layer", "node", "nbrs")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/graph")
+  }
+
+  /** Rebuild the driver graph from a [[writeIndex]] layout. */
+  def readGraph(spark: SparkSession, path: String): Graph = {
+    val anchors = spark.read.parquet(s"$path/anchors")
+      .sort("anchor").collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("vec").toArray)
+    val nbrRows = spark.read.parquet(s"$path/graph").collect()
+      .map(r => (r.getAs[Int]("layer"), r.getAs[Int]("node"),
+        r.getAs[scala.collection.Seq[Int]]("nbrs").toArray))
+    val nLayers = nbrRows.map(_._1).max + 1
+    val layerSizes = Array.tabulate(nLayers)(l =>
+      nbrRows.count(_._1 == l))
+    val neighbors = Array.tabulate(nLayers) { l =>
+      val rows = nbrRows.filter(_._1 == l).sortBy(_._2)
+      rows.map(_._3)
+    }
+    Graph(anchors, layerSizes, neighbors)
+  }
+
+  /** Serving-path top-k over a persisted index: driver graph walk picks
+    * ≤ ef + 1 regions, and ONLY those partition directories are read
+    * (partition pruning on `cell`) — at 100 TB a probe touches ef/s of
+    * the index on disk, never the whole corpus.
+    */
+  def topKIndexed(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, ef: Int = 4): DataFrame = {
+    val graph = readGraph(spark, path)
+    Similarity.init(spark)
+    val (probes, cells) = probeFrame(spark, graph, queries, ef)
+    val assigned = spark.read.parquet(s"$path/assigned")
+      .filter(col("cell").isin(cells: _*))
     Similarity.scoreCells(assigned, probes, k)
   }
 }

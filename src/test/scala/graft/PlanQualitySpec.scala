@@ -464,4 +464,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("S26 HNSW recall audit: probes broadcast onto the region-assigned " +
+      "corpus, never a corpus-side cartesian") {
+    val p = plan("q_s26_hnsw_recall")
+    // scoreCells joins broadcast(probes) on `cell`; the truth side is the
+    // same bruteForceTopK shape S25 pins; flag join equi on (query_id, id)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("K4 AWS scan rollup: one partial-aggregated groupBy over the " +
+      "fanned-out scan — no join at all in the aggregation") {
+    val p = plan("q_k4_aws_scan")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"), p)
+    // string min/max buffers push this to SortAggregate; either way it's
+    // a partial-agg pair around one exchange, not a join
+    assert(p.contains("Aggregate"), p)
+  }
 }

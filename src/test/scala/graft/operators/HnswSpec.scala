@@ -77,6 +77,31 @@ class HnswSpec extends SparkSpec {
     }
   }
 
+  test("persisted index round-trips: topKIndexed equals in-memory topK " +
+      "and the probe read is partition-pruned") {
+    val df = frame(90)
+    val (g, assigned) = Hnsw.index(df, "vec_id", "embedding",
+      m = 4, sampleSize = 18)
+    val dir = tempDir("hnsw-idx").toString
+    Hnsw.writeIndex(g, assigned, dir)
+    val g2 = Hnsw.readGraph(spark, dir)
+    assert(g2.layerSizes.sameElements(g.layerSizes))
+    assert(g2.neighbors.zip(g.neighbors).forall { case (a, b) =>
+      a.zip(b).forall { case (x, y) => x.sameElements(y) } })
+    val queries = frame(90).filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    def key(r: org.apache.spark.sql.Row) = (r.getAs[Long]("query_id"),
+      r.getAs[Int]("rank"), r.getAs[Long]("id"),
+      r.getAs[Double]("cosine_sim"))
+    val mem = Hnsw.topK(g, assigned, queries, k = 5, ef = 3)
+      .collect().map(key).toSet
+    val idx = Hnsw.topKIndexed(spark, dir, queries, k = 5, ef = 3)
+    val plan = idx.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan)
+    assert(idx.collect().map(key).toSet == mem)
+  }
+
   test("recall vs brute force rises with ef and is measured, not vacuous") {
     val df = frame(150)
     val queries = frame(150).filter(col("vec_id") < 5)
