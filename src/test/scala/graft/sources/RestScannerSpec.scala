@@ -159,6 +159,44 @@ class RestScannerSpec extends SparkSpec {
     } finally ep.stop()
   }
 
+  test("retry policy: transient 503s retry with backoff, permanent 403 " +
+      "fails immediately, exhausted budget surfaces the error") {
+    withServer { (server, port) =>
+      val flaky = new java.util.concurrent.atomic.AtomicInteger(0)
+      server.createContext("/v1/projects/flaky/assets",
+        (x: HttpExchange) => {
+          if (flaky.incrementAndGet() <= 2)
+            respond(x, 503, """{"error":"throttle"}""")
+          else respond(x, 200, """{"assets":[{"name":"ok"}]}""")
+        })
+      val out = gcpAssetPages(s"http://127.0.0.1:$port", StaticToken("t"),
+        "projects/flaky",
+        policy = RetryPolicy(maxRetries = 3, backoffMs = 1))
+      assert(out.size == 1 && flaky.get() == 3,
+        s"${out.size} rows after ${flaky.get()} attempts")
+      // permanent class: one attempt only — retrying auth errors hides them
+      val denied = new java.util.concurrent.atomic.AtomicInteger(0)
+      server.createContext("/v1/projects/denied/assets",
+        (x: HttpExchange) => { denied.incrementAndGet(); respond(x, 403, "{}") })
+      val e = intercept[Exception] {
+        gcpAssetPages(s"http://127.0.0.1:$port", StaticToken("t"),
+          "projects/denied",
+          policy = RetryPolicy(maxRetries = 5, backoffMs = 1))
+      }
+      assert(e.getMessage.contains("403") && denied.get() == 1, e.getMessage)
+      // exhausted budget: maxRetries + 1 attempts, then the real error
+      val down = new java.util.concurrent.atomic.AtomicInteger(0)
+      server.createContext("/v1/projects/down/assets",
+        (x: HttpExchange) => { down.incrementAndGet(); respond(x, 503, "{}") })
+      val e3 = intercept[Exception] {
+        gcpAssetPages(s"http://127.0.0.1:$port", StaticToken("t"),
+          "projects/down",
+          policy = RetryPolicy(maxRetries = 2, backoffMs = 1))
+      }
+      assert(e3.getMessage.contains("503") && down.get() == 3, e3.getMessage)
+    }
+  }
+
   test("non-2xx surfaces as an error, not silent truncation") {
     withServer { (server, port) =>
       server.createContext("/v1/projects/p9/assets",
