@@ -4602,7 +4602,7 @@ object PipelineQueries {
     * carrying a near-miss account balance. Pure integer/substr
     * arithmetic, identical text in both dialects.
     */
-  private val erRecsSql =
+  private[graft] val erRecsSql =
     """SELECT c_custkey * 10 AS rid, c_name AS name,
       |       c_nationkey AS nation, c_acctbal AS acctbal,
       |       c_mktsegment AS segment

@@ -967,8 +967,19 @@ object Graph {
     * each round is two co-partitioned joins + an aggregation, no
     * driver-side state. This is the clustering stage of near-dup dedup
     * (pairs → clusters → canonical keeper) and the general CC operator.
+    *
+    * Three regimes, cheapest first: symmetrized edge rows ≤
+    * `localEdgeLimit` (≈8 MB collected at the default) solve as ONE
+    * collect + driver union-find — zero further Spark jobs, because at
+    * tiny sizes the per-round floor (two jobs/round, broadcast
+    * create+destroy) dominates by 10× (measured: 4–5 s for a 5k-edge
+    * entity-resolution graph vs ~0.3 s collected). Mid sizes run the
+    * driver-contracted label loop; label sets beyond driver memory run
+    * the fully distributed join loop. `localEdgeLimit = 0` disables the
+    * local endgame (spec hook, mirrors reachFrom's gate).
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20,
+      localEdgeLimit: Long = 500L * 1000): DataFrame = {
     // Type-preserving: component = MIN(id) in the id column's own type
     // (numeric min for long doc ids, lexicographic for string node ids).
     // No dedup pass: duplicate edges are harmless under min-aggregation,
@@ -1005,7 +1016,10 @@ object Graph {
        idType == org.apache.spark.sql.types.StringType) &&
       (nEdges < 2L * 1000 * 1000 || gate.getLong(1) < 4L * 1000 * 1000)
     if (contractable) {
-      val out = ccContracted(sym, maxIter)
+      val out =
+        if (nEdges <= localEdgeLimit)
+          ccLocal(sym).getOrElse(ccContracted(sym, maxIter))
+        else ccContracted(sym, maxIter)
       sym.unpersist(blocking = false)
       return out
     }
@@ -1077,6 +1091,59 @@ object Graph {
     * min(self, neighbors) init. Ordering semantics are identical to the
     * join path: labels only ever decrease, component = min id.
     */
+  /** Driver-local CC endgame: one collect of the (already tiny)
+    * symmetrized edge set, min-root union-find with path compression
+    * (min-union keeps every root the minimum of its merged roots, and
+    * every member starts as a root, so the final root IS the component
+    * min — the exact contract of the distributed paths). Returns None on
+    * inputs the typed solve can't carry (non-Long/String ids, NULL
+    * endpoints) so the caller falls back to the contracted loop.
+    */
+  private def ccLocal(sym: DataFrame): Option[DataFrame] = {
+    val spark = sym.sparkSession
+    import spark.implicits._
+    val idType = sym.schema("a").dataType
+    val isLong = idType == org.apache.spark.sql.types.LongType
+    val isString = idType == org.apache.spark.sql.types.StringType
+    if (!isLong && !isString) return None
+    val t0 = System.nanoTime()
+    val rows = sym.collect()
+    if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) return None
+
+    def solve[K](pairs: Array[(K, K)])(implicit ord: Ordering[K]): Seq[(K, K)] = {
+      val parent = new scala.collection.mutable.HashMap[K, K]
+      def find(x: K): K = {
+        var r = x
+        var p = parent.getOrElse(r, r)
+        while (p != r) { r = p; p = parent.getOrElse(r, r) }
+        var c = x
+        while (c != r) { val n = parent(c); parent.update(c, r); c = n }
+        r
+      }
+      pairs.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) {
+          if (ord.lt(ra, rb)) parent.update(rb, ra)
+          else parent.update(ra, rb)
+        }
+      }
+      // sym carries both directions, so the first column covers every node
+      val nodes = new scala.collection.mutable.LinkedHashSet[K]
+      pairs.foreach { case (a, _) => nodes += a }
+      nodes.iterator.map(n => (n, find(n))).toSeq
+    }
+
+    val out =
+      if (isLong)
+        solve(rows.map(r => (r.getLong(0), r.getLong(1)))).toDF("id", "comp")
+      else
+        solve(rows.map(r => (r.getString(0), r.getString(1)))).toDF("id", "comp")
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      println(s"[cc] local union-find: ${rows.length} sym rows in " +
+        s"${(System.nanoTime() - t0) / 1e9}s")
+    Some(out)
+  }
+
   private def ccContracted(sym: DataFrame, maxIter: Int): DataFrame = {
     val spark = sym.sparkSession
     import spark.implicits._

@@ -194,11 +194,26 @@ class DedupSpec extends SparkSpec {
 
   test("connectedComponents: chains converge via pointer doubling, isolated stay") {
     val chain = (1L until 12L).map(i => (i, i + 1)) :+ (20L, 21L)
-    val comp = Graph.connectedComponents(
-        chain.toDF("from_id", "to_id"), maxIter = 20)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    (1L to 12L).foreach(i => assert(comp(i) == 1L, s"node $i"))
-    assert(comp(20L) == 20L && comp(21L) == 20L)
+    // all THREE regimes agree bit for bit: driver union-find (default at
+    // this size), contracted label loop (localEdgeLimit = 0 disables the
+    // local endgame), and string ids through both
+    Seq(500000L, 0L).foreach { lim =>
+      val comp = Graph.connectedComponents(
+          chain.toDF("from_id", "to_id"), maxIter = 20, localEdgeLimit = lim)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (1L to 12L).foreach(i => assert(comp(i) == 1L, s"node $i (lim=$lim)"))
+      assert(comp(20L) == 20L && comp(21L) == 20L, s"lim=$lim")
+    }
+    Seq(500000L, 0L).foreach { lim =>
+      val comp = Graph.connectedComponents(
+          chain.map { case (a, b) => (f"s$a%03d", f"s$b%03d") }
+            .toDF("from_id", "to_id"),
+          maxIter = 20, localEdgeLimit = lim)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      (1L to 12L).foreach(i =>
+        assert(comp(f"s$i%03d") == "s001", s"node $i (lim=$lim)"))
+      assert(comp("s020") == "s020" && comp("s021") == "s020", s"lim=$lim")
+    }
   }
 
   test("codegen simhash64 is bit-identical to the HOF formulation") {
