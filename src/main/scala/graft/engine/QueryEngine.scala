@@ -217,11 +217,32 @@ object QueryEngine {
   def escapedLiterals(spark: SparkSession): Boolean =
     spark.conf.get("spark.sql.parser.escapedStringLiterals", "false").toBoolean
 
+  private val ExplainRe = "(?is)^\\s*explain\\s+(.*)$".r
+
+  /** EXPLAIN shortcut shared by every execute path (so the remote query
+    * API gets it too, not just the CLI): `ExplainCommand` is a Command
+    * the statement guard rejects, so the keyword is stripped and the
+    * inner query's formatted plan + plan facts come back as a one-row,
+    * one-column result under the normal wire contract.
+    */
+  private def explainResult(spark: SparkSession, sql: String,
+      params: Map[String, Any]): Option[QueryResult] = sql match {
+    case ExplainRe(inner) =>
+      val t0 = System.nanoTime()
+      val df = frame(spark, inner, params)
+      val text = explain(df) + "\n== Plan Facts ==\n" +
+        planFacts(df).map { case (k, v) => s"$k = $v" }.mkString("\n")
+      Some(QueryResult(Seq(ColumnInfo("plan", "string", nullable = false)),
+        Seq(Row(text)), 1L, (System.nanoTime() - t0) / 1000000))
+    case _ => None
+  }
+
   /** Execute guarded SQL, returning corkscrew-shaped result+stats
     * (engine.go:130-229). For large results prefer [[executeStreaming]].
     */
   def execute(spark: SparkSession, sql: String,
       params: Map[String, Any] = Map.empty): QueryResult = {
+    explainResult(spark, sql, params).foreach(r => return r)
     val bound = if (params.isEmpty) sql
       else bindParams(sql, params, escapedLiterals(spark))
     validate(spark, bound) match {
@@ -245,6 +266,7 @@ object QueryEngine {
     */
   def executeParameterized(spark: SparkSession, sql: String,
       params: Map[String, Any]): QueryResult = {
+    explainResult(spark, sql, params).foreach(r => return r)
     val needsTextual = params.values.exists {
       case _: Seq[_] | _: Array[_] => true
       case _ => false
@@ -277,6 +299,8 @@ object QueryEngine {
     */
   def executeStreaming(spark: SparkSession, sql: String,
       params: Map[String, Any] = Map.empty): (Seq[ColumnInfo], Iterator[Row]) = {
+    explainResult(spark, sql, params)
+      .foreach(r => return (r.columns, r.rows.iterator))
     val bound = if (params.isEmpty) sql
       else bindParams(sql, params, escapedLiterals(spark))
     validate(spark, bound) match {

@@ -39,6 +39,16 @@ class QueryServerSpec extends SparkSpec {
         post(server.boundPort, "SELECT * FROM api_thing")
       assert(missCode == 400)
       assert(missBody.contains("did you mean api_things?"), missBody)
+
+      // EXPLAIN rides the same wire contract: one-row, one-column plan
+      // text (the guard rejects raw ExplainCommand, so the engine strips
+      // the keyword and formats the inner frame without executing it)
+      val (exCode, exBody) = post(server.boundPort,
+        "EXPLAIN SELECT name FROM api_things WHERE id = 1")
+      assert(exCode == 200, exBody)
+      assert(exBody.contains(""""columns":[{"name":"plan","type":"string","nullable":false}]"""), exBody)
+      assert(exBody.contains("Physical Plan") &&
+        exBody.contains("Plan Facts"), exBody)
     } finally server.stop()
   }
 }
