@@ -102,6 +102,9 @@ object Cli {
       |  list     --service s --region r [--plugin host:port]
       |  describe --service s --region r --id id [--plugin host:port]
       |  explain  --name q_x | --sql SQL          formatted plan + plan facts
+      |           (--name BUILDS the query's frame: stateful/streaming
+      |            queries run their pipeline stages to produce the plan;
+      |            --sql never executes)
       |  schemas  --table t [--json-col raw_data] [--sample N]
       |  serve    [--grpc] [--port N]             remote query API
       |  repl     interactive shell: one SQL per line; exit/quit leaves
@@ -293,9 +296,19 @@ object Cli {
         // registered driver query (building its frame may run the
         // driver-loop stages of iterative operators); `--sql` explains
         // guarded ad-hoc SQL without executing it.
+        // `--name` must BUILD the frame to have a plan to show, and some
+        // driver queries (the streaming replays, store lifecycles) run
+        // real work — micro-batches, staging-dir rewrites — during frame
+        // construction. Warn up front so an operator isn't surprised by
+        // an "explain" that executes; --sql stays side-effect-free.
         val df = flag("name") match {
           case Some(n) => graft.SparkEntry.queries.get(n) match {
-            case Some(fn) => fn(spark, sfDir)
+            case Some(fn) =>
+              Console.err.println(s"[explain] building frame for '$n' — " +
+                "stateful/streaming driver queries execute their pipeline " +
+                "stages during frame construction (use --sql for a " +
+                "no-execution explain)")
+              fn(spark, sfDir)
             case None => return (s"Error: unknown driver query '$n' " +
               s"(${graft.SparkEntry.queries.size} registered — " +
               "see SparkEntry.queries)", 1)

@@ -58,13 +58,19 @@ object Classifier {
   private def sigmoid(m: Double): Double = 1.0 / (1.0 + math.exp(-m))
 
   /** Train on a deterministic bounded sample: the `maxSample` smallest
-    * `idCol` rows (stable under partitioning, the [[Similarity.ivfIndex]]
-    * sampling contract). `labelCol` must evaluate to 0.0/1.0.
+    * rows by `(md5("clf:" + id), id)` (stable under partitioning AND
+    * content-uniform — the [[Similarity.ivfIndex]] sampling contract; an
+    * id-prefix sample would train only on the first corpus slice when
+    * ids correlate with content). Batch GD sums the gradient over the
+    * sample, so in-sample ORDER never affects the fit — only selection
+    * does. `labelCol` must evaluate to 0.0/1.0.
     */
   def trainOnSample(docs: DataFrame, idCol: String, textCol: String,
       labelCol: Column, maxSample: Int = 10000, iters: Int = 300,
       lr: Double = 2.0): Model = {
-    val sample = docs.sort(idCol).limit(maxSample)
+    val sample = docs
+      .sort(md5(concat(lit("clf:"), col(idCol).cast("string"))), col(idCol))
+      .limit(maxSample)
       .select(col(textCol).cast("string"), labelCol.cast("double"))
       .collect()
       .map(r => (Option(r.getString(0)).getOrElse(""), r.getDouble(1)))

@@ -1095,9 +1095,14 @@ object Graph {
     * symmetrized edge set, min-root union-find with path compression
     * (min-union keeps every root the minimum of its merged roots, and
     * every member starts as a root, so the final root IS the component
-    * min — the exact contract of the distributed paths). Returns None on
-    * inputs the typed solve can't carry (non-Long/String ids, NULL
-    * endpoints) so the caller falls back to the contracted loop.
+    * min — the exact contract of the distributed paths). Edges are
+    * PACKED to flat primitive/string arrays on the executors before the
+    * collect, so 500k sym rows at the default limit reach the driver as
+    * ~8 MB of long[] — not tens of MB of transient Row objects (the
+    * union-find map itself holds unboxed long keys via LongMap; only
+    * merged-root values box). Returns None on inputs the typed solve
+    * can't carry (non-Long/String ids, NULL endpoints) so the caller
+    * falls back to the contracted loop.
     */
   private def ccLocal(sym: DataFrame): Option[DataFrame] = {
     val spark = sym.sparkSession
@@ -1107,12 +1112,22 @@ object Graph {
     val isString = idType == org.apache.spark.sql.types.StringType
     if (!isLong && !isString) return None
     val t0 = System.nanoTime()
-    val rows = sym.collect()
-    if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) return None
 
-    def solve[K](pairs: Array[(K, K)])(implicit ord: Ordering[K]): Seq[(K, K)] = {
-      val parent = new scala.collection.mutable.HashMap[K, K]
-      def find(x: K): K = {
+    if (isLong) {
+      // (hasNull, packed a0,b0,a1,b1,...) per partition — the repack runs
+      // distributed; the driver only ever sees primitive arrays
+      val chunks: Array[(Boolean, Array[Long])] = sym.rdd.mapPartitions { it =>
+        val buf = new scala.collection.mutable.ArrayBuilder.ofLong
+        var hasNull = false
+        it.foreach { r =>
+          if (r.isNullAt(0) || r.isNullAt(1)) hasNull = true
+          else { buf += r.getLong(0); buf += r.getLong(1) }
+        }
+        Iterator.single((hasNull, buf.result()))
+      }.collect()
+      if (chunks.exists(_._1)) return None
+      val parent = new scala.collection.mutable.LongMap[Long]
+      def find(x: Long): Long = {
         var r = x
         var p = parent.getOrElse(r, r)
         while (p != r) { r = p; p = parent.getOrElse(r, r) }
@@ -1120,28 +1135,68 @@ object Graph {
         while (c != r) { val n = parent(c); parent.update(c, r); c = n }
         r
       }
-      pairs.foreach { case (a, b) =>
-        val ra = find(a); val rb = find(b)
-        if (ra != rb) {
-          if (ord.lt(ra, rb)) parent.update(rb, ra)
-          else parent.update(ra, rb)
+      chunks.foreach { case (_, arr) =>
+        var i = 0
+        while (i < arr.length) {
+          val ra = find(arr(i)); val rb = find(arr(i + 1))
+          if (ra != rb) {
+            if (ra < rb) parent.update(rb, ra) else parent.update(ra, rb)
+          }
+          i += 2
         }
       }
-      // sym carries both directions, so the first column covers every node
-      val nodes = new scala.collection.mutable.LinkedHashSet[K]
-      pairs.foreach { case (a, _) => nodes += a }
-      nodes.iterator.map(n => (n, find(n))).toSeq
+      // sym carries both directions, so the `a` slots cover every node
+      val nodes = new scala.collection.mutable.LinkedHashSet[Long]
+      chunks.foreach { case (_, arr) =>
+        var i = 0
+        while (i < arr.length) { nodes += arr(i); i += 2 }
+      }
+      val out = nodes.iterator.map(n => (n, find(n))).toSeq.toDF("id", "comp")
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"[cc] local union-find: ${chunks.iterator.map(_._2.length / 2).sum} " +
+          s"sym rows in ${(System.nanoTime() - t0) / 1e9}s")
+      Some(out)
+    } else {
+      val chunks: Array[(Boolean, Array[String])] = sym.rdd.mapPartitions { it =>
+        val buf = scala.collection.mutable.ArrayBuilder.make[String]
+        var hasNull = false
+        it.foreach { r =>
+          if (r.isNullAt(0) || r.isNullAt(1)) hasNull = true
+          else { buf += r.getString(0); buf += r.getString(1) }
+        }
+        Iterator.single((hasNull, buf.result()))
+      }.collect()
+      if (chunks.exists(_._1)) return None
+      val parent = new scala.collection.mutable.HashMap[String, String]
+      def find(x: String): String = {
+        var r = x
+        var p = parent.getOrElse(r, r)
+        while (p != r) { r = p; p = parent.getOrElse(r, r) }
+        var c = x
+        while (c != r) { val n = parent(c); parent.update(c, r); c = n }
+        r
+      }
+      chunks.foreach { case (_, arr) =>
+        var i = 0
+        while (i < arr.length) {
+          val ra = find(arr(i)); val rb = find(arr(i + 1))
+          if (ra != rb) {
+            if (ra < rb) parent.update(rb, ra) else parent.update(ra, rb)
+          }
+          i += 2
+        }
+      }
+      val nodes = new scala.collection.mutable.LinkedHashSet[String]
+      chunks.foreach { case (_, arr) =>
+        var i = 0
+        while (i < arr.length) { nodes += arr(i); i += 2 }
+      }
+      val out = nodes.iterator.map(n => (n, find(n))).toSeq.toDF("id", "comp")
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"[cc] local union-find: ${chunks.iterator.map(_._2.length / 2).sum} " +
+          s"sym rows in ${(System.nanoTime() - t0) / 1e9}s")
+      Some(out)
     }
-
-    val out =
-      if (isLong)
-        solve(rows.map(r => (r.getLong(0), r.getLong(1)))).toDF("id", "comp")
-      else
-        solve(rows.map(r => (r.getString(0), r.getString(1)))).toDF("id", "comp")
-    if (sys.env.contains("GRAFT_CC_DEBUG"))
-      println(s"[cc] local union-find: ${rows.length} sym rows in " +
-        s"${(System.nanoTime() - t0) / 1e9}s")
-    Some(out)
   }
 
   private def ccContracted(sym: DataFrame, maxIter: Int): DataFrame = {

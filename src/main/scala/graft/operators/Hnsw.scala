@@ -194,7 +194,13 @@ object Hnsw {
     val base = vectors.select(col(idCol).as("id"),
         col(vecCol).cast("array<float>").as("vec"))
       .barrier(true)
-    val anchors = base.sort("id").limit(sampleSize)
+    // Hash-uniform anchor draw (the [[Similarity.ivfIndex]] sampling
+    // contract): md5 order is deterministic like an id sort but
+    // content-uniform — an id-prefix anchor set would mirror only the
+    // first corpus slice whenever ids correlate with content.
+    val anchors = base
+      .sort(md5(concat(lit("hnsw:"), col("id").cast("string"))), col("id"))
+      .limit(sampleSize)
       .select("vec").collect()
       .map(_.getSeq[Float](0).toArray)
     val graph = buildGraph(anchors, m)

@@ -506,12 +506,18 @@ object Similarity {
     val base = vectors.select(col(idCol).as("id"),
         col(vecCol).cast("array<float>").as("vec"))
       .barrier(true)
-    // Deterministic bounded sample (TakeOrdered by id — stable under
-    // partitioning), Lloyd iterations on the driver: k x sample x dim
-    // flops, microseconds-to-milliseconds of CPU vs an MLlib fit's
-    // multi-job cascade (instrumentation, cached conversions, per-iter
-    // jobs) that dominated index build at every SF.
-    val train = base.sort("id").limit(MaxTrainSample)
+    // Deterministic bounded sample (TakeOrdered by md5(tag:id), id —
+    // stable under partitioning AND content-uniform: an id-prefix sample
+    // would be the oldest/first corpus slice whenever ids correlate with
+    // content, under-representing the tail at 100 TB; the hash order is
+    // a uniform draw with the same reproducibility). Lloyd iterations on
+    // the driver: k x sample x dim flops, microseconds-to-milliseconds
+    // of CPU vs an MLlib fit's multi-job cascade (instrumentation,
+    // cached conversions, per-iter jobs) that dominated index build at
+    // every SF.
+    val train = base
+      .sort(md5(concat(lit("ivf:"), col("id").cast("string"))), col("id"))
+      .limit(MaxTrainSample)
       .select("vec").collect()
       .map(_.getSeq[Float](0).toArray)
     val centroids = Similarity.lloyd(train, nCells, seed, iters = 10)
@@ -1007,7 +1013,12 @@ object Similarity {
     import spark.implicits._
     val base = vectors.select(col(idCol).as("id"),
       col(vecCol).cast("array<float>").as("vec"))
-    val train = base.sort("id").limit(MaxTrainSample)
+    // Same hash-uniform bounded sample as [[ivfIndex]] (md5 order, not
+    // id order — id-prefix samples skew the codebooks when ids track
+    // content); distinct tag so the two fits draw independent samples.
+    val train = base
+      .sort(md5(concat(lit("pq:"), col("id").cast("string"))), col("id"))
+      .limit(MaxTrainSample)
       .select("vec").collect().map(_.getSeq[Float](0).toArray)
     require(train.nonEmpty, "pq: empty training sample")
     val dim = train.map(_.length).max

@@ -38,7 +38,16 @@ final class FakeAwsEndpoint(services: Seq[String], regions: Seq[String],
 
   def start(): Int = synchronized {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
-    server.createContext("/", (x: HttpExchange) => handle(x))
+    // exceptions escaping handle() (malformed JSON body, a Describe id
+    // that fails toInt, ...) would leave the exchange unanswered and the
+    // client blocked until its timeout — turn them into a 500 instead
+    server.createContext("/", (x: HttpExchange) =>
+      try handle(x)
+      catch {
+        case scala.util.control.NonFatal(_) =>
+          try respond(x, 500, """{"__type":"InternalFailure"}""")
+          catch { case scala.util.control.NonFatal(_) => x.close() }
+      })
     // start from a daemon thread: the JDK HTTP-Dispatcher inherits the
     // spawning thread's daemon flag, and a non-daemon dispatcher would
     // pin the JVM open after a driver run's main returns (the lazy

@@ -81,6 +81,13 @@ object RestScanner {
 
   private val TransientStatuses = Set(429, 500, 502, 503, 504)
 
+  /** Ceiling on one backoff sleep: the shift is also clamped to 20
+    * doublings so a large user-supplied `maxRetries` can never overflow
+    * `backoffMs << attempt` into a negative sleep (Thread.sleep throws on
+    * negatives, which would mask the real transport error).
+    */
+  private val MaxBackoffMs = 60000L
+
   private def sendWithRetry(client: HttpClient, req: HttpRequest,
       policy: RetryPolicy): String = {
     var attempt = 0
@@ -91,11 +98,25 @@ object RestScanner {
             if !TransientStatuses.contains(e.status) => throw e
         case scala.util.control.NonFatal(e) =>
           if (attempt >= policy.maxRetries) throw e
-          Thread.sleep(policy.backoffMs << attempt)
+          Thread.sleep(
+            math.min(MaxBackoffMs, policy.backoffMs << math.min(attempt, 20)))
           attempt += 1
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Progress guard for the three paging loops: a (broken or malicious)
+    * endpoint that keeps returning the same continuation token would
+    * otherwise loop forever inside an executor task — the retry policy
+    * bounds FAILURES, not successful non-advancing pages. Returns the
+    * token to carry into the next iteration.
+    */
+  private def advanceToken(kind: String, prev: String, next: String): String = {
+    if (next == prev)
+      throw new java.io.IOException(
+        s"$kind paging stalled: continuation token '$next' did not advance")
+    next
   }
 
   /** One Azure Resource Graph query over one subscription batch,
@@ -135,7 +156,8 @@ object RestScanner {
       val data = root.path("data")
       (0 until data.size()).foreach(i => out += mapper.writeValueAsString(data.get(i)))
       val tok = root.path("$skipToken")
-      if (tok.isTextual && tok.asText().nonEmpty) skipToken = tok.asText()
+      if (tok.isTextual && tok.asText().nonEmpty)
+        skipToken = advanceToken("azure $skipToken", skipToken, tok.asText())
       else more = false
     }
     out.result()
@@ -205,7 +227,8 @@ object RestScanner {
       (0 until items.size()).foreach(i =>
         out += mapper.writeValueAsString(items.get(i)))
       val tok = root.path("NextToken")
-      if (tok.isTextual && tok.asText().nonEmpty) nextToken = tok.asText()
+      if (tok.isTextual && tok.asText().nonEmpty)
+        nextToken = advanceToken("aws NextToken", nextToken, tok.asText())
       else more = false
     }
     out.result()
@@ -321,7 +344,8 @@ object RestScanner {
       (0 until assets.size()).foreach(i =>
         out += mapper.writeValueAsString(assets.get(i)))
       val next = root.path("nextPageToken")
-      if (next.isTextual && next.asText().nonEmpty) pageToken = next.asText()
+      if (next.isTextual && next.asText().nonEmpty)
+        pageToken = advanceToken("gcp nextPageToken", pageToken, next.asText())
       else more = false
     }
     out.result()

@@ -52,12 +52,22 @@ class ClassifierSpec extends SparkSpec {
     }
   }
 
-  test("bounded sample: training ignores rows past maxSample") {
+  test("bounded sample: training sees exactly the maxSample md5-smallest " +
+      "ids (hash-uniform draw, not an id prefix)") {
     val extra = toy.unionByName(
       Seq((100L, "noise tokens here", 0.0)).toDF("id", "text", "y"))
+    // replicate the sampling contract: smallest (md5("clf:"+id), id)
+    val kept = extra
+      .sort(md5(concat(lit("clf:"), col("id").cast("string"))), col("id"))
+      .limit(8).select("id").as[Long].collect().toSet
+    assert(kept.size == 8) // selection is some 8 of the 9 ids
     val m1 = Classifier.trainOnSample(extra, "id", "text", col("y"),
       maxSample = 8)
-    val m2 = Classifier.trainOnSample(toy, "id", "text", col("y"))
+    val m2 = Classifier.trainOnSample(
+      extra.filter(col("id").isin(kept.toSeq: _*)), "id", "text", col("y"))
     assert(m1.bias == m2.bias && m1.weights.sameElements(m2.weights))
+    // and the 9th id is genuinely excluded: training on all 9 differs
+    val mAll = Classifier.trainOnSample(extra, "id", "text", col("y"))
+    assert(mAll.bias != m1.bias || !mAll.weights.sameElements(m1.weights))
   }
 }
