@@ -2523,6 +2523,69 @@ object Queries {
        |SELECT src AS a, id AS b, CAST(MIN(distance) AS INTEGER) AS path_len
        |FROM walk GROUP BY src, id""".stripMargin
 
+  /** G19: the reference's FindResourcePath recursive CTE executed
+    * NATIVELY — Spark 4.1's `WITH RECURSIVE` (logical `UnionLoop`)
+    * through the guarded SQL engine, closing the last dialect asymmetry:
+    * a user pasting graph_loader.go:402-433's literal text into
+    * `graft query` now runs it as-is instead of being routed to the
+    * Graph facade. Dialect-mapped pieces only: `ARRAY[x]` → `array(x)`,
+    * `array_to_string` → `array_join` (the DuckDB oracle keeps the
+    * reference's spellings); the two `?` binds materialize as
+    * from 'o1' and a scalar subquery for o1's region (SF-independent);
+    * `ORDER BY depth LIMIT 1` gains the `path` tiebreak because the
+    * reference's bare form is pick-any among equal-depth paths — here
+    * the star-schema chain is functional (order→customer→nation→region),
+    * so the answer is the unique depth-3 path either way.
+    * Facade parity (same answer as [[Graph.reach]]) is spec-pinned in
+    * RecursiveSqlSpec; the UnionLoop plan shape in PlanQualitySpec.
+    */
+  val g19RelSql: String =
+    """SELECT 'c' || CAST(c_custkey AS STRING) AS from_id,
+      |       'n' || CAST(c_nationkey AS STRING) AS to_id,
+      |       'located_in' AS relationship_type FROM customer
+      |UNION ALL SELECT 's' || CAST(s_suppkey AS STRING),
+      |       'n' || CAST(s_nationkey AS STRING), 'located_in' FROM supplier
+      |UNION ALL SELECT 'n' || CAST(n_nationkey AS STRING),
+      |       'r' || CAST(n_regionkey AS STRING), 'part_of' FROM nation
+      |UNION ALL SELECT 'o' || CAST(o_orderkey AS STRING),
+      |       'c' || CAST(o_custkey AS STRING), 'belongs_to' FROM orders""".stripMargin
+
+  /** The shared text: `mkArray` / `arrToStr` are the only per-dialect
+    * substitutions (both engines execute everything else verbatim).
+    */
+  def g19Sql(mkArray: String, arrToStr: String): String =
+    s"""WITH RECURSIVE rel AS ($g19RelSql),
+       |resource_path AS (
+       |  SELECT from_id, to_id, relationship_type, 1 AS depth,
+       |         $mkArray AS path
+       |  FROM rel
+       |  WHERE from_id = 'o1'
+       |  UNION ALL
+       |  SELECT r.from_id, r.to_id, r.relationship_type, rp.depth + 1,
+       |         array_append(rp.path, r.from_id)
+       |  FROM rel r
+       |  JOIN resource_path rp ON r.from_id = rp.to_id
+       |  WHERE rp.depth < 10 AND NOT array_contains(rp.path, r.from_id)
+       |)
+       |SELECT $arrToStr(path, '->') AS path, depth, relationship_type
+       |FROM resource_path
+       |WHERE to_id = (SELECT 'r' || CAST(n_regionkey AS STRING)
+       |               FROM orders JOIN customer ON c_custkey = o_custkey
+       |               JOIN nation ON n_nationkey = c_nationkey
+       |               WHERE o_orderkey = 1)
+       |ORDER BY depth, path
+       |LIMIT 1""".stripMargin
+
+  val g19SparkSql: String = g19Sql("array(from_id)", "array_join")
+
+  val g19RecursivePath: Q = (s, d) => {
+    Tables.register(s, d)
+    // through the guarded engine: validate (statement-class guard) +
+    // spark.sql — proving UnionLoop rides the same path as any SELECT
+    QueryEngine.frame(s, g19SparkSql)
+  }
+  val g19Oracle: String = g19Sql("ARRAY[from_id]", "array_to_string")
+
   /** G12: weighted single-source-set shortest paths ([[Graph.sssp]]) —
     * the cost-aware sibling of q_g2's hop-count reach. Graph: the
     * procurement chain order→part→supplier→nation→region with integer
@@ -5368,6 +5431,7 @@ object Queries {
     "q_g16_quantified_match" -> g16QuantifiedMatch,
     "q_g17_diagram" -> g17Diagram,
     "q_g18_any_shortest" -> g18AnyShortest,
+    "q_g19_recursive_path" -> g19RecursivePath,
     "q_g12_sssp" -> g12Sssp,
     "q_c1_compliance_pack" -> c1PackQuery,
     "q_c5_macro_canonical" -> c5MacroCanonical,
@@ -5517,6 +5581,7 @@ object Queries {
     "q_g16_quantified_match" -> g16Oracle,
     "q_g17_diagram" -> g17Oracle,
     "q_g18_any_shortest" -> g18Oracle,
+    "q_g19_recursive_path" -> g19Oracle,
     "q_x3_asof_join" -> x3Oracle,
     "q_x4_range_join" -> x4Oracle,
     "q_a11_pivot" -> a11Oracle,

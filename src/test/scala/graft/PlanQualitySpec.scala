@@ -482,4 +482,15 @@ class PlanQualitySpec extends SparkSpec {
     // a partial-agg pair around one exchange, not a join
     assert(p.contains("Aggregate"), p)
   }
+
+  test("G19 native recursive CTE: UnionLoop executes the reference's " +
+      "literal shortest-path text; the loop step is a broadcast join on " +
+      "the (single-chain) frontier, no cartesian") {
+    val df = SparkEntry.queries("q_g19_recursive_path")(spark, sf)
+    val opt = df.queryExecution.optimizedPlan
+      .collect { case n => n.nodeName }.toSet
+    assert(opt.contains("UnionLoop"), s"optimized nodes: $opt")
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
