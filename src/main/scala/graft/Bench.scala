@@ -146,7 +146,20 @@ object Bench {
     } + "\""
     val errJson = errors.map { case (k, v) => s"${jq(k)}:${jq(v)}" }
       .mkString("{", ",", "}")
-    val tailFields = s""""errs":${errors.size},"metric":"total","value":${fmt(total)},"unit":"sec","probe":${fmt(probe)},"skew":$skewJson,"sf":"$sfDir""""
+    // Probe normalization, inline: rounds keep landing on hosts with
+    // 1.5-3x CPU contention, and raw totals across BENCH_r*.json have
+    // needed per-round forensics to compare. 0.33 s is the clean-host
+    // probe time (measured rounds 10-12); value_normalized = value *
+    // (0.33 / probe) is the contention-corrected total, self-described
+    // via probe_baseline. Per-query normalized times ride in
+    // BENCH_FULL.json (the factor is uniform — the measured inflation
+    // mode — so normalized = raw * factor per query).
+    val ProbeBaseline = 0.33
+    val normFactor = if (probe > 0) ProbeBaseline / probe else 1.0
+    val qsNorm = results.map { case (k, v) =>
+      "\"" + k + "\":" + fmt(if (v >= 0) v * normFactor else v) }
+      .mkString("{", ",", "}")
+    val tailFields = s""""errs":${errors.size},"metric":"total","value":${fmt(total)},"unit":"sec","probe":${fmt(probe)},"probe_baseline":$ProbeBaseline,"value_normalized":${fmt(total * normFactor)},"skew":$skewJson,"sf":"$sfDir""""
     // The driver keeps only the last ~2000 chars of stdout; with 130
     // queries a full per-query line is ~8 KB, so since round 6 the
     // recorded bench has been an unparseable truncated tail. Two outputs
@@ -156,7 +169,8 @@ object Bench {
     // many of the slowest queries as fit — so the driver's json.loads
     // finally succeeds. Fields the judge needs most ride at the END of
     // the line, surviving even if a future query-count bump re-truncates.
-    val fullJson = s"""{"queries":$qs,"runs":$rs,"errors":$errJson,$tailFields}"""
+    val fullJson =
+      s"""{"queries":$qs,"queries_normalized":$qsNorm,"runs":$rs,"errors":$errJson,$tailFields}"""
     // best-effort sidecar: the stdout line is the primary channel and must
     // print even when CWD is read-only (cluster scratch dirs)
     try java.nio.file.Files.writeString(
