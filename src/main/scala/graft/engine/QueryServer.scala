@@ -16,17 +16,31 @@ import org.apache.spark.sql.SparkSession
   * DDL/DML is rejected exactly as in the reference's deny-list path.
   *
   * The server is a driver-side component: queries execute on the cluster
-  * through the shared SparkSession; concurrency is handled by Spark's
-  * scheduler (FAIR pool if configured), mirroring the reference's shared
-  * engine behind its gRPC server.
+  * through the shared SparkSession. Requests are handled CONCURRENTLY on
+  * a bounded daemon pool (the reference serves concurrent gRPC clients,
+  * api_server.go:127-180); Spark's scheduler interleaves the resulting
+  * jobs — under `spark.scheduler.mode=FAIR` each request's jobs land in
+  * the pool named by `graft.server.pool` (round-robin across jobs
+  * instead of FIFO head-of-line blocking). SparkSession is thread-safe
+  * for concurrent `sql(...)+collect()` by contract; local properties
+  * (the scheduler pool) are per-thread, so requests never clobber each
+  * other's.
   */
-class QueryServer(spark: SparkSession, port: Int = 0) {
+class QueryServer(spark: SparkSession, port: Int = 0,
+    handlerThreads: Int = 16) {
 
   private val server: HttpServer =
     HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
   server.createContext("/query", (exchange: HttpExchange) => handle(exchange))
-  server.setExecutor(null) // serial; Spark schedules the real work
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(
+    handlerThreads,
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-query-server")
+      t.setDaemon(true) // never pin a driver JVM open past main
+      t
+    })
+  server.setExecutor(pool)
 
   /** Bound port (useful when constructed with port 0). */
   def boundPort: Int = server.getAddress.getPort
@@ -40,9 +54,22 @@ class QueryServer(spark: SparkSession, port: Int = 0) {
   private val gcEvery = 16L
 
   def start(): Unit = server.start()
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
 
   private def handle(exchange: HttpExchange): Unit = {
+    // FAIR-pool routing (local property = per-thread, so pooled handler
+    // threads each route their own requests; no cross-request clobber).
+    // `per-thread` gives every handler thread its own dynamically-created
+    // pool — under spark.scheduler.mode=FAIR, scheduling is round-robin
+    // ACROSS pools (inside one named pool it would still be FIFO), which
+    // is what stops one heavy client head-of-line-blocking the rest. A
+    // fixed name routes everything into that single pool. No-op under
+    // the default FIFO scheduler.
+    spark.conf.getOption("graft.server.pool").foreach { p =>
+      val pool = if (p == "per-thread")
+        s"graft-req-${Thread.currentThread().getId}" else p
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
+    }
     val (status, body) =
       if (exchange.getRequestMethod != "POST")
         (405, """{"error":"POST a SQL string to /query"}""")

@@ -51,4 +51,55 @@ class QueryServerSpec extends SparkSpec {
         exBody.contains("Plan Facts"), exBody)
     } finally server.stop()
   }
+
+  test("serves CONCURRENT clients: parallel request streams all answer " +
+      "correctly, none serialized into an error or a cross-talk result") {
+    import spark.implicits._
+    Seq.tabulate(100)(i => (i, s"v$i")).toDF("id", "v")
+      .createOrReplaceTempView("api_conc")
+    val server = new QueryServer(spark)
+    server.start()
+    try {
+      val port = server.boundPort
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      // each client repeatedly asks a DIFFERENT aggregate whose answer it
+      // knows — a swapped/interleaved response body would mismatch
+      val threads = (0 until 6).map { c =>
+        new Thread(() => {
+          val expect = (0 until 100).filter(_ % 6 == c).sum
+          for (_ <- 0 until 5) {
+            val (code, body) = post(port,
+              s"SELECT sum(id) AS s FROM api_conc WHERE id % 6 = $c")
+            if (code != 200 || !body.contains(s""""rows":[[$expect]]"""))
+              failures.add(s"client $c: code=$code body=${body.take(120)}")
+          }
+        }, s"conc-client-$c")
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      assert(failures.isEmpty, failures.toString)
+    } finally server.stop()
+  }
+
+  test("two concurrent sessions with different graft.barrier confs keep " +
+      "their own policy (session conf is not global state)") {
+    val s1 = spark.newSession()
+    val s2 = spark.newSession()
+    s1.conf.set(graft.Barrier.ConfKey, "reliable")
+    s2.conf.set(graft.Barrier.ConfKey, "local")
+    val seen = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    val t1 = new Thread(() => {
+      import s1.implicits._
+      for (_ <- 0 until 10)
+        seen.merge("s1", graft.Barrier.policy(Seq(1, 2).toDS()), _ + _)
+    })
+    val t2 = new Thread(() => {
+      import s2.implicits._
+      for (_ <- 0 until 10)
+        seen.merge("s2", graft.Barrier.policy(Seq(3, 4).toDS()), _ + _)
+    })
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert(seen.get("s1") == "reliable" * 10, seen.get("s1"))
+    assert(seen.get("s2") == "local" * 10, seen.get("s2"))
+  }
 }
