@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 
 /** Driver-run benchmark: every registered query on SPARK_GRAFT_SF_DIR,
@@ -27,8 +28,17 @@ object Bench {
     */
   private final class SkewProbe extends SparkListener {
     val byStage = scala.collection.mutable.Map[Int, scala.collection.mutable.ArrayBuffer[Long]]()
+    // Spill totals across the sweep — the memory-pressure endurance runs
+    // (small -Xmx at big SFs) read these to prove the memory manager
+    // actually spilled instead of the heap just being oversized.
+    var spillMem = 0L
+    var spillDisk = 0L
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
       val m = e.taskMetrics
+      if (m != null) {
+        spillMem += m.memoryBytesSpilled
+        spillDisk += m.diskBytesSpilled
+      }
       if (m != null && m.shuffleReadMetrics != null) {
         val sr = m.shuffleReadMetrics.totalBytesRead
         if (sr > 0) byStage.getOrElseUpdate(e.stageId,
@@ -136,9 +146,21 @@ object Bench {
     // behind the sweep's, so give the bus a beat before summarizing.
     Thread.sleep(500)
     val (shuffleStages, worstRatio, worstMaxMb) = skew.summary
+    // peak heap across all pools (the -Xmx endurance runs report this)
+    val heapPeakMb = java.lang.management.ManagementFactory
+      .getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+      .map(p => Option(p.getPeakUsage).map(_.getUsed).getOrElse(0L)).sum /
+      1048576.0
     val skewJson = s"""{"shuffle_stages":$shuffleStages,""" +
       s""""worst_max_over_median":${fmt(worstRatio)},""" +
-      s""""worst_stage_max_task_mb":${fmt(worstMaxMb)}}"""
+      s""""worst_stage_max_task_mb":${fmt(worstMaxMb)},""" +
+      s""""shuffle_read_mb":${fmt(
+        skew.byStage.values.iterator.map(_.sum).sum / 1048576.0)},""" +
+      s""""spill_mem_mb":${fmt(skew.spillMem / 1048576.0)},""" +
+      s""""spill_disk_mb":${fmt(skew.spillDisk / 1048576.0)},""" +
+      s""""heap_peak_mb":${fmt(heapPeakMb)},""" +
+      s""""heap_max_mb":${fmt(Runtime.getRuntime.maxMemory / 1048576.0)}}"""
     def jq(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case '\r' => "\\r"; case '\t' => "\\t"

@@ -3969,6 +3969,81 @@ object PipelineQueries {
       |  id, cosine_sim
       |FROM sc WHERE (SELECT complete FROM ok)""".stripMargin
 
+  // Build-once appended-HNSW fixture for S27 — the q_s18 pattern on the
+  // navigable-graph index: graph + regions built from the ¾ "original"
+  // corpus (vec_id % 4 != 0), the remaining ¼ APPENDED against the
+  // frozen anchor graph, so the append path runs at fixture build and
+  // the measured query is the serving probe over the mixed layout.
+  private def hnswAppendDir(s: SparkSession, d: String): String =
+    FixtureCache.resolve("graft-hnsw-append", d, "embeddings.parquet")(
+      dir => java.nio.file.Files.exists(dir.resolve("_APPENDED"))) { dir =>
+      val emb = t(s, d, "embeddings")
+      val (graph, assigned) = Hnsw.index(
+        emb.filter(col("vec_id") % 4 =!= 0), "vec_id", "embedding",
+        m = 8, sampleSize = 256)
+      Hnsw.writeIndex(graph, assigned, dir.toString)
+      Hnsw.appendIndex(s, dir.toString,
+        emb.filter(col("vec_id") % 4 === 0), "vec_id", "embedding")
+      java.nio.file.Files.writeString(dir.resolve("_APPENDED"), "ok")
+      ()
+    }()
+
+  /** S27: incremental HNSW index maintenance ([[Hnsw.appendIndex]]) —
+    * the frozen-anchor append that makes the two serving indexes
+    * operationally symmetric (IVF got q_s18; this is its navigable-graph
+    * twin). New vectors descend the FROZEN anchor graph via the same
+    * Catalyst expression assignment always uses and land appended in the
+    * partitioned region layout; the queries are themselves APPENDED
+    * vectors (`vec_id % 4 = 0, < 20`), so the oracle's self-presence
+    * guard — every query's own id must appear in its emitted top-k,
+    * guaranteed because search and assignment share one descent — turns
+    * the driver red if the append drops, mis-assigns, or fails to
+    * surface rows through the pruned probe; every emitted cosine is
+    * recomputed exactly besides.
+    */
+  val s27HnswAppend: Q = (s, d) => {
+    val q = t(s, d, "embeddings")
+      .filter(col("vec_id") % 4 === 0 && col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    Hnsw.topKIndexed(s, hnswAppendDir(s, d), q, k = 10, ef = 8)
+      .withColumn("rank", col("rank").cast("bigint"))
+  }
+  val s27Oracle: String =
+    """WITH sp AS (
+      |  SELECT query_id, id FROM '__SPARK_OUT__/q_s27_hnsw_append/*.parquet'),
+      |qids AS (SELECT vec_id FROM embeddings
+      |         WHERE vec_id % 4 = 0 AND vec_id < 20),
+      |ok AS (SELECT
+      |    (SELECT COUNT(DISTINCT query_id) FROM sp) =
+      |      (SELECT COUNT(*) FROM qids)
+      |    AND NOT EXISTS (SELECT 1 FROM sp GROUP BY query_id
+      |                    HAVING COUNT(*) <> 10)
+      |    AND NOT EXISTS (SELECT 1 FROM qids q
+      |          WHERE NOT EXISTS (SELECT 1 FROM sp
+      |                WHERE sp.query_id = q.vec_id AND sp.id = q.vec_id))
+      |    AS complete),
+      |e AS (
+      |  SELECT vec_id, embedding,
+      |    SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+      |          FROM (SELECT UNNEST(embedding) AS x) ux)) AS nrm
+      |  FROM embeddings
+      |  WHERE vec_id IN (SELECT vec_id FROM qids)
+      |     OR vec_id IN (SELECT id FROM sp)),
+      |q AS (SELECT vec_id AS query_id, embedding AS qvec, nrm AS qnrm
+      |      FROM e WHERE vec_id IN (SELECT vec_id FROM qids)),
+      |sc AS (
+      |  SELECT sp.query_id, sp.id,
+      |    ROUND(CASE WHEN e.nrm * q.qnrm = 0 THEN 0.0 ELSE
+      |      (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+      |       FROM (SELECT UNNEST(e.embedding) AS x, UNNEST(q.qvec) AS y) u)
+      |      / (e.nrm * q.qnrm) END, 6) AS cosine_sim
+      |  FROM sp JOIN e ON e.vec_id = sp.id JOIN q ON q.query_id = sp.query_id)
+      |SELECT query_id,
+      |  ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY cosine_sim DESC, id) AS rank,
+      |  id, cosine_sim
+      |FROM sc WHERE (SELECT complete FROM ok)""".stripMargin
+
   /** S19: scalar (int8-range) quantization two-stage search
     * ([[Similarity.sqTopK]]) — the serving tier between brute force and
     * PQ: per-dim corpus bounds → integer codes 0..255 → exact integer L2
@@ -4808,6 +4883,7 @@ object PipelineQueries {
     "q_s5_cosine_neardup" -> s5CosineNearDup,
     "q_s6_ivf_indexed" -> s6IvfIndexed,
     "q_s18_ivf_append" -> s18IvfAppend,
+    "q_s27_hnsw_append" -> s27HnswAppend,
     "q_s19_sq_topk" -> s19SqTopK,
     "q_s7_embed_dedup_manifest" -> s7EmbedDedupManifest,
     "q_s8_pq_codebook" -> s8PqCodebook,
@@ -4920,6 +4996,7 @@ object PipelineQueries {
     "q_s5_cosine_neardup" -> s5Oracle,
     "q_s6_ivf_indexed" -> s6Oracle,
     "q_s18_ivf_append" -> s18Oracle,
+    "q_s27_hnsw_append" -> s27Oracle,
     "q_s19_sq_topk" -> s19Oracle,
     "q_s7_embed_dedup_manifest" -> s7Oracle,
     "q_s8_pq_codebook" -> s8Oracle,

@@ -18,8 +18,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
   * Index = two halves:
   *
   *  1. A DETERMINISTIC layered small-world graph over ≤ `sampleSize`
-  *     anchor vectors (the corpus's lowest ids — the same bounded-
-  *     driver-sample discipline as [[Similarity.ivfIndex]]'s Lloyd fit).
+  *     anchor vectors (a hash-uniform draw — smallest (md5, id) — the
+  *     same bounded-driver-sample discipline as
+  *     [[Similarity.ivfIndex]]'s Lloyd fit).
   *     Layer l contains the first `ceil(s / m^l)` anchors (nested
   *     prefixes, so layer membership needs no RNG and the single
   *     top-layer node is always anchor 0); within a layer every member
@@ -332,6 +333,35 @@ object Hnsw {
     val assigned = spark.read.parquet(s"$path/assigned")
       .filter(col("cell").isin(cells: _*))
     Similarity.scoreCells(assigned, probes, k)
+  }
+
+  /** Incremental index maintenance — the [[Similarity.ivfAppendIndex]]
+    * twin, making the two serving indexes operationally symmetric: new
+    * vectors are assigned against the FROZEN anchor graph (read back
+    * from the persisted layout) by the SAME greedy-descent expression
+    * assignment always runs, then appended into the partitioned region
+    * directories — no rebuild, no graph mutation. Because search and
+    * assignment share one code path, the self-presence pigeonhole
+    * (a query that IS a corpus vector probes its own region) extends to
+    * appended rows, which is exactly what q_s27's oracle floor pins.
+    * Returns the appended row count.
+    */
+  def appendIndex(spark: SparkSession, path: String, newVectors: DataFrame,
+      idCol: String, vecCol: String): Long = {
+    val graph = readGraph(spark, path)
+    Similarity.init(spark)
+    val base = newVectors.select(col(idCol).as("id"),
+      col(vecCol).cast("array<float>").as("vec"))
+    val fname = s"hnsw_anchor_${fnCounter.incrementAndGet()}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fname, exprs => HnswAnchorExpr(exprs(0), graph), "built-in")
+    try {
+      val assigned = base.withColumn("cell", call_function(fname, col("vec")))
+      assigned.write.mode("append").partitionBy("cell")
+        .parquet(s"$path/assigned")
+    } finally spark.sessionState.functionRegistry.dropFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(fname))
+    base.count()
   }
 
   /** Metadata-filtered serving over the persisted index, with PRE-FILTER

@@ -119,6 +119,44 @@ class HnswSpec extends SparkSpec {
       perQuery.toString)
   }
 
+  test("appendIndex: frozen-anchor assignment bit-matches the build-time " +
+      "descent, appended rows serve through the pruned probe, self-query " +
+      "found at rank 1") {
+    val all = frame(120)
+    val original = all.filter(col("vec_id") % 4 =!= 0)
+    val appended = all.filter(col("vec_id") % 4 === 0)
+    val (g, assigned) = Hnsw.index(original, "vec_id", "embedding",
+      m = 4, sampleSize = 18)
+    val dir = tempDir("hnsw-app").toString
+    Hnsw.writeIndex(g, assigned, dir)
+    val n = Hnsw.appendIndex(spark, dir, appended, "vec_id", "embedding")
+    assert(n == appended.count())
+    // every appended id lands exactly once, in the cell the SAME frozen
+    // graph's descent assigns (bit-parity with a fresh expression pass)
+    val onDisk = spark.read.parquet(s"$dir/assigned")
+      .filter(col("id") % 4 === 0)
+      .select(col("id").cast("long"), col("cell").cast("int"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(onDisk.size == n)
+    val expect = appended.collect().map { r =>
+      val v = r.getAs[scala.collection.Seq[Float]]("embedding").toArray
+      r.getLong(0) -> Hnsw.greedyDescend(g, v)
+    }.toMap
+    assert(onDisk == expect)
+    // serving: each appended vector queried against the mixed layout
+    // must find ITSELF at rank 1 (search and assignment share the
+    // descent — the q_s27 oracle floor)
+    val queries = appended.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val served = Hnsw.topKIndexed(spark, dir, queries, k = 5, ef = 3)
+      .collect()
+    val self = served.filter(r =>
+      r.getAs[Long]("query_id") == r.getAs[Long]("id"))
+    assert(self.length == queries.count() &&
+      self.forall(_.getAs[Int]("rank") == 1),
+      served.take(10).mkString("\n"))
+  }
+
   test("recall vs brute force rises with ef and is measured, not vacuous") {
     val df = frame(150)
     val queries = frame(150).filter(col("vec_id") < 5)
