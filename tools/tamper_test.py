@@ -103,6 +103,12 @@ TARGETS = {
     "q_s26_hnsw_recall": "query_id = 0 AND rank = 1",
     # closed-form fixture replay: a lost page/describe shifts the counts
     "q_k4_aws_scan": "service = 'ec2' AND region = 'us-east-1'",
+    # k-count + append-visibility self-presence guard (the q_s18 twin on
+    # the navigable-graph index): rank 1 IS the query's own appended row
+    "q_s27_hnsw_append": "query_id = 0 AND rank = 1",
+    # single-row result: deleting the path row leaves 0 rows vs the
+    # oracle's 1 — rows_match breaks
+    "q_g19_recursive_path": "depth = 3",
 }
 
 if not (SRC / "oracle_sql.json").exists():
