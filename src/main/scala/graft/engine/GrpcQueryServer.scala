@@ -92,8 +92,20 @@ class GrpcQueryServer(spark: SparkSession, port: Int = 0) {
   private def afterRequest(): Unit =
     if (served.incrementAndGet() % 16 == 0) graft.Hygiene.gcNudge()
 
+  /** Same FAIR-pool routing as [[QueryServer]] (gRPC's default server
+    * executor is a cached pool, so requests already run concurrently;
+    * this routes each handler thread's Spark jobs into its own pool
+    * under spark.scheduler.mode=FAIR — round-robin across requests).
+    */
+  private def routePool(): Unit =
+    spark.conf.getOption("graft.server.pool").foreach { p =>
+      val pool = if (p == "per-thread")
+        s"graft-req-${Thread.currentThread().getId}" else p
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
+    }
+
   private def execute(sql: String): String =
-    try QueryWire.render(QueryEngine.execute(spark, sql))
+    try { routePool(); QueryWire.render(QueryEngine.execute(spark, sql)) }
     catch {
       case e: QueryEngine.QueryValidationError =>
         s"""{"error":${QueryWire.jstr(e.message)}}"""
@@ -103,6 +115,7 @@ class GrpcQueryServer(spark: SparkSession, port: Int = 0) {
   private def executeStreaming(sql: String,
       out: StreamObserver[Array[Byte]]): Unit =
     try {
+      routePool()
       val (cols, rows) = QueryEngine.executeStreaming(spark, sql)
       out.onNext(s"""{"columns":${QueryWire.renderColumns(cols)}}""".getBytes(UTF_8))
       var n = 0L
