@@ -3818,7 +3818,7 @@ object PipelineQueries {
     * reuse the index byte-for-byte.
     */
   private def ivfIndexDir(s: SparkSession, d: String): String =
-    FixtureCache.resolve("graft-ivf-index-v2", d, "embeddings.parquet")(
+    FixtureCache.resolve("graft-ivf-index-v3", d, "embeddings.parquet")(
       dir => java.nio.file.Files.exists(
           dir.resolve("centroids").resolve("_SUCCESS")) &&
         java.nio.file.Files.exists(
@@ -3899,7 +3899,7 @@ object PipelineQueries {
   // fixture build and the measured query is the serving probe over the
   // mixed (built + appended) layout.
   private def ivfAppendDir(s: SparkSession, d: String): String =
-    FixtureCache.resolve("graft-ivf-append-v2", d, "embeddings.parquet")(
+    FixtureCache.resolve("graft-ivf-append-v3", d, "embeddings.parquet")(
       // ready ⇔ the APPEND finished, not just the base build: both
       // _SUCCESS markers exist the moment ivfWriteIndex returns, so a
       // crash before the append would otherwise leave a half fixture
@@ -3975,7 +3975,7 @@ object PipelineQueries {
   // frozen anchor graph, so the append path runs at fixture build and
   // the measured query is the serving probe over the mixed layout.
   private def hnswAppendDir(s: SparkSession, d: String): String =
-    FixtureCache.resolve("graft-hnsw-append", d, "embeddings.parquet")(
+    FixtureCache.resolve("graft-hnsw-append-v2", d, "embeddings.parquet")(
       dir => java.nio.file.Files.exists(dir.resolve("_APPENDED"))) { dir =>
       val emb = t(s, d, "embeddings")
       val (graph, assigned) = Hnsw.index(

@@ -195,15 +195,19 @@ object Hnsw {
     val base = vectors.select(col(idCol).as("id"),
         col(vecCol).cast("array<float>").as("vec"))
       .barrier(true)
-    // Hash-uniform anchor draw (the [[Similarity.ivfIndex]] sampling
-    // contract): md5 order is deterministic like an id sort but
-    // content-uniform — an id-prefix anchor set would mirror only the
-    // first corpus slice whenever ids correlate with content.
-    val anchors = base
+    // Anchor draw in two stages: a hash-uniform candidate pool (the
+    // [[Similarity.ivfIndex]] sampling contract — md5 order is
+    // deterministic like an id sort but content-uniform), then a
+    // farthest-point greedy selection of `sampleSize` anchors by COSINE
+    // distance (the search metric) from a 4× pool. Spread anchors cover
+    // the embedding space more evenly than a raw uniform draw, which
+    // lifts probe recall at fixed ef; both stages are deterministic.
+    val pool = base
       .sort(md5(concat(lit("hnsw:"), col("id").cast("string"))), col("id"))
-      .limit(sampleSize)
+      .limit(sampleSize * 4)
       .select("vec").collect()
       .map(_.getSeq[Float](0).toArray)
+    val anchors = farthestPointSelect(pool, sampleSize)
     val graph = buildGraph(anchors, m)
     val fname = s"hnsw_anchor_${fnCounter.incrementAndGet()}"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -215,6 +219,49 @@ object Hnsw {
         org.apache.spark.sql.catalyst.FunctionIdentifier(fname))
     base.unpersist(blocking = false)
     (graph, assigned)
+  }
+
+  /** Greedy farthest-point selection of `k` vectors from a candidate
+    * pool by cosine distance (deterministic: seed = pool(0), ties to the
+    * lowest index). O(k·|pool|·dim) driver flops on bounded inputs.
+    */
+  private[operators] def farthestPointSelect(pool: Array[Array[Float]],
+      k: Int): Array[Array[Float]] = {
+    require(pool.nonEmpty, "hnsw: empty anchor pool")
+    if (pool.length <= k) return pool
+    val norms = pool.map(vecNorm)
+    def cosDist(a: Int, b: Int): Double = {
+      val d = norms(a) * norms(b)
+      if (d == 0.0) 1.0
+      else {
+        val x = pool(a); val y = pool(b)
+        val n = math.min(x.length, y.length)
+        var acc = 0.0; var i = 0
+        while (i < n) { acc += x(i).toDouble * y(i); i += 1 }
+        1.0 - acc / d
+      }
+    }
+    val picked = new Array[Int](k)
+    picked(0) = 0
+    val minD = Array.tabulate(pool.length)(i => cosDist(i, 0))
+    var c = 1
+    while (c < k) {
+      var best = 0; var bestD = -1.0
+      var i = 0
+      while (i < pool.length) {
+        if (minD(i) > bestD) { bestD = minD(i); best = i }
+        i += 1
+      }
+      picked(c) = best
+      i = 0
+      while (i < pool.length) {
+        val d = cosDist(i, best)
+        if (d < minD(i)) minD(i) = d
+        i += 1
+      }
+      c += 1
+    }
+    picked.map(pool)
   }
 
   /** The deterministic layered graph over the anchor array (driver-side;

@@ -546,16 +546,41 @@ object Similarity {
     require(train.nonEmpty, "ivf: empty training sample")
     val rnd = new java.util.Random(seed)
     val dim = train.map(_.length).max
-    val centers = Array.tabulate(k) { _ =>
-      val src = train(rnd.nextInt(train.length))
-      java.util.Arrays.copyOf(src, dim)
-    }
     def d2(v: Array[Float], c: Array[Float]): Double = {
       val n = math.min(v.length, c.length)
       var acc = 0.0
       var i = 0
       while (i < n) { val d = v(i).toDouble - c(i); acc += d * d; i += 1 }
       acc
+    }
+    // Farthest-point (k-means++-style, deterministic greedy) seeding:
+    // seed 0 is a seeded random pick; each next seed is the training
+    // vector farthest from its nearest existing seed (ties to the lowest
+    // index). Random seeding can draw near-duplicate seeds → empty or
+    // lopsided cells → degraded probe recall at fixed nProbe; greedy
+    // spread costs O(k·n·dim) driver flops (μs–ms at the bounded sample)
+    // and measurably lifts recall at the same serving cost. Still fully
+    // deterministic in (train, seed).
+    val centers = new Array[Array[Float]](k)
+    centers(0) = java.util.Arrays.copyOf(train(rnd.nextInt(train.length)), dim)
+    val minD = train.map(v => d2(v, centers(0)))
+    var c = 1
+    while (c < k) {
+      var best = 0
+      var bestD = -1.0
+      var i = 0
+      while (i < train.length) {
+        if (minD(i) > bestD) { bestD = minD(i); best = i }
+        i += 1
+      }
+      centers(c) = java.util.Arrays.copyOf(train(best), dim)
+      i = 0
+      while (i < train.length) {
+        val d = d2(train(i), centers(c))
+        if (d < minD(i)) minD(i) = d
+        i += 1
+      }
+      c += 1
     }
     var it = 0
     while (it < iters) {

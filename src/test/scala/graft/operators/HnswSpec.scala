@@ -157,6 +157,37 @@ class HnswSpec extends SparkSpec {
       served.take(10).mkString("\n"))
   }
 
+  test("farthestPointSelect: deterministic, pool members only, and the " +
+      "greedy k-center invariant holds (every unpicked point is nearer " +
+      "its seed than any two seeds are to each other)") {
+    val pool = vecs(64).map(_._2.toArray).toArray
+    val k = 12
+    val sel = Hnsw.farthestPointSelect(pool, k)
+    assert(sel.length == k)
+    // each selected vector IS a pool member (selection, not synthesis)
+    sel.foreach(s => assert(pool.exists(_.sameElements(s))))
+    // deterministic: a re-run is element-identical
+    val sel2 = Hnsw.farthestPointSelect(pool, k)
+    assert(sel.zip(sel2).forall { case (a, b) => a.sameElements(b) })
+    // pool <= k degenerates to the pool itself
+    assert(Hnsw.farthestPointSelect(pool.take(5), 12).length == 5)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      1.0 - dot / (na * nb)
+    }
+    // greedy farthest-point invariant: the pick distances are
+    // non-increasing, so min pairwise seed distance >= the distance of
+    // ANY unpicked point to its nearest seed
+    val minPairwise = (for (i <- sel.indices; j <- i + 1 until k)
+      yield cos(sel(i), sel(j))).min
+    val unpicked = pool.filterNot(p => sel.exists(_.sameElements(p)))
+    val maxRemaining = unpicked.map(p => sel.map(cos(p, _)).min).max
+    assert(maxRemaining <= minPairwise + 1e-9,
+      s"k-center invariant violated: $maxRemaining > $minPairwise")
+  }
+
   test("recall vs brute force rises with ef and is measured, not vacuous") {
     val df = frame(150)
     val queries = frame(150).filter(col("vec_id") < 5)

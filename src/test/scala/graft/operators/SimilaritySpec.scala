@@ -245,6 +245,37 @@ class SimilaritySpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/assigned").count() == emb.count())
   }
 
+  test("lloyd farthest-point seeding: deterministic training-set members, " +
+      "spread by the greedy k-center invariant") {
+    // deterministic 6-dim fixture, 3 coarse clusters + jitter
+    val train = Array.tabulate(60) { i =>
+      val c = i % 3
+      Array.tabulate(6)(d =>
+        (if (d % 3 == c) 5.0f else 0.2f) + ((i * 17 + d * 5) % 11) / 20f)
+    }
+    def d2(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => (x.toDouble - y) * (x - y) }.sum
+    // iters = 0 exposes the raw seeds
+    val seeds = Similarity.lloyd(train, k = 9, seed = 42L, iters = 0)
+    assert(seeds.length == 9)
+    seeds.foreach(s => assert(train.exists(_.sameElements(s))))
+    val again = Similarity.lloyd(train, k = 9, seed = 42L, iters = 0)
+    assert(seeds.zip(again).forall { case (a, b) => a.sameElements(b) })
+    // greedy farthest-point invariant: pick distances are non-increasing,
+    // so every unpicked point sits nearer its seed than any two seeds
+    // are to each other
+    val minPairwise = (for (i <- seeds.indices; j <- i + 1 until 9)
+      yield d2(seeds(i), seeds(j))).min
+    val unpicked = train.filterNot(p => seeds.exists(_.sameElements(p)))
+    val maxRemaining = unpicked.map(p => seeds.map(d2(p, _)).min).max
+    assert(maxRemaining <= minPairwise + 1e-9,
+      s"k-center invariant violated: $maxRemaining > $minPairwise")
+    // full Lloyd stays deterministic under the new init
+    val c1 = Similarity.lloyd(train, k = 4, seed = 7L, iters = 10)
+    val c2 = Similarity.lloyd(train, k = 4, seed = 7L, iters = 10)
+    assert(c1.zip(c2).forall { case (a, b) => a.sameElements(b) })
+  }
+
   test("PQ: codes are the argmin assignment; a coded query ranks itself first") {
     val (model, codebook, codes) = Similarity.pqIndex(emb, "vec_id", "embedding")
     assert(model.nSub == 4 && model.kCodes == 16 && model.subDim == 16)
