@@ -186,6 +186,10 @@ object Hnsw {
     * assignment. Returns (graph, assigned) where `assigned` carries
     * (id, vec, cell) — `cell` the anchor index, ready for
     * `partitionBy("cell")` persistence exactly like the IVF index.
+    * `sampleSize = 0` sizes the anchor set from the corpus count
+    * ([[autoSampleSize]], ≈√n) — a fixed anchor count dilutes region
+    * resolution as the corpus grows (recall floor drops with the
+    * corpus/anchor ratio; measured in SCALE.md).
     */
   def index(vectors: DataFrame, idCol: String, vecCol: String,
       m: Int = 8, sampleSize: Int = 1024): (Graph, DataFrame) = {
@@ -195,6 +199,8 @@ object Hnsw {
     val base = vectors.select(col(idCol).as("id"),
         col(vecCol).cast("array<float>").as("vec"))
       .barrier(true)
+    val anchorCount =
+      if (sampleSize > 0) sampleSize else autoSampleSize(base.count())
     // Anchor draw in two stages: a hash-uniform candidate pool (the
     // [[Similarity.ivfIndex]] sampling contract — md5 order is
     // deterministic like an id sort but content-uniform), then a
@@ -204,10 +210,10 @@ object Hnsw {
     // lifts probe recall at fixed ef; both stages are deterministic.
     val pool = base
       .sort(md5(concat(lit("hnsw:"), col("id").cast("string"))), col("id"))
-      .limit(sampleSize * 4)
+      .limit(anchorCount * 4)
       .select("vec").collect()
       .map(_.getSeq[Float](0).toArray)
-    val anchors = farthestPointSelect(pool, sampleSize)
+    val anchors = farthestPointSelect(pool, anchorCount)
     val graph = buildGraph(anchors, m)
     val fname = s"hnsw_anchor_${fnCounter.incrementAndGet()}"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -220,6 +226,17 @@ object Hnsw {
     base.unpersist(blocking = false)
     (graph, assigned)
   }
+
+  /** Anchor count for `sampleSize = 0` (auto): ⌈√n⌉ clamped to
+    * [256, 4096] — the classical region-index sizing (region size ≈ √n,
+    * so an ef-probe reads ef·√n rows); the floor keeps tiny corpora at
+    * the proven fixture ratio, the cap bounds the driver-side graph
+    * build (anchors²·dim flops) and pool collect (4·anchors vectors).
+    * Past the cap (n > ~16M regions-worth), size explicitly from the
+    * `graft.tools.RecallCurve` output.
+    */
+  def autoSampleSize(n: Long): Int =
+    math.max(256, math.min(4096, math.ceil(math.sqrt(n.toDouble)).toInt))
 
   /** Greedy farthest-point selection of `k` vectors from a candidate
     * pool by cosine distance (deterministic: seed = pool(0), ties to the

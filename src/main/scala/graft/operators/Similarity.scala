@@ -498,6 +498,21 @@ object Similarity {
 
   private val ivfFnCounter = new java.util.concurrent.atomic.AtomicInteger()
 
+  /** Cell count for `nCells = 0` (auto): ⌈√n⌉ clamped to [16, 4096] —
+    * the classical IVF sizing (cell size ≈ √n, so an nProbe-probe scans
+    * nProbe·√n rows); the floor keeps tiny corpora at the proven fixture
+    * ratio, the cap bounds the driver Lloyd fit (iters·k·sample·dim
+    * flops against the 10k [[MaxTrainSample]]). Past the cap, size
+    * explicitly (and raise the training sample) from the
+    * `graft.tools.RecallCurve` output.
+    */
+  def autoCells(n: Long): Int =
+    math.max(16, math.min(4096, math.ceil(math.sqrt(n.toDouble)).toInt))
+
+  /** `nCells = 0` sizes the cell count from the corpus count
+    * ([[autoCells]], ≈√n) — a fixed cell count dilutes probe resolution
+    * as the corpus grows (each probed cell is n/nCells rows).
+    */
   def ivfIndex(vectors: DataFrame, idCol: String, vecCol: String,
       nCells: Int = 16, seed: Long = 42L): (DataFrame, DataFrame) = {
     init(vectors.sparkSession)
@@ -506,6 +521,7 @@ object Similarity {
     val base = vectors.select(col(idCol).as("id"),
         col(vecCol).cast("array<float>").as("vec"))
       .barrier(true)
+    val k = if (nCells > 0) nCells else autoCells(base.count())
     // Deterministic bounded sample (TakeOrdered by md5(tag:id), id —
     // stable under partitioning AND content-uniform: an id-prefix sample
     // would be the oldest/first corpus slice whenever ids correlate with
@@ -520,7 +536,7 @@ object Similarity {
       .limit(MaxTrainSample)
       .select("vec").collect()
       .map(_.getSeq[Float](0).toArray)
-    val centroids = Similarity.lloyd(train, nCells, seed, iters = 10)
+    val centroids = Similarity.lloyd(train, k, seed, iters = 10)
     val fname = s"ivf_cell_${ivfFnCounter.incrementAndGet()}"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       fname, exprs => graft.functions.NearestCellExpr(exprs(0), centroids),

@@ -23,11 +23,17 @@ import graft.operators.{Hnsw, Similarity}
   * hash-uniform training sample removed that coupling; these curves are
   * the honest serving numbers at each knob setting.
   *
-  * Usage: runMain graft.tools.RecallCurve [sfDir]
+  * Usage: runMain graft.tools.RecallCurve [sfDir] [nCells] [sampleSize]
+  * nCells / sampleSize size the two indexes; 0 = auto (≈√n — the
+  * [[Similarity.autoCells]] / [[Hnsw.autoSampleSize]] rule). Defaults
+  * are the audit fixtures' 16 / 256. Index build wall-times print per
+  * index so sizing cost is visible alongside the recall it buys.
   */
 object RecallCurve {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val nCells = if (args.length > 1) args(1).toInt else 16
+    val sampleSize = if (args.length > 2) args(2).toInt else 256
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
@@ -38,6 +44,8 @@ object RecallCurve {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding").cache()
     val n = emb.count()
+    val kCells = if (nCells > 0) nCells else Similarity.autoCells(n)
+    val kAnchors = if (sampleSize > 0) sampleSize else Hnsw.autoSampleSize(n)
 
     def queriesOf(df: DataFrame): DataFrame =
       df.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
@@ -51,27 +59,44 @@ object RecallCurve {
         Seq("query_id", "id"), "left_semi").count()
       hit.toDouble / truth.count()
     }
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
 
-    println(s"corpus=$n vectors @ $sfDir")
+    println(s"corpus=$n vectors @ $sfDir  nCells=$kCells anchors=$kAnchors")
     for ((qname, q) <- Seq("prefix" -> prefixQ, "uniform" -> uniformQ)) {
       val truth = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
         .cache()
       truth.count()
-      val (centroids, assigned) =
-        Similarity.ivfIndex(emb, "vec_id", "embedding", nCells = 16)
-      assigned.cache().count()
-      for (nProbe <- Seq(1, 2, 4, 8, 16)) {
+      val ((centroids, assigned), tIvf) = timed {
+        val r = Similarity.ivfIndex(emb, "vec_id", "embedding",
+          nCells = kCells)
+        r._2.cache().count()
+        r
+      }
+      println(f"ivf  build $tIvf%.1f s ($kCells cells)")
+      for (nProbe <- Seq(1, 2, 4, 8, 16).map(p =>
+          math.min(p * kCells / 16, kCells)).distinct.filter(_ >= 1)) {
         val r = recall(
           Similarity.ivfTopK(assigned, centroids, q, 10, nProbe), truth)
-        println(f"ivf  queries=$qname%-7s nProbe=$nProbe%2d/16  recall@10=$r%.3f")
+        println(f"ivf  queries=$qname%-7s nProbe=$nProbe%4d/$kCells  " +
+          f"recall@10=$r%.3f")
       }
       assigned.unpersist()
-      val (graph, hAssigned) =
-        Hnsw.index(emb, "vec_id", "embedding", m = 8, sampleSize = 256)
-      hAssigned.cache().count()
-      for (ef <- Seq(4, 8, 16, 32, 64)) {
+      val ((graph, hAssigned), tH) = timed {
+        val r = Hnsw.index(emb, "vec_id", "embedding", m = 8,
+          sampleSize = kAnchors)
+        r._2.cache().count()
+        r
+      }
+      println(f"hnsw build $tH%.1f s ($kAnchors anchors)")
+      for (ef <- Seq(4, 8, 16, 32, 64).map(e =>
+          math.min(e * kAnchors / 256, kAnchors)).distinct.filter(_ >= 1)) {
         val r = recall(Hnsw.topK(graph, hAssigned, q, 10, ef), truth)
-        println(f"hnsw queries=$qname%-7s ef=$ef%2d/256  recall@10=$r%.3f")
+        println(f"hnsw queries=$qname%-7s ef=$ef%4d/$kAnchors  " +
+          f"recall@10=$r%.3f")
       }
       hAssigned.unpersist()
       truth.unpersist()

@@ -1,0 +1,99 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Hnsw, Similarity}
+
+/** Serving-latency bench over the PERSISTED ANN indexes — the companion
+  * to [[RecallCurve]] (which measures recall per knob on in-memory
+  * frames): build + write the IVF and HNSW indexes once, then time the
+  * partition-pruned probe path (`ivfTopKIndexed` / `Hnsw.topKIndexed`)
+  * against the exact brute-force scan at matched knobs, min-of-3, with
+  * recall alongside so each latency pairs with the quality it buys.
+  * This is the number a serving rollout sizes against: at 100 TB the
+  * probe reads nProbe/nCells (ef/anchors) partition directories from
+  * disk while the exact scan reads everything.
+  *
+  * Usage: runMain graft.tools.ServeBench [sfDir] [nCells] [sampleSize]
+  * (0 = auto ≈√n). Indexes build under /tmp keyed by (dir, size) and
+  * are reused across runs.
+  */
+object ServeBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val nCellsArg = if (args.length > 1) args(1).toInt else 0
+    val sampleArg = if (args.length > 2) args(2).toInt else 0
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").cache()
+    val n = emb.count()
+    val nCells = if (nCellsArg > 0) nCellsArg else Similarity.autoCells(n)
+    val anchors = if (sampleArg > 0) sampleArg else Hnsw.autoSampleSize(n)
+    val queries = emb
+      .sort(md5(concat(lit("rq:"), col("vec_id").cast("string"))),
+        col("vec_id"))
+      .limit(25)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      .cache()
+    queries.count()
+
+    val tag = s"${Paths.get(sfDir).getFileName}-$nCells-$anchors"
+    val ivfDir = s"/tmp/graft-servebench-ivf-$tag"
+    val hnswDir = s"/tmp/graft-servebench-hnsw-$tag"
+    if (!Files.exists(Paths.get(s"$ivfDir/centroids/_SUCCESS"))) {
+      val (c, a) = Similarity.ivfIndex(emb, "vec_id", "embedding", nCells)
+      Similarity.ivfWriteIndex(c, a, ivfDir)
+    }
+    if (!Files.exists(Paths.get(s"$hnswDir/assigned/_SUCCESS"))) {
+      val (g, a) = Hnsw.index(emb, "vec_id", "embedding",
+        m = 8, sampleSize = anchors)
+      Hnsw.writeIndex(g, a, hnswDir)
+    }
+
+    def minOf3(f: => DataFrame): (Double, DataFrame) = {
+      var best = Double.MaxValue
+      var last: DataFrame = null
+      (1 to 3).foreach { _ =>
+        val t0 = System.nanoTime()
+        val df = f
+        df.count()
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        last = df
+      }
+      (best, last)
+    }
+    val (tExact, truthDf) = minOf3(
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, 10))
+    val truth = truthDf.cache()
+    val nTruth = truth.count()
+    def recall(approx: DataFrame): Double =
+      truth.join(approx.select("query_id", "id"),
+        Seq("query_id", "id"), "left_semi").count().toDouble / nTruth
+    println(f"corpus=$n @ $sfDir  nCells=$nCells anchors=$anchors  " +
+      f"exact-scan=$tExact%.2f s (the brute-force floor every probe beats)")
+    for (pct <- Seq(0.0625, 0.125, 0.25)) {
+      val nProbe = math.max(1, (nCells * pct).round.toInt)
+      val (t, df) = minOf3(
+        Similarity.ivfTopKIndexed(spark, ivfDir, queries, 10, nProbe))
+      println(f"ivf  nProbe=$nProbe%4d/$nCells (${pct * 100}%5.2f%% read)  " +
+        f"${t}%.2f s  recall@10=${recall(df)}%.3f")
+    }
+    for (pct <- Seq(0.015625, 0.03125, 0.0625, 0.125)) {
+      val ef = math.max(1, (anchors * pct).round.toInt)
+      val (t, df) = minOf3(
+        Hnsw.topKIndexed(spark, hnswDir, queries, 10, ef))
+      println(f"hnsw ef=$ef%4d/$anchors (${pct * 100}%5.2f%% read)  " +
+        f"${t}%.2f s  recall@10=${recall(df)}%.3f")
+    }
+    spark.stop()
+  }
+}

@@ -188,6 +188,24 @@ class HnswSpec extends SparkSpec {
       s"k-center invariant violated: $maxRemaining > $minPairwise")
   }
 
+  test("autoSampleSize: sqrt-of-corpus rule with floor and cap; " +
+      "sampleSize=0 builds the identical graph to the explicit value") {
+    assert(Hnsw.autoSampleSize(100) == 256)     // floor
+    assert(Hnsw.autoSampleSize(65536) == 256)
+    assert(Hnsw.autoSampleSize(1000000) == 1000)
+    assert(Hnsw.autoSampleSize(1000000000L) == 4096) // cap
+    val df = frame(90)
+    // 90 vectors: auto floor (256) > corpus, pool = whole corpus — the
+    // degenerate-but-valid small end; graphs must match the explicit call
+    val (gAuto, _) = Hnsw.index(df, "vec_id", "embedding",
+      m = 4, sampleSize = 0)
+    val (gExpl, _) = Hnsw.index(df, "vec_id", "embedding",
+      m = 4, sampleSize = Hnsw.autoSampleSize(90))
+    assert(gAuto.layerSizes.sameElements(gExpl.layerSizes))
+    assert(gAuto.neighbors.zip(gExpl.neighbors).forall { case (a, b) =>
+      a.zip(b).forall { case (x, y) => x.sameElements(y) } })
+  }
+
   test("recall vs brute force rises with ef and is measured, not vacuous") {
     val df = frame(150)
     val queries = frame(150).filter(col("vec_id") < 5)

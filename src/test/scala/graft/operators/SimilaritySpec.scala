@@ -276,6 +276,26 @@ class SimilaritySpec extends SparkSpec {
     assert(c1.zip(c2).forall { case (a, b) => a.sameElements(b) })
   }
 
+  test("autoCells: sqrt-of-corpus rule with floor and cap; nCells=0 " +
+      "builds the identical index to passing the auto value explicitly") {
+    assert(Similarity.autoCells(100) == 16)      // floor
+    assert(Similarity.autoCells(256) == 16)
+    assert(Similarity.autoCells(10000) == 100)   // sqrt
+    assert(Similarity.autoCells(1000000) == 1000)
+    assert(Similarity.autoCells(1000000000L) == 4096) // cap
+    val n = emb.count()
+    val k = Similarity.autoCells(n)
+    val (autoC, _) = Similarity.ivfIndex(emb, "vec_id", "embedding",
+      nCells = 0)
+    val (explC, _) = Similarity.ivfIndex(emb, "vec_id", "embedding",
+      nCells = k)
+    def cents(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("cell").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toSeq))
+    assert(autoC.count() == k)
+    assert(cents(autoC).sameElements(cents(explC)))
+  }
+
   test("PQ: codes are the argmin assignment; a coded query ranks itself first") {
     val (model, codebook, codes) = Similarity.pqIndex(emb, "vec_id", "embedding")
     assert(model.nSub == 4 && model.kCodes == 16 && model.subDim == 16)
