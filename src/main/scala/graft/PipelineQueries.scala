@@ -4044,6 +4044,216 @@ object PipelineQueries {
       |  id, cosine_sim
       |FROM sc WHERE (SELECT complete FROM ok)""".stripMargin
 
+  // Build-once streamed-ingestion fixture for S28 — the q_s18 append on
+  // the STREAMING path: base IVF index built from the ¾ "original"
+  // corpus, then the remaining ¼ arrives as a two-micro-batch file
+  // stream whose foreachBatch sink calls the same frozen-centroid
+  // append the batch path uses. A crash mid-stream leaves no _INGESTED
+  // marker, and the rebuild's ivfWriteIndex overwrite wipes any
+  // partial appends, so a half-ingested fixture is never trusted.
+  private def ivfStreamIngestDir(s: SparkSession, d: String): String =
+    FixtureCache.resolve("graft-ivf-stream-ingest", d,
+      "embeddings.parquet")(
+      dir => java.nio.file.Files.exists(dir.resolve("_INGESTED"))) { dir =>
+      val emb = t(s, d, "embeddings")
+      val (centroids, assigned) = Similarity.ivfIndex(
+        emb.filter(col("vec_id") % 4 =!= 0), "vec_id", "embedding",
+        nCells = 16)
+      Similarity.ivfWriteIndex(centroids, assigned, dir.toString)
+      val arriving = emb.filter(col("vec_id") % 4 === 0)
+        .select("vec_id", "embedding")
+      val inDir = stageTwoBatches("graft-s28-ingest", d,
+        arriving.filter(col("vec_id") % 8 === 0),
+        arriving.filter(col("vec_id") % 8 =!= 0))
+      val ck = java.nio.file.Paths.get(inDir).getParent.resolve("ck")
+      val sq = s.readStream.schema(arriving.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // the batch frame analyzes against the MICRO-BATCH's cloned
+          // session (isolated temp-function registry) — the append must
+          // register its nearest-cell expression there, not on the
+          // outer session, or the stream dies UNRESOLVED_ROUTINE
+          Similarity.ivfAppendIndex(batch.sparkSession, dir.toString,
+            batch, "vec_id", "embedding")
+          ()
+        }
+        .option("checkpointLocation", ck.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      java.nio.file.Files.writeString(dir.resolve("_INGESTED"), "ok")
+      ()
+    }()
+
+  /** S28: STREAMING ingestion into the persisted IVF serving index —
+    * the lifecycle piece a production vector store runs continuously:
+    * `readStream` over arriving vector files → `foreachBatch` calling
+    * the same frozen-centroid [[Similarity.ivfAppendIndex]] the batch
+    * path (q_s18) uses → the partition-pruned probe immediately serves
+    * old + new rows. The fixture streams the held-out ¼ corpus in two
+    * real micro-batches (maxFilesPerTrigger=1, AvailableNow); the
+    * measured query probes the mixed layout with stream-appended
+    * vectors as queries. Guards: the q_s18 self-presence floor (every
+    * appended query finds itself — drops/mis-assignments go red) PLUS
+    * an exactly-once row count — `ingested_total` on every emitted row
+    * must equal the full corpus count, so a double-applied or dropped
+    * micro-batch turns the driver red. At 100 TB this is the standard
+    * continuous-ingestion shape: per-batch work is one narrow scan of
+    * the batch + a partitioned append; no training, no rewrite, no
+    * unbounded state.
+    */
+  val s28StreamIvfIngest: Q = (s, d) => {
+    val dir = ivfStreamIngestDir(s, d)
+    val total = s.read.parquet(s"$dir/assigned").count()
+    val q = t(s, d, "embeddings")
+      .filter(col("vec_id") % 4 === 0 && col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    Similarity.ivfTopKIndexed(s, dir, q, k = 10, nProbe = 4)
+      .withColumn("rank", col("rank").cast("bigint"))
+      .withColumn("ingested_total", lit(total))
+  }
+  val s28Oracle: String =
+    """WITH sp AS (
+      |  SELECT query_id, id, ingested_total
+      |  FROM '__SPARK_OUT__/q_s28_stream_ivf_ingest/*.parquet'),
+      |qids AS (SELECT vec_id FROM embeddings
+      |         WHERE vec_id % 4 = 0 AND vec_id < 20),
+      |ok AS (SELECT
+      |    (SELECT COUNT(DISTINCT query_id) FROM sp) =
+      |      (SELECT COUNT(*) FROM qids)
+      |    AND NOT EXISTS (SELECT 1 FROM sp GROUP BY query_id
+      |                    HAVING COUNT(*) <> 10)
+      |    AND NOT EXISTS (SELECT 1 FROM qids q
+      |          WHERE NOT EXISTS (SELECT 1 FROM sp
+      |                WHERE sp.query_id = q.vec_id AND sp.id = q.vec_id))
+      |    AND (SELECT MIN(ingested_total) FROM sp) =
+      |      (SELECT COUNT(*) FROM embeddings)
+      |    AND (SELECT MAX(ingested_total) FROM sp) =
+      |      (SELECT COUNT(*) FROM embeddings)
+      |    AS complete),
+      |e AS (
+      |  SELECT vec_id, embedding,
+      |    SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+      |          FROM (SELECT UNNEST(embedding) AS x) ux)) AS nrm
+      |  FROM embeddings
+      |  WHERE vec_id IN (SELECT vec_id FROM qids)
+      |     OR vec_id IN (SELECT id FROM sp)),
+      |q AS (SELECT vec_id AS query_id, embedding AS qvec, nrm AS qnrm
+      |      FROM e WHERE vec_id IN (SELECT vec_id FROM qids)),
+      |sc AS (
+      |  SELECT sp.query_id, sp.id,
+      |    ROUND(CASE WHEN e.nrm * q.qnrm = 0 THEN 0.0 ELSE
+      |      (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+      |       FROM (SELECT UNNEST(e.embedding) AS x, UNNEST(q.qvec) AS y) u)
+      |      / (e.nrm * q.qnrm) END, 6) AS cosine_sim
+      |  FROM sp JOIN e ON e.vec_id = sp.id JOIN q ON q.query_id = sp.query_id)
+      |SELECT query_id,
+      |  ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY cosine_sim DESC, id) AS rank,
+      |  id, cosine_sim,
+      |  CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS ingested_total
+      |FROM sc WHERE (SELECT complete FROM ok)""".stripMargin
+
+  // Build-once streamed-ingestion fixture for S29 — the navigable-graph
+  // twin of S28: base HNSW graph + regions from the ¾ corpus, held-out ¼
+  // streamed in two micro-batches through a foreachBatch frozen-anchor
+  // append. Same crash discipline: no _INGESTED marker → rebuild, and
+  // the rebuild's writeIndex overwrite wipes partial appends.
+  private def hnswStreamIngestDir(s: SparkSession, d: String): String =
+    FixtureCache.resolve("graft-hnsw-stream-ingest", d,
+      "embeddings.parquet")(
+      dir => java.nio.file.Files.exists(dir.resolve("_INGESTED"))) { dir =>
+      val emb = t(s, d, "embeddings")
+      val (graph, assigned) = Hnsw.index(
+        emb.filter(col("vec_id") % 4 =!= 0), "vec_id", "embedding",
+        m = 8, sampleSize = 256)
+      Hnsw.writeIndex(graph, assigned, dir.toString)
+      val arriving = emb.filter(col("vec_id") % 4 === 0)
+        .select("vec_id", "embedding")
+      val inDir = stageTwoBatches("graft-s29-ingest", d,
+        arriving.filter(col("vec_id") % 8 === 0),
+        arriving.filter(col("vec_id") % 8 =!= 0))
+      val ck = java.nio.file.Paths.get(inDir).getParent.resolve("ck")
+      val sq = s.readStream.schema(arriving.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // micro-batch cloned-session discipline — see S28
+          Hnsw.appendIndex(batch.sparkSession, dir.toString, batch,
+            "vec_id", "embedding")
+          ()
+        }
+        .option("checkpointLocation", ck.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      java.nio.file.Files.writeString(dir.resolve("_INGESTED"), "ok")
+      ()
+    }()
+
+  /** S29: STREAMING ingestion into the persisted HNSW serving index —
+    * the navigable-graph twin of q_s28, completing the lifecycle
+    * symmetry (both serving indexes now have: build, batch append,
+    * STREAMED append, persisted pruned probe, filtered serving). New
+    * vectors descend the FROZEN anchor graph inside `foreachBatch` via
+    * the same expression assignment always uses; search shares that
+    * descent, so every stream-appended query provably probes its own
+    * region — the self-presence floor — and `ingested_total` pins
+    * exactly-once ingestion across the two micro-batches.
+    */
+  val s29StreamHnswIngest: Q = (s, d) => {
+    val dir = hnswStreamIngestDir(s, d)
+    val total = s.read.parquet(s"$dir/assigned").count()
+    val q = t(s, d, "embeddings")
+      .filter(col("vec_id") % 4 === 0 && col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    Hnsw.topKIndexed(s, dir, q, k = 10, ef = 8)
+      .withColumn("rank", col("rank").cast("bigint"))
+      .withColumn("ingested_total", lit(total))
+  }
+  val s29Oracle: String =
+    """WITH sp AS (
+      |  SELECT query_id, id, ingested_total
+      |  FROM '__SPARK_OUT__/q_s29_stream_hnsw_ingest/*.parquet'),
+      |qids AS (SELECT vec_id FROM embeddings
+      |         WHERE vec_id % 4 = 0 AND vec_id < 20),
+      |ok AS (SELECT
+      |    (SELECT COUNT(DISTINCT query_id) FROM sp) =
+      |      (SELECT COUNT(*) FROM qids)
+      |    AND NOT EXISTS (SELECT 1 FROM sp GROUP BY query_id
+      |                    HAVING COUNT(*) <> 10)
+      |    AND NOT EXISTS (SELECT 1 FROM qids q
+      |          WHERE NOT EXISTS (SELECT 1 FROM sp
+      |                WHERE sp.query_id = q.vec_id AND sp.id = q.vec_id))
+      |    AND (SELECT MIN(ingested_total) FROM sp) =
+      |      (SELECT COUNT(*) FROM embeddings)
+      |    AND (SELECT MAX(ingested_total) FROM sp) =
+      |      (SELECT COUNT(*) FROM embeddings)
+      |    AS complete),
+      |e AS (
+      |  SELECT vec_id, embedding,
+      |    SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+      |          FROM (SELECT UNNEST(embedding) AS x) ux)) AS nrm
+      |  FROM embeddings
+      |  WHERE vec_id IN (SELECT vec_id FROM qids)
+      |     OR vec_id IN (SELECT id FROM sp)),
+      |q AS (SELECT vec_id AS query_id, embedding AS qvec, nrm AS qnrm
+      |      FROM e WHERE vec_id IN (SELECT vec_id FROM qids)),
+      |sc AS (
+      |  SELECT sp.query_id, sp.id,
+      |    ROUND(CASE WHEN e.nrm * q.qnrm = 0 THEN 0.0 ELSE
+      |      (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+      |       FROM (SELECT UNNEST(e.embedding) AS x, UNNEST(q.qvec) AS y) u)
+      |      / (e.nrm * q.qnrm) END, 6) AS cosine_sim
+      |  FROM sp JOIN e ON e.vec_id = sp.id JOIN q ON q.query_id = sp.query_id)
+      |SELECT query_id,
+      |  ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY cosine_sim DESC, id) AS rank,
+      |  id, cosine_sim,
+      |  CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS ingested_total
+      |FROM sc WHERE (SELECT complete FROM ok)""".stripMargin
+
   /** S19: scalar (int8-range) quantization two-stage search
     * ([[Similarity.sqTopK]]) — the serving tier between brute force and
     * PQ: per-dim corpus bounds → integer codes 0..255 → exact integer L2
@@ -4884,6 +5094,8 @@ object PipelineQueries {
     "q_s6_ivf_indexed" -> s6IvfIndexed,
     "q_s18_ivf_append" -> s18IvfAppend,
     "q_s27_hnsw_append" -> s27HnswAppend,
+    "q_s28_stream_ivf_ingest" -> s28StreamIvfIngest,
+    "q_s29_stream_hnsw_ingest" -> s29StreamHnswIngest,
     "q_s19_sq_topk" -> s19SqTopK,
     "q_s7_embed_dedup_manifest" -> s7EmbedDedupManifest,
     "q_s8_pq_codebook" -> s8PqCodebook,
@@ -4997,6 +5209,8 @@ object PipelineQueries {
     "q_s6_ivf_indexed" -> s6Oracle,
     "q_s18_ivf_append" -> s18Oracle,
     "q_s27_hnsw_append" -> s27Oracle,
+    "q_s28_stream_ivf_ingest" -> s28Oracle,
+    "q_s29_stream_hnsw_ingest" -> s29Oracle,
     "q_s19_sq_topk" -> s19Oracle,
     "q_s7_embed_dedup_manifest" -> s7Oracle,
     "q_s8_pq_codebook" -> s8Oracle,

@@ -240,7 +240,9 @@ object Hnsw {
 
   /** Greedy farthest-point selection of `k` vectors from a candidate
     * pool by cosine distance (deterministic: seed = pool(0), ties to the
-    * lowest index). O(k·|pool|·dim) driver flops on bounded inputs.
+    * lowest index; the shared [[Similarity.farthestPointIndices]]
+    * k-center loop, which also guards the zero-norm-vector re-pick).
+    * O(k·|pool|·dim) driver flops on bounded inputs.
     */
   private[operators] def farthestPointSelect(pool: Array[Array[Float]],
       k: Int): Array[Array[Float]] = {
@@ -258,27 +260,7 @@ object Hnsw {
         1.0 - acc / d
       }
     }
-    val picked = new Array[Int](k)
-    picked(0) = 0
-    val minD = Array.tabulate(pool.length)(i => cosDist(i, 0))
-    var c = 1
-    while (c < k) {
-      var best = 0; var bestD = -1.0
-      var i = 0
-      while (i < pool.length) {
-        if (minD(i) > bestD) { bestD = minD(i); best = i }
-        i += 1
-      }
-      picked(c) = best
-      i = 0
-      while (i < pool.length) {
-        val d = cosDist(i, best)
-        if (d < minD(i)) minD(i) = d
-        i += 1
-      }
-      c += 1
-    }
-    picked.map(pool)
+    Similarity.farthestPointIndices(pool.length, k, 0, cosDist).map(pool)
   }
 
   /** The deterministic layered graph over the anchor array (driver-side;
@@ -427,6 +409,15 @@ object Hnsw {
       org.apache.spark.sql.catalyst.FunctionIdentifier(fname))
     base.count()
   }
+
+  /** Compact the region layout after sustained appends — the HNSW
+    * `assigned` frame is the SAME `partitionBy("cell")` layout the IVF
+    * index uses, so this delegates to the crash-recoverable
+    * [[Similarity.ivfCompactIndex]] staging-swap (anchors and the layer
+    * graph are untouched; same rows, same regions, one file per cell).
+    */
+  def compactIndex(spark: SparkSession, path: String): Unit =
+    Similarity.ivfCompactIndex(spark, path)
 
   /** Metadata-filtered serving over the persisted index, with PRE-FILTER
     * semantics (the [[Similarity.ivfTopKIndexedFiltered]] contract): the

@@ -552,6 +552,48 @@ object Similarity {
     (centroidsDf, assigned)
   }
 
+  /** Greedy farthest-point pick of `k` indices from `n` candidates under
+    * `dist` (`first` seeds the set; each next pick is the candidate
+    * farthest from its nearest picked one, ties to the lowest index) —
+    * the k-center seeding shared by [[lloyd]] (squared Euclidean) and
+    * [[graft.operators.Hnsw.farthestPointSelect]] (cosine). A picked
+    * index's min-distance is forced to -1 so it can never be re-picked:
+    * under cosine a ZERO-NORM vector's self-distance is 1 (not 0), and
+    * without the force such a vector would be re-picked for every
+    * remaining slot once it became the argmax, collapsing the anchor
+    * set to duplicates. If `k > n` the tail duplicates candidate 0 —
+    * callers tolerate duplicate centers (empty cells keep their
+    * previous centroid; duplicate anchors tie to the lowest index).
+    */
+  private[operators] def farthestPointIndices(n: Int, k: Int, first: Int,
+      dist: (Int, Int) => Double): Array[Int] = {
+    require(n > 0, "farthest-point: empty candidate set")
+    val picked = new Array[Int](k)
+    picked(0) = first
+    val minD = Array.tabulate(n)(i => dist(i, first))
+    minD(first) = -1.0
+    var c = 1
+    while (c < k) {
+      var best = 0
+      var bestD = -1.0
+      var i = 0
+      while (i < n) {
+        if (minD(i) > bestD) { bestD = minD(i); best = i }
+        i += 1
+      }
+      picked(c) = best
+      minD(best) = -1.0
+      i = 0
+      while (i < n) {
+        val d = dist(i, best)
+        if (d < minD(i) && minD(i) >= 0.0) minD(i) = d
+        i += 1
+      }
+      c += 1
+    }
+    picked
+  }
+
   /** Driver-side Lloyd k-means over a bounded float sample (squared
     * Euclidean, deterministic seed init, empty clusters keep their
     * previous centroid). Ties break to the lowest cell index, matching
@@ -574,30 +616,14 @@ object Similarity {
     // vector farthest from its nearest existing seed (ties to the lowest
     // index). Random seeding can draw near-duplicate seeds → empty or
     // lopsided cells → degraded probe recall at fixed nProbe; greedy
-    // spread costs O(k·n·dim) driver flops (μs–ms at the bounded sample)
-    // and measurably lifts recall at the same serving cost. Still fully
+    // spread costs O(k·n·dim) driver flops — sub-ms at the fixture
+    // k=16, single-digit seconds at the autoCells cap (k=4096 against
+    // the 10k sample), always one Lloyd iteration's worth — and
+    // measurably lifts recall at the same serving cost. Still fully
     // deterministic in (train, seed).
-    val centers = new Array[Array[Float]](k)
-    centers(0) = java.util.Arrays.copyOf(train(rnd.nextInt(train.length)), dim)
-    val minD = train.map(v => d2(v, centers(0)))
-    var c = 1
-    while (c < k) {
-      var best = 0
-      var bestD = -1.0
-      var i = 0
-      while (i < train.length) {
-        if (minD(i) > bestD) { bestD = minD(i); best = i }
-        i += 1
-      }
-      centers(c) = java.util.Arrays.copyOf(train(best), dim)
-      i = 0
-      while (i < train.length) {
-        val d = d2(train(i), centers(c))
-        if (d < minD(i)) minD(i) = d
-        i += 1
-      }
-      c += 1
-    }
+    val centers = farthestPointIndices(train.length, k,
+        rnd.nextInt(train.length), (i, j) => d2(train(i), train(j)))
+      .map(i => java.util.Arrays.copyOf(train(i), dim))
     var it = 0
     while (it < iters) {
       val sums = Array.ofDim[Double](k, dim)

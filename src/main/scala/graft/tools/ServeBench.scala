@@ -1,6 +1,6 @@
 package graft.tools
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -18,8 +18,8 @@ import graft.operators.{Hnsw, Similarity}
   * disk while the exact scan reads everything.
   *
   * Usage: runMain graft.tools.ServeBench [sfDir] [nCells] [sampleSize]
-  * (0 = auto ≈√n). Indexes build under /tmp keyed by (dir, size) and
-  * are reused across runs.
+  * (0 = auto ≈√n). Indexes build once per (corpus signature, size)
+  * via [[graft.FixtureCache]] and are reused across runs.
   */
 object ServeBench {
   def main(args: Array[String]): Unit = {
@@ -46,18 +46,26 @@ object ServeBench {
       .cache()
     queries.count()
 
-    val tag = s"${Paths.get(sfDir).getFileName}-$nCells-$anchors"
-    val ivfDir = s"/tmp/graft-servebench-ivf-$tag"
-    val hnswDir = s"/tmp/graft-servebench-hnsw-$tag"
-    if (!Files.exists(Paths.get(s"$ivfDir/centroids/_SUCCESS"))) {
-      val (c, a) = Similarity.ivfIndex(emb, "vec_id", "embedding", nCells)
-      Similarity.ivfWriteIndex(c, a, ivfDir)
-    }
-    if (!Files.exists(Paths.get(s"$hnswDir/assigned/_SUCCESS"))) {
-      val (g, a) = Hnsw.index(emb, "vec_id", "embedding",
-        m = 8, sampleSize = anchors)
-      Hnsw.writeIndex(g, a, hnswDir)
-    }
+    // FixtureCache keys on the source parquet's (mtime, size), so a
+    // regenerated corpus rebuilds instead of silently reusing a stale
+    // index; readiness checks the LAST artifact each writer emits
+    // (ivfWriteIndex: centroids after assigned; Hnsw.writeIndex: graph
+    // after assigned + anchors) so a crashed half-build also rebuilds.
+    val ivfDir = graft.FixtureCache.resolve(
+      s"graft-servebench-ivf-$nCells", sfDir, "embeddings.parquet")(
+      dir => Files.exists(dir.resolve("centroids").resolve("_SUCCESS"))) {
+      dir =>
+        val (c, a) = Similarity.ivfIndex(emb, "vec_id", "embedding", nCells)
+        Similarity.ivfWriteIndex(c, a, dir.toString)
+    }()
+    val hnswDir = graft.FixtureCache.resolve(
+      s"graft-servebench-hnsw-$anchors", sfDir, "embeddings.parquet")(
+      dir => Files.exists(dir.resolve("graph").resolve("_SUCCESS"))) {
+      dir =>
+        val (g, a) = Hnsw.index(emb, "vec_id", "embedding",
+          m = 8, sampleSize = anchors)
+        Hnsw.writeIndex(g, a, dir.toString)
+    }()
 
     def minOf3(f: => DataFrame): (Double, DataFrame) = {
       var best = Double.MaxValue

@@ -155,6 +155,22 @@ class HnswSpec extends SparkSpec {
     assert(self.length == queries.count() &&
       self.forall(_.getAs[Int]("rank") == 1),
       served.take(10).mkString("\n"))
+    // compaction (the shared cell-layout staging-swap): the append left
+    // >1 file in touched cells; afterwards one file per cell and the
+    // served result is bit-identical
+    def filesPerCell(): Map[String, Int] =
+      new java.io.File(s"$dir/assigned").listFiles()
+        .filter(_.getName.startsWith("cell=")).map(c =>
+          c.getName -> c.listFiles().count(_.getName.endsWith(".parquet")))
+        .toMap
+    assert(filesPerCell().values.exists(_ > 1), filesPerCell().toString)
+    Hnsw.compactIndex(spark, dir)
+    assert(filesPerCell().values.forall(_ == 1), filesPerCell().toString)
+    def key2(r: org.apache.spark.sql.Row) = (r.getAs[Long]("query_id"),
+      r.getAs[Int]("rank"), r.getAs[Long]("id"))
+    val again = Hnsw.topKIndexed(spark, dir, queries, k = 5, ef = 3)
+      .collect().map(key2).toSet
+    assert(again == served.map(key2).toSet)
   }
 
   test("farthestPointSelect: deterministic, pool members only, and the " +
@@ -186,6 +202,16 @@ class HnswSpec extends SparkSpec {
     val maxRemaining = unpicked.map(p => sel.map(cos(p, _)).min).max
     assert(maxRemaining <= minPairwise + 1e-9,
       s"k-center invariant violated: $maxRemaining > $minPairwise")
+  }
+
+  test("farthestPointSelect: a zero-norm pool vector is picked at most " +
+      "once (cosine self-distance is 1, not 0 — the re-pick guard)") {
+    val pool = vecs(40).map(_._2.toArray).toArray
+    pool(7) = Array.fill(8)(0.0f) // zero vector: cosDist(z, *) = 1.0
+    val sel = Hnsw.farthestPointSelect(pool, 12)
+    val zeros = sel.count(_.forall(_ == 0.0f))
+    assert(zeros <= 1, s"zero vector picked $zeros times")
+    assert(sel.length == 12)
   }
 
   test("autoSampleSize: sqrt-of-corpus rule with floor and cap; " +

@@ -109,6 +109,11 @@ TARGETS = {
     # single-row result: deleting the path row leaves 0 rows vs the
     # oracle's 1 — rows_match breaks
     "q_g19_recursive_path": "depth = 3",
+    # streaming-ingest self-presence + exactly-once count: rank 1 IS the
+    # query's own stream-appended vector, and every surviving row still
+    # carries ingested_total — deleting the self row trips the floor
+    "q_s28_stream_ivf_ingest": "query_id = 0 AND rank = 1",
+    "q_s29_stream_hnsw_ingest": "query_id = 0 AND rank = 1",
 }
 
 if not (SRC / "oracle_sql.json").exists():
