@@ -4254,6 +4254,114 @@ object PipelineQueries {
       |  CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS ingested_total
       |FROM sc WHERE (SELECT complete FROM ok)""".stripMargin
 
+  // Build-once versioned-index fixture for S30: the IVF assigned frame
+  // hosted as a SnapshotTableStore TABLE — v1 committed from the ¾
+  // corpus build, v2 appended with the held-out ¼ assigned against the
+  // frozen centroids (Similarity.ivfAssign). The manifest is the commit
+  // point, so a crash mid-append leaves v1 fully readable and no marker
+  // file is needed beyond the store's own versions.
+  private def versionedAnnDir(s: SparkSession, d: String): String =
+    FixtureCache.resolve("graft-ann-versioned", d, "embeddings.parquet")(
+      dir => {
+        val st = new graft.catalog.SnapshotTableStore(
+          dir.resolve("store").toString)
+        st.currentVersion("ann_assigned").contains(2) &&
+          st.currentVersion("ann_centroids").contains(1)
+      }) { dir =>
+      // a crashed half-build would re-claim ever-higher versions on
+      // rebuild and never satisfy the ready check — start clean
+      FixtureCache.deleteRecursively(dir.resolve("store"))
+      val store = new graft.catalog.SnapshotTableStore(
+        dir.resolve("store").toString)
+      val emb = t(s, d, "embeddings")
+      val (centroids, assigned) = Similarity.ivfIndex(
+        emb.filter(col("vec_id") % 4 =!= 0), "vec_id", "embedding",
+        nCells = 16)
+      store.overwrite(centroids, "ann_centroids")            // v1
+      store.overwrite(assigned.select("id", "vec", "cell"),
+        "ann_assigned")                                      // v1
+      val appended = Similarity.ivfAssign(centroids,
+        emb.filter(col("vec_id") % 4 === 0), "vec_id", "embedding")
+      store.append(appended.select("id", "vec", "cell"),
+        "ann_assigned")                                      // v2
+      appended.unpersist(blocking = false)
+      ()
+    }()
+
+  /** S30: the IVF serving index hosted INSIDE the transactional
+    * snapshot store — the serve-while-ingest consistency story the
+    * plain partitioned layout cannot give (a reader listing a directory
+    * mid-append can see a torn file set; the store's manifest commit
+    * cannot). v1 = the ¾-corpus build, v2 = frozen-centroid append of
+    * the rest; the measured query probes BOTH pinned versions with the
+    * appended vectors as queries and emits a version label per row.
+    * Guards: snapshot ISOLATION — no appended id may appear in any
+    * v_base row (a probe pinned to v1 serves the immutable pre-append
+    * index even after v2 commits) — plus the usual self-presence floor
+    * at v_latest, per-(version, query) k-counts, and exact cosine
+    * recompute. At 100 TB: appends commit only appended bytes (the
+    * manifest carries prior data dirs forward), old versions stay
+    * readable for pinned serving until vacuumed, and cell-layout
+    * pruning composes by partitioning each commit's data dirs by cell.
+    */
+  val s30VersionedAnn: Q = (s, d) => {
+    val store = new graft.catalog.SnapshotTableStore(
+      s"${versionedAnnDir(s, d)}/store")
+    val centroids = store.read(s, "ann_centroids")
+    val q = t(s, d, "embeddings")
+      .filter(col("vec_id") % 4 === 0 && col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    def probe(v: Int, label: String) =
+      Similarity.ivfTopK(store.readVersion(s, "ann_assigned", v),
+          centroids, q, k = 10, nProbe = 4)
+        .withColumn("version", lit(label))
+    val vs = store.versions("ann_assigned")
+    probe(vs.head, "v_base").unionByName(probe(vs.last, "v_latest"))
+      .withColumn("rank", col("rank").cast("bigint"))
+  }
+  val s30Oracle: String =
+    """WITH sp AS (
+      |  SELECT query_id, id, version
+      |  FROM '__SPARK_OUT__/q_s30_versioned_ann/*.parquet'),
+      |qids AS (SELECT vec_id FROM embeddings
+      |         WHERE vec_id % 4 = 0 AND vec_id < 20),
+      |ok AS (SELECT
+      |    (SELECT COUNT(*) FROM (SELECT DISTINCT version, query_id
+      |       FROM sp) g) = 2 * (SELECT COUNT(*) FROM qids)
+      |    AND NOT EXISTS (SELECT 1 FROM sp GROUP BY version, query_id
+      |                    HAVING COUNT(*) <> 10)
+      |    -- snapshot isolation: the pre-append version never serves
+      |    -- an appended (vec_id % 4 = 0) row
+      |    AND NOT EXISTS (SELECT 1 FROM sp
+      |                    WHERE version = 'v_base' AND id % 4 = 0)
+      |    -- self-presence floor at the latest version
+      |    AND NOT EXISTS (SELECT 1 FROM qids q
+      |          WHERE NOT EXISTS (SELECT 1 FROM sp
+      |                WHERE sp.version = 'v_latest'
+      |                  AND sp.query_id = q.vec_id AND sp.id = q.vec_id))
+      |    AS complete),
+      |e AS (
+      |  SELECT vec_id, embedding,
+      |    SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+      |          FROM (SELECT UNNEST(embedding) AS x) ux)) AS nrm
+      |  FROM embeddings
+      |  WHERE vec_id IN (SELECT vec_id FROM qids)
+      |     OR vec_id IN (SELECT id FROM sp)),
+      |q AS (SELECT vec_id AS query_id, embedding AS qvec, nrm AS qnrm
+      |      FROM e WHERE vec_id IN (SELECT vec_id FROM qids)),
+      |sc AS (
+      |  SELECT sp.version, sp.query_id, sp.id,
+      |    ROUND(CASE WHEN e.nrm * q.qnrm = 0 THEN 0.0 ELSE
+      |      (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+      |       FROM (SELECT UNNEST(e.embedding) AS x, UNNEST(q.qvec) AS y) u)
+      |      / (e.nrm * q.qnrm) END, 6) AS cosine_sim
+      |  FROM sp JOIN e ON e.vec_id = sp.id JOIN q ON q.query_id = sp.query_id)
+      |SELECT query_id,
+      |  ROW_NUMBER() OVER (PARTITION BY version, query_id
+      |    ORDER BY cosine_sim DESC, id) AS rank,
+      |  id, cosine_sim, version
+      |FROM sc WHERE (SELECT complete FROM ok)""".stripMargin
+
   /** S19: scalar (int8-range) quantization two-stage search
     * ([[Similarity.sqTopK]]) — the serving tier between brute force and
     * PQ: per-dim corpus bounds → integer codes 0..255 → exact integer L2
@@ -5096,6 +5204,7 @@ object PipelineQueries {
     "q_s27_hnsw_append" -> s27HnswAppend,
     "q_s28_stream_ivf_ingest" -> s28StreamIvfIngest,
     "q_s29_stream_hnsw_ingest" -> s29StreamHnswIngest,
+    "q_s30_versioned_ann" -> s30VersionedAnn,
     "q_s19_sq_topk" -> s19SqTopK,
     "q_s7_embed_dedup_manifest" -> s7EmbedDedupManifest,
     "q_s8_pq_codebook" -> s8PqCodebook,
@@ -5211,6 +5320,7 @@ object PipelineQueries {
     "q_s27_hnsw_append" -> s27Oracle,
     "q_s28_stream_ivf_ingest" -> s28Oracle,
     "q_s29_stream_hnsw_ingest" -> s29Oracle,
+    "q_s30_versioned_ann" -> s30Oracle,
     "q_s19_sq_topk" -> s19Oracle,
     "q_s7_embed_dedup_manifest" -> s7Oracle,
     "q_s8_pq_codebook" -> s8Oracle,

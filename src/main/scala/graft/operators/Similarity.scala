@@ -768,25 +768,41 @@ object Similarity {
     rm(oldF)
   }
 
-  def ivfAppendIndex(spark: SparkSession, path: String,
-      newVectors: DataFrame, idCol: String, vecCol: String): Long = {
+  /** Assign vectors against an EXISTING centroid table — the reusable
+    * core of [[ivfAppendIndex]] (bit-identical to build-time
+    * assignment: same codegen'd nearest-cell expression, ties to the
+    * lowest cell), returned as a materialized (id, vec, cell) frame so
+    * callers hosting the index inside a transactional store (e.g.
+    * [[graft.catalog.SnapshotTableStore]]) can commit it themselves.
+    */
+  def ivfAssign(centroids: DataFrame, vectors: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val spark = vectors.sparkSession
     init(spark)
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .orderBy("cell").collect()
+    val cents = centroids.orderBy("cell").collect()
       .map(_.getSeq[Float](1).toArray) // bounded: nCells x dim
-    val base = newVectors.select(col(idCol).as("id"),
+    val base = vectors.select(col(idCol).as("id"),
       col(vecCol).cast("array<float>").as("vec"))
     val fname = s"ivf_cell_${ivfFnCounter.incrementAndGet()}"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      fname, exprs => graft.functions.NearestCellExpr(exprs(0), centroids),
+      fname, exprs => graft.functions.NearestCellExpr(exprs(0), cents),
       "built-in")
-    try {
-      val assigned = base.withColumn("cell", call_function(fname, col("vec")))
-      assigned.write.mode("append").partitionBy("cell")
-        .parquet(s"$path/assigned")
-    } finally spark.sessionState.functionRegistry.dropFunction(
+    // eager barrier: the temp function is dead after this returns
+    try base.withColumn("cell", call_function(fname, col("vec")))
+      .barrier(true)
+    finally spark.sessionState.functionRegistry.dropFunction(
       org.apache.spark.sql.catalyst.FunctionIdentifier(fname))
-    base.count()
+  }
+
+  def ivfAppendIndex(spark: SparkSession, path: String,
+      newVectors: DataFrame, idCol: String, vecCol: String): Long = {
+    val assigned = ivfAssign(spark.read.parquet(s"$path/centroids"),
+      newVectors, idCol, vecCol)
+    assigned.write.mode("append").partitionBy("cell")
+      .parquet(s"$path/assigned")
+    val n = assigned.count()
+    assigned.unpersist(blocking = false)
+    n
   }
 
   /** Disk-probed IVF top-k over an [[ivfWriteIndex]] layout: resolve each

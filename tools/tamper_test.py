@@ -114,6 +114,9 @@ TARGETS = {
     # carries ingested_total — deleting the self row trips the floor
     "q_s28_stream_ivf_ingest": "query_id = 0 AND rank = 1",
     "q_s29_stream_hnsw_ingest": "query_id = 0 AND rank = 1",
+    # snapshot-isolation + self-presence: rank 1 at v_latest IS the
+    # query's own appended vector
+    "q_s30_versioned_ann": "version = 'v_latest' AND query_id = 0 AND rank = 1",
 }
 
 if not (SRC / "oracle_sql.json").exists():
