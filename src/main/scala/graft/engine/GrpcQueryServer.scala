@@ -51,8 +51,39 @@ import scala.jdk.CollectionConverters._
   * tested against Spark 4.1.x; re-verify the relocation prefix on any
   * Spark upgrade.
   */
-class GrpcQueryServer(spark: SparkSession, port: Int = 0) {
+class GrpcQueryServer(spark: SparkSession, port: Int = 0,
+    handlerThreads: Int = 16, timeoutMs: Long = 30000L,
+    maxInFlight: Int = 64) {
   import GrpcQueryServer._
+
+  // Bounded FIXED handler pool (mirrors QueryServer's): gRPC's default
+  // executor is an unbounded cached pool whose idle threads die and
+  // respawn with fresh thread ids — under `graft.server.pool=per-thread`
+  // FAIR routing that would mint an ever-growing set of pool names
+  // (Spark never removes dynamically-created FAIR pools). Sixteen
+  // long-lived daemon threads bound the name set exactly like the HTTP
+  // transport's.
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(
+    handlerThreads,
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-grpc-server")
+      t.setDaemon(true)
+      t
+    })
+
+  // Same per-request timeout + bounded admission as [[QueryServer]]
+  // (reference default 30 s, corkscrew.yaml:68). gRPC's error contract
+  // here is message-carried, so 429/408 ride as `{"error":…,"code":n}`
+  // payloads on an OK-completing RPC.
+  private val guard = new RequestGuard(spark, maxInFlight, timeoutMs)
+
+  private def withCode(r: (Int, String)): String = r match {
+    case (200, body) => body
+    case (400, body) => body
+    case (code, body) =>
+      // splice the transport code into the guard's error object
+      body.patch(body.lastIndexOf('}'), s""","code":$code""", 0)
+  }
 
   private val service: ServerServiceDefinition =
     ServerServiceDefinition.builder(ServiceName)
@@ -79,10 +110,17 @@ class GrpcQueryServer(spark: SparkSession, port: Int = 0) {
   private val server: Server = NettyServerBuilder
     .forAddress(new InetSocketAddress("127.0.0.1", port))
     .addService(service)
+    .executor(pool)
     .build()
 
   def start(): Unit = server.start()
-  def stop(): Unit = { server.shutdownNow(); server.awaitTermination() }
+  def stop(): Unit = {
+    server.shutdownNow()
+    server.awaitTermination()
+    pool.shutdown()
+    pool.awaitTermination(5, java.util.concurrent.TimeUnit.SECONDS)
+    ()
+  }
 
   /** Bound port (useful when constructed with port 0). */
   def boundPort: Int = server.getPort
@@ -105,31 +143,41 @@ class GrpcQueryServer(spark: SparkSession, port: Int = 0) {
     }
 
   private def execute(sql: String): String =
-    try { routePool(); QueryWire.render(QueryEngine.execute(spark, sql)) }
-    catch {
-      case e: QueryEngine.QueryValidationError =>
-        s"""{"error":${QueryWire.jstr(e.message)}}"""
-      case e: Exception => QueryWire.renderError(spark, e)
-    }
+    withCode(guard.run {
+      try { routePool()
+        (200, QueryWire.render(QueryEngine.execute(spark, sql))) }
+      catch {
+        case e: QueryEngine.QueryValidationError =>
+          (400, s"""{"error":${QueryWire.jstr(e.message)}}""")
+        case e: Exception => (400, QueryWire.renderError(spark, e))
+      }
+    })
 
   private def executeStreaming(sql: String,
-      out: StreamObserver[Array[Byte]]): Unit =
-    try {
-      routePool()
-      val (cols, rows) = QueryEngine.executeStreaming(spark, sql)
-      out.onNext(s"""{"columns":${QueryWire.renderColumns(cols)}}""".getBytes(UTF_8))
-      var n = 0L
-      rows.grouped(StreamBatchRows).foreach { batch =>
-        n += batch.size
-        out.onNext(s"""{"rows":${QueryWire.renderRows(batch)}}""".getBytes(UTF_8))
+      out: StreamObserver[Array[Byte]]): Unit = {
+    // Admission + timeout wrap the whole stream; a mid-stream timeout
+    // (or rejection) surfaces as a FINAL error message after whatever
+    // batches already went out — the reference's message-carried style.
+    val outcome = guard.run {
+      try {
+        routePool()
+        val (cols, rows) = QueryEngine.executeStreaming(spark, sql)
+        out.onNext(s"""{"columns":${QueryWire.renderColumns(cols)}}""".getBytes(UTF_8))
+        var n = 0L
+        rows.grouped(StreamBatchRows).foreach { batch =>
+          n += batch.size
+          out.onNext(s"""{"rows":${QueryWire.renderRows(batch)}}""".getBytes(UTF_8))
+        }
+        out.onNext(s"""{"rowCount":$n}""".getBytes(UTF_8))
+        (200, "")
+      } catch {
+        case e: QueryEngine.QueryValidationError =>
+          (400, s"""{"error":${QueryWire.jstr(e.message)}}""")
+        case e: Exception => (400, QueryWire.renderError(spark, e))
       }
-      out.onNext(s"""{"rowCount":$n}""".getBytes(UTF_8))
-    } catch {
-      case e: QueryEngine.QueryValidationError =>
-        out.onNext(s"""{"error":${QueryWire.jstr(e.message)}}""".getBytes(UTF_8))
-      case e: Exception =>
-        out.onNext(QueryWire.renderError(spark, e).getBytes(UTF_8))
     }
+    if (outcome._1 != 200) out.onNext(withCode(outcome).getBytes(UTF_8))
+  }
 }
 
 /** Classpath probe for the optional gRPC transport. This object MUST NOT

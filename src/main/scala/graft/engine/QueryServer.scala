@@ -27,7 +27,15 @@ import org.apache.spark.sql.SparkSession
   * other's.
   */
 class QueryServer(spark: SparkSession, port: Int = 0,
-    handlerThreads: Int = 16) {
+    handlerThreads: Int = 16, timeoutMs: Long = 30000L,
+    maxInFlight: Int = 64) {
+
+  // Per-request timeout (reference default: 30 s, corkscrew.yaml:68 —
+  // enforced by job-group cancel so a slow query stops burning cluster
+  // work, not just the connection) + bounded admission (maxInFlight
+  // concurrent requests; excess gets 429 instead of queueing without
+  // bound behind a slow one). See [[RequestGuard]].
+  private val guard = new RequestGuard(spark, maxInFlight, timeoutMs)
 
   private val server: HttpServer =
     HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -54,7 +62,18 @@ class QueryServer(spark: SparkSession, port: Int = 0,
   private val gcEvery = 16L
 
   def start(): Unit = server.start()
-  def stop(): Unit = { server.stop(0); pool.shutdown() }
+
+  /** Graceful stop: drains in-flight exchanges (up to 1 s) before
+    * returning, then waits for the handler pool to terminate — callers
+    * that `spark.stop()` immediately afterwards (SoakServer, specs)
+    * must not race handler threads still running Spark jobs.
+    */
+  def stop(): Unit = {
+    server.stop(1)
+    pool.shutdown()
+    pool.awaitTermination(5, java.util.concurrent.TimeUnit.SECONDS)
+    ()
+  }
 
   private def handle(exchange: HttpExchange): Unit = {
     // FAIR-pool routing (local property = per-thread, so pooled handler
@@ -75,12 +94,14 @@ class QueryServer(spark: SparkSession, port: Int = 0,
         (405, """{"error":"POST a SQL string to /query"}""")
       else {
         val sql = new String(exchange.getRequestBody.readAllBytes(), UTF_8)
-        try (200, QueryWire.render(QueryEngine.execute(spark, sql)))
-        catch {
-          case e: QueryEngine.QueryValidationError =>
-            (400, s"""{"error":${QueryWire.jstr(e.message)}}""")
-          case e: Exception =>
-            (400, QueryWire.renderError(spark, e))
+        guard.run {
+          try (200, QueryWire.render(QueryEngine.execute(spark, sql)))
+          catch {
+            case e: QueryEngine.QueryValidationError =>
+              (400, s"""{"error":${QueryWire.jstr(e.message)}}""")
+            case e: Exception =>
+              (400, QueryWire.renderError(spark, e))
+          }
         }
       }
     val bytes = body.getBytes(UTF_8)

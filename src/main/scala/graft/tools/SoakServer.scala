@@ -4,26 +4,56 @@ import java.net.URI
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import org.apache.spark.sql.SparkSession
 
-/** QueryServer soak: N mixed requests through the HTTP query API on one
-  * long-lived session, reporting first/last-decile latency — the check
-  * that session hygiene keeps a server flat instead of degrading as
-  * operator/cache blocks accumulate (round-2 verdict item 1). Since
+/** Query-server soak: N mixed requests through the remote query API on
+  * one long-lived session, reporting first/last-decile latency — the
+  * check that session hygiene keeps a server flat instead of degrading
+  * as operator/cache blocks accumulate (round-2 verdict item 1). Since
   * round 13 the soak is CONCURRENT: C parallel clients (each its own
-  * HTTP connection and request stream, mixed query set offset per
-  * client) against the server's handler pool with FAIR scheduling and
+  * connection and request stream, mixed query set offset per client)
+  * against the server's handler pool with FAIR scheduling and
   * per-thread pools — the reference serves concurrent gRPC clients
   * (api_server.go:127-180), so flat latency must hold under overlap,
   * not just in sequence. Per-client AND aggregate deciles print;
   * cross-query interference shows up as a last/first ratio drift or a
   * fat p99.
   *
+  * Round 14 additions:
+  *  - `transport` arg (`http` | `grpc`): the same soak through
+  *    [[graft.engine.GrpcQueryServer]] — the reference's actual
+  *    concurrent surface — with per-client correctness checks (each
+  *    client verifies a client-specific aggregate, so cross-talk or
+  *    swapped responses turn into counted errors, not silence).
+  *  - `--poison`: one EXTRA client loops a deliberately expensive query
+  *    under a short server timeout (2 s). The server must cancel its
+  *    job group each round (timeout responses are EXPECTED and counted
+  *    separately) while the well-behaved clients' deciles stay flat —
+  *    the isolation proof for the per-request timeout + admission
+  *    bound.
+  *
   * Usage: runMain graft.tools.SoakServer [requests-total] [clients]
-  * (clients=1 reproduces the old sequential soak)
+  *        [http|grpc] [--poison]
+  * (clients=1 reproduces the old sequential soak). Degenerate splits
+  * fail fast: requests-total must be >= 10 per client; the remainder of
+  * the split is distributed so every requested request actually runs.
   */
 object SoakServer {
   def main(args: Array[String]): Unit = {
-    val n = args.headOption.map(_.toInt).getOrElse(120)
-    val clients = args.drop(1).headOption.map(_.toInt).getOrElse(8)
+    val flags = args.filter(_.startsWith("--")).toSet
+    val pos = args.filterNot(_.startsWith("--"))
+    val n = pos.headOption.map(_.toInt).getOrElse(120)
+    val clients = pos.drop(1).headOption.map(_.toInt).getOrElse(8)
+    val transport = pos.drop(2).headOption.getOrElse("http")
+    val poison = flags.contains("--poison")
+    if (clients < 1 || n < clients * 10) {
+      System.err.println(s"usage: SoakServer [requests-total] [clients] " +
+        s"[http|grpc] [--poison] — need requests-total >= 10*clients " +
+        s"(got n=$n, clients=$clients)")
+      sys.exit(2)
+    }
+    if (transport != "http" && transport != "grpc") {
+      System.err.println(s"unknown transport '$transport' (http|grpc)")
+      sys.exit(2)
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -35,9 +65,47 @@ object SoakServer {
     spark.conf.set("graft.server.pool", "per-thread")
     graft.Tables.register(spark, sfDir)
     graft.functions.JsonMacros.register(spark)
-    val server = new graft.engine.QueryServer(spark)
-    server.start()
-    val url = URI.create(s"http://127.0.0.1:${server.boundPort}/query")
+    // Short timeout only when a poison client needs cancelling; the
+    // plain soak keeps the production default.
+    val timeoutMs = if (poison) 2000L else 30000L
+    val (post: (String => (Int, String)), stopServer: (() => Unit)) =
+      if (transport == "http") {
+        val server = new graft.engine.QueryServer(spark,
+          timeoutMs = timeoutMs)
+        server.start()
+        val url = URI.create(s"http://127.0.0.1:${server.boundPort}/query")
+        val send = (sql: String) => {
+          val client = HttpClient.newHttpClient()
+          val resp = client.send(
+            HttpRequest.newBuilder(url)
+              .POST(HttpRequest.BodyPublishers.ofString(sql)).build(),
+            HttpResponse.BodyHandlers.ofString())
+          (resp.statusCode(), resp.body())
+        }
+        (send, () => server.stop())
+      } else {
+        val server = new graft.engine.GrpcQueryServer(spark,
+          timeoutMs = timeoutMs)
+        server.start()
+        val port = server.boundPort
+        val send = (sql: String) => {
+          val body = graft.engine.GrpcQueryClient
+            .execute("127.0.0.1", port, sql)
+          // message-carried errors: map to the HTTP-style code for the
+          // shared counting below
+          val code =
+            if (!body.contains("\"error\"")) 200
+            else if (body.contains("\"code\":429")) 429
+            else if (body.contains("\"code\":408")) 408
+            else 400
+          (code, body)
+        }
+        (send, () => server.stop())
+      }
+
+    // Per-client correctness: each client owns one aggregate whose exact
+    // answer it can assert from the response body (cross-talk detector,
+    // both transports). The remaining mixed queries exercise variety.
     val sqls = Seq(
       "SELECT l_returnflag, sum(l_quantity) FROM lineitem GROUP BY 1",
       "SELECT event_type, COUNT(*) FROM events GROUP BY 1",
@@ -45,26 +113,31 @@ object SoakServer {
       "SELECT o_orderpriority, avg(o_totalprice) FROM orders GROUP BY 1",
       "SELECT n_name, COUNT(*) FROM nation JOIN customer ON n_nationkey = c_nationkey GROUP BY 1",
       "SELECT extract_json(to_json(named_struct('a', p_partkey)), '$.a') FROM part LIMIT 5")
+    val partCount = spark.read.parquet(s"$sfDir/part.parquet").count()
 
-    val perClient = n / clients
     val errors = new java.util.concurrent.atomic.AtomicInteger(0)
-    val lats: Array[Array[Double]] = Array.ofDim(clients, perClient)
+    // remainder-distributed split: first (n % clients) clients run one
+    // extra request, so exactly n requests run in total
+    val perClient = Array.tabulate(clients)(c =>
+      n / clients + (if (c < n % clients) 1 else 0))
+    val lats: Array[Array[Double]] =
+      Array.tabulate(clients)(c => new Array[Double](perClient(c)))
     val threads = (0 until clients).map { c =>
       new Thread(() => {
-        val client = HttpClient.newHttpClient()
-        for (i <- 0 until perClient) {
-          val sql = sqls((c + i) % sqls.length) // offset: clients overlap on
-          // different queries at any instant — the interference shape
+        val ownSql = s"SELECT count(*) % ${c + 2} AS own FROM part"
+        val ownExpect = s"[[${partCount % (c + 2)}]]"
+        for (i <- 0 until perClient(c)) {
+          val sql = if (i % 7 == 6) ownSql else sqls((c + i) % sqls.length)
           val t0 = System.nanoTime()
           try {
-            val resp = client.send(
-              HttpRequest.newBuilder(url)
-                .POST(HttpRequest.BodyPublishers.ofString(sql)).build(),
-              HttpResponse.BodyHandlers.ofString())
-            if (resp.statusCode() != 200) {
+            val (code, body) = post(sql)
+            if (code != 200) {
+              errors.incrementAndGet()
+              System.err.println(s"[soak] c$c#$i code $code: ${body.take(160)}")
+            } else if (sql == ownSql && !body.contains(ownExpect)) {
               errors.incrementAndGet()
               System.err.println(
-                s"[soak] c$c#$i HTTP ${resp.statusCode()}: ${resp.body().take(160)}")
+                s"[soak] c$c#$i CROSS-TALK: wanted $ownExpect in ${body.take(160)}")
             }
           } catch {
             case e: Exception =>
@@ -75,9 +148,30 @@ object SoakServer {
         }
       }, s"soak-client-$c")
     }
+    // Poison client: loops an expensive self-joined aggregate the 2 s
+    // timeout must cancel. Timeouts (408) are the EXPECTED outcome and
+    // count separately; any 200 here (host fast enough) is also fine —
+    // what matters is the well-behaved clients' deciles staying flat.
+    val poisonTimeouts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val poisonOther = new java.util.concurrent.atomic.AtomicInteger(0)
+    val poisonRounds = 10
+    val poisonThread = if (!poison) None else Some(new Thread(() => {
+      val slowSql = "SELECT COUNT(*) FROM lineitem a JOIN lineitem b " +
+        "ON a.l_orderkey % 8 = b.l_orderkey % 8 " +
+        "WHERE a.l_quantity + b.l_quantity > 0"
+      for (_ <- 0 until poisonRounds) {
+        try {
+          val (code, _) = post(slowSql)
+          if (code == 408) poisonTimeouts.incrementAndGet()
+          else poisonOther.incrementAndGet()
+        } catch { case _: Exception => poisonOther.incrementAndGet() }
+      }
+    }, "soak-poison"))
     val wall0 = System.nanoTime()
+    poisonThread.foreach(_.start())
     threads.foreach(_.start())
     threads.foreach(_.join())
+    poisonThread.foreach(_.join())
     val wall = (System.nanoTime() - wall0) / 1e9
 
     def decile(xs: Array[Double], first: Boolean): Double = {
@@ -88,7 +182,7 @@ object SoakServer {
     for (c <- 0 until clients) {
       val f = decile(lats(c), first = true)
       val l = decile(lats(c), first = false)
-      println(f"[soak] client=$c requests=$perClient " +
+      println(f"[soak] client=$c requests=${perClient(c)} " +
         f"first-decile(after warmup)=$f%.1f ms last-decile=$l%.1f ms " +
         f"ratio=${l / f}%.2f")
     }
@@ -97,12 +191,16 @@ object SoakServer {
     val p99 = all(math.min(all.length - 1, (all.length * 0.99).toInt))
     val firstAll = lats.map(decile(_, first = true)).sum / clients
     val lastAll = lats.map(decile(_, first = false)).sum / clients
-    println(f"[soak] TOTAL clients=$clients requests=${clients * perClient} " +
+    println(f"[soak] TOTAL transport=$transport clients=$clients requests=$n " +
       f"errors=${errors.get()} wall=${wall}%.1f s " +
-      f"throughput=${clients * perClient / wall}%.1f req/s p50=$p50%.1f ms " +
+      f"throughput=${n / wall}%.1f req/s p50=$p50%.1f ms " +
       f"p99=$p99%.1f ms first-decile=$firstAll%.1f ms " +
       f"last-decile=$lastAll%.1f ms ratio=${lastAll / firstAll}%.2f")
-    server.stop()
+    if (poison)
+      println(s"[soak] POISON rounds=$poisonRounds " +
+        s"timeouts(408, expected)=${poisonTimeouts.get()} " +
+        s"other=${poisonOther.get()}")
+    stopServer()
     spark.stop()
     if (errors.get() > 0) sys.exit(1)
   }

@@ -70,4 +70,82 @@ class GrpcQueryServerSpec extends SparkSpec {
       assert(err.size == 1 && err.head.contains("dangerous operation"), err)
     } finally server.stop()
   }
+
+  test("per-request timeout over gRPC: slow query answers a message-" +
+      "carried 408 and the server keeps serving") {
+    Seq.tabulate(40000)(i => i).toDF("id")
+      .createOrReplaceTempView("grpc_slow")
+    val server = new GrpcQueryServer(spark, timeoutMs = 400)
+    server.start()
+    try {
+      val port = server.boundPort
+      // warm the session first (retry: under full-suite load even the
+      // trivial count can trip the short test timeout once while cold)
+      var warmed = false
+      var warmTries = 0
+      while (!warmed && warmTries < 5) {
+        val warm = GrpcQueryClient.execute("127.0.0.1", port,
+          "SELECT count(*) AS n FROM grpc_slow")
+        warmed = warm.contains(""""rows":[[40000]]""")
+        warmTries += 1
+      }
+      assert(warmed, s"warm-up failed after $warmTries tries")
+      val t0 = System.nanoTime()
+      val body = GrpcQueryClient.execute("127.0.0.1", port,
+        "SELECT count(*) FROM grpc_slow a JOIN grpc_slow b ON a.id % 3 = b.id % 3")
+      val elapsedMs = (System.nanoTime() - t0) / 1e6
+      assert(body.contains("timeout") && body.contains(""""code":408"""), body)
+      assert(elapsedMs < 15000, s"timeout took ${elapsedMs}ms")
+      // healthy after the cancel (retry over the short test timeout)
+      var okSeen = false
+      var okTries = 0
+      var lastOk = ""
+      while (!okSeen && okTries < 5) {
+        lastOk = GrpcQueryClient.execute("127.0.0.1", port,
+          "SELECT count(*) AS n FROM grpc_slow")
+        okSeen = lastOk.contains(""""rows":[[40000]]""")
+        okTries += 1
+      }
+      assert(okSeen, lastOk)
+    } finally server.stop()
+  }
+
+  test("admission bound over gRPC: excess in-flight requests get a " +
+      "message-carried 429 and the slot recovers") {
+    Seq.tabulate(40000)(i => i).toDF("id")
+      .createOrReplaceTempView("grpc_busy")
+    val server = new GrpcQueryServer(spark, timeoutMs = 0, maxInFlight = 1)
+    server.start()
+    try {
+      val port = server.boundPort
+      @volatile var slowDone = false
+      val slow = new Thread(() => {
+        // a poll below may transiently hold the single permit when this
+        // request lands — retry until the slow query actually runs
+        var admitted = false
+        while (!admitted) {
+          val b = GrpcQueryClient.execute("127.0.0.1", port,
+            "SELECT count(*) FROM grpc_busy a JOIN grpc_busy b ON a.id % 3 = b.id % 3")
+          admitted = !b.contains(""""code":429""")
+        }
+        slowDone = true
+      })
+      slow.start()
+      var saw429 = false
+      var tries = 0
+      while (!saw429 && !slowDone && tries < 200) {
+        val body = GrpcQueryClient.execute("127.0.0.1", port, "SELECT 1")
+        if (body.contains(""""code":429""")) {
+          saw429 = true
+          assert(body.contains("capacity"), body)
+        }
+        tries += 1
+        Thread.sleep(20)
+      }
+      assert(saw429, s"no 429 in $tries tries (slowDone=$slowDone)")
+      slow.join()
+      val ok = GrpcQueryClient.execute("127.0.0.1", port, "SELECT 1 AS one")
+      assert(ok.contains(""""rows":[[1]]"""), ok)
+    } finally server.stop()
+  }
 }

@@ -81,6 +81,93 @@ class QueryServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("per-request timeout cancels the job group: a slow query answers " +
+      "408 within bounds and the server still serves afterwards") {
+    import spark.implicits._
+    Seq.tabulate(40000)(i => i).toDF("id")
+      .createOrReplaceTempView("api_slow")
+    val server = new QueryServer(spark, timeoutMs = 400)
+    server.start()
+    try {
+      // warm the session first (retry: under full-suite load even the
+      // trivial count can trip the short test timeout once while cold)
+      var warmed = false
+      var warmTries = 0
+      while (!warmed && warmTries < 5) {
+        val (warmCode, _) =
+          post(server.boundPort, "SELECT count(*) AS n FROM api_slow")
+        warmed = warmCode == 200
+        warmTries += 1
+      }
+      assert(warmed, s"warm-up failed after $warmTries tries")
+      val t0 = System.nanoTime()
+      val (code, body) = post(server.boundPort,
+        "SELECT count(*) FROM api_slow a JOIN api_slow b ON a.id % 3 = b.id % 3")
+      val elapsedMs = (System.nanoTime() - t0) / 1e6
+      assert(code == 408, s"$code $body")
+      assert(body.contains("timeout"), body)
+      // cancel must end the request long before the join would finish
+      assert(elapsedMs < 15000, s"timeout took ${elapsedMs}ms")
+      // the server is healthy after a cancelled request (retry over the
+      // short test timeout, as with the warm-up)
+      var okSeen = false
+      var okTries = 0
+      var lastBody = ""
+      while (!okSeen && okTries < 5) {
+        val (okCode, okBody) =
+          post(server.boundPort, "SELECT count(*) AS n FROM api_slow")
+        lastBody = okBody
+        okSeen = okCode == 200 && okBody.contains(""""rows":[[40000]]""")
+        okTries += 1
+      }
+      assert(okSeen, lastBody)
+    } finally server.stop()
+  }
+
+  test("admission bound rejects excess in-flight requests with 429 and " +
+      "recovers once the slot frees") {
+    import spark.implicits._
+    Seq.tabulate(40000)(i => i).toDF("id")
+      .createOrReplaceTempView("api_busy")
+    // one slot, no timeout: the slow request holds the only permit
+    val server = new QueryServer(spark, timeoutMs = 0, maxInFlight = 1)
+    server.start()
+    try {
+      val port = server.boundPort
+      @volatile var slowDone = false
+      val slow = new Thread(() => {
+        // a poll below may transiently hold the single permit when this
+        // request lands — retry until the slow query actually runs
+        var admitted = false
+        while (!admitted) {
+          val (c, _) = post(port,
+            "SELECT count(*) FROM api_busy a JOIN api_busy b ON a.id % 3 = b.id % 3")
+          admitted = c != 429
+        }
+        slowDone = true
+      })
+      slow.start()
+      // poll with quick queries while the slow one holds the permit; at
+      // least one must bounce with 429
+      var saw429 = false
+      var tries = 0
+      while (!saw429 && !slowDone && tries < 200) {
+        val (code, body) = post(port, "SELECT 1")
+        if (code == 429) {
+          saw429 = true
+          assert(body.contains("capacity"), body)
+        }
+        tries += 1
+        Thread.sleep(20)
+      }
+      assert(saw429, s"no 429 in $tries tries (slowDone=$slowDone)")
+      slow.join()
+      // permit released: back to serving
+      val (okCode, _) = post(port, "SELECT 1")
+      assert(okCode == 200)
+    } finally server.stop()
+  }
+
   test("two concurrent sessions with different graft.barrier confs keep " +
       "their own policy (session conf is not global state)") {
     val s1 = spark.newSession()
