@@ -24,7 +24,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
   *     Layer l contains the first `ceil(s / m^l)` anchors (nested
   *     prefixes, so layer membership needs no RNG and the single
   *     top-layer node is always anchor 0); within a layer every member
-  *     links to its `m` nearest co-members by exact cosine. Build cost
+  *     links to its `m` nearest co-members by exact cosine, SYMMETRIZED
+  *     (back-edges added, ≤ 2m per node) so no anchor is an
+  *     in-degree-0 target the expansion can never reach. Build cost
   *     is Σ n_l² ≤ s²·m²/(m²−1) driver flops on a bounded s.
   *  2. The corpus assigned to anchor REGIONS by the same greedy descent
   *     a search runs (entry at the top, walk to any improving neighbor,
@@ -33,9 +35,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
   *     expression ([[HnswAnchorExpr]]) — one descent per row, no
   *     shuffle, exactly the NearestCellExpr pattern.
   *
-  * Search (`topK`): greedy-descend the upper layers, then a best-first
-  * expansion at the bottom layer keeps the `ef` most similar anchors
-  * (the classic SEARCH-LAYER loop, deterministic tie-breaks). The
+  * Search (`topK`): BEAM-descend the upper layers (best-first with a
+  * small beam per layer — multiple entry basins instead of one greedy
+  * path), then a best-first expansion at the bottom layer seeded from
+  * all beam survivors keeps the `ef` most similar anchors (the classic
+  * SEARCH-LAYER loop, deterministic tie-breaks). The
   * probed set ALWAYS includes the pure-greedy bottom optimum — so a
   * query that IS a corpus vector provably probes the region that
   * vector was assigned to (identical floats ⇒ identical descent), the
@@ -126,58 +130,92 @@ object Hnsw {
     cur
   }
 
-  /** The `ef` most-similar bottom-layer anchors reachable by best-first
-    * expansion from the greedy entry, UNIONed with the pure-greedy
-    * optimum (so the result has ≤ ef + 1 anchors and always contains
-    * [[greedyDescend]]'s answer). Deterministic: ties order by anchor
-    * index on both heaps.
+  /** Best-first SEARCH-LAYER inside layer `l`: expand from `entries`,
+    * keeping the `width` most-similar members seen (the classic HNSW
+    * layer search, deterministic tie-breaks: ties order by anchor index
+    * on both heaps). Shared by the upper-layer beam descent and the
+    * bottom-layer `ef` expansion.
     */
-  def searchAnchors(g: Graph, q: Array[Float], ef: Int): Array[Int] = {
-    require(ef >= 1, s"ef must be >= 1, got $ef")
-    val qn = vecNorm(q)
-    var entry = 0
-    var l = g.layerSizes.length - 1
-    while (l >= 1) {
-      entry = greedyAtLayer(g, q, qn, l, entry)
-      l -= 1
-    }
-    val g0 = greedyAtLayer(g, q, qn, 0, entry)
-    // best-first SEARCH-LAYER at the bottom, seeded at the layer entry
+  private def searchLayer(g: Graph, q: Array[Float], qn: Double,
+      l: Int, entries: Array[Int], width: Int): Array[Int] = {
     val simOf = scala.collection.mutable.Map[Int, Double]()
     def sim(i: Int): Double = simOf.getOrElseUpdate(i, dotSim(g, q, qn, i))
-    // max-heap of frontier candidates, min-heap of current best ef
+    // max-heap of frontier candidates, min-heap of current best `width`
     val cand = scala.collection.mutable.PriorityQueue[(Double, Int)]()(
       Ordering.Tuple2(Ordering.Double.TotalOrdering,
         Ordering.Int.reverse))
     val result = scala.collection.mutable.PriorityQueue[(Double, Int)]()(
       Ordering.Tuple2(Ordering.Double.TotalOrdering,
         Ordering.Int.reverse).reverse)
-    val visited = scala.collection.mutable.BitSet(entry)
-    cand.enqueue((sim(entry), entry))
-    result.enqueue((sim(entry), entry))
+    val visited = scala.collection.mutable.BitSet()
+    var e = 0
+    while (e < entries.length) {
+      val en = entries(e)
+      if (!visited(en)) {
+        visited += en
+        cand.enqueue((sim(en), en))
+        result.enqueue((sim(en), en))
+        if (result.size > width) result.dequeue()
+      }
+      e += 1
+    }
     var done = false
     while (!done && cand.nonEmpty) {
       val (cs, c) = cand.dequeue()
-      if (result.size >= ef && cs < result.head._1) done = true
+      if (result.size >= width && cs < result.head._1) done = true
       else {
-        val nbrs = g.neighbors(0)(c)
+        val nbrs = g.neighbors(l)(c)
         var k = 0
         while (k < nbrs.length) {
           val nb = nbrs(k)
           if (!visited(nb)) {
             visited += nb
             val s = sim(nb)
-            if (result.size < ef || s > result.head._1) {
+            if (result.size < width || s > result.head._1) {
               cand.enqueue((s, nb))
               result.enqueue((s, nb))
-              if (result.size > ef) result.dequeue()
+              if (result.size > width) result.dequeue()
             }
           }
           k += 1
         }
       }
     }
-    (result.map(_._2).toSet + g0).toArray.sorted
+    result.map(_._2).toArray.sorted
+  }
+
+  /** Beam width for the upper-layer descent: a small beam bounded by
+    * `ef` — wide enough to escape a wrong greedy basin, cheap against
+    * the bottom expansion it feeds.
+    */
+  private def beamWidth(ef: Int): Int = math.max(2, math.min(8, ef))
+
+  /** The `ef` most-similar bottom-layer anchors found by a BEAM descent
+    * (round 14): the upper layers are walked with a small best-first
+    * beam ([[beamWidth]]) instead of a single greedy path, and the
+    * bottom-layer expansion seeds from ALL beam survivors — multiple
+    * entry basins, which is exactly the region-selection failure mode a
+    * single greedy path has (the round-13 recall curves showed region
+    * SELECTION, not region resolution, limiting HNSW under IVF at equal
+    * read fraction). UNIONed with the pure-greedy optimum, so the
+    * result has ≤ ef + 1 anchors and always contains
+    * [[greedyDescend]]'s answer — the self-presence pigeonhole (and
+    * q_s26/s27/s29's oracle floor) survives any beam shape.
+    * Deterministic: ties order by anchor index on every heap.
+    */
+  def searchAnchors(g: Graph, q: Array[Float], ef: Int): Array[Int] = {
+    require(ef >= 1, s"ef must be >= 1, got $ef")
+    val qn = vecNorm(q)
+    val beam = beamWidth(ef)
+    var entries = Array(0)
+    var l = g.layerSizes.length - 1
+    while (l >= 1) {
+      entries = searchLayer(g, q, qn, l, entries, beam)
+      l -= 1
+    }
+    val bottom = searchLayer(g, q, qn, 0, entries, ef)
+    val g0 = greedyDescend(g, q)
+    (bottom.toSet + g0).toArray.sorted
   }
 
   private val fnCounter = new java.util.concurrent.atomic.AtomicInteger()
@@ -284,11 +322,33 @@ object Hnsw {
         acc / d
       }
     }
+    // Within-layer edges (round 14): m-nearest OUT-edges by exact
+    // cosine, SYMMETRIZED — if i links to j, j links back to i. A pure
+    // kNN digraph leaves hub-shadowed anchors with in-degree 0
+    // (unreachable targets for best-first expansion no matter the ef),
+    // which caps recall on region selection. Every node KEEPS all m of
+    // its kNN out-edges; reverse edges are added on top, capped at 2m
+    // total per node by similarity (ties to the lowest index) so hubs
+    // stay bounded. An anchor can still only be shadowed if every one
+    // of its m nearest co-members drops the back-edge under the cap —
+    // and the guaranteed greedy-probe union covers the floor regardless.
     val neighbors = sizes.map { n =>
-      Array.tabulate(n) { i =>
+      val out = Array.tabulate(n) { i =>
         (0 until n).filter(_ != i)
           .sortBy(j => (-sim(i, j), j))
           .take(m).toArray
+      }
+      val rev = Array.fill(n)(List.empty[Int])
+      var i = 0
+      while (i < n) {
+        out(i).foreach { j => rev(j) = i :: rev(j) }
+        i += 1
+      }
+      Array.tabulate(n) { i =>
+        val extra = rev(i).filterNot(out(i).contains)
+          .sortBy(j => (-sim(i, j), j))
+          .take(math.max(0, 2 * m - out(i).length))
+        (out(i) ++ extra).sortBy(j => (-sim(i, j), j))
       }
     }
     Graph(anchors, sizes, neighbors)
@@ -349,11 +409,20 @@ object Hnsw {
   }
 
   /** Rebuild the driver graph from a [[writeIndex]] layout. */
-  def readGraph(spark: SparkSession, path: String): Graph = {
-    val anchors = spark.read.parquet(s"$path/anchors")
+  def readGraph(spark: SparkSession, path: String): Graph =
+    graphFromFrames(spark.read.parquet(s"$path/anchors"),
+      spark.read.parquet(s"$path/graph"))
+
+  /** Rebuild the driver graph from the two small tables [[writeIndex]]
+    * persists — `anchors` (anchor, vec) and `graph` (layer, node, nbrs)
+    * — wherever they are hosted (a parquet directory, or versioned
+    * tables in a [[graft.catalog.SnapshotTableStore]]).
+    */
+  def graphFromFrames(anchorsDf: DataFrame, graphDf: DataFrame): Graph = {
+    val anchors = anchorsDf
       .sort("anchor").collect()
       .map(_.getAs[scala.collection.Seq[Float]]("vec").toArray)
-    val nbrRows = spark.read.parquet(s"$path/graph").collect()
+    val nbrRows = graphDf.collect()
       .map(r => (r.getAs[Int]("layer"), r.getAs[Int]("node"),
         r.getAs[scala.collection.Seq[Int]]("nbrs").toArray))
     val nLayers = nbrRows.map(_._1).max + 1
@@ -395,19 +464,36 @@ object Hnsw {
   def appendIndex(spark: SparkSession, path: String, newVectors: DataFrame,
       idCol: String, vecCol: String): Long = {
     val graph = readGraph(spark, path)
+    val assigned = assign(graph, newVectors, idCol, vecCol)
+    assigned.write.mode("append").partitionBy("cell")
+      .parquet(s"$path/assigned")
+    val n = assigned.count()
+    assigned.unpersist(blocking = false)
+    n
+  }
+
+  /** Assign vectors against an EXISTING (frozen) anchor graph — the
+    * reusable core of [[appendIndex]], bit-identical to build-time
+    * assignment (same greedy-descent expression, same graph), returned
+    * as a materialized (id, vec, cell) frame so callers hosting the
+    * region layout inside a transactional store
+    * ([[graft.catalog.SnapshotTableStore]]) can commit it themselves —
+    * the [[Similarity.ivfAssign]] twin.
+    */
+  def assign(graph: Graph, vectors: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val spark = vectors.sparkSession
     Similarity.init(spark)
-    val base = newVectors.select(col(idCol).as("id"),
+    val base = vectors.select(col(idCol).as("id"),
       col(vecCol).cast("array<float>").as("vec"))
     val fname = s"hnsw_anchor_${fnCounter.incrementAndGet()}"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       fname, exprs => HnswAnchorExpr(exprs(0), graph), "built-in")
-    try {
-      val assigned = base.withColumn("cell", call_function(fname, col("vec")))
-      assigned.write.mode("append").partitionBy("cell")
-        .parquet(s"$path/assigned")
-    } finally spark.sessionState.functionRegistry.dropFunction(
+    // eager barrier: the temp function is dead after this returns
+    try base.withColumn("cell", call_function(fname, col("vec")))
+      .barrier(true)
+    finally spark.sessionState.functionRegistry.dropFunction(
       org.apache.spark.sql.catalyst.FunctionIdentifier(fname))
-    base.count()
   }
 
   /** Compact the region layout after sustained appends — the HNSW

@@ -25,25 +25,82 @@ class HnswSpec extends SparkSpec {
   private def frame(n: Int) = vecs(n).toDF("vec_id", "embedding")
     .withColumn("embedding", col("embedding").cast("array<float>"))
 
-  test("nested-prefix layers: sizes shrink by m, single top node, every " +
-      "member links to <= m co-members") {
+  test("nested-prefix layers: sizes shrink by m, single top node, " +
+      "symmetrized edges — kNN out-edges kept, back-edges added under " +
+      "the 2m cap, no unreachable (in-degree-0) member") {
     val anchors = vecs(40).map(_._2.toArray).toArray
-    val g = Hnsw.buildGraph(anchors, m = 4)
+    val m = 4
+    val g = Hnsw.buildGraph(anchors, m)
     assert(g.layerSizes.head == 40 && g.layerSizes.last == 1)
     g.layerSizes.sliding(2).foreach { case Array(lo, hi) =>
       assert(hi == (lo + 3) / 4, g.layerSizes.mkString(","))
     }
+    // exact-cosine sim for the kNN-preservation check
+    def sim(a: Int, b: Int): Double = {
+      val x = anchors(a); val y = anchors(b)
+      val na = math.sqrt(x.map(v => v.toDouble * v).sum)
+      val nb = math.sqrt(y.map(v => v.toDouble * v).sum)
+      x.zip(y).map { case (p, q) => p.toDouble * q }.sum / (na * nb)
+    }
     g.layerSizes.zipWithIndex.foreach { case (sz, l) =>
+      val indeg = new Array[Int](sz)
       (0 until sz).foreach { i =>
         val nb = g.neighbors(l)(i)
-        assert(nb.length <= 4 && !nb.contains(i) && nb.forall(_ < sz))
+        // bounded at 2m, no self-loop, members only, no duplicates
+        assert(nb.length <= 2 * m && !nb.contains(i) && nb.forall(_ < sz))
+        assert(nb.distinct.length == nb.length)
+        nb.foreach(j => indeg(j) += 1)
+        // every one of i's m nearest co-members is still an out-edge
+        if (sz > 1) {
+          val knn = (0 until sz).filter(_ != i)
+            .sortBy(j => (-sim(i, j), j)).take(math.min(m, sz - 1))
+          knn.foreach(j => assert(nb.contains(j),
+            s"layer $l node $i lost kNN edge to $j"))
+        }
+        // symmetry under the cap: a dropped back-edge only happens at a
+        // full (2m) neighbor list
+        nb.foreach { j =>
+          assert(g.neighbors(l)(j).contains(i) ||
+            g.neighbors(l)(j).length == 2 * m,
+            s"layer $l: $i->$j has no back-edge and $j is not full")
+        }
       }
+      // reachability floor: no member of a multi-node layer is a target
+      // nobody links to
+      if (sz > 1) (0 until sz).foreach(i =>
+        assert(indeg(i) > 0, s"layer $l node $i unreachable"))
     }
     // deterministic: a rebuild is structurally identical
-    val g2 = Hnsw.buildGraph(anchors, m = 4)
+    val g2 = Hnsw.buildGraph(anchors, m)
     assert(g.layerSizes.sameElements(g2.layerSizes))
     assert(g.neighbors.zip(g2.neighbors).forall { case (a, b) =>
       a.zip(b).forall { case (x, y) => x.sameElements(y) } })
+  }
+
+  test("beam descent: searchAnchors contains the pure-greedy optimum at " +
+      "every ef, stays within ef+1 anchors, and widening ef never loses " +
+      "an anchor's similarity floor") {
+    val anchors = vecs(60).map(_._2.toArray).toArray
+    val g = Hnsw.buildGraph(anchors, m = 4)
+    def simTo(q: Array[Float], i: Int): Double = {
+      val y = anchors(i)
+      val nq = math.sqrt(q.map(v => v.toDouble * v).sum)
+      val ny = math.sqrt(y.map(v => v.toDouble * v).sum)
+      q.zip(y).map { case (p, r) => p.toDouble * r }.sum / (nq * ny)
+    }
+    vecs(60).take(10).foreach { case (_, v) =>
+      val q = v.toArray
+      val g0 = Hnsw.greedyDescend(g, q)
+      Seq(1, 2, 4, 8, 16).foreach { ef =>
+        val probed = Hnsw.searchAnchors(g, q, ef)
+        assert(probed.contains(g0), s"ef=$ef lost the greedy optimum")
+        assert(probed.length <= ef + 1, s"ef=$ef size ${probed.length}")
+        assert(probed.distinct.length == probed.length)
+        // the beam can only improve on the greedy path's endpoint
+        val best = probed.map(simTo(q, _)).max
+        assert(best >= simTo(q, g0) - 1e-12)
+      }
+    }
   }
 
   test("distributed assignment equals driver greedyDescend for every " +
