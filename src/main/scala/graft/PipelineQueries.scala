@@ -3975,7 +3975,7 @@ object PipelineQueries {
   // frozen anchor graph, so the append path runs at fixture build and
   // the measured query is the serving probe over the mixed layout.
   private def hnswAppendDir(s: SparkSession, d: String): String =
-    FixtureCache.resolve("graft-hnsw-append-v2", d, "embeddings.parquet")(
+    FixtureCache.resolve("graft-hnsw-append-v3", d, "embeddings.parquet")(
       dir => java.nio.file.Files.exists(dir.resolve("_APPENDED"))) { dir =>
       val emb = t(s, d, "embeddings")
       val (graph, assigned) = Hnsw.index(
@@ -4161,7 +4161,7 @@ object PipelineQueries {
   // append. Same crash discipline: no _INGESTED marker → rebuild, and
   // the rebuild's writeIndex overwrite wipes partial appends.
   private def hnswStreamIngestDir(s: SparkSession, d: String): String =
-    FixtureCache.resolve("graft-hnsw-stream-ingest", d,
+    FixtureCache.resolve("graft-hnsw-stream-ingest-v2", d,
       "embeddings.parquet")(
       dir => java.nio.file.Files.exists(dir.resolve("_INGESTED"))) { dir =>
       val emb = t(s, d, "embeddings")
@@ -4360,6 +4360,233 @@ object PipelineQueries {
       |  ROW_NUMBER() OVER (PARTITION BY version, query_id
       |    ORDER BY cosine_sim DESC, id) AS rank,
       |  id, cosine_sim, version
+      |FROM sc WHERE (SELECT complete FROM ok)""".stripMargin
+
+  // Build-once versioned-HNSW fixture for S31 — q_s30's navigable-graph
+  // twin: the anchor graph AND the assigned region frame hosted as
+  // SnapshotTableStore TABLES. v1 = the ¾-corpus build (graph tables
+  // committed once; appends freeze anchors by contract), v2 =
+  // frozen-anchor append of the held-out ¼ via Hnsw.assign. The
+  // manifest commit is the atomicity point; the plain partitioned
+  // layout q_s29 streams into has a torn-read window during an append —
+  // this closes it for the second serving index.
+  private def versionedHnswDir(s: SparkSession, d: String): String =
+    FixtureCache.resolve("graft-hnsw-versioned", d, "embeddings.parquet")(
+      dir => {
+        val st = new graft.catalog.SnapshotTableStore(
+          dir.resolve("store").toString)
+        st.currentVersion("hnsw_assigned").contains(2) &&
+          st.currentVersion("hnsw_anchors").contains(1) &&
+          st.currentVersion("hnsw_graph").contains(1)
+      }) { dir =>
+      // same crash discipline as the S30 fixture: a half-build would
+      // re-claim ever-higher versions on rebuild — start clean
+      FixtureCache.deleteRecursively(dir.resolve("store"))
+      val store = new graft.catalog.SnapshotTableStore(
+        dir.resolve("store").toString)
+      val emb = t(s, d, "embeddings")
+      val (graph, assigned) = Hnsw.index(
+        emb.filter(col("vec_id") % 4 =!= 0), "vec_id", "embedding",
+        m = 8, sampleSize = 256)
+      import s.implicits._
+      store.overwrite(graph.anchors.zipWithIndex.toSeq
+        .map { case (v, i) => (i, v.toSeq) }.toDF("anchor", "vec"),
+        "hnsw_anchors")                                      // v1
+      store.overwrite((for {
+        l <- graph.layerSizes.indices
+        i <- 0 until graph.layerSizes(l)
+      } yield (l, i, graph.neighbors(l)(i).toSeq))
+        .toDF("layer", "node", "nbrs"), "hnsw_graph")        // v1
+      store.overwrite(assigned.select("id", "vec", "cell"),
+        "hnsw_assigned")                                     // v1
+      val appended = Hnsw.assign(graph,
+        emb.filter(col("vec_id") % 4 === 0), "vec_id", "embedding")
+      store.append(appended.select("id", "vec", "cell"),
+        "hnsw_assigned")                                     // v2
+      appended.unpersist(blocking = false)
+      ()
+    }()
+
+  /** S31: versioned HNSW serving inside the transactional snapshot
+    * store — the navigable-graph twin of q_s30, completing the
+    * versioned-serving symmetry between the two ANN indexes (both now
+    * have: build, batch append, streamed append, compaction, filtered
+    * serving, AND manifest-committed versioned serving). The frozen
+    * anchor graph is itself a store table (rebuilt via
+    * [[graft.operators.Hnsw.graphFromFrames]]); probes pin v_base and
+    * v_latest of the assigned frame. Guards mirror q_s30: snapshot
+    * ISOLATION (no appended id in any v_base row — a reader pinned to
+    * v1 serves the immutable pre-append regions even after v2 commits),
+    * self-presence floor at v_latest (search and assignment share one
+    * descent), per-(version, query) k-counts, exact cosine recompute.
+    */
+  val s31VersionedHnsw: Q = (s, d) => {
+    val store = new graft.catalog.SnapshotTableStore(
+      s"${versionedHnswDir(s, d)}/store")
+    val graph = Hnsw.graphFromFrames(store.read(s, "hnsw_anchors"),
+      store.read(s, "hnsw_graph"))
+    val q = t(s, d, "embeddings")
+      .filter(col("vec_id") % 4 === 0 && col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    def probe(v: Int, label: String) =
+      Hnsw.topK(graph, store.readVersion(s, "hnsw_assigned", v),
+          q, k = 10, ef = 8)
+        .withColumn("version", lit(label))
+    val vs = store.versions("hnsw_assigned")
+    probe(vs.head, "v_base").unionByName(probe(vs.last, "v_latest"))
+      .withColumn("rank", col("rank").cast("bigint"))
+  }
+  val s31Oracle: String =
+    """WITH sp AS (
+      |  SELECT query_id, id, version
+      |  FROM '__SPARK_OUT__/q_s31_versioned_hnsw/*.parquet'),
+      |qids AS (SELECT vec_id FROM embeddings
+      |         WHERE vec_id % 4 = 0 AND vec_id < 20),
+      |ok AS (SELECT
+      |    (SELECT COUNT(*) FROM (SELECT DISTINCT version, query_id
+      |       FROM sp) g) = 2 * (SELECT COUNT(*) FROM qids)
+      |    -- k caps, it does not promise: the 256 HNSW regions are far
+      |    -- finer than q_s30's 16 IVF cells, so a v_base probe's
+      |    -- <= ef+1 regions can legitimately hold fewer than k base
+      |    -- rows. More than k is always wrong; a DELETED row is still
+      |    -- caught by the rank-sequence recompute below (spark ranks
+      |    -- skip, replayed ROW_NUMBER does not) + the self-presence
+      |    -- floor the tamper target hits.
+      |    AND NOT EXISTS (SELECT 1 FROM sp GROUP BY version, query_id
+      |                    HAVING COUNT(*) > 10)
+      |    -- snapshot isolation: the pre-append version never serves
+      |    -- an appended (vec_id % 4 = 0) row
+      |    AND NOT EXISTS (SELECT 1 FROM sp
+      |                    WHERE version = 'v_base' AND id % 4 = 0)
+      |    -- self-presence floor at the latest version
+      |    AND NOT EXISTS (SELECT 1 FROM qids q
+      |          WHERE NOT EXISTS (SELECT 1 FROM sp
+      |                WHERE sp.version = 'v_latest'
+      |                  AND sp.query_id = q.vec_id AND sp.id = q.vec_id))
+      |    AS complete),
+      |e AS (
+      |  SELECT vec_id, embedding,
+      |    SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+      |          FROM (SELECT UNNEST(embedding) AS x) ux)) AS nrm
+      |  FROM embeddings
+      |  WHERE vec_id IN (SELECT vec_id FROM qids)
+      |     OR vec_id IN (SELECT id FROM sp)),
+      |q AS (SELECT vec_id AS query_id, embedding AS qvec, nrm AS qnrm
+      |      FROM e WHERE vec_id IN (SELECT vec_id FROM qids)),
+      |sc AS (
+      |  SELECT sp.version, sp.query_id, sp.id,
+      |    ROUND(CASE WHEN e.nrm * q.qnrm = 0 THEN 0.0 ELSE
+      |      (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+      |       FROM (SELECT UNNEST(e.embedding) AS x, UNNEST(q.qvec) AS y) u)
+      |      / (e.nrm * q.qnrm) END, 6) AS cosine_sim
+      |  FROM sp JOIN e ON e.vec_id = sp.id JOIN q ON q.query_id = sp.query_id)
+      |SELECT query_id,
+      |  ROW_NUMBER() OVER (PARTITION BY version, query_id
+      |    ORDER BY cosine_sim DESC, id) AS rank,
+      |  id, cosine_sim, version
+      |FROM sc WHERE (SELECT complete FROM ok)""".stripMargin
+
+  // Build-once retrain-lifecycle fixture for S32: base IVF index from
+  // the ¾ corpus (ivfWriteIndex records the trained-against count),
+  // held-out ¼ appended against the frozen centroids, staleness
+  // measured BEFORE (must read appended_fraction = 1/4 exactly), then
+  // ivfRetrainIndex rebuilds centroids on the full corpus and swaps the
+  // (assigned, centroids) pair crash-recoverably, staleness measured
+  // AFTER (must read 0). Both metric frames persist beside the index so
+  // cached runs re-emit the same numbers.
+  private def ivfRetrainDir(s: SparkSession, d: String): String =
+    FixtureCache.resolve("graft-ivf-retrain", d, "embeddings.parquet")(
+      dir => java.nio.file.Files.exists(dir.resolve("_RETRAINED"))) { dir =>
+      val emb = t(s, d, "embeddings")
+      val (centroids, assigned) = Similarity.ivfIndex(
+        emb.filter(col("vec_id") % 4 =!= 0), "vec_id", "embedding",
+        nCells = 16)
+      Similarity.ivfWriteIndex(centroids, assigned, dir.toString)
+      Similarity.ivfAppendIndex(s, dir.toString,
+        emb.filter(col("vec_id") % 4 === 0), "vec_id", "embedding")
+      Similarity.ivfStaleness(s, dir.toString).write.mode("overwrite")
+        .parquet(dir.resolve("stale_before").toString)
+      Similarity.ivfRetrainIndex(s, dir.toString, nCells = 16)
+      Similarity.ivfStaleness(s, dir.toString).write.mode("overwrite")
+        .parquet(dir.resolve("stale_after").toString)
+      java.nio.file.Files.writeString(dir.resolve("_RETRAINED"), "ok")
+      ()
+    }()
+
+  /** S32: index staleness measurement + retrain-and-swap
+    * ([[Similarity.ivfStaleness]] / [[Similarity.ivfRetrainIndex]]) —
+    * the missing lifecycle piece after q_s18/q_s28's frozen-centroid
+    * appends: under sustained drift the frozen index degrades with no
+    * signal, so the layout now carries its trained-against row count
+    * and reports `appended_fraction` + cell skew, and the measured
+    * trigger has a crash-recoverable retrain path (centroids rebuilt on
+    * a fresh hash-uniform sample of the FULL corpus, every row
+    * re-assigned, the (assigned, centroids) pair swapped atomically-
+    * or-rolled-back). The emitted rows carry the drift counters before
+    * and after the retrain as EXACT integers (the never-round-a-double
+    * oracle discipline) — the oracle recomputes both from the corpus
+    * (appended_before = count(vec_id%4=0); a wrong count or an
+    * unrefreshed marker goes red; appended_after = 0) — plus the usual
+    * self-presence floor and exact cosine recompute over the RETRAINED
+    * index's probes.
+    */
+  val s32IvfRetrain: Q = (s, d) => {
+    val dir = ivfRetrainDir(s, d)
+    // exact integer drift counters (never ROUND a double across engines
+    // — the graft.Queries oracle discipline): appended = total − trained
+    val before = s.read.parquet(s"$dir/stale_before")
+      .select((col("rows_total") - col("rows_trained"))
+          .cast("bigint").as("appended_before"),
+        col("rows_total").cast("bigint").as("rows_total"))
+    val after = s.read.parquet(s"$dir/stale_after")
+      .select((col("rows_total") - col("rows_trained"))
+        .cast("bigint").as("appended_after"))
+    val q = t(s, d, "embeddings")
+      .filter(col("vec_id") % 4 === 0 && col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    Similarity.ivfTopKIndexed(s, dir, q, k = 10, nProbe = 4)
+      .withColumn("rank", col("rank").cast("bigint"))
+      .crossJoin(broadcast(before)).crossJoin(broadcast(after))
+  }
+  val s32Oracle: String =
+    """WITH sp AS (
+      |  SELECT query_id, id
+      |  FROM '__SPARK_OUT__/q_s32_ivf_retrain/*.parquet'),
+      |qids AS (SELECT vec_id FROM embeddings
+      |         WHERE vec_id % 4 = 0 AND vec_id < 20),
+      |ok AS (SELECT
+      |    (SELECT COUNT(DISTINCT query_id) FROM sp) =
+      |      (SELECT COUNT(*) FROM qids)
+      |    AND NOT EXISTS (SELECT 1 FROM sp GROUP BY query_id
+      |                    HAVING COUNT(*) <> 10)
+      |    AND NOT EXISTS (SELECT 1 FROM qids q
+      |          WHERE NOT EXISTS (SELECT 1 FROM sp
+      |                WHERE sp.query_id = q.vec_id AND sp.id = q.vec_id))
+      |    AS complete),
+      |e AS (
+      |  SELECT vec_id, embedding,
+      |    SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+      |          FROM (SELECT UNNEST(embedding) AS x) ux)) AS nrm
+      |  FROM embeddings
+      |  WHERE vec_id IN (SELECT vec_id FROM qids)
+      |     OR vec_id IN (SELECT id FROM sp)),
+      |q AS (SELECT vec_id AS query_id, embedding AS qvec, nrm AS qnrm
+      |      FROM e WHERE vec_id IN (SELECT vec_id FROM qids)),
+      |sc AS (
+      |  SELECT sp.query_id, sp.id,
+      |    ROUND(CASE WHEN e.nrm * q.qnrm = 0 THEN 0.0 ELSE
+      |      (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+      |       FROM (SELECT UNNEST(e.embedding) AS x, UNNEST(q.qvec) AS y) u)
+      |      / (e.nrm * q.qnrm) END, 6) AS cosine_sim
+      |  FROM sp JOIN e ON e.vec_id = sp.id JOIN q ON q.query_id = sp.query_id)
+      |SELECT query_id,
+      |  ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY cosine_sim DESC, id) AS rank,
+      |  id, cosine_sim,
+      |  CAST((SELECT COUNT(*) FILTER (WHERE vec_id % 4 = 0)
+      |        FROM embeddings) AS BIGINT) AS appended_before,
+      |  CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS rows_total,
+      |  CAST(0 AS BIGINT) AS appended_after
       |FROM sc WHERE (SELECT complete FROM ok)""".stripMargin
 
   /** S19: scalar (int8-range) quantization two-stage search
@@ -5205,6 +5432,8 @@ object PipelineQueries {
     "q_s28_stream_ivf_ingest" -> s28StreamIvfIngest,
     "q_s29_stream_hnsw_ingest" -> s29StreamHnswIngest,
     "q_s30_versioned_ann" -> s30VersionedAnn,
+    "q_s31_versioned_hnsw" -> s31VersionedHnsw,
+    "q_s32_ivf_retrain" -> s32IvfRetrain,
     "q_s19_sq_topk" -> s19SqTopK,
     "q_s7_embed_dedup_manifest" -> s7EmbedDedupManifest,
     "q_s8_pq_codebook" -> s8PqCodebook,
@@ -5321,6 +5550,8 @@ object PipelineQueries {
     "q_s28_stream_ivf_ingest" -> s28Oracle,
     "q_s29_stream_hnsw_ingest" -> s29Oracle,
     "q_s30_versioned_ann" -> s30Oracle,
+    "q_s31_versioned_hnsw" -> s31Oracle,
+    "q_s32_ivf_retrain" -> s32Oracle,
     "q_s19_sq_topk" -> s19Oracle,
     "q_s7_embed_dedup_manifest" -> s7Oracle,
     "q_s8_pq_codebook" -> s8Oracle,

@@ -292,6 +292,9 @@ object Similarity {
       queries: DataFrame, k: Int, nBits: Int = 4, tables: Int = 12): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     init(vectors.sparkSession)
+    // `0 = auto` sentinel ([[autoBits]], one footer-cheap count) —
+    // explicit values keep bit-parity with every earlier build
+    val bits = if (nBits > 0) nBits else autoBits(vectors.count())
     val dim = sampledDim(vectors, vecCol)
     // All tables' buckets from one lsh_buckets expression call (plane
     // matrix as data — the former statically-unrolled literal-plane
@@ -299,7 +302,7 @@ object Similarity {
     def bucketed(df: DataFrame, vc: String, out: String): DataFrame =
       df.select((df.columns.map(col) :+
           posexplode(call_function("lsh_buckets", col(vc),
-            lit(nBits), lit(tables), lit(dim))).as(Seq("tbl", out))): _*)
+            lit(bits), lit(tables), lit(dim))).as(Seq("tbl", out))): _*)
     // The base (id, vec, nrm) frame is materialized once and reused for
     // the final scoring; the bucket frame it feeds carries ONLY
     // (id, tbl, bucket) — carrying the vectors through the tables-way
@@ -509,6 +512,44 @@ object Similarity {
   def autoCells(n: Long): Int =
     math.max(16, math.min(4096, math.ceil(math.sqrt(n.toDouble)).toInt))
 
+  /** PQ subspace count for `nSub = 0` (auto): the classical subDim ≈ 8
+    * split (Jégou et al.'s operating point — 8 dims per subquantizer
+    * balances table size against quantization error) when dim divides
+    * by 8; otherwise the largest divisor of dim with subDim ≥ 4. Capped
+    * at 16 subspaces — past that the per-vector code tuple stops
+    * compressing. Deterministic in dim.
+    */
+  def autoSubspaces(dim: Int): Int = {
+    require(dim >= 1, s"pq: dim must be >= 1, got $dim")
+    if (dim % 8 == 0) math.max(1, math.min(16, dim / 8))
+    else (1 to math.min(16, dim))
+      .filter(s => dim % s == 0 && dim / s >= 4)
+      .lastOption.getOrElse(1)
+  }
+
+  /** PQ codebook size for `kCodes = 0` (auto): smallest power of two ≥
+    * √trainN, clamped [16, 256] — the √-law keeps per-subspace cells at
+    * ≈√n training points each (enough to fit a centroid), the
+    * power-of-two keeps codes byte-packable, and 256 is the classical
+    * 1-byte-per-subspace ceiling. Deterministic in trainN.
+    */
+  def autoCodes(trainN: Long): Int = {
+    val target = math.sqrt(math.max(1L, trainN).toDouble)
+    var k = 16
+    while (k < 256 && k < target) k *= 2
+    k
+  }
+
+  /** LSH bit width for `nBits = 0` (auto): ⌈log2(n)/2⌉ clamped to
+    * [4, 20] — 2^bits ≈ √n buckets puts ≈√n rows in a bucket, the same
+    * √-law as [[autoCells]] (per-bucket verify cost and bucket-count
+    * overhead balance); the cap bounds the packed-bucket expression.
+    * Deterministic in n.
+    */
+  def autoBits(n: Long): Int =
+    math.max(4, math.min(20,
+      math.ceil(math.log(math.max(1L, n).toDouble) / math.log(2.0) / 2).toInt))
+
   /** `nCells = 0` sizes the cell count from the corpus count
     * ([[autoCells]], ≈√n) — a fixed cell count dilutes probe resolution
     * as the corpus grows (each probed cell is n/nCells rows).
@@ -708,6 +749,141 @@ object Similarity {
     assigned.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/assigned")
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    writeBuildMarker(path, assigned.sparkSession)
+  }
+
+  /** Record the layout's trained-against row count (`_BUILD`): appends
+    * assign against frozen centroids forever, and without a baseline
+    * the index cannot REPORT how far it has drifted from its training
+    * corpus ([[ivfStaleness]]). Refreshed by [[ivfRetrainIndex]].
+    */
+  private def writeBuildMarker(path: String, spark: SparkSession): Unit = {
+    val n = spark.read.parquet(s"$path/assigned").count()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_BUILD"), s"""{"rows":$n}""")
+    ()
+  }
+
+  /** Staleness diagnostics for a persisted IVF layout — the measured
+    * signal a retrain policy triggers on (VERDICT r13 item 4: appends
+    * assign against frozen centroids forever; under drift, cells go
+    * imbalanced and recall decays with no signal). One row:
+    *  - `rows_total` / `rows_trained`: current corpus vs the count the
+    *    centroids were trained against (`_BUILD`, written at build and
+    *    refreshed by retrain; a pre-marker layout reports trained =
+    *    total, i.e. staleness 0 — conservative for old fixtures),
+    *  - `appended_fraction` = (total − trained) / total,
+    *  - `cell_count` / `cell_skew` (max/median cell size) /
+    *    `empty_cells`: region imbalance, the recall-decay proxy.
+    * Cost: one footer-count plus a cell-count aggregate over the
+    * partition column only — metadata-cheap at any scale.
+    */
+  def ivfStaleness(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val perCell = spark.read.parquet(s"$path/assigned")
+      .groupBy("cell").count().collect()
+      .map(r => (r.getAs[Int]("cell"), r.getAs[Long]("count")))
+    val nCells = spark.read.parquet(s"$path/centroids").count()
+    val total = perCell.map(_._2).sum
+    val trained = {
+      val p = java.nio.file.Paths.get(path, "_BUILD")
+      if (java.nio.file.Files.exists(p)) {
+        val txt = java.nio.file.Files.readString(p)
+        "\"rows\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt)
+          .map(_.group(1).toLong).getOrElse(total)
+      } else total
+    }
+    val sizes = perCell.map(_._2).sorted
+    val skew =
+      if (sizes.isEmpty) 1.0
+      else sizes.last.toDouble / math.max(sizes(sizes.length / 2), 1L)
+    Seq((total, trained,
+      if (total == 0) 0.0 else (total - trained).toDouble / total,
+      nCells, skew, nCells - perCell.length))
+      .toDF("rows_total", "rows_trained", "appended_fraction",
+        "cell_count", "cell_skew", "empty_cells")
+  }
+
+  /** Retrain-and-swap for a drifted IVF layout: rebuild centroids on a
+    * fresh hash-uniform sample of the CURRENT corpus (base + all
+    * appends), re-assign every row, and swap the (assigned, centroids)
+    * PAIR in with crash recovery — the [[ivfCompactIndex]] staging-swap
+    * discipline extended to two directories. The pair is never mixed:
+    * recovery at entry rolls a half-swapped layout BACK to the old
+    * consistent pair (the `retrain_old` directory is the transaction
+    * marker — it exists exactly while the live pair is untrusted), so a
+    * crash at ANY point leaves old-pair-or-new-pair, never new
+    * centroids over old assignments. `_BUILD` refreshes, so
+    * [[ivfStaleness]] reads 0 appended after a retrain. At 100 TB this
+    * is the rebuild-policy endgame the staleness metric triggers:
+    * one training sample collect + one full re-assignment pass +
+    * renames — no serving downtime beyond the rename window.
+    */
+  def ivfRetrainIndex(spark: SparkSession, path: String,
+      nCells: Int = 0, seed: Long = 42L): Unit = {
+    val root = new java.io.File(path)
+    ivfRetrainRecover(path)
+    val staged = new java.io.File(root, "retrain_staging")
+    rmTree(staged)
+    val current = spark.read.parquet(s"$path/assigned").select("id", "vec")
+    val (centroids, assigned) = ivfIndex(current, "id", "vec", nCells, seed)
+    assigned.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"${staged.getPath}/assigned")
+    centroids.write.mode("overwrite").parquet(s"${staged.getPath}/centroids")
+    assigned.unpersist(blocking = false)
+    val oldDir = new java.io.File(root, "retrain_old")
+    if (!oldDir.mkdir()) throw new java.io.IOException(
+      s"ivfRetrainIndex: cannot create $oldDir")
+    def mv(from: java.io.File, to: java.io.File): Unit =
+      if (!from.renameTo(to)) throw new java.io.IOException(
+        s"ivfRetrainIndex: rename $from -> $to failed")
+    // transaction: live pair out (marker dir present = untrusted live),
+    // staged pair in, marker dropped last
+    mv(new java.io.File(root, "assigned"), new java.io.File(oldDir, "assigned"))
+    mv(new java.io.File(root, "centroids"), new java.io.File(oldDir, "centroids"))
+    mv(new java.io.File(staged, "assigned"), new java.io.File(root, "assigned"))
+    mv(new java.io.File(staged, "centroids"), new java.io.File(root, "centroids"))
+    rmTree(oldDir)
+    rmTree(staged)
+    // marker refresh last: a crash right before this leaves the NEW
+    // consistent pair with a stale _BUILD — staleness then over-reports
+    // (conservative: it re-triggers a retrain, never hides drift)
+    writeBuildMarker(path, spark)
+  }
+
+  /** Crash recovery for [[ivfRetrainIndex]] (invoked at its entry; also
+    * callable directly after a crash before serving): while
+    * `retrain_old` exists the live pair is untrusted — delete whatever
+    * live halves are present, restore BOTH old halves, drop the marker.
+    * Stale staging output is discarded. Idempotent.
+    */
+  def ivfRetrainRecover(path: String): Unit = {
+    val root = new java.io.File(path)
+    val oldDir = new java.io.File(root, "retrain_old")
+    if (oldDir.exists()) {
+      val oa = new java.io.File(oldDir, "assigned")
+      val oc = new java.io.File(oldDir, "centroids")
+      if (oa.exists() || oc.exists()) {
+        Seq("assigned", "centroids").foreach { n =>
+          val live = new java.io.File(root, n)
+          val old = new java.io.File(oldDir, n)
+          if (old.exists()) {
+            rmTree(live)
+            if (!old.renameTo(live)) throw new java.io.IOException(
+              s"ivfRetrainRecover: restore of $n failed at $path")
+          }
+        }
+      }
+      rmTree(oldDir)
+    }
+    rmTree(new java.io.File(root, "retrain_staging"))
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmTree)
+    f.delete()
+    ()
   }
 
   /** Incremental IVF maintenance — the operation a 100 TB serving index
@@ -897,6 +1073,9 @@ object Similarity {
     init(vectors.sparkSession)
     val spark = vectors.sparkSession
     import spark.implicits._
+    // `0 = auto` sentinel ([[autoBits]]) — explicit values keep
+    // bit-parity with every earlier build
+    val bits = if (nBits > 0) nBits else autoBits(vectors.count())
     val dim = sampledDim(vectors, vecCol)
     val intIds = vectors.schema(idCol).dataType == IntegerType
     val longish = intIds || vectors.schema(idCol).dataType == LongType
@@ -907,7 +1086,7 @@ object Similarity {
       .select(col(idCol).as("id0"), col(vecCol).as("vec"))
       .select(col("id0"), col("vec"),
         posexplode(call_function("lsh_buckets", col("vec"),
-          lit(nBits), lit(tables), lit(dim))))
+          lit(bits), lit(tables), lit(dim))))
       .withColumnRenamed("pos", "tbl")
       .withColumnRenamed("col", "bucket")
     if (longish) {
@@ -1105,12 +1284,16 @@ object Similarity {
       .select("vec").collect().map(_.getSeq[Float](0).toArray)
     require(train.nonEmpty, "pq: empty training sample")
     val dim = train.map(_.length).max
-    require(dim % nSub == 0, s"pq: dim $dim not divisible into $nSub subspaces")
-    val subDim = dim / nSub
-    val books: Array[Array[Array[Float]]] = Array.tabulate(nSub) { s =>
+    // `0 = auto` sentinels ([[autoSubspaces]] / [[autoCodes]]) — explicit
+    // values keep bit-parity with every earlier build
+    val subs = if (nSub > 0) nSub else autoSubspaces(dim)
+    val codesK = if (kCodes > 0) kCodes else autoCodes(train.length.toLong)
+    require(dim % subs == 0, s"pq: dim $dim not divisible into $subs subspaces")
+    val subDim = dim / subs
+    val books: Array[Array[Array[Float]]] = Array.tabulate(subs) { s =>
       val sub = train.map(v =>
         java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
-      lloyd(sub, kCodes, seed + s, iters = 10)
+      lloyd(sub, codesK, seed + s, iters = 10)
     }
     val model = PqModel(books)
     val bc = spark.sparkContext.broadcast(books)
@@ -1181,6 +1364,22 @@ object Similarity {
         .orderBy(col("adc_dist").asc, col("id").asc)))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "id")
+  }
+
+  /** Rebuild a [[PqModel]] from the codebook frame [[pqIndex]] returns
+    * (subspace, code, centroid) — the persisted-serving path: a fresh
+    * session reads the codebook table back and serves ADC probes
+    * without retraining.
+    */
+  def pqModelFromCodebook(codebook: DataFrame): PqModel = {
+    val rows = codebook.collect().map(r => (r.getAs[Int]("subspace"),
+      r.getAs[Int]("code"),
+      r.getAs[scala.collection.Seq[Float]]("centroid").toArray))
+    require(rows.nonEmpty, "pq: empty codebook")
+    val nSub = rows.map(_._1).max + 1
+    PqModel(Array.tabulate(nSub) { s =>
+      rows.filter(_._1 == s).sortBy(_._2).map(_._3)
+    })
   }
 
   /** The combined IVF+PQ serving path — the production ANN architecture

@@ -59,7 +59,7 @@ object ServeBench {
         Similarity.ivfWriteIndex(c, a, dir.toString)
     }()
     val hnswDir = graft.FixtureCache.resolve(
-      s"graft-servebench-hnsw-$anchors", sfDir, "embeddings.parquet")(
+      s"graft-servebench-hnsw-v2-$anchors", sfDir, "embeddings.parquet")(
       dir => Files.exists(dir.resolve("graph").resolve("_SUCCESS"))) {
       dir =>
         val (g, a) = Hnsw.index(emb, "vec_id", "embedding",
@@ -101,6 +101,59 @@ object ServeBench {
         Hnsw.topKIndexed(spark, hnswDir, queries, 10, ef))
       println(f"hnsw ef=$ef%4d/$anchors (${pct * 100}%5.2f%% read)  " +
         f"${t}%.2f s  recall@10=${recall(df)}%.3f")
+    }
+
+    // IVF+PQ persisted serving (q_s12's architecture as an on-disk
+    // layout): the PQ codes joined with their IVF cell, written
+    // partitionBy(cell) — a probe partition-prunes to nProbe cell
+    // directories of COMPRESSED codes (~64x smaller reads than the raw
+    // float layout) and scores them with ADC table lookups. Codebook +
+    // the auto-sized model ride alongside; a fresh session reads both
+    // back (pqModelFromCodebook) and serves without retraining.
+    val pqDir = graft.FixtureCache.resolve(
+      s"graft-servebench-ivfpq-$nCells", sfDir, "embeddings.parquet")(
+      dir => Files.exists(dir.resolve("codebook").resolve("_SUCCESS"))) {
+      dir =>
+        val (_, codebook, codes) = Similarity.pqIndex(emb, "vec_id",
+          "embedding", nSub = 0, kCodes = 0)
+        codes.join(spark.read.parquet(s"$ivfDir/assigned")
+            .select("id", "cell"), Seq("id"))
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(dir.resolve("codes_by_cell").toString)
+        codebook.coalesce(1).write.mode("overwrite")
+          .parquet(dir.resolve("codebook").toString)
+    }()
+    val model = Similarity.pqModelFromCodebook(
+      spark.read.parquet(s"$pqDir/codebook"))
+    val cents = spark.read.parquet(s"$ivfDir/centroids")
+      .orderBy("cell").collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("centroid").toArray)
+    println(f"ivfpq model: nSub=${model.nSub} kCodes=${model.kCodes} " +
+      f"(auto-sized)")
+    for (pct <- Seq(0.0625, 0.125, 0.25)) {
+      val nProbe = math.max(1, (nCells * pct).round.toInt)
+      // driver-side probe-cell resolution (same rule as ivfPqTopK), then
+      // a partition-pruned read of ONLY those cell directories
+      val qRows = queries.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val probedCells = qRows.flatMap { case (_, q) =>
+        cents.indices.sortBy(c => {
+          var acc = 0.0; var i = 0
+          val cv = cents(c)
+          while (i < cv.length) {
+            val d = q(i).toDouble - cv(i); acc += d * d; i += 1
+          }
+          (acc, c)
+        }).take(nProbe)
+      }.distinct.toSeq
+      val (t, df) = minOf3 {
+        val pruned = spark.read.parquet(s"$pqDir/codes_by_cell")
+          .filter(col("cell").isin(probedCells: _*))
+        Similarity.ivfPqTopK(cents, pruned.select("id", "cell"), model,
+          pruned.select("id", "codes"), queries, 10, nProbe)
+      }
+      println(f"ivfpq nProbe=$nProbe%4d/$nCells (${pct * 100}%5.2f%% read, " +
+        f"coded)  ${t}%.2f s  recall@10=${recall(df)}%.3f")
     }
     spark.stop()
   }

@@ -296,6 +296,123 @@ class SimilaritySpec extends SparkSpec {
     assert(cents(autoC).sameElements(cents(explC)))
   }
 
+  test("autoSubspaces / autoCodes / autoBits: deterministic sizing rules " +
+      "with floors and caps") {
+    // subDim ≈ 8 when divisible, else largest divisor with subDim >= 4
+    assert(Similarity.autoSubspaces(64) == 8)
+    assert(Similarity.autoSubspaces(128) == 16)
+    assert(Similarity.autoSubspaces(256) == 16)   // cap
+    assert(Similarity.autoSubspaces(8) == 1)
+    assert(Similarity.autoSubspaces(60) == 15)    // 60/15 = 4
+    assert(Similarity.autoSubspaces(7) == 1)      // prime fallback
+    // smallest power of two >= sqrt(n), clamped [16, 256]
+    assert(Similarity.autoCodes(100) == 16)       // floor
+    assert(Similarity.autoCodes(10000) == 128)
+    assert(Similarity.autoCodes(65536) == 256)
+    assert(Similarity.autoCodes(100000000) == 256) // cap
+    // ceil(log2(n)/2) clamped [4, 20]
+    assert(Similarity.autoBits(1) == 4)
+    assert(Similarity.autoBits(2000) == 6)
+    assert(Similarity.autoBits(1000000) == 10)
+    assert(Similarity.autoBits(1000000000000L) == 20) // cap
+  }
+
+  test("PQ sentinels: nSub=0/kCodes=0 resolve to the auto rules and " +
+      "build the identical model to passing the values explicitly") {
+    val n = emb.count()
+    val dim = emb.select(org.apache.spark.sql.functions.size(col("embedding")))
+      .head().getInt(0)
+    val subs = Similarity.autoSubspaces(dim)
+    val codesK = Similarity.autoCodes(math.min(n, 10000L))
+    val (autoM, _, autoCodesDf) = Similarity.pqIndex(emb, "vec_id",
+      "embedding", nSub = 0, kCodes = 0)
+    assert(autoM.nSub == subs && autoM.kCodes == codesK)
+    val (explM, _, explCodesDf) = Similarity.pqIndex(emb, "vec_id",
+      "embedding", nSub = subs, kCodes = codesK)
+    assert(autoM.books.zip(explM.books).forall { case (a, b) =>
+      a.zip(b).forall { case (x, y) => x.sameElements(y) } })
+    def codeRows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toSeq))
+    assert(codeRows(autoCodesDf).sameElements(codeRows(explCodesDf)))
+  }
+
+  test("LSH sentinel: nBits=0 resolves to autoBits(corpus) and returns " +
+      "the identical result to passing it explicitly") {
+    val bits = Similarity.autoBits(emb.count())
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val auto = Similarity.lshTopK(emb, "vec_id", "embedding", queries,
+      k = 5, nBits = 0)
+    val expl = Similarity.lshTopK(emb, "vec_id", "embedding", queries,
+      k = 5, nBits = bits)
+    assert(rows(auto).sameElements(rows(expl)))
+    // near-dup path shares the sentinel
+    val autoP = Similarity.cosineNearDups(emb, "vec_id", "embedding",
+      threshold = 0.9, nBits = 0)
+    val explP = Similarity.cosineNearDups(emb, "vec_id", "embedding",
+      threshold = 0.9, nBits = bits)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs(autoP).sameElements(pairs(explP)))
+  }
+
+  test("ivfStaleness reports drift from the _BUILD marker and " +
+      "ivfRetrainIndex swaps a consistent retrained pair (crash " +
+      "recovery rolls back, never mixes)") {
+    val dir = tempDir("ivf-retrain").toString
+    val base = emb.filter(col("vec_id") % 4 =!= 0)
+    val extra = emb.filter(col("vec_id") % 4 === 0)
+    val (c0, a0) = Similarity.ivfIndex(base, "vec_id", "embedding", nCells = 8)
+    Similarity.ivfWriteIndex(c0, a0, dir)
+    val fresh = Similarity.ivfStaleness(spark, dir).head()
+    assert(fresh.getAs[Long]("rows_total") == base.count())
+    assert(fresh.getAs[Double]("appended_fraction") == 0.0)
+    val appended = Similarity.ivfAppendIndex(spark, dir, extra,
+      "vec_id", "embedding")
+    val stale = Similarity.ivfStaleness(spark, dir).head()
+    assert(stale.getAs[Long]("rows_total") == emb.count())
+    assert(stale.getAs[Long]("rows_trained") == base.count())
+    assert(math.abs(stale.getAs[Double]("appended_fraction") -
+      appended.toDouble / emb.count()) < 1e-12)
+    assert(stale.getAs[Double]("cell_skew") >= 1.0)
+    // retrain: full corpus re-fit, pair swapped, marker refreshed
+    Similarity.ivfRetrainIndex(spark, dir, nCells = 8)
+    val after = Similarity.ivfStaleness(spark, dir).head()
+    assert(after.getAs[Long]("rows_trained") == emb.count())
+    assert(after.getAs[Double]("appended_fraction") == 0.0)
+    // retrained index still serves: appended vectors find themselves
+    val q = extra.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val top = Similarity.ivfTopKIndexed(spark, dir, q, k = 3, nProbe = 2)
+    q.collect().map(_.getLong(0)).foreach { qid =>
+      assert(top.filter(col("query_id") === qid && col("id") === qid &&
+        col("rank") === 1).count() == 1, s"query $qid lost self-presence")
+    }
+    // crash simulation: live pair half-swapped — retrain_old holds the
+    // full old pair, live 'centroids' missing, live 'assigned' is the
+    // (untrusted) new half. Recovery must restore the OLD pair whole.
+    val root = new java.io.File(dir)
+    val oldDir = new java.io.File(root, "retrain_old")
+    assert(oldDir.mkdir())
+    def mv(a: java.io.File, b: java.io.File): Unit = assert(a.renameTo(b))
+    val liveA = new java.io.File(root, "assigned")
+    val liveC = new java.io.File(root, "centroids")
+    // stash current pair as the "old" committed state
+    mv(liveA, new java.io.File(oldDir, "assigned"))
+    mv(liveC, new java.io.File(oldDir, "centroids"))
+    // fake a partial new assigned dir in live position
+    assert(liveA.mkdir())
+    java.nio.file.Files.writeString(liveA.toPath.resolve("junk"), "torn")
+    Similarity.ivfRetrainRecover(dir)
+    assert(liveA.exists() && liveC.exists() && !oldDir.exists())
+    // restored pair is the consistent pre-crash one: serving still works
+    val top2 = Similarity.ivfTopKIndexed(spark, dir, q, k = 3, nProbe = 2)
+    assert(top2.filter(col("rank") === 1).count() == q.count())
+  }
+
   test("PQ: codes are the argmin assignment; a coded query ranks itself first") {
     val (model, codebook, codes) = Similarity.pqIndex(emb, "vec_id", "embedding")
     assert(model.nSub == 4 && model.kCodes == 16 && model.subDim == 16)

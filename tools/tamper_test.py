@@ -117,6 +117,10 @@ TARGETS = {
     # snapshot-isolation + self-presence: rank 1 at v_latest IS the
     # query's own appended vector
     "q_s30_versioned_ann": "version = 'v_latest' AND query_id = 0 AND rank = 1",
+    # versioned-HNSW twin: same v_latest self-presence + k-count guards
+    "q_s31_versioned_hnsw": "version = 'v_latest' AND query_id = 0 AND rank = 1",
+    # retrain lifecycle: self-presence over the retrained index's probes
+    "q_s32_ivf_retrain": "query_id = 0 AND rank = 1",
 }
 
 if not (SRC / "oracle_sql.json").exists():
