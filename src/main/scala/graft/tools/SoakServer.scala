@@ -92,9 +92,11 @@ object SoakServer {
           val body = graft.engine.GrpcQueryClient
             .execute("127.0.0.1", port, sql)
           // message-carried errors: map to the HTTP-style code for the
-          // shared counting below
+          // shared counting below. Error payloads START with {"error" —
+          // a contains() check would false-positive on result ROWS that
+          // carry the string (events.event_type has an 'error' value).
           val code =
-            if (!body.contains("\"error\"")) 200
+            if (!body.startsWith("{\"error\"")) 200
             else if (body.contains("\"code\":429")) 429
             else if (body.contains("\"code\":408")) 408
             else 400
