@@ -3975,7 +3975,7 @@ object PipelineQueries {
   // frozen anchor graph, so the append path runs at fixture build and
   // the measured query is the serving probe over the mixed layout.
   private def hnswAppendDir(s: SparkSession, d: String): String =
-    FixtureCache.resolve("graft-hnsw-append-v3", d, "embeddings.parquet")(
+    FixtureCache.resolve("graft-hnsw-append-v4", d, "embeddings.parquet")(
       dir => java.nio.file.Files.exists(dir.resolve("_APPENDED"))) { dir =>
       val emb = t(s, d, "embeddings")
       val (graph, assigned) = Hnsw.index(
@@ -4161,7 +4161,7 @@ object PipelineQueries {
   // append. Same crash discipline: no _INGESTED marker → rebuild, and
   // the rebuild's writeIndex overwrite wipes partial appends.
   private def hnswStreamIngestDir(s: SparkSession, d: String): String =
-    FixtureCache.resolve("graft-hnsw-stream-ingest-v2", d,
+    FixtureCache.resolve("graft-hnsw-stream-ingest-v3", d,
       "embeddings.parquet")(
       dir => java.nio.file.Files.exists(dir.resolve("_INGESTED"))) { dir =>
       val emb = t(s, d, "embeddings")
@@ -4371,7 +4371,7 @@ object PipelineQueries {
   // layout q_s29 streams into has a torn-read window during an append —
   // this closes it for the second serving index.
   private def versionedHnswDir(s: SparkSession, d: String): String =
-    FixtureCache.resolve("graft-hnsw-versioned", d, "embeddings.parquet")(
+    FixtureCache.resolve("graft-hnsw-versioned-v2", d, "embeddings.parquet")(
       dir => {
         val st = new graft.catalog.SnapshotTableStore(
           dir.resolve("store").toString)

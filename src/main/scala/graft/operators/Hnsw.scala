@@ -28,22 +28,25 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
   *     (back-edges added, ≤ 2m per node) so no anchor is an
   *     in-degree-0 target the expansion can never reach. Build cost
   *     is Σ n_l² ≤ s²·m²/(m²−1) driver flops on a bounded s.
-  *  2. The corpus assigned to anchor REGIONS by the same greedy descent
-  *     a search runs (entry at the top, walk to any improving neighbor,
-  *     drop a layer; the bottom-layer local optimum is the region).
-  *     Assignment runs distributed as a broadcast-graph Catalyst
-  *     expression ([[HnswAnchorExpr]]) — one descent per row, no
-  *     shuffle, exactly the NearestCellExpr pattern.
+  *  2. The corpus assigned to anchor REGIONS by EXACT nearest anchor
+  *     (cosine argmax over the bounded anchor set — true Voronoi
+  *     regions; round-13's greedy-descent assignment smeared ~82% of
+  *     vectors into non-nearest regions at a 200k corpus, capping
+  *     recall at any selection quality). Assignment runs distributed as
+  *     a broadcast-graph Catalyst expression ([[HnswAnchorExpr]]) — one
+  *     O(anchors·dim) scan per row, no shuffle, exactly the
+  *     NearestCellExpr pattern and cost shape.
   *
   * Search (`topK`): BEAM-descend the upper layers (best-first with a
   * small beam per layer — multiple entry basins instead of one greedy
   * path), then a best-first expansion at the bottom layer seeded from
   * all beam survivors keeps the `ef` most similar anchors (the classic
   * SEARCH-LAYER loop, deterministic tie-breaks). The
-  * probed set ALWAYS includes the pure-greedy bottom optimum — so a
-  * query that IS a corpus vector provably probes the region that
-  * vector was assigned to (identical floats ⇒ identical descent), the
-  * pigeonhole guarantee q_s26's oracle flag floor pins. Scoring is
+  * probed set ALWAYS includes the query's EXACT nearest anchor
+  * ([[nearestAnchor]] — the assignment rule) — so a query that IS a
+  * corpus vector provably probes the region that vector was assigned
+  * to (identical floats ⇒ identical argmax), the pigeonhole guarantee
+  * q_s26's oracle flag floor pins, now graph-independent. Scoring is
   * [[Similarity]]'s exact-cosine region scan: thin broadcast of
   * (query, region) probes, partition-local ranking — at 100 TB the
   * regions are partition directories and a probe reads ef/s of the
@@ -115,9 +118,8 @@ object Hnsw {
   }
 
   /** Full greedy descent (ef = 1): top layer → bottom-layer local
-    * optimum. This is BOTH the corpus-assignment rule and the search's
-    * guaranteed probe — sharing the code path is what makes the
-    * query-is-a-corpus-vector guarantee exact.
+    * optimum — the upper-layer walk [[searchAnchors]] beams over.
+    * (Round 14: no longer the assignment rule — see [[nearestAnchor]].)
     */
   def greedyDescend(g: Graph, q: Array[Float]): Int = {
     val qn = vecNorm(q)
@@ -128,6 +130,32 @@ object Hnsw {
       l -= 1
     }
     cur
+  }
+
+  /** EXACT nearest anchor by cosine (ties to the lowest index) — the
+    * corpus-assignment rule since round 14, and the search's guaranteed
+    * probe; sharing this code path is what makes the
+    * query-is-a-corpus-vector pigeonhole exact (and now graph-
+    * independent). Round-13's greedy-descent assignment landed only
+    * ~18% of a 200k-corpus sample in its true nearest region (measured,
+    * [[HnswDiag]]) — regions were smeared rather than Voronoi, which
+    * capped recall at ANY selection quality. Exact assignment is one
+    * O(anchors·dim) scan per row inside a broadcast expression — the
+    * same cost shape as IVF's NearestCellExpr against an equal cell
+    * count; the GRAPH's job is query-side anchor selection
+    * (sub-exhaustive at serving time), the SPANN split proper.
+    */
+  def nearestAnchor(g: Graph, q: Array[Float]): Int = {
+    val qn = vecNorm(q)
+    var best = 0
+    var bestSim = dotSim(g, q, qn, 0)
+    var i = 1
+    while (i < g.anchors.length) {
+      val s = dotSim(g, q, qn, i)
+      if (s > bestSim) { best = i; bestSim = s }
+      i += 1
+    }
+    best
   }
 
   /** Best-first SEARCH-LAYER inside layer `l`: expand from `entries`,
@@ -188,7 +216,7 @@ object Hnsw {
     * `ef` — wide enough to escape a wrong greedy basin, cheap against
     * the bottom expansion it feeds.
     */
-  private def beamWidth(ef: Int): Int = math.max(2, math.min(8, ef))
+  private def beamWidth(ef: Int): Int = math.max(2, math.min(32, ef))
 
   /** The `ef` most-similar bottom-layer anchors found by a BEAM descent
     * (round 14): the upper layers are walked with a small best-first
@@ -197,10 +225,11 @@ object Hnsw {
     * entry basins, which is exactly the region-selection failure mode a
     * single greedy path has (the round-13 recall curves showed region
     * SELECTION, not region resolution, limiting HNSW under IVF at equal
-    * read fraction). UNIONed with the pure-greedy optimum, so the
-    * result has ≤ ef + 1 anchors and always contains
-    * [[greedyDescend]]'s answer — the self-presence pigeonhole (and
-    * q_s26/s27/s29's oracle floor) survives any beam shape.
+    * read fraction). UNIONed with the query's exact nearest anchor, so
+    * the result has ≤ ef + 1 anchors and always contains
+    * [[nearestAnchor]]'s answer — the assignment rule, so the
+    * self-presence pigeonhole (and q_s26/s27/s29/s31's oracle floor)
+    * survives any beam or graph shape.
     * Deterministic: ties order by anchor index on every heap.
     */
   def searchAnchors(g: Graph, q: Array[Float], ef: Int): Array[Int] = {
@@ -214,14 +243,14 @@ object Hnsw {
       l -= 1
     }
     val bottom = searchLayer(g, q, qn, 0, entries, ef)
-    val g0 = greedyDescend(g, q)
+    val g0 = nearestAnchor(g, q)
     (bottom.toSet + g0).toArray.sorted
   }
 
   private val fnCounter = new java.util.concurrent.atomic.AtomicInteger()
 
-  /** Build the index: deterministic anchor graph + greedy-descent region
-    * assignment. Returns (graph, assigned) where `assigned` carries
+  /** Build the index: deterministic anchor graph + exact nearest-anchor
+    * region assignment ([[nearestAnchor]] — Voronoi regions). Returns (graph, assigned) where `assigned` carries
     * (id, vec, cell) — `cell` the anchor index, ready for
     * `partitionBy("cell")` persistence exactly like the IVF index.
     * `sampleSize = 0` sizes the anchor set from the corpus count
@@ -239,19 +268,22 @@ object Hnsw {
       .barrier(true)
     val anchorCount =
       if (sampleSize > 0) sampleSize else autoSampleSize(base.count())
-    // Anchor draw in two stages: a hash-uniform candidate pool (the
+    // Anchor fit (round 14): a hash-uniform candidate pool (the
     // [[Similarity.ivfIndex]] sampling contract — md5 order is
     // deterministic like an id sort but content-uniform), then a
-    // farthest-point greedy selection of `sampleSize` anchors by COSINE
-    // distance (the search metric) from a 4× pool. Spread anchors cover
-    // the embedding space more evenly than a raw uniform draw, which
-    // lifts probe recall at fixed ef; both stages are deterministic.
+    // bounded driver LLOYD fit — anchors are k-means centroids
+    // (farthest-point-seeded, the shared [[Similarity.lloyd]]), not raw
+    // corpus members. Measured at a 200k corpus: farthest-point MEMBER
+    // anchors over-sample outliers, so dense areas get oversized
+    // Voronoi regions and the top-ef regions miss neighbors — centroid
+    // anchors recovered the remaining recall gap to the IVF curve at
+    // equal read fraction. Fully deterministic in (pool, seed).
     val pool = base
       .sort(md5(concat(lit("hnsw:"), col("id").cast("string"))), col("id"))
-      .limit(anchorCount * 4)
+      .limit(math.max(anchorCount * 4, Similarity.MaxTrainSample))
       .select("vec").collect()
       .map(_.getSeq[Float](0).toArray)
-    val anchors = farthestPointSelect(pool, anchorCount)
+    val anchors = Similarity.lloyd(pool, anchorCount, seed = 42L, iters = 10)
     val graph = buildGraph(anchors, m)
     val fname = s"hnsw_anchor_${fnCounter.incrementAndGet()}"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -453,7 +485,7 @@ object Hnsw {
   /** Incremental index maintenance — the [[Similarity.ivfAppendIndex]]
     * twin, making the two serving indexes operationally symmetric: new
     * vectors are assigned against the FROZEN anchor graph (read back
-    * from the persisted layout) by the SAME greedy-descent expression
+    * from the persisted layout) by the SAME nearest-anchor expression
     * assignment always runs, then appended into the partitioned region
     * directories — no rebuild, no graph mutation. Because search and
     * assignment share one code path, the self-presence pigeonhole
@@ -474,7 +506,7 @@ object Hnsw {
 
   /** Assign vectors against an EXISTING (frozen) anchor graph — the
     * reusable core of [[appendIndex]], bit-identical to build-time
-    * assignment (same greedy-descent expression, same graph), returned
+    * assignment (same nearest-anchor expression, same graph), returned
     * as a materialized (id, vec, cell) frame so callers hosting the
     * region layout inside a transactional store
     * ([[graft.catalog.SnapshotTableStore]]) can commit it themselves —
@@ -527,9 +559,9 @@ object Hnsw {
   }
 }
 
-/** Per-row greedy graph descent under a broadcast [[Hnsw.Graph]] — the
-  * corpus-assignment expression (interpreted eval; the descent's data-
-  * dependent loop doesn't codegen, and assignment is one pass at build
+/** Per-row EXACT nearest-anchor assignment under a broadcast
+  * [[Hnsw.Graph]] (interpreted eval; the anchor scan's data-dependent
+  * loop doesn't codegen, and assignment is one pass at build/append
   * time, not a hot query path).
   */
 case class HnswAnchorExpr(child: Expression, graph: Hnsw.Graph)
@@ -549,7 +581,7 @@ case class HnswAnchorExpr(child: Expression, graph: Hnsw.Graph)
     val v = new Array[Float](arr.numElements())
     var i = 0
     while (i < v.length) { v(i) = arr.getFloat(i); i += 1 }
-    Hnsw.greedyDescend(graph, v)
+    Hnsw.nearestAnchor(graph, v)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

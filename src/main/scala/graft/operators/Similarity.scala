@@ -497,7 +497,7 @@ object Similarity {
     * practice — FAISS trains on ~max(10k·k, 1M) points, not the corpus);
     * assignment then streams the full data through one expression.
     */
-  private val MaxTrainSample = 10000
+  private[operators] val MaxTrainSample = 10000
 
   private val ivfFnCounter = new java.util.concurrent.atomic.AtomicInteger()
 

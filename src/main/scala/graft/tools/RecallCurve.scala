@@ -23,7 +23,7 @@ import graft.operators.{Hnsw, Similarity}
   * hash-uniform training sample removed that coupling; these curves are
   * the honest serving numbers at each knob setting.
   *
-  * Usage: runMain graft.tools.RecallCurve [sfDir] [nCells] [sampleSize]
+  * Usage: runMain graft.tools.RecallCurve [sfDir] [nCells] [sampleSize] [m]
   * nCells / sampleSize size the two indexes; 0 = auto (≈√n — the
   * [[Similarity.autoCells]] / [[Hnsw.autoSampleSize]] rule). Defaults
   * are the audit fixtures' 16 / 256. Index build wall-times print per
@@ -34,6 +34,7 @@ object RecallCurve {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val nCells = if (args.length > 1) args(1).toInt else 16
     val sampleSize = if (args.length > 2) args(2).toInt else 256
+    val m = if (args.length > 3) args(3).toInt else 8
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
@@ -86,7 +87,7 @@ object RecallCurve {
       }
       assigned.unpersist()
       val ((graph, hAssigned), tH) = timed {
-        val r = Hnsw.index(emb, "vec_id", "embedding", m = 8,
+        val r = Hnsw.index(emb, "vec_id", "embedding", m = m,
           sampleSize = kAnchors)
         r._2.cache().count()
         r

@@ -59,7 +59,7 @@ object ServeBench {
         Similarity.ivfWriteIndex(c, a, dir.toString)
     }()
     val hnswDir = graft.FixtureCache.resolve(
-      s"graft-servebench-hnsw-v2-$anchors", sfDir, "embeddings.parquet")(
+      s"graft-servebench-hnsw-v3-$anchors", sfDir, "embeddings.parquet")(
       dir => Files.exists(dir.resolve("graph").resolve("_SUCCESS"))) {
       dir =>
         val (g, a) = Hnsw.index(emb, "vec_id", "embedding",
@@ -110,31 +110,50 @@ object ServeBench {
     // float layout) and scores them with ADC table lookups. Codebook +
     // the auto-sized model ride alongside; a fresh session reads both
     // back (pqModelFromCodebook) and serves without retraining.
+    //
+    // COSINE SERVING RECIPE: PQ's ADC machinery ranks by squared
+    // Euclidean; against a cosine truth on a corpus with varying norms
+    // that is the wrong metric (measured here: recall 0.19–0.22 at any
+    // probe width on the raw 200k derivative). The standard fix is to
+    // L2-NORMALIZE vectors once at index time (and queries at probe
+    // time) — on the unit sphere L2 ranking ≡ cosine ranking — so this
+    // stage builds its own normalized IVF+PQ layout end to end.
+    Similarity.init(spark)
+    def normalized(df: DataFrame, vc: String): DataFrame = df
+      .withColumn("_nrm", Similarity.norm(col(vc)))
+      .withColumn(vc, when(col("_nrm") === 0.0, col(vc))
+        .otherwise(expr(s"transform($vc, x -> CAST(x / _nrm AS FLOAT))")))
+      .drop("_nrm")
+    val nEmb = normalized(emb, "embedding").cache()
     val pqDir = graft.FixtureCache.resolve(
-      s"graft-servebench-ivfpq-$nCells", sfDir, "embeddings.parquet")(
+      s"graft-servebench-ivfpqn-$nCells", sfDir, "embeddings.parquet")(
       dir => Files.exists(dir.resolve("codebook").resolve("_SUCCESS"))) {
       dir =>
-        val (_, codebook, codes) = Similarity.pqIndex(emb, "vec_id",
+        val (c, a) = Similarity.ivfIndex(nEmb, "vec_id", "embedding",
+          nCells)
+        val (_, codebook, codes) = Similarity.pqIndex(nEmb, "vec_id",
           "embedding", nSub = 0, kCodes = 0)
-        codes.join(spark.read.parquet(s"$ivfDir/assigned")
-            .select("id", "cell"), Seq("id"))
+        codes.join(a.select("id", "cell"), Seq("id"))
           .write.mode("overwrite").partitionBy("cell")
           .parquet(dir.resolve("codes_by_cell").toString)
+        c.write.mode("overwrite")
+          .parquet(dir.resolve("centroids").toString)
         codebook.coalesce(1).write.mode("overwrite")
           .parquet(dir.resolve("codebook").toString)
     }()
     val model = Similarity.pqModelFromCodebook(
       spark.read.parquet(s"$pqDir/codebook"))
-    val cents = spark.read.parquet(s"$ivfDir/centroids")
+    val cents = spark.read.parquet(s"$pqDir/centroids")
       .orderBy("cell").collect()
       .map(_.getAs[scala.collection.Seq[Float]]("centroid").toArray)
     println(f"ivfpq model: nSub=${model.nSub} kCodes=${model.kCodes} " +
-      f"(auto-sized)")
+      f"(auto-sized, L2-normalized layout)")
+    val nQueries = normalized(queries, "qvec").cache()
     for (pct <- Seq(0.0625, 0.125, 0.25)) {
       val nProbe = math.max(1, (nCells * pct).round.toInt)
       // driver-side probe-cell resolution (same rule as ivfPqTopK), then
       // a partition-pruned read of ONLY those cell directories
-      val qRows = queries.collect()
+      val qRows = nQueries.collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1)))
       val probedCells = qRows.flatMap { case (_, q) =>
         cents.indices.sortBy(c => {
@@ -150,10 +169,35 @@ object ServeBench {
         val pruned = spark.read.parquet(s"$pqDir/codes_by_cell")
           .filter(col("cell").isin(probedCells: _*))
         Similarity.ivfPqTopK(cents, pruned.select("id", "cell"), model,
-          pruned.select("id", "codes"), queries, 10, nProbe)
+          pruned.select("id", "codes"), nQueries, 10, nProbe)
       }
       println(f"ivfpq nProbe=$nProbe%4d/$nCells (${pct * 100}%5.2f%% read, " +
         f"coded)  ${t}%.2f s  recall@10=${recall(df)}%.3f")
+      // Production PQ serving is two-stage: ADC shortlist (cheap, coded
+      // reads) -> EXACT rerank of the bounded shortlist (raw vectors
+      // for ~10k rows, not the corpus). Recall@10 is then bounded by
+      // "true top-10 inside the ADC top-100", which survives
+      // quantization noise that scrambles the top-10 ORDER.
+      val (tR, rer) = minOf3 {
+        val pruned = spark.read.parquet(s"$pqDir/codes_by_cell")
+          .filter(col("cell").isin(probedCells: _*))
+        val short = Similarity.ivfPqTopK(cents, pruned.select("id", "cell"),
+          model, pruned.select("id", "codes"), nQueries, 100, nProbe)
+        val cand = short.select("query_id", "id")
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cosine_sim").desc, col("id").asc)
+        emb.withColumnRenamed("vec_id", "id")
+          .join(broadcast(cand), "id")
+          .join(broadcast(queries), "query_id")
+          .withColumn("cosine_sim",
+            Similarity.cosine(col("embedding"), col("qvec")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .select("query_id", "rank", "id")
+      }
+      println(f"ivfpq+rerank nProbe=$nProbe%4d (ADC top-100 -> exact " +
+        f"top-10)  ${tR}%.2f s  recall@10=${recall(rer)}%.3f")
     }
     spark.stop()
   }

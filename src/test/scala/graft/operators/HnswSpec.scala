@@ -90,21 +90,21 @@ class HnswSpec extends SparkSpec {
     }
     vecs(60).take(10).foreach { case (_, v) =>
       val q = v.toArray
-      val g0 = Hnsw.greedyDescend(g, q)
+      val g0 = Hnsw.nearestAnchor(g, q)
       Seq(1, 2, 4, 8, 16).foreach { ef =>
         val probed = Hnsw.searchAnchors(g, q, ef)
-        assert(probed.contains(g0), s"ef=$ef lost the greedy optimum")
+        assert(probed.contains(g0), s"ef=$ef lost the exact nearest anchor")
         assert(probed.length <= ef + 1, s"ef=$ef size ${probed.length}")
         assert(probed.distinct.length == probed.length)
-        // the beam can only improve on the greedy path's endpoint
+        // nothing probed can beat the exact nearest anchor
         val best = probed.map(simTo(q, _)).max
-        assert(best >= simTo(q, g0) - 1e-12)
+        assert(math.abs(best - simTo(q, g0)) < 1e-12)
       }
     }
   }
 
-  test("distributed assignment equals driver greedyDescend for every " +
-      "vector, and the probe set always contains it") {
+  test("distributed assignment equals driver nearestAnchor (exact argmax) " +
+      "for every vector, and the probe set always contains it") {
     val df = frame(90)
     val (g, assigned) = Hnsw.index(df, "vec_id", "embedding",
       m = 4, sampleSize = 18)
@@ -112,7 +112,7 @@ class HnswSpec extends SparkSpec {
       r.getAs[Seq[Float]]("vec").toArray, r.getAs[Int]("cell")))
     assert(rows.length == 90)
     rows.foreach { case (id, v, cell) =>
-      assert(cell == Hnsw.greedyDescend(g, v), s"id $id")
+      assert(cell == Hnsw.nearestAnchor(g, v), s"id $id")
       assert(Hnsw.searchAnchors(g, v, ef = 2).contains(cell), s"id $id")
     }
   }
