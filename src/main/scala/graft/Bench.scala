@@ -142,15 +142,18 @@ object Bench {
     // only as honest as the probe, so the raw samples ride in the JSON
     // for drift audits (a probe slowdown NOT caused by contention — GC
     // state, JIT, a future probe change — would otherwise silently
-    // deflate every normalized time). `probe` = min of the samples, the
-    // least-contended estimate and the same min-of-N discipline the
-    // query timings use.
+    // deflate every normalized time). `probe` = MEDIAN of the samples:
+    // the historical baseline (0.33) was calibrated on single
+    // post-sweep warm probes, and a min-of-N pick measurably biases
+    // low on a fully-warm JVM (0.12 s observed), which would INFLATE
+    // every normalized total vs prior rounds; the median keeps
+    // cross-round comparability while shedding one outlier either way.
     val probeRuns = Seq.fill(3) {
       val tp = System.nanoTime()
       spark.range(200L * 1000 * 1000).selectExpr("sum(id)").collect()
       (System.nanoTime() - tp) / 1e9
     }
-    val probe = probeRuns.min
+    val probe = probeRuns.sorted.apply(1)
     // Listener events can trail task completion slightly (async bus, no
     // public drain API); the probe job just queued hundreds of events
     // behind the sweep's, so give the bus a beat before summarizing.

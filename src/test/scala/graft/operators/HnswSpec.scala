@@ -4,9 +4,11 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 /** [[Hnsw]] — the navigable-graph ANN: deterministic nested-prefix
-  * layer construction, greedy-descent assignment/search consistency
-  * (the q_s26 oracle flag-floor guarantee), and measured recall against
-  * the exact brute-force ranking.
+  * layer construction with symmetrized edges, exact nearest-anchor
+  * (Voronoi) assignment shared with the search's guaranteed probe
+  * (the q_s26 oracle flag-floor guarantee), beam-descent search
+  * contracts, and measured recall against the exact brute-force
+  * ranking.
   */
 class HnswSpec extends SparkSpec {
   import spark.implicits._
