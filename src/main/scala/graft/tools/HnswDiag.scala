@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   *     assignment)
   * The stage that caps the oracle's recall is the one worth fixing.
   *
-  * Usage: runMain graft.tools.HnswDiag [sfDir] [sampleSize]
+  * Usage: runMain graft.operators.HnswDiag [sfDir] [sampleSize]
   */
 object HnswDiag {
   def main(args: Array[String]): Unit = {
