@@ -86,7 +86,11 @@ class QueryServerSpec extends SparkSpec {
     import spark.implicits._
     Seq.tabulate(40000)(i => i).toDF("id")
       .createOrReplaceTempView("api_slow")
-    val server = new QueryServer(spark, timeoutMs = 400)
+    // 1500 ms: generous enough that the trivial warm-up/health counts
+    // never trip it even with the full suite's parallel Spark suites
+    // stealing cores (400 ms flaked exactly that way), still a tiny
+    // fraction of the multi-second join it must cancel.
+    val server = new QueryServer(spark, timeoutMs = 1500)
     server.start()
     try {
       // warm the session first (retry: under full-suite load even the
