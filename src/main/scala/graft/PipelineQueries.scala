@@ -35,7 +35,7 @@ object PipelineQueries {
   private def stagingRoot(tag: String, d: String): java.nio.file.Path = {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), tag, key)
+    val root = java.nio.file.Paths.get(graft.Scratch.dir, tag, key)
     if (java.nio.file.Files.exists(root)) {
       val walk = java.nio.file.Files.walk(root)
       try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())

@@ -3129,7 +3129,7 @@ object Queries {
     * could not have emitted them at all.
     */
   val st11OuterJoin: Q = (s, d) => {
-    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+    val root = java.nio.file.Paths.get(graft.Scratch.dir,
       "graft-st11", math.abs(d.hashCode).toString)
     val raw = s.read.parquet(s"$d/events.parquet")
     if (!java.nio.file.Files.exists(root.resolve("_READY"))) {
@@ -3218,7 +3218,7 @@ object Queries {
     * oracle states.
     */
   val st12DedupWatermark: Q = (s, d) => {
-    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+    val root = java.nio.file.Paths.get(graft.Scratch.dir,
       "graft-st12", math.abs(d.hashCode).toString)
     if (!java.nio.file.Files.exists(root.resolve("_READY"))) {
       if (java.nio.file.Files.exists(root)) {
@@ -3262,7 +3262,7 @@ object Queries {
     * key running totals pair with watermarked windows instead (st4).
     */
   val st13UpdateMode: Q = (s, d) => {
-    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+    val root = java.nio.file.Paths.get(graft.Scratch.dir,
       "graft-st13", math.abs(d.hashCode).toString)
     val raw = s.read.parquet(s"$d/events.parquet")
     if (!java.nio.file.Files.exists(root.resolve("_READY"))) {
@@ -3903,7 +3903,7 @@ object Queries {
     * turns the driver red.
     */
   val io1JsonlRoundtrip: Q = (s, d) => {
-    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+    val root = java.nio.file.Paths.get(graft.Scratch.dir,
       "graft-jsonl-qio1", math.abs(d.hashCode).toString)
     if (java.nio.file.Files.exists(root)) {
       val walk = java.nio.file.Files.walk(root)
@@ -3938,7 +3938,7 @@ object Queries {
     * parallelism-dependent file counts all go red.
     */
   val io2ShardExport: Q = (s, d) => {
-    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+    val root = java.nio.file.Paths.get(graft.Scratch.dir,
       "graft-shards-qio2", math.abs(d.hashCode).toString)
     if (java.nio.file.Files.exists(root)) {
       val walk = java.nio.file.Files.walk(root)
@@ -3967,7 +3967,7 @@ object Queries {
     * column with schema columns NULL — never a crash, never row loss.
     */
   val io3CsvRoundtrip: Q = (s, d) => {
-    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+    val root = java.nio.file.Paths.get(graft.Scratch.dir,
       "graft-csv-qio3", math.abs(d.hashCode).toString)
     if (java.nio.file.Files.exists(root)) {
       val walk = java.nio.file.Files.walk(root)
@@ -4002,7 +4002,7 @@ object Queries {
     * pins TRUE next to the hash-checked filtered rows.
     */
   val io4OrcRoundtrip: Q = (s, d) => {
-    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+    val root = java.nio.file.Paths.get(graft.Scratch.dir,
       "graft-orc-qio4", math.abs(d.hashCode).toString)
     if (java.nio.file.Files.exists(root)) {
       val walk = java.nio.file.Files.walk(root)
@@ -4037,7 +4037,7 @@ object Queries {
     * one table.
     */
   val io5Federated: Q = (s, d) => {
-    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+    val root = java.nio.file.Paths.get(graft.Scratch.dir,
       "graft-fed-qio5", math.abs(d.hashCode).toString)
     val docs = t(s, d, "documents")
     if (!java.nio.file.Files.exists(root.resolve("_READY"))) {
@@ -4090,7 +4090,7 @@ object Queries {
     * (garbage doesn't migrate).
     */
   val io6StoreClone: Q = (s, d) => {
-    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+    val root = java.nio.file.Paths.get(graft.Scratch.dir,
       "graft-clone-qio6", math.abs(d.hashCode).toString)
     if (java.nio.file.Files.exists(root)) {
       val walk = java.nio.file.Files.walk(root)
@@ -4138,7 +4138,7 @@ object Queries {
     * plan carries `dynamicpruning` (pinned in PlanQualitySpec).
     */
   val l7DynamicPruning: Q = (s, d) => {
-    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+    val root = java.nio.file.Paths.get(graft.Scratch.dir,
       "graft-dpp-ql7", math.abs(d.hashCode).toString)
     val fact = root.resolve("fact").toString
     if (!java.nio.file.Files.exists(root.resolve("_READY"))) {
@@ -4205,7 +4205,7 @@ object Queries {
     * suppress exchanges — bucketing alone does that.
     */
   val l8BucketedJoin: Q = (s, d) => {
-    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+    val root = java.nio.file.Paths.get(graft.Scratch.dir,
       "graft-bkt-ql8", math.abs(d.hashCode).toString)
     java.nio.file.Files.createDirectories(root)
     def buildBucketed(src: DataFrame, name: String, key: String): Unit = {
@@ -4252,7 +4252,7 @@ object Queries {
     * `time_travel_intact` fact pins that v1 still reads pre-merge.
     */
   val v10MergeInto: Q = (s, d) => {
-    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+    val root = java.nio.file.Paths.get(graft.Scratch.dir,
       "graft-snap-qv10", math.abs(d.hashCode).toString)
     if (java.nio.file.Files.exists(root)) {
       val walk = java.nio.file.Files.walk(root)
@@ -4303,7 +4303,7 @@ object Queries {
     * missed deletion closure, or a leaked current flag all mismatch.
     */
   val v11Scd2: Q = (s, d) => {
-    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+    val root = java.nio.file.Paths.get(graft.Scratch.dir,
       "graft-snap-qv11", math.abs(d.hashCode).toString)
     if (java.nio.file.Files.exists(root)) {
       val walk = java.nio.file.Files.walk(root)
@@ -4373,7 +4373,7 @@ object Queries {
     * depend on.
     */
   val v12PitJoin: Q = (s, d) => {
-    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+    val root = java.nio.file.Paths.get(graft.Scratch.dir,
       "graft-snap-qv12", math.abs(d.hashCode).toString)
     if (java.nio.file.Files.exists(root)) {
       val walk = java.nio.file.Files.walk(root)
@@ -4435,7 +4435,7 @@ object Queries {
     * episode, the actual correctness claim of the protocol.
     */
   val v13OrphanAudit: Q = (s, d) => {
-    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+    val root = java.nio.file.Paths.get(graft.Scratch.dir,
       "graft-snap-qv13", math.abs(d.hashCode).toString)
     if (java.nio.file.Files.exists(root)) {
       val walk = java.nio.file.Files.walk(root)
@@ -4476,7 +4476,7 @@ object Queries {
     * lost commit shifts a count.
     */
   val v14HistoryReport: Q = (s, d) => {
-    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+    val root = java.nio.file.Paths.get(graft.Scratch.dir,
       "graft-snap-qv14", math.abs(d.hashCode).toString)
     if (java.nio.file.Files.exists(root)) {
       val walk = java.nio.file.Files.walk(root)
@@ -4522,7 +4522,7 @@ object Queries {
     * nothing leaves files_after at 7 and versions_after at 7.
     */
   val v15CompactVacuum: Q = (s, d) => {
-    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+    val root = java.nio.file.Paths.get(graft.Scratch.dir,
       "graft-snap-qv15", math.abs(d.hashCode).toString)
     if (java.nio.file.Files.exists(root)) {
       val walk = java.nio.file.Files.walk(root)
@@ -4665,7 +4665,7 @@ object Queries {
     * and drops the vectors, logically identical).
     */
   val v9DeletionVectors: Q = (s, d) => {
-    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+    val root = java.nio.file.Paths.get(graft.Scratch.dir,
       "graft-snap-qv9", math.abs(d.hashCode).toString)
     if (java.nio.file.Files.exists(root)) {
       val walk = java.nio.file.Files.walk(root)
@@ -4713,7 +4713,7 @@ object Queries {
       |FROM live GROUP BY lang""".stripMargin
 
   val v8SchemaDiff: Q = (s, d) => {
-    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+    val root = java.nio.file.Paths.get(graft.Scratch.dir,
       "graft-snap-qv8", math.abs(d.hashCode).toString)
     if (java.nio.file.Files.exists(root)) {
       val walk = java.nio.file.Files.walk(root)
@@ -4760,7 +4760,7 @@ object Queries {
     * wrong NULL-fill fails the hash compare.
     */
   val v7SchemaEvolution: Q = (s, d) => {
-    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+    val root = java.nio.file.Paths.get(graft.Scratch.dir,
       "graft-snap-qv7", math.abs(d.hashCode).toString)
     if (java.nio.file.Files.exists(root)) {
       val walk = java.nio.file.Files.walk(root)
@@ -4810,7 +4810,7 @@ object Queries {
       |FROM v2 GROUP BY event_type""".stripMargin
 
   val v3SnapshotTimeTravel: Q = (s, d) => {
-    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+    val root = java.nio.file.Paths.get(graft.Scratch.dir,
       "graft-snap-qv3", math.abs(d.hashCode).toString)
     if (java.nio.file.Files.exists(root)) {
       val walk = java.nio.file.Files.walk(root)
@@ -5000,7 +5000,7 @@ object Queries {
     * breaks the hash compare.
     */
   val st6ExactlyOnce: Q = (s, d) => {
-    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+    val root = java.nio.file.Paths.get(graft.Scratch.dir,
       "graft-snap-qst6", math.abs(d.hashCode).toString)
     if (java.nio.file.Files.exists(root)) {
       val walk = java.nio.file.Files.walk(root)

@@ -218,7 +218,16 @@ object Correlation {
       rules: Seq[CorrelationRule] = defaultRules,
       crossRules: Seq[CrossProviderRule] = defaultCrossRules,
       enableCrossProvider: Boolean = true): DataFrame = {
-    val thin = resources.select("id", "provider", "resource_type", "name", "metadata")
+    import graft.Barrier.BarrierOps
+    // Materialize the thin projection ONCE: every rule side is a filtered
+    // read of it, so without a barrier the 6 same-provider + 3 cross
+    // rules re-execute the whole upstream (often a many-way inventory
+    // union) ~18 times — measured as 36 parquet scans in q_e20's plan.
+    // This is the cache the scale note below always demanded of callers;
+    // doing it here makes every caller get it.
+    val thin = resources
+      .select("id", "provider", "resource_type", "name", "metadata")
+      .barrier(true)
     def slice(tpe: String) = thin.filter(col("resource_type") === tpe)
 
     val same = rules.map { r =>

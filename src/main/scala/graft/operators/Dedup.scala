@@ -784,10 +784,13 @@ object Dedup {
     */
   def corpusOverlap(df: DataFrame, corpusCol: String, textCol: String,
       w: Int = 5): DataFrame = {
+    // Barriered: consumed three times (per-corpus counts + both sides of
+    // the intersection self-join). Without the cut the explode + distinct
+    // subtree re-evaluates per consumer — q_d17's plan showed it 4×.
     val grams = tokenFrame(df, Seq(corpusCol -> "corpus"), textCol)
       .select(col("corpus"),
         explode(shinglesFromTokens(col("toks"), w)).as("gram"))
-      .distinct()
+      .distinct().barrier(true)
     val perCorpus = grams.groupBy("corpus").agg(count(lit(1)).as("n"))
     val inter = grams.as("x")
       .join(grams.as("y"), Seq("gram"))

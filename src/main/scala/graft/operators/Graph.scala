@@ -108,11 +108,17 @@ object Graph {
     */
   def triangles(edges: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // cached: read three times (degree window, pairing, wedge closure)
+    // EAGER barrier, not lazy .cache(): read three times (degree window,
+    // pairing, wedge closure) — and the first consumer is a UNION whose
+    // two legs run concurrently in one job, so a lazy cache lets both
+    // legs race to materialize it and the (expensive — the edge
+    // derivation is often a self-join) subtree computes TWICE (measured:
+    // twin 64-task stages of 17 s + 13 s task-time at sf0.1). The eager
+    // cut materializes once, before any consumer.
     val und = edges
       .select(least(col("from_id"), col("to_id")).as("a"),
         greatest(col("from_id"), col("to_id")).as("b"))
-      .filter(col("a") =!= col("b")).distinct().cache()
+      .filter(col("a") =!= col("b")).distinct().barrier(true)
     val dir = und.select(col("a").as("u"), col("b").as("v"))
       .unionByName(und.select(col("b").as("u"), col("a").as("v")))
     val ann = dir.withColumn("du", count(lit(1)).over(Window.partitionBy("u")))
@@ -123,10 +129,14 @@ object Graph {
       .groupBy("a", "b").agg(max("dua").as("da"), max("dub").as("db"))
     val aLower = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
+    // Same race as `und`: e1 ⋈ e2 consumes `oriented` twice in one job,
+    // which without a barrier recomputes the whole window + pair-agg
+    // chain (two exchanges) once per join side.
     val oriented = paired.select(
       when(aLower, col("a")).otherwise(col("b")).as("src"),
       when(aLower, col("b")).otherwise(col("a")).as("dst"),
       when(aLower, col("db")).otherwise(col("da")).as("ddeg"))
+      .barrier(true)
     val e1 = oriented.select(col("src"), col("dst").as("v"), col("ddeg").as("dv"))
     val e2 = oriented.select(col("src"), col("dst").as("w"), col("ddeg").as("dw"))
     val wedges = e1.join(e2, "src")
@@ -385,8 +395,15 @@ object Graph {
     // peeling over a collected deduped pair set replays the distributed
     // rounds exactly (degree = surviving-row count per `a`, semi-join
     // survival = both endpoints non-null and kept).
-    if (fitsDriver(e, localEdgeLimit)) {
-      val rows = e.collect()
+    val dbg = sys.env.contains("GRAFT_GRAPH_DEBUG")
+    def tdbg[A](label: String)(f: => A): A =
+      if (!dbg) f else {
+        val t0 = System.nanoTime(); val r = f
+        System.err.println(
+          f"[kcore] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+      }
+    if (tdbg("fitsDriver")(fitsDriver(e, localEdgeLimit))) {
+      val rows = tdbg("collect")(e.collect())
       if (rows.length < localEdgeLimit) {
         val spark = edges.sparkSession
         import spark.implicits._
@@ -409,7 +426,7 @@ object Graph {
         val seen = new java.util.HashSet[java.lang.Long]()
         val srcB = new scala.collection.mutable.ArrayBuffer[Int]()
         val dstB = new scala.collection.mutable.ArrayBuffer[Int]()
-        rows.foreach { r =>
+        tdbg("intern+dedup")(rows.foreach { r =>
           val fi = intern(if (r.isNullAt(0)) null else r.getString(0))
           val ti = intern(if (r.isNullAt(1)) null else r.getString(1))
           if (seen.add((fi.toLong << 32) | (ti & 0xffffffffL))) {
@@ -418,7 +435,7 @@ object Graph {
           if (seen.add((ti.toLong << 32) | (fi & 0xffffffffL))) {
             srcB += ti; dstB += fi
           }
-        }
+        })
         val src = srcB.toArray
         val dst = dstB.toArray
         val nv = names.size
@@ -455,7 +472,7 @@ object Graph {
           if (deg(i) >= k) out += ((names(i), deg(i).toLong))
           i += 1
         }
-        return out.toSeq.toDF("id", "deg")
+        return tdbg("toDF")(out.toSeq.toDF("id", "deg"))
       }
     }
     // hash-partition the deduped view on `a` up front: every round's

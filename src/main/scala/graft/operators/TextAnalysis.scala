@@ -564,12 +564,30 @@ object TextAnalysis {
 
   def bigramLm(docs: DataFrame, textCol: String = "text",
       vocabSize: Int = 1000, maxBigrams: Int = 5000): BigramLm = {
+    val spark = docs.sparkSession
     val base = lmTokenFrame(docs, Nil, textCol)
-    val tokens = base.select(explode(col("toks")).as("tok"))
-    val unigrams = tokens.groupBy("tok")
+    // totalTokens without exploding: Σ size(toks) ≡ count(explode(toks))
+    // (explode of an empty array emits 0 rows and size() = 0; a NULL toks
+    // explodes to nothing and greatest(NULL, 0) = 0) — one narrow
+    // partial-agg pass instead of the old full token-row explode count().
+    val totalTokens = {
+      val r = base.agg(sum(greatest(size(col("toks")), lit(0)))).head
+      if (r.isNullAt(0)) 0L else r.getLong(0) // SUM of zero rows is NULL
+    }
+    // Pin the unigram top-k as a LOCAL relation (bounded: vocabSize rows).
+    // As a lazy plan, every downstream broadcast of it — the scorer alone
+    // takes three, the bigram build two more — re-ran the full-corpus
+    // token explode + aggregation (measured as three extra ~10-CPU-s
+    // stages in q_t37). Collected once, every re-use is free, and the
+    // bigram build below can stay LAZY (it runs exactly once, inside the
+    // consumer's own job, overlapped — its inputs are now local).
+    val unigramsQ = base.select(explode(col("toks")).as("tok"))
+      .groupBy("tok")
       .agg(count(lit(1)).as("uni_cnt"))
       .orderBy(col("uni_cnt").desc, col("tok").asc)
       .limit(vocabSize)
+    val unigrams = spark.createDataFrame(
+      java.util.Arrays.asList(unigramsQ.collect(): _*), unigramsQ.schema)
     val inVocab = unigrams.select("tok")
     val bigrams = base
       .select(explode(lmPairs(col("toks"))).as("p"))
@@ -579,7 +597,7 @@ object TextAnalysis {
       .groupBy("w1", "w2").agg(count(lit(1)).as("big_cnt"))
       .orderBy(col("big_cnt").desc, col("w1").asc, col("w2").asc)
       .limit(maxBigrams)
-    BigramLm(unigrams, bigrams, tokens.count())
+    BigramLm(unigrams, bigrams, totalTokens)
   }
 
   /** Score documents against a [[BigramLm]]: exact integer coverage

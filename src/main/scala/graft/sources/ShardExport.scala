@@ -32,7 +32,17 @@ object ShardExport {
       maxRecordsPerFile: Int): Unit = {
     require(maxRecordsPerFile >= 1,
       s"maxRecordsPerFile must be >= 1, got $maxRecordsPerFile")
-    df.repartition(col(partitionCol))
+    // Explicit partition count: a bare repartition(col) is an
+    // AQE-coalescible shuffle (REPARTITION_BY_COL), and with few
+    // partition values AQE merges the whole write into ONE task — every
+    // value's files then encode serially on one core (measured: a
+    // 1-task 3.2 s write stage at bench SF). REPARTITION_BY_NUM is
+    // exempt from AQE coalescing, so values spread across tasks while
+    // each value still lands wholly in one task (hash of the value) —
+    // the file-count contract is untouched, only the task-to-value
+    // packing changes.
+    val n = math.max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    df.repartition(n, col(partitionCol))
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
       .partitionBy(partitionCol)

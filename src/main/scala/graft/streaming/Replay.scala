@@ -17,12 +17,8 @@ import org.apache.spark.sql.DataFrame
   */
 object Replay {
 
-  private def scratchRoot: java.nio.file.Path = {
-    val shm = java.nio.file.Paths.get("/dev/shm")
-    if (java.nio.file.Files.isDirectory(shm) &&
-        java.nio.file.Files.isWritable(shm)) shm
-    else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
-  }
+  private def scratchRoot: java.nio.file.Path =
+    java.nio.file.Paths.get(graft.Scratch.dir)
 
   /** Stateful replays pay per-(shuffle-partition, state-store) setup in
     * EVERY micro-batch — a stream-stream join keeps four stores per
@@ -60,10 +56,18 @@ object Replay {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       sq.awaitTermination()
-      // re-create as a local frame so no temp view outlives the query
-      val local = new java.util.ArrayList[org.apache.spark.sql.Row]()
-      spark.table(qn).collect().foreach(local.add)
-      val out = spark.createDataFrame(local, spark.table(qn).schema)
+      if (sys.env.contains("GRAFT_REPLAY_DEBUG"))
+        sq.recentProgress.foreach(p => System.err.println(
+          s"[replay] batch=${p.batchId} rows=${p.numInputRows} " +
+            s"durations=${p.durationMs}"))
+      // Cut the result loose from the temp view with an eager
+      // localCheckpoint: the emitted rows land in executor-local blocks
+      // in ONE pass, and downstream consumers (projections, dropDuplicates,
+      // the sink write) run distributed. The previous collect() +
+      // ArrayList + createDataFrame round-trip copied every emitted row
+      // through the driver twice and left consumers reading a
+      // single-partition local relation (measured ~2 s of q_st2's 4.2 s).
+      val out = spark.table(qn).localCheckpoint(true)
       spark.catalog.dropTempView(qn)
       out
     } finally {
