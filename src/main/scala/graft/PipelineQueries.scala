@@ -45,6 +45,17 @@ object PipelineQueries {
     root
   }
 
+  /** Spread a NARROW frame (ids + small scalars only) across all cores
+    * before CPU-dense payload synthesis/decode: at fixture SF a table is
+    * one small parquet file, so the scan yields ONE input partition and a
+    * whole decode pass pins to one task (measured: q_m5's real GIF decode
+    * as a single 1.25 s task). The inserted shuffle carries only the ids
+    * — payloads are synthesized AFTER the exchange — so it is cheap at
+    * every scale (the [[operators.Dedup]] spread-first discipline).
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   private def listParts(dir: java.nio.file.Path): Set[java.nio.file.Path] = {
     val walk = java.nio.file.Files.walk(dir)
     try {
@@ -1229,8 +1240,9 @@ object PipelineQueries {
     */
   val m1MediaMeta: Q = (s, d) =>
     Multimodal.withImageMeta(
-        t(s, d, "documents").select(col("doc_id"),
-          Multimodal.synthPayload(col("doc_id")).as("payload")))
+        spread(t(s, d, "documents").select(col("doc_id")))
+          .select(col("doc_id"),
+            Multimodal.synthPayload(col("doc_id")).as("payload")))
       .select(col("doc_id"),
         col("image_meta.media_type").as("media_type"),
         col("image_meta.width").as("width"),
@@ -1258,9 +1270,10 @@ object PipelineQueries {
     */
   val m3ResizeRoundtrip: Q = (s, d) =>
     Multimodal.withImageMeta(
-        t(s, d, "documents").select(col("doc_id"),
-          Multimodal.resizedPayload(
-            Multimodal.synthPayload(col("doc_id")), 20, 10).as("payload")))
+        spread(t(s, d, "documents").select(col("doc_id")))
+          .select(col("doc_id"),
+            Multimodal.resizedPayload(
+              Multimodal.synthPayload(col("doc_id")), 20, 10).as("payload")))
       .select(col("doc_id"),
         col("image_meta.width").as("width"),
         col("image_meta.height").as("height"),
@@ -1289,8 +1302,9 @@ object PipelineQueries {
     */
   val m4AudioDecode: Q = (s, d) =>
     Multimodal.withAudioMeta(
-        t(s, d, "documents").select(col("doc_id"),
-          Multimodal.synthWavPayload(col("doc_id")).as("payload")))
+        spread(t(s, d, "documents").select(col("doc_id")))
+          .select(col("doc_id"),
+            Multimodal.synthWavPayload(col("doc_id")).as("payload")))
       .select(col("doc_id"),
         col("audio_meta.media_type").as("media_type"),
         col("audio_meta.sample_rate").as("sample_rate"),
@@ -1321,7 +1335,7 @@ object PipelineQueries {
     * the energies from the WAV bytes.
     */
   val m7AudioFingerprint: Q = (s, d) => {
-    val docs = t(s, d, "documents").select("doc_id")
+    val docs = spread(t(s, d, "documents").select("doc_id"))
     val base = docs.withColumn("payload",
       Multimodal.synthWavPayload(col("doc_id")))
     val clones = docs
@@ -1375,8 +1389,9 @@ object PipelineQueries {
     */
   val m5VideoFrames: Q = (s, d) =>
     Multimodal.withSampledFrames(
-        t(s, d, "documents").select(col("doc_id"),
-          Multimodal.synthGifPayload(col("doc_id")).as("payload")),
+        spread(t(s, d, "documents").select(col("doc_id")))
+          .select(col("doc_id"),
+            Multimodal.synthGifPayload(col("doc_id")).as("payload")),
         stride = 2, maxFrames = 4)
       .select(col("doc_id"),
         col("frame.n_frames").as("n_frames"),
@@ -2396,13 +2411,15 @@ object PipelineQueries {
     * multi-member groups states "the payload bytes differed" as data.
     */
   val m6PhashDedup: Q = (s, d) => {
-    // cached: the hash frame feeds both the group aggregate and the join
-    // back — without it every PNG decodes twice
-    val hashed = t(s, d, "documents").select(col("doc_id"))
+    // EAGER barrier (not lazy .cache()): the hash frame feeds both the
+    // group aggregate and the join back, and those two consumers run in
+    // ONE job — a lazy cache lets them race and every PNG decodes twice.
+    // Spread first: the decode is CPU-dense and the input is one file.
+    val hashed = spread(t(s, d, "documents").select(col("doc_id")))
       .withColumn("payload",
         Multimodal.syntheticGradientPayload(col("doc_id")))
       .withColumn("dhash", Multimodal.dHashCol(col("payload")))
-      .drop("payload").cache()
+      .drop("payload").barrier(true)
     val groups = hashed.groupBy("dhash")
       .agg(count(lit(1)).as("group_size"),
         min("doc_id").as("keeper_id"),
@@ -3818,7 +3835,7 @@ object PipelineQueries {
     * reuse the index byte-for-byte.
     */
   private def ivfIndexDir(s: SparkSession, d: String): String =
-    FixtureCache.resolve("graft-ivf-index-v3", d, "embeddings.parquet")(
+    FixtureCache.resolve("graft-ivf-index-v4", d, "embeddings.parquet")(
       dir => java.nio.file.Files.exists(
           dir.resolve("centroids").resolve("_SUCCESS")) &&
         java.nio.file.Files.exists(
@@ -3899,7 +3916,7 @@ object PipelineQueries {
   // fixture build and the measured query is the serving probe over the
   // mixed (built + appended) layout.
   private def ivfAppendDir(s: SparkSession, d: String): String =
-    FixtureCache.resolve("graft-ivf-append-v3", d, "embeddings.parquet")(
+    FixtureCache.resolve("graft-ivf-append-v4", d, "embeddings.parquet")(
       // ready ⇔ the APPEND finished, not just the base build: both
       // _SUCCESS markers exist the moment ivfWriteIndex returns, so a
       // crash before the append would otherwise leave a half fixture
@@ -3975,7 +3992,7 @@ object PipelineQueries {
   // frozen anchor graph, so the append path runs at fixture build and
   // the measured query is the serving probe over the mixed layout.
   private def hnswAppendDir(s: SparkSession, d: String): String =
-    FixtureCache.resolve("graft-hnsw-append-v4", d, "embeddings.parquet")(
+    FixtureCache.resolve("graft-hnsw-append-v5", d, "embeddings.parquet")(
       dir => java.nio.file.Files.exists(dir.resolve("_APPENDED"))) { dir =>
       val emb = t(s, d, "embeddings")
       val (graph, assigned) = Hnsw.index(
@@ -4052,7 +4069,7 @@ object PipelineQueries {
   // marker, and the rebuild's ivfWriteIndex overwrite wipes any
   // partial appends, so a half-ingested fixture is never trusted.
   private def ivfStreamIngestDir(s: SparkSession, d: String): String =
-    FixtureCache.resolve("graft-ivf-stream-ingest", d,
+    FixtureCache.resolve("graft-ivf-stream-ingest-v2", d,
       "embeddings.parquet")(
       dir => java.nio.file.Files.exists(dir.resolve("_INGESTED"))) { dir =>
       val emb = t(s, d, "embeddings")
@@ -4161,7 +4178,7 @@ object PipelineQueries {
   // append. Same crash discipline: no _INGESTED marker → rebuild, and
   // the rebuild's writeIndex overwrite wipes partial appends.
   private def hnswStreamIngestDir(s: SparkSession, d: String): String =
-    FixtureCache.resolve("graft-hnsw-stream-ingest-v3", d,
+    FixtureCache.resolve("graft-hnsw-stream-ingest-v4", d,
       "embeddings.parquet")(
       dir => java.nio.file.Files.exists(dir.resolve("_INGESTED"))) { dir =>
       val emb = t(s, d, "embeddings")
@@ -4261,7 +4278,7 @@ object PipelineQueries {
   // point, so a crash mid-append leaves v1 fully readable and no marker
   // file is needed beyond the store's own versions.
   private def versionedAnnDir(s: SparkSession, d: String): String =
-    FixtureCache.resolve("graft-ann-versioned", d, "embeddings.parquet")(
+    FixtureCache.resolve("graft-ann-versioned-v2", d, "embeddings.parquet")(
       dir => {
         val st = new graft.catalog.SnapshotTableStore(
           dir.resolve("store").toString)
@@ -4371,7 +4388,7 @@ object PipelineQueries {
   // layout q_s29 streams into has a torn-read window during an append —
   // this closes it for the second serving index.
   private def versionedHnswDir(s: SparkSession, d: String): String =
-    FixtureCache.resolve("graft-hnsw-versioned-v2", d, "embeddings.parquet")(
+    FixtureCache.resolve("graft-hnsw-versioned-v3", d, "embeddings.parquet")(
       dir => {
         val st = new graft.catalog.SnapshotTableStore(
           dir.resolve("store").toString)
@@ -4495,7 +4512,7 @@ object PipelineQueries {
   // AFTER (must read 0). Both metric frames persist beside the index so
   // cached runs re-emit the same numbers.
   private def ivfRetrainDir(s: SparkSession, d: String): String =
-    FixtureCache.resolve("graft-ivf-retrain", d, "embeddings.parquet")(
+    FixtureCache.resolve("graft-ivf-retrain-v2", d, "embeddings.parquet")(
       dir => java.nio.file.Files.exists(dir.resolve("_RETRAINED"))) { dir =>
       val emb = t(s, d, "embeddings")
       val (centroids, assigned) = Similarity.ivfIndex(

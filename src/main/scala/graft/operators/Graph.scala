@@ -45,6 +45,23 @@ object Graph {
   /** Plan-estimate ceiling for the gating collect (pre-collect check). */
   private val LocalBytesLimit = BigInt(512L * 1024 * 1024)
 
+  /** Driver-endgame result frame. A plain `Seq.toDF` plans as a
+    * LocalTableScan whose row encoding runs single-threaded on the driver
+    * at every action (measured 0.7–1.0 s per action for q_g15's 163 k
+    * rows); above a small threshold the rows are parallelized so
+    * encoding — and every downstream consumer — runs across cores. Row
+    * order is preserved either way (ParallelCollectionRDD slices are
+    * sequential).
+    */
+  private def localFrame[T <: Product : scala.reflect.runtime.universe.TypeTag
+      : scala.reflect.ClassTag](
+      spark: SparkSession, rows: Seq[T], cols: Seq[String]): DataFrame = {
+    import spark.implicits._
+    if (rows.length < 50000) rows.toDF(cols: _*)
+    else spark.createDataFrame(spark.sparkContext.parallelize(
+      rows, spark.sparkContext.defaultParallelism)).toDF(cols: _*)
+  }
+
   /** True when the optimizer's size estimate says `df` is collectable.
     * `GRAFT_GRAPH_DISTRIBUTED` in the environment disables every driver
     * endgame — the switch the shuffle-linearity measurements
@@ -230,7 +247,7 @@ object Graph {
         }
         val out = new scala.collection.mutable.ArrayBuffer[(String, Long)](nodeSet.size)
         nodeSet.forEach(v => out += ((v, pr.get(v))))
-        return out.toSeq.toDF("id", "pr")
+        return localFrame(spark, out.toSeq, Seq("id", "pr"))
       }
     }
     val nodes = e.select(col("from_id").as("id"))
@@ -344,7 +361,7 @@ object Graph {
         }
         val out = new scala.collection.mutable.ArrayBuffer[(String, String)](labels.size())
         labels.forEach((k, v) => out += ((k, v)))
-        return out.toSeq.toDF("id", "community")
+        return localFrame(spark, out.toSeq, Seq("id", "community"))
       }
     }
     val und = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
@@ -409,8 +426,12 @@ object Graph {
         import spark.implicits._
         // interned int-indexed vertices + packed-long pair dedup: the
         // peel is then pure primitive-array scans (a boxed HashMap peel
-        // measured slower than the distributed rounds it replaced)
-        val idx = new java.util.HashMap[String, Integer]()
+        // measured slower than the distributed rounds it replaced).
+        // Presized to the collected row count: default-capacity JDK maps
+        // rehash ~17× while interning ~1.6 M endpoints (measured ~1 s of
+        // the q_g15 endgame).
+        val idx = new java.util.HashMap[String, Integer](
+          math.min(rows.length.toLong * 2 + 16, 1 << 22).toInt)
         val names = new scala.collection.mutable.ArrayBuffer[String]()
         var nullId = -1
         def intern(s: String): Int = {
@@ -423,7 +444,8 @@ object Graph {
             i
           }
         }
-        val seen = new java.util.HashSet[java.lang.Long]()
+        val seen = new java.util.HashSet[java.lang.Long](
+          math.min(rows.length.toLong * 4 + 16, 1 << 23).toInt)
         val srcB = new scala.collection.mutable.ArrayBuffer[Int]()
         val dstB = new scala.collection.mutable.ArrayBuffer[Int]()
         tdbg("intern+dedup")(rows.foreach { r =>
@@ -472,7 +494,7 @@ object Graph {
           if (deg(i) >= k) out += ((names(i), deg(i).toLong))
           i += 1
         }
-        return tdbg("toDF")(out.toSeq.toDF("id", "deg"))
+        return tdbg("toDF")(localFrame(spark, out.toSeq, Seq("id", "deg")))
       }
     }
     // hash-partition the deduped view on `a` up front: every round's
@@ -551,7 +573,7 @@ object Graph {
         }
         val out = new scala.collection.mutable.ArrayBuffer[(String, Long)](dist.size())
         dist.forEach((k, v) => out += ((k, v)))
-        return out.toSeq.toDF("id", "dist")
+        return localFrame(spark, out.toSeq, Seq("id", "dist"))
       }
     }
     // NULL-weight edges relax to NULL distances; the endgame drops them
@@ -665,7 +687,7 @@ object Graph {
       val out = new scala.collection.mutable.ArrayBuffer[(String, Int)](dist.size())
       dist.forEach((k, v) => out += ((k, v.intValue())))
       mark(s"endgame walk (${out.size} nodes)")
-      return out.toSeq.toDF("id", "distance")
+      return localFrame(spark, out.toSeq, Seq("id", "distance"))
     }
 
     var adj = adjBase.persist(StorageLevel.MEMORY_AND_DISK)
@@ -791,7 +813,7 @@ object Graph {
           frontier = next
         }
       }
-      return out.toSeq.toDF("src", "id", "distance")
+      return localFrame(spark, out.toSeq, Seq("src", "id", "distance"))
     }
     var adj = adjBase.persist(StorageLevel.MEMORY_AND_DISK)
     var adjPartitioned = false
@@ -1168,7 +1190,8 @@ object Graph {
         var i = 0
         while (i < arr.length) { nodes += arr(i); i += 2 }
       }
-      val out = nodes.iterator.map(n => (n, find(n))).toSeq.toDF("id", "comp")
+      val out = localFrame(spark,
+        nodes.iterator.map(n => (n, find(n))).toSeq, Seq("id", "comp"))
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(s"[cc] local union-find: ${chunks.iterator.map(_._2.length / 2).sum} " +
           s"sym rows in ${(System.nanoTime() - t0) / 1e9}s")
@@ -1208,7 +1231,8 @@ object Graph {
         var i = 0
         while (i < arr.length) { nodes += arr(i); i += 2 }
       }
-      val out = nodes.iterator.map(n => (n, find(n))).toSeq.toDF("id", "comp")
+      val out = localFrame(spark,
+        nodes.iterator.map(n => (n, find(n))).toSeq, Seq("id", "comp"))
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(s"[cc] local union-find: ${chunks.iterator.map(_._2.length / 2).sum} " +
           s"sym rows in ${(System.nanoTime() - t0) / 1e9}s")

@@ -744,9 +744,20 @@ object Similarity {
     * a partition-pruned scan that reads nProbe/nCells of the corpus from
     * disk, never the whole index.
     */
+  /** Cluster by cell before a partitioned write: each cell lands wholly
+    * in one task, so every write emits exactly ONE file per cell (guide
+    * §6 file sizing — a pruned probe then opens one file per probed
+    * region, not one per upstream partition). Explicit N keeps AQE from
+    * coalescing the write to a single serial task at small inputs.
+    */
+  private def byCell(assigned: DataFrame): DataFrame =
+    assigned.repartition(
+      math.max(assigned.sparkSession.sparkContext.defaultParallelism, 1),
+      col("cell"))
+
   def ivfWriteIndex(centroids: DataFrame, assigned: DataFrame,
       path: String): Unit = {
-    assigned.write.mode("overwrite").partitionBy("cell")
+    byCell(assigned).write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/assigned")
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
     writeBuildMarker(path, assigned.sparkSession)
@@ -827,8 +838,7 @@ object Similarity {
     rmTree(staged)
     val current = spark.read.parquet(s"$path/assigned").select("id", "vec")
     val (centroids, assigned) = ivfIndex(current, "id", "vec", nCells, seed)
-    assigned.repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
+    byCell(assigned).write.mode("overwrite").partitionBy("cell")
       .parquet(s"${staged.getPath}/assigned")
     centroids.write.mode("overwrite").parquet(s"${staged.getPath}/centroids")
     assigned.unpersist(blocking = false)
@@ -933,11 +943,7 @@ object Similarity {
     } else if (oldF.exists()) rm(oldF)
     if (tmpF.exists()) rm(tmpF)
     val assigned = spark.read.parquet(s"$path/assigned")
-    // hash-repartition ON the partition column: each cell lands wholly in
-    // one task, so the partitioned write emits exactly one file per cell
-    // while cells still compact in parallel across tasks
-    assigned.repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
+    byCell(assigned).write.mode("overwrite").partitionBy("cell")
       .parquet(tmpF.getPath)
     if (!live.renameTo(oldF) || !tmpF.renameTo(live))
       throw new java.io.IOException(s"ivfCompactIndex: swap failed at $path")
@@ -974,7 +980,7 @@ object Similarity {
       newVectors: DataFrame, idCol: String, vecCol: String): Long = {
     val assigned = ivfAssign(spark.read.parquet(s"$path/centroids"),
       newVectors, idCol, vecCol)
-    assigned.write.mode("append").partitionBy("cell")
+    byCell(assigned).write.mode("append").partitionBy("cell")
       .parquet(s"$path/assigned")
     val n = assigned.count()
     assigned.unpersist(blocking = false)
