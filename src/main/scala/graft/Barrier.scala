@@ -27,7 +27,9 @@ import org.apache.spark.storage.StorageLevel
   *
   * Set the policy per session: `spark.conf.set("graft.barrier",
   * "reliable")`. Every operator site routes through [[BarrierOps.barrier]],
-  * so one config flips the whole engine.
+  * so one config flips the whole engine. A third value, `none`, disables
+  * barriers entirely (frames pass through with full lineage) — for plan
+  * inspection and CI plan guards only, never production.
   *
   * DEFAULT RESOLUTION (safe-by-default): when neither the session conf
   * nor `GRAFT_BARRIER` sets a policy, the default is `local` on a
@@ -64,6 +66,12 @@ object Barrier {
     * first action.
     */
   def cut[T](ds: Dataset[T], eager: Boolean): Dataset[T] = policy(ds) match {
+    // Diagnostic/test policy: no materialization at all — the frame keeps
+    // its full lineage so plan-quality guards (and .explain users) can see
+    // the subtree a barrier would otherwise truncate. Never the right
+    // choice for real runs: the semantic re-inlining the barrier prevents
+    // comes back.
+    case "none" => ds
     case "reliable" =>
       val sc = ds.sparkSession.sparkContext
       if (sc.getCheckpointDir.isEmpty)

@@ -210,9 +210,14 @@ object Correlation {
     * At scale: every same-provider rule is a hash join between two thin
     * exploded key frames of ONE type slice each — the resource corpus is
     * scanned per slice with the type filter pushed to the parquet scan,
-    * and nothing wider than (id, key) ever shuffles. Callers looping many
-    * rule tables over the same inventory should cache the projected
-    * input once.
+    * and nothing wider than (id, key) ever shuffles.
+    *
+    * EAGER when it pays: with more than one rule side consuming the
+    * input, the thin 5-column projection is materialized (session
+    * [[graft.Barrier]] policy) AT CALL TIME — a Spark job runs before
+    * the returned frame is ever acted on. With a single rule, or a
+    * streaming input (where checkpoint/persist are unsupported), the
+    * projection stays lazy and the returned frame is plan-only as usual.
     */
   def correlate(resources: DataFrame,
       rules: Seq[CorrelationRule] = defaultRules,
@@ -224,10 +229,16 @@ object Correlation {
     // rules re-execute the whole upstream (often a many-way inventory
     // union) ~18 times — measured as 36 parquet scans in q_e20's plan.
     // This is the cache the scale note below always demanded of callers;
-    // doing it here makes every caller get it.
-    val thin = resources
+    // doing it here makes every caller get it. Skipped when only one
+    // rule consumes the input (nothing is re-read — eagerness would cost
+    // a pointless extra pass) and on streaming inputs (checkpoint/persist
+    // unsupported; see scaladoc).
+    val proj = resources
       .select("id", "provider", "resource_type", "name", "metadata")
-      .barrier(true)
+    val ruleSides = rules.size +
+      (if (enableCrossProvider) crossRules.size else 0)
+    val thin =
+      if (ruleSides > 1 && !proj.isStreaming) proj.barrier(true) else proj
     def slice(tpe: String) = thin.filter(col("resource_type") === tpe)
 
     val same = rules.map { r =>

@@ -417,12 +417,6 @@ object Hnsw {
     (probes, probeRows.map(_._3).distinct)
   }
 
-  /** Persist the index in the IVF on-disk layout: the assigned corpus
-    * `partitionBy("cell")` (each region its own partition directory —
-    * the partition-pruned serving path), plus the graph halves as two
-    * small parquet tables (`anchors`, `graph`) a fresh session can
-    * rebuild the driver [[Graph]] from.
-    */
   /** Cluster by cell before the partitioned write (explicit N so AQE
     * cannot coalesce the write to one serial task — the ShardExport
     * lesson): each region becomes exactly ONE file per write instead of
@@ -436,6 +430,12 @@ object Hnsw {
       math.max(assigned.sparkSession.sparkContext.defaultParallelism, 1),
       col("cell"))
 
+  /** Persist the index in the IVF on-disk layout: the assigned corpus
+    * `partitionBy("cell")` (each region its own partition directory —
+    * the partition-pruned serving path), plus the graph halves as two
+    * small parquet tables (`anchors`, `graph`) a fresh session can
+    * rebuild the driver [[Graph]] from.
+    */
   def writeIndex(g: Graph, assigned: DataFrame, path: String): Unit = {
     val spark = assigned.sparkSession
     import spark.implicits._

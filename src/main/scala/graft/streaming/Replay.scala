@@ -60,14 +60,18 @@ object Replay {
         sq.recentProgress.foreach(p => System.err.println(
           s"[replay] batch=${p.batchId} rows=${p.numInputRows} " +
             s"durations=${p.durationMs}"))
-      // Cut the result loose from the temp view with an eager
-      // localCheckpoint: the emitted rows land in executor-local blocks
-      // in ONE pass, and downstream consumers (projections, dropDuplicates,
-      // the sink write) run distributed. The previous collect() +
-      // ArrayList + createDataFrame round-trip copied every emitted row
-      // through the driver twice and left consumers reading a
-      // single-partition local relation (measured ~2 s of q_st2's 4.2 s).
-      val out = spark.table(qn).localCheckpoint(true)
+      // Cut the result loose from the temp view with an eager barrier:
+      // the emitted rows land in executor-local blocks in ONE pass, and
+      // downstream consumers (projections, dropDuplicates, the sink
+      // write) run distributed. The previous collect() + ArrayList +
+      // createDataFrame round-trip copied every emitted row through the
+      // driver twice and left consumers reading a single-partition local
+      // relation (measured ~2 s of q_st2's 4.2 s). Routed through the
+      // session Barrier policy (not a hardcoded localCheckpoint) so a
+      // cluster run under `graft.barrier=reliable` keeps its
+      // block-loss-safe storage for this frame too.
+      import graft.Barrier.BarrierOps
+      val out = spark.table(qn).barrier(true)
       spark.catalog.dropTempView(qn)
       out
     } finally {

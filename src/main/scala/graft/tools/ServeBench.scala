@@ -51,15 +51,18 @@ object ServeBench {
     // index; readiness checks the LAST artifact each writer emits
     // (ivfWriteIndex: centroids after assigned; Hnsw.writeIndex: graph
     // after assigned + anchors) so a crashed half-build also rebuilds.
+    // v2/v4 tags: bumped after the r14 byCell writer-layout change so
+    // cached indexes with the old many-files-per-cell layout rebuild and
+    // serving measurements reflect what the writers now produce.
     val ivfDir = graft.FixtureCache.resolve(
-      s"graft-servebench-ivf-$nCells", sfDir, "embeddings.parquet")(
+      s"graft-servebench-ivf-v2-$nCells", sfDir, "embeddings.parquet")(
       dir => Files.exists(dir.resolve("centroids").resolve("_SUCCESS"))) {
       dir =>
         val (c, a) = Similarity.ivfIndex(emb, "vec_id", "embedding", nCells)
         Similarity.ivfWriteIndex(c, a, dir.toString)
     }()
     val hnswDir = graft.FixtureCache.resolve(
-      s"graft-servebench-hnsw-v3-$anchors", sfDir, "embeddings.parquet")(
+      s"graft-servebench-hnsw-v4-$anchors", sfDir, "embeddings.parquet")(
       dir => Files.exists(dir.resolve("graph").resolve("_SUCCESS"))) {
       dir =>
         val (g, a) = Hnsw.index(emb, "vec_id", "embedding",

@@ -311,17 +311,43 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("G9 triangles: equi-joins only, no cartesian, no broadcast of edges") {
-    val p = plan("q_g9_triangles")
-    assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("BroadcastNestedLoopJoin"), p)
-    // round-9 trim: degrees come from ONE count-window + one pair-agg,
-    // never a separate degree groupBy joined back twice — a regression
-    // to the join form re-adds an exchange
-    assert(p.contains("Window"), "degree annotation must be the window\n" + p)
-    // formatted output prints each node twice (tree + details): 2 joins
-    // — wedge and closure — mean at most 4 SortMergeJoin mentions
-    assert(p.linesIterator.count(_.contains("SortMergeJoin")) <= 4,
-      "only the wedge and closure joins may shuffle-join\n" + p)
+    // The operator's eager barriers (r14) truncate the plan at a
+    // checkpoint scan, so the declared-query plan can no longer show the
+    // degree window. Re-sight the guard on the operator itself under the
+    // test-only `graft.barrier=none` policy (full lineage visible), with
+    // auto-broadcast off so the tiny fixture still plans the joins the
+    // cluster would: the SMJ-count and Window pins stay live.
+    import spark.implicits._
+    val prevBarrier = spark.conf.getOption(graft.Barrier.ConfKey)
+    val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set(graft.Barrier.ConfKey, "none")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val e = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"))
+        .toDF("from_id", "to_id")
+      val p = graft.operators.Graph.triangles(e)
+        .queryExecution.explainString(FormattedMode)
+      assert(!p.contains("CartesianProduct"), p)
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+      // round-9 trim: degrees come from ONE count-window + one pair-agg,
+      // never a separate degree groupBy joined back twice — a regression
+      // to the join form re-adds an exchange
+      assert(p.contains("Window"), "degree annotation must be the window\n" + p)
+      // formatted output prints each node twice (tree + details): 2 joins
+      // — wedge and closure — mean at most 4 SortMergeJoin mentions
+      assert(p.linesIterator.count(_.contains("SortMergeJoin")) <= 4,
+        "only the wedge and closure joins may shuffle-join\n" + p)
+    } finally {
+      prevBarrier match {
+        case Some(v) => spark.conf.set(graft.Barrier.ConfKey, v)
+        case None => spark.conf.unset(graft.Barrier.ConfKey)
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+    }
+    // the declared query's (barriered) plan still must not go all-pairs
+    val pq = plan("q_g9_triangles")
+    assert(!pq.contains("CartesianProduct"), pq)
+    assert(!pq.contains("BroadcastNestedLoopJoin"), pq)
   }
 
   test("A17 profile: one scan, multi-distinct via Expand, no join") {

@@ -84,12 +84,18 @@ class QueryServerSpec extends SparkSpec {
   test("per-request timeout cancels the job group: a slow query answers " +
       "408 within bounds and the server still serves afterwards") {
     import spark.implicits._
-    Seq.tabulate(40000)(i => i).toDF("id")
+    Seq.tabulate(512)(i => i).toDF("id")
       .createOrReplaceTempView("api_slow")
-    // 1500 ms: generous enough that the trivial warm-up/health counts
-    // never trip it even with the full suite's parallel Spark suites
-    // stealing cores (400 ms flaked exactly that way), still a tiny
-    // fraction of the multi-second join it must cancel.
+    // The "slow" query is DETERMINISTICALLY slow: every task blocks on a
+    // latch until the test releases it, so it can never finish before the
+    // timeout no matter how fast or idle the host is (a join-sized query
+    // lost that race twice — too slow for the warm-up timeout on a loaded
+    // host at 400 ms, finished under 1500 ms on a fast one). The guard
+    // sets interruptOnCancel=true, so cancelJobGroup interrupts the
+    // blocked tasks and the cores free immediately.
+    QueryServerSpec.resetGate()
+    spark.udf.register("test_block",
+      (x: Int) => { QueryServerSpec.awaitGate(); x })
     val server = new QueryServer(spark, timeoutMs = 1500)
     server.start()
     try {
@@ -106,12 +112,13 @@ class QueryServerSpec extends SparkSpec {
       assert(warmed, s"warm-up failed after $warmTries tries")
       val t0 = System.nanoTime()
       val (code, body) = post(server.boundPort,
-        "SELECT count(*) FROM api_slow a JOIN api_slow b ON a.id % 3 = b.id % 3")
+        "SELECT count(*) FROM api_slow WHERE test_block(id) >= 0")
       val elapsedMs = (System.nanoTime() - t0) / 1e6
       assert(code == 408, s"$code $body")
       assert(body.contains("timeout"), body)
-      // cancel must end the request long before the join would finish
+      // cancel must end the request long before the gate would open
       assert(elapsedMs < 15000, s"timeout took ${elapsedMs}ms")
+      QueryServerSpec.openGate()
       // the server is healthy after a cancelled request (retry over the
       // short test timeout, as with the warm-up)
       var okSeen = false
@@ -121,11 +128,14 @@ class QueryServerSpec extends SparkSpec {
         val (okCode, okBody) =
           post(server.boundPort, "SELECT count(*) AS n FROM api_slow")
         lastBody = okBody
-        okSeen = okCode == 200 && okBody.contains(""""rows":[[40000]]""")
+        okSeen = okCode == 200 && okBody.contains(""""rows":[[512]]""")
         okTries += 1
       }
       assert(okSeen, lastBody)
-    } finally server.stop()
+    } finally {
+      QueryServerSpec.openGate()
+      server.stop()
+    }
   }
 
   test("admission bound rejects excess in-flight requests with 429 and " +
@@ -172,6 +182,8 @@ class QueryServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  // (companion holds the gate — see object QueryServerSpec below)
+
   test("two concurrent sessions with different graft.barrier confs keep " +
       "their own policy (session conf is not global state)") {
     val s1 = spark.newSession()
@@ -193,4 +205,20 @@ class QueryServerSpec extends SparkSpec {
     assert(seen.get("s1") == "reliable" * 10, seen.get("s1"))
     assert(seen.get("s2") == "local" * 10, seen.get("s2"))
   }
+}
+
+/** Static gate for the timeout test's blocking UDF: the closure references
+  * the object (a static field access after closure cleaning), so nothing
+  * non-serializable is captured, and local-mode tasks share the same
+  * instance as the test thread. The await is bounded so a missed release
+  * can never hang the suite; an interrupt (cancelJobGroup with
+  * interruptOnCancel) exits immediately.
+  */
+object QueryServerSpec {
+  @volatile private var gate = new java.util.concurrent.CountDownLatch(1)
+  def resetGate(): Unit = { gate = new java.util.concurrent.CountDownLatch(1) }
+  def openGate(): Unit = gate.countDown()
+  def awaitGate(): Unit =
+    try gate.await(60, java.util.concurrent.TimeUnit.SECONDS)
+    catch { case _: InterruptedException => Thread.currentThread().interrupt() }
 }
